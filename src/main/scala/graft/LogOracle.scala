@@ -1,0 +1,148 @@
+package graft
+
+import graft.operators.{LogRender, PromMetrics}
+
+/** DuckDB oracle SQL for the log-pipeline queries.
+  *
+  * [[graft.operators.LogRender]] derives every log-line value from
+  * `events.event_id`/`user_id`/`ts` with integer arithmetic only, so the
+  * oracle can compute the expected pipeline outputs directly from the
+  * `events` table — if the Spark render → regex parse → keyed merge →
+  * aggregation path is correct, the results hash-match bit-for-bit.
+  * All constants are interpolated from LogRender/PromMetrics so the two
+  * sides cannot drift.
+  */
+object LogOracle {
+  import LogRender._
+
+  private def stmtCase(col: String): String =
+    s"CASE event_id % 5 " + StmtTexts.zipWithIndex.map { case ((text, tpe), i) =>
+      val v = if (col == "query") text else tpe
+      s"WHEN $i THEN '$v'"
+    }.mkString(" ") + " END"
+
+  /** Shared CTE: per-event derived values, mirroring LogRender.lines. */
+  val E: String =
+    s"""e AS (
+       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+       |    (event_id % $OrphanMod = 0) AS orphan,
+       |    (event_id % $DupMod = 0) AS dup,
+       |    (event_id % $ErrMod = $ErrRem) AS haserr,
+       |    event_id % 5 AS s,
+       |    (event_id * $ElapsedUsMul) % $ElapsedUsMod AS elapsed_us,
+       |    (event_id * $RowsMul) % $RowsMod AS rows_read,
+       |    ((event_id * $GibMul) % $GibMod) * 1073741824 AS bytes_read,
+       |    (event_id * $RpsMul) % $RpsMod AS rps,
+       |    ((event_id * $MibPsMul) % $MibPsMod) * 1048576 AS speed,
+       |    ((event_id * $MemMibMul) % $MemMibMod) * 1048576 AS memory,
+       |    CAST(1 + event_id % 999 AS BIGINT) AS error_code,
+       |    CAST(100 + event_id % 900 AS BIGINT) AS pid,
+       |    'q-' || CAST(event_id AS VARCHAR) AS id
+       |  FROM events)""".stripMargin
+
+  private def bucketsValues(buckets: Seq[Double]): String =
+    (buckets.map(b => s"(CAST(${BigDecimal(b).toBigInt} AS DOUBLE))") :+
+      "(CAST('infinity' AS DOUBLE))").mkString(", ")
+
+  /** Cumulative prometheus histogram, no labels: (le, cum_count). */
+  private def histSql(obsSelect: String, buckets: Seq[Double]): String =
+    s"""WITH $E, obs AS ($obsSelect),
+       |buckets(le) AS (VALUES ${bucketsValues(buckets)})
+       |SELECT b.le AS le, CAST(count(o.v) AS BIGINT) AS cum_count
+       |FROM buckets b LEFT JOIN obs o ON o.v <= b.le
+       |GROUP BY b.le ORDER BY b.le""".stripMargin
+
+  /** Cumulative prometheus histogram with stmt_type label. */
+  private def histByTypeSql(obsSelect: String, buckets: Seq[Double]): String =
+    s"""WITH $E, obs AS ($obsSelect),
+       |buckets(le) AS (VALUES ${bucketsValues(buckets)}),
+       |labels AS (SELECT DISTINCT stmt_type FROM obs)
+       |SELECT l.stmt_type AS stmt_type, b.le AS le, CAST(count(o.v) AS BIGINT) AS cum_count
+       |FROM labels l CROSS JOIN buckets b
+       |LEFT JOIN obs o ON o.stmt_type = l.stmt_type AND o.v <= b.le
+       |GROUP BY l.stmt_type, b.le ORDER BY l.stmt_type, b.le""".stripMargin
+
+  val readLines: String =
+    s"""WITH $E
+       |SELECT CAST(sum((CASE WHEN orphan THEN 0 WHEN dup THEN 2 ELSE 1 END)
+       |  + 1 + (CASE WHEN haserr THEN 1 ELSE 0 END) + 1) AS BIGINT) AS n FROM e""".stripMargin
+
+  val parsedEvents: String = {
+    val nulls = "CAST(NULL AS BIGINT) AS rows_read, CAST(NULL AS BIGINT) AS bytes_read, " +
+      "CAST(NULL AS BIGINT) AS rps, CAST(NULL AS BIGINT) AS speed, " +
+      "CAST(NULL AS BIGINT) AS memory, CAST(NULL AS BIGINT) AS error_code"
+    s"""WITH $E, k AS (
+       |  SELECT event_id*8 AS seq, 'initial' AS kind, id, pid, $nulls FROM e WHERE NOT orphan
+       |  UNION ALL
+       |  SELECT event_id*8+1, 'initial', id, pid, NULL, NULL, NULL, NULL, NULL, NULL FROM e WHERE NOT orphan AND dup
+       |  UNION ALL
+       |  SELECT event_id*8+2, 'stats', id, pid, rows_read, bytes_read, rps, speed, NULL, NULL FROM e
+       |  UNION ALL
+       |  SELECT event_id*8+3, 'error', id, pid, NULL, NULL, NULL, NULL, NULL, error_code FROM e WHERE haserr
+       |  UNION ALL
+       |  SELECT event_id*8+4, 'memory', id, pid, NULL, NULL, NULL, NULL, memory, NULL FROM e)
+       |SELECT * FROM k ORDER BY seq""".stripMargin
+  }
+
+  val merged: String =
+    s"""WITH $E
+       |SELECT id,
+       |  '10.0.0.' || CAST(user_id % 256 AS VARCHAR) AS host,
+       |  CAST(9000 + event_id % 100 AS BIGINT) AS port,
+       |  pid,
+       |  ${stmtCase("query")} AS query,
+       |  ts AS start_time,
+       |  ts + to_microseconds(elapsed_us) AS end_time,
+       |  rows_read, bytes_read,
+       |  CAST(elapsed_us AS DOUBLE) / 1000000.0 AS elapsed,
+       |  rps, speed, memory,
+       |  (s <> 1) AS full_info,
+       |  haserr AS error,
+       |  CAST(CASE WHEN haserr THEN 1 + event_id % 999 ELSE 0 END AS BIGINT) AS error_code,
+       |  CASE WHEN haserr THEN 'DB::Exception: synthetic error ' || CAST(event_id AS VARCHAR) ELSE '' END AS error_message,
+       |  ${stmtCase("type")} AS stmt_type,
+       |  CAST(0.0 AS DOUBLE) AS tcp_processed
+       |FROM e WHERE NOT orphan ORDER BY id""".stripMargin
+
+  val queryCount: String =
+    s"""WITH $E
+       |SELECT ${stmtCase("type")} AS stmt_type, count(*) AS cnt
+       |FROM e WHERE NOT orphan GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queryErrors: String =
+    s"""WITH $E
+       |SELECT ${stmtCase("type")} AS stmt_type, error_code, count(*) AS cnt
+       |FROM e WHERE NOT orphan AND haserr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val errorCounters: String =
+    s"""WITH $E, c AS (
+       |  SELECT 'duplicated_initial_query' AS type, count(*) AS cnt FROM e WHERE dup AND NOT orphan
+       |  UNION ALL
+       |  SELECT 'not_found_query', CAST(sum(CASE WHEN haserr THEN 3 ELSE 2 END) AS BIGINT) FROM e WHERE orphan)
+       |SELECT type, cnt FROM c WHERE cnt > 0 ORDER BY type""".stripMargin
+
+  val queryTimeHist: String = histByTypeSql(
+    s"SELECT ${stmtCase("type")} AS stmt_type, CAST(elapsed_us AS DOUBLE)/1000000.0 AS v FROM e WHERE NOT orphan",
+    PromMetrics.QueryTimeBuckets)
+
+  val queryTimeSum: String =
+    s"""WITH $E
+       |SELECT ${stmtCase("type")} AS stmt_type,
+       |  CAST(sum(elapsed_us) AS BIGINT) AS sum_elapsed_us, count(*) AS cnt
+       |FROM e WHERE NOT orphan GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val statsObs = "SELECT %s AS v FROM e WHERE NOT orphan"
+  val rowsReadHist: String = histSql(statsObs.format("rows_read"), PromMetrics.RowsReadBuckets)
+  val bytesReadHist: String = histSql(statsObs.format("bytes_read"), PromMetrics.BytesReadBuckets)
+  val rpsHist: String = histSql(statsObs.format("rps"), PromMetrics.RpsBuckets)
+  val bpsHist: String = histSql(statsObs.format("speed"), PromMetrics.BpsBuckets)
+
+  val statsSums: String =
+    s"""WITH $E
+       |SELECT CAST(sum(rows_read) AS BIGINT) AS rows_read_sum,
+       |  CAST(sum(bytes_read) AS BIGINT) AS bytes_read_sum,
+       |  CAST(sum(rps) AS BIGINT) AS rps_sum,
+       |  CAST(sum(speed) AS BIGINT) AS speed_sum,
+       |  count(*) AS cnt
+       |FROM e WHERE NOT orphan""".stripMargin
+}

@@ -1,13 +1,96 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (or a
+  * beyond-reference operator), runnable on the driver's testdata; entries
+  * with SQL-expressible semantics have a DuckDB oracle in [[oracleSql]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full log pipeline (render → single-pass regex parse →
+    * keyed merge) producing the per-query merged record table the reference
+    * never got to sink (main.go:126 TODO). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    mergedQueries(spark, "/root/testdata/sf0.001")
+
+  private def parsed(s: SparkSession, dir: String): DataFrame =
+    LogParser.parse(LogRender.lines(Tables.events(s, dir)))
+
+  private def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")
+
+  private def mergedQueries(s: SparkSession, dir: String): DataFrame =
+    QueryMerge.merged(parsed(s, dir))
+      .withColumn("start_time", ntz(col("start_time")))
+      .withColumn("end_time", ntz(col("end_time")))
+      .orderBy("id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- log pipeline (SURVEY §2.1-2.5): render from events, parse, merge ----
+    "log_read_lines" -> ((s, dir) =>
+      LogRender.lines(Tables.events(s, dir)).agg(count("*").as("n"))),
+
+    "log_parsed_events" -> ((s, dir) =>
+      parsed(s, dir).select("seq", "kind", "id", "pid", "rows_read",
+        "bytes_read", "rps", "speed", "memory", "error_code").orderBy("seq")),
+
+    "log_merged" -> mergedQueries _,
+
+    "log_query_count" -> ((s, dir) =>
+      PromMetrics.queryCount(parsed(s, dir))
+        .withColumnRenamed("count", "cnt").orderBy("stmt_type")),
+
+    "log_query_errors" -> ((s, dir) =>
+      PromMetrics.queryErrors(parsed(s, dir))
+        .withColumnRenamed("count", "cnt").orderBy("stmt_type", "error_code")),
+
+    "log_error_counters" -> ((s, dir) =>
+      QueryMerge.errorCounters(parsed(s, dir))
+        .withColumnRenamed("count", "cnt").orderBy("type")),
+
+    "log_query_time_hist" -> ((s, dir) =>
+      PromMetrics.queryTimeHistogram(parsed(s, dir)).orderBy("stmt_type", "le")),
+
+    "log_query_time_sum" -> ((s, dir) =>
+      PromMetrics.queryTimeSumCount(parsed(s, dir))
+        .withColumnRenamed("sum", "sum_elapsed_us")
+        .withColumnRenamed("count", "cnt").orderBy("stmt_type")),
+
+    "log_rows_read_hist" -> ((s, dir) =>
+      PromMetrics.rowsReadHistogram(parsed(s, dir)).orderBy("le")),
+
+    "log_bytes_read_hist" -> ((s, dir) =>
+      PromMetrics.bytesReadHistogram(parsed(s, dir)).orderBy("le")),
+
+    "log_rps_hist" -> ((s, dir) =>
+      PromMetrics.rpsHistogram(parsed(s, dir)).orderBy("le")),
+
+    "log_bps_hist" -> ((s, dir) =>
+      PromMetrics.bpsHistogram(parsed(s, dir)).orderBy("le")),
+
+    "log_stats_sums" -> ((s, dir) =>
+      PromMetrics.statsSumCounts(parsed(s, dir))
+        .withColumnRenamed("count", "cnt")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "log_read_lines" -> LogOracle.readLines,
+    "log_parsed_events" -> LogOracle.parsedEvents,
+    "log_merged" -> LogOracle.merged,
+    "log_query_count" -> LogOracle.queryCount,
+    "log_query_errors" -> LogOracle.queryErrors,
+    "log_error_counters" -> LogOracle.errorCounters,
+    "log_query_time_hist" -> LogOracle.queryTimeHist,
+    "log_query_time_sum" -> LogOracle.queryTimeSum,
+    "log_rows_read_hist" -> LogOracle.rowsReadHist,
+    "log_bytes_read_hist" -> LogOracle.bytesReadHist,
+    "log_rps_hist" -> LogOracle.rpsHist,
+    "log_bps_hist" -> LogOracle.bpsHist,
+    "log_stats_sums" -> LogOracle.statsSums,
+  )
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ByteFmt.parse_bytes
+import graft.functions.RegexGroups.regex_groups
+
+/** Parse ClickHouse server-log lines into a typed event DataFrame.
+  *
+  * Re-expresses the reference's per-line dispatch (/root/reference/query.go:47-79)
+  * as one declarative projection: a cheap severity prefilter
+  * (query.go:49-51), then the four patterns (query.go:15-18) evaluated via the
+  * single-pass [[graft.functions.RegexGroupsExpr]] expression, first match
+  * wins in the reference's order initial → stats → error → memory.
+  *
+  * Each pattern is additionally guarded by a `contains` check on a literal
+  * substring the regex requires anyway (e.g. "<Debug> executeQuery:"), so the
+  * expensive regex only runs on lines that can possibly match — the same
+  * cost-ordering trick the reference hand-codes, expressed as short-circuit
+  * `when` chains that whole-stage codegen compiles to straight-line Java.
+  *
+  * Scale: embarrassingly parallel (per-line, no shuffle); runs inside a single
+  * WholeStageCodegen stage on top of the text scan.
+  *
+  * Conversion failures (unparseable timestamp, overflow, fractional rps,
+  * bad byte size — query.go:96-116,150-176,209-222,255-260) yield
+  * `cv_ok = false`; [[QueryMerge]] routes them to the `convert` error counter
+  * exactly where the reference does (conversion happens only after the state
+  * lookup for non-initial events).
+  */
+object LogParser {
+
+  /** Timestamp prefix shared by all four patterns (query.go:15-18). */
+  val DtRe: String =
+    """\d{1,4}[.\-/]\d{1,2}[.\-/]\d{1,4} \d{1,2}:\d{1,2}:\d{1,2}\.\d{1,6}"""
+
+  /** groups: 1 dt, 2 pid, 3 id, 4 host, 5 port, 6 additional, 7 query — query.go:15 */
+  val InitialRe: String = "^(" + DtRe +
+    """) \[ (\d+) \] \{(.*)\} <Debug> executeQuery: \(from ((?:[0-9]{1,3}\.){3}[0-9]{1,3}):(\d+)(.*?)\) (.*)$"""
+
+  /** groups: 1 dt, 2 pid, 3 id, 4 rows, 5 bytes, 6 elapsed (unused), 7 rps, 8 speed — query.go:16.
+    * The unescaped dots and trailing `[/\w]+.` are kept verbatim from the reference. */
+  val StatsRe: String = "^(" + DtRe +
+    """) \[ (\d+) \] \{(.*)\} <Information> executeQuery: Read (\d+) rows, ([.\d]+ \w+) in ([.\d]+) sec., ([.\d]+) rows/sec., ([.\d]+ \w+)[/\w]+.$"""
+
+  /** groups: 1 dt, 2 pid, 3 id, 4 bytes — query.go:17 */
+  val MemoryRe: String = "^(" + DtRe +
+    """) \[ (\d+) \] \{(.*)\} <Debug> MemoryTracker: Peak memory usage \(for query\): ([.\d]+ \w+).$"""
+
+  /** groups: 1 dt, 2 pid, 3 id, 4 code, 5 message — query.go:18 */
+  val ErrorRe: String = "^(" + DtRe +
+    """) \[ (\d+) \] \{(.*)\} <Error> executeQuery: Code: (\d+), e\.displayText\(\) = (.*)$"""
+
+  /** Only dot-separated dates parse (reference layout "2006.01.02 15:04:05.999999",
+    * query.go:110); dashed/slashed dates regex-match but fail conversion. */
+  val TsFormat = "yyyy.MM.dd HH:mm:ss.SSSSSS"
+
+  /** First-keyword statement classifier mirroring `sqlparser.Preview` +
+    * `getStmtType` (/root/reference/query.go:276-289): first whitespace-token,
+    * leading non-letters stripped, lowercased; select/insert/update/delete,
+    * everything else "other". (Leading SQL comments are not stripped — the
+    * one Preview behavior we don't replicate.)
+    */
+  def stmtType(q: Column): Column = {
+    val word = lower(regexp_replace(regexp_extract(ltrim(q), "^(\\S+)", 1), "^[^a-zA-Z]+", ""))
+    when(word.isin("select", "insert", "update", "delete"), word).otherwise("other")
+  }
+
+  private def digitsToLong(c: Column): Column =
+    when(c.rlike("^\\d{1,18}$"), c.cast("long"))
+
+  /** @param lines DataFrame with `seq: long` (arrival order) and `value: string`.
+    * @return typed event frame: seq, kind, id, pid, ts, host, port, query_text,
+    *         stmt_type, rows_read, bytes_read, rps, speed, memory, error_code,
+    *         error_message, cv_ok
+    */
+  def parse(lines: DataFrame): DataFrame = {
+    val pre = lines.filter(
+      col("value").contains("Debug") ||
+      col("value").contains("Information") ||
+      col("value").contains("Error"))
+
+    val gInit = when(col("value").contains("<Debug> executeQuery:"),
+      regex_groups(col("value"), InitialRe, 7))
+    val gStats = when(col("value").contains("<Information> executeQuery: Read"),
+      regex_groups(col("value"), StatsRe, 8))
+    val gErr = when(col("value").contains("<Error> executeQuery: Code:"),
+      regex_groups(col("value"), ErrorRe, 5))
+    val gMem = when(col("value").contains("MemoryTracker: Peak memory usage"),
+      regex_groups(col("value"), MemoryRe, 4))
+
+    val tagged = pre
+      .withColumn("g_init", gInit)
+      .withColumn("g_stats", gStats)
+      .withColumn("g_err", gErr)
+      .withColumn("g_mem", gMem)
+      .withColumn("kind",
+        when(col("g_init").isNotNull, "initial")
+          .when(col("g_stats").isNotNull, "stats")
+          .when(col("g_err").isNotNull, "error")
+          .when(col("g_mem").isNotNull, "memory"))
+      .filter(col("kind").isNotNull)
+
+    val g = coalesce(col("g_init"), col("g_stats"), col("g_err"), col("g_mem"))
+    val dt = element_at(g, 1)
+    val pid = digitsToLong(element_at(g, 2))
+    val ts = try_to_timestamp(dt, lit(TsFormat))
+    val port = digitsToLong(element_at(col("g_init"), 5))
+    val rows = digitsToLong(element_at(col("g_stats"), 4))
+    val bytes = parse_bytes(element_at(col("g_stats"), 5))
+    val rps = digitsToLong(element_at(col("g_stats"), 7))
+    val speed = parse_bytes(element_at(col("g_stats"), 8))
+    val mem = parse_bytes(element_at(col("g_mem"), 4))
+    // strconv.ParseInt(code, 10, 16): out-of-int16-range is a convert failure
+    val codeRaw = digitsToLong(element_at(col("g_err"), 4))
+    val code = when(codeRaw <= 32767, codeRaw)
+
+    tagged.select(
+      col("seq"),
+      col("kind"),
+      element_at(g, 3).as("id"),
+      pid.as("pid"),
+      when(col("kind").isin("initial", "memory"), ts).as("ts"),
+      element_at(col("g_init"), 4).as("host"),
+      port.as("port"),
+      element_at(col("g_init"), 7).as("query_text"),
+      when(col("kind") === "initial", stmtType(element_at(col("g_init"), 7))).as("stmt_type"),
+      rows.as("rows_read"),
+      bytes.as("bytes_read"),
+      rps.as("rps"),
+      speed.as("speed"),
+      mem.as("memory"),
+      code.as("error_code"),
+      element_at(col("g_err"), 5).as("error_message"),
+      when(col("kind") === "initial", pid.isNotNull && port.isNotNull && ts.isNotNull)
+        .when(col("kind") === "stats",
+          rows.isNotNull && bytes.isNotNull && rps.isNotNull && speed.isNotNull)
+        .when(col("kind") === "error", code.isNotNull)
+        .otherwise(ts.isNotNull && mem.isNotNull)
+        .as("cv_ok"))
+  }
+}
