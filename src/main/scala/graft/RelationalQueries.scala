@@ -1,0 +1,384 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tables
+
+/** Relational operator coverage (SURVEY.md §2.4/§2.6 note: the engine ships
+  * the full relational surface even though the reference's only join is the
+  * keyed merge) over the driver's TPC-H-ish tables, each with a DuckDB oracle.
+  *
+  * Float-determinism policy (hash-exact across engines): aggregates of money /
+  * quantity columns are computed on integer cents (`round(x*100)::bigint`)
+  * at row level and converted back with one identical double expression on
+  * both sides; counts/mins/maxes are exact as-is; no order-dependent double
+  * summation anywhere.
+  *
+  * Scale notes are per-query in the Scaladoc below; the common themes:
+  * filters stated before joins (pushed to the parquet scan), dimension sides
+  * broadcast explicitly, aggregations partial map-side, windows partitioned
+  * by high-cardinality keys.
+  */
+object RelationalQueries {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** TPC-H Q1-shaped pricing summary: single scan, map-side partial agg into
+    * 6 groups; at 100 TB this is scan-bound — filter + 7-column projection
+    * reach the parquet reader (verified via explain: PushedFilters). */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("qty_c"),
+        sum(cents(col("l_extendedprice"))).as("price_c"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("disc_price_u"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))) *
+          (lit(100L) + cents(col("l_tax")))).as("charge_u"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        (col("qty_c").cast("double") / 100.0).as("sum_qty"),
+        (col("price_c").cast("double") / 100.0).as("sum_base_price"),
+        (col("disc_price_u").cast("double") / 10000.0).as("sum_disc_price"),
+        (col("charge_u").cast("double") / 1000000.0).as("sum_charge"),
+        (col("qty_c").cast("double") / 100.0 / col("count_order")).as("avg_qty"),
+        (col("price_c").cast("double") / 100.0 / col("count_order")).as("avg_price"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0/count(*) AS avg_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/count(*) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-shaped: selective dimension filter broadcast into the fact
+    * join, exact-cents revenue, top-10. At scale: customer filter is
+    * broadcast (explicit hint), orders/lineitem join shuffles on orderkey
+    * only once; top-k via TakeOrderedAndProject, no global sort. */
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_u"))
+      .select(col("o_orderkey"),
+        (col("rev_u").cast("double") / 10000.0).as("revenue"), col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+      |  o_orderdate
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped: star join with two broadcast dimensions (region→nation
+    * chain), supplier-customer co-nation condition, exact-cents revenue by
+    * nation. */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey")
+    t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_u"))
+      .select(col("n_name"), (col("rev_u").cast("double") / 10000.0).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Left-semi join (EXISTS). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no order since 2000. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-outer join + per-key aggregation (zero-preserving counts). */
+  def joinOuterAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select("c_custkey")
+      .join(t(s, dir, "orders").select(col("o_custkey"), cents(col("o_totalprice")).as("tp_c")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_custkey")).as("n_orders"),
+        (coalesce(sum(col("tp_c")), lit(0L)).cast("double") / 100.0).as("total_price"))
+      .orderBy("c_custkey")
+
+  val joinOuterAggSql: String =
+    """SELECT c_custkey, count(o_custkey) AS n_orders,
+      |  CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS DOUBLE)/100.0 AS total_price
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Ranking window: top-3 orders per customer. Partition by customer —
+    * shuffle once on the window key, no global sort. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  val windowRankSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running-sum frame window over exact cents (deterministic via full
+    * tiebreak ordering). */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      col("l_shipdate"), cents(col("l_quantity")).as("qty_c"))
+      .withColumn("running_qty", (sum("qty_c").over(w).cast("double") / 100.0))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  val windowRunningSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0 AS running_qty
+      |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** lag/lead offset window over the events stream (row-level double delta —
+    * deterministic). */
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+      .drop("ts")
+      .orderBy("user_id", "event_id")
+  }
+
+  val windowLagSql: String =
+    """SELECT user_id, event_id, value,
+      |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_value,
+      |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS delta
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Global top-k: TakeOrderedAndProject (no full sort at scale). */
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+
+  val topkOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** Set operations: nation keys with customers vs with suppliers —
+    * intersect / except / tagged union. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+    val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+    cn.intersect(sn).withColumn("tag", lit("both"))
+      .unionAll(cn.except(sn).withColumn("tag", lit("cust_only")))
+      .unionAll(sn.except(cn).withColumn("tag", lit("supp_only")))
+      .select("tag", "nationkey").orderBy("tag", "nationkey")
+  }
+
+  val setOpsSql: String =
+    """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+      |     u AS (
+      |  SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+      |  UNION ALL
+      |  SELECT 'cust_only', nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+      |  UNION ALL
+      |  SELECT 'supp_only', nationkey FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn))
+      |SELECT tag, nationkey FROM u ORDER BY tag, nationkey""".stripMargin
+
+  /** Exact distinct aggregation per group. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        countDistinct(col("c_nationkey")).as("n_nations"))
+      .orderBy("c_mktsegment")
+
+  val aggDistinctSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Rollup (hierarchical subtotals); 'ALL' sentinel instead of NULL to keep
+    * cross-engine ordering unambiguous. */
+  def rollupPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"), count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        (col("qty_c").cast("double") / 100.0).as("sum_qty"), col("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val rollupPricingSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Tumbling event-time window (Structured-Streaming-compatible shape run
+    * in batch): 1-hour buckets per event type. */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val eventsHourlySql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Session windows (30-min inactivity gap) per user, via Spark's native
+    * session_window; oracle reconstructs sessions with lag + cumulative sum. */
+  def eventsSessions(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("evts"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("evts").as("n_events"))
+      .orderBy("user_id")
+
+  val eventsSessionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+      |      >= INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Semi-structured extraction from the JSON-ish props column (regex on
+    * both sides — engine-neutral). */
+  def eventsProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val eventsPropsSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS min_k,
+      |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q3_top_orders" -> q3TopOrders _,
+    "q5_region_revenue" -> q5RegionRevenue _,
+    "join_semi" -> joinSemi _,
+    "join_anti" -> joinAnti _,
+    "join_outer_agg" -> joinOuterAgg _,
+    "window_rank" -> windowRank _,
+    "window_running" -> windowRunning _,
+    "window_lag" -> windowLag _,
+    "topk_orders" -> topkOrders _,
+    "set_ops" -> setOps _,
+    "agg_distinct" -> aggDistinct _,
+    "rollup_pricing" -> rollupPricing _,
+    "events_hourly" -> eventsHourly _,
+    "events_sessions" -> eventsSessions _,
+    "events_props" -> eventsProps _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_top_orders" -> q3Sql,
+    "q5_region_revenue" -> q5Sql,
+    "join_semi" -> joinSemiSql,
+    "join_anti" -> joinAntiSql,
+    "join_outer_agg" -> joinOuterAggSql,
+    "window_rank" -> windowRankSql,
+    "window_running" -> windowRunningSql,
+    "window_lag" -> windowLagSql,
+    "topk_orders" -> topkOrdersSql,
+    "set_ops" -> setOpsSql,
+    "agg_distinct" -> aggDistinctSql,
+    "rollup_pricing" -> rollupPricingSql,
+    "events_hourly" -> eventsHourlySql,
+    "events_sessions" -> eventsSessionsSql,
+    "events_props" -> eventsPropsSql,
+  )
+}

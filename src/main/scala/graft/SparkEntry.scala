@@ -30,7 +30,10 @@ object SparkEntry {
       .withColumn("end_time", ntz(col("end_time")))
       .orderBy("id")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    logQueries ++ RelationalQueries.queries
+
+  private def logQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- log pipeline (SURVEY §2.1-2.5): render from events, parse, merge ----
     "log_read_lines" -> ((s, dir) =>
       LogRender.lines(Tables.events(s, dir)).agg(count("*").as("n"))),
@@ -92,5 +95,5 @@ object SparkEntry {
     "log_rps_hist" -> LogOracle.rpsHist,
     "log_bps_hist" -> LogOracle.bpsHist,
     "log_stats_sums" -> LogOracle.statsSums,
-  )
+  ) ++ RelationalQueries.oracles
 }
