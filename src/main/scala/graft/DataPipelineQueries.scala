@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Beyond-reference training-data-pipeline operators (BASELINE.json north
+  * star): dedup, similarity search, text analysis, multimodal columns.
+  * Hash-seeded operators (minhash/simhash/LSH) have no SQL oracle — the
+  * driver records rows-only checks; their correctness is covered by specs
+  * (recall vs brute force, known-pair fixtures).
+  */
+object DataPipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
+    "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    "embed_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(emb(s, dir))),
+    "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
+    "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
+    "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
+    "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
+    "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+    "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(docs(s, dir))),
+    "mm_metadata" -> ((s, dir) => Multimodal.metadata(docs(s, dir))),
+    "mm_features" -> ((s, dir) => Multimodal.features(docs(s, dir))),
+    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir))),
+  )
+
+  val frameSampleSql: String =
+    """WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS sz FROM documents),
+      |f AS (SELECT doc_id, unnest(range(0, (sz - 1) // 16 + 1)) AS frame_idx, sz FROM d)
+      |SELECT doc_id, frame_idx, least(16, sz - frame_idx * 16) AS frame_bytes
+      |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_jaccard_pairs" -> Dedup.jaccardPairsSql,
+    "embed_cosine_pairs" -> Similarity.cosinePairsSql,
+    "sim_topk_bruteforce" -> Similarity.bruteForceTopKSql,
+    "text_token_stats" -> TextAnalysis.tokenStatsSql,
+    "text_quality" -> TextAnalysis.qualityScoreSql,
+    "text_langid" -> TextAnalysis.langIdSql,
+    "text_fingerprints" -> TextAnalysis.fingerprintsSql,
+    "text_top_bigrams" -> TextAnalysis.topBigramsSql,
+    "mm_metadata" -> Multimodal.metadataSql,
+    "mm_frame_sample" -> frameSampleSql,
+  )
+}

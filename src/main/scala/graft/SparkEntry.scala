@@ -31,7 +31,7 @@ object SparkEntry {
       .orderBy("id")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    logQueries ++ RelationalQueries.queries
+    logQueries ++ RelationalQueries.queries ++ DataPipelineQueries.queries
 
   private def logQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- log pipeline (SURVEY §2.1-2.5): render from events, parse, merge ----
@@ -95,5 +95,5 @@ object SparkEntry {
     "log_rps_hist" -> LogOracle.rpsHist,
     "log_bps_hist" -> LogOracle.bpsHist,
     "log_stats_sums" -> LogOracle.statsSums,
-  ) ++ RelationalQueries.oracles
+  ) ++ RelationalQueries.oracles ++ DataPipelineQueries.oracles
 }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (the
+  * beyond-reference training-data-pipeline surface; BASELINE.json north
+  * star). All operators are pure DataFrame transforms designed for the
+  * 100 TB case:
+  *
+  *   - exact dedup groups by a 128-bit content fingerprint, so the shuffle
+  *     key is 16 bytes instead of the document body;
+  *   - pairwise similarity ops never go O(n²) globally — candidate pairs are
+  *     generated inside a blocking key (source, LSH band bucket) and only
+  *     verified pairs leave the shuffle;
+  *   - everything partial-aggregates map-side before its single shuffle.
+  */
+object Dedup {
+
+  /** Distinct word-token set per document (single-space tokenization of the
+    * corpus). */
+  private def tokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+
+  /** Exact dedup via content fingerprint: one row per distinct text with the
+    * kept (minimum) doc id and the copy count. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  val exactSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** Exact n-gram (word-set) Jaccard near-dup pairs, blocked by `source` so
+    * candidate generation is per-block (at 100 TB the block is the unit of
+    * pairwise work; an unblocked corpus would use [[minhashPairs]]). Jaccard
+    * is a ratio of exact ints — bit-reproducible. */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val t = tokenSets(docs)
+    val a = t.select(col("doc_id").as("doc_a"), col("source"), col("toks").as("toks_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("source"), col("toks").as("toks_b"))
+    a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val jaccardPairsSql: String =
+    """WITH tok AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS t FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
+      |    CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) AS jaccard
+      |  FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
+  private val NumHashes = 32
+  private val BandRows = 4 // 8 bands x 4 rows
+
+  /** Per-doc distinct 3-word shingle stream (doc_id, sh). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("CASE WHEN size(split(text,' ')) >= 3 THEN " +
+        "array_distinct(transform(sequence(0, size(split(text,' ')) - 3), " +
+        "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))) " +
+        "ELSE array(text) END")
+        .as("shingles"))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+
+  /** MinHash + LSH near-dup pairs: 3-word shingles → 32 minhashes → 8 banded
+    * signatures → candidate pairs per band bucket → exact shingle-set
+    * Jaccard verify (the quantity MinHash estimates, so band recall theory
+    * applies: P(candidate | j=0.8) = 1-(1-0.8⁴)⁸ ≈ 0.985). Banding keeps
+    * candidate generation linear-ish in corpus size; only bucket-colliding
+    * pairs are verified. Hash-specific (xxhash64) → no SQL oracle;
+    * deterministic across runs. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val shingled = shingles(docs)
+
+    val minhashes = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sigs = shingled.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+
+    val bands = (0 until NumHashes / BandRows).map { b =>
+      val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "sig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sets = shingled.groupBy("doc_id").agg(collect_set("sh").as("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact shingle-set Jaccard pairs (ground truth for [[minhashPairs]]'s
+    * recall spec) — O(n²), test-scale only. */
+  def exactShinglePairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sets = shingles(docs).groupBy("doc_id").agg(collect_set("sh").as("shs"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash signature per document (token-level): per-bit majority
+    * vote of token hashes. Map-side partial aggregation reduces each doc to
+    * 64 counters regardless of length. Hash-specific → no SQL oracle. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    }
+    agg.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs by Hamming distance, blocked on 16-bit signature
+    * chunks (a pair within distance d must share at least one of d+1 chunks
+    * — here 4 chunks catches d <= 3 exactly). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs)
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key")))
+    val blocked = sigs.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
+    blocked.as("x").join(blocked.as("y"), Seq("chunk", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, 64-dim).
+  *
+  * Determinism design: components are quantized to integer thousandths
+  * (`round(x*1000)::bigint`) at row level, so dot products and norms are
+  * exact BIGINT sums — order-independent and bit-identical in any engine —
+  * and the resulting cosine is one deterministic double expression. This is
+  * the operator's defined semantics ("quantized cosine"), giving the DuckDB
+  * oracle a hash-exact target; at 1e-3 quantization the similarity error is
+  * ~1e-3, irrelevant for retrieval ranking.
+  *
+  * Scale: brute-force top-k is the correctness baseline (fine when the query
+  * set is small — it's a broadcast of queries against a scan of the corpus);
+  * the LSH-bucketed variant is the 100 TB path: sign-random-hyperplane
+  * signatures shrink candidate sets so the pairwise work is per-bucket.
+  */
+object Similarity {
+
+  /** Quantized vectors + exact squared norm. */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("q"))
+      .withColumn("nq", expr("aggregate(transform(q, x -> x * x), 0L, (a, b) -> a + b)"))
+
+  private val dotExpr = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, b) -> a + b)"
+
+  /** Embedding-cosine near-dup pairs over same-label blocks. */
+  def cosinePairs(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val q = quantized(emb)
+    val a = q.select(col("vec_id").as("vec_a"), col("label"), col("q").as("qa"), col("nq").as("nqa"))
+    val b = q.select(col("vec_id").as("vec_b"), col("label"), col("q").as("qb"), col("nq").as("nqb"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val cosinePairsSql: String =
+    """WITH ev AS (
+      |  SELECT vec_id, label, i, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+      |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      |norms AS (SELECT vec_id, CAST(sum(q*q) AS BIGINT) AS nq FROM ev GROUP BY vec_id),
+      |labels AS (SELECT DISTINCT vec_id, label FROM ev),
+      |dots AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(sum(a.q*b.q) AS BIGINT) AS dot
+      |  FROM ev a JOIN ev b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |sims AS (
+      |  SELECT vec_a, vec_b,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+      |  FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b)
+      |SELECT vec_a, vec_b, cos FROM sims WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Brute-force cosine top-k: query vectors (vec_id < nQueries) against the
+    * whole corpus. Query side is broadcast; ranking via per-query window. */
+  def bruteForceTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val q = quantized(emb)
+    val queries = q.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("nqa"))
+    val corpus = q.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nqb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  val bruteForceTopKSql: String =
+    """WITH ev AS (
+      |  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      |norms AS (SELECT vec_id, CAST(sum(q*q) AS BIGINT) AS nq FROM ev GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(sum(a.q*b.q) AS BIGINT) AS dot
+      |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+      |  GROUP BY 1, 2),
+      |sims AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+      |  FROM dots JOIN norms na ON na.vec_id = query_id JOIN norms nb ON nb.vec_id = neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM sims)
+      |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  private val NumTables = 4
+  private val PlanesPerTable = 6
+
+  /** Deterministic pseudo-random ±1 hyperplanes (Knuth multiplicative hash
+    * over (plane, dim)). */
+  private def plane(j: Int): Seq[Long] =
+    (0 until 64).map { i =>
+      val h = (j.toLong * 64 + i) * 2654435761L
+      if (((h >>> 16) & 1L) == 1L) 1L else -1L
+    }
+
+  /** SQL literal array for plane j (used inside expr lambdas). */
+  private def planeSql(j: Int): String =
+    plane(j).mkString("array(", ", ", ")")
+
+  /** Multi-table LSH approximate NN: 4 hash tables × 6-bit
+    * sign-random-projection signatures; candidates are the union of the
+    * query's buckets across tables, then exact (quantized-cosine) ranking on
+    * the candidate set only. The 100 TB path: pairwise work shrinks to
+    * bucket-sized candidate sets, recall recovered through table count —
+    * the standard OR-of-ANDs LSH construction. Hash-seeded → no SQL oracle
+    * (a spec checks every returned pair agrees with brute force and measures
+    * recall). */
+  def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val q = quantized(emb)
+    val tableSigs = (0 until NumTables).map { t =>
+      val sig = (0 until PlanesPerTable).foldLeft(lit(0L)) { (acc, j) =>
+        val proj = expr(
+          s"aggregate(zip_with(q, ${planeSql(t * PlanesPerTable + j)}, (x, w) -> x * w), 0L, (a, b) -> a + b)")
+        acc.bitwiseOR(when(proj > 0, lit(1L << j)).otherwise(lit(0L)))
+      }
+      struct(lit(t).as("table"), sig.as("bucket"))
+    }
+    val bucketed = q
+      .select(col("vec_id"), col("q"), col("nq"), explode(array(tableSigs: _*)).as("tb"))
+      .select(col("vec_id"), col("q"), col("nq"), col("tb.table"), col("tb.bucket"))
+
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    val corpus = bucketed.select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"))
+    val cand = queries.join(corpus, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+
+    val vecs = q.select(col("vec_id"), col("q"), col("nq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(vecs.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("nqa")), Seq("query_id"))
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nqb")), Seq("neighbor_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * quality scoring, language identification, fingerprinting, n-gram
+  * frequencies. All per-document work is embarrassingly parallel (no
+  * shuffle); corpus-level aggregations (bigram counts) partial-aggregate
+  * map-side. Every derived number is integer-based with at most one final
+  * double division, so the DuckDB oracles hash-match exactly.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Tokenization statistics + a BPE-ish token estimate (chars/4, the usual
+    * subword heuristic — exact integer arithmetic). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letter_chars"),
+      ((col("n_chars") + 3) / 4).cast("long").as("bpe_estimate"))
+      .withColumn("avg_token_len",
+        col("n_letter_chars").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letter_chars,
+      |  CAST((n_chars + 3) // 4 AS BIGINT) AS bpe_estimate,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Quality scoring: stopword ratio, lexical diversity, length component —
+    * a deterministic 0..100 score from integer counts. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    docs.select(col("doc_id"), col("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      size(expr(s"filter(split(text, ' '), t -> t IN ($stopList))")).cast("long").as("n_stop"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("diversity", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        col("stop_ratio") * 30.0 + col("diversity") * 40.0 +
+          least(col("n_tokens"), lit(100L)).cast("double") / 100.0 * 30.0)
+      .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "diversity", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, n_stop,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
+       |  (CAST(n_stop AS DOUBLE) / n_tokens) * 30.0 + (CAST(n_distinct AS DOUBLE) / n_tokens) * 40.0
+       |    + CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 30.0 AS quality_score
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID stopword sets (n-gram-free heuristic: count hits per
+    * language's closed-class words, argmax with a fixed precedence). */
+  val LangStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = LangStops.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (code, stops)) =>
+        val list = stops.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"s_$code",
+          size(expr(s"filter(split(text, ' '), t -> t IN ($list))")).cast("long"))
+    }
+    scored.withColumn("pred_lang",
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+        .when(col("s_es") >= col("s_de") && col("s_es") > 0, "es")
+        .when(col("s_de") > 0, "de")
+        .otherwise("unknown"))
+      .withColumn("agrees", col("pred_lang") === col("lang"))
+      .select("doc_id", "lang", "s_en", "s_es", "s_de", "pred_lang", "agrees")
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    def list(code: String) =
+      LangStops.find(_._1 == code).get._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${list("en")}))) AS BIGINT) AS s_en,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${list("es")}))) AS BIGINT) AS s_es,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN (${list("de")}))) AS BIGINT) AS s_de
+       |  FROM documents)
+       |SELECT doc_id, lang, s_en, s_es, s_de,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+       |       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+       |       WHEN s_de > 0 THEN 'de'
+       |       ELSE 'unknown' END AS pred_lang,
+       |  (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+       |       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+       |       WHEN s_de > 0 THEN 'de'
+       |       ELSE 'unknown' END) = lang AS agrees
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprints: md5 + sha256 of the (already-normalized) text.
+    * A rolling polynomial hash lives in the spec suite; these two are the
+    * engine-neutral oracle-checkable fingerprints. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fp_md5"),
+      sha2(col("text").cast("binary"), 256).as("fp_sha256"))
+      .orderBy("doc_id")
+
+  val fingerprintsSql: String =
+    """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level word-bigram frequencies, top 20: the classic n-gram
+    * aggregation — explode is linear, count partial-aggregates map-side. */
+  def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(split(text,' ')) - 2), " +
+          "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]))")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(k)
+
+  val topBigramsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |    generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents),
+      |bg AS (SELECT a.w || ' ' || b.w AS bigram
+      |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+      |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+      |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+}
