@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{ChQuery, LogEvent}
+
+/** Structured-Streaming re-expression of the reference's keyed stateful
+  * merge (J1-J5, /root/reference/query.go:91-274 + main.go:110-129): events
+  * shuffle to their query-id's state partition; the state function replays
+  * the reference's per-line transition sequentially (events sorted by `seq`
+  * within each micro-batch), so all arrival-order semantics — duplicate
+  * initials keep the first record, orphans drop, the first memory line of a
+  * non-insert query completes AND evicts, later same-id lines are orphans,
+  * a post-eviction initial starts a fresh lifecycle — hold exactly.
+  *
+  * Deliberate, documented improvement over the reference: a processing-time
+  * state timeout evicts never-completing queries (inserts, error-only,
+  * abandoned), fixing the unbounded `map[string]*chQuery` growth the
+  * reference leaks (query.go:230-233 never marks inserts FullInfo; no other
+  * eviction exists). On timeout the partial record is emitted with
+  * `fullInfo = false` so no data is lost.
+  *
+  * Scale: state is hash-partitioned by id across executors (RocksDB state
+  * store in production), one in-flight record per id; per-batch per-key work
+  * is O(lines of that query). Checkpointing gives exactly-once the reference
+  * never had.
+  */
+object StreamingMerge {
+
+  /** Rename the [[graft.operators.LogParser]] output columns to
+    * [[LogEvent]] encoder names. */
+  def toLogEvents(parsed: DataFrame): Dataset[LogEvent] = {
+    import parsed.sparkSession.implicits._
+    parsed.select(
+      col("seq"), col("kind"), col("id"), col("pid"), col("ts"),
+      col("host"), col("port"),
+      col("query_text").as("queryText"), col("stmt_type").as("stmtType"),
+      col("rows_read").as("rowsRead"), col("bytes_read").as("bytesRead"),
+      col("rps"), col("speed"), col("memory"),
+      col("error_code").as("errorCode"), col("error_message").as("errorMessage"),
+      col("cv_ok").as("cvOk")).as[LogEvent]
+  }
+
+  private def insertRecord(e: LogEvent): ChQuery =
+    ChQuery(
+      id = e.id,
+      host = e.host.getOrElse(""),
+      port = e.port.getOrElse(0L),
+      pid = e.pid.getOrElse(0L),
+      query = e.queryText.getOrElse(""),
+      startTime = e.ts,
+      stmtType = e.stmtType.getOrElse("other"))
+
+  /** One micro-batch worth of events for a single query id, replayed in
+    * arrival order against the state record. Package-visible for direct
+    * testing via `TestGroupState`. */
+  private[graft] def transition(events: Iterator[LogEvent], state: GroupState[ChQuery],
+      timeoutMs: Long): Iterator[ChQuery] = {
+    val out = scala.collection.mutable.ListBuffer.empty[ChQuery]
+    var cur: Option[ChQuery] = state.getOption
+    events.toSeq.sortBy(_.seq).foreach { e =>
+      e.kind match {
+        case "initial" =>
+          if (cur.isDefined) () // duplicated_initial_query: first record kept
+          else if (e.cvOk) cur = Some(insertRecord(e))
+        case "stats" if cur.isDefined && e.cvOk =>
+          cur = cur.map(_.copy(
+            rowsRead = e.rowsRead.getOrElse(0L), bytesRead = e.bytesRead.getOrElse(0L),
+            rps = e.rps.getOrElse(0L), speed = e.speed.getOrElse(0L)))
+        case "error" if cur.isDefined && e.cvOk =>
+          cur = cur.map(_.copy(error = true,
+            errorCode = e.errorCode.getOrElse(0L),
+            errorMessage = e.errorMessage.getOrElse("")))
+        case "memory" if cur.isDefined && e.cvOk =>
+          val endTs = e.ts
+          def micros(t: Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+          val elapsed = (for (s <- cur.get.startTime; t <- endTs)
+            yield (micros(t) - micros(s)) / 1000000.0).getOrElse(0.0)
+          val updated = cur.get.copy(
+            memory = e.memory.getOrElse(0L), endTime = endTs, elapsed = elapsed)
+          if (updated.stmtType != "insert") {
+            // J5: completion + eviction — later lines for this id are orphans
+            out += updated.copy(fullInfo = true)
+            cur = None
+          } else cur = Some(updated)
+        case _ => () // orphan (not_found_query) or convert failure: dropped
+      }
+    }
+    cur match {
+      case Some(rec) =>
+        state.update(rec)
+        state.setTimeoutDuration(timeoutMs)
+      case None => if (state.exists) state.remove()
+    }
+    out.iterator
+  }
+
+  /** The streaming merge: completed records (plus timeout-flushed partials)
+    * in append mode. */
+  def merge(events: Dataset[LogEvent], timeoutMs: Long = 30 * 60 * 1000L): Dataset[ChQuery] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: String, es: Iterator[LogEvent], state: GroupState[ChQuery]) =>
+          if (state.hasTimedOut) {
+            // leak fix: flush the stuck record (insert/error-only/abandoned)
+            val rec = state.get
+            state.remove()
+            Iterator.single(rec)
+          } else transition(es, state, timeoutMs)
+      }
+  }
+
+  /** Full streaming pipeline from a directory of log files (the rotation
+    * story: each rotated file is a new file in the directory — a better fit
+    * than the reference's tail-and-reopen). `seq` is `partitionId << 40 |
+    * line-offset-within-partition`: text-source partitions preserve file
+    * order, so same-file lines (the only ones whose relative order the
+    * correlation depends on) keep their arrival order.
+    * (`monotonically_increasing_id` is not allowed in streaming plans.) */
+  def filePipeline(spark: org.apache.spark.sql.SparkSession, dir: String,
+      timeoutMs: Long = 30 * 60 * 1000L): Dataset[ChQuery] = {
+    import spark.implicits._
+    val lines = spark.readStream.text(dir).as[String]
+      .mapPartitions { it =>
+        val base = org.apache.spark.TaskContext.getPartitionId().toLong << 40
+        it.zipWithIndex.map { case (v, i) => (base | i.toLong, v) }
+      }.toDF("seq", "value")
+    merge(toLogEvents(graft.operators.LogParser.parse(lines)), timeoutMs)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Specs for the hash-seeded data-pipeline operators (the ones without SQL
+  * oracles): minhash recall, simhash, LSH agreement, multimodal stubs. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf(), "documents")
+  private lazy val emb = Tables.load(spark, sf(), "embeddings")
+
+  test("minhash+LSH pairs match exact shingle-jaccard pairs with high recall, no false positives") {
+    val approx = Dedup.minhashPairs(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.exactShinglePairs(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact), "every emitted pair is verified — no false positives")
+    if (exact.nonEmpty) {
+      val recall = approx.size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall $recall (got ${approx.size}/${exact.size})")
+    }
+  }
+
+  test("simhash: identical docs collide, unrelated docs differ") {
+    val crafted = Seq(
+      (1L, "spark makes big data processing fast and simple today"),
+      (2L, "spark makes big data processing fast and simple today"),
+      (3L, "completely different words about cooking pasta dinner tonight")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(crafted).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhash pairs: identical docs at hamming 0") {
+    val crafted = Seq(
+      (1L, "spark makes big data processing fast and simple today"),
+      (2L, "spark makes big data processing fast and simple today"),
+      (3L, "completely different words about cooking pasta dinner tonight")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(crafted).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 0L))
+  }
+
+  test("LSH top-k cosines agree with brute force for shared pairs; ranks are 1..k") {
+    val brute = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(c == r.getDouble(2), s"cos mismatch at $key"))
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)
+    }
+  }
+
+  test("brute-force top-k: k neighbors per query, descending cosine, |cos| <= 1") {
+    val rows = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0L until 5L).toSet)
+    byQuery.values.foreach { rs =>
+      assert(rs.length == 3)
+      val cs = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("multimodal feature stub: deterministic first-8-byte features") {
+    val f = Multimodal.features(docs.limit(5)).collect()
+    assert(f.length == 5)
+    val txt = docs.orderBy("doc_id").limit(1).select("text").as[String].head()
+    val r0 = f.minBy(_.getLong(0))
+    val feats = r0.getSeq[Double](2)
+    assert(feats.length == 8)
+    assert(feats.head == (txt.getBytes("UTF-8")(0) & 0xff) / 255.0)
+  }
+
+  test("frame sample: every 4th 16-byte frame, tail frame partial") {
+    val crafted = Seq((1L, "x" * 70)).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(crafted).collect()
+    // 70 bytes -> frames 0..4; sampled: 0 and 4; frame 4 has 70-64=6 bytes
+    assert(frames.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 16L), (4L, 6L)))
+  }
+
+  test("language id picks the language with most stopword hits") {
+    val crafted = Seq(
+      (1L, "en", "the cat sat on the mat and the dog is a friend of it"),
+      (2L, "es", "el gato y la casa de los amigos que vienen en la tarde"),
+      (3L, "de", "der hund und die katze das haus ist ein freund zu allen"),
+      (4L, "zh", "words without any stopword hits here")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langId(crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "unknown"))
+  }
+}

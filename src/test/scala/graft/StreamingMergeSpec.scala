@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState, Trigger}
+
+import graft.model.{ChQuery, LogEvent}
+import graft.operators.LogParser
+import graft.streaming.StreamingMerge
+
+/** Streaming semantics (SURVEY §2.7): the state machine is exercised
+  * directly through Spark's TestGroupState harness (deterministic,
+  * micro-batch boundaries controlled exactly), plus a file-source
+  * integration run of the full streaming pipeline.
+  */
+class StreamingMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkLine(seq: Long, id: String, kind: String, stmt: String = "SELECT 1"): (Long, String) = {
+    val dt = "2024.03.01 12:00:01.000000"
+    val dtEnd = "2024.03.01 12:00:02.000000"
+    kind match {
+      case "initial" => (seq, s"$dt [ 7 ] {$id} <Debug> executeQuery: (from 10.0.0.9:9000) $stmt")
+      case "stats" => (seq, s"$dt [ 7 ] {$id} <Information> executeQuery: Read 500 rows, 2 KiB in 0.100 sec., 5000 rows/sec., 20 KiB/sec.")
+      case "memory" => (seq, s"$dtEnd [ 7 ] {$id} <Debug> MemoryTracker: Peak memory usage (for query): 3 MiB.")
+      case "error" => (seq, s"$dt [ 7 ] {$id} <Error> executeQuery: Code: 60, e.displayText() = DB::Exception: boom")
+    }
+  }
+
+  /** Parse crafted lines into LogEvents (reusing the real parser). */
+  private def events(lines: (Long, String)*): Seq[LogEvent] =
+    StreamingMerge.toLogEvents(LogParser.parse(lines.toDF("seq", "value")))
+      .collect().toSeq.sortBy(_.seq)
+
+  private def jopt[T](o: Option[T]): org.apache.spark.api.java.Optional[T] =
+    o.map(org.apache.spark.api.java.Optional.of[T]).getOrElse(org.apache.spark.api.java.Optional.empty[T]())
+
+  private def freshState(prev: Option[ChQuery] = None): TestGroupState[ChQuery] =
+    TestGroupState.create[ChQuery](jopt(prev), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+
+  private def run(state: TestGroupState[ChQuery], es: Seq[LogEvent]): Seq[ChQuery] =
+    StreamingMerge.transition(es.iterator, state, 60000L).toSeq
+
+  test("batch 1 initial -> state; batch 2 stats+memory -> emit completed, state evicted") {
+    val s1 = freshState()
+    val out1 = run(s1, events(mkLine(0, "s1", "initial")))
+    assert(out1.isEmpty && s1.exists && !s1.get.fullInfo)
+
+    val s2 = freshState(Some(s1.get))
+    val out2 = run(s2, events(mkLine(1, "s1", "stats"), mkLine(2, "s1", "memory")))
+    assert(out2.size == 1)
+    val r = out2.head
+    assert(r.fullInfo && r.rowsRead == 500L && r.memory == 3L * 1024 * 1024 && r.elapsed == 1.0)
+    assert(s2.isRemoved, "J5: completion evicts state")
+  }
+
+  test("orphan events with no state emit nothing and create no state") {
+    val s = freshState()
+    assert(run(s, events(mkLine(0, "s2", "stats"), mkLine(1, "s2", "memory"))).isEmpty)
+    assert(!s.exists)
+  }
+
+  test("duplicate initial keeps the first record (J1)") {
+    val s = freshState()
+    val out = run(s, events(
+      mkLine(0, "s3", "initial", "SELECT 1"),
+      mkLine(1, "s3", "initial", "DELETE FROM t"),
+      mkLine(2, "s3", "memory")))
+    assert(out.size == 1 && out.head.stmtType == "select")
+  }
+
+  test("insert memory line updates state but never completes (the reference leak)") {
+    val s = freshState()
+    val out = run(s, events(
+      mkLine(0, "s4", "initial", "INSERT INTO t VALUES (1)"),
+      mkLine(1, "s4", "stats"), mkLine(2, "s4", "memory")))
+    assert(out.isEmpty)
+    assert(s.exists && !s.get.fullInfo && s.get.memory == 3L * 1024 * 1024)
+    assert(s.getTimeoutTimestampMs.isPresent, "leak fix: timeout armed on lingering state")
+  }
+
+  test("post-eviction line is an orphan; fresh initial restarts a lifecycle") {
+    val s = freshState()
+    val out = run(s, events(
+      mkLine(0, "s5", "initial"), mkLine(1, "s5", "memory"),
+      mkLine(2, "s5", "stats"), // orphan: state evicted at seq 1
+      mkLine(3, "s5", "initial", "DELETE FROM t"), mkLine(4, "s5", "memory")))
+    assert(out.map(_.stmtType) == Seq("select", "delete"))
+    assert(out.forall(_.rowsRead == 0L), "orphan stats must not leak into the restarted record")
+  }
+
+  test("timeout flushes the stuck record with fullInfo=false (leak fix)") {
+    val stuck = ChQuery(id = "s6", stmtType = "insert", memory = 42L)
+    val s = TestGroupState.create[ChQuery](jopt(Some(stuck)), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = (if (s.hasTimedOut) {
+      val rec = s.get; s.remove(); Iterator.single(rec)
+    } else Iterator.empty).toSeq
+    assert(out == Seq(stuck) && s.isRemoved)
+  }
+
+  test("file-source streaming pipeline end-to-end (AvailableNow)") {
+    val dir = Files.createTempDirectory("graft_stream").toFile
+    val lines = Seq(
+      mkLine(0, "f1", "initial"), mkLine(1, "f1", "stats"),
+      mkLine(2, "f1", "error"), mkLine(3, "f1", "memory"),
+      mkLine(4, "f2", "initial", "INSERT INTO t VALUES (1)"), mkLine(5, "f2", "memory"),
+      mkLine(6, "f3", "stats") // orphan
+    ).map(_._2)
+    Files.write(new java.io.File(dir, "clickhouse-server.log").toPath,
+      lines.mkString("\n").getBytes)
+
+    val out = StreamingMerge.filePipeline(spark, dir.getAbsolutePath)
+    val qname = s"file_pipe_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val recs = spark.table(qname).as[ChQuery].collect()
+    assert(recs.length == 1)
+    assert(recs.head.id == "f1" && recs.head.fullInfo && recs.head.error
+      && recs.head.errorCode == 60L && recs.head.rowsRead == 500L)
+  }
+}
