@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.operators._
 
-/** Scratch dev runner (not part of the driver contract). */
+/** Scratch dev runner: prints physical plans for plan-quality review
+  * (pushdown, broadcast, codegen spans). Not part of the driver contract. */
 object Dev {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -13,27 +13,12 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val events = Tables.events(spark, "/root/testdata/sf0.001")
-    val lines = LogRender.lines(events)
-    println(s"lines: ${lines.count()}")
-    lines.orderBy("seq").show(6, false)
-
-    val parsed = LogParser.parse(lines)
-    parsed.cache()
-    println("kinds:")
-    parsed.groupBy("kind", "cv_ok").count().orderBy("kind").show()
-
-    val merged = QueryMerge.merged(parsed)
-    println(s"merged: ${merged.count()}")
-    merged.orderBy("id").show(5, false)
-
-    println("error counters:")
-    QueryMerge.errorCounters(parsed).show()
-    println("query count:")
-    PromMetrics.queryCount(parsed).show()
-    println("query time hist:")
-    PromMetrics.queryTimeHistogram(parsed).orderBy("stmt_type", "le").show(100)
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq else Seq("q1_pricing_summary", "q3_top_orders", "log_query_count")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -19,8 +19,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     mergedQueries(spark, "/root/testdata/sf0.001")
 
+  /** Parsed-event frame, cached per (session, dir): every log query — and
+    * the multiple state-window subtrees inside one query plan — reuses the
+    * one materialized parse instead of re-running render + 4 regexes over
+    * the corpus (Spark's CacheManager substitutes the InMemoryRelation into
+    * any matching subtree). */
+  private val parsedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def parsed(s: SparkSession, dir: String): DataFrame =
-    LogParser.parse(LogRender.lines(Tables.events(s, dir)))
+    parsedCache.getOrElseUpdate((s, dir),
+      LogParser.parse(LogRender.lines(Tables.events(s, dir))).cache())
 
   private def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")
 

@@ -81,7 +81,8 @@ object Dedup {
     * pairs are verified. Hash-specific (xxhash64) → no SQL oracle;
     * deterministic across runs. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val shingled = shingles(docs)
+    val shingled = shingles(docs).cache() // feeds both signatures and verify
+
 
     val minhashes = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i"))

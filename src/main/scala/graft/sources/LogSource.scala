@@ -1,0 +1,50 @@
+package graft.sources
+
+import java.io.{File, FileInputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch log-file source (SURVEY §2.1 S1/S2): read a log file with a
+  * faithful arrival-order `seq`, after the reference's pre-flight checks.
+  */
+object LogSource {
+
+  /** Magic-byte archive signatures the reference rejects via
+    * `filetype.IsArchive` over the first 261 bytes (main.go:44-49) — the
+    * formats a log rotation produces. (The 261-byte head can't reach tar's
+    * magic at offset 257+5, so tar is undetectable — in the reference too.) */
+  private val ArchiveMagics: Seq[Array[Int]] = Seq(
+    Array(0x1f, 0x8b), // gzip
+    Array(0x50, 0x4b, 0x03, 0x04), // zip
+    Array(0x42, 0x5a, 0x68), // bzip2
+    Array(0xfd, 0x37, 0x7a, 0x58, 0x5a, 0x00)) // xz
+
+  /** Pre-flight validation mirroring `checkLogFile` (main.go:29-53): file
+    * must exist, must not be a directory, must not be an archive. The
+    * reference's is-directory branch `return err` actually returns nil — a
+    * bug (directories pass validation); here the check is real, documented
+    * as the deliberate fix. */
+  def checkLogFile(path: String): Unit = {
+    val f = new File(path)
+    require(f.exists(), s"Can't stat path: $path")
+    require(!f.isDirectory, s"It's a directory: $path")
+    val head = new Array[Byte](261)
+    val in = new FileInputStream(f)
+    val n = try in.read(head) finally in.close()
+    val isArchive = ArchiveMagics.exists { magic =>
+      n >= magic.length && magic.zipWithIndex.forall { case (b, i) => (head(i) & 0xff) == b }
+    }
+    require(!isArchive, s"File is an archive: $path")
+  }
+
+  /** Read a single log file as (seq, value) with `seq` = exact line number —
+    * the arrival order the keyed merge correlates on. zipWithIndex is the
+    * only order-guaranteed batch path for a multi-split text file (SURVEY
+    * §7.3); for directory-at-scale use the streaming `filePipeline`. */
+  def readText(spark: SparkSession, path: String): DataFrame = {
+    checkLogFile(path)
+    import spark.implicits._
+    spark.read.textFile(path).rdd.zipWithIndex()
+      .map { case (v, i) => (i, v) }.toDF("seq", "value")
+  }
+}
