@@ -344,7 +344,31 @@ object RelationalQueries {
       |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Skew-resistant two-phase aggregation: explicit salting splits each hot
+    * key across `salt` reducers for the partial phase, then a second (tiny)
+    * aggregation merges the partials. Result is identical to a direct
+    * groupBy — the oracle verifies exactly that — while no single reducer
+    * ever sees a whole hot key at 100 TB. (AQE skew handling covers joins;
+    * salting is the aggregation-side tool.) */
+  def saltedUserStats(s: SparkSession, dir: String): DataFrame = {
+    val salt = 16
+    Tables.events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(salt)))
+      .groupBy("user_id", "salt")
+      .agg(count(lit(1)).as("c"), sum(cents(col("value"))).as("v_c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"),
+        (sum("v_c").cast("double") / 100.0).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  val saltedUserStatsSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_user_stats_salted" -> saltedUserStats _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_orders" -> q3TopOrders _,
     "q5_region_revenue" -> q5RegionRevenue _,
@@ -364,6 +388,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_user_stats_salted" -> saltedUserStatsSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,
     "q5_region_revenue" -> q5Sql,

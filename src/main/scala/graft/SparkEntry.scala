@@ -29,7 +29,7 @@ object SparkEntry {
 
   private def parsed(s: SparkSession, dir: String): DataFrame =
     parsedCache.getOrElseUpdate((s, dir),
-      LogParser.parse(LogRender.lines(Tables.events(s, dir))).cache())
+      LogParser.parse(LogRender.lines(Tables.fanOut(Tables.events(s, dir)))).cache())
 
   private def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")
 

@@ -64,7 +64,8 @@ object Dedup {
   private val BandRows = 4 // 8 bands x 4 rows
 
   /** Per-doc distinct 3-word shingle stream (doc_id, sh). */
-  private def shingles(docs: DataFrame): DataFrame =
+  private def shingles(docs0: DataFrame): DataFrame = {
+    val docs = Tables.fanOut(docs0)
     docs.select(col("doc_id"),
       expr("CASE WHEN size(split(text,' ')) >= 3 THEN " +
         "array_distinct(transform(sequence(0, size(split(text,' ')) - 3), " +
@@ -72,6 +73,7 @@ object Dedup {
         "ELSE array(text) END")
         .as("shingles"))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
+  }
 
   /** MinHash + LSH near-dup pairs: 3-word shingles → 32 minhashes → 8 banded
     * signatures → candidate pairs per band bucket → exact shingle-set

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.ByteFmt.parse_bytes
-import graft.functions.RegexGroups.regex_groups
 
 /** Parse ClickHouse server-log lines into a typed event DataFrame.
   *
@@ -74,46 +73,37 @@ object LogParser {
     * @return typed event frame: seq, kind, id, pid, ts, host, port, query_text,
     *         stmt_type, rows_read, bytes_read, rps, speed, memory, error_code,
     *         error_message, cv_ok
+    *
+    * The classify+extract step is the fused [[graft.functions.LogLineParseExpr]]
+    * — severity prefilter, guarded dispatch, and one regex pass per line in a
+    * single expression (the M7 upgrade; the reference's hand-fused loop shape).
     */
   def parse(lines: DataFrame): DataFrame = {
-    val pre = lines.filter(
-      col("value").contains("Debug") ||
-      col("value").contains("Information") ||
-      col("value").contains("Error"))
+    import graft.functions.LogLineParse.log_line_parse
 
-    val gInit = when(col("value").contains("<Debug> executeQuery:"),
-      regex_groups(col("value"), InitialRe, 7))
-    val gStats = when(col("value").contains("<Information> executeQuery: Read"),
-      regex_groups(col("value"), StatsRe, 8))
-    val gErr = when(col("value").contains("<Error> executeQuery: Code:"),
-      regex_groups(col("value"), ErrorRe, 5))
-    val gMem = when(col("value").contains("MemoryTracker: Peak memory usage"),
-      regex_groups(col("value"), MemoryRe, 4))
-
-    val tagged = pre
-      .withColumn("g_init", gInit)
-      .withColumn("g_stats", gStats)
-      .withColumn("g_err", gErr)
-      .withColumn("g_mem", gMem)
+    val tagged = lines
+      .withColumn("p", log_line_parse(col("value")))
+      .filter(col("p").isNotNull)
       .withColumn("kind",
-        when(col("g_init").isNotNull, "initial")
-          .when(col("g_stats").isNotNull, "stats")
-          .when(col("g_err").isNotNull, "error")
-          .when(col("g_mem").isNotNull, "memory"))
-      .filter(col("kind").isNotNull)
+        when(col("p.kind") === 0, "initial")
+          .when(col("p.kind") === 1, "stats")
+          .when(col("p.kind") === 2, "error")
+          .otherwise("memory"))
 
-    val g = coalesce(col("g_init"), col("g_stats"), col("g_err"), col("g_mem"))
+    val g = col("p.groups")
+    def grp(kindName: String, i: Int): Column =
+      when(col("kind") === kindName, element_at(g, i))
     val dt = element_at(g, 1)
     val pid = digitsToLong(element_at(g, 2))
     val ts = try_to_timestamp(dt, lit(TsFormat))
-    val port = digitsToLong(element_at(col("g_init"), 5))
-    val rows = digitsToLong(element_at(col("g_stats"), 4))
-    val bytes = parse_bytes(element_at(col("g_stats"), 5))
-    val rps = digitsToLong(element_at(col("g_stats"), 7))
-    val speed = parse_bytes(element_at(col("g_stats"), 8))
-    val mem = parse_bytes(element_at(col("g_mem"), 4))
+    val port = digitsToLong(grp("initial", 5))
+    val rows = digitsToLong(grp("stats", 4))
+    val bytes = parse_bytes(grp("stats", 5))
+    val rps = digitsToLong(grp("stats", 7))
+    val speed = parse_bytes(grp("stats", 8))
+    val mem = parse_bytes(grp("memory", 4))
     // strconv.ParseInt(code, 10, 16): out-of-int16-range is a convert failure
-    val codeRaw = digitsToLong(element_at(col("g_err"), 4))
+    val codeRaw = digitsToLong(grp("error", 4))
     val code = when(codeRaw <= 32767, codeRaw)
 
     tagged.select(
@@ -122,17 +112,17 @@ object LogParser {
       element_at(g, 3).as("id"),
       pid.as("pid"),
       when(col("kind").isin("initial", "memory"), ts).as("ts"),
-      element_at(col("g_init"), 4).as("host"),
+      grp("initial", 4).as("host"),
       port.as("port"),
-      element_at(col("g_init"), 7).as("query_text"),
-      when(col("kind") === "initial", stmtType(element_at(col("g_init"), 7))).as("stmt_type"),
+      grp("initial", 7).as("query_text"),
+      when(col("kind") === "initial", stmtType(element_at(g, 7))).as("stmt_type"),
       rows.as("rows_read"),
       bytes.as("bytes_read"),
       rps.as("rps"),
       speed.as("speed"),
       mem.as("memory"),
       code.as("error_code"),
-      element_at(col("g_err"), 5).as("error_message"),
+      grp("error", 5).as("error_message"),
       when(col("kind") === "initial", pid.isNotNull && port.isNotNull && ts.isNotNull)
         .when(col("kind") === "stats",
           rows.isNotNull && bytes.isNotNull && rps.isNotNull && speed.isNotNull)

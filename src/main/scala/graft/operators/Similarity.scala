@@ -23,7 +23,7 @@ object Similarity {
 
   /** Quantized vectors + exact squared norm. */
   private def quantized(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("label"),
+    Tables.fanOut(emb).select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("q"))
       .withColumn("nq", expr("aggregate(transform(q, x -> x * x), 0L, (a, b) -> a + b)"))
 

@@ -20,4 +20,12 @@ object Tables {
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Spread a small-file scan across the cluster before per-row-heavy work
+    * (regex parse, shingling, quantization). The testdata tables are single
+    * parquet files well under `maxPartitionBytes`, so without this every
+    * downstream map stage runs on ONE task; at 100 TB the scan itself
+    * provides the parallelism and this is a no-op by construction. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -14,6 +14,7 @@ import graft.streaming.StreamingMerge
   * integration run of the full streaming pipeline.
   */
 class StreamingMergeSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
   import spark.implicits._
 
   private def mkLine(seq: Long, id: String, kind: String, stmt: String = "SELECT 1"): (Long, String) = {
@@ -104,6 +105,37 @@ class StreamingMergeSpec extends SparkSpec {
     assert(out == Seq(stuck) && s.isRemoved)
   }
 
+  test("checkpoint recovery: state survives a query restart (exactly-once the reference lacks)") {
+    val dir = Files.createTempDirectory("graft_ckpt_src").toFile
+    val ckpt = Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
+    val emitted = StreamingMergeSpec.emitted
+    emitted.clear()
+
+    def runOnce(): Unit = {
+      val out = StreamingMerge.filePipeline(spark, dir.getAbsolutePath)
+      val q = out.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[ChQuery], _: Long) =>
+          StreamingMergeSpec.emitted.addAll(batch.collect().toSeq.asJava)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+
+    // run 1: only the initial line arrives -> state persisted, nothing emitted
+    Files.write(new java.io.File(dir, "part1.log").toPath, mkLine(0, "c1", "initial")._2.getBytes)
+    runOnce()
+    assert(emitted.isEmpty)
+
+    // run 2 (fresh query from the same checkpoint): memory line completes the
+    // record ONLY IF the state from run 1 was recovered
+    Files.write(new java.io.File(dir, "part2.log").toPath, mkLine(1, "c1", "memory")._2.getBytes)
+    runOnce()
+    val recs = emitted.asScala.toSeq
+    assert(recs.length == 1 && recs.head.id == "c1" && recs.head.fullInfo)
+  }
+
   test("file-source streaming pipeline end-to-end (AvailableNow)") {
     val dir = Files.createTempDirectory("graft_stream").toFile
     val lines = Seq(
@@ -125,4 +157,11 @@ class StreamingMergeSpec extends SparkSpec {
     assert(recs.head.id == "f1" && recs.head.fullInfo && recs.head.error
       && recs.head.errorCode == 60L && recs.head.rowsRead == 500L)
   }
+}
+
+object StreamingMergeSpec {
+  /** Cross-restart sink buffer for the checkpoint-recovery test (foreachBatch
+    * closures must reference driver-side shared state). */
+  val emitted: java.util.concurrent.ConcurrentLinkedQueue[graft.model.ChQuery] =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.model.ChQuery]()
 }
