@@ -114,6 +114,19 @@ object LogOracle {
        |SELECT ${stmtCase("type")} AS stmt_type, error_code, count(*) AS cnt
        |FROM e WHERE NOT orphan AND haserr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Counters over the noisy corpus: dashed-date initials exercise the
+    * `convert` path; their other lines become `not_found` orphans. */
+  val convertCounters: String =
+    s"""WITH $E, f AS (SELECT *, (event_id % $NoiseMod = 0) AS noisy FROM e), c AS (
+       |  SELECT 'convert' AS type, CAST(sum(CASE WHEN noisy AND NOT orphan
+       |    THEN 1 + (CASE WHEN dup THEN 1 ELSE 0 END) ELSE 0 END) AS BIGINT) AS cnt FROM f
+       |  UNION ALL
+       |  SELECT 'duplicated_initial_query', count(*) FILTER (dup AND NOT orphan AND NOT noisy) FROM f
+       |  UNION ALL
+       |  SELECT 'not_found_query', CAST(sum(CASE WHEN orphan OR noisy
+       |    THEN 2 + (CASE WHEN haserr THEN 1 ELSE 0 END) ELSE 0 END) AS BIGINT) FROM f)
+       |SELECT type, cnt FROM c WHERE cnt > 0 ORDER BY type""".stripMargin
+
   val errorCounters: String =
     s"""WITH $E, c AS (
        |  SELECT 'duplicated_initial_query' AS type, count(*) AS cnt FROM e WHERE dup AND NOT orphan

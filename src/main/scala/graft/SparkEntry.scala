@@ -65,6 +65,12 @@ object SparkEntry {
       QueryMerge.errorCounters(parsed(s, dir))
         .withColumnRenamed("count", "cnt").orderBy("type")),
 
+    // noisy corpus: dashed-date initials -> convert counter (P5/P7 routing)
+    "log_convert_counters" -> ((s, dir) =>
+      QueryMerge.errorCounters(LogParser.parse(
+        LogRender.lines(Tables.fanOut(Tables.events(s, dir)), noisy = true)))
+        .withColumnRenamed("count", "cnt").orderBy("type")),
+
     "log_query_time_hist" -> ((s, dir) =>
       PromMetrics.queryTimeHistogram(parsed(s, dir)).orderBy("stmt_type", "le")),
 
@@ -97,6 +103,7 @@ object SparkEntry {
     "log_query_count" -> LogOracle.queryCount,
     "log_query_errors" -> LogOracle.queryErrors,
     "log_error_counters" -> LogOracle.errorCounters,
+    "log_convert_counters" -> LogOracle.convertCounters,
     "log_query_time_hist" -> LogOracle.queryTimeHist,
     "log_query_time_sum" -> LogOracle.queryTimeSum,
     "log_rows_read_hist" -> LogOracle.rowsReadHist,

@@ -33,6 +33,13 @@ object LogRender {
   val ErrMod = 10
   val ErrRem = 7
 
+  /** In noisy mode, initial lines of every NoiseMod-th event carry a dashed
+    * date: the regex matches but `time.Parse` with the dots-only layout
+    * fails (query.go:110-116) → the convert-error path, with the event's
+    * other lines becoming orphans. */
+  val NoiseMod = 89
+  val DtFormatDashed = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
   /** stmt pick: event_id % 5 -> query text / statement type. */
   val StmtTexts: Seq[(String, String)] = Seq(
     "SELECT count() FROM hits WHERE d > today()" -> "select",
@@ -59,8 +66,9 @@ object LogRender {
   val DtFormat = "yyyy.MM.dd HH:mm:ss.SSSSSS"
 
   /** @return (seq: long, value: string) log lines, ~3.2 per event. */
-  def lines(events: DataFrame): DataFrame = {
+  def lines(events: DataFrame, noisy: Boolean = false): DataFrame = {
     val eid = col("event_id")
+    val noise = if (noisy) eid % NoiseMod === 0 else lit(false)
     val orphan = eid % OrphanMod === 0
     val dup = eid % DupMod === 0
     val hasErr = eid % ErrMod === ErrRem
@@ -86,7 +94,8 @@ object LogRender {
     val errCode = (lit(1) + eid % 999).cast("string")
 
     val head = (dt: Column) => concat(dt, lit(" [ "), pid, lit(" ] {"), id, lit("} "))
-    val initLine = concat(head(dtStart), lit("<Debug> executeQuery: (from "),
+    val dtInit = when(noise, date_format(startTs, DtFormatDashed)).otherwise(dtStart)
+    val initLine = concat(head(dtInit), lit("<Debug> executeQuery: (from "),
       host, lit(":"), port, lit(", user: default) "), queryText)
     val statsLine = concat(head(dtStart), lit("<Information> executeQuery: Read "),
       rows, lit(" rows, "), gib, lit(" GiB in 0.500 sec., "),

@@ -20,7 +20,7 @@ object Multimodal {
     * deterministically from the payload size — stand-ins for width/height/
     * frame-count a real decoder would emit). Fully oracle-checkable. */
   def metadata(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Tables.fanOut(docs).select(col("doc_id"), col("text").cast("binary").as("payload"))
       .withColumn("byte_size", octet_length(col("payload")).cast("long"))
       .select(
         col("doc_id"),
