@@ -25,11 +25,17 @@ object SparkEntry {
     * the corpus (Spark's CacheManager substitutes the InMemoryRelation into
     * any matching subtree). */
   private val parsedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Boolean), DataFrame]
 
-  private def parsed(s: SparkSession, dir: String): DataFrame =
-    parsedCache.getOrElseUpdate((s, dir),
-      LogParser.parse(LogRender.lines(Tables.fanOut(Tables.events(s, dir)))).cache())
+  private def parsed(s: SparkSession, dir: String, noisy: Boolean = false): DataFrame =
+    parsedCache.getOrElseUpdate((s, dir, noisy), {
+      val p = LogParser.parse(
+        LogRender.lines(Tables.fanOut(Tables.events(s, dir)), noisy)).cache()
+      // Also pin the state-record table: every metric query's window+join
+      // subtree substitutes this one materialization.
+      QueryMerge.firstInitials(p).cache()
+      p
+    })
 
   private def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")
 
@@ -67,8 +73,7 @@ object SparkEntry {
 
     // noisy corpus: dashed-date initials -> convert counter (P5/P7 routing)
     "log_convert_counters" -> ((s, dir) =>
-      QueryMerge.errorCounters(LogParser.parse(
-        LogRender.lines(Tables.fanOut(Tables.events(s, dir)), noisy = true)))
+      QueryMerge.errorCounters(parsed(s, dir, noisy = true))
         .withColumnRenamed("count", "cnt").orderBy("type")),
 
     "log_query_time_hist" -> ((s, dir) =>

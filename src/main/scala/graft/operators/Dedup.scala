@@ -63,16 +63,16 @@ object Dedup {
   private val NumHashes = 32
   private val BandRows = 4 // 8 bands x 4 rows
 
-  /** Per-doc distinct 3-word shingle stream (doc_id, sh). */
-  private def shingles(docs0: DataFrame): DataFrame = {
+  /** Per-doc distinct 3-word shingle set as an array column (map-side only,
+    * no explode/shuffle). */
+  private def shingleArrays(docs0: DataFrame): DataFrame = {
     val docs = Tables.fanOut(docs0)
     docs.select(col("doc_id"),
       expr("CASE WHEN size(split(text,' ')) >= 3 THEN " +
         "array_distinct(transform(sequence(0, size(split(text,' ')) - 3), " +
         "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))) " +
         "ELSE array(text) END")
-        .as("shingles"))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .as("shs"))
   }
 
   /** MinHash + LSH near-dup pairs: 3-word shingles → 32 minhashes → 8 banded
@@ -83,12 +83,12 @@ object Dedup {
     * pairs are verified. Hash-specific (xxhash64) → no SQL oracle;
     * deterministic across runs. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val shingled = shingles(docs).cache() // feeds both signatures and verify
-
-
-    val minhashes = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    val sigs = shingled.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+    // map-side signatures: min over the shingle array per hash seed — no
+    // explode, no shuffle until the (tiny) band-bucket join
+    val sets = shingleArrays(docs).cache() // feeds both signatures and verify
+    val sigs = sets.select(
+      col("doc_id") +: (0 until NumHashes).map(i =>
+        expr(s"array_min(transform(shs, s -> xxhash64($i, s)))").as(s"h$i")): _*)
 
     val bands = (0 until NumHashes / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
@@ -102,7 +102,6 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sets = shingled.groupBy("doc_id").agg(collect_set("sh").as("shs"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
@@ -117,7 +116,7 @@ object Dedup {
   /** Exact shingle-set Jaccard pairs (ground truth for [[minhashPairs]]'s
     * recall spec) — O(n²), test-scale only. */
   def exactShinglePairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sets = shingles(docs).groupBy("doc_id").agg(collect_set("sh").as("shs"))
+    val sets = shingleArrays(docs)
     val a = sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))

@@ -55,27 +55,42 @@ object StreamingMerge {
       startTime = e.ts,
       stmtType = e.stmtType.getOrElse("other"))
 
+  /** One emission of the streaming merge: either a completed/flushed record
+    * or an error-counter increment (the A2 observe sites, query.go:93,152,
+    * 190,212,237,257,270). */
+  final case class MergeOut(
+      out: String, // "record" | "counter"
+      record: Option[ChQuery],
+      counterType: Option[String])
+
   /** One micro-batch worth of events for a single query id, replayed in
-    * arrival order against the state record. Package-visible for direct
-    * testing via `TestGroupState`. */
-  private[graft] def transition(events: Iterator[LogEvent], state: GroupState[ChQuery],
-      timeoutMs: Long): Iterator[ChQuery] = {
-    val out = scala.collection.mutable.ListBuffer.empty[ChQuery]
+    * arrival order against the state record. Emits completed records AND
+    * counter increments at exactly the reference's observe sites.
+    * Package-visible for direct testing via `TestGroupState`. */
+  private[graft] def transitionFull(events: Iterator[LogEvent], state: GroupState[ChQuery],
+      timeoutMs: Long): Iterator[MergeOut] = {
+    val out = scala.collection.mutable.ListBuffer.empty[MergeOut]
+    def counter(t: String): Unit = out += MergeOut("counter", None, Some(t))
     var cur: Option[ChQuery] = state.getOption
     events.toSeq.sortBy(_.seq).foreach { e =>
       e.kind match {
         case "initial" =>
-          if (cur.isDefined) () // duplicated_initial_query: first record kept
+          if (cur.isDefined) counter("duplicated_initial_query") // first kept
           else if (e.cvOk) cur = Some(insertRecord(e))
-        case "stats" if cur.isDefined && e.cvOk =>
+          else counter("convert")
+        case "stats" | "error" | "memory" if cur.isEmpty =>
+          counter("not_found_query") // state miss precedes conversion
+        case _ if !e.cvOk =>
+          counter("convert")
+        case "stats" =>
           cur = cur.map(_.copy(
             rowsRead = e.rowsRead.getOrElse(0L), bytesRead = e.bytesRead.getOrElse(0L),
             rps = e.rps.getOrElse(0L), speed = e.speed.getOrElse(0L)))
-        case "error" if cur.isDefined && e.cvOk =>
+        case "error" =>
           cur = cur.map(_.copy(error = true,
             errorCode = e.errorCode.getOrElse(0L),
             errorMessage = e.errorMessage.getOrElse("")))
-        case "memory" if cur.isDefined && e.cvOk =>
+        case "memory" =>
           val endTs = e.ts
           def micros(t: Timestamp): Long =
             t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
@@ -85,10 +100,10 @@ object StreamingMerge {
             memory = e.memory.getOrElse(0L), endTime = endTs, elapsed = elapsed)
           if (updated.stmtType != "insert") {
             // J5: completion + eviction — later lines for this id are orphans
-            out += updated.copy(fullInfo = true)
+            out += MergeOut("record", Some(updated.copy(fullInfo = true)), None)
             cur = None
           } else cur = Some(updated)
-        case _ => () // orphan (not_found_query) or convert failure: dropped
+        case _ => ()
       }
     }
     cur match {
@@ -100,9 +115,18 @@ object StreamingMerge {
     out.iterator
   }
 
-  /** The streaming merge: completed records (plus timeout-flushed partials)
-    * in append mode. */
-  def merge(events: Dataset[LogEvent], timeoutMs: Long = 30 * 60 * 1000L): Dataset[ChQuery] = {
+  /** Record-only view of [[transitionFull]] (compat + simple pipelines). */
+  private[graft] def transition(events: Iterator[LogEvent], state: GroupState[ChQuery],
+      timeoutMs: Long): Iterator[ChQuery] =
+    transitionFull(events, state, timeoutMs).flatMap(_.record)
+
+  /** The full streaming merge: completed records (plus timeout-flushed
+    * partials) AND error-counter increments, in append mode. Downstream:
+    * `.filter(_.out == "record")` for the record sink,
+    * `.filter(_.out == "counter").groupBy("counterType").count()` (or a
+    * foreachBatch accumulation) for the `chlogexporter_errors` surface. */
+  def mergeWithMetrics(events: Dataset[LogEvent],
+      timeoutMs: Long = 30 * 60 * 1000L): Dataset[MergeOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.id)
@@ -112,9 +136,15 @@ object StreamingMerge {
             // leak fix: flush the stuck record (insert/error-only/abandoned)
             val rec = state.get
             state.remove()
-            Iterator.single(rec)
-          } else transition(es, state, timeoutMs)
+            Iterator.single(MergeOut("record", Some(rec), None))
+          } else transitionFull(es, state, timeoutMs)
       }
+  }
+
+  /** Record-only streaming merge. */
+  def merge(events: Dataset[LogEvent], timeoutMs: Long = 30 * 60 * 1000L): Dataset[ChQuery] = {
+    import events.sparkSession.implicits._
+    mergeWithMetrics(events, timeoutMs).flatMap(_.record)
   }
 
   /** Full streaming pipeline from a directory of log files (the rotation

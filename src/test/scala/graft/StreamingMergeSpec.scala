@@ -93,6 +93,21 @@ class StreamingMergeSpec extends SparkSpec {
     assert(out.forall(_.rowsRead == 0L), "orphan stats must not leak into the restarted record")
   }
 
+  test("counter events fire at the reference's observe sites") {
+    val s = freshState()
+    val outs = StreamingMerge.transitionFull(events(
+      mkLine(0, "c9", "stats"), // not_found (no state)
+      mkLine(1, "c9", "initial"),
+      mkLine(2, "c9", "initial", "DELETE FROM t"), // duplicated
+      (3L, mkLine(0, "c9", "stats")._2.replace("5000 rows/sec.", "50.5 rows/sec.")), // convert (live, bad rps)
+      mkLine(4, "c9", "memory"),
+      mkLine(5, "c9", "stats") // not_found (post-eviction)
+    ).iterator, s, 60000L).toSeq
+    val counters = outs.filter(_.out == "counter").flatMap(_.counterType)
+    assert(counters == Seq("not_found_query", "duplicated_initial_query", "convert", "not_found_query"))
+    assert(outs.count(_.out == "record") == 1)
+  }
+
   test("timeout flushes the stuck record with fullInfo=false (leak fix)") {
     val stuck = ChQuery(id = "s6", stmtType = "insert", memory = 42L)
     val s = TestGroupState.create[ChQuery](jopt(Some(stuck)), GroupStateTimeout.ProcessingTimeTimeout,
