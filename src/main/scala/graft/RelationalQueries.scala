@@ -367,7 +367,22 @@ object RelationalQueries {
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Sketch-based approximate aggregates (HLL++ distinct, GK percentile) —
+    * the constant-memory path for 100 TB cardinality/quantile questions.
+    * No SQL oracle (sketch internals are engine-specific); a spec bounds the
+    * error against exact answers. */
+  def approxAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx" -> approxAgg _,
     "events_user_stats_salted" -> saltedUserStats _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_orders" -> q3TopOrders _,

@@ -109,7 +109,7 @@ object StreamingMerge {
     cur match {
       case Some(rec) =>
         state.update(rec)
-        state.setTimeoutDuration(timeoutMs)
+        if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
       case None => if (state.exists) state.remove()
     }
     out.iterator
@@ -128,9 +128,16 @@ object StreamingMerge {
   def mergeWithMetrics(events: Dataset[LogEvent],
       timeoutMs: Long = 30 * 60 * 1000L): Dataset[MergeOut] = {
     import events.sparkSession.implicits._
+    // timeoutMs <= 0 disables the leak-fix eviction timer — required when a
+    // downstream stateful operator (e.g. a watermarked window agg) runs in
+    // the same AvailableNow job, where armed processing-time timeouts keep
+    // scheduling batches and the trigger never drains.
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (_: String, es: Iterator[LogEvent], state: GroupState[ChQuery]) =>
           if (state.hasTimedOut) {
             // leak fix: flush the stuck record (insert/error-only/abandoned)
@@ -145,6 +152,21 @@ object StreamingMerge {
   def merge(events: Dataset[LogEvent], timeoutMs: Long = 30 * 60 * 1000L): Dataset[ChQuery] = {
     import events.sparkSession.implicits._
     mergeWithMetrics(events, timeoutMs).flatMap(_.record)
+  }
+
+  /** Watermarked event-time windowed aggregation over the completed-record
+    * stream: per-minute query counts by statement type, late data bounded
+    * by the watermark (SURVEY §2.7 — the windowed-agg surface the reference
+    * approximates with its wall-clock counters). Append mode: a window
+    * finalizes once the watermark passes its end. */
+  def windowedQueryCounts(records: Dataset[ChQuery],
+      watermark: String = "10 minutes", windowLen: String = "1 minute"): DataFrame = {
+    records
+      .withColumn("start_ts", col("startTime"))
+      .withWatermark("start_ts", watermark)
+      .groupBy(window(col("start_ts"), windowLen), col("stmtType"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("stmtType").as("stmt_type"), col("cnt"))
   }
 
   /** Full streaming pipeline from a directory of log files (the rotation

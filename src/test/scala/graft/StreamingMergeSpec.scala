@@ -151,6 +151,48 @@ class StreamingMergeSpec extends SparkSpec {
     assert(recs.length == 1 && recs.head.id == "c1" && recs.head.fullInfo)
   }
 
+  test("watermarked windowed aggregation finalizes windows as event time advances") {
+    val dir = Files.createTempDirectory("graft_wm_src").toFile
+    val ckpt = Files.createTempDirectory("graft_wm_ckpt").toFile.getAbsolutePath
+    val windows = StreamingMergeSpec.windows
+    windows.clear()
+
+    def lifecycle(id: String, hh: Int, mm: Int): String = {
+      val dt = f"2024.03.01 $hh%02d:$mm%02d:01.000000"
+      Seq(
+        s"$dt [ 7 ] {$id} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1",
+        s"$dt [ 7 ] {$id} <Debug> MemoryTracker: Peak memory usage (for query): 1 MiB.")
+        .mkString("\n")
+    }
+
+    def runOnce(): Unit = {
+      val out = StreamingMerge.windowedQueryCounts(
+        StreamingMerge.filePipeline(spark, dir.getAbsolutePath, timeoutMs = 0L))
+      val q = out.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingMergeSpec.windows.addAll(batch.collect()
+            .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+              r.getAs[String]("stmt_type"), r.getAs[Long]("cnt"))).toSeq.asJava)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+
+    Files.write(new java.io.File(dir, "f1.log").toPath, lifecycle("w1", 12, 0).getBytes)
+    runOnce()
+    assert(windows.isEmpty, "window open: watermark has not passed it")
+
+    Files.write(new java.io.File(dir, "f2.log").toPath, lifecycle("w2", 12, 30).getBytes)
+    runOnce() // watermark -> 12:20, finalizes the 12:00 window
+    Files.write(new java.io.File(dir, "f3.log").toPath, lifecycle("w3", 13, 0).getBytes)
+    runOnce() // watermark -> 12:50, finalizes the 12:30 window
+    assert(windows.asScala.toSet == Set(
+      ("2024-03-01 12:00:00.0", "select", 1L),
+      ("2024-03-01 12:30:00.0", "select", 1L)))
+  }
+
   test("file-source streaming pipeline end-to-end (AvailableNow)") {
     val dir = Files.createTempDirectory("graft_stream").toFile
     val lines = Seq(
@@ -175,8 +217,10 @@ class StreamingMergeSpec extends SparkSpec {
 }
 
 object StreamingMergeSpec {
-  /** Cross-restart sink buffer for the checkpoint-recovery test (foreachBatch
-    * closures must reference driver-side shared state). */
+  /** Cross-restart sink buffers for the checkpoint-recovery tests
+    * (foreachBatch closures must reference driver-side shared state). */
   val emitted: java.util.concurrent.ConcurrentLinkedQueue[graft.model.ChQuery] =
     new java.util.concurrent.ConcurrentLinkedQueue[graft.model.ChQuery]()
+  val windows: java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)] =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
 }
