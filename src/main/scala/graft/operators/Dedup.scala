@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.SortedIntersectCount.sorted_intersect_count
+
 /** Deduplication operators for large-scale text corpora (the
   * beyond-reference training-data-pipeline surface; BASELINE.json north
   * star). All operators are pure DataFrame transforms designed for the
@@ -21,7 +23,7 @@ object Dedup {
     * corpus). */
   private def tokenSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
 
   /** Exact dedup via content fingerprint: one row per distinct text with the
     * kept (minimum) doc id and the copy count. */
@@ -43,7 +45,7 @@ object Dedup {
     val a = t.select(col("doc_id").as("doc_a"), col("source"), col("toks").as("toks_a"))
     val b = t.select(col("doc_id").as("doc_b"), col("source"), col("toks").as("toks_b"))
     a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("inter", sorted_intersect_count(col("toks_a"), col("toks_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -69,8 +71,8 @@ object Dedup {
     val docs = Tables.fanOut(docs0)
     docs.select(col("doc_id"),
       expr("CASE WHEN size(split(text,' ')) >= 3 THEN " +
-        "array_distinct(transform(sequence(0, size(split(text,' ')) - 3), " +
-        "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))) " +
+        "array_sort(array_distinct(transform(sequence(0, size(split(text,' ')) - 3), " +
+        "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2])))) " +
         "ELSE array(text) END")
         .as("shs"))
   }
@@ -105,7 +107,7 @@ object Dedup {
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("inter", sorted_intersect_count(col("shs_a"), col("shs_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -120,7 +122,7 @@ object Dedup {
     val a = sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("inter", sorted_intersect_count(col("shs_a"), col("shs_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -73,10 +73,10 @@ object Similarity {
       .withColumn("dot", expr(dotExpr))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
-      .orderBy("query_id", "rank")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .orderBy("query_id", "rnk")
   }
 
   val bruteForceTopKSql: String =
@@ -95,10 +95,10 @@ object Similarity {
       |  FROM dots JOIN norms na ON na.vec_id = query_id JOIN norms nb ON nb.vec_id = neighbor_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id, cos,
-      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
       |  FROM sims)
-      |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
-      |ORDER BY query_id, rank""".stripMargin
+      |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
 
   private val NumTables = 4
   private val PlanesPerTable = 6
@@ -153,9 +153,9 @@ object Similarity {
       .withColumn("dot", expr(dotExpr))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
-      .orderBy("query_id", "rank")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .orderBy("query_id", "rnk")
   }
 }
