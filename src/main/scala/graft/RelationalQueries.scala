@@ -381,8 +381,29 @@ object RelationalQueries {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
+  /** Pivot (wide aggregation): per-user event counts, one column per event
+    * type. Explicit value list keeps the schema static (required at scale —
+    * an implicit pivot would scan twice to discover values). */
+  def eventsPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val eventsPivotSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_approx" -> approxAgg _,
+    "events_pivot" -> eventsPivot _,
     "events_user_stats_salted" -> saltedUserStats _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_orders" -> q3TopOrders _,
@@ -403,6 +424,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_pivot" -> eventsPivotSql,
     "events_user_stats_salted" -> saltedUserStatsSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,
