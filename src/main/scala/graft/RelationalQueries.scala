@@ -401,8 +401,42 @@ object RelationalQueries {
       |  count(*) FILTER (event_type = 'error') AS error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** As-of join: for each event, the latest order of the same customer at
+    * or before the event time. Composed Spark-first (SURVEY §7.2 preference
+    * (a)): union both streams, one shuffle on the key, `last(..., ignoreNulls)`
+    * over the time-ordered window — the exact partition-sort-merge a custom
+    * as-of SparkPlan would hand-code, with orders sorting before same-
+    * timestamp events (inclusive semantics) and orderkey as the tiebreak. */
+  def eventsAsofOrders(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select(
+      col("o_custkey").as("key"), col("o_orderdate").as("at"), lit(0).as("side"),
+      col("o_orderkey"), lit(null).cast("long").as("event_id"))
+    val ev = Tables.events(s, dir).select(
+      col("user_id").as("key"), col("ts").as("at"), lit(1).as("side"),
+      lit(null).cast("long").as("o_orderkey"), col("event_id"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("at"), col("side"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("asof_orderkey", last(when(col("side") === 0, col("o_orderkey")), ignoreNulls = true).over(w))
+      .withColumn("asof_orderdate", last(when(col("side") === 0, col("at")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("key").as("user_id"),
+        col("asof_orderkey"), col("asof_orderdate").cast("timestamp_ntz").as("asof_orderdate"))
+      .orderBy("event_id")
+  }
+
+  val eventsAsofOrdersSql: String =
+    """SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate
+      |FROM events e LEFT JOIN LATERAL (
+      |  SELECT o_orderkey, o_orderdate FROM orders
+      |  WHERE o_custkey = e.user_id AND o_orderdate <= CAST(e.ts AS TIMESTAMP)
+      |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_approx" -> approxAgg _,
+    "events_asof_orders" -> eventsAsofOrders _,
     "events_pivot" -> eventsPivot _,
     "events_user_stats_salted" -> saltedUserStats _,
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -424,6 +458,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_asof_orders" -> eventsAsofOrdersSql,
     "events_pivot" -> eventsPivotSql,
     "events_user_stats_salted" -> saltedUserStatsSql,
     "q1_pricing_summary" -> q1Sql,
