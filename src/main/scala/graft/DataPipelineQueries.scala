@@ -30,6 +30,7 @@ object DataPipelineQueries {
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+    "text_winnowing_pairs" -> ((s, dir) => TextAnalysis.winnowingPairs(docs(s, dir))),
     "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(docs(s, dir))),
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(docs(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.features(docs(s, dir))),

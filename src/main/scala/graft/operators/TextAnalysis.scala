@@ -127,6 +127,37 @@ object TextAnalysis {
     """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** MOSS-style winnowing fingerprints: k-byte rolling hashes
+    * ([[graft.functions.RollingHashesExpr]], O(n) per doc), then the minimum
+    * hash of each w-hash window, deduplicated — the classic guarantee that
+    * any shared substring of length >= k+w-1 yields a shared fingerprint.
+    * All map-side per doc; output exploded (doc_id, fingerprint).
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame = {
+    import graft.functions.RollingHashes.rolling_hashes
+    Tables.fanOut(docs)
+      .select(col("doc_id"), rolling_hashes(lower(col("text")), k).as("rh"))
+      .filter(size(col("rh")) >= w)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(rh) - $w), i -> array_min(slice(rh, i + 1, $w)))")))
+        .as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+  }
+
+  /** Near-dup candidates by shared winnowing fingerprints: docs sharing at
+    * least `minShared` fingerprints. Inverted-index join on fingerprint —
+    * linear candidate generation, the rolling-hash dedup path for corpora
+    * where word-level shingles are too coarse. */
+  def winnowingPairs(docs: DataFrame, minShared: Long = 5): DataFrame = {
+    val fp = winnowingFingerprints(docs)
+    fp.as("x").join(fp.as("y"), Seq("fingerprint"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Corpus-level word-bigram frequencies, top 20: the classic n-gram
     * aggregation — explode is linear, count partial-aggregates map-side. */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =

@@ -84,6 +84,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frames.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 16L), (4L, 6L)))
   }
 
+  test("winnowing: identical docs share all fingerprints; edited doc shares most; disjoint none") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+    val crafted = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, base.replace("lazy dog", "sleepy wolf")),
+      (4L, "completely unrelated content about matrix multiplication kernels and gpu memory bandwidth limits today")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(crafted).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert(fps(1L) == fps(2L))
+    val overlap13 = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
+    assert(overlap13 > 0.3 && overlap13 < 1.0, s"edited-doc overlap $overlap13")
+    assert(fps(1L).intersect(fps(4L)).isEmpty)
+
+    val pairs = TextAnalysis.winnowingPairs(crafted, minShared = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("language id picks the language with most stopword hits") {
     val crafted = Seq(
       (1L, "en", "the cat sat on the mat and the dog is a friend of it"),
