@@ -54,6 +54,7 @@ object DataPipelineQueries {
     "text_fingerprints" -> TextAnalysis.fingerprintsSql,
     "text_top_bigrams" -> TextAnalysis.topBigramsSql,
     "mm_metadata" -> Multimodal.metadataSql,
+    "mm_features" -> Multimodal.featuresSql,
     "mm_frame_sample" -> frameSampleSql,
   )
 }

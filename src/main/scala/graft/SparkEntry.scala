@@ -27,15 +27,38 @@ object SparkEntry {
   private val parsedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Boolean), DataFrame]
 
+  /** Rendered log lines, cached per (session, dir, noisy) and shared by the
+    * parse cache AND `log_read_lines` — round 1 rebuilt the corpus for the
+    * line counter (21 s of duplicate render at sf0.1). */
+  private val linesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Boolean), DataFrame]
+
+  private def renderedLines(s: SparkSession, dir: String, noisy: Boolean = false): DataFrame =
+    linesCache.getOrElseUpdate((s, dir, noisy),
+      LogRender.lines(Tables.fanOut(Tables.events(s, dir)), noisy).cache())
+
   private def parsed(s: SparkSession, dir: String, noisy: Boolean = false): DataFrame =
     parsedCache.getOrElseUpdate((s, dir, noisy), {
-      val p = LogParser.parse(
-        LogRender.lines(Tables.fanOut(Tables.events(s, dir)), noisy)).cache()
+      val p = LogParser.parse(renderedLines(s, dir, noisy)).cache()
       // Also pin the state-record table: every metric query's window+join
       // subtree substitutes this one materialization.
       QueryMerge.firstInitials(p).cache()
       p
     })
+
+  /** Drop every cached frame this object pinned for `s` (long-lived-session
+    * hygiene: the TrieMaps would otherwise retain SparkSession references and
+    * executor storage forever — Verify/Bench run one session and never need
+    * this, but a library user embedding the engine does). */
+  def clearCaches(s: SparkSession): Unit = {
+    def drop[K <: Product](m: scala.collection.concurrent.TrieMap[K, DataFrame]): Unit =
+      m.keys.filter(_.productElement(0) == s).foreach { k =>
+        m.remove(k).foreach(_.unpersist())
+      }
+    drop(parsedCache)
+    drop(linesCache)
+    s.sharedState.cacheManager.clearCache() // the pinned firstInitials frames
+  }
 
   private def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")
 
@@ -51,7 +74,7 @@ object SparkEntry {
   private def logQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- log pipeline (SURVEY §2.1-2.5): render from events, parse, merge ----
     "log_read_lines" -> ((s, dir) =>
-      LogRender.lines(Tables.events(s, dir)).agg(count("*").as("n"))),
+      renderedLines(s, dir).agg(count("*").as("n"))),
 
     "log_parsed_events" -> ((s, dir) =>
       parsed(s, dir).select("seq", "kind", "id", "pid", "rows_read",

@@ -23,9 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (here: null, routed by the pipeline to the `convert` error counter).
   */
 object ByteFmt {
-  // Grammar of cloudfoundry bytefmt's ToBytes (public repo, bytes.go).
+  // Grammar of cloudfoundry bytefmt's ToBytes (public repo, bytes.go):
+  // mantissa = everything before the first letter, fed to ParseFloat — so
+  // optional sign, digits with optional fraction ("+5", ".5", "5." all
+  // parse; "1e3" can't reach ParseFloat because 'e' is a letter); unit =
+  // exactly one of the uppercased switch cases B | X | XB | XIB for
+  // X∈{K,M,G,T,P,E} (bare "Ki"/"Mi" are NOT cases and are rejected).
   private val BytesRe: Pattern =
-    Pattern.compile("(?i)^(-?\\d+(?:\\.\\d+)?)([KMGTPE]i?B?|B)$")
+    Pattern.compile("(?i)^([+-]?(?:\\d+\\.?\\d*|\\.\\d+))([KMGTPE](?:I?B)?|B)$")
 
   private val Kib = 1024L
 

@@ -22,7 +22,7 @@ object Dedup {
   /** Distinct word-token set per document (single-space tokenization of the
     * corpus). */
   private def tokenSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"),
+    Tables.fanOut(docs).select(col("doc_id"), col("source"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
 
   /** Exact dedup via content fingerprint: one row per distinct text with the
@@ -39,15 +39,27 @@ object Dedup {
   /** Exact n-gram (word-set) Jaccard near-dup pairs, blocked by `source` so
     * candidate generation is per-block (at 100 TB the block is the unit of
     * pairwise work; an unblocked corpus would use [[minhashPairs]]). Jaccard
-    * is a ratio of exact ints — bit-reproducible. */
+    * is a ratio of exact ints — bit-reproducible.
+    *
+    * Scale guards on the per-block quadratic scan:
+    *   - a LOSSLESS size-ratio prune runs before the merge-scan intersect:
+    *     `J >= t  ⟹  min(|A|,|B|)/max(|A|,|B|) >= t` (intersection ≤ the
+    *     smaller set, union ≥ the larger), evaluated with the same double
+    *     division as the final jaccard so no boundary pair is lost;
+    *   - set sizes are computed once per doc (map-side), not per pair.
+    */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val t = tokenSets(docs)
-    val a = t.select(col("doc_id").as("doc_a"), col("source"), col("toks").as("toks_a"))
-    val b = t.select(col("doc_id").as("doc_b"), col("source"), col("toks").as("toks_b"))
-    a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+    val t = tokenSets(docs).withColumn("n", size(col("toks")).cast("long"))
+    val a = t.select(col("doc_id").as("doc_a"), col("source"),
+      col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("source"),
+      col("toks").as("toks_b"), col("n").as("n_b"))
+    a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b") &&
+        least(col("n_a"), col("n_b")).cast("double") /
+          greatest(col("n_a"), col("n_b")).cast("double") >= threshold)
       .withColumn("inter", sorted_intersect_count(col("toks_a"), col("toks_b")))
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")

@@ -56,18 +56,28 @@ object LogParser {
   val TsFormat = "yyyy.MM.dd HH:mm:ss.SSSSSS"
 
   /** First-keyword statement classifier mirroring `sqlparser.Preview` +
-    * `getStmtType` (/root/reference/query.go:276-289): first whitespace-token,
-    * leading non-letters stripped, lowercased; select/insert/update/delete,
-    * everything else "other". (Leading SQL comments are not stripped — the
-    * one Preview behavior we don't replicate.)
+    * `getStmtType` (/root/reference/query.go:276-289): leading SQL comments
+    * (slash-star block comments and `--`/`#` line comments, repeated)
+    * stripped the way sqlparser's tokenizer skips them, then first
+    * whitespace-token, leading non-letters stripped, lowercased;
+    * select/insert/update/delete, everything else "other".
     */
   def stmtType(q: Column): Column = {
-    val word = lower(regexp_replace(regexp_extract(ltrim(q), "^(\\S+)", 1), "^[^a-zA-Z]+", ""))
+    val noComments =
+      regexp_replace(q, "(?s)^(?:\\s+|/\\*.*?\\*/|--[^\\n]*(?:\\n|$)|#[^\\n]*(?:\\n|$))+", "")
+    val word = lower(regexp_replace(regexp_extract(noComments, "^(\\S+)", 1), "^[^a-zA-Z]+", ""))
     when(word.isin("select", "insert", "update", "delete"), word).otherwise("other")
   }
 
+  /** strconv.ParseInt(..., 10, 64) semantics for unsigned digit runs: any
+    * count of digits parses as long as the value fits int64; true overflow
+    * (and non-digit input) is a convert failure. The 19-digit case is guarded
+    * through decimal(20,0) because an ANSI string→long cast would throw. */
   private def digitsToLong(c: Column): Column =
     when(c.rlike("^\\d{1,18}$"), c.cast("long"))
+      .when(c.rlike("^\\d{19}$") &&
+        c.cast("decimal(20,0)") <= lit(Long.MaxValue).cast("decimal(20,0)"),
+        c.cast("decimal(20,0)").cast("long"))
 
   /** @param lines DataFrame with `seq: long` (arrival order) and `value: string`.
     * @return typed event frame: seq, kind, id, pid, ts, host, port, query_text,

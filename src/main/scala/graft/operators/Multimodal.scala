@@ -18,13 +18,17 @@ object Multimodal {
 
   /** Binary payload + typed metadata (size, sha256, stub media dims derived
     * deterministically from the payload size — stand-ins for width/height/
-    * frame-count a real decoder would emit). Fully oracle-checkable. */
+    * frame-count a real decoder would emit). Fully oracle-checkable.
+    *
+    * The payload stays `binary` inside the pipeline; the emitted row carries
+    * `hex(payload)` because the driver's pandas compare can't sort raw byte
+    * columns (round-1 CORRECTNESS failure). */
   def metadata(docs: DataFrame): DataFrame =
     Tables.fanOut(docs).select(col("doc_id"), col("text").cast("binary").as("payload"))
       .withColumn("byte_size", octet_length(col("payload")).cast("long"))
       .select(
         col("doc_id"),
-        col("payload"),
+        hex(col("payload")).as("payload_hex"),
         col("byte_size"),
         sha2(col("payload"), 256).as("sha256"),
         (lit(1L) + col("byte_size") % 64).as("width"),
@@ -34,7 +38,7 @@ object Multimodal {
 
   val metadataSql: String =
     """SELECT doc_id,
-      |  encode(text) AS payload,
+      |  hex(encode(text)) AS payload_hex,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
       |  sha256(text) AS sha256,
       |  1 + CAST(octet_length(encode(text)) AS BIGINT) % 64 AS width,
@@ -56,18 +60,41 @@ object Multimodal {
     Array.tabulate(n)(i => (payload(i) & 0xff) / 255.0)
   }
 
-  /** Batched feature extraction over the binary column. */
+  /** Batched feature extraction over the binary column. The feature vector
+    * is flattened to `(doc_id, n_bytes, feat_idx, feature_value)` rows for
+    * the driver compare (raw `array<double>` columns are unsortable there);
+    * [[fakeDecode]] is exactly `(byte & 0xff)/255.0`, so the whole query is
+    * DuckDB-expressible and hash-checked. */
   def features(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val media: Dataset[MediaRow] = docs
+    val media: Dataset[MediaRow] = Tables.fanOut(docs)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaRow]
     media.mapPartitions { rows =>
       // per-partition setup (where a codec would be initialized once)
       rows.map(r => MediaFeatures(r.doc_id, r.payload.length.toLong, fakeDecode(r.payload)))
-    }.toDF().orderBy("doc_id")
+    }.toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("feat_idx", "feature_value")))
+      .select(col("doc_id"), col("n_bytes"),
+        col("feat_idx").cast("long").as("feat_idx"), col("feature_value"))
+      .orderBy("doc_id", "feat_idx")
   }
+
+  /** DuckDB oracle for [[features]]: documents.text is ASCII, so byte i of
+    * the UTF-8 payload is `ascii(substr(text, i+1, 1))`. */
+  val featuresSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, text, n_bytes,
+      |         unnest(range(0, least(8, n_bytes))) AS feat_idx
+      |  FROM d)
+      |SELECT doc_id, n_bytes, feat_idx,
+      |       ascii(substr(text, CAST(feat_idx AS INT) + 1, 1)) / 255.0 AS feature_value
+      |FROM f ORDER BY doc_id, feat_idx""".stripMargin
 
   /** Frame sampling stub: every k-th 16-byte "frame" of the payload —
     * the partition-parallel slicing pattern for video columns. */

@@ -58,11 +58,24 @@ object PromMetrics {
 
     val joined = grid.join(raw, labels :+ "le", "left")
       .withColumn("bucket_count", coalesce(col("bucket_count"), lit(0L)))
-    val w = Window.partitionBy(labelCols: _*).orderBy("le")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined
-      .withColumn("cum_count", sum("bucket_count").over(w))
-      .select(labelCols :+ col("le") :+ col("cum_count"): _*)
+    if (labels.isEmpty) {
+      // Cumulative sum over the ≤14-row post-aggregation bucket grid via a
+      // broadcast θ-self-join (count of y.le <= x.le) instead of a
+      // partition-less window — WindowExec would move "all" data (the 14
+      // rows) to one partition and log a scary degradation warning that
+      // misreads as a bottleneck at scale review. A constant partition key
+      // doesn't help: Catalyst folds it away before planning.
+      val bc = joined.select(col("le"), col("bucket_count"))
+      bc.as("x").join(broadcast(bc.as("y")), col("y.le") <= col("x.le"))
+        .groupBy(col("x.le").as("le"))
+        .agg(sum(col("y.bucket_count")).as("cum_count"))
+    } else {
+      val w = Window.partitionBy(labelCols: _*).orderBy("le")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joined
+        .withColumn("cum_count", sum("bucket_count").over(w))
+        .select(labelCols :+ col("le") :+ col("cum_count"): _*)
+    }
   }
 
   /** The `_sum`/`_count` series. `exactSumCol` must be an integer-typed

@@ -167,4 +167,17 @@ object QueryMerge {
       .groupBy("type").agg(sum("count").as("count"))
       .filter(col("count") > 0)
   }
+
+  /** [[errorCounters]] plus the `tail_line` label (S3, main.go:113-117),
+    * fed by the delivery side channel of
+    * [[graft.sources.LogSource.withDelivery]] — with it, all four reference
+    * label values {tail_line, duplicated_initial_query, convert,
+    * not_found_query} exist in the counter-vec. Distributed count, no
+    * driver-side collection. */
+  def errorCountersWithTail(parsed: DataFrame, linesWithDelivery: DataFrame): DataFrame = {
+    val tail = linesWithDelivery.filter(!col("tail_ok"))
+      .agg(count("*").as("count"))
+      .select(lit("tail_line").as("type"), col("count"))
+    errorCounters(parsed).unionAll(tail.filter(col("count") > 0))
+  }
 }

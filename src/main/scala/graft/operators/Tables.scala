@@ -10,13 +10,20 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy conf, runtime-settable)
-    * and truncate to microseconds — the same ns→µs floor DuckDB's
-    * `CAST(ts AS TIMESTAMP)` applies, keeping oracle hashes aligned
-    * (TESTDATA/FIXTURES timestamp note).
+    * read as a timestamp. Read it as raw nanos and truncate to microseconds —
+    * the same ns→µs floor DuckDB's `CAST(ts AS TIMESTAMP)` applies, keeping
+    * oracle hashes aligned (TESTDATA/FIXTURES timestamp note).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * creation by every entry point (Verify/Bench/Dev/SparkSpec builders) —
+    * deliberately NOT mutated here: a query loader flipping session-wide SQL
+    * conf as a side effect would change how unrelated ns-parquet reads parse
+    * and race with concurrent plan construction.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session creation " +
+        "(events.parquet carries nanosecond timestamps)")
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -41,7 +41,7 @@ object TextAnalysis {
     * a deterministic 0..100 score from integer counts. */
   def qualityScore(docs: DataFrame): DataFrame = {
     val stopList = StopWords.map(w => s"'$w'").mkString(", ")
-    docs.select(col("doc_id"), col("n_chars"),
+    Tables.fanOut(docs).select(col("doc_id"), col("n_chars"),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
       size(expr(s"filter(split(text, ' '), t -> t IN ($stopList))")).cast("long").as("n_stop"))
@@ -161,7 +161,7 @@ object TextAnalysis {
   /** Corpus-level word-bigram frequencies, top 20: the classic n-gram
     * aggregation — explode is linear, count partial-aggregates map-side. */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
-    docs.filter(size(split(col("text"), " ")) >= 2)
+    Tables.fanOut(docs).filter(size(split(col("text"), " ")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(split(text,' ')) - 2), " +
           "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]))")).as("bigram"))

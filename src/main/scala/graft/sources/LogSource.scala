@@ -3,6 +3,7 @@ package graft.sources
 import java.io.{File, FileInputStream}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Batch log-file source (SURVEY §2.1 S1/S2): read a log file with a
   * faithful arrival-order `seq`, after the reference's pre-flight checks.
@@ -36,6 +37,27 @@ object LogSource {
     }
     require(!isArchive, s"File is an archive: $path")
   }
+
+  /** Max line length the delivery path accepts — the analog of a tail
+    * library's line buffer: a "line" longer than this is a corrupt record
+    * (missing newline / binary garbage), not a log line. */
+  val MaxLineBytes: Int = 1 << 20
+
+  /** S3 tail-error side channel (reference main.go:113-117: a line delivery
+    * error increments `errors{type="tail_line"}` and the line is skipped).
+    * Spark's text source has no per-line error object; the observable
+    * delivery failures are classified here instead: null lines, undecodable
+    * bytes (the reader substitutes U+FFFD), over-long unterminated lines.
+    *
+    * @return input plus `tail_ok: boolean`; route `!tail_ok` lines to the
+    *         `tail_line` counter (`QueryMerge.errorCountersWithTail`) and
+    *         keep them away from the parser, exactly like the reference's
+    *         `continue`. */
+  def withDelivery(lines: DataFrame): DataFrame =
+    lines.withColumn("tail_ok",
+      col("value").isNotNull &&
+        octet_length(col("value")) <= MaxLineBytes &&
+        !col("value").contains("�"))
 
   /** Read a single log file as (seq, value) with `seq` = exact line number —
     * the arrival order the keyed merge correlates on. zipWithIndex is the

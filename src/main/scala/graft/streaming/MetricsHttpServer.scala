@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The pull-based `/metrics` endpoint (SURVEY §2.1 S4; reference
+  * main.go:55-68): a JDK `com.sun.net.httpserver` server on the driver
+  * serving the latest Prometheus text exposition. The served body is the
+  * few-KB post-aggregation rendering from [[MetricsSink.exposition]] —
+  * executors never serve HTTP; all input-scale work happens in the
+  * aggregation DataFrames before the driver-side collect.
+  *
+  * Lifecycle mirrors the reference: start before the pipeline attaches,
+  * `stop(graceful)` drains in-flight scrapes on shutdown (main.go:130-142's
+  * `server.Shutdown(ctx)`).
+  */
+final class MetricsHttpServer(port: Int = 0) {
+
+  @volatile private var body: String = ""
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/metrics", new HttpHandler {
+    override def handle(x: HttpExchange): Unit = {
+      val ok = x.getRequestMethod == "GET"
+      val bytes = (if (ok) body else "method not allowed\n")
+        .getBytes(StandardCharsets.UTF_8)
+      x.getResponseHeaders.set("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      x.sendResponseHeaders(if (ok) 200 else 405, bytes.length)
+      val os = x.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+  })
+
+  def start(): this.type = { server.start(); this }
+
+  /** Atomically replace the served exposition text. */
+  def update(text: String): Unit = body = text
+
+  /** Bound port (useful with port=0 ephemeral binding in tests). */
+  def boundPort: Int = server.getAddress.getPort
+
+  /** Graceful shutdown: lets in-flight scrapes finish (≤ `gracefulSeconds`). */
+  def stop(gracefulSeconds: Int = 1): Unit = server.stop(gracefulSeconds)
+}
+
+/** Wires the streaming log pipeline into [[MetricsHttpServer]]: every
+  * micro-batch re-renders the exposition over the corpus seen so far and
+  * atomically swaps the served text — the Spark-native analog of the
+  * reference's registry mutated by the tail loop and read by the scrape
+  * handler (thread boundary #3 in SURVEY §3.3).
+  */
+object MetricsServing {
+
+  /** Start serving `dir`'s log files. Each micro-batch of newly-arrived
+    * lines is accumulated (cached union — the parse cost of old batches is
+    * not repaid) and the full metric surface re-rendered. Delivery-failed
+    * lines (S3) count `errors{type="tail_line"}` and never reach the parser.
+    *
+    * @return the streaming query; stop it, then `server.stop()`.
+    */
+  def serve(spark: SparkSession, dir: String, server: MetricsHttpServer,
+      checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
+    import spark.implicits._
+    val acc = new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+
+    val lines = spark.readStream.text(dir).as[String]
+
+    val writer = lines.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[String], batchId: Long) =>
+        // same-file relative order is preserved per partition (the only
+        // ordering the correlation depends on); seq is unique across batches
+        val seqd = batch.mapPartitions { it =>
+          val base = (batchId << 48) |
+            (org.apache.spark.TaskContext.getPartitionId().toLong << 40)
+          it.zipWithIndex.map { case (v, i) => (base | i.toLong, v) }
+        }.toDF("seq", "value")
+
+        val merged = acc.get().map(_.unionAll(seqd)).getOrElse(seqd).cache()
+        merged.count() // materialize before dropping the predecessor
+        acc.getAndSet(Some(merged)).foreach(_.unpersist())
+
+        val delivered = graft.sources.LogSource.withDelivery(merged)
+        val okLines = delivered.filter(col("tail_ok")).select("seq", "value")
+        val nRead = merged.count()
+        val nTailErrors = delivered.filter(!col("tail_ok")).count()
+        server.update(MetricsSink.exposition(
+          graft.operators.LogParser.parse(okLines), nRead, nTailErrors))
+      }
+
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

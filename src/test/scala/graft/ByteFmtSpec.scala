@@ -38,6 +38,20 @@ class ByteFmtSpec extends AnyFunSuite {
     assert(p(null) == null)
   }
 
+  test("bytefmt grammar edges: ParseFloat mantissas, exact unit switch") {
+    // ParseFloat accepts these prefixes -> valid
+    assert(p("+5K") == 5L * 1024)
+    assert(p(".5K") == 512L)
+    assert(p("5.K") == 5L * 1024)
+    // bytefmt's switch has no bare "KI"/"MI" cases -> invalid
+    assert(p("1Ki") == null)
+    assert(p("1Mi") == null)
+    // scientific notation can't reach ParseFloat ('e'/'E' is split as unit)
+    assert(p("1e3K") == null)
+    // sign inside ParseFloat but negative value still rejected
+    assert(p("-0.5K") == null)
+  }
+
   test("property: integral mantissas round-trip exactly") {
     val units = Seq("B" -> 1L, "K" -> 1024L, "M" -> 1024L * 1024,
       "G" -> 1024L * 1024 * 1024, "T" -> 1024L * 1024 * 1024 * 1024)

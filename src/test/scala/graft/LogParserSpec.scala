@@ -100,4 +100,30 @@ class LogParserSpec extends SparkSpec {
       assert(r.getString(1) == expected, s"query: '$q'")
     }
   }
+
+  test("classifier strips leading SQL comments like sqlparser.Preview") {
+    val cases = Seq(
+      "/* hint */ SELECT 1" -> "select",
+      "/*a*/ /*b*/ INSERT INTO t VALUES (1)" -> "insert",
+      "-- note\nDELETE FROM t" -> "delete",
+      "# mysql comment\nupdate t set x=1" -> "update",
+      "/* multi\nline */ SELECT 1" -> "select",
+      "-- only a comment" -> "other",
+      "/* unterminated SELECT" -> "other")
+    val df = cases.map(_._1).toDF("q")
+      .select(col("q"), LogParser.stmtType(col("q")).as("t")).collect()
+    df.zip(cases).foreach { case (r, (q, expected)) =>
+      assert(r.getString(1) == expected, s"query: '$q'")
+    }
+  }
+
+  test("19-digit int64 values parse; true overflow is a convert failure") {
+    // ParseInt(..., 10, 64) accepts up to Long.MaxValue = 9223372036854775807
+    val Seq(ok) = parse(stats.replace("Read 1000000 rows", "Read 9223372036854775807 rows"))
+    assert(ok.getAs[Long]("rows_read") == Long.MaxValue)
+    assert(ok.getAs[Boolean]("cv_ok"))
+    val Seq(over) = parse(stats.replace("Read 1000000 rows", "Read 9223372036854775808 rows"))
+    assert(over.getAs[java.lang.Long]("rows_read") == null)
+    assert(!over.getAs[Boolean]("cv_ok"))
+  }
 }

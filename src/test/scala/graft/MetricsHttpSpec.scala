@@ -1,0 +1,103 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import scala.io.Source
+
+import graft.streaming.{MetricsHttpServer, MetricsServing, MetricsSink}
+
+/** S4: the pull-based `/metrics` endpoint (reference main.go:55-68) — start
+  * the streaming pipeline, scrape over real HTTP, golden-match the text. */
+class MetricsHttpSpec extends SparkSpec {
+
+  private def get(url: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val body = Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+    conn.disconnect()
+    (code, body)
+  }
+
+  private val corpus = Seq(
+    "2024.03.01 12:00:01.123456 [ 123 ] {q1} <Debug> executeQuery: (from 10.0.0.1:9000, user: default) SELECT count() FROM hits",
+    "2024.03.01 12:00:02.000000 [ 123 ] {q1} <Information> executeQuery: Read 1000000 rows, 1.23 GiB in 0.456 sec., 2192982 rows/sec., 2.70 GiB/sec.",
+    "2024.03.01 12:00:03.623456 [ 123 ] {q1} <Debug> MemoryTracker: Peak memory usage (for query): 1.05 GiB.",
+    "2024.03.01 12:00:04.000000 [ 124 ] {orphan} <Error> executeQuery: Code: 60, e.displayText() = DB::Exception: nope")
+
+  test("pipeline serves the Prometheus exposition over HTTP; graceful shutdown") {
+    val logDir = Files.createTempDirectory("graft-http-logs")
+    val ckpt = Files.createTempDirectory("graft-http-ckpt")
+    Files.write(logDir.resolve("server.log.1"),
+      corpus.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+    val server = new MetricsHttpServer(0).start()
+    try {
+      val q = MetricsServing.serve(spark, logDir.toString, server,
+        ckpt.toString, availableNow = true)
+      q.awaitTermination(120000)
+
+      val (code, body) = get(s"http://127.0.0.1:${server.boundPort}/metrics")
+      assert(code == 200)
+
+      // golden: the served text IS the batch exposition over the same corpus
+      import spark.implicits._
+      val parsed = graft.operators.LogParser.parse(
+        corpus.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("seq", "value"))
+      val golden = MetricsSink.exposition(parsed, readLines = corpus.size.toLong)
+      assert(body == golden)
+
+      // spot checks: counters + cumulative histogram + sum/count series
+      assert(body.contains("chlogexporter_read_lines 4"))
+      assert(body.contains("""chlogexporter_errors{type="not_found_query"} 1"""))
+      assert(body.contains("""clickhouse_query_count{stmt_type="select"} 1"""))
+      assert(body.contains("""clickhouse_query_time_bucket{stmt_type="select",le="5"} 1"""))
+      assert(body.contains("""clickhouse_query_time_bucket{stmt_type="select",le="+Inf"} 1"""))
+      assert(body.contains("clickhouse_select_query_rows_read_count 1"))
+
+      // numeric bucket ordering: le="5" must come before le="10" (not lexicographic)
+      val le5 = body.indexOf("""clickhouse_query_time_bucket{stmt_type="select",le="5"}""")
+      val le10 = body.indexOf("""clickhouse_query_time_bucket{stmt_type="select",le="10"}""")
+      assert(le5 >= 0 && le10 >= 0 && le5 < le10)
+    } finally server.stop(0)
+
+    // after graceful stop the port no longer accepts scrapes
+    intercept[Exception] { get(s"http://127.0.0.1:${server.boundPort}/metrics") }
+  }
+
+  test("a rotated-in file updates the served exposition while running") {
+    val logDir = Files.createTempDirectory("graft-http-logs2")
+    val ckpt = Files.createTempDirectory("graft-http-ckpt2")
+    Files.write(logDir.resolve("a.log"),
+      (corpus.head + "\n").getBytes(StandardCharsets.UTF_8))
+
+    def poll(pred: String => Boolean, timeoutMs: Long): String = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var body = get(s"http://127.0.0.1:${server.boundPort}/metrics")._2
+      while (!pred(body) && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        body = get(s"http://127.0.0.1:${server.boundPort}/metrics")._2
+      }
+      body
+    }
+
+    lazy val server = new MetricsHttpServer(0).start()
+    val q = MetricsServing.serve(spark, logDir.toString, server, ckpt.toString)
+    try {
+      val body1 = poll(_.contains("chlogexporter_read_lines 1"), 120000)
+      assert(body1.contains("chlogexporter_read_lines 1"))
+
+      // rotation story: a new file appears in the directory mid-run
+      Files.write(logDir.resolve("b.log"),
+        corpus.tail.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      val body2 = poll(_.contains("chlogexporter_read_lines 4"), 120000)
+      assert(body2.contains("chlogexporter_read_lines 4"))
+      assert(body2.contains("""clickhouse_query_count{stmt_type="select"} 1"""))
+    } finally {
+      q.stop()
+      server.stop(0)
+    }
+  }
+}
