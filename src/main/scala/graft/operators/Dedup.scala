@@ -98,7 +98,11 @@ object Dedup {
     * deterministic across runs. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     // map-side signatures: min over the shingle array per hash seed — no
-    // explode, no shuffle until the (tiny) band-bucket join
+    // explode, no shuffle until the (tiny) band-bucket join.
+    // The cache spans the three consumers below (signatures + both verify
+    // sides); it is released by session-level cache cleanup
+    // (SparkEntry.clearCaches / catalog.clearCache), not per-call — callers
+    // embedding this in a long-lived service should clear between corpora.
     val sets = shingleArrays(docs).cache() // feeds both signatures and verify
     val sigs = sets.select(
       col("doc_id") +: (0 until NumHashes).map(i =>

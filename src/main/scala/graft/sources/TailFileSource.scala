@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.charset.StandardCharsets
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** True tail-follow of a SINGLE appending log file (SURVEY §2.1 S1; the
+  * reference's primary mode, `tail.TailFile` with `Follow:true, ReOpen:true`
+  * at main.go:100-106) as a DataSource V2 micro-batch streaming source —
+  * the one delivery mode the directory-watching `readStream.text` substitute
+  * cannot cover: data appended to the *current* file.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format("graft.sources.TailFileSourceProvider")
+  *     .option("path", "/var/log/clickhouse-server.log")
+  *     .option("fromStart", "false")   // default: seek-to-EOF (main.go:95)
+  *     .load()                          // schema: seq long, value string
+  * }}}
+  *
+  * Semantics mirrored from the reference:
+  *   - start offset = EOF at query start by default; `fromStart=true` reads
+  *     from offset 0 (`--from-start`, main.go:96-99);
+  *   - only complete (newline-terminated) lines are delivered — a partial
+  *     trailing line waits for its newline, like the tail library's
+  *     line-buffered channel;
+  *   - truncation/recreation (copytruncate rotation) is detected by the file
+  *     shrinking below the committed offset → follow restarts at 0
+  *     (`ReOpen:true`);
+  *   - `seq` is the line's start byte offset — a monotone arrival-order key
+  *     for the keyed merge (same role as the line number in batch mode).
+  *
+  * Scale notes: a tail source is inherently single-file/single-partition —
+  * the cluster story is MANY tailed files (one per server), each a cheap
+  * single-partition scan feeding the id-partitioned stateful merge; the
+  * shuffle to state partitions is where parallelism happens, exactly as with
+  * the directory source. Offsets are byte positions, so checkpoint recovery
+  * resumes mid-file without re-reading history.
+  */
+class TailFileSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TailFileSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TailFileTable(properties.get("path"),
+      java.lang.Boolean.parseBoolean(properties.getOrDefault("fromStart", "false")))
+}
+
+object TailFileSource {
+  val Schema: StructType = new StructType()
+    .add("seq", LongType, nullable = false)
+    .add("value", StringType, nullable = false)
+
+  /** Last position p in [from, len) such that byte p-1 (the byte before p)
+    * is '\n'; `from` if no newline arrived yet. Scanned over the new bytes
+    * only — O(appended data), not O(file). */
+  def lastLineBoundary(path: String, from: Long): Long = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val len = raf.length()
+      if (len <= from) return from
+      var boundary = from
+      raf.seek(from)
+      val buf = new Array[Byte](64 * 1024)
+      var pos = from
+      var n = raf.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') boundary = pos + i + 1
+          i += 1
+        }
+        pos += n
+        n = if (pos < len) raf.read(buf) else -1
+      }
+      boundary
+    } finally raf.close()
+  }
+}
+
+/** Stream position: byte offset `pos` within rotation generation `epoch`.
+  * The epoch increments every time truncation/recreation is detected, so
+  * the emitted `seq` (epoch << 44 | line offset) stays monotone across
+  * copytruncate rotations — the keyed merge's arrival order survives. */
+final case class TailOffset(epoch: Long, pos: Long) extends Offset {
+  override def json(): String = s"$epoch:$pos"
+}
+
+object TailOffset {
+  def parse(json: String): TailOffset = {
+    val Array(e, p) = json.split(":", 2)
+    TailOffset(e.toLong, p.toLong)
+  }
+}
+
+class TailFileTable(path: String, fromStart: Boolean) extends Table with SupportsRead {
+  require(path != null, "option 'path' is required")
+  override def name(): String = s"tailf:$path"
+  override def schema(): StructType = TailFileSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = TailFileSource.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new TailFileMicroBatchStream(path, fromStart)
+      override def toBatch: Batch = throw new UnsupportedOperationException(
+        "tailf is a streaming-only source; use LogSource.readText for batch")
+    }
+}
+
+class TailFileMicroBatchStream(path: String, fromStart: Boolean)
+    extends MicroBatchStream {
+
+  // Pre-flight validation exactly where the reference runs it: before the
+  // tail attaches (main.go:81-85), with the is-directory fix.
+  LogSource.checkLogFile(path)
+
+  /** Highest (epoch, pos) this stream has observed — from initialOffset,
+    * checkpoint-restored offsets, or commits — the tail position
+    * latestOffset() advances from. */
+  @volatile private var known: TailOffset = TailOffset(0L, -1L)
+  private def observe(o: TailOffset): TailOffset = {
+    val k = known
+    if (o.epoch > k.epoch || (o.epoch == k.epoch && o.pos > k.pos)) known = o
+    o
+  }
+
+  override def initialOffset(): Offset = observe(TailOffset(0L,
+    if (fromStart) 0L
+    else TailFileSource.lastLineBoundary(path, 0L))) // seek-to-EOF (main.go:95)
+
+  override def latestOffset(): Offset = {
+    if (known.pos < 0) initialOffset()
+    val k = known
+    // ReOpen semantics: a shrunken file was truncated/recreated — follow
+    // restarts at 0 in a NEW epoch (unread bytes of the old generation are
+    // lost, exactly as with the reference's reopened tail)
+    observe(
+      if (new java.io.File(path).length() < k.pos)
+        TailOffset(k.epoch + 1, TailFileSource.lastLineBoundary(path, 0L))
+      else
+        k.copy(pos = TailFileSource.lastLineBoundary(path, k.pos)))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    observe(TailOffset.parse(json))
+
+  override def commit(end: Offset): Unit = {
+    observe(end.asInstanceOf[TailOffset])
+    ()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TailOffset]
+    val e = observe(end.asInstanceOf[TailOffset])
+    if (e.epoch > s.epoch) Array(TailRange(path, e.epoch, 0L, e.pos)) // rotated
+    else if (e.pos == s.pos) Array.empty // empty batch
+    else Array(TailRange(path, e.epoch, s.pos, e.pos))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new TailRangeReader(p.asInstanceOf[TailRange])
+    }
+
+  override def stop(): Unit = ()
+}
+
+final case class TailRange(path: String, epoch: Long, start: Long, end: Long)
+    extends InputPartition
+
+/** Reads the newline-terminated lines in byte range [start, end). */
+class TailRangeReader(range: TailRange) extends PartitionReader[InternalRow] {
+  private val lines: Iterator[(Long, String)] = {
+    if (range.end <= range.start) Iterator.empty
+    else {
+      val raf = new RandomAccessFile(range.path, "r")
+      try {
+        val n = (range.end - range.start).toInt
+        val buf = new Array[Byte](n)
+        raf.seek(range.start)
+        raf.readFully(buf)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        val seqBase = range.epoch << 44 // monotone across rotations
+        var lineStart = 0
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') {
+            out += ((seqBase | (range.start + lineStart),
+              new String(buf, lineStart, i - lineStart, StandardCharsets.UTF_8)))
+            lineStart = i + 1
+          }
+          i += 1
+        }
+        // bytes after the last newline can't exist: `end` is a line boundary
+        out.iterator
+      } finally raf.close()
+    }
+  }
+
+  private var cur: (Long, String) = _
+  override def next(): Boolean =
+    if (lines.hasNext) { cur = lines.next(); true } else false
+  override def get(): InternalRow =
+    new GenericInternalRow(Array[Any](cur._1, UTF8String.fromString(cur._2)))
+  override def close(): Unit = ()
+}

@@ -186,4 +186,18 @@ object StreamingMerge {
       }.toDF("seq", "value")
     merge(toLogEvents(graft.operators.LogParser.parse(lines)), timeoutMs)
   }
+
+  /** The reference's primary mode end-to-end: tail-follow ONE appending log
+    * file ([[graft.sources.TailFileSourceProvider]], seek-to-EOF default /
+    * `fromStart` = `--from-start`) → parse → keyed merge — the exact
+    * main.go:100-129 loop, with `seq` = line start byte offset. */
+  def tailPipeline(spark: org.apache.spark.sql.SparkSession, path: String,
+      fromStart: Boolean = false, timeoutMs: Long = 30 * 60 * 1000L): Dataset[ChQuery] = {
+    val lines = spark.readStream
+      .format(classOf[graft.sources.TailFileSourceProvider].getName)
+      .option("path", path)
+      .option("fromStart", fromStart.toString)
+      .load()
+    merge(toLogEvents(graft.operators.LogParser.parse(lines)), timeoutMs)
+  }
 }

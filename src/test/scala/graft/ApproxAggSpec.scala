@@ -27,4 +27,31 @@ class ApproxAggSpec extends SparkSpec {
       assert(a.getAs[Double]("p95_price") >= a.getAs[Double]("p50_price"))
     }
   }
+
+  test("percentile_approx honors its documented rank-error bound (±1/accuracy)") {
+    // GK guarantee: with `accuracy` a, the returned element's rank is within
+    // ±n/a of the target rank — equivalently the value lies inside the exact
+    // [q - eps, q + eps] quantile bracket (eps = 1/a, doubled for the
+    // interpolation the exact percentile applies between elements).
+    val eps = 2.0 / 10000
+    val li = Tables.load(spark, sf("sf0.01"), "lineitem")
+    val approx = RelationalQueries.approxAgg(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val brackets = li.groupBy("l_returnflag")
+      .agg(
+        expr(s"percentile(l_extendedprice, ${0.5 - eps})").as("p50_lo"),
+        expr(s"percentile(l_extendedprice, ${0.5 + eps})").as("p50_hi"),
+        expr(s"percentile(l_extendedprice, ${0.95 - eps})").as("p95_lo"),
+        expr(s"percentile(l_extendedprice, ${0.95 + eps})").as("p95_hi"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    brackets.foreach { case (flag, b) =>
+      val a = approx(flag)
+      val p50 = a.getAs[Double]("p50_price")
+      val p95 = a.getAs[Double]("p95_price")
+      assert(p50 >= b.getAs[Double]("p50_lo") && p50 <= b.getAs[Double]("p50_hi"),
+        s"p50 outside rank-error bracket for $flag")
+      assert(p95 >= b.getAs[Double]("p95_lo") && p95 <= b.getAs[Double]("p95_hi"),
+        s"p95 outside rank-error bracket for $flag")
+    }
+  }
 }

@@ -67,14 +67,15 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal feature stub: deterministic first-8-byte features") {
+  test("multimodal feature stub: deterministic first-8-byte features, one row per (doc, index)") {
     val f = Multimodal.features(docs.limit(5)).collect()
-    assert(f.length == 5)
+    assert(f.length == 5 * 8, "5 docs x 8 feature indices")
     val txt = docs.orderBy("doc_id").limit(1).select("text").as[String].head()
-    val r0 = f.minBy(_.getLong(0))
-    val feats = r0.getSeq[Double](2)
-    assert(feats.length == 8)
-    assert(feats.head == (txt.getBytes("UTF-8")(0) & 0xff) / 255.0)
+    val firstDoc = f.filter(_.getLong(0) == f.map(_.getLong(0)).min)
+      .sortBy(_.getLong(2)) // feat_idx
+    assert(firstDoc.map(_.getLong(2)).toSeq == (0L until 8L))
+    assert(firstDoc.head.getDouble(3) == (txt.getBytes("UTF-8")(0) & 0xff) / 255.0)
+    assert(firstDoc.forall(r => r.getLong(1) == txt.getBytes("UTF-8").length.toLong))
   }
 
   test("frame sample: every 4th 16-byte frame, tail frame partial") {

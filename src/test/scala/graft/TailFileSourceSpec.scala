@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.model.ChQuery
+import graft.streaming.StreamingMerge
+
+/** True tail-follow of a single appending file (S1, the reference's primary
+  * mode — main.go:95-106): seek-to-EOF default, `--from-start`, only
+  * complete lines delivered, copytruncate rotation restarts the follow. */
+class TailFileSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def append(p: Path, s: String): Unit =
+    Files.write(p, s.getBytes, StandardOpenOption.APPEND)
+
+  private def startTail(file: Path, fromStart: Boolean): (String, StreamingQuery) = {
+    val qname = s"tail_${System.nanoTime()}"
+    val lines = spark.readStream
+      .format(classOf[graft.sources.TailFileSourceProvider].getName)
+      .option("path", file.toString)
+      .option("fromStart", fromStart.toString)
+      .load()
+    val q = lines.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    (qname, q)
+  }
+
+  private def collectUntil(qname: String, q: StreamingQuery, n: Int,
+      timeoutMs: Long = 60000): Seq[(Long, String)] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var rows = Seq.empty[(Long, String)]
+    while (rows.size < n && System.nanoTime() < deadline) {
+      q.processAllAvailable()
+      rows = spark.table(qname).as[(Long, String)].collect().toSeq.sortBy(_._1)
+    }
+    rows
+  }
+
+  test("seek-to-EOF default: pre-existing lines skipped, appended lines delivered") {
+    val f = Files.createTempFile("graft-tail", ".log")
+    Files.write(f, "old line 1\nold line 2\n".getBytes)
+
+    val (qname, q) = startTail(f, fromStart = false)
+    try {
+      q.processAllAvailable()
+      assert(spark.table(qname).count() == 0, "EOF start: history not delivered")
+
+      append(f, "new line 1\nnew line 2\n")
+      val rows = collectUntil(qname, q, 2)
+      assert(rows.map(_._2) == Seq("new line 1", "new line 2"))
+      // seq = line start byte offset, monotone
+      assert(rows.map(_._1) == Seq(22L, 33L))
+    } finally q.stop()
+  }
+
+  test("fromStart reads history then follows appends (--from-start)") {
+    val f = Files.createTempFile("graft-tail2", ".log")
+    Files.write(f, "h1\nh2\n".getBytes)
+
+    val (qname, q) = startTail(f, fromStart = true)
+    try {
+      val hist = collectUntil(qname, q, 2)
+      assert(hist.map(_._2) == Seq("h1", "h2"))
+      append(f, "h3\n")
+      assert(collectUntil(qname, q, 3).map(_._2) == Seq("h1", "h2", "h3"))
+    } finally q.stop()
+  }
+
+  test("partial trailing line waits for its newline (line-buffered delivery)") {
+    val f = Files.createTempFile("graft-tail3", ".log")
+    val (qname, q) = startTail(f, fromStart = true)
+    try {
+      append(f, "complete\npart")
+      assert(collectUntil(qname, q, 1).map(_._2) == Seq("complete"))
+      q.processAllAvailable()
+      assert(spark.table(qname).count() == 1, "unterminated line must not deliver")
+      append(f, "ial done\n")
+      assert(collectUntil(qname, q, 2).map(_._2) == Seq("complete", "partial done"))
+    } finally q.stop()
+  }
+
+  test("copytruncate rotation: shrunken file restarts the follow at offset 0") {
+    val f = Files.createTempFile("graft-tail4", ".log")
+    Files.write(f, "a1\na2\n".getBytes)
+    val (qname, q) = startTail(f, fromStart = true)
+    try {
+      assert(collectUntil(qname, q, 2).map(_._2) == Seq("a1", "a2"))
+      Files.write(f, "b1\n".getBytes) // truncate + rewrite (copytruncate)
+      val rows = collectUntil(qname, q, 3)
+      assert(rows.map(_._2) == Seq("a1", "a2", "b1"))
+      // seq stays monotone across the rotation (epoch-prefixed offsets)
+      assert(rows.map(_._1) == rows.map(_._1).sorted)
+      assert(rows.last._1 == (1L << 44))
+    } finally q.stop()
+  }
+
+  test("archive file rejected by pre-flight validation (main.go:81-85 order)") {
+    val gz = Files.createTempFile("graft-tail5", ".log.gz")
+    Files.write(gz, Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x00))
+    val (_, q) = startTail(gz, fromStart = true)
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(e.getMessage != null)
+    q.stop()
+  }
+
+  test("tailPipeline: the full reference main loop over an appending file") {
+    val f = Files.createTempFile("graft-tailpipe", ".log")
+    val dt = "2024.03.01 12:00:01.000000"
+    val qname = s"tailpipe_${System.nanoTime()}"
+    val q = StreamingMerge.tailPipeline(spark, f.toString, fromStart = true, timeoutMs = 0L)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      append(f, s"$dt [ 7 ] {t1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1\n")
+      append(f, s"$dt [ 7 ] {t1} <Information> executeQuery: Read 500 rows, 2 KiB in 0.100 sec., 5000 rows/sec., 20 KiB/sec.\n")
+      q.processAllAvailable()
+      assert(spark.table(qname).count() == 0, "no memory line yet -> still in state")
+
+      append(f, s"2024.03.01 12:00:02.000000 [ 7 ] {t1} <Debug> MemoryTracker: Peak memory usage (for query): 3 MiB.\n")
+      val deadline = System.nanoTime() + 60000L * 1000000L
+      var recs = Seq.empty[ChQuery]
+      while (recs.isEmpty && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        recs = spark.table(qname).as[ChQuery].collect().toSeq
+      }
+      assert(recs.length == 1)
+      val r = recs.head
+      assert(r.id == "t1" && r.fullInfo && r.rowsRead == 500L &&
+        r.memory == 3L * 1024 * 1024 && r.elapsed == 1.0)
+    } finally q.stop()
+  }
+}
