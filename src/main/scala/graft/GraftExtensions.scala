@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{LogLineParseExpr, ParseBytes, RegexGroupsExpr}
+import graft.functions.{LogLineParseExpr, LongDotExpr, ParseBytes, RegexGroupsExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so plain `spark.sql` users get
@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[LogLineParseExpr].getName, "log_line_parse"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LogLineParseExpr(exprs.head)))
+
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("long_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LongDotExpr].getName, "long_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongDotExpr(exprs.head, exprs(1))))
 
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("regex_groups"),

@@ -39,7 +39,13 @@ object SparkEntry {
 
   private def parsed(s: SparkSession, dir: String, noisy: Boolean = false): DataFrame =
     parsedCache.getOrElseUpdate((s, dir, noisy), {
-      val p = LogParser.parse(renderedLines(s, dir, noisy)).cache()
+      // The clean corpus shares the cached lines frame with log_read_lines;
+      // the noisy corpus has exactly one consumer (this parse), so caching
+      // its lines would only add a full materialization pass.
+      val src =
+        if (noisy) LogRender.lines(Tables.fanOut(Tables.events(s, dir)), noisy = true)
+        else renderedLines(s, dir)
+      val p = LogParser.parse(src).cache()
       // Also pin the state-record table: every metric query's window+join
       // subtree substitutes this one materialization.
       QueryMerge.firstInitials(p).cache()

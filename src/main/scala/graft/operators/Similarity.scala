@@ -21,13 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantized vectors + exact squared norm. */
+  import graft.functions.LongDot.long_dot
+
+  /** Quantized vectors + exact squared norm (one codegen'd merge scan, no
+    * per-element lambda interpretation — [[graft.functions.LongDotExpr]]). */
   private def quantized(emb: DataFrame): DataFrame =
     Tables.fanOut(emb).select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("q"))
-      .withColumn("nq", expr("aggregate(transform(q, x -> x * x), 0L, (a, b) -> a + b)"))
+      .withColumn("nq", long_dot(col("q"), col("q")))
 
-  private val dotExpr = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, b) -> a + b)"
+  private def dotCol = long_dot(col("qa"), col("qb"))
 
   /** Embedding-cosine near-dup pairs over same-label blocks. */
   def cosinePairs(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
@@ -35,7 +38,7 @@ object Similarity {
     val a = q.select(col("vec_id").as("vec_a"), col("label"), col("q").as("qa"), col("nq").as("nqa"))
     val b = q.select(col("vec_id").as("vec_b"), col("label"), col("q").as("qb"), col("nq").as("nqb"))
     a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
       .filter(col("cos") >= threshold)
@@ -70,7 +73,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -111,9 +114,9 @@ object Similarity {
       if (((h >>> 16) & 1L) == 1L) 1L else -1L
     }
 
-  /** SQL literal array for plane j (used inside expr lambdas). */
+  /** BIGINT SQL literal array for plane j (fed to `long_dot`). */
   private def planeSql(j: Int): String =
-    plane(j).mkString("array(", ", ", ")")
+    plane(j).map(_.toString + "L").mkString("array(", ", ", ")")
 
   /** Multi-table LSH approximate NN: 4 hash tables × 6-bit
     * sign-random-projection signatures; candidates are the union of the
@@ -127,8 +130,7 @@ object Similarity {
     val q = quantized(emb)
     val tableSigs = (0 until NumTables).map { t =>
       val sig = (0 until PlanesPerTable).foldLeft(lit(0L)) { (acc, j) =>
-        val proj = expr(
-          s"aggregate(zip_with(q, ${planeSql(t * PlanesPerTable + j)}, (x, w) -> x * w), 0L, (a, b) -> a + b)")
+        val proj = long_dot(col("q"), expr(planeSql(t * PlanesPerTable + j)))
         acc.bitwiseOR(when(proj > 0, lit(1L << j)).otherwise(lit(0L)))
       }
       struct(lit(t).as("table"), sig.as("bucket"))
@@ -150,7 +152,7 @@ object Similarity {
     cand
       .join(vecs.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("nqa")), Seq("query_id"))
       .join(vecs.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nqb")), Seq("neighbor_id"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -23,6 +23,8 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(s2.sql(s"SELECT log_line_parse('$line').kind").head().getInt(0) == 3)
       assert(s2.sql("""SELECT regex_groups('ab12', '([a-z]+)(\\d+)', 2)[1]""")
         .head().getString(0) == "12")
+      assert(s2.sql("SELECT long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L))")
+        .head().getLong(0) == 32L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
