@@ -26,6 +26,7 @@ object DataPipelineQueries {
     "embed_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(emb(s, dir))),
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
+    "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),

@@ -158,4 +158,33 @@ object LogOracle {
        |  CAST(sum(speed) AS BIGINT) AS speed_sum,
        |  count(*) AS cnt
        |FROM e WHERE NOT orphan""".stripMargin
+
+  /** The FULL registry as one tall `(metric, labels, le, value)` table —
+    * the oracle for `MetricsSink.metricsTable`, composed by wrapping every
+    * per-metric oracle above in the tall shape. One hash-checked query
+    * covers the entire metric surface at once. */
+  val metricsTable: String = {
+    def arm(sql: String, metric: String, labels: String, le: String, value: String): String =
+      s"SELECT '$metric' AS metric, $labels AS labels, CAST($le AS DOUBLE) AS le, " +
+        s"CAST($value AS DOUBLE) AS value FROM ($sql) q"
+    def statArms(name: String, histSql: String, sumCol: String): Seq[String] = Seq(
+      arm(histSql, s"${name}_bucket", "''", "le", "cum_count"),
+      arm(statsSums, s"${name}_sum", "''", "NULL", sumCol),
+      arm(statsSums, s"${name}_count", "''", "NULL", "cnt"))
+    (Seq(
+      arm(readLines, "chlogexporter_read_lines", "''", "NULL", "n"),
+      arm(errorCounters, "chlogexporter_errors", "'type=' || type", "NULL", "cnt"),
+      arm(queryCount, "clickhouse_query_count", "'type=' || stmt_type", "NULL", "cnt"),
+      arm(queryErrors, "clickhouse_query_errors",
+        "'code=' || CAST(error_code AS VARCHAR) || ',type=' || stmt_type", "NULL", "cnt"),
+      arm(queryTimeHist, "clickhouse_query_time_bucket", "'type=' || stmt_type", "le", "cum_count"),
+      arm(queryTimeSum, "clickhouse_query_time_sum", "'type=' || stmt_type", "NULL",
+        "CAST(sum_elapsed_us AS DOUBLE) * 1e-6"),
+      arm(queryTimeSum, "clickhouse_query_time_count", "'type=' || stmt_type", "NULL", "cnt")) ++
+      statArms("clickhouse_select_query_rows_read", rowsReadHist, "rows_read_sum") ++
+      statArms("clickhouse_select_query_bytes_read", bytesReadHist, "bytes_read_sum") ++
+      statArms("clickhouse_select_query_rows_per_second", rpsHist, "rps_sum") ++
+      statArms("clickhouse_select_query_bytes_per_second", bpsHist, "speed_sum"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY metric, labels, le NULLS FIRST")
+  }
 }

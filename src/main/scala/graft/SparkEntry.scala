@@ -128,6 +128,13 @@ object SparkEntry {
     "log_stats_sums" -> ((s, dir) =>
       PromMetrics.statsSumCounts(parsed(s, dir))
         .withColumnRenamed("count", "cnt")),
+
+    // the whole registry as one tall table (S4 table-sink form) — a single
+    // hash-checked query covering every metric series at once
+    "log_metrics_table" -> ((s, dir) =>
+      graft.streaming.MetricsSink
+        .metricsTable(parsed(s, dir), renderedLines(s, dir).count())
+        .orderBy(col("metric"), col("labels"), col("le"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -145,5 +152,6 @@ object SparkEntry {
     "log_rps_hist" -> LogOracle.rpsHist,
     "log_bps_hist" -> LogOracle.bpsHist,
     "log_stats_sums" -> LogOracle.statsSums,
+    "log_metrics_table" -> LogOracle.metricsTable,
   ) ++ RelationalQueries.oracles ++ DataPipelineQueries.oracles
 }

@@ -146,6 +146,13 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
 
+    rankCandidates(cand, q, k)
+  }
+
+  /** Exact (quantized-cosine) ranking of a `(query_id, neighbor_id)`
+    * candidate set — the shared verification tail of the ANN variants: only
+    * candidate pairs pay a dot product, the window partitions on query_id. */
+  private def rankCandidates(cand: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val vecs = q.select(col("vec_id"), col("q"), col("nq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -159,5 +166,45 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "cos", "rnk")
       .orderBy("query_id", "rnk")
+  }
+
+  /** IVF (inverted-file) approximate NN — the second 100 TB scale path next
+    * to [[lshTopK]], trading LSH's hash buckets for a learned-ish coarse
+    * quantizer: every `centroidMod`-th vector is a centroid (deterministic,
+    * scale-proportional codebook ~N/centroidMod), each vector is assigned to
+    * its best centroid cell (broadcast codebook, exact integer dots, ties to
+    * the higher cent_id), queries probe their `nProbe` best cells, and only
+    * the probed cells' members are exactly ranked. Pairwise work shrinks
+    * from N² to N·K + N²·nProbe/K. Deterministic but not SQL-expressible
+    * at reasonable cost → rows-only check + recall spec vs brute force. */
+  def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nProbe: Int = 2, centroidMod: Int = 127): DataFrame = {
+    val q = quantized(emb)
+    val cents = q.filter(pmod(col("vec_id"), lit(centroidMod)) === 1)
+      .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("nq").as("nqc"))
+
+    // normalized projection onto each centroid direction; query-side norm is
+    // constant per vector so it cannot change the argmax. N×K broadcast
+    // nested loop — the codebook is the small side by construction.
+    val scored = q.crossJoin(broadcast(cents))
+      .withColumn("score", long_dot(col("q"), col("qc")).cast("double") /
+        sqrt(col("nqc").cast("double")))
+
+    val assigned = scored.groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("score"), col("cent_id"))).as("cell"))
+
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("score").desc, col("cent_id").desc)
+    val probes = scored.filter(col("vec_id") < nQueries)
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+
+    val cand = probes
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+
+    rankCandidates(cand, q, k)
   }
 }

@@ -97,4 +97,39 @@ object MetricsServing {
 
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** Table-sink form (BASELINE north star: metrics land in a queryable
+    * parquet table, not just an in-process registry): every micro-batch
+    * rewrites `outPath` with the registry snapshot over the corpus so far
+    * (`MetricsSink.metricsTable` — distributed write, no driver collect).
+    * Readers see the latest snapshot; the table is the scrape surface. */
+  def serveToTable(spark: SparkSession, dir: String, outPath: String,
+      checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
+    import spark.implicits._
+    val acc = new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+
+    val writer = spark.readStream.text(dir).as[String].writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[String], batchId: Long) =>
+        val seqd = batch.mapPartitions { it =>
+          val base = (batchId << 48) |
+            (org.apache.spark.TaskContext.getPartitionId().toLong << 40)
+          it.zipWithIndex.map { case (v, i) => (base | i.toLong, v) }
+        }.toDF("seq", "value")
+
+        val merged = acc.get().map(_.unionAll(seqd)).getOrElse(seqd).cache()
+        merged.count()
+        acc.getAndSet(Some(merged)).foreach(_.unpersist())
+
+        val delivered = graft.sources.LogSource.withDelivery(merged)
+        val okLines = delivered.filter(col("tail_ok")).select("seq", "value")
+        MetricsSink.metricsTable(
+            graft.operators.LogParser.parse(okLines),
+            readLines = merged.count(),
+            tailLineErrors = delivered.filter(!col("tail_ok")).count())
+          .write.mode("overwrite").parquet(outPath)
+      }
+
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
 }

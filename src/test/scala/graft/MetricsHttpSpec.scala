@@ -67,6 +67,35 @@ class MetricsHttpSpec extends SparkSpec {
     intercept[Exception] { get(s"http://127.0.0.1:${server.boundPort}/metrics") }
   }
 
+  test("table sink: the registry lands as a queryable parquet table") {
+    val logDir = Files.createTempDirectory("graft-tbl-logs")
+    val ckpt = Files.createTempDirectory("graft-tbl-ckpt")
+    val out = Files.createTempDirectory("graft-tbl-out").resolve("metrics")
+    Files.write(logDir.resolve("server.log"),
+      corpus.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+    val q = MetricsServing.serveToTable(spark, logDir.toString, out.toString,
+      ckpt.toString, availableNow = true)
+    q.awaitTermination(120000)
+
+    val t = spark.read.parquet(out.toString)
+    assert(t.columns.toSeq == Seq("metric", "labels", "le", "value"))
+    def one(metric: String, labels: String): Double =
+      t.filter(org.apache.spark.sql.functions.col("metric") === metric &&
+        org.apache.spark.sql.functions.col("labels") === labels)
+        .select("value").collect() match {
+        case Array(r) => r.getDouble(0)
+        case other => fail(s"$metric{$labels}: ${other.length} rows")
+      }
+    assert(one("chlogexporter_read_lines", "") == 4.0)
+    assert(one("clickhouse_query_count", "type=select") == 1.0)
+    assert(one("chlogexporter_errors", "type=not_found_query") == 1.0)
+    assert(one("clickhouse_select_query_rows_read_count", "") == 1.0)
+    // cumulative bucket at le=5 for the 2.5s query
+    assert(t.filter("metric = 'clickhouse_query_time_bucket' and labels = 'type=select' and le = 5.0")
+      .select("value").head().getDouble(0) == 1.0)
+  }
+
   test("a rotated-in file updates the served exposition while running") {
     val logDir = Files.createTempDirectory("graft-http-logs2")
     val ckpt = Files.createTempDirectory("graft-http-ckpt2")

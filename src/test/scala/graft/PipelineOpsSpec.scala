@@ -55,6 +55,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: cosines agree with brute force; probing more cells only improves recall") {
+    val brute = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def recall(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, nProbe = nProbe).collect()
+      assert(ivf.nonEmpty)
+      ivf.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        brute.get(key).foreach(c => assert(c == r.getDouble(2), s"cos mismatch at $key"))
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)
+      }
+      val hits = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.keySet.count(hits) .toDouble / brute.size
+    }
+    val r2 = recall(2)
+    val rAll = recall(1000) // probe every cell == exhaustive -> perfect recall
+    assert(rAll == 1.0, s"full probe must equal brute force, got $rAll")
+    assert(r2 > 0.2, s"nProbe=2 recall too low: $r2") // deterministic corpus
+    assert(r2 <= rAll)
+  }
+
   test("brute-force top-k: k neighbors per query, descending cosine, |cos| <= 1") {
     val rows = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5).collect()
     val byQuery = rows.groupBy(_.getLong(0))
