@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SortedIntersectCount {
 
-  /** Codegen/eval entry point. */
+  /** Codegen/eval entry point (string arrays). */
   def count(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -39,6 +39,23 @@ object SortedIntersectCount {
     c
   }
 
+  /** Codegen/eval entry point (bigint arrays — hashed-token sets). */
+  def countLongs(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftColumns.of(SortedIntersectCountExpr(GraftColumns.expr(a), GraftColumns.expr(b)))
 }
@@ -50,8 +67,17 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "sorted_intersect_count"
 
+  /** Element-type dispatch: bigint arrays take the primitive merge scan. */
+  private lazy val longElems: Boolean = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    SortedIntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (longElems)
+      SortedIntersectCount.countLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SortedIntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override def eval(input: InternalRow): Any = {
     val a = left.eval(input)
@@ -61,9 +87,11 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     nullSafeEval(a, b)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (longElems) "countLongs" else "count"
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.SortedIntersectCount.count($a, $b);")
+      s"${ev.value} = graft.functions.SortedIntersectCount.$m($a, $b);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =

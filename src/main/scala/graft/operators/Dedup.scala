@@ -77,15 +77,21 @@ object Dedup {
   private val NumHashes = 32
   private val BandRows = 4 // 8 bands x 4 rows
 
-  /** Per-doc distinct 3-word shingle set as an array column (map-side only,
-    * no explode/shuffle). */
+  /** Per-doc distinct 3-word shingle set as a SORTED BIGINT array: shingles
+    * are xxhash64'd at build time (map-side, no explode/shuffle), so every
+    * downstream op — minhash signatures, banding, the verify merge scan —
+    * moves 8-byte hashes instead of ~20-byte strings. Set semantics are
+    * preserved modulo 64-bit collisions (~n²/2⁶⁵ — negligible at any
+    * realistic shingle vocabulary); the whole minhash path is hash-seeded
+    * and spec-verified against [[exactShinglePairs]], which uses the SAME
+    * hashed sets, so the comparison is exact. */
   private def shingleArrays(docs0: DataFrame): DataFrame = {
     val docs = Tables.fanOut(docs0)
     docs.select(col("doc_id"),
       expr("CASE WHEN size(split(text,' ')) >= 3 THEN " +
         "array_sort(array_distinct(transform(sequence(0, size(split(text,' ')) - 3), " +
-        "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2])))) " +
-        "ELSE array(text) END")
+        "i -> xxhash64(concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))))) " +
+        "ELSE array(xxhash64(text)) END")
         .as("shs"))
   }
 
