@@ -190,11 +190,14 @@ object RelationalQueries {
       |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
-  /** Running-sum frame window over exact cents (deterministic via full
-    * tiebreak ordering). */
+  /** Running-sum frame window over exact cents. Deterministic ONLY because
+    * the ordering is total over the value being summed: the synthetic
+    * lineitem contains duplicate (l_orderkey, l_linenumber) rows (seen at
+    * sf0.1), so qty_c joins the sort — tied rows then carry equal addends
+    * and every prefix sum is engine-independent. */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("qty_c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
       col("l_shipdate"), cents(col("l_quantity")).as("qty_c"))
@@ -206,7 +209,8 @@ object RelationalQueries {
   val windowRunningSql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) OVER (
-      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, CAST(round(l_quantity*100) AS BIGINT)
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0 AS running_qty
       |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
