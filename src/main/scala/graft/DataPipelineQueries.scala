@@ -30,6 +30,7 @@ object DataPipelineQueries {
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "text_langid_trigram" -> ((s, dir) => TextAnalysis.langIdTrigram(docs(s, dir))),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "text_winnowing_pairs" -> ((s, dir) => TextAnalysis.winnowingPairs(docs(s, dir))),
     "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(docs(s, dir))),
@@ -52,6 +53,7 @@ object DataPipelineQueries {
     "text_token_stats" -> TextAnalysis.tokenStatsSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,
     "text_langid" -> TextAnalysis.langIdSql,
+    "text_langid_trigram" -> TextAnalysis.langIdTrigramSql,
     "text_fingerprints" -> TextAnalysis.fingerprintsSql,
     "text_top_bigrams" -> TextAnalysis.topBigramsSql,
     "mm_metadata" -> Multimodal.metadataSql,

@@ -115,6 +115,81 @@ object TextAnalysis {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus-TRAINED character-trigram language ID — the two-phase
+    * train/predict shape of a real data pipeline: (1) per language, the
+    * top-`topK` trigrams by document frequency over the labeled corpus
+    * (ties broken by trigram — total order, engine-independent);
+    * (2) profiles broadcast back against every document's distinct
+    * trigrams; argmax with the same fixed precedence as [[langId]].
+    * Fully deterministic → DuckDB-oracle hash-checked, including the
+    * training phase. At 100 TB: training is one grouped count + top-k per
+    * language (tiny result), prediction a broadcast join — no shuffle of
+    * the corpus beyond the trigram aggregation. */
+  def langIdTrigram(docs: DataFrame, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langs = LangStops.map(_._1) // en, es, de
+    val tri = Tables.fanOut(docs).select(col("doc_id"), col("lang"),
+      explode(expr(
+        "CASE WHEN length(text) >= 3 THEN " +
+          "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(lower(text), i, 3))) " +
+          "ELSE array() END")).as("g"))
+
+    val profiles = tri.groupBy("lang", "g").agg(count(lit(1)).as("df"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("df").desc, col("g"))))
+      .filter(col("rn") <= topK)
+      .select(col("lang").as("plang"), col("g"))
+
+    val hits = tri.join(broadcast(profiles), Seq("g"))
+      .groupBy("doc_id").pivot("plang", langs).agg(count(lit(1)))
+
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(hits, Seq("doc_id"), "left")
+    val t = langs.map(l => l -> coalesce(col(l), lit(0L))).toMap
+    scored.select(
+      col("doc_id"), col("lang"),
+      t("en").as("t_en"), t("es").as("t_es"), t("de").as("t_de"),
+      when(t("en") >= t("es") && t("en") >= t("de") && t("en") > 0, "en")
+        .when(t("es") >= t("de") && t("es") > 0, "es")
+        .when(t("de") > 0, "de")
+        .otherwise("unknown").as("pred_lang"))
+      .withColumn("agrees", col("pred_lang") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val langIdTrigramSql: String =
+    """WITH tri AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |    range(1, length(text) - 1),
+      |    i -> substr(lower(text), CAST(i AS INT), 3)))) AS g
+      |  FROM documents WHERE length(text) >= 3),
+      |prof AS (
+      |  SELECT lang AS plang, g FROM (
+      |    SELECT lang, g, row_number() OVER (
+      |      PARTITION BY lang ORDER BY count(*) DESC, g) AS rn
+      |    FROM tri GROUP BY lang, g) WHERE rn <= 50),
+      |h AS (
+      |  SELECT t.doc_id,
+      |    count(*) FILTER (p.plang = 'en') AS t_en,
+      |    count(*) FILTER (p.plang = 'es') AS t_es,
+      |    count(*) FILTER (p.plang = 'de') AS t_de
+      |  FROM tri t JOIN prof p ON t.g = p.g GROUP BY t.doc_id),
+      |s AS (
+      |  SELECT d.doc_id, d.lang,
+      |    coalesce(h.t_en, 0) AS t_en, coalesce(h.t_es, 0) AS t_es,
+      |    coalesce(h.t_de, 0) AS t_de
+      |  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id)
+      |SELECT doc_id, lang, t_en, t_es, t_de,
+      |  CASE WHEN t_en >= t_es AND t_en >= t_de AND t_en > 0 THEN 'en'
+      |       WHEN t_es >= t_de AND t_es > 0 THEN 'es'
+      |       WHEN t_de > 0 THEN 'de'
+      |       ELSE 'unknown' END AS pred_lang,
+      |  (CASE WHEN t_en >= t_es AND t_en >= t_de AND t_en > 0 THEN 'en'
+      |       WHEN t_es >= t_de AND t_es > 0 THEN 'es'
+      |       WHEN t_de > 0 THEN 'de'
+      |       ELSE 'unknown' END) = lang AS agrees
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** Content fingerprints: md5 + sha256 of the (already-normalized) text.
     * A rolling polynomial hash lives in the spec suite; these two are the
     * engine-neutral oracle-checkable fingerprints. */

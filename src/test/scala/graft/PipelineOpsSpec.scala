@@ -127,6 +127,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("trigram language id: trained profiles score and classify every doc") {
+    // NB the synthetic corpus's lang labels are arbitrary (all docs draw the
+    // same token vocabulary), so label accuracy is chance — the semantics
+    // are pinned by the DuckDB oracle; this spec asserts the pipeline shape.
+    val out = TextAnalysis.langIdTrigram(docs).collect()
+    assert(out.length == docs.count())
+    // profiles are trained on this corpus, so nearly every doc hits some
+    // profile trigram
+    val hit = out.count(r => r.getAs[Long]("t_en") + r.getAs[Long]("t_es") +
+      r.getAs[Long]("t_de") > 0)
+    assert(hit.toDouble / out.length > 0.9, s"only $hit/${out.length} docs hit a profile")
+    assert(out.map(_.getAs[String]("pred_lang")).toSet.subsetOf(
+      Set("en", "es", "de", "unknown")))
+    // argmax consistency: predicted language has the (tie-broken) max score
+    out.foreach { r =>
+      val (e, s, d) = (r.getAs[Long]("t_en"), r.getAs[Long]("t_es"), r.getAs[Long]("t_de"))
+      val expected =
+        if (e >= s && e >= d && e > 0) "en"
+        else if (s >= d && s > 0) "es"
+        else if (d > 0) "de" else "unknown"
+      assert(r.getAs[String]("pred_lang") == expected)
+    }
+  }
+
   test("language id picks the language with most stopword hits") {
     val crafted = Seq(
       (1L, "en", "the cat sat on the mat and the dog is a friend of it"),
