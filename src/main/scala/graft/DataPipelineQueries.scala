@@ -37,6 +37,7 @@ object DataPipelineQueries {
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(docs(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.features(docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir))),
+    "mm_resize" -> ((s, dir) => Multimodal.resize(docs(s, dir))),
   )
 
   val frameSampleSql: String =
@@ -59,5 +60,6 @@ object DataPipelineQueries {
     "mm_metadata" -> Multimodal.metadataSql,
     "mm_features" -> Multimodal.featuresSql,
     "mm_frame_sample" -> frameSampleSql,
+    "mm_resize" -> Multimodal.resizeSql,
   )
 }

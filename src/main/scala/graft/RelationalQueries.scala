@@ -294,6 +294,26 @@ object RelationalQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Cube (all grouping-set combinations) over the pricing dimensions —
+    * §2.6 grouping-sets coverage next to [[rollupPricing]]; same exact-cents
+    * policy, 'ALL' sentinels keep cross-engine ordering unambiguous. */
+  def cubePricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"), count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        (col("qty_c").cast("double") / 100.0).as("sum_qty"), col("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val cubePricingSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** Tumbling event-time window (Structured-Streaming-compatible shape run
     * in batch): 1-hour buckets per event type. */
   def eventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -456,6 +476,7 @@ object RelationalQueries {
     "set_ops" -> setOps _,
     "agg_distinct" -> aggDistinct _,
     "rollup_pricing" -> rollupPricing _,
+    "cube_pricing" -> cubePricing _,
     "events_hourly" -> eventsHourly _,
     "events_sessions" -> eventsSessions _,
     "events_props" -> eventsProps _,
@@ -478,6 +499,7 @@ object RelationalQueries {
     "set_ops" -> setOpsSql,
     "agg_distinct" -> aggDistinctSql,
     "rollup_pricing" -> rollupPricingSql,
+    "cube_pricing" -> cubePricingSql,
     "events_hourly" -> eventsHourlySql,
     "events_sessions" -> eventsSessionsSql,
     "events_props" -> eventsPropsSql,

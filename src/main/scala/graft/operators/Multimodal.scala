@@ -96,6 +96,31 @@ object Multimodal {
       |       ascii(substr(text, CAST(feat_idx AS INT) + 1, 1)) / 255.0 AS feature_value
       |FROM f ORDER BY doc_id, feat_idx""".stripMargin
 
+  /** Resize stub: nearest-neighbor downsample of the payload to a fixed
+    * `r`-byte "thumbnail" (sample offset `(i*n) div r`) — the shape of an
+    * image-resize kernel over the binary column: fixed output size per row,
+    * pure per-row map work, exact integer offsets → DuckDB-oracle checkable.
+    * A real codec would replace the byte sampler with pixel interpolation;
+    * the schema/partitioning contract is identical. */
+  def resize(docs: DataFrame, r: Int = 16): DataFrame =
+    Tables.fanOut(docs)
+      .select(col("doc_id"), octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        posexplode(expr(
+          s"transform(sequence(0, ${r - 1}), i -> ascii(substring(text, CAST((i * length(text)) DIV $r AS INT) + 1, 1)))"))
+          .as(Seq("idx", "sample_byte")))
+      .select(col("doc_id"), col("n_bytes"), col("idx").cast("long").as("idx"),
+        col("sample_byte").cast("long").as("sample_byte"))
+      .orderBy("doc_id", "idx")
+
+  val resizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |f AS (SELECT doc_id, text, n_bytes, unnest(range(0, 16)) AS idx FROM d)
+      |SELECT doc_id, n_bytes, idx,
+      |  CAST(ascii(substr(text, CAST((idx * length(text)) // 16 AS INT) + 1, 1)) AS BIGINT) AS sample_byte
+      |FROM f ORDER BY doc_id, idx""".stripMargin
+
   /** Frame sampling stub: every k-th 16-byte "frame" of the payload —
     * the partition-parallel slicing pattern for video columns. */
   def frameSample(docs: DataFrame, everyK: Int = 4): DataFrame =
