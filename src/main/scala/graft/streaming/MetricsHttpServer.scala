@@ -98,6 +98,63 @@ object MetricsServing {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** INCREMENTAL serving — the scale path: instead of re-aggregating the
+    * accumulated corpus per batch (like [[serve]]), the stateful merge emits
+    * one observation event per reference observe site and a driver-side
+    * [[PromRegistry]] folds each micro-batch's (tiny) delta; line/delivery
+    * counts ride the stream's `observe()` metrics via a listener. Serving
+    * cost per batch is O(batch events), corpus size never re-enters.
+    * Registry counters are volatile across restarts, exactly like the
+    * reference's in-process registry. At scale the "record" outputs would
+    * additionally feed a table sink; here they are simply not collected. */
+  def serveIncremental(spark: SparkSession, dir: String, server: MetricsHttpServer,
+      checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import spark.implicits._
+    val registry = new PromRegistry
+
+    val delivered = graft.sources.LogSource.withDelivery(spark.readStream.text(dir))
+      .observe("delivery", count(lit(1)).as("read"),
+        sum(when(col("tail_ok"), 0L).otherwise(1L)).as("tail_err"))
+    val seqd = delivered.filter(col("tail_ok")).select("value").as[String]
+      .mapPartitions { it =>
+        val base = org.apache.spark.TaskContext.getPartitionId().toLong << 40
+        it.zipWithIndex.map { case (v, i) => (base | i.toLong, v) }
+      }.toDF("seq", "value")
+    val outs = StreamingMerge.mergeWithMetrics(
+      StreamingMerge.toLogEvents(graft.operators.LogParser.parse(seqd)), timeoutMs = 0L)
+
+    val queryIdRef = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        // no query-id guard: the "delivery" observation only exists on this
+        // pipeline's plan, and the id is unknown until after start() (a
+        // guard would race the first batch)
+        val om = e.progress.observedMetrics.get("delivery")
+        if (om != null) {
+          registry.addReadLines(om.getAs[Long]("read"))
+          Option(om.getAs[java.lang.Long]("tail_err"))
+            .foreach(n => registry.addTailLineErrors(n))
+          server.update(registry.render())
+        }
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == queryIdRef.get()) spark.streams.removeListener(this)
+    }
+    spark.streams.addListener(listener)
+
+    val writer = outs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[StreamingMerge.MergeOut], _: Long) =>
+        batch.filter(_.out != "record").collect().foreach(registry.observe)
+        server.update(registry.render())
+      }
+    val q = (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    queryIdRef.set(q.id)
+    q
+  }
+
   /** Table-sink form (BASELINE north star: metrics land in a queryable
     * parquet table, not just an in-process registry): every micro-batch
     * rewrites `outPath` with the registry snapshot over the corpus so far

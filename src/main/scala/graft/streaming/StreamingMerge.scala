@@ -55,13 +55,25 @@ object StreamingMerge {
       startTime = e.ts,
       stmtType = e.stmtType.getOrElse("other"))
 
-  /** One emission of the streaming merge: either a completed/flushed record
-    * or an error-counter increment (the A2 observe sites, query.go:93,152,
-    * 190,212,237,257,270). */
+  /** One emission of the streaming merge: a completed/flushed record, an
+    * error-counter increment (the A2 observe sites, query.go:93,152,190,212,
+    * 237,257,270), or a metric OBSERVATION at the reference's exact observe
+    * sites — `insert` (A3, query.go:127), `query_error` (A4, query.go:262),
+    * `time_obs` (A5, query.go:228 — fires for inserts too), `stats_obs`
+    * (A6-A9, query.go:183-186). The observation stream is what makes the
+    * metric surface INCREMENTAL: a registry folds these per batch instead of
+    * re-aggregating the corpus. */
   final case class MergeOut(
-      out: String, // "record" | "counter"
+      out: String, // "record" | "counter" | "insert" | "query_error" | "time_obs" | "stats_obs"
       record: Option[ChQuery],
-      counterType: Option[String])
+      counterType: Option[String],
+      stmtType: Option[String] = None,
+      errorCode: Option[Long] = None,
+      elapsedUs: Option[Long] = None,
+      rowsRead: Option[Long] = None,
+      bytesRead: Option[Long] = None,
+      rps: Option[Long] = None,
+      speed: Option[Long] = None)
 
   /** One micro-batch worth of events for a single query id, replayed in
     * arrival order against the state record. Emits completed records AND
@@ -76,8 +88,11 @@ object StreamingMerge {
       e.kind match {
         case "initial" =>
           if (cur.isDefined) counter("duplicated_initial_query") // first kept
-          else if (e.cvOk) cur = Some(insertRecord(e))
-          else counter("convert")
+          else if (e.cvOk) {
+            cur = Some(insertRecord(e))
+            // A3 observe site (query.go:127): one increment per state insert
+            out += MergeOut("insert", None, None, stmtType = Some(cur.get.stmtType))
+          } else counter("convert")
         case "stats" | "error" | "memory" if cur.isEmpty =>
           counter("not_found_query") // state miss precedes conversion
         case _ if !e.cvOk =>
@@ -86,18 +101,29 @@ object StreamingMerge {
           cur = cur.map(_.copy(
             rowsRead = e.rowsRead.getOrElse(0L), bytesRead = e.bytesRead.getOrElse(0L),
             rps = e.rps.getOrElse(0L), speed = e.speed.getOrElse(0L)))
+          // A6-A9 observe site (query.go:183-186): every live clean stats line
+          out += MergeOut("stats_obs", None, None,
+            rowsRead = e.rowsRead, bytesRead = e.bytesRead, rps = e.rps, speed = e.speed)
         case "error" =>
           cur = cur.map(_.copy(error = true,
             errorCode = e.errorCode.getOrElse(0L),
             errorMessage = e.errorMessage.getOrElse("")))
+          // A4 observe site (query.go:262)
+          out += MergeOut("query_error", None, None,
+            stmtType = cur.map(_.stmtType), errorCode = e.errorCode)
         case "memory" =>
           val endTs = e.ts
           def micros(t: Timestamp): Long =
             t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-          val elapsed = (for (s <- cur.get.startTime; t <- endTs)
-            yield (micros(t) - micros(s)) / 1000000.0).getOrElse(0.0)
+          val elapsedUs = (for (s <- cur.get.startTime; t <- endTs)
+            yield micros(t) - micros(s)).getOrElse(0L)
           val updated = cur.get.copy(
-            memory = e.memory.getOrElse(0L), endTime = endTs, elapsed = elapsed)
+            memory = e.memory.getOrElse(0L), endTime = endTs,
+            elapsed = elapsedUs / 1000000.0)
+          // A5 observe site (query.go:228): fires for inserts too, BEFORE the
+          // FullInfo check
+          out += MergeOut("time_obs", None, None,
+            stmtType = Some(updated.stmtType), elapsedUs = Some(elapsedUs))
           if (updated.stmtType != "insert") {
             // J5: completion + eviction — later lines for this id are orphans
             out += MergeOut("record", Some(updated.copy(fullInfo = true)), None)

@@ -67,6 +67,53 @@ class MetricsHttpSpec extends SparkSpec {
     intercept[Exception] { get(s"http://127.0.0.1:${server.boundPort}/metrics") }
   }
 
+  test("incremental registry serves byte-identical exposition to the batch path") {
+    val logDir = Files.createTempDirectory("graft-inc-logs")
+    val ckpt = Files.createTempDirectory("graft-inc-ckpt")
+    // corpus with an insert lifecycle (time_obs without completion) and a
+    // corrupt line (tail_line path) on top of the base corpus
+    val extra = Seq(
+      "2024.03.01 12:01:01.000000 [ 9 ] {ins1} <Debug> executeQuery: (from 10.0.0.2:9001, user: x) INSERT INTO t VALUES (1)",
+      "2024.03.01 12:01:02.000000 [ 9 ] {ins1} <Information> executeQuery: Read 70 rows, 1 KiB in 0.100 sec., 700 rows/sec., 10 KiB/sec.",
+      "2024.03.01 12:01:03.500000 [ 9 ] {ins1} <Debug> MemoryTracker: Peak memory usage (for query): 2 MiB.")
+    val corrupt = "broken � delivery"
+    val all = corpus ++ extra :+ corrupt
+    Files.write(logDir.resolve("server.log"),
+      all.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+    val server = new MetricsHttpServer(0).start()
+    try {
+      val q = MetricsServing.serveIncremental(spark, logDir.toString, server,
+        ckpt.toString, availableNow = true)
+      q.awaitTermination(120000)
+
+      // golden: batch exposition over the delivered (non-corrupt) lines
+      import spark.implicits._
+      val parsed = graft.operators.LogParser.parse(
+        (corpus ++ extra).zipWithIndex.map { case (l, i) => (i.toLong, l) }
+          .toDF("seq", "value"))
+      val golden = MetricsSink.exposition(parsed,
+        readLines = all.size.toLong, tailLineErrors = 1L)
+
+      // listener delivery counts land asynchronously — poll to equality
+      val deadline = System.nanoTime() + 60000L * 1000000L
+      var body = get(s"http://127.0.0.1:${server.boundPort}/metrics")._2
+      while (body != golden && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        body = get(s"http://127.0.0.1:${server.boundPort}/metrics")._2
+      }
+      assert(body == golden, {
+        val bs = body.linesIterator.toSeq; val gs = golden.linesIterator.toSeq
+        val diff = bs.zipAll(gs, "<missing>", "<missing>").filter(p => p._1 != p._2).take(5)
+        s"first diffs (served vs golden): $diff"
+      })
+      // the insert lifecycle is visible: its time observation exists even
+      // though the record never completes (reference observes pre-FullInfo)
+      assert(body.contains("""clickhouse_query_count{stmt_type="insert"} 1"""))
+      assert(body.contains("""chlogexporter_errors{type="tail_line"} 1"""))
+    } finally server.stop(0)
+  }
+
   test("table sink: the registry lands as a queryable parquet table") {
     val logDir = Files.createTempDirectory("graft-tbl-logs")
     val ckpt = Files.createTempDirectory("graft-tbl-ckpt")
