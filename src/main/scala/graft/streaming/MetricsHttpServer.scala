@@ -20,11 +20,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * `stop(graceful)` drains in-flight scrapes on shutdown (main.go:130-142's
   * `server.Shutdown(ctx)`).
   */
-final class MetricsHttpServer(port: Int = 0) {
+final class MetricsHttpServer(port: Int = 0, host: String = "0.0.0.0") {
 
   @volatile private var body: String = ""
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.createContext("/metrics", new HttpHandler {
     override def handle(x: HttpExchange): Unit = {
       val ok = x.getRequestMethod == "GET"
@@ -109,20 +109,44 @@ object MetricsServing {
     * additionally feed a table sink; here they are simply not collected. */
   def serveIncremental(spark: SparkSession, dir: String, server: MetricsHttpServer,
       checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
-    import org.apache.spark.sql.streaming.StreamingQueryListener
     import spark.implicits._
-    val registry = new PromRegistry
-
-    val delivered = graft.sources.LogSource.withDelivery(spark.readStream.text(dir))
-      .observe("delivery", count(lit(1)).as("read"),
-        sum(when(col("tail_ok"), 0L).otherwise(1L)).as("tail_err"))
-    val seqd = delivered.filter(col("tail_ok")).select("value").as[String]
+    val seqd = spark.readStream.text(dir).as[String]
       .mapPartitions { it =>
         val base = org.apache.spark.TaskContext.getPartitionId().toLong << 40
         it.zipWithIndex.map { case (v, i) => (base | i.toLong, v) }
       }.toDF("seq", "value")
+    serveIncrementalLines(spark, seqd, server, checkpointDir, availableNow)
+  }
+
+  /** [[serveIncremental]] for a true tail-follow of ONE appending file
+    * ([[graft.sources.TailFileSourceProvider]]) — the reference's primary
+    * mode, registry-served: `tail -f` → parse → keyed merge → observation
+    * fold → `GET /metrics`. */
+  def serveIncrementalTail(spark: SparkSession, path: String, server: MetricsHttpServer,
+      checkpointDir: String, fromStart: Boolean = false): StreamingQuery = {
+    val lines = spark.readStream
+      .format(classOf[graft.sources.TailFileSourceProvider].getName)
+      .option("path", path)
+      .option("fromStart", fromStart.toString)
+      .load()
+    serveIncrementalLines(spark, lines, server, checkpointDir, availableNow = false)
+  }
+
+  /** Shared incremental-serving pipeline over any streaming `(seq, value)`
+    * line frame. */
+  private def serveIncrementalLines(spark: SparkSession, seqLines: DataFrame,
+      server: MetricsHttpServer, checkpointDir: String,
+      availableNow: Boolean): StreamingQuery = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import spark.implicits._
+    val registry = new PromRegistry
+
+    val delivered = graft.sources.LogSource.withDelivery(seqLines)
+      .observe("delivery", count(lit(1)).as("read"),
+        sum(when(col("tail_ok"), 0L).otherwise(1L)).as("tail_err"))
+    val ok = delivered.filter(col("tail_ok")).select("seq", "value")
     val outs = StreamingMerge.mergeWithMetrics(
-      StreamingMerge.toLogEvents(graft.operators.LogParser.parse(seqd)), timeoutMs = 0L)
+      StreamingMerge.toLogEvents(graft.operators.LogParser.parse(ok)), timeoutMs = 0L)
 
     val queryIdRef = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
     val listener = new StreamingQueryListener {
