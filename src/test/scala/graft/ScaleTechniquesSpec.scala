@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tables
+
+/** Plan-level proof of the 100 TB levers the engine's operators rely on:
+  * bucketing co-locates repeated joins (the shuffle disappears from the
+  * physical plan), partitioned layout prunes at the scan. Asserted against
+  * the executed plan, not just claimed in Scaladoc. */
+class ScaleTechniquesSpec extends SparkSpec {
+
+  test("bucketed fact/fact join runs with NO shuffle exchange (co-located)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the shuffle-join path (the 100 TB case: both sides too big to
+    // broadcast) so bucketing is what eliminates the exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ord = Tables.load(spark, sf(), "orders")
+      val li = Tables.load(spark, sf(), "lineitem")
+      ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("orders_bucketed")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("lineitem_bucketed")
+
+      val joined = spark.table("orders_bucketed")
+        .join(spark.table("lineitem_bucketed"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan:\n${plan.take(2000)}")
+      assert(plan.contains("Bucketed: true"), "scan must report bucketed read")
+
+      // co-located plan computes the same join
+      val expected = ord.join(li, col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == expected)
+
+      // control: the unbucketed join DOES shuffle both sides
+      val control = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      assert(control.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+    }
+  }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    Tables.events(spark, sf()).write.partitionBy("event_type").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_type"),
+      s"expected partition filters in scan:\n${scan.take(1500)}")
+
+    val expected = Tables.events(spark, sf())
+      .filter(col("event_type") === "click").count()
+    assert(pruned.count() == expected)
+
+    // the pruned scan reads strictly fewer files than the full scan
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // executes THIS frame's plan, populating its scan metrics
+      val scans = df.queryExecution.executedPlan.collectLeaves()
+      scans.map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    }
+    val prunedFiles = filesRead(spark.read.parquet(dir).filter(col("event_type") === "click"))
+    val allFiles = filesRead(spark.read.parquet(dir))
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"pruning must skip files: $prunedFiles vs $allFiles")
+  }
+}
