@@ -28,6 +28,7 @@ object DataPipelineQueries {
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
+    "text_subword_tokens" -> ((s, dir) => TextAnalysis.subwordTokens(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "text_langid_trigram" -> ((s, dir) => TextAnalysis.langIdTrigram(docs(s, dir))),
@@ -52,6 +53,7 @@ object DataPipelineQueries {
     "embed_cosine_pairs" -> Similarity.cosinePairsSql,
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSql,
     "text_token_stats" -> TextAnalysis.tokenStatsSql,
+    "text_subword_tokens" -> TextAnalysis.subwordTokensSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,
     "text_langid" -> TextAnalysis.langIdSql,
     "text_langid_trigram" -> TextAnalysis.langIdTrigramSql,

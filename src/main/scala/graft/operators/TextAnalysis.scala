@@ -35,6 +35,34 @@ object TextAnalysis {
       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** GPT-2-style pre-tokenizer shape, reduced to constructs that match
+    * identically under Java regex (Spark) and RE2 (DuckDB): no lookarounds,
+    * leftmost-first alternation only. */
+  val SubwordPattern: String = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+  /** Subword token counting via the BPE-ish pre-tokenizer regex — the
+    * second tokenizer lens next to [[tokenStats]]'s whitespace split:
+    * per-doc subword count, whitespace count, and the chars/4 estimate,
+    * all exact integers. */
+  def subwordTokens(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs).select(col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$SubwordPattern', 0)")).cast("long")
+        .as("n_subword"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      ((col("n_chars") + 3) / 4).cast("long").as("bpe_estimate"))
+      .withColumn("subword_per_ws",
+        col("n_subword").cast("double") / col("n_ws_tokens"))
+      .orderBy("doc_id")
+
+  val subwordTokensSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$SubwordPattern')) AS BIGINT) AS n_subword,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST((n_chars + 3) // 4 AS BIGINT) AS bpe_estimate,
+       |  CAST(len(regexp_extract_all(text, '$SubwordPattern')) AS DOUBLE) /
+       |    len(string_split(text, ' ')) AS subword_per_ws
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** Quality scoring: stopword ratio, lexical diversity, length component —
