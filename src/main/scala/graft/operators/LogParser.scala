@@ -56,15 +56,17 @@ object LogParser {
   val TsFormat = "yyyy.MM.dd HH:mm:ss.SSSSSS"
 
   /** First-keyword statement classifier mirroring `sqlparser.Preview` +
-    * `getStmtType` (/root/reference/query.go:276-289): leading SQL comments
-    * (slash-star block comments and `--`/`#` line comments, repeated)
-    * stripped the way sqlparser's tokenizer skips them, then first
-    * whitespace-token, leading non-letters stripped, lowercased;
-    * select/insert/update/delete, everything else "other".
+    * `getStmtType` (/root/reference/query.go:276-289). Preview's
+    * `StripLeadingComments` strips EXACTLY: whitespace, slash-star block
+    * comments EXCEPT version comments (a leading slash-star-bang is kept —
+    * Preview classifies it StmtComment → "other"), and `--` line comments
+    * TERMINATED BY a newline (an unterminated `--...` is kept); it never
+    * strips `#`. Then first whitespace-token, leading non-letters stripped,
+    * lowercased; select/insert/update/delete, everything else "other".
     */
   def stmtType(q: Column): Column = {
     val noComments =
-      regexp_replace(q, "(?s)^(?:\\s+|/\\*.*?\\*/|--[^\\n]*(?:\\n|$)|#[^\\n]*(?:\\n|$))+", "")
+      regexp_replace(q, "(?s)^(?:\\s+|/\\*(?!!).*?\\*/|--[^\\n]*\\n)+", "")
     val word = lower(regexp_replace(regexp_extract(noComments, "^(\\S+)", 1), "^[^a-zA-Z]+", ""))
     when(word.isin("select", "insert", "update", "delete"), word).otherwise("other")
   }

@@ -89,19 +89,32 @@ object TailFileSource {
   }
 }
 
-/** Stream position: byte offset `pos` within rotation generation `epoch`.
+/** Stream position: byte offset `pos` within rotation generation `epoch`,
+  * plus the filesystem identity (`fileKey` — dev/inode) of that generation.
   * The epoch increments every time truncation/recreation is detected, so
   * the emitted `seq` (epoch << 44 | line offset) stays monotone across
-  * copytruncate rotations — the keyed merge's arrival order survives. */
-final case class TailOffset(epoch: Long, pos: Long) extends Offset {
-  override def json(): String = s"$epoch:$pos"
+  * copytruncate rotations — the keyed merge's arrival order survives.
+  * Carrying the fileKey in the offset lets a restarted query detect a
+  * move+recreate rotation that happened while it was down. */
+final case class TailOffset(epoch: Long, pos: Long, fileKey: String = "")
+    extends Offset {
+  override def json(): String = s"$epoch:$pos:$fileKey"
 }
 
 object TailOffset {
-  def parse(json: String): TailOffset = {
-    val Array(e, p) = json.split(":", 2)
-    TailOffset(e.toLong, p.toLong)
+  def parse(json: String): TailOffset = json.split(":", 3) match {
+    case Array(e, p, k) => TailOffset(e.toLong, p.toLong, k)
+    case Array(e, p) => TailOffset(e.toLong, p.toLong) // pre-fileKey checkpoints
   }
+
+  /** Filesystem identity of the file (dev+inode on POSIX); "" when the
+    * filesystem exposes none. */
+  def keyOf(path: String): String =
+    try String.valueOf(java.nio.file.Files
+      .readAttributes(java.nio.file.Paths.get(path),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      .fileKey()).replace(":", ";") // ':' is the offset-json separator
+    catch { case _: java.io.IOException => "" }
 }
 
 class TailFileTable(path: String, fromStart: Boolean) extends Table with SupportsRead {
@@ -140,19 +153,25 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean)
 
   override def initialOffset(): Offset = observe(TailOffset(0L,
     if (fromStart) 0L
-    else TailFileSource.lastLineBoundary(path, 0L))) // seek-to-EOF (main.go:95)
+    else TailFileSource.lastLineBoundary(path, 0L), // seek-to-EOF (main.go:95)
+    TailOffset.keyOf(path)))
 
   override def latestOffset(): Offset = {
     if (known.pos < 0) initialOffset()
     val k = known
-    // ReOpen semantics: a shrunken file was truncated/recreated — follow
-    // restarts at 0 in a NEW epoch (unread bytes of the old generation are
-    // lost, exactly as with the reference's reopened tail)
+    // ReOpen semantics: the follow restarts at 0 in a NEW epoch when the
+    // file was truncated in place (length shrank below our position) OR
+    // replaced by a new file (dev/inode changed — catches move+recreate
+    // even if the new file already grew past the old offset). Unread bytes
+    // of the old generation are lost, as with the reference's reopened tail.
+    val curKey = TailOffset.keyOf(path)
+    val rotated = new java.io.File(path).length() < k.pos ||
+      (k.fileKey.nonEmpty && curKey.nonEmpty && curKey != k.fileKey)
     observe(
-      if (new java.io.File(path).length() < k.pos)
-        TailOffset(k.epoch + 1, TailFileSource.lastLineBoundary(path, 0L))
+      if (rotated)
+        TailOffset(k.epoch + 1, TailFileSource.lastLineBoundary(path, 0L), curKey)
       else
-        k.copy(pos = TailFileSource.lastLineBoundary(path, k.pos)))
+        k.copy(pos = TailFileSource.lastLineBoundary(path, k.pos), fileKey = curKey))
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -186,7 +205,12 @@ final case class TailRange(path: String, epoch: Long, start: Long, end: Long)
 /** Reads the newline-terminated lines in byte range [start, end). */
 class TailRangeReader(range: TailRange) extends PartitionReader[InternalRow] {
   private val lines: Iterator[(Long, String)] = {
-    if (range.end <= range.start) Iterator.empty
+    // The file may have been truncated between offset planning and this
+    // read (the planned end offset is already committed to the offset log).
+    // The range's bytes are gone — deliver nothing rather than crash-loop;
+    // the next latestOffset() detects the rotation and bumps the epoch.
+    if (range.end <= range.start ||
+        new java.io.File(range.path).length() < range.end) Iterator.empty
     else {
       val raf = new RandomAccessFile(range.path, "r")
       try {

@@ -75,24 +75,22 @@ object MetricsServing {
     val writer = lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[String], batchId: Long) =>
-        // same-file relative order is preserved per partition (the only
-        // ordering the correlation depends on); seq is unique across batches
-        val seqd = batch.mapPartitions { it =>
-          val base = (batchId << 48) |
-            (org.apache.spark.TaskContext.getPartitionId().toLong << 40)
-          it.zipWithIndex.map { case (v, i) => (base | i.toLong, v) }
-        }.toDF("seq", "value")
+        val seqd = StreamingMerge.seqAssign(batch, batchId)
 
         val merged = acc.get().map(_.unionAll(seqd)).getOrElse(seqd).cache()
-        merged.count() // materialize before dropping the predecessor
+        val delivered = graft.sources.LogSource.withDelivery(merged)
+        // one pass: materializes the cache AND yields both counts; read_lines
+        // counts only delivered lines — the reference increments AFTER the
+        // tail-error `continue` (main.go:113-120)
+        val stats = delivered.agg(
+          coalesce(sum(when(col("tail_ok"), 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("tail_ok"), 0L).otherwise(1L)), lit(0L))).head()
         acc.getAndSet(Some(merged)).foreach(_.unpersist())
 
-        val delivered = graft.sources.LogSource.withDelivery(merged)
         val okLines = delivered.filter(col("tail_ok")).select("seq", "value")
-        val nRead = merged.count()
-        val nTailErrors = delivered.filter(!col("tail_ok")).count()
         server.update(MetricsSink.exposition(
-          graft.operators.LogParser.parse(okLines), nRead, nTailErrors))
+          graft.operators.LogParser.parse(okLines),
+          readLines = stats.getLong(0), tailLineErrors = stats.getLong(1)))
       }
 
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
@@ -110,11 +108,7 @@ object MetricsServing {
   def serveIncremental(spark: SparkSession, dir: String, server: MetricsHttpServer,
       checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
     import spark.implicits._
-    val seqd = spark.readStream.text(dir).as[String]
-      .mapPartitions { it =>
-        val base = org.apache.spark.TaskContext.getPartitionId().toLong << 40
-        it.zipWithIndex.map { case (v, i) => (base | i.toLong, v) }
-      }.toDF("seq", "value")
+    val seqd = StreamingMerge.seqAssign(spark.readStream.text(dir).as[String])
     serveIncrementalLines(spark, seqd, server, checkpointDir, availableNow)
   }
 
@@ -140,9 +134,15 @@ object MetricsServing {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import spark.implicits._
     val registry = new PromRegistry
+    // per-pipeline observation name: listeners are session-global, so two
+    // concurrent incremental pipelines must not fold each other's counts
+    val obsName =
+      s"graft_delivery_${java.util.UUID.randomUUID().toString.take(8)}"
 
     val delivered = graft.sources.LogSource.withDelivery(seqLines)
-      .observe("delivery", count(lit(1)).as("read"),
+      .observe(obsName,
+        // read_lines counts delivered lines only (main.go:113-120 order)
+        sum(when(col("tail_ok"), 1L).otherwise(0L)).as("read"),
         sum(when(col("tail_ok"), 0L).otherwise(1L)).as("tail_err"))
     val ok = delivered.filter(col("tail_ok")).select("seq", "value")
     val outs = StreamingMerge.mergeWithMetrics(
@@ -152,12 +152,12 @@ object MetricsServing {
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        // no query-id guard: the "delivery" observation only exists on this
-        // pipeline's plan, and the id is unknown until after start() (a
-        // guard would race the first batch)
-        val om = e.progress.observedMetrics.get("delivery")
+        // the unique obsName (not a query-id check, which would race the
+        // first batch) scopes this listener to its own pipeline
+        val om = e.progress.observedMetrics.get(obsName)
         if (om != null) {
-          registry.addReadLines(om.getAs[Long]("read"))
+          Option(om.getAs[java.lang.Long]("read"))
+            .foreach(n => registry.addReadLines(n))
           Option(om.getAs[java.lang.Long]("tail_err"))
             .foreach(n => registry.addTailLineErrors(n))
           server.update(registry.render())
@@ -192,22 +192,19 @@ object MetricsServing {
     val writer = spark.readStream.text(dir).as[String].writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[String], batchId: Long) =>
-        val seqd = batch.mapPartitions { it =>
-          val base = (batchId << 48) |
-            (org.apache.spark.TaskContext.getPartitionId().toLong << 40)
-          it.zipWithIndex.map { case (v, i) => (base | i.toLong, v) }
-        }.toDF("seq", "value")
+        val seqd = StreamingMerge.seqAssign(batch, batchId)
 
         val merged = acc.get().map(_.unionAll(seqd)).getOrElse(seqd).cache()
-        merged.count()
+        val delivered = graft.sources.LogSource.withDelivery(merged)
+        val stats = delivered.agg(
+          coalesce(sum(when(col("tail_ok"), 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("tail_ok"), 0L).otherwise(1L)), lit(0L))).head()
         acc.getAndSet(Some(merged)).foreach(_.unpersist())
 
-        val delivered = graft.sources.LogSource.withDelivery(merged)
         val okLines = delivered.filter(col("tail_ok")).select("seq", "value")
         MetricsSink.metricsTable(
             graft.operators.LogParser.parse(okLines),
-            readLines = merged.count(),
-            tailLineErrors = delivered.filter(!col("tail_ok")).count())
+            readLines = stats.getLong(0), tailLineErrors = stats.getLong(1))
           .write.mode("overwrite").parquet(outPath)
       }
 

@@ -195,21 +195,30 @@ object StreamingMerge {
       .select(col("window.start").as("window_start"), col("stmtType").as("stmt_type"), col("cnt"))
   }
 
+  /** Arrival-order `seq` for a streaming line Dataset: `batchId` (20 bits)
+    * | partition id (20 bits) | line index within the partition (24 bits).
+    * Text-source partitions preserve file order, so same-file lines (the
+    * only ones whose relative order the correlation depends on) keep their
+    * arrival order; the 20-bit partition field holds a million partitions
+    * per batch (the old 8-bit packing collided past 256 partitions).
+    * (`monotonically_increasing_id` is not allowed in streaming plans.) */
+  def seqAssign(lines: Dataset[String], batchId: Long = 0L): DataFrame = {
+    import lines.sparkSession.implicits._
+    lines.mapPartitions { it =>
+      val base = (batchId << 44) |
+        (org.apache.spark.TaskContext.getPartitionId().toLong << 24)
+      it.zipWithIndex.map { case (v, i) => (base | i.toLong, v) }
+    }.toDF("seq", "value")
+  }
+
   /** Full streaming pipeline from a directory of log files (the rotation
     * story: each rotated file is a new file in the directory — a better fit
-    * than the reference's tail-and-reopen). `seq` is `partitionId << 40 |
-    * line-offset-within-partition`: text-source partitions preserve file
-    * order, so same-file lines (the only ones whose relative order the
-    * correlation depends on) keep their arrival order.
-    * (`monotonically_increasing_id` is not allowed in streaming plans.) */
+    * than the reference's tail-and-reopen). Cross-batch seq reuse is fine
+    * here: the state function orders events within one micro-batch only. */
   def filePipeline(spark: org.apache.spark.sql.SparkSession, dir: String,
       timeoutMs: Long = 30 * 60 * 1000L): Dataset[ChQuery] = {
     import spark.implicits._
-    val lines = spark.readStream.text(dir).as[String]
-      .mapPartitions { it =>
-        val base = org.apache.spark.TaskContext.getPartitionId().toLong << 40
-        it.zipWithIndex.map { case (v, i) => (base | i.toLong, v) }
-      }.toDF("seq", "value")
+    val lines = seqAssign(spark.readStream.text(dir).as[String])
     merge(toLogEvents(graft.operators.LogParser.parse(lines)), timeoutMs)
   }
 

@@ -106,8 +106,14 @@ class LogParserSpec extends SparkSpec {
       "/* hint */ SELECT 1" -> "select",
       "/*a*/ /*b*/ INSERT INTO t VALUES (1)" -> "insert",
       "-- note\nDELETE FROM t" -> "delete",
-      "# mysql comment\nupdate t set x=1" -> "update",
+      // StripLeadingComments never strips '#' (not a sqlparser comment form)
+      "# mysql comment\nupdate t set x=1" -> "other",
+      // a version comment '/*!' is KEPT -> Preview returns StmtComment -> other
+      "/*! hint */ SELECT 1" -> "other",
       "/* multi\nline */ SELECT 1" -> "select",
+      // '--' without a terminating newline is NOT stripped; '--select' then
+      // classifies via non-letter stripping, exactly like the reference
+      "--select 1" -> "select",
       "-- only a comment" -> "other",
       "/* unterminated SELECT" -> "other")
     val df = cases.map(_._1).toDF("q")

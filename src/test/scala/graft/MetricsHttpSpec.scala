@@ -92,8 +92,10 @@ class MetricsHttpSpec extends SparkSpec {
       val parsed = graft.operators.LogParser.parse(
         (corpus ++ extra).zipWithIndex.map { case (l, i) => (i.toLong, l) }
           .toDF("seq", "value"))
+      // read_lines counts only DELIVERED lines (reference increments after
+      // the tail-error continue, main.go:113-120) — the corrupt line is out
       val golden = MetricsSink.exposition(parsed,
-        readLines = all.size.toLong, tailLineErrors = 1L)
+        readLines = (corpus ++ extra).size.toLong, tailLineErrors = 1L)
 
       // listener delivery counts land asynchronously — poll to equality
       val deadline = System.nanoTime() + 60000L * 1000000L
@@ -111,6 +113,7 @@ class MetricsHttpSpec extends SparkSpec {
       // though the record never completes (reference observes pre-FullInfo)
       assert(body.contains("""clickhouse_query_count{stmt_type="insert"} 1"""))
       assert(body.contains("""chlogexporter_errors{type="tail_line"} 1"""))
+      assert(body.contains("chlogexporter_read_lines 7"), "delivered lines only")
     } finally server.stop(0)
   }
 

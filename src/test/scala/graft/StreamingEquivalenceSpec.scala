@@ -71,14 +71,8 @@ class StreamingEquivalenceSpec extends SparkSpec {
 
     val counts = StreamingEquivalenceSpec.counters
     counts.clear()
-    val parsed = {
-      val ls = spark.readStream.text(dir).as[String]
-        .mapPartitions { it =>
-          val base = org.apache.spark.TaskContext.getPartitionId().toLong << 40
-          it.zipWithIndex.map { case (v, i) => (base | i.toLong, v) }
-        }.toDF("seq", "value")
-      StreamingMerge.toLogEvents(LogParser.parse(ls))
-    }
+    val parsed = StreamingMerge.toLogEvents(LogParser.parse(
+      StreamingMerge.seqAssign(spark.readStream.text(dir).as[String])))
     val q = StreamingMerge.mergeWithMetrics(parsed, timeoutMs = 0L)
       .filter(_.out == "counter")
       .writeStream
@@ -113,14 +107,8 @@ class StreamingEquivalenceSpec extends SparkSpec {
       s"2024.03.01 12:00:02.000000 [ 7 ] {$id} <Debug> MemoryTracker: Peak memory usage (for query): 3 MiB."
 
     def runOnce(): Unit = {
-      val parsed = {
-        val ls = spark.readStream.text(srcDir.getAbsolutePath).as[String]
-          .mapPartitions { it =>
-            val base = org.apache.spark.TaskContext.getPartitionId().toLong << 40
-            it.zipWithIndex.map { case (v, i) => (base | i.toLong, v) }
-          }.toDF("seq", "value")
-        StreamingMerge.toLogEvents(LogParser.parse(ls))
-      }
+      val parsed = StreamingMerge.toLogEvents(LogParser.parse(
+        StreamingMerge.seqAssign(spark.readStream.text(srcDir.getAbsolutePath).as[String])))
       val q = StreamingMerge.mergeWithMetrics(parsed, timeoutMs = 0L)
         .filter(_.out == "counter")
         .writeStream

@@ -97,6 +97,24 @@ class TailFileSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("move+recreate rotation detected by file identity even when the new file is longer") {
+    val f = Files.createTempFile("graft-tail6", ".log")
+    Files.write(f, "m1\nm2\n".getBytes)
+    val (qname, q) = startTail(f, fromStart = true)
+    try {
+      assert(collectUntil(qname, q, 2).map(_._2) == Seq("m1", "m2"))
+      // classic logrotate: move the file aside, create a fresh one that is
+      // LONGER than the committed offset — length-only detection would
+      // resume mid-file and deliver garbage
+      val aside = f.resolveSibling(f.getFileName.toString + ".1")
+      Files.move(f, aside)
+      Files.write(f, "n1 longer line\nn2 longer line\n".getBytes)
+      val rows = collectUntil(qname, q, 4)
+      assert(rows.map(_._2) == Seq("m1", "m2", "n1 longer line", "n2 longer line"))
+      assert(rows.map(_._1) == rows.map(_._1).sorted, "monotone seq across rotation")
+    } finally q.stop()
+  }
+
   test("archive file rejected by pre-flight validation (main.go:81-85 order)") {
     val gz = Files.createTempFile("graft-tail5", ".log.gz")
     Files.write(gz, Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x00))
