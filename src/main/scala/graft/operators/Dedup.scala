@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.SortedIntersectCount.sorted_intersect_count
@@ -18,6 +19,68 @@ import graft.functions.SortedIntersectCount.sorted_intersect_count
   *   - everything partial-aggregates map-side before its single shuffle.
   */
 object Dedup {
+
+  /** Bucket-size cap for the LSH candidate self-joins: a blocking bucket
+    * (band signature / simhash chunk / winnowing fingerprint) containing more
+    * than this many DISTINCT texts generates quadratic candidates while
+    * carrying no discriminating signal (degenerate band, boilerplate
+    * fingerprint) — such buckets are skipped, MOSS "stop fingerprint" style.
+    * The skipped volume is enumerable via [[minhashOversizedBuckets]] /
+    * [[TextAnalysis.winnowingHotFingerprints]]. */
+  val DefaultBucketCap: Int = 1000
+
+  /** One row per DISTINCT text: the representative (minimum) doc id, the
+    * text, and the sorted member-id array. All near-dup candidate generation
+    * runs on representatives only: d exact copies of one document share
+    * every band signature / chunk key / fingerprint, so without collapsing,
+    * one bucket yields d²/2 candidate pairs each paying full verification —
+    * at training-corpus dup rates (20-50% exact duplicates) exactly the
+    * quadratic blowup banding exists to avoid. The required member-level
+    * output is reconstructed afterwards by [[expandPairs]] with zero
+    * per-pair verification work. At 100 TB a pipeline would materialize this
+    * frame once (it IS the exact-dedup result keyed for reuse) and run every
+    * near-dup pass against it; here it is cached for the consumers inside
+    * one query. */
+  private[operators] def dupGroups(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"), first("text").as("text"),
+        sort_array(collect_list("doc_id")).as("member_ids"))
+      .drop("fp")
+
+  /** Expand representative-level pairs `(doc_a, doc_b, valueCol)` back to
+    * member level, and append intra-group pairs (pairs of exact copies) for
+    * the groups in `intraGroups`, which must carry `member_ids` plus a
+    * `valueCol` column holding the constant pair value for identical texts
+    * (jaccard 1.0, hamming 0, full shared-fingerprint count). Cross-group
+    * expansion is two linear joins on the representative id; intra-group
+    * expansion enumerates each i<j member pair once (member_ids is sorted
+    * ascending). Output size is exactly the pair count the operator's
+    * semantics require — the expansion adds no verification work. */
+  private[operators] def expandPairs(repPairs: DataFrame, groups: DataFrame,
+      valueCol: String, intraGroups: DataFrame): DataFrame = {
+    val members = groups.select(col("doc_id").as("rep_id"),
+      explode(col("member_ids")).as("member"))
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("doc_a"), col("member").as("ma")), Seq("doc_a"))
+      .join(members.select(col("rep_id").as("doc_b"), col("member").as("mb")), Seq("doc_b"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col(valueCol))
+    val intra = intraGroups
+      .filter(size(col("member_ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(member_ids, (x, i) -> " +
+          "transform(slice(member_ids, i + 2, size(member_ids)), y -> struct(x AS a, y AS b))))"))
+        .as("p"), col(valueCol))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"), col(valueCol))
+    cross.unionAll(intra)
+  }
+
+  /** Keep only blocking buckets of size <= cap (cap applied per key over the
+    * already-collapsed representative rows). */
+  private[operators] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    df.withColumn("bn", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("bn") <= cap).drop("bn")
 
   /** Distinct word-token set per document (single-space tokenization of the
     * corpus). */
@@ -85,8 +148,7 @@ object Dedup {
     * realistic shingle vocabulary); the whole minhash path is hash-seeded
     * and spec-verified against [[exactShinglePairs]], which uses the SAME
     * hashed sets, so the comparison is exact. */
-  private def shingleArrays(docs0: DataFrame): DataFrame = {
-    val docs = Tables.fanOut(docs0)
+  private def shingleArrays(docs: DataFrame): DataFrame = {
     docs.select(col("doc_id"),
       expr("CASE WHEN size(split(text,' ')) >= 3 THEN " +
         "array_sort(array_distinct(transform(sequence(0, size(split(text,' ')) - 3), " +
@@ -95,38 +157,47 @@ object Dedup {
         .as("shs"))
   }
 
-  /** MinHash + LSH near-dup pairs: 3-word shingles → 32 minhashes → 8 banded
-    * signatures → candidate pairs per band bucket → exact shingle-set
-    * Jaccard verify (the quantity MinHash estimates, so band recall theory
-    * applies: P(candidate | j=0.8) = 1-(1-0.8⁴)⁸ ≈ 0.985). Banding keeps
-    * candidate generation linear-ish in corpus size; only bucket-colliding
-    * pairs are verified. Hash-specific (xxhash64) → no SQL oracle;
-    * deterministic across runs. */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // map-side signatures: min over the shingle array per hash seed — no
-    // explode, no shuffle until the (tiny) band-bucket join.
-    // The cache spans the three consumers below (signatures + both verify
-    // sides); it is released by session-level cache cleanup
-    // (SparkEntry.clearCaches / catalog.clearCache), not per-call — callers
-    // embedding this in a long-lived service should clear between corpora.
-    val sets = shingleArrays(docs).cache() // feeds both signatures and verify
+  /** Banded LSH buckets `(doc_id, band, sig)` for a set-per-doc frame. */
+  private def minhashBuckets(sets: DataFrame): DataFrame = {
     val sigs = sets.select(
       col("doc_id") +: (0 until NumHashes).map(i =>
         expr(s"array_min(transform(shs, s -> xxhash64($i, s)))").as(s"h$i")): _*)
-
     val bands = (0 until NumHashes / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
     }
-    val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+  }
+
+  /** MinHash + LSH near-dup pairs: exact-dup collapse → 3-word shingles →
+    * 32 minhashes → 8 banded signatures → candidate pairs per band bucket →
+    * exact shingle-set Jaccard verify (the quantity MinHash estimates, so
+    * band recall theory applies: P(candidate | j=0.8) = 1-(1-0.8⁴)⁸ ≈ 0.985)
+    * → member-level expansion. Banding keeps candidate generation linear-ish
+    * in the number of DISTINCT texts ([[dupGroups]]); residual degenerate
+    * buckets are dropped at `bucketCap` ([[minhashOversizedBuckets]] lists
+    * them). Hash-specific (xxhash64) → no SQL oracle; deterministic across
+    * runs. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    // Both caches span multiple consumers inside this one query (groups:
+    // shingles + expansion; sets: signatures + both verify sides); they are
+    // released by session-level cache cleanup (SparkEntry.clearCaches /
+    // catalog.clearCache), not per-call — callers embedding this in a
+    // long-lived service should clear between corpora.
+    val groups = dupGroups(docs).cache()
+    // map-side signatures: min over the shingle array per hash seed — no
+    // explode, no shuffle until the (tiny) band-bucket join.
+    val sets = shingleArrays(groups.select("doc_id", "text")).cache()
+    val buckets = capBuckets(minhashBuckets(sets), Seq("band", "sig"), bucketCap)
 
     val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "sig"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    cand
+    val repPairs = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
       .withColumn("inter", sorted_intersect_count(col("shs_a"), col("shs_b")))
@@ -134,13 +205,23 @@ object Dedup {
         (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+
+    expandPairs(repPairs, groups, "jaccard", groups.withColumn("jaccard", lit(1.0)))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The (band, sig) buckets [[minhashPairs]] would skip at `bucketCap`,
+    * with their sizes — drop accounting for cap tuning. */
+  def minhashOversizedBuckets(docs: DataFrame,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    minhashBuckets(shingleArrays(dupGroups(docs).select("doc_id", "text")))
+      .groupBy("band", "sig").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > bucketCap)
 
   /** Exact shingle-set Jaccard pairs (ground truth for [[minhashPairs]]'s
     * recall spec) — O(n²), test-scale only. */
   def exactShinglePairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sets = shingleArrays(docs)
+    val sets = shingleArrays(Tables.fanOut(docs))
     val a = sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
@@ -167,21 +248,28 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs by Hamming distance, blocked on 16-bit signature
-    * chunks (a pair within distance d must share at least one of d+1 chunks
-    * — here 4 chunks catches d <= 3 exactly). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(docs)
+  /** SimHash near-dup pairs by Hamming distance: exact-dup collapse →
+    * blocking on 16-bit signature chunks (a pair within distance d must
+    * share at least one of d+1 chunks — here 4 chunks catches d <= 3
+    * exactly) → member-level expansion (exact copies are at Hamming 0).
+    * Degenerate chunk buckets past `bucketCap` distinct texts are skipped. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val groups = dupGroups(docs).cache()
+    val sigs = simhash(groups.select("doc_id", "text"))
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key")))
-    val blocked = sigs.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
-    blocked.as("x").join(blocked.as("y"), Seq("chunk", "key"))
+    val blocked = capBuckets(
+      sigs.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
+        .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key")),
+      Seq("chunk", "key"), bucketCap)
+    val repPairs = blocked.as("x").join(blocked.as("y"), Seq("chunk", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    expandPairs(repPairs, groups, "hamming", groups.withColumn("hamming", lit(0L)))
       .orderBy("doc_a", "doc_b")
   }
 }

@@ -17,7 +17,7 @@ object TextAnalysis {
   /** Tokenization statistics + a BPE-ish token estimate (chars/4, the usual
     * subword heuristic — exact integer arithmetic). */
   def tokenStats(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    Tables.fanOut(docs).select(col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
       length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letter_chars"),
@@ -106,7 +106,8 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"))
 
   def langId(docs: DataFrame): DataFrame = {
-    val scored = LangStops.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+    val scored = LangStops.foldLeft(
+      Tables.fanOut(docs).select(col("doc_id"), col("lang"), col("text"))) {
       case (df, (code, stops)) =>
         val list = stops.map(w => s"'$w'").mkString(", ")
         df.withColumn(s"s_$code",
@@ -236,9 +237,14 @@ object TextAnalysis {
     * any shared substring of length >= k+w-1 yields a shared fingerprint.
     * All map-side per doc; output exploded (doc_id, fingerprint).
     */
-  def winnowingFingerprints(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame = {
+  def winnowingFingerprints(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame =
+    winnowingFingerprintsPrepared(Tables.fanOut(docs), k, w)
+
+  /** [[winnowingFingerprints]] minus the scan fan-out, for inputs that are
+    * already well-partitioned (the post-shuffle dup-group frame). */
+  private def winnowingFingerprintsPrepared(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame = {
     import graft.functions.RollingHashes.rolling_hashes
-    Tables.fanOut(docs)
+    docs
       .select(col("doc_id"), rolling_hashes(lower(col("text")), k).as("rh"))
       .filter(size(col("rh")) >= w)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -248,18 +254,44 @@ object TextAnalysis {
   }
 
   /** Near-dup candidates by shared winnowing fingerprints: docs sharing at
-    * least `minShared` fingerprints. Inverted-index join on fingerprint —
-    * linear candidate generation, the rolling-hash dedup path for corpora
-    * where word-level shingles are too coarse. */
-  def winnowingPairs(docs: DataFrame, minShared: Long = 5): DataFrame = {
-    val fp = winnowingFingerprints(docs)
-    fp.as("x").join(fp.as("y"), Seq("fingerprint"))
+    * least `minShared` fingerprints. Exact duplicates are collapsed first
+    * ([[Dedup.dupGroups]]) so the inverted-index join runs over distinct
+    * texts only, then pairs expand back to member level (exact copies share
+    * every surviving fingerprint). Fingerprints present in more than
+    * `hotFpCap` distinct texts — license headers, boilerplate at corpus
+    * scale — are dropped from matching entirely (the MOSS "stop fingerprint"
+    * rule): they contribute quadratic candidates and no discrimination.
+    * [[winnowingHotFingerprints]] enumerates what was dropped. */
+  def winnowingPairs(docs: DataFrame, minShared: Long = 5,
+      hotFpCap: Int = Dedup.DefaultBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = Dedup.dupGroups(docs).cache()
+    val fp = winnowingFingerprintsPrepared(groups.select("doc_id", "text"))
+    val kept = fp
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fingerprint")))
+      .filter(col("df") <= hotFpCap).drop("df")
+    val repPairs = kept.as("x").join(kept.as("y"), Seq("fingerprint"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+    // identical texts share all of the representative's surviving
+    // fingerprints — intra-group pairs qualify iff that count reaches the
+    // threshold (short docs below the k+w-1 window yield none)
+    val intra = groups
+      .join(kept.groupBy("doc_id").agg(count(lit(1)).as("shared")), Seq("doc_id"))
+      .filter(col("shared") >= minShared)
+    Dedup.expandPairs(repPairs, groups, "shared", intra)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The fingerprints [[winnowingPairs]] would drop at `hotFpCap`, with
+    * their distinct-text document frequency — drop accounting. */
+  def winnowingHotFingerprints(docs: DataFrame,
+      hotFpCap: Int = Dedup.DefaultBucketCap): DataFrame =
+    winnowingFingerprintsPrepared(Dedup.dupGroups(docs).select("doc_id", "text"))
+      .groupBy("fingerprint").agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotFpCap)
 
   /** Corpus-level word-bigram frequencies, top 20: the classic n-gram
     * aggregation — explode is linear, count partial-aggregates map-side. */

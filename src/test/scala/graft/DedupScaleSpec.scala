@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Tables, TextAnalysis}
+
+/** The duplicate-heavy-corpus behavior of the near-dup paths: exact copies
+  * are collapsed BEFORE candidate generation (so LSH candidate volume is a
+  * function of distinct texts, not raw rows), the member-level pair output
+  * is reconstructed exactly, and degenerate buckets / hot fingerprints are
+  * dropped at the cap. */
+class DedupScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseA =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby " +
+      "and the birds sing softly in the garden as morning light spreads slowly across the quiet village " +
+      "waking every sleepy resident today"
+  // one-word edit in a 40-token doc: shingle jaccard ~ 35/41 ~ 0.85
+  private val baseB = baseA.replace("windowsill", "doorstep")
+  private val unrelated =
+    "completely different material concerning matrix multiplication kernels and gpu memory bandwidth limits in modern accelerators"
+
+  /** `copies` exact copies of baseA (ids 0..copies-1), one near-dup of it
+    * (id copies), one unrelated doc duplicated 3x (ids copies+1..copies+3). */
+  private def dupCorpus(copies: Int): DataFrame = {
+    val rows =
+      (0 until copies).map(i => (i.toLong, baseA)) ++
+        Seq(((copies).toLong, baseB)) ++
+        (1 to 3).map(j => ((copies + j).toLong, unrelated))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhash pairs on a 1000-copy corpus: all intra pairs at jaccard 1, cross pairs expanded, linear candidate volume") {
+    val n = 1000
+    val out = Dedup.minhashPairs(dupCorpus(n)).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // every pair of exact copies of baseA, at jaccard exactly 1.0
+    val intraA = (for (i <- 0 until n; j <- i + 1 until n) yield (i.toLong, j.toLong)).toSet
+    assert(intraA.forall(p => pairs.get(p).contains(1.0)), "missing/wrong intra-copy pairs")
+    // the unrelated dup-group's own pairs
+    val intraU = (for (i <- 1 to 3; j <- i + 1 to 3) yield ((n + i).toLong, (n + j).toLong)).toSet
+    assert(intraU.forall(p => pairs.get(p).contains(1.0)))
+    // the near-dup of baseA pairs with EVERY copy, at the rep-level jaccard
+    val crossJ = pairs.get((0L, n.toLong))
+    assert(crossJ.exists(j => j >= 0.8 && j < 1.0), s"cross-pair jaccard $crossJ")
+    assert((0 until n).forall(i => pairs.get((i.toLong, n.toLong)) == crossJ),
+      "cross pairs must expand to every copy with the representative jaccard")
+    // nothing pairs with the unrelated group across groups
+    assert(!pairs.keys.exists(p => p._1 <= n && p._2 > n))
+    assert(out.length == intraA.size + intraU.size + n)
+
+    // candidate volume is rep-level: 3 distinct texts -> at most 3 choose 2
+    // verifications regardless of copy count (structural: buckets are built
+    // from dupGroups output; verified here via the oversized-bucket view
+    // seeing at most 3 docs per bucket)
+    val maxBucket = Dedup.minhashOversizedBuckets(dupCorpus(n), bucketCap = 0)
+      .agg(max("n_docs")).as[Long].head()
+    assert(maxBucket <= 3, s"bucket contains $maxBucket docs — collapse failed")
+  }
+
+  test("minhash pairs unchanged on a duplicate-free corpus (same code path, identity expansion)") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val exact = Dedup.exactShinglePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(approx.keySet.subsetOf(exact.keySet))
+    approx.foreach { case (k, j) => assert(exact(k) == j, s"jaccard mismatch at $k") }
+  }
+
+  test("minhash bucket cap drops degenerate buckets deterministically") {
+    // two near-dup texts share at least one band bucket (verified by the
+    // default run finding the pair); with cap 1 every shared bucket exceeds
+    // the cap, so no candidates survive — only the intra-copy pairs remain
+    val docs = dupCorpus(4)
+    val normal = Dedup.minhashPairs(docs).collect()
+    assert(normal.exists(r => r.getLong(1) == 4L && r.getDouble(2) < 1.0))
+    val capped = Dedup.minhashPairs(docs, bucketCap = 1).collect()
+    assert(capped.forall(_.getDouble(2) == 1.0), "capped run must only contain intra-copy pairs")
+    assert(Dedup.minhashOversizedBuckets(docs, bucketCap = 1).count() > 0)
+  }
+
+  test("simhash pairs on a duplicate-heavy corpus: intra pairs at hamming 0, cross pairs expanded") {
+    val n = 200
+    val out = Dedup.simhashPairs(dupCorpus(n)).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val intraA = (for (i <- 0 until n; j <- i + 1 until n) yield (i.toLong, j.toLong)).toSet
+    assert(intraA.forall(p => pairs.get(p).contains(0L)))
+    // near-dup joins every copy at the same rep-level hamming (if within 3)
+    pairs.get((0L, n.toLong)).foreach { h =>
+      assert((0 until n).forall(i => pairs.get((i.toLong, n.toLong)).contains(h)))
+    }
+  }
+
+  test("winnowing pairs on a duplicate-heavy corpus: intra pairs share all fingerprints, cross pairs expanded") {
+    val n = 300
+    val out = TextAnalysis.winnowingPairs(dupCorpus(n), minShared = 3).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nFpA = TextAnalysis.winnowingFingerprints(Seq((0L, baseA)).toDF("doc_id", "text")).count()
+    val intraA = (for (i <- 0 until n; j <- i + 1 until n) yield (i.toLong, j.toLong)).toSet
+    assert(intraA.forall(p => pairs.get(p).contains(nFpA)),
+      "intra pairs must share every fingerprint of the representative")
+    // the edited doc shares a prefix with every copy — expanded to all
+    val shared0 = pairs.get((0L, n.toLong))
+    assert(shared0.exists(_ >= 3L))
+    assert((0 until n).forall(i => pairs.get((i.toLong, n.toLong)) == shared0))
+    assert(!pairs.keys.exists(p => p._1 <= n && p._2 > n), "unrelated group must not pair")
+  }
+
+  test("winnowing stop-fingerprint cap removes hot fingerprints from matching") {
+    // 8 distinct texts sharing a long common prefix -> the prefix fingerprints
+    // are hot (df = 8); with a cap below that they stop contributing
+    val prefix = "shared license header boilerplate text that appears verbatim at the top of every single document in this synthetic corpus"
+    val docs = (0 until 8).map(i =>
+      (i.toLong, s"$prefix unique trailing content number $i with extra words " +
+        s"${"filler" * (i + 1)} distinct tail ${i * 31}")).toDF("doc_id", "text")
+    val hot = TextAnalysis.winnowingHotFingerprints(docs, hotFpCap = 4)
+    assert(hot.count() > 0, "expected hot fingerprints at df=8 > cap=4")
+    val uncapped = TextAnalysis.winnowingPairs(docs, minShared = 3).collect()
+    assert(uncapped.nonEmpty, "prefix sharing must pair without the cap")
+    val capped = TextAnalysis.winnowingPairs(docs, minShared = 3, hotFpCap = 4).collect()
+    assert(capped.length < uncapped.length,
+      s"cap must remove hot-fingerprint-only pairs (${capped.length} vs ${uncapped.length})")
+  }
+}
