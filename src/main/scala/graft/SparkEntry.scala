@@ -46,9 +46,15 @@ object SparkEntry {
         if (noisy) LogRender.lines(Tables.fanOut(Tables.events(s, dir)), noisy = true)
         else renderedLines(s, dir)
       val p = LogParser.parse(src).cache()
-      // Also pin the state-record table: every metric query's window+join
-      // subtree substitutes this one materialization.
+      // Also pin the state-record table AND the classified-event frame:
+      // every metric query (and every subtree inside log_metrics_table's
+      // 13-branch union) contains the same window + state-join plan, and
+      // the CacheManager substitutes these two materializations wherever
+      // the subtree recurs — without the second pin, log_metrics_table
+      // re-ran the parsed⋈state join once per metric family (8.4 s of its
+      // r2 cost was exactly that recompute).
       QueryMerge.firstInitials(p).cache()
+      QueryMerge.classified(p).cache()
       p
     })
 

@@ -138,47 +138,6 @@ object PromMetrics {
   def bpsHistogram(parsed: DataFrame): DataFrame =
     histogram(statsObs(parsed), col("speed"), Nil, BpsBuckets)
 
-  /** All four unlabeled stats histograms (A6-A9) in ONE pass for the
-    * registry-table query: the observations unpivot to `(metric, v)` rows,
-    * each metric's own bucket grid applies via a per-metric `le` assignment,
-    * and a single grouped aggregation + one broadcast θ-join produce every
-    * `(metric, le, cum_count)` cell — 4 scans/shuffles collapse into 1.
-    * Row-for-row equal to the four [[histogram]] calls. */
-  def statsHistogramsAll(parsed: DataFrame): DataFrame = {
-    val spark = parsed.sparkSession
-    import spark.implicits._
-    val metricsBuckets: Seq[(String, String, Seq[Double])] = Seq(
-      ("clickhouse_select_query_rows_read", "rows_read", RowsReadBuckets),
-      ("clickhouse_select_query_bytes_read", "bytes_read", BytesReadBuckets),
-      ("clickhouse_select_query_rows_per_second", "rps", RpsBuckets),
-      ("clickhouse_select_query_bytes_per_second", "speed", BpsBuckets))
-
-    val unpivoted = statsObs(parsed).select(explode(array(metricsBuckets.map {
-      case (m, c, _) => struct(lit(m).as("metric"), col(c).cast("double").as("v"))
-    }: _*)).as("mv")).select(col("mv.metric"), col("mv.v"))
-
-    val leAssign = metricsBuckets.foldLeft(lit(Double.PositiveInfinity): Column) {
-      case (acc, (m, _, buckets)) =>
-        val le = buckets.foldRight(lit(Double.PositiveInfinity): Column) {
-          (b, a) => when(col("v") <= lit(b), lit(b)).otherwise(a)
-        }
-        when(col("metric") === m, le).otherwise(acc)
-    }
-    val raw = unpivoted.withColumn("le", leAssign)
-      .groupBy("metric", "le").agg(count("*").as("bucket_count"))
-
-    val grid = metricsBuckets.flatMap { case (m, _, buckets) =>
-      (buckets :+ Double.PositiveInfinity).map(m -> _)
-    }.toDF("metric", "le")
-    val filled = grid.join(raw, Seq("metric", "le"), "left")
-      .withColumn("bucket_count", coalesce(col("bucket_count"), lit(0L)))
-    filled.as("x")
-      .join(broadcast(filled.as("y")),
-        col("y.metric") === col("x.metric") && col("y.le") <= col("x.le"))
-      .groupBy(col("x.metric").as("metric"), col("x.le").as("le"))
-      .agg(sum(col("y.bucket_count")).as("cum_count"))
-  }
-
   def statsSumCounts(parsed: DataFrame): DataFrame = {
     val obs = statsObs(parsed)
     obs.agg(

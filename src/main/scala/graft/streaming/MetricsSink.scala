@@ -123,62 +123,110 @@ object MetricsSink {
     * parquet/warehouse table instead of an in-process registry). Schema:
     * `(metric string, labels string, le double?, value double)`; labels is
     * the canonical `k=v[,k=v]` string, `le` is null for counters/_sum/_count.
-    * Pure DataFrame union — no driver-side collection — so a `foreachBatch`
-    * can write it distributed at any scale. */
+    *
+    * FUSED single-pass plan: instead of unioning each metric family's own
+    * aggregation subtree (r2 shape — 13 branches, each re-aggregating the
+    * classified-event frame), every source row explodes into its metric
+    * contribution rows and ONE `groupBy(metric, labels, le)` produces the
+    * whole registry:
+    *   - counters contribute only when their condition fires, so a cell
+    *     exists iff its count > 0 (Prometheus counter-vec semantics, same
+    *     as [[QueryMerge.errorCounters]]'s `filter(count > 0)`);
+    *   - histogram observations contribute one row PER BUCKET with
+    *     v = (obs <= le ? 1 : 0), so the aggregated cell is already the
+    *     cumulative count and zero cells exist for every observed label —
+    *     no separate zero-fill grid join or windowed running sum;
+    *   - `_sum` rows carry exact integer values (µs / rows / bytes), scaled
+    *     to seconds only after the aggregation, so sums stay
+    *     order-independent (NOTES float policy).
+    * A 35-row static grid keeps the unlabeled stats cells present even for
+    * a batch with no stats lines (their grid is observation-independent).
+    * No driver-side collection — a `foreachBatch` can write it distributed
+    * at any scale. */
   def metricsTable(parsed: DataFrame, readLines: Long, tailLineErrors: Long = 0L): DataFrame = {
     val spark = parsed.sparkSession
     import spark.implicits._
 
-    def row(metric: String, labels: Column, le: Column, value: Column): Seq[Column] =
-      Seq(lit(metric).as("metric"), labels.as("labels"),
-        le.cast("double").as("le"), value.cast("double").as("value"))
     val noLe = lit(null).cast("double")
+    def c(metric: Column, labels: Column, le: Column, v: Column): Column =
+      struct(metric.cast("string").as("metric"), labels.cast("string").as("labels"),
+        le.cast("double").as("le"), v.cast("long").as("v"))
     def lab(k: String, v: Column): Column = concat(lit(k + "="), v.cast("string"))
 
-    val readLinesDf = Seq(("chlogexporter_read_lines", "", readLines.toDouble))
-      .toDF("metric", "labels", "value")
-      .select(col("metric"), col("labels"), noLe.as("le"), col("value"))
+    val base = QueryMerge.firstInitials(parsed)
+    val cls = QueryMerge.classified(parsed)
 
-    val errBase = QueryMerge.errorCounters(parsed)
-    val errAll =
-      if (tailLineErrors > 0)
-        errBase.unionAll(Seq(("tail_line", tailLineErrors)).toDF("type", "count"))
-      else errBase
-    val errors = errAll.select(row("chlogexporter_errors",
-      lab("type", col("type")), noLe, col("count")): _*)
+    // A3: one increment per inserted state record
+    val fromBase = base.select(explode(array(
+      c(lit("clickhouse_query_count"), lab("type", col("stmt_type")), noLe, lit(1L)))).as("c"))
 
-    val qCount = PromMetrics.queryCount(parsed).select(row("clickhouse_query_count",
-      lab("type", col("stmt_type")), noLe, col("count")): _*)
+    // initial lines judged against the state window: duplicate-vs-convert
+    // (dup check precedes convert, matching the reference's order)
+    val initials = parsed.filter(col("kind") === "initial")
+      .join(base.select(col("id"), col("init_seq"), col("complete_seq")), Seq("id"), "left")
+    val dupCond = col("seq") > col("init_seq") && col("seq") <= col("complete_seq")
+    val fromInitials = initials.select(explode(
+      when(dupCond, array(c(lit("chlogexporter_errors"),
+        lit("type=duplicated_initial_query"), noLe, lit(1L))))
+        .when(!col("cv_ok") && (col("init_seq").isNull ||
+          col("seq") < col("init_seq") || col("seq") > col("complete_seq")),
+          array(c(lit("chlogexporter_errors"), lit("type=convert"), noLe, lit(1L))))
+        .otherwise(lit(null))).as("c"))
 
-    val qErrors = PromMetrics.queryErrors(parsed).select(row("clickhouse_query_errors",
-      concat_ws(",", lab("code", col("error_code")), lab("type", col("stmt_type"))),
-      noLe, col("count")): _*)
+    // non-initial events: error counters + every histogram observation
+    val timeCells = (PromMetrics.QueryTimeBuckets :+ Double.PositiveInfinity).map { b =>
+      val elapsed = (unix_micros(col("ts")) - unix_micros(col("start_time")))
+        .cast("double") / lit(1000000.0)
+      c(lit("clickhouse_query_time_bucket"), lab("type", col("base_stmt_type")),
+        lit(b), when(elapsed <= lit(b), 1L).otherwise(0L))
+    }
+    val timeTail = Seq(
+      c(lit("clickhouse_query_time_sum"), lab("type", col("base_stmt_type")), noLe,
+        unix_micros(col("ts")) - unix_micros(col("start_time"))),
+      c(lit("clickhouse_query_time_count"), lab("type", col("base_stmt_type")), noLe, lit(1L)))
+    val statsFamilies: Seq[(String, String, Seq[Double])] = Seq(
+      ("clickhouse_select_query_rows_read", "rows_read", PromMetrics.RowsReadBuckets),
+      ("clickhouse_select_query_bytes_read", "bytes_read", PromMetrics.BytesReadBuckets),
+      ("clickhouse_select_query_rows_per_second", "rps", PromMetrics.RpsBuckets),
+      ("clickhouse_select_query_bytes_per_second", "speed", PromMetrics.BpsBuckets))
+    val statsCells = statsFamilies.flatMap { case (m, vc, buckets) =>
+      (buckets :+ Double.PositiveInfinity).map(b =>
+        c(lit(s"${m}_bucket"), lit(""), lit(b),
+          when(col(vc).cast("double") <= lit(b), 1L).otherwise(0L))) ++ Seq(
+        c(lit(s"${m}_sum"), lit(""), noLe, col(vc)),
+        c(lit(s"${m}_count"), lit(""), noLe, lit(1L)))
+    }
+    val fromEvents = cls.select(explode(
+      when(!col("is_live"), array(c(lit("chlogexporter_errors"),
+        lit("type=not_found_query"), noLe, lit(1L))))
+        .when(!col("cv_ok"), array(c(lit("chlogexporter_errors"),
+          lit("type=convert"), noLe, lit(1L))))
+        .when(col("kind") === "error", array(c(lit("clickhouse_query_errors"),
+          concat_ws(",", lab("code", col("error_code")), lab("type", col("base_stmt_type"))),
+          noLe, lit(1L))))
+        .when(col("kind") === "memory", array(timeCells ++ timeTail: _*))
+        .when(col("kind") === "stats", array(statsCells: _*))
+        .otherwise(lit(null))).as("c"))
 
-    val timeHist = PromMetrics.queryTimeHistogram(parsed).select(row(
-      "clickhouse_query_time_bucket", lab("type", col("stmt_type")),
-      col("le"), col("cum_count")): _*)
-    val timeSum = PromMetrics.queryTimeSumCount(parsed)
-    val timeSums = timeSum.select(row("clickhouse_query_time_sum",
-        lab("type", col("stmt_type")), noLe, col("sum") * lit(1e-6)): _*)
-      .unionAll(timeSum.select(row("clickhouse_query_time_count",
-        lab("type", col("stmt_type")), noLe, col("count")): _*))
+    // driver-known scalars + the observation-independent stats bucket grid
+    val statics =
+      Seq(("chlogexporter_read_lines", "", Option.empty[Double], readLines)) ++
+        (if (tailLineErrors > 0)
+          Seq(("chlogexporter_errors", "type=tail_line", Option.empty[Double], tailLineErrors))
+        else Seq.empty) ++
+        statsFamilies.flatMap { case (m, _, buckets) =>
+          (buckets :+ Double.PositiveInfinity).map(b => (s"${m}_bucket", "", Some(b), 0L))
+        }
+    val fromStatics = statics.toDF("metric", "labels", "le", "v")
+      .select(col("metric"), col("labels"), col("le").cast("double"), col("v"))
 
-    val stats = PromMetrics.statsSumCounts(parsed)
-    // all four unlabeled histograms in one fused pass (A6-A9)
-    val statBuckets = PromMetrics.statsHistogramsAll(parsed).select(
-      concat(col("metric"), lit("_bucket")).as("metric"), lit("").as("labels"),
-      col("le").cast("double").as("le"), col("cum_count").cast("double").as("value"))
-    def statSums(name: String, sumCol: String): DataFrame =
-      stats.select(row(s"${name}_sum", lit(""), noLe, col(sumCol)): _*)
-        .unionAll(stats.select(row(s"${name}_count", lit(""), noLe, col("count")): _*))
-
-    readLinesDf
-      .unionAll(errors).unionAll(qCount).unionAll(qErrors)
-      .unionAll(timeHist).unionAll(timeSums)
-      .unionAll(statBuckets)
-      .unionAll(statSums("clickhouse_select_query_rows_read", "rows_read_sum"))
-      .unionAll(statSums("clickhouse_select_query_bytes_read", "bytes_read_sum"))
-      .unionAll(statSums("clickhouse_select_query_rows_per_second", "rps_sum"))
-      .unionAll(statSums("clickhouse_select_query_bytes_per_second", "speed_sum"))
+    fromBase.unionAll(fromInitials).unionAll(fromEvents)
+      .select(col("c.metric"), col("c.labels"), col("c.le"), col("c.v"))
+      .unionAll(fromStatics)
+      .groupBy("metric", "labels", "le")
+      .agg(sum("v").as("sv"))
+      .select(col("metric"), col("labels"), col("le"),
+        when(col("metric") === "clickhouse_query_time_sum", col("sv") * lit(1e-6))
+          .otherwise(col("sv").cast("double")).as("value"))
   }
 }
