@@ -53,7 +53,7 @@ object SparkEntry {
       // the subtree recurs — without the second pin, log_metrics_table
       // re-ran the parsed⋈state join once per metric family (8.4 s of its
       // r2 cost was exactly that recompute).
-      QueryMerge.firstInitials(p).cache()
+      QueryMerge.stateInserts(p).cache()
       QueryMerge.classified(p).cache()
       p
     })
@@ -69,7 +69,7 @@ object SparkEntry {
       }
     drop(parsedCache)
     drop(linesCache)
-    s.sharedState.cacheManager.clearCache() // the pinned firstInitials frames
+    s.sharedState.cacheManager.clearCache() // the pinned merge-subtree frames
   }
 
   private def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")

@@ -90,9 +90,10 @@ object PromMetrics {
   }
 
   /** A3 `clickhouse_query_count{type}` — one increment per inserted state
-    * record (query.go:127). */
+    * record (query.go:127), including re-inserted lifecycles of a re-used
+    * id. */
   def queryCount(parsed: DataFrame): DataFrame =
-    QueryMerge.firstInitials(parsed)
+    QueryMerge.stateInserts(parsed)
       .groupBy(col("stmt_type")).agg(count("*").as("count"))
 
   /** A4 `clickhouse_query_errors{type, code}` — per live error line

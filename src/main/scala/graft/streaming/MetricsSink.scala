@@ -153,23 +153,24 @@ object MetricsSink {
         le.cast("double").as("le"), v.cast("long").as("v"))
     def lab(k: String, v: Column): Column = concat(lit(k + "="), v.cast("string"))
 
-    val base = QueryMerge.firstInitials(parsed)
+    val base = QueryMerge.stateInserts(parsed)
     val cls = QueryMerge.classified(parsed)
 
-    // A3: one increment per inserted state record
+    // A3: one increment per inserted state record (one per lifecycle)
     val fromBase = base.select(explode(array(
       c(lit("clickhouse_query_count"), lab("type", col("stmt_type")), noLe, lit(1L)))).as("c"))
 
-    // initial lines judged against the state window: duplicate-vs-convert
-    // (dup check precedes convert, matching the reference's order)
+    // initial lines range-joined against the lifecycle windows: a match =
+    // arrived while state existed = duplicate; an unmatched malformed line =
+    // convert (dup check precedes convert, matching the reference's order)
+    val wins = base.select(col("id").as("b_id"), col("init_seq"), col("complete_seq"))
     val initials = parsed.filter(col("kind") === "initial")
-      .join(base.select(col("id"), col("init_seq"), col("complete_seq")), Seq("id"), "left")
-    val dupCond = col("seq") > col("init_seq") && col("seq") <= col("complete_seq")
+      .join(wins, col("id") === col("b_id") &&
+        col("seq") > col("init_seq") && col("seq") <= col("complete_seq"), "left")
     val fromInitials = initials.select(explode(
-      when(dupCond, array(c(lit("chlogexporter_errors"),
+      when(col("init_seq").isNotNull, array(c(lit("chlogexporter_errors"),
         lit("type=duplicated_initial_query"), noLe, lit(1L))))
-        .when(!col("cv_ok") && (col("init_seq").isNull ||
-          col("seq") < col("init_seq") || col("seq") > col("complete_seq")),
+        .when(!col("cv_ok"),
           array(c(lit("chlogexporter_errors"), lit("type=convert"), noLe, lit(1L))))
         .otherwise(lit(null))).as("c"))
 

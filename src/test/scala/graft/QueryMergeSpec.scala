@@ -92,6 +92,52 @@ class QueryMergeSpec extends SparkSpec {
     assert(counts == Map("select" -> 2L, "insert" -> 1L))
   }
 
+  // post-eviction id re-use: the reference deletes state on FullInfo
+  // (main.go:125-129) and re-inserts on the next initial (query.go:91)
+  private val reuseCorpus = Seq(
+    line(0, "r1", "initial"),
+    line(1, "r1", "stats"),
+    line(2, "r1", "memory"), // evicts lifecycle 1
+    line(3, "r1", "initial", "SELECT 2"), // lifecycle 2 — NOT a duplicate
+    line(4, "r1", "error"),
+    line(5, "r1", "memory"), // evicts lifecycle 2
+    line(6, "r1", "stats")) // orphan after lifecycle 2
+
+  test("re-used id: one merged record per lifecycle, both complete") {
+    val p = LogParser.parse(reuseCorpus.toDF("seq", "value"))
+    val recs = QueryMerge.merged(p).collect().sortBy(_.getAs[java.sql.Timestamp]("end_time"))
+    assert(recs.length == 2, s"expected 2 lifecycles, got ${recs.length}")
+    assert(recs.forall(_.getAs[String]("id") == "r1"))
+    assert(recs.forall(_.getAs[Boolean]("full_info")))
+    assert(recs(0).getAs[Long]("rows_read") == 500L) // stats in lifecycle 1 only
+    assert(recs(1).getAs[Long]("rows_read") == 0L)
+    assert(recs(1).getAs[Boolean]("error") && recs(1).getAs[Long]("error_code") == 60L)
+    assert(!recs(0).getAs[Boolean]("error"))
+  }
+
+  test("re-used id: second initial inserts (query_count 2), no duplicate counted, trailing orphan counted") {
+    val p = LogParser.parse(reuseCorpus.toDF("seq", "value"))
+    val counts = PromMetrics.queryCount(p).collect()
+      .map(r => r.getAs[String]("stmt_type") -> r.getAs[Long]("count")).toMap
+    assert(counts == Map("select" -> 2L))
+    val counters = QueryMerge.errorCounters(p).collect()
+      .map(r => r.getAs[String]("type") -> r.getAs[Long]("count")).toMap
+    assert(counters == Map("not_found_query" -> 1L), counters.toString)
+  }
+
+  test("insert lifecycles never evict: a later initial for the same id stays a duplicate") {
+    val corpus = Seq(
+      line(0, "i1", "initial", "INSERT INTO t VALUES (1)"),
+      line(1, "i1", "memory"), // updates, does not evict (insert)
+      line(2, "i1", "initial"), // duplicate — state still exists
+      line(3, "i1", "memory"))
+    val p = LogParser.parse(corpus.toDF("seq", "value"))
+    assert(QueryMerge.merged(p).count() == 1)
+    val counters = QueryMerge.errorCounters(p).collect()
+      .map(r => r.getAs[String]("type") -> r.getAs[Long]("count")).toMap
+    assert(counters == Map("duplicated_initial_query" -> 1L))
+  }
+
   test("prometheus histogram: cumulative buckets, zero-fill, +Inf") {
     val hist = PromMetrics.queryTimeHistogram(parsed).collect()
       .filter(_.getAs[String]("stmt_type") == "select")

@@ -92,6 +92,41 @@ class StreamingEquivalenceSpec extends SparkSpec {
       s"streaming=$streamingCounters batch=$batchCounters")
   }
 
+  test("re-used ids: batch lifecycle merge equals the streaming merge") {
+    val dt1 = "2024.03.01 12:00:01.000000"
+    val dt2 = "2024.03.01 12:00:02.000000"
+    val dt3 = "2024.03.01 12:00:03.000000"
+    val dt4 = "2024.03.01 12:00:05.500000"
+    val lines = Seq(
+      s"$dt1 [ 7 ] {ru} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1",
+      s"$dt1 [ 7 ] {ru} <Information> executeQuery: Read 500 rows, 2 KiB in 0.100 sec., 5000 rows/sec., 20 KiB/sec.",
+      s"$dt2 [ 7 ] {ru} <Debug> MemoryTracker: Peak memory usage (for query): 3 MiB.",
+      s"$dt3 [ 7 ] {ru} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2",
+      s"$dt3 [ 7 ] {ru} <Error> executeQuery: Code: 60, e.displayText() = DB::Exception: boom",
+      s"$dt4 [ 7 ] {ru} <Debug> MemoryTracker: Peak memory usage (for query): 5 MiB.")
+    val dir = Files.createTempDirectory("graft_reuse").toFile
+    Files.write(new java.io.File(dir, "reuse.log").toPath,
+      lines.mkString("", "\n", "\n").getBytes)
+
+    val batchParsed = LogParser.parse(
+      lines.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("seq", "value"))
+    val batch = QueryMerge.merged(batchParsed).filter(col("full_info"))
+      .select("query", "rows_read", "memory", "elapsed", "error", "error_code")
+      .as[(String, Long, Long, Double, Boolean, Long)].collect().toSet
+
+    val out = StreamingMerge.filePipeline(spark, dir.getAbsolutePath, timeoutMs = 0L)
+    val qname = s"reuse_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(240000L)
+    val streaming = spark.table(qname).as[ChQuery].collect()
+      .map(r => (r.query, r.rowsRead, r.memory, r.elapsed, r.error, r.errorCode)).toSet
+
+    assert(batch.size == 2, s"two lifecycles expected, got $batch")
+    assert(streaming == batch,
+      s"streaming-only: ${streaming -- batch}; batch-only: ${batch -- streaming}")
+  }
+
   test("counters are exactly-once across a checkpointed kill/restart mid-corpus") {
     val srcDir = Files.createTempDirectory("graft_cnt_src").toFile
     val ckpt = Files.createTempDirectory("graft_cnt_ckpt").toString
