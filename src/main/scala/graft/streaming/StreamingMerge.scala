@@ -25,9 +25,13 @@ import graft.model.{ChQuery, LogEvent}
   * `fullInfo = false` so no data is lost.
   *
   * Scale: state is hash-partitioned by id across executors (RocksDB state
-  * store in production), one in-flight record per id; per-batch per-key work
-  * is O(lines of that query). Checkpointing gives exactly-once the reference
-  * never had.
+  * store in production — checkpoint recovery is spec-verified under
+  * `RocksDBStateStoreProvider`, the store that holds at 100x where the
+  * HDFS-backed in-memory default falls over), one in-flight record per id;
+  * per-batch per-key work is O(lines of that query). Checkpointing gives
+  * exactly-once the reference never had. Eviction timeouts come in both
+  * flavors: wall-clock (`ProcessingTimeTimeout`, default) and
+  * watermark-driven (`eventTimeTimeout = true` — deterministic on replay).
   */
 object StreamingMerge {
 
@@ -80,11 +84,13 @@ object StreamingMerge {
     * counter increments at exactly the reference's observe sites.
     * Package-visible for direct testing via `TestGroupState`. */
   private[graft] def transitionFull(events: Iterator[LogEvent], state: GroupState[ChQuery],
-      timeoutMs: Long): Iterator[MergeOut] = {
+      timeoutMs: Long, eventTimeTimeout: Boolean = false): Iterator[MergeOut] = {
     val out = scala.collection.mutable.ListBuffer.empty[MergeOut]
     def counter(t: String): Unit = out += MergeOut("counter", None, Some(t))
     var cur: Option[ChQuery] = state.getOption
+    var maxTsMs = Long.MinValue
     events.toSeq.sortBy(_.seq).foreach { e =>
+      e.ts.foreach(t => maxTsMs = math.max(maxTsMs, t.getTime))
       e.kind match {
         case "initial" =>
           if (cur.isDefined) counter("duplicated_initial_query") // first kept
@@ -135,7 +141,16 @@ object StreamingMerge {
     cur match {
       case Some(rec) =>
         state.update(rec)
-        if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+        if (timeoutMs > 0) {
+          if (eventTimeTimeout) {
+            // watermark-driven eviction: the record expires `timeoutMs` of
+            // EVENT time after its last line (fall back to the watermark
+            // itself when the batch carried no timestamps — late stats-only
+            // batches — so the deadline always sits above the watermark)
+            val base = math.max(maxTsMs, state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(base + timeoutMs)
+          } else state.setTimeoutDuration(timeoutMs)
+        }
       case None => if (state.exists) state.remove()
     }
     out.iterator
@@ -152,16 +167,28 @@ object StreamingMerge {
     * `.filter(_.out == "counter").groupBy("counterType").count()` (or a
     * foreachBatch accumulation) for the `chlogexporter_errors` surface. */
   def mergeWithMetrics(events: Dataset[LogEvent],
-      timeoutMs: Long = 30 * 60 * 1000L): Dataset[MergeOut] = {
+      timeoutMs: Long = 30 * 60 * 1000L,
+      eventTimeTimeout: Boolean = false,
+      watermarkDelay: String = "10 minutes"): Dataset[MergeOut] = {
     import events.sparkSession.implicits._
     // timeoutMs <= 0 disables the leak-fix eviction timer — required when a
     // downstream stateful operator (e.g. a watermarked window agg) runs in
     // the same AvailableNow job, where armed processing-time timeouts keep
     // scheduling batches and the trigger never drains.
+    // eventTimeTimeout = the J5 watermark-driven alternative (SURVEY §2.4):
+    // stuck records expire `timeoutMs` of EVENT time after their last line,
+    // once the watermark (bounded by `watermarkDelay` of lateness) passes
+    // the deadline — deterministic on replay, unlike wall-clock timeouts,
+    // and it drains fine under AvailableNow (fires only on watermark
+    // movement, which needs data).
     val timeoutConf =
-      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
-    events
+      if (timeoutMs <= 0) GroupStateTimeout.NoTimeout
+      else if (eventTimeTimeout) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+    val src =
+      if (timeoutMs > 0 && eventTimeTimeout) events.withWatermark("ts", watermarkDelay)
+      else events
+    src
       .groupByKey(_.id)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (_: String, es: Iterator[LogEvent], state: GroupState[ChQuery]) =>
@@ -170,7 +197,7 @@ object StreamingMerge {
             val rec = state.get
             state.remove()
             Iterator.single(MergeOut("record", Some(rec), None))
-          } else transitionFull(es, state, timeoutMs)
+          } else transitionFull(es, state, timeoutMs, eventTimeTimeout)
       }
   }
 

@@ -120,7 +120,10 @@ class StreamingMergeSpec extends SparkSpec {
     assert(out == Seq(stuck) && s.isRemoved)
   }
 
-  test("checkpoint recovery: state survives a query restart (exactly-once the reference lacks)") {
+  /** Checkpoint-recovery scenario shared by the two state-store-provider
+    * tests: run 1 persists open state, run 2 restarts from the checkpoint
+    * and can only complete the record if that state was recovered. */
+  private def recoveryScenario(): Unit = {
     val dir = Files.createTempDirectory("graft_ckpt_src").toFile
     val ckpt = Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
     val emitted = StreamingMergeSpec.emitted
@@ -149,6 +152,78 @@ class StreamingMergeSpec extends SparkSpec {
     runOnce()
     val recs = emitted.asScala.toSeq
     assert(recs.length == 1 && recs.head.id == "c1" && recs.head.fullInfo)
+  }
+
+  test("checkpoint recovery: state survives a query restart (exactly-once the reference lacks)") {
+    recoveryScenario()
+  }
+
+  test("checkpoint recovery under the RocksDB state store provider (the 100x-scale store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try recoveryScenario()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("event-time timeout: the watermark passing the deadline flushes stuck state") {
+    val dir = Files.createTempDirectory("graft_ett_src").toFile
+    val ckpt = Files.createTempDirectory("graft_ett_ckpt").toFile.getAbsolutePath
+    val emitted = StreamingMergeSpec.ettRecords
+    emitted.clear()
+
+    def lifecycle(id: String, hh: Int, mm: Int = 0): Seq[String] = {
+      val dt = f"2024.03.01 $hh%02d:$mm%02d:01.000000"
+      Seq(
+        s"$dt [ 7 ] {$id} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1",
+        s"$dt [ 7 ] {$id} <Debug> MemoryTracker: Peak memory usage (for query): 1 MiB.")
+    }
+
+    def runOnce(): Unit = {
+      val parsed = StreamingMerge.toLogEvents(LogParser.parse(
+        StreamingMerge.seqAssign(spark.readStream.text(dir.getAbsolutePath).as[String])))
+      val q = StreamingMerge
+        .mergeWithMetrics(parsed, timeoutMs = 10 * 60 * 1000L,
+          eventTimeTimeout = true, watermarkDelay = "10 minutes")
+        .flatMap(_.record)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[ChQuery], _: Long) =>
+          StreamingMergeSpec.ettRecords.addAll(batch.collect().toSeq.asJava)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+
+    // run 1: a lone initial at 12:00 -> stuck state, deadline 12:10 event time
+    Files.write(new java.io.File(dir, "f1.log").toPath,
+      s"2024.03.01 12:00:01.000000 [ 7 ] {stuck} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1\n".getBytes)
+    runOnce()
+    assert(emitted.isEmpty, "nothing completes in run 1")
+
+    // run 2: a 12:05 lifecycle advances the watermark only to 11:55 < 12:10
+    // (the post-data no-data batch re-checks timers at the new watermark),
+    // so the stuck record must NOT flush yet
+    Files.write(new java.io.File(dir, "f2.log").toPath,
+      lifecycle("w2", 12, 5).mkString("", "\n", "\n").getBytes)
+    runOnce()
+    assert(emitted.asScala.map(_.id).toSet == Set("w2"),
+      s"premature flush: ${emitted.asScala.map(_.id)}")
+
+    // run 3: a 13:00 lifecycle advances the watermark to 12:50 > 12:10 ->
+    // the stuck record flushes with fullInfo=false (leak fix, event-time)
+    Files.write(new java.io.File(dir, "f3.log").toPath,
+      lifecycle("w3", 13).mkString("", "\n", "\n").getBytes)
+    runOnce()
+    val byId = emitted.asScala.map(r => r.id -> r).toMap
+    assert(byId.keySet == Set("stuck", "w2", "w3"), byId.keySet.toString)
+    assert(!byId("stuck").fullInfo && byId("stuck").stmtType == "select")
+    assert(byId("w2").fullInfo && byId("w3").fullInfo)
   }
 
   test("watermarked windowed aggregation finalizes windows as event time advances") {
@@ -223,4 +298,6 @@ object StreamingMergeSpec {
     new java.util.concurrent.ConcurrentLinkedQueue[graft.model.ChQuery]()
   val windows: java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)] =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+  val ettRecords: java.util.concurrent.ConcurrentLinkedQueue[graft.model.ChQuery] =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.model.ChQuery]()
 }
