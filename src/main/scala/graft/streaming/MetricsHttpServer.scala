@@ -63,6 +63,12 @@ object MetricsServing {
     * not repaid) and the full metric surface re-rendered. Delivery-failed
     * lines (S3) count `errors{type="tail_line"}` and never reach the parser.
     *
+    * NOTE this re-renders the ACCUMULATED corpus per batch — O(corpus) work
+    * per batch, unbounded over a long-running tail. It is the golden-path
+    * form whose output the batch oracle pins; long-running deployments
+    * (and [[graft.Exporter]]) use [[serveIncremental]], the O(batch)
+    * registry path spec-asserted byte-identical to this rendering.
+    *
     * @return the streaming query; stop it, then `server.stop()`.
     */
   def serve(spark: SparkSession, dir: String, server: MetricsHttpServer,
@@ -180,11 +186,19 @@ object MetricsServing {
   }
 
   /** Table-sink form (BASELINE north star: metrics land in a queryable
-    * parquet table, not just an in-process registry): every micro-batch
-    * rewrites `outPath` with the registry snapshot over the corpus so far
-    * (`MetricsSink.metricsTable` — distributed write, no driver collect).
-    * Readers see the latest snapshot; the table is the scrape surface. */
-  def serveToTable(spark: SparkSession, dir: String, outPath: String,
+    * table, not just an in-process registry): every micro-batch hands the
+    * pluggable [[MetricsWriter]] the registry snapshot over the corpus so
+    * far (`MetricsSink.metricsTable` — distributed write, no driver
+    * collect). Readers see the latest snapshot; the table is the scrape
+    * surface.
+    *
+    * NOTE like [[serve]], this variant re-renders the ACCUMULATED corpus
+    * each batch — O(corpus seen so far) per batch, which is the
+    * golden-path/bounded-corpus form (its output is what the oracle checks).
+    * A long-running tail deployment should prefer [[serveIncremental]]
+    * (O(batch) registry folding, spec-asserted byte-identical rendering)
+    * with a periodic snapshot through the same writer. */
+  def serveWith(spark: SparkSession, dir: String, sink: MetricsWriter,
       checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
     import spark.implicits._
     val acc = new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
@@ -202,12 +216,16 @@ object MetricsServing {
         acc.getAndSet(Some(merged)).foreach(_.unpersist())
 
         val okLines = delivered.filter(col("tail_ok")).select("seq", "value")
-        MetricsSink.metricsTable(
-            graft.operators.LogParser.parse(okLines),
-            readLines = stats.getLong(0), tailLineErrors = stats.getLong(1))
-          .write.mode("overwrite").parquet(outPath)
+        sink.write(MetricsSink.metricsTable(
+          graft.operators.LogParser.parse(okLines),
+          readLines = stats.getLong(0), tailLineErrors = stats.getLong(1)), batchId)
       }
 
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** [[serveWith]] through a [[ParquetMetricsWriter]]. */
+  def serveToTable(spark: SparkSession, dir: String, outPath: String,
+      checkpointDir: String, availableNow: Boolean = false): StreamingQuery =
+    serveWith(spark, dir, new ParquetMetricsWriter(outPath), checkpointDir, availableNow)
 }
