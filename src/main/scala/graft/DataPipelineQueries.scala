@@ -52,6 +52,8 @@ object DataPipelineQueries {
     "dedup_jaccard_pairs" -> Dedup.jaccardPairsSql,
     "embed_cosine_pairs" -> Similarity.cosinePairsSql,
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSql,
+    "sim_topk_lsh" -> Similarity.lshTopKSql,
+    "sim_topk_ivf" -> Similarity.ivfTopKSql,
     "text_token_stats" -> TextAnalysis.tokenStatsSql,
     "text_subword_tokens" -> TextAnalysis.subwordTokensSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,

@@ -123,9 +123,10 @@ object Similarity {
     * query's buckets across tables, then exact (quantized-cosine) ranking on
     * the candidate set only. The 100 TB path: pairwise work shrinks to
     * bucket-sized candidate sets, recall recovered through table count —
-    * the standard OR-of-ANDs LSH construction. Hash-seeded → no SQL oracle
-    * (a spec checks every returned pair agrees with brute force and measures
-    * recall). */
+    * the standard OR-of-ANDs LSH construction. The hyperplanes are
+    * deterministic ±1 literals from [[plane]], so the DuckDB oracle
+    * ([[lshTopKSql]]) embeds the SAME planes and reproduces the whole
+    * pipeline — signatures, bucket join, exact rank — hash-exact. */
   def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val q = quantized(emb)
     val tableSigs = (0 until NumTables).map { t =>
@@ -148,6 +149,89 @@ object Similarity {
 
     rankCandidates(cand, q, k)
   }
+
+  /** Shared oracle prelude: quantized components + exact norms. */
+  private val evNormsSql: String =
+    """ev AS (
+      |  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      |norms AS (SELECT vec_id, CAST(sum(q*q) AS BIGINT) AS nq FROM ev GROUP BY vec_id)""".stripMargin
+
+  /** Shared oracle tail: exact-rank the candidate set (mirrors
+    * [[rankCandidates]]; expects a `cand(query_id, neighbor_id)` CTE). */
+  private val rankSql: String =
+    """dots AS (
+      |  SELECT c.query_id, c.neighbor_id, CAST(sum(a.q*b.q) AS BIGINT) AS dot
+      |  FROM cand c JOIN ev a ON a.vec_id = c.query_id
+      |    JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
+      |  GROUP BY 1, 2),
+      |sims AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+      |  FROM dots JOIN norms na ON na.vec_id = query_id JOIN norms nb ON nb.vec_id = neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM sims)
+      |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** DuckDB oracle for [[lshTopK]] at the default parameters: the ±1
+    * hyperplanes are emitted as literal rows from the SAME [[plane]]
+    * generator the operator uses, so both engines hash every vector into
+    * identical buckets; signatures are sums of distinct powers of two
+    * (equal to the operator's bitwise OR). */
+  def lshTopKSql: String = {
+    val planeRows = (0 until NumTables * PlanesPerTable).map(j =>
+      s"(${j / PlanesPerTable}, ${j % PlanesPerTable}, ${plane(j).mkString("[", ", ", "]")})")
+      .mkString(",\n      ")
+    s"""WITH $evNormsSql,
+       |planes(tbl, j, v) AS (VALUES
+       |      $planeRows),
+       |pv AS (SELECT tbl, j, generate_subscripts(v, 1) AS i, unnest(v) AS p FROM planes),
+       |proj AS (
+       |  SELECT e.vec_id, p.tbl, p.j, CAST(sum(e.q * p.p) AS BIGINT) AS d
+       |  FROM ev e JOIN pv p ON p.i = e.i GROUP BY 1, 2, 3),
+       |sigs AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |$rankSql""".stripMargin
+  }
+
+  /** DuckDB oracle for [[ivfTopK]] at the default parameters — codebook
+    * selection, cell assignment, nProbe probing, and the exact-rank tail are
+    * all integer/IEEE arithmetic, reproduced step for step. */
+  val ivfTopKSql: String =
+    s"""WITH $evNormsSql,
+       |cents AS (SELECT vec_id AS cent_id FROM norms WHERE vec_id % 127 = 1),
+       |cdots AS (
+       |  SELECT a.vec_id, c.cent_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM ev a JOIN cents c ON true JOIN ev b ON b.vec_id = c.cent_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.vec_id, d.cent_id,
+       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nc.nq AS DOUBLE)) AS score
+       |  FROM cdots d JOIN norms nc ON nc.vec_id = d.cent_id),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cent_id DESC) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cent_id DESC) AS pr
+       |    FROM scored WHERE vec_id < 10) WHERE pr <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |$rankSql""".stripMargin
 
   /** Exact (quantized-cosine) ranking of a `(query_id, neighbor_id)`
     * candidate set — the shared verification tail of the ANN variants: only
@@ -175,8 +259,9 @@ object Similarity {
     * its best centroid cell (broadcast codebook, exact integer dots, ties to
     * the higher cent_id), queries probe their `nProbe` best cells, and only
     * the probed cells' members are exactly ranked. Pairwise work shrinks
-    * from N² to N·K + N²·nProbe/K. Deterministic but not SQL-expressible
-    * at reasonable cost → rows-only check + recall spec vs brute force. */
+    * from N² to N·K + N²·nProbe/K. Fully deterministic integer/IEEE
+    * arithmetic → hash-exact DuckDB oracle ([[ivfTopKSql]]) plus the recall
+    * spec vs brute force. */
   def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
       nProbe: Int = 2, centroidMod: Int = 127): DataFrame = {
     val q = quantized(emb)
