@@ -11,6 +11,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shared corpus caches built once, attributed as their own line item —
+    // without this, whichever log query ran first carried the ~15 s
+    // render+parse+merge materialization and per-query numbers were noise
+    val warm0 = System.nanoTime()
+    try SparkEntry.warmCaches(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] cache warm failed: $e") }
+    val cacheBuild = (System.nanoTime() - warm0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: computes every output column (a bare count() would let
@@ -19,9 +26,10 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (Map("cache_build" -> cacheBuild) ++ results)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = cacheBuild + (if (results.nonEmpty) results.values.sum else 0.0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

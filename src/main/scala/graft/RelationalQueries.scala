@@ -203,7 +203,7 @@ object RelationalQueries {
       col("l_shipdate"), cents(col("l_quantity")).as("qty_c"))
       .withColumn("running_qty", (sum("qty_c").over(w).cast("double") / 100.0))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      // no output sort: 600k rows at sf0.1 and the driver compare re-sorts
   }
 
   val windowRunningSql: String =
@@ -222,8 +222,7 @@ object RelationalQueries {
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .withColumn("prev_value", lag("value", 1).over(w))
       .withColumn("delta", col("value") - col("prev_value"))
-      .drop("ts")
-      .orderBy("user_id", "event_id")
+      .drop("ts") // no output sort: large output, driver compare re-sorts
   }
 
   val windowLagSql: String =
@@ -447,7 +446,7 @@ object RelationalQueries {
       .filter(col("side") === 1)
       .select(col("event_id"), col("key").as("user_id"),
         col("asof_orderkey"), col("asof_orderdate").cast("timestamp_ntz").as("asof_orderdate"))
-      .orderBy("event_id")
+      // no output sort: large output, driver compare re-sorts
   }
 
   val eventsAsofOrdersSql: String =

@@ -58,6 +58,21 @@ object SparkEntry {
       p
     })
 
+  /** Materialize the shared corpus caches (rendered lines, parsed events,
+    * pinned merge subtrees, the noisy-corpus parse) up front, so per-query
+    * bench timings measure the query itself instead of charging the whole
+    * render+parse+merge cache build to whichever log query happens to run
+    * first ([[Bench]] reports this as its own `cache_build` line item). */
+  def warmCaches(s: SparkSession, dir: String): Unit = {
+    renderedLines(s, dir).count()
+    for (noisy <- Seq(false, true)) {
+      val p = parsed(s, dir, noisy)
+      p.count()
+      QueryMerge.stateInserts(p).count()
+      QueryMerge.classified(p).count()
+    }
+  }
+
   /** Drop every cached frame this object pinned for `s` (long-lived-session
     * hygiene: the TrieMaps would otherwise retain SparkSession references and
     * executor storage forever — Verify/Bench run one session and never need
@@ -78,7 +93,7 @@ object SparkEntry {
     QueryMerge.merged(parsed(s, dir))
       .withColumn("start_time", ntz(col("start_time")))
       .withColumn("end_time", ntz(col("end_time")))
-      .orderBy("id")
+      // no output sort: ~100k rows at sf0.1 and the driver compare re-sorts
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     logQueries ++ RelationalQueries.queries ++ DataPipelineQueries.queries
@@ -90,7 +105,7 @@ object SparkEntry {
 
     "log_parsed_events" -> ((s, dir) =>
       parsed(s, dir).select("seq", "kind", "id", "pid", "rows_read",
-        "bytes_read", "rps", "speed", "memory", "error_code").orderBy("seq")),
+        "bytes_read", "rps", "speed", "memory", "error_code")),
 
     "log_merged" -> mergedQueries _,
 

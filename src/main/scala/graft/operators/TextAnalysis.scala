@@ -264,12 +264,16 @@ object TextAnalysis {
     * [[winnowingHotFingerprints]] enumerates what was dropped. */
   def winnowingPairs(docs: DataFrame, minShared: Long = 5,
       hotFpCap: Int = Dedup.DefaultBucketCap): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val groups = Dedup.dupGroups(docs).cache()
-    val fp = winnowingFingerprintsPrepared(groups.select("doc_id", "text"))
-    val kept = fp
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fingerprint")))
-      .filter(col("df") <= hotFpCap).drop("df")
+    // cached: the fingerprint frame feeds the hot-fp count, both self-join
+    // sides, and the intra-group counts (released with session cache cleanup)
+    val fp = winnowingFingerprintsPrepared(groups.select("doc_id", "text")).cache()
+    // hot-fp filter as a broadcast anti-join against the (tiny, usually
+    // empty) over-cap set — NOT a count-over-window, which would shuffle and
+    // sort the whole (doc, fingerprint) frame just to read one count
+    val hot = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotFpCap).select("fingerprint")
+    val kept = fp.join(broadcast(hot), Seq("fingerprint"), "left_anti")
     val repPairs = kept.as("x").join(kept.as("y"), Seq("fingerprint"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
