@@ -35,6 +35,12 @@ object DataPipelineQueries {
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "text_winnowing_pairs" -> ((s, dir) => TextAnalysis.winnowingPairs(docs(s, dir))),
     "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(docs(s, dir))),
+    "text_contamination" -> ((s, dir) => TextAnalysis.contamination(docs(s, dir))),
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
+    "sample_mix" -> ((s, dir) =>
+      Sampling.hashSampleStats(docs(s, dir), Sampling.DefaultRates, Sampling.DefaultRate)),
+    "sample_kept" -> ((s, dir) =>
+      Sampling.hashSampleKept(docs(s, dir), Sampling.DefaultRates, Sampling.DefaultRate)),
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(docs(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.features(docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir))),
@@ -61,6 +67,10 @@ object DataPipelineQueries {
     "text_langid_trigram" -> TextAnalysis.langIdTrigramSql,
     "text_fingerprints" -> TextAnalysis.fingerprintsSql,
     "text_top_bigrams" -> TextAnalysis.topBigramsSql,
+    "text_contamination" -> TextAnalysis.contaminationSql,
+    "text_repetition" -> TextAnalysis.repetitionSql,
+    "sample_mix" -> Sampling.hashSampleStatsSql,
+    "sample_kept" -> Sampling.hashSampleKeptSql,
     "mm_metadata" -> Multimodal.metadataSql,
     "mm_features" -> Multimodal.featuresSql,
     "mm_frame_sample" -> frameSampleSql,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling / training-mixture construction. The keep
+  * decision is CONTENT-HASH based (first 16 bits of md5(text), mapped to
+  * [0, 1)), not RNG based — reproducible across runs, stable under
+  * re-partitioning, and engine-independent, which is the standard way to
+  * cut a training mixture at 100 TB: the filter is pure map-side work and
+  * the per-source accounting partial-aggregates before one tiny shuffle.
+  */
+object Sampling {
+
+  /** The unit-interval draw: md5's first 4 hex digits as an integer over
+    * 65536 — exactly representable in a double, identical in any engine. */
+  private def unitDraw: org.apache.spark.sql.Column =
+    conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long").cast("double") / 65536.0
+
+  /** Per-source mixture accounting for a hash-sampled corpus: how many
+    * documents each source keeps under its target rate (sources absent from
+    * `rates` use `defaultRate`). The kept set itself is
+    * [[hashSampleKept]] — same decision rule. */
+  def hashSampleStats(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    Tables.fanOut(docs).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(unitDraw < rate, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("realized_rate", col("n_kept").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
+  /** The sampled corpus itself: documents whose content-hash draw falls
+    * under their source's target rate. */
+  def hashSampleKept(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    Tables.fanOut(docs).filter(unitDraw < rate)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** The default mixture used by the `sample_mix` query. */
+  val DefaultRates: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.25, "src3" -> 0.75)
+  val DefaultRate: Double = 0.5
+
+  private def rateCaseSql: String = {
+    val cases = DefaultRates.toSeq.sortBy(_._1).reverse
+      .map { case (s, r) => s"WHEN source = '$s' THEN CAST($r AS DOUBLE)" }
+      .mkString(" ")
+    s"CASE $cases ELSE CAST($DefaultRate AS DOUBLE) END"
+  }
+
+  val hashSampleStatsSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) AS DOUBLE) / 65536.0 AS u,
+       |    $rateCaseSql AS rate
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS realized_rate
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  val hashSampleKeptSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) AS DOUBLE) / 65536.0 AS u,
+       |    $rateCaseSql AS rate
+       |  FROM documents)
+       |SELECT doc_id, source FROM d WHERE u < rate ORDER BY doc_id""".stripMargin
+}

@@ -297,6 +297,88 @@ object TextAnalysis {
       .groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df") > hotFpCap)
 
+  /** Benchmark-decontamination n-gram matching — the standard rule for
+    * keeping eval benchmarks out of training data (13-gram overlap in the
+    * GPT-3 report; `n` parameterized, 3 here so the synthetic corpus's
+    * short documents produce signal): count, per training document, the
+    * distinct word n-grams it shares with the eval set. The eval set is the
+    * deterministic `doc_id % evalMod == evalRem` slice standing in for a
+    * benchmark corpus. At 100 TB the eval n-gram set is KB-MB scale →
+    * broadcast hash join; the corpus side is one linear explode, the
+    * corpus itself never shuffles. */
+  def contamination(docs: DataFrame, n: Int = 3, evalMod: Int = 97,
+      evalRem: Int = 3): DataFrame = {
+    val grams = Tables.fanOut(docs)
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(split(text,' ')) - $n), i -> " +
+          s"array_join(slice(split(text,' '), i + 1, $n), ' '))"))).as("g"))
+    val evalGrams = grams.filter(pmod(col("doc_id"), lit(evalMod)) === evalRem)
+      .select("g").distinct()
+    grams.filter(pmod(col("doc_id"), lit(evalMod)) =!= evalRem)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS g
+      |  FROM tok WHERE len(t) >= 3),
+      |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 3)
+      |SELECT x.doc_id, count(*) AS n_contaminated
+      |FROM g x JOIN ev USING (g) WHERE x.doc_id % 97 <> 3
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** Repetition-based quality filter (the Gopher/MassiveText repetition
+    * rules, token-level): the fraction of tokens covered by the most
+    * frequent word bigram and the duplicate-token fraction, with the
+    * standard keep/reject flag. Exact integer counts, one double division
+    * each — oracle hash-exact. All map-side per doc except the tiny
+    * per-(doc, bigram) partial aggregation. */
+  def repetition(docs: DataFrame, topBigramMax: Double = 0.18,
+      dupTokenMax: Double = 0.5): DataFrame = {
+    val base = Tables.fanOut(docs).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+    val top = docs.filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(split(text,' ')) - 2), " +
+          "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_count"))
+    base.join(top, Seq("doc_id"), "left")
+      .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
+      .withColumn("top_bigram_frac", col("top_bigram_count") * lit(2.0) / col("n_tokens"))
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+      .withColumn("keep",
+        col("top_bigram_frac") <= topBigramMax && col("dup_token_frac") <= dupTokenMax)
+      .select("doc_id", "n_tokens", "top_bigram_count", "top_bigram_frac",
+        "dup_token_frac", "keep")
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct FROM tok),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS bg
+      |  FROM tok WHERE len(t) >= 2),
+      |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) AS top_bigram_count FROM cnt GROUP BY 1)
+      |SELECT b.doc_id, n_tokens,
+      |  CAST(coalesce(top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+      |  CAST(coalesce(top_bigram_count, 0) AS DOUBLE) * 2.0 / n_tokens AS top_bigram_frac,
+      |  CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+      |  (CAST(coalesce(top_bigram_count, 0) AS DOUBLE) * 2.0 / n_tokens <= 0.18
+      |    AND CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens <= 0.5) AS keep
+      |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Corpus-level word-bigram frequencies, top 20: the classic n-gram
     * aggregation — explode is linear, count partial-aggregates map-side. */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =

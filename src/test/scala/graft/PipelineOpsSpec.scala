@@ -151,6 +151,56 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("contamination: only docs sharing an n-gram with the eval slice are flagged") {
+    // eval slice = doc_id % 97 == 3 -> doc 3 is eval (NB 100 % 97 == 3 too,
+    // so the training docs use 101/200); doc 101 shares a 3-gram, 200 none
+    val crafted = Seq(
+      (3L, "alpha beta gamma delta epsilon"),
+      (101L, "prefix words then alpha beta gamma suffix"),
+      (200L, "completely unrelated tokens everywhere here")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(crafted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(101L -> 1L), out.toString)
+  }
+
+  test("repetition: degenerate doc rejected, varied doc kept, fractions exact") {
+    // doc 2 needs > 2/0.18 ~ 11 tokens for an all-distinct doc to pass the
+    // top-bigram threshold (every bigram unique -> frac = 2/n)
+    val crafted = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "a sufficiently varied document holding twenty distinct tokens " +
+        "so that no single bigram can dominate its contents at all today ok")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("top_bigram_frac"), r.getAs[Double]("dup_token_frac"),
+          r.getAs[Boolean]("keep"))).toMap
+    // doc 1: 10 tokens, top bigram "spam spam" count 9 -> frac 1.8; dup 0.9
+    assert(out(1L) == ((1.8, 0.9, false)))
+    assert(out(2L)._3, "varied doc must pass")
+    assert(out(2L)._2 == 0.0)
+  }
+
+  test("hash sampling: deterministic, rate-monotone, stats match kept set") {
+    val stats = operators.Sampling
+      .hashSampleStats(docs, operators.Sampling.DefaultRates, operators.Sampling.DefaultRate)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    val kept = operators.Sampling
+      .hashSampleKept(docs, operators.Sampling.DefaultRates, operators.Sampling.DefaultRate)
+      .collect()
+    // per-source kept counts agree between the two views
+    val keptBySource = kept.groupBy(_.getAs[String]("source")).view.mapValues(_.length.toLong).toMap
+    stats.foreach { case (src, (_, nKept)) =>
+      assert(keptBySource.getOrElse(src, 0L) == nKept, s"mismatch at $src")
+    }
+    // rate 1.0 keeps everything; the decision is content-hash deterministic
+    assert(stats("src0")._1 == stats("src0")._2, "rate 1.0 must keep all docs")
+    val again = operators.Sampling
+      .hashSampleKept(docs, operators.Sampling.DefaultRates, operators.Sampling.DefaultRate)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_.getLong(0)).toSet)
+  }
+
   test("language id picks the language with most stopword hits") {
     val crafted = Seq(
       (1L, "en", "the cat sat on the mat and the dog is a friend of it"),
