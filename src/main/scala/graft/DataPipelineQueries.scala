@@ -24,6 +24,7 @@ object DataPipelineQueries {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "embed_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(emb(s, dir))),
+    "embed_lsh_pairs" -> ((s, dir) => Similarity.lshCosinePairs(emb(s, dir))),
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
@@ -57,6 +58,7 @@ object DataPipelineQueries {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_jaccard_pairs" -> Dedup.jaccardPairsSql,
     "embed_cosine_pairs" -> Similarity.cosinePairsSql,
+    "embed_lsh_pairs" -> Similarity.lshCosinePairsSql,
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSql,
     "sim_topk_lsh" -> Similarity.lshTopKSql,
     "sim_topk_ivf" -> Similarity.ivfTopKSql,

@@ -404,6 +404,33 @@ object RelationalQueries {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
+  /** Exact twin of [[approxAgg]] — the same cardinality/quantile questions
+    * answered exactly, so the sketches have an oracle-checked target
+    * (ApproxAggSpec bounds the sketch error against exact answers).
+    * Quantiles run over integer cents at binary-exact fractions
+    * (0.25/0.5/0.75): every interpolation operand is then exactly
+    * representable, so linear interpolation is bit-identical regardless of
+    * which algebraic form an engine uses. */
+  def exactAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        (percentile(cents(col("l_extendedprice")), lit(0.25)) / 100.0).as("p25_price"),
+        (percentile(cents(col("l_extendedprice")), lit(0.5)) / 100.0).as("p50_price"),
+        (percentile(cents(col("l_extendedprice")), lit(0.75)) / 100.0).as("p75_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  val exactAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.25) / 100.0 AS p25_price,
+      |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) / 100.0 AS p50_price,
+      |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.75) / 100.0 AS p75_price,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Pivot (wide aggregation): per-user event counts, one column per event
     * type. Explicit value list keeps the schema static (required at scale —
     * an implicit pivot would scan twice to discover values). */
@@ -459,6 +486,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_approx" -> approxAgg _,
+    "agg_exact" -> exactAgg _,
     "events_asof_orders" -> eventsAsofOrders _,
     "events_pivot" -> eventsPivot _,
     "events_user_stats_salted" -> saltedUserStats _,
@@ -482,6 +510,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_exact" -> exactAggSql,
     "events_asof_orders" -> eventsAsofOrdersSql,
     "events_pivot" -> eventsPivotSql,
     "events_user_stats_salted" -> saltedUserStatsSql,

@@ -127,8 +127,9 @@ object Similarity {
     * deterministic ±1 literals from [[plane]], so the DuckDB oracle
     * ([[lshTopKSql]]) embeds the SAME planes and reproduces the whole
     * pipeline — signatures, bucket join, exact rank — hash-exact. */
-  def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val q = quantized(emb)
+  /** `(vec_id, q, nq, table, bucket)` — each vector hashed into its bucket
+    * in every LSH table. */
+  private def lshBuckets(q: DataFrame): DataFrame = {
     val tableSigs = (0 until NumTables).map { t =>
       val sig = (0 until PlanesPerTable).foldLeft(lit(0L)) { (acc, j) =>
         val proj = long_dot(col("q"), expr(planeSql(t * PlanesPerTable + j)))
@@ -136,9 +137,13 @@ object Similarity {
       }
       struct(lit(t).as("table"), sig.as("bucket"))
     }
-    val bucketed = q
-      .select(col("vec_id"), col("q"), col("nq"), explode(array(tableSigs: _*)).as("tb"))
+    q.select(col("vec_id"), col("q"), col("nq"), explode(array(tableSigs: _*)).as("tb"))
       .select(col("vec_id"), col("q"), col("nq"), col("tb.table"), col("tb.bucket"))
+  }
+
+  def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val q = quantized(emb)
+    val bucketed = lshBuckets(q)
 
     val queries = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
@@ -148,6 +153,37 @@ object Similarity {
       .select("query_id", "neighbor_id").distinct()
 
     rankCandidates(cand, q, k)
+  }
+
+  /** UNBLOCKED embedding near-dup pairs via the multi-table LSH: unlike
+    * [[cosinePairs]] (which needs a blocking key such as `label`), candidate
+    * pairs here just share a signature in at least one hash table; only
+    * candidates pay the exact quantized-cosine verify. This is the 100 TB
+    * embedding-dedup path when no natural blocking key exists — candidate
+    * volume is per-bucket, recall is tuned through the table count, and
+    * degenerate buckets past `bucketCap` are skipped like the text LSH
+    * paths. ANN semantics by construction (a pair missed by every table is
+    * not reported); deterministic → DuckDB oracle ([[lshCosinePairsSql]]).
+    */
+  def lshCosinePairs(emb: DataFrame, threshold: Double = 0.35,
+      bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val q = quantized(emb)
+    val bucketed = Dedup.capBuckets(
+      lshBuckets(q).select("vec_id", "table", "bucket"),
+      Seq("table", "bucket"), bucketCap)
+    val cand = bucketed.as("x").join(bucketed.as("y"), Seq("table", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(q.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nq").as("nqa")), Seq("vec_a"))
+      .join(q.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nq").as("nqb")), Seq("vec_b"))
+      .withColumn("dot", dotCol)
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Shared oracle prelude: quantized components + exact norms. */
@@ -182,12 +218,13 @@ object Similarity {
     * generator the operator uses, so both engines hash every vector into
     * identical buckets; signatures are sums of distinct powers of two
     * (equal to the operator's bitwise OR). */
-  def lshTopKSql: String = {
+  /** Shared LSH oracle CTEs: literal hyperplanes → projections →
+    * per-(vector, table) bucket signatures. */
+  private def sigsSql: String = {
     val planeRows = (0 until NumTables * PlanesPerTable).map(j =>
       s"(${j / PlanesPerTable}, ${j % PlanesPerTable}, ${plane(j).mkString("[", ", ", "]")})")
       .mkString(",\n      ")
-    s"""WITH $evNormsSql,
-       |planes(tbl, j, v) AS (VALUES
+    s"""planes(tbl, j, v) AS (VALUES
        |      $planeRows),
        |pv AS (SELECT tbl, j, generate_subscripts(v, 1) AS i, unnest(v) AS p FROM planes),
        |proj AS (
@@ -196,13 +233,37 @@ object Similarity {
        |sigs AS (
        |  SELECT vec_id, tbl,
        |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM proj GROUP BY 1, 2),
+       |  FROM proj GROUP BY 1, 2)""".stripMargin
+  }
+
+  def lshTopKSql: String =
+    s"""WITH $evNormsSql,
+       |$sigsSql,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
        |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
        |$rankSql""".stripMargin
-  }
+
+  /** DuckDB oracle for [[lshCosinePairs]] at the default parameters. */
+  def lshCosinePairsSql: String =
+    s"""WITH $evNormsSql,
+       |$sigsSql,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT c.vec_a, c.vec_b, CAST(sum(a.q*b.q) AS BIGINT) AS dot
+       |  FROM cand c JOIN ev a ON a.vec_id = c.vec_a
+       |    JOIN ev b ON b.vec_id = c.vec_b AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT vec_a, vec_b,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+       |  FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b)
+       |SELECT vec_a, vec_b, cos FROM sims WHERE cos >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** DuckDB oracle for [[ivfTopK]] at the default parameters — codebook
     * selection, cell assignment, nProbe probing, and the exact-rank tail are
