@@ -416,10 +416,15 @@ object RelationalQueries {
       .groupBy("l_returnflag")
       .agg(
         count_distinct(col("l_partkey")).as("exact_parts"),
-        (percentile(cents(col("l_extendedprice")), lit(0.25)) / 100.0).as("p25_price"),
-        (percentile(cents(col("l_extendedprice")), lit(0.5)) / 100.0).as("p50_price"),
-        (percentile(cents(col("l_extendedprice")), lit(0.75)) / 100.0).as("p75_price"),
+        // one percentile buffer for all three fractions, not three
+        percentile(cents(col("l_extendedprice")),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
         count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (col("ps")(0) / 100.0).as("p25_price"),
+        (col("ps")(1) / 100.0).as("p50_price"),
+        (col("ps")(2) / 100.0).as("p75_price"),
+        col("cnt"))
       .orderBy("l_returnflag")
 
   val exactAggSql: String =

@@ -340,17 +340,25 @@ object TextAnalysis {
     * per-(doc, bigram) partial aggregation. */
   def repetition(docs: DataFrame, topBigramMax: Double = 0.18,
       dupTokenMax: Double = 0.5): DataFrame = {
-    val base = Tables.fanOut(docs).select(col("doc_id"),
+    // the per-doc top-bigram count is a longest-equal-run scan over the
+    // doc's SORTED bigram array — pure map-side work (a few dozen elements
+    // per doc), where a groupBy(doc, bigram) would shuffle every bigram of
+    // the corpus just to take a per-doc max
+    val topRun = expr(
+      """aggregate(
+        |  array_sort(CASE WHEN size(split(text, ' ')) >= 2 THEN
+        |    transform(sequence(0, size(split(text,' ')) - 2),
+        |      i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]))
+        |    ELSE array() END),
+        |  named_struct('p', cast(null as string), 'r', 0L, 'b', 0L),
+        |  (acc, x) -> CASE WHEN acc.p IS NOT NULL AND x = acc.p
+        |    THEN named_struct('p', x, 'r', acc.r + 1L, 'b', greatest(acc.b, acc.r + 1L))
+        |    ELSE named_struct('p', x, 'r', 1L, 'b', greatest(acc.b, 1L)) END,
+        |  acc -> acc.b)""".stripMargin)
+    Tables.fanOut(docs).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
-    val top = docs.filter(size(split(col("text"), " ")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(split(text,' ')) - 2), " +
-          "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]))")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_bigram_count"))
-    base.join(top, Seq("doc_id"), "left")
-      .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+      topRun.as("top_bigram_count"))
       .withColumn("top_bigram_frac", col("top_bigram_count") * lit(2.0) / col("n_tokens"))
       .withColumn("dup_token_frac",
         (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
