@@ -42,6 +42,7 @@ object DataPipelineQueries {
       Sampling.hashSampleStats(docs(s, dir), Sampling.DefaultRates, Sampling.DefaultRate)),
     "sample_kept" -> ((s, dir) =>
       Sampling.hashSampleKept(docs(s, dir), Sampling.DefaultRates, Sampling.DefaultRate)),
+    "pack_chunks" -> ((s, dir) => Sampling.packChunks(docs(s, dir))),
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(docs(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.features(docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir))),
@@ -73,6 +74,7 @@ object DataPipelineQueries {
     "text_repetition" -> TextAnalysis.repetitionSql,
     "sample_mix" -> Sampling.hashSampleStatsSql,
     "sample_kept" -> Sampling.hashSampleKeptSql,
+    "pack_chunks" -> Sampling.packChunksSql,
     "mm_metadata" -> Multimodal.metadataSql,
     "mm_features" -> Multimodal.featuresSql,
     "mm_frame_sample" -> frameSampleSql,

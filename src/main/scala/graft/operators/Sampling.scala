@@ -75,4 +75,42 @@ object Sampling {
        |    $rateCaseSql AS rate
        |  FROM documents)
        |SELECT doc_id, source FROM d WHERE u < rate ORDER BY doc_id""".stripMargin
+
+  /** Pretraining sequence packing, concat-and-chunk form: documents are
+    * concatenated in a deterministic order and cut into fixed
+    * `budget`-token training sequences; each document reports its token
+    * offset and the chunk span it lands in. Packing is per `source` — the
+    * cumulative-offset window then distributes (one shuffle, each source's
+    * stream packed independently, exactly how a sharded pretraining
+    * pipeline packs per shard); a single global concatenation would force
+    * every token offset through one partition. All exact integer
+    * arithmetic. */
+  def packChunks(docs: DataFrame, budget: Long = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.fanOut(docs)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tok_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("chunk_first", (col("tok_offset") / budget).cast("long"))
+      .withColumn("chunk_last",
+        ((col("tok_offset") + col("n_tokens") - 1) / budget).cast("long"))
+      .select("source", "doc_id", "n_tokens", "tok_offset", "chunk_first", "chunk_last")
+      .orderBy("source", "doc_id")
+  }
+
+  val packChunksSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tok_offset
+      |  FROM d)
+      |SELECT source, doc_id, n_tokens, tok_offset,
+      |  CAST(tok_offset // 512 AS BIGINT) AS chunk_first,
+      |  CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS chunk_last
+      |FROM o ORDER BY source, doc_id""".stripMargin
 }

@@ -201,6 +201,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == kept.map(_.getLong(0)).toSet)
   }
 
+  test("sequence packing: contiguous offsets per source, chunk spans consistent") {
+    val packed = operators.Sampling.packChunks(docs, budget = 512).collect()
+    packed.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      val inOrder = rs.sortBy(_.getAs[Long]("doc_id"))
+      // offsets are the exact running concatenation — no gaps, no overlap
+      inOrder.foldLeft(0L) { (expected, r) =>
+        assert(r.getAs[Long]("tok_offset") == expected,
+          s"gap at doc ${r.getAs[Long]("doc_id")}")
+        expected + r.getAs[Long]("n_tokens")
+      }
+      rs.foreach { r =>
+        val (off, n) = (r.getAs[Long]("tok_offset"), r.getAs[Long]("n_tokens"))
+        assert(r.getAs[Long]("chunk_first") == off / 512)
+        assert(r.getAs[Long]("chunk_last") == (off + n - 1) / 512)
+        assert(r.getAs[Long]("chunk_last") >= r.getAs[Long]("chunk_first"))
+      }
+    }
+  }
+
   test("language id picks the language with most stopword hits") {
     val crafted = Seq(
       (1L, "en", "the cat sat on the mat and the dog is a friend of it"),
