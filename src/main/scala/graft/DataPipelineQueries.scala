@@ -6,9 +6,12 @@ import graft.operators._
 
 /** Beyond-reference training-data-pipeline operators (BASELINE.json north
   * star): dedup, similarity search, text analysis, multimodal columns.
-  * Hash-seeded operators (minhash/simhash/LSH) have no SQL oracle — the
-  * driver records rows-only checks; their correctness is covered by specs
-  * (recall vs brute force, known-pair fixtures).
+  * Every operator here — including the sketch paths (minhash, simhash,
+  * winnowing, sign-projection LSH, IVF) — uses engine-portable hashing
+  * (md5-derived integers, universal affine permutations, mod-p rolling
+  * hashes, embedded hyperplane literals), so each has a DuckDB oracle that
+  * reproduces it hash-exactly; specs additionally cover recall vs brute
+  * force and duplicate-heavy scaling.
   */
 object DataPipelineQueries {
 
@@ -58,6 +61,10 @@ object DataPipelineQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
     "dedup_jaccard_pairs" -> Dedup.jaccardPairsSql,
+    "dedup_minhash_pairs" -> Dedup.minhashPairsSql,
+    "dedup_simhash" -> Dedup.simhashSql,
+    "dedup_simhash_pairs" -> Dedup.simhashPairsSql,
+    "text_winnowing_pairs" -> TextAnalysis.winnowingPairsSql,
     "embed_cosine_pairs" -> Similarity.cosinePairsSql,
     "embed_lsh_pairs" -> Similarity.lshCosinePairsSql,
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSql,

@@ -140,31 +140,58 @@ object Dedup {
   private val NumHashes = 32
   private val BandRows = 4 // 8 bands x 4 rows
 
+  /** Engine-portable hashing for the sketch paths, chosen so a SQL oracle
+    * can reproduce every intermediate with exact 64-bit integer arithmetic:
+    *
+    *   - base hashes are md5 prefixes parsed as integers (md5 exists, and is
+    *     bit-identical, in every engine);
+    *   - per-seed minhash permutations are the textbook universal family
+    *     `h_i(s) = (a_i * s + b_i) mod p` with p = 2^61 - 1 (prime). With
+    *     s < 2^48 and a_i < 2^14 every intermediate stays below 2^63, so
+    *     the same expression is overflow-free BIGINT math in any engine —
+    *     and one multiply-add per element is CHEAPER than re-hashing.
+    *
+    * The constants are fixed arbitrary members of the family (the md5 base
+    * hash supplies the uniformity); they are interpolated verbatim into the
+    * oracle SQL, so operator and oracle share one source of truth. */
+  private[operators] val MinHashP: Long = 2305843009213693951L // 2^61 - 1
+  private[operators] def hashA(i: Int): Long = 4097L + 257L * i // < 2^14
+  private[operators] def hashB(i: Int): Long = 1000003L * (i + 1)
+
+  /** 48-bit base hash of a string expression, as SQL text usable inside
+    * lambda bodies: the first 12 hex chars of md5. Spark and DuckDB agree
+    * byte-for-byte on md5 of the same UTF-8 input. */
+  private def h48(sqlExpr: String): String =
+    s"CAST(conv(substring(md5($sqlExpr), 1, 12), 16, 10) AS BIGINT)"
+
   /** Per-doc distinct 3-word shingle set as a SORTED BIGINT array: shingles
-    * are xxhash64'd at build time (map-side, no explode/shuffle), so every
-    * downstream op — minhash signatures, banding, the verify merge scan —
-    * moves 8-byte hashes instead of ~20-byte strings. Set semantics are
-    * preserved modulo 64-bit collisions (~n²/2⁶⁵ — negligible at any
-    * realistic shingle vocabulary); the whole minhash path is hash-seeded
-    * and spec-verified against [[exactShinglePairs]], which uses the SAME
-    * hashed sets, so the comparison is exact. */
+    * are hashed to 48-bit ints at build time (map-side, no explode/shuffle),
+    * so every downstream op — minhash signatures, banding, the verify merge
+    * scan — moves 8-byte hashes instead of ~20-byte strings. Set semantics
+    * are preserved modulo 48-bit collisions (~n²/2⁴⁹ over the shingle
+    * vocabulary — harmless, and both engines collide identically since the
+    * oracle computes the same hashes). */
   private def shingleArrays(docs: DataFrame): DataFrame = {
+    val gram = "concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2])"
     docs.select(col("doc_id"),
       expr("CASE WHEN size(split(text,' ')) >= 3 THEN " +
         "array_sort(array_distinct(transform(sequence(0, size(split(text,' ')) - 3), " +
-        "i -> xxhash64(concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))))) " +
-        "ELSE array(xxhash64(text)) END")
+        s"i -> ${h48(gram)}))) " +
+        s"ELSE array(${h48("text")}) END")
         .as("shs"))
   }
 
-  /** Banded LSH buckets `(doc_id, band, sig)` for a set-per-doc frame. */
+  /** Banded LSH buckets `(doc_id, band, sig)` for a set-per-doc frame. The
+    * band signature is md5 over the comma-joined row hashes — a fixed
+    * 16-byte join key reproducible by the oracle. */
   private def minhashBuckets(sets: DataFrame): DataFrame = {
     val sigs = sets.select(
       col("doc_id") +: (0 until NumHashes).map(i =>
-        expr(s"array_min(transform(shs, s -> xxhash64($i, s)))").as(s"h$i")): _*)
+        expr(s"array_min(transform(shs, s -> (${hashA(i)}L * s + ${hashB(i)}L) % ${MinHashP}L))")
+          .as(s"h$i")): _*)
     val bands = (0 until NumHashes / BandRows).map { b =>
-      val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+      val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*).cast("binary")).as("sig"))
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.sig"))
@@ -177,8 +204,9 @@ object Dedup {
     * → member-level expansion. Banding keeps candidate generation linear-ish
     * in the number of DISTINCT texts ([[dupGroups]]); residual degenerate
     * buckets are dropped at `bucketCap` ([[minhashOversizedBuckets]] lists
-    * them). Hash-specific (xxhash64) → no SQL oracle; deterministic across
-    * runs. */
+    * them). Every stage is exact integer / md5 arithmetic, so
+    * [[minhashPairsSql]] reproduces the full pipeline and the query is
+    * oracle hash-checked. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     // Both caches span multiple consumers inside this one query (groups:
@@ -210,6 +238,57 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** DuckDB oracle for [[minhashPairs]]: the same dup-collapse → shingle
+    * hash → 32 affine minhashes → 8 band signatures → cap → candidate join →
+    * exact verify → member expansion, with the affine constants interpolated
+    * from the single source of truth above. */
+  val minhashPairsSql: String = {
+    val hashDefs = (0 until NumHashes).map(i =>
+      s"    list_min(list_transform(shs, s -> (${hashA(i)} * s + ${hashB(i)}) % $MinHashP)) AS h$i")
+      .mkString(",\n")
+    val bandSelects = (0 until NumHashes / BandRows).map { b =>
+      val cs = (b * BandRows until (b + 1) * BandRows)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
+      s"  SELECT doc_id, $b AS band, md5($cs) AS sig FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT min(doc_id) AS doc_id, any_value(text) AS text,
+       |    list_sort(list(doc_id)) AS member_ids
+       |  FROM documents GROUP BY md5(text)),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |      ELSE [text] END,
+       |    s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS shs
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM g)),
+       |sigs AS (SELECT doc_id,
+       |$hashDefs
+       |  FROM sh),
+       |bk AS (
+       |$bandSelects),
+       |bkc AS (SELECT doc_id, band, sig FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, sig) AS bn FROM bk) WHERE bn <= $DefaultBucketCap),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bkc x JOIN bkc y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |repf AS (SELECT * FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+       |    CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b)
+       |  WHERE jaccard >= 0.8),
+       |mem AS (SELECT doc_id AS rep_id, unnest(member_ids) AS member FROM g),
+       |crossp AS (
+       |  SELECT least(ma.member, mb.member) AS doc_a, greatest(ma.member, mb.member) AS doc_b, jaccard
+       |  FROM repf JOIN mem ma ON ma.rep_id = repf.doc_a JOIN mem mb ON mb.rep_id = repf.doc_b),
+       |intra AS (
+       |  SELECT a.member AS doc_a, b.member AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM mem a JOIN mem b ON a.rep_id = b.rep_id AND a.member < b.member)
+       |SELECT doc_a, doc_b, jaccard FROM crossp
+       |UNION ALL SELECT doc_a, doc_b, jaccard FROM intra
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** The (band, sig) buckets [[minhashPairs]] would skip at `bucketCap`,
     * with their sizes — drop accounting for cap tuning. */
   def minhashOversizedBuckets(docs: DataFrame,
@@ -233,32 +312,73 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash signature per document (token-level): per-bit majority
-    * vote of token hashes. Map-side partial aggregation reduces each doc to
-    * 64 counters regardless of length. Hash-specific → no SQL oracle. */
+  /** Bit width of the SimHash signature: 60 rather than 64 so the signature
+    * and every per-bit test stay strictly below 2^63 — exact, overflow-free
+    * BIGINT arithmetic in any engine (the signature reconstruction in the
+    * oracle is a sum of distinct powers of two). 60 = 4 blocking chunks x 15
+    * bits; the sign bit is never touched. */
+  private val SimHashBits = 60
+  private val SimHashChunkBits = SimHashBits / 4
+
+  /** 60-bit SimHash signature per document (token-level): per-bit majority
+    * vote of 60-bit md5-derived token hashes. Map-side partial aggregation
+    * reduces each doc to 60 counters regardless of length. Every stage is
+    * exact integer arithmetic → oracle hash-checked ([[simhashSql]]). */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(i =>
+    val tok = Tables.fanOut(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until SimHashBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
     val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+    val sig = (0 until SimHashBits).foldLeft(lit(0L)) { (acc, i) =>
       acc.bitwiseOR(when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
     }
     agg.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
   }
 
+  /** Signature reconstruction shared by the two simhash oracles: the 60
+    * conditional majority sums over the token-hash bits, then the signature
+    * as a sum of distinct powers of two. `rel` is the FROM-able relation
+    * holding (doc_id, text). */
+  private def simhashSqlCore(rel: String): String = {
+    val sums = (0 until SimHashBits).map(i =>
+      s"    sum(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n")
+    val sig = (0 until SimHashBits).map(i =>
+      s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" +\n    ")
+    s"""tok AS (
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $rel)),
+       |bits AS (
+       |  SELECT doc_id,
+       |$sums
+       |  FROM tok GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id, CAST(
+       |    $sig
+       |  AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[simhash]]. */
+  val simhashSql: String =
+    s"""WITH ${simhashSqlCore("documents")}
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+
   /** SimHash near-dup pairs by Hamming distance: exact-dup collapse →
-    * blocking on 16-bit signature chunks (a pair within distance d must
+    * blocking on 15-bit signature chunks (a pair within distance d must
     * share at least one of d+1 chunks — here 4 chunks catches d <= 3
     * exactly) → member-level expansion (exact copies are at Hamming 0).
-    * Degenerate chunk buckets past `bucketCap` distinct texts are skipped. */
+    * Degenerate chunk buckets past `bucketCap` distinct texts are skipped.
+    * Oracle hash-checked ([[simhashPairsSql]]). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     val groups = dupGroups(docs).cache()
     val sigs = simhash(groups.select("doc_id", "text"))
+    val chunkMask = (1L << SimHashChunkBits) - 1L
     val chunks = (0 until 4).map(c =>
-      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key")))
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * SimHashChunkBits).bitwiseAND(lit(chunkMask)).as("key")))
     val blocked = capBuckets(
       sigs.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
         .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key")),
@@ -271,5 +391,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
     expandPairs(repPairs, groups, "hamming", groups.withColumn("hamming", lit(0L)))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[simhashPairs]]: dup-collapse → signatures over the
+    * representatives → 15-bit chunk blocking with the bucket cap →
+    * bit_count(xor) Hamming verify → member expansion. */
+  val simhashPairsSql: String = {
+    val chunkSelects = (0 until 4).map { c =>
+      val div = 1L << (c * SimHashChunkBits)
+      val mod = 1L << SimHashChunkBits
+      s"  SELECT doc_id, simhash, $c AS chunk, (simhash // $div) % $mod AS key FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT min(doc_id) AS doc_id, any_value(text) AS text,
+       |    list_sort(list(doc_id)) AS member_ids
+       |  FROM documents GROUP BY md5(text)),
+       |${simhashSqlCore("g")},
+       |ck AS (
+       |$chunkSelects),
+       |ckc AS (SELECT doc_id, simhash, chunk, key FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY chunk, key) AS bn FROM ck) WHERE bn <= $DefaultBucketCap),
+       |repf AS (SELECT * FROM (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |  FROM ckc x JOIN ckc y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id)
+       |  WHERE hamming <= 3),
+       |mem AS (SELECT doc_id AS rep_id, unnest(member_ids) AS member FROM g),
+       |crossp AS (
+       |  SELECT least(ma.member, mb.member) AS doc_a, greatest(ma.member, mb.member) AS doc_b, hamming
+       |  FROM repf JOIN mem ma ON ma.rep_id = repf.doc_a JOIN mem mb ON mb.rep_id = repf.doc_b),
+       |intra AS (
+       |  SELECT a.member AS doc_a, b.member AS doc_b, CAST(0 AS BIGINT) AS hamming
+       |  FROM mem a JOIN mem b ON a.rep_id = b.rep_id AND a.member < b.member)
+       |SELECT doc_a, doc_b, hamming FROM crossp
+       |UNION ALL SELECT doc_a, doc_b, hamming FROM intra
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 }

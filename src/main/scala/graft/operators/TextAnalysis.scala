@@ -289,6 +289,54 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** DuckDB oracle for [[winnowingPairs]] (defaults k=16, w=8, minShared=5,
+    * cap=[[Dedup.DefaultBucketCap]]): dup-collapse, then each k-byte window
+    * hash recomputed as the left fold `(acc * 257 + byte) mod (2^31-1)` —
+    * exactly the polynomial [[graft.functions.RollingHashes]] rolls in O(n)
+    * — then per-window minima, distinct, hot-fingerprint cap, shared-count
+    * self-join and member expansion. Byte = character here because the
+    * corpus is ASCII (the rolling hash consumes UTF-8 bytes). */
+  val winnowingPairsSql: String = {
+    val (k, w) = (16, 8)
+    val (p, b) = (graft.functions.RollingHashes.Mod, graft.functions.RollingHashes.Base)
+    val cap = Dedup.DefaultBucketCap
+    s"""WITH g AS (
+       |  SELECT min(doc_id) AS doc_id, any_value(text) AS text,
+       |    list_sort(list(doc_id)) AS member_ids
+       |  FROM documents GROUP BY md5(text)),
+       |rh AS (
+       |  SELECT doc_id, list_transform(range(1, length(text) - $k + 2), i ->
+       |    list_reduce(
+       |      list_transform(range(0, $k), j -> CAST(ascii(substr(lower(text), CAST(i + j AS INT), 1)) AS BIGINT)),
+       |      (a, c) -> (a * $b + c) % $p)) AS hs
+       |  FROM g WHERE length(text) >= $k),
+       |fp AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs) - $w + 2),
+       |    i -> list_min(hs[i:i+${w - 1}])))) AS fingerprint
+       |  FROM rh WHERE len(hs) >= $w),
+       |hot AS (SELECT fingerprint FROM (
+       |  SELECT fingerprint, count(*) AS df FROM fp GROUP BY 1) WHERE df > $cap),
+       |kept AS (SELECT fp.* FROM fp ANTI JOIN hot USING (fingerprint)),
+       |repf AS (SELECT * FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+       |  FROM kept x JOIN kept y ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2) WHERE shared >= 5),
+       |mem AS (SELECT doc_id AS rep_id, unnest(member_ids) AS member FROM g),
+       |crossp AS (
+       |  SELECT least(ma.member, mb.member) AS doc_a, greatest(ma.member, mb.member) AS doc_b, shared
+       |  FROM repf JOIN mem ma ON ma.rep_id = repf.doc_a JOIN mem mb ON mb.rep_id = repf.doc_b),
+       |repcnt AS (SELECT doc_id AS rep_id, count(*) AS shared FROM kept GROUP BY 1),
+       |intra AS (
+       |  SELECT a.member AS doc_a, b.member AS doc_b, r.shared
+       |  FROM repcnt r
+       |  JOIN mem a ON a.rep_id = r.rep_id
+       |  JOIN mem b ON b.rep_id = r.rep_id AND a.member < b.member
+       |  WHERE r.shared >= 5)
+       |SELECT doc_a, doc_b, shared FROM crossp
+       |UNION ALL SELECT doc_a, doc_b, shared FROM intra
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** The fingerprints [[winnowingPairs]] would drop at `hotFpCap`, with
     * their distinct-text document frequency — drop accounting. */
   def winnowingHotFingerprints(docs: DataFrame,
