@@ -238,19 +238,20 @@ object TextAnalysis {
     * All map-side per doc; output exploded (doc_id, fingerprint).
     */
   def winnowingFingerprints(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame =
-    winnowingFingerprintsPrepared(Tables.fanOut(docs), k, w)
+    winnowingFpArrays(Tables.fanOut(docs), k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
 
-  /** [[winnowingFingerprints]] minus the scan fan-out, for inputs that are
-    * already well-partitioned (the post-shuffle dup-group frame). */
-  private def winnowingFingerprintsPrepared(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame = {
+  /** Per-doc DISTINCT fingerprint array (map-side; docs shorter than k+w-1
+    * bytes are dropped — they have no complete window). */
+  private def winnowingFpArrays(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame = {
     import graft.functions.RollingHashes.rolling_hashes
     docs
       .select(col("doc_id"), rolling_hashes(lower(col("text")), k).as("rh"))
       .filter(size(col("rh")) >= w)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(rh) - $w), i -> array_min(slice(rh, i + 1, $w)))")))
-        .as("fingerprint"))
-      .orderBy("doc_id", "fingerprint")
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(0, size(rh) - $w), i -> array_min(slice(rh, i + 1, $w)))"))
+        .as("fps"))
   }
 
   /** Near-dup candidates by shared winnowing fingerprints: docs sharing at
@@ -265,25 +266,42 @@ object TextAnalysis {
   def winnowingPairs(docs: DataFrame, minShared: Long = 5,
       hotFpCap: Int = Dedup.DefaultBucketCap): DataFrame = {
     val groups = Dedup.dupGroups(docs).cache()
-    // cached: the fingerprint frame feeds the hot-fp count, both self-join
-    // sides, and the intra-group counts (released with session cache cleanup)
-    val fp = winnowingFingerprintsPrepared(groups.select("doc_id", "text")).cache()
+    // cached in ARRAY form (one row per doc): feeds the exploded index, the
+    // hot-hit counts, and the map-side per-doc fingerprint totals
+    val fpa = winnowingFpArrays(groups.select("doc_id", "text")).cache()
+    val fp = fpa.select(col("doc_id"), explode(col("fps")).as("fingerprint"))
     // hot-fp filter as a broadcast anti-join against the (tiny, usually
-    // empty) over-cap set — NOT a count-over-window, which would shuffle and
-    // sort the whole (doc, fingerprint) frame just to read one count
+    // empty) over-cap set. The document-frequency pass shuffles only
+    // (fingerprint, partial-count) pairs — map-side combined — and runs
+    // BEFORE any posting list is collected, so a corpus-scale hot
+    // fingerprint never materializes its doc list anywhere
     val hot = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df") > hotFpCap).select("fingerprint")
     val kept = fp.join(broadcast(hot), Seq("fingerprint"), "left_anti")
-    val repPairs = kept.as("x").join(kept.as("y"), Seq("fingerprint"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // inverted index: ONE shuffle of the (fingerprint, doc) frame builds the
+    // per-fingerprint posting list (bounded by the cap), and each list emits
+    // its i<j pairs directly — where a fingerprint self-join would shuffle
+    // the frame twice and run join machinery to produce the same candidates
+    val postings = kept.groupBy("fingerprint")
+      .agg(sort_array(collect_list("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val repPairs = postings
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
     // identical texts share all of the representative's surviving
     // fingerprints — intra-group pairs qualify iff that count reaches the
-    // threshold (short docs below the k+w-1 window yield none)
+    // threshold (short docs below the k+w-1 window yield none). The
+    // surviving count is the map-side array size minus the (tiny) hot hits.
+    val hotHits = fp.join(broadcast(hot), Seq("fingerprint"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
     val intra = groups
-      .join(kept.groupBy("doc_id").agg(count(lit(1)).as("shared")), Seq("doc_id"))
+      .join(fpa.select(col("doc_id"), size(col("fps")).cast("long").as("n_fp")), Seq("doc_id"))
+      .join(hotHits, Seq("doc_id"), "left")
+      .withColumn("shared", col("n_fp") - coalesce(col("n_hot"), lit(0L)))
       .filter(col("shared") >= minShared)
     Dedup.expandPairs(repPairs, groups, "shared", intra)
       .orderBy("doc_a", "doc_b")
@@ -341,7 +359,8 @@ object TextAnalysis {
     * their distinct-text document frequency — drop accounting. */
   def winnowingHotFingerprints(docs: DataFrame,
       hotFpCap: Int = Dedup.DefaultBucketCap): DataFrame =
-    winnowingFingerprintsPrepared(Dedup.dupGroups(docs).select("doc_id", "text"))
+    winnowingFpArrays(Dedup.dupGroups(docs).select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
       .groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df") > hotFpCap)
 
