@@ -41,6 +41,9 @@ object DataPipelineQueries {
     "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(docs(s, dir))),
     "text_contamination" -> ((s, dir) => TextAnalysis.contamination(docs(s, dir))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
+    "text_tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir))),
+    "source_report" -> ((s, dir) => TextAnalysis.sourceReport(docs(s, dir))),
+    "sample_shuffle" -> ((s, dir) => Sampling.shuffleShards(docs(s, dir))),
     "sample_mix" -> ((s, dir) =>
       Sampling.hashSampleStats(docs(s, dir), Sampling.DefaultRates, Sampling.DefaultRate)),
     "sample_kept" -> ((s, dir) =>
@@ -79,6 +82,9 @@ object DataPipelineQueries {
     "text_top_bigrams" -> TextAnalysis.topBigramsSql,
     "text_contamination" -> TextAnalysis.contaminationSql,
     "text_repetition" -> TextAnalysis.repetitionSql,
+    "text_tfidf_topk" -> TextAnalysis.tfidfTopKSql,
+    "source_report" -> TextAnalysis.sourceReportSql,
+    "sample_shuffle" -> Sampling.shuffleShardsSql,
     "sample_mix" -> Sampling.hashSampleStatsSql,
     "sample_kept" -> Sampling.hashSampleKeptSql,
     "pack_chunks" -> Sampling.packChunksSql,

@@ -100,6 +100,39 @@ object Sampling {
       .orderBy("source", "doc_id")
   }
 
+  /** Deterministic global shuffle for training-order randomization — the
+    * standard final step of a pretraining pipeline: each document draws a
+    * content-independent pseudorandom key (md5 of a salt and its id), is
+    * routed to one of `nShards` shards by the key's top byte, and gets its
+    * position WITHIN the shard. Shard-then-local-sort is the 100 TB shape —
+    * a single global row-numbering would serialize through one partition,
+    * while per-shard windows sort `1/nShards` of the corpus each; readers
+    * consume shards in index order for a fully deterministic epoch. */
+  def shuffleShards(docs: DataFrame, salt: String = "graft0",
+      nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.fanOut(docs)
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(salt), col("doc_id").cast("string")).cast("binary")).as("skey"))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 2), 16, 10).cast("long") % nShards)
+      .withColumn("pos_in_shard", row_number().over(
+        Window.partitionBy("shard").orderBy("skey", "doc_id")).cast("long"))
+      .select("doc_id", "shard", "pos_in_shard", "skey")
+      .orderBy("shard", "pos_in_shard")
+  }
+
+  val shuffleShardsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5('graft0:' || CAST(doc_id AS VARCHAR)) AS skey
+      |  FROM documents),
+      |s AS (SELECT doc_id, skey,
+      |  ('0x' || substr(skey, 1, 2))::BIGINT % 16 AS shard FROM d)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos_in_shard,
+      |  skey
+      |FROM s ORDER BY shard, pos_in_shard""".stripMargin
+
   val packChunksSql: String =
     """WITH d AS (
       |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

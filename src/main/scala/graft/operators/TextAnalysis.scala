@@ -405,23 +405,25 @@ object TextAnalysis {
     * standard keep/reject flag. Exact integer counts, one double division
     * each — oracle hash-exact. All map-side per doc except the tiny
     * per-(doc, bigram) partial aggregation. */
+  // the per-doc top-bigram count is a longest-equal-run scan over the
+  // doc's SORTED bigram array — pure map-side work (a few dozen elements
+  // per doc), where a groupBy(doc, bigram) would shuffle every bigram of
+  // the corpus just to take a per-doc max. Shared by [[repetition]] and
+  // [[sourceReport]].
+  private val topRun: Column = expr(
+    """aggregate(
+      |  array_sort(CASE WHEN size(split(text, ' ')) >= 2 THEN
+      |    transform(sequence(0, size(split(text,' ')) - 2),
+      |      i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]))
+      |    ELSE array() END),
+      |  named_struct('p', cast(null as string), 'r', 0L, 'b', 0L),
+      |  (acc, x) -> CASE WHEN acc.p IS NOT NULL AND x = acc.p
+      |    THEN named_struct('p', x, 'r', acc.r + 1L, 'b', greatest(acc.b, acc.r + 1L))
+      |    ELSE named_struct('p', x, 'r', 1L, 'b', greatest(acc.b, 1L)) END,
+      |  acc -> acc.b)""".stripMargin)
+
   def repetition(docs: DataFrame, topBigramMax: Double = 0.18,
       dupTokenMax: Double = 0.5): DataFrame = {
-    // the per-doc top-bigram count is a longest-equal-run scan over the
-    // doc's SORTED bigram array — pure map-side work (a few dozen elements
-    // per doc), where a groupBy(doc, bigram) would shuffle every bigram of
-    // the corpus just to take a per-doc max
-    val topRun = expr(
-      """aggregate(
-        |  array_sort(CASE WHEN size(split(text, ' ')) >= 2 THEN
-        |    transform(sequence(0, size(split(text,' ')) - 2),
-        |      i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]))
-        |    ELSE array() END),
-        |  named_struct('p', cast(null as string), 'r', 0L, 'b', 0L),
-        |  (acc, x) -> CASE WHEN acc.p IS NOT NULL AND x = acc.p
-        |    THEN named_struct('p', x, 'r', acc.r + 1L, 'b', greatest(acc.b, acc.r + 1L))
-        |    ELSE named_struct('p', x, 'r', 1L, 'b', greatest(acc.b, 1L)) END,
-        |  acc -> acc.b)""".stripMargin)
     Tables.fanOut(docs).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
@@ -474,4 +476,97 @@ object TextAnalysis {
       |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
       |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
       |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+
+  /** Per-document top-`k` TF-IDF terms, with a LINEAR idf (`tf * N / df`
+    * instead of `tf * ln(N / df)`): log is not correctly rounded in either
+    * engine's math library, while multiply and divide are exactly rounded
+    * under IEEE 754 — so the linear variant is bit-identical cross-engine
+    * and oracle hash-checkable. Term frequencies partial-aggregate map-side;
+    * the document-frequency table is vocabulary-sized (broadcast); the
+    * corpus-size scalar joins as a broadcast single row, keeping the whole
+    * computation one declarative plan with no driver-side action. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.fanOut(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= k)
+    scored.select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"),
+      col("rnk").cast("long").as("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tfidfTopKSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT doc_id, term, tf, df,
+      |    CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY
+      |      CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC, term) AS rnk
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+      |FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** Per-source corpus report — the governance summary a pipeline owner
+    * reads before cutting a mixture: document and distinct-text counts
+    * (exact-dup rate), token volume, and how many documents the
+    * [[repetition]] filter would keep. One pass over the corpus: all
+    * per-document work is map-side, then a single per-source aggregation
+    * (the distinct-text count shuffles 16-byte fingerprints, not texts). */
+  def sourceReport(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs).select(col("source"), md5(col("text")).as("fp"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_toks"),
+      topRun.as("top_bigram_count"))
+      .withColumn("keep",
+        col("top_bigram_count") * lit(2.0) / col("n_tokens") <= 0.18 &&
+          (col("n_tokens") - col("n_distinct_toks")).cast("double") / col("n_tokens") <= 0.5)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_distinct_texts"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep_repetition"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_distinct_texts")).cast("double") / col("n_docs"))
+      .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs"))
+      .orderBy("source")
+
+  val sourceReportSql: String =
+    """WITH d AS (
+      |  SELECT source, md5(text) AS fp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_toks,
+      |    doc_id
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |    i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bg
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |top AS (SELECT doc_id, max(c) AS top_bigram_count FROM (
+      |  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+      |k AS (
+      |  SELECT d.*,
+      |    (CAST(coalesce(top_bigram_count, 0) AS DOUBLE) * 2.0 / n_tokens <= 0.18
+      |      AND CAST(n_tokens - n_distinct_toks AS DOUBLE) / n_tokens <= 0.5) AS keep
+      |  FROM d LEFT JOIN top USING (doc_id)),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+      |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_repetition
+      |  FROM k GROUP BY source)
+      |SELECT source, n_docs, n_distinct_texts, total_tokens, n_keep_repetition,
+      |  CAST(n_docs - n_distinct_texts AS DOUBLE) / n_docs AS dup_rate,
+      |  CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens
+      |FROM agg ORDER BY source""".stripMargin
 }

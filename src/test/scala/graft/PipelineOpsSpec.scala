@@ -4,8 +4,10 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 
-/** Specs for the hash-seeded data-pipeline operators (the ones without SQL
-  * oracles): minhash recall, simhash, LSH agreement, multimodal stubs. */
+/** Behavioral specs for the data-pipeline operators, complementing the
+  * DuckDB oracles (which prove cross-engine hash-equality, not semantics):
+  * minhash recall vs exact pairs, simhash collision behavior, LSH/IVF
+  * agreement with brute force, crafted-corpus fixtures for the text ops. */
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -229,5 +231,51 @@ class PipelineOpsSpec extends SparkSpec {
     val out = TextAnalysis.langId(crafted).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "unknown"))
+  }
+
+  test("tfidf top-k: a doc's distinctive rare term outranks corpus-wide filler") {
+    val crafted = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common common xylophone xylophone"),
+      (3L, "common filler words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(crafted, k = 2).collect()
+    val top = out.filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    // zebra: tf 1, df 1 -> score 3; common: tf 3, df 3 -> score 3; tie broken
+    // by term asc -> common. xylophone: tf 2, df 1 -> score 6 beats common.
+    assert(top(2L) == "xylophone")
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to rs.length))
+    }
+  }
+
+  test("source report: dup rate, token totals, and repetition-keep counts per source") {
+    // keep needs >= 12 tokens with no repeated bigram (2/n <= 0.18)
+    val kept = "one two three four five six seven eight nine ten eleven twelve"
+    val crafted = Seq(
+      (1L, kept, "a"),
+      (2L, kept, "a"), // exact dup in source a
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu", "a"),
+      (4L, "spam spam spam spam spam spam", "b")). // rejected by repetition filter
+      toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceReport(crafted).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("a").getAs[Long]("n_docs") == 3L)
+    assert(out("a").getAs[Long]("n_distinct_texts") == 2L)
+    assert(out("a").getAs[Long]("total_tokens") == 36L)
+    assert(out("a").getAs[Long]("n_keep_repetition") == 3L)
+    assert(out("a").getAs[Double]("dup_rate") == 1.0 / 3.0)
+    assert(out("b").getAs[Long]("n_keep_repetition") == 0L)
+  }
+
+  test("shuffle shards: per-shard positions contiguous from 1, all docs covered, deterministic") {
+    val a = Sampling.shuffleShards(docs).collect()
+    val b = Sampling.shuffleShards(docs).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "shuffle must be deterministic")
+    assert(a.map(_.getAs[Long]("doc_id")).toSet.size == docs.count())
+    a.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val pos = rs.map(_.getAs[Long]("pos_in_shard")).sorted
+      assert(pos.sameElements(1L to rs.length), "positions must be 1..n per shard")
+    }
   }
 }
