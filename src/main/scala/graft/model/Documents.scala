@@ -1,0 +1,98 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, Tables, TextAnalysis}
+
+/** One row of the `documents` table, the unit every pipeline op consumes. */
+case class Document(doc_id: Long, text: String, lang: String, source: String,
+    n_chars: Long)
+
+/** [[Dedup.exact]] output: one row per distinct text. */
+case class DedupGroup(fp: String, keep_id: Long, n_copies: Long)
+
+/** [[Sampling.packChunks]] output: a document's place in the packed
+  * fixed-budget training stream of its source. */
+case class PackedChunk(source: String, doc_id: Long, n_tokens: Long,
+    tok_offset: Long, chunk_first: Long, chunk_last: Long)
+
+/** Typed `Dataset[Document]` veneer over the pipeline operators — the
+  * case-class-encoded API a caller composes instead of wiring DataFrames:
+  *
+  * {{{
+  *   import graft.model.Documents._
+  *   val ready: Dataset[PackedChunk] =
+  *     Documents.load(spark, dir)
+  *       .withoutExactDups
+  *       .keptByRepetition
+  *       .sampledMixture(rates, 0.5)
+  *       .packed()
+  * }}}
+  *
+  * Every method delegates to the same operators the untyped queries run
+  * (one implementation, two surfaces), and the filters stay map-side — the
+  * chain above shuffles only where the underlying ops do (the dedup
+  * fingerprint aggregation and the per-source packing window). Encoders are
+  * resolved once per call from the session's implicits. */
+object Documents {
+
+  // product encoders are session-free — resolved once here, shared by every
+  // typed call site
+  private implicit val documentEnc: org.apache.spark.sql.Encoder[Document] =
+    org.apache.spark.sql.Encoders.product[Document]
+  private implicit val dedupGroupEnc: org.apache.spark.sql.Encoder[DedupGroup] =
+    org.apache.spark.sql.Encoders.product[DedupGroup]
+  private implicit val packedChunkEnc: org.apache.spark.sql.Encoder[PackedChunk] =
+    org.apache.spark.sql.Encoders.product[PackedChunk]
+
+  def load(spark: SparkSession, dir: String): Dataset[Document] =
+    Tables.load(spark, dir, "documents").as[Document]
+
+  implicit class DocumentOps(private val ds: Dataset[Document]) extends AnyVal {
+    private def df: DataFrame = ds.toDF()
+
+    /** Exact-dedup groups (typed [[Dedup.exact]]). */
+    def dedupGroups: Dataset[DedupGroup] =
+      Dedup.exact(df).as[DedupGroup]
+
+    /** Keep one document per distinct text (the minimum id, matching
+      * [[Dedup.exact]]'s keep rule): a broadcast-friendly semi join against
+      * the 16-byte-keyed group table. */
+    def withoutExactDups: Dataset[Document] =
+      ds.join(Dedup.exact(df).select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        .as[Document]
+
+    /** Map-side repetition filter ([[TextAnalysis.repetitionKeep]]). */
+    def keptByRepetition(topBigramMax: Double = 0.18,
+        dupTokenMax: Double = 0.5): Dataset[Document] =
+      ds.filter(TextAnalysis.repetitionKeep(topBigramMax, dupTokenMax))
+
+    /** Map-side deterministic mixture sampling
+      * ([[Sampling.keepCondition]]). */
+    def sampledMixture(rates: Map[String, Double],
+        defaultRate: Double): Dataset[Document] =
+      ds.filter(Sampling.keepCondition(rates, defaultRate))
+
+    /** Typed [[Sampling.packChunks]]. */
+    def packed(budget: Long = 512): Dataset[PackedChunk] =
+      Sampling.packChunks(df, budget).as[PackedChunk]
+  }
+
+  /** Mean whitespace-token count as a typed `Aggregator` — the
+    * `Dataset`-native aggregation form (partial-aggregates map-side like any
+    * `Agg`; usable via `ds.select(Documents.avgTokens.toColumn)`). */
+  val avgTokens: Aggregator[Document, (Long, Long), Double] =
+    new Aggregator[Document, (Long, Long), Double] {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      def zero: (Long, Long) = (0L, 0L)
+      def reduce(b: (Long, Long), d: Document): (Long, Long) =
+        (b._1 + d.text.split(" ").length, b._2 + 1)
+      def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+        (x._1 + y._1, x._2 + y._2)
+      def finish(b: (Long, Long)): Double = b._1.toDouble / b._2
+      def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+}

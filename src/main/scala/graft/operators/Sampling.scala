@@ -17,33 +17,36 @@ object Sampling {
   private def unitDraw: org.apache.spark.sql.Column =
     conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long").cast("double") / 65536.0
 
+  /** The per-row keep decision (`text` hash draw under the row's `source`
+    * rate) as a reusable Column — pure map-side, also the filter behind the
+    * typed [[graft.model.Documents]] API. */
+  def keepCondition(rates: Map[String, Double],
+      defaultRate: Double): org.apache.spark.sql.Column = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    unitDraw < rate
+  }
+
   /** Per-source mixture accounting for a hash-sampled corpus: how many
     * documents each source keeps under its target rate (sources absent from
     * `rates` use `defaultRate`). The kept set itself is
     * [[hashSampleKept]] — same decision rule. */
   def hashSampleStats(docs: DataFrame, rates: Map[String, Double],
-      defaultRate: Double): DataFrame = {
-    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
-      case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
-    }
+      defaultRate: Double): DataFrame =
     Tables.fanOut(docs).groupBy("source").agg(
       count(lit(1)).as("n_docs"),
-      sum(when(unitDraw < rate, 1L).otherwise(0L)).as("n_kept"))
+      sum(when(keepCondition(rates, defaultRate), 1L).otherwise(0L)).as("n_kept"))
       .withColumn("realized_rate", col("n_kept").cast("double") / col("n_docs"))
       .orderBy("source")
-  }
 
   /** The sampled corpus itself: documents whose content-hash draw falls
     * under their source's target rate. */
   def hashSampleKept(docs: DataFrame, rates: Map[String, Double],
-      defaultRate: Double): DataFrame = {
-    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
-      case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
-    }
-    Tables.fanOut(docs).filter(unitDraw < rate)
+      defaultRate: Double): DataFrame =
+    Tables.fanOut(docs).filter(keepCondition(rates, defaultRate))
       .select("doc_id", "source")
       .orderBy("doc_id")
-  }
 
   /** The default mixture used by the `sample_mix` query. */
   val DefaultRates: Map[String, Double] =

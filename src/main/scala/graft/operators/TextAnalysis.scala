@@ -422,6 +422,17 @@ object TextAnalysis {
       |    ELSE named_struct('p', x, 'r', 1L, 'b', greatest(acc.b, 1L)) END,
       |  acc -> acc.b)""".stripMargin)
 
+  /** The repetition-filter keep decision as a reusable map-side Column over
+    * a `text` column — the same arithmetic [[repetition]] reports, also the
+    * filter behind the typed [[graft.model.Documents]] API. */
+  def repetitionKeep(topBigramMax: Double = 0.18,
+      dupTokenMax: Double = 0.5): Column = {
+    val nTokens = size(split(col("text"), " ")).cast("long")
+    val nDistinct = size(array_distinct(split(col("text"), " "))).cast("long")
+    (topRun * lit(2.0) / nTokens <= topBigramMax) &&
+      ((nTokens - nDistinct).cast("double") / nTokens <= dupTokenMax)
+  }
+
   def repetition(docs: DataFrame, topBigramMax: Double = 0.18,
       dupTokenMax: Double = 0.5): DataFrame = {
     Tables.fanOut(docs).select(col("doc_id"),
