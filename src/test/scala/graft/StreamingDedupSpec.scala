@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+import graft.streaming.StreamingDedup
+
+/** Streaming exact-dedup: first arrival per distinct text survives, later
+  * copies are dropped across micro-batches AND query restarts (checkpointed
+  * state), and the watermark-bounded variant re-admits a text once its
+  * fingerprint state has aged out. */
+class StreamingDedupSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private val tsSchema = schema.add(StructField("ts", TimestampType))
+
+  private def writeJson(dir: java.io.File, name: String, lines: Seq[String]): Unit =
+    Files.write(new java.io.File(dir, name).toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+
+  test("dups dropped across micro-batches and restarts; state keys are fingerprints") {
+    val src = Files.createTempDirectory("graft_sdedup_src").toFile
+    val ckpt = Files.createTempDirectory("graft_sdedup_ckpt").toFile.getAbsolutePath
+    StreamingDedupSpec.emitted.clear()
+
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(schema).json(src.getAbsolutePath)
+      val q = StreamingDedup.firstOccurrences(in).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingDedupSpec.emitted.addAll(
+            batch.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq.asJava)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+
+    // run 1: A B A C -> exactly one A, one B, one C; the kept A is the
+    // first arrival (doc 1, not doc 3)
+    writeJson(src, "b1.json", Seq(
+      """{"doc_id": 1, "text": "alpha"}""",
+      """{"doc_id": 2, "text": "beta"}""",
+      """{"doc_id": 3, "text": "alpha"}""",
+      """{"doc_id": 4, "text": "gamma"}"""))
+    runOnce()
+    val r1 = StreamingDedupSpec.emitted.asScala.toSeq
+    assert(r1.map(_._2).sorted == Seq("alpha", "beta", "gamma"))
+    assert(r1.toMap.apply(1L) == "alpha" && !r1.exists(_._1 == 3L))
+
+    // run 2 (restart from checkpoint): a late copy of alpha is suppressed
+    // ONLY IF run 1's fingerprint state was recovered; delta is new
+    writeJson(src, "b2.json", Seq(
+      """{"doc_id": 5, "text": "alpha"}""",
+      """{"doc_id": 6, "text": "delta"}"""))
+    runOnce()
+    val r2 = StreamingDedupSpec.emitted.asScala.toSeq.drop(r1.length)
+    assert(r2 == Seq((6L, "delta")), s"run 2 emitted $r2")
+  }
+
+  test("watermark-bounded dedup re-admits a text after its state ages out") {
+    val src = Files.createTempDirectory("graft_sdedup_wm_src").toFile
+    val ckpt = Files.createTempDirectory("graft_sdedup_wm_ckpt").toFile.getAbsolutePath
+    StreamingDedupSpec.emitted.clear()
+
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(tsSchema).json(src.getAbsolutePath)
+      val q = StreamingDedup.firstOccurrencesWithinWatermark(in, "ts", "10 minutes")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingDedupSpec.emitted.addAll(
+            batch.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq.asJava)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+
+    // b1: alpha at 10:00 -> emitted; watermark after the batch: 09:50
+    writeJson(src, "b1.json", Seq(
+      """{"doc_id": 1, "text": "alpha", "ts": "2024-03-01T10:00:00.000Z"}"""))
+    runOnce()
+    // b2: filler at 11:00 advances the watermark to 10:50 > 10:00 + 10min,
+    // so alpha's fingerprint state is evicted
+    writeJson(src, "b2.json", Seq(
+      """{"doc_id": 2, "text": "beta", "ts": "2024-03-01T11:00:00.000Z"}"""))
+    runOnce()
+    // b3: alpha again at 11:00 -> re-admitted (state aged out)
+    writeJson(src, "b3.json", Seq(
+      """{"doc_id": 3, "text": "alpha", "ts": "2024-03-01T11:00:00.000Z"}"""))
+    runOnce()
+    val docs = StreamingDedupSpec.emitted.asScala.toSeq.map(_._1)
+    assert(docs == Seq(1L, 2L, 3L), s"emitted $docs")
+  }
+}
+
+/** Cross-restart sink buffer (foreachBatch closures must reference
+  * driver-side shared state). */
+object StreamingDedupSpec {
+  val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+}
