@@ -112,7 +112,11 @@ object Sampling {
     * while per-shard windows sort `1/nShards` of the corpus each; readers
     * consume shards in index order for a fully deterministic epoch. */
   def shuffleShards(docs: DataFrame, salt: String = "graft0",
-      nShards: Int = 16): DataFrame = {
+      nShards: Int = 16): DataFrame =
+    shuffleShardsRaw(docs, salt, nShards).orderBy("shard", "pos_in_shard")
+
+  private def shuffleShardsRaw(docs: DataFrame, salt: String,
+      nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Tables.fanOut(docs)
       .select(col("doc_id"),
@@ -122,8 +126,21 @@ object Sampling {
       .withColumn("pos_in_shard", row_number().over(
         Window.partitionBy("shard").orderBy("skey", "doc_id")).cast("long"))
       .select("doc_id", "shard", "pos_in_shard", "skey")
-      .orderBy("shard", "pos_in_shard")
   }
+
+  /** Materialize the [[shuffleShards]] ordering as a partitioned parquet
+    * layout — the 100 TB form of the training shuffle: one directory per
+    * shard (`shard=N/`), rows inside each shard ordered by the shuffle key
+    * (repartition-by-shard + sortWithinPartitions, so each shard is written
+    * by one task in key order with no global sort). An epoch reader consumes
+    * shard directories in index order for a deterministic, fully shuffled
+    * pass over the corpus. */
+  def writeShuffled(docs: DataFrame, path: String, salt: String = "graft0",
+      nShards: Int = 16): Unit =
+    shuffleShardsRaw(docs, salt, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "skey", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 
   val shuffleShardsSql: String =
     """WITH d AS (
