@@ -183,14 +183,18 @@ object Dedup {
 
   /** Banded LSH buckets `(doc_id, band, sig)` for a set-per-doc frame. The
     * band signature is md5 over the comma-joined row hashes — a fixed
-    * 16-byte join key reproducible by the oracle. */
+    * 16-byte join key reproducible by the oracle. All `NumHashes` minima
+    * come from ONE codegen'd traversal of the shingle array
+    * ([[graft.functions.SketchHashes.affine_min_hashes]]) instead of 32
+    * interpreted `array_min(transform(...))` passes. */
   private def minhashBuckets(sets: DataFrame): DataFrame = {
-    val sigs = sets.select(
-      col("doc_id") +: (0 until NumHashes).map(i =>
-        expr(s"array_min(transform(shs, s -> (${hashA(i)}L * s + ${hashB(i)}L) % ${MinHashP}L))")
-          .as(s"h$i")): _*)
+    import graft.functions.SketchHashes.affine_min_hashes
+    val seeds = 0 until NumHashes
+    val sigs = sets.select(col("doc_id"),
+      affine_min_hashes(col("shs"), seeds.map(hashA), seeds.map(hashB), MinHashP).as("hs"))
     val bands = (0 until NumHashes / BandRows).map { b =>
-      val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i").cast("string"))
+      val cols = (b * BandRows until (b + 1) * BandRows)
+        .map(i => element_at(col("hs"), i + 1).cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*).cast("binary")).as("sig"))
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
@@ -321,20 +325,19 @@ object Dedup {
   private val SimHashChunkBits = SimHashBits / 4
 
   /** 60-bit SimHash signature per document (token-level): per-bit majority
-    * vote of 60-bit md5-derived token hashes. Map-side partial aggregation
-    * reduces each doc to 60 counters regardless of length. Every stage is
-    * exact integer arithmetic → oracle hash-checked ([[simhashSql]]). */
+    * vote of 60-bit md5-derived token hashes, computed ENTIRELY map-side by
+    * one codegen'd expression per document
+    * ([[graft.functions.SketchHashes.simhash_sig]]) — no token explode, no
+    * 60-counter aggregation, no shuffle at all (the naive shape would
+    * shuffle one 60-counter partial row per document; this moves nothing).
+    * Every stage is exact integer arithmetic → oracle hash-checked
+    * ([[simhashSql]]), which replays the explode-and-majority-sum
+    * formulation and must agree bit-for-bit. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = Tables.fanOut(docs)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"))
-    val bitSums = (0 until SimHashBits).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until SimHashBits).foldLeft(lit(0L)) { (acc, i) =>
-      acc.bitwiseOR(when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-    }
-    agg.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+    import graft.functions.SketchHashes.simhash_sig
+    Tables.fanOut(docs)
+      .select(col("doc_id"), simhash_sig(col("text"), SimHashBits).as("simhash"))
+      .orderBy("doc_id")
   }
 
   /** Signature reconstruction shared by the two simhash oracles: the 60
