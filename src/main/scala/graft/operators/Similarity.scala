@@ -186,6 +186,101 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Deterministic quantized k-means over the embedding corpus — the
+    * semantic-clustering stage of a curation pipeline (diversity sampling,
+    * cluster-balanced mixtures, semantic dedup). Engineered for exact
+    * cross-engine replay like every sketch op here:
+    *
+    *   - init: the `k` lowest vec_ids ARE the initial centroids (cluster j =
+    *     vector j) — deterministic, no RNG;
+    *   - assignment: argmin over exact integer squared distances
+    *     (`nq - 2·dot + nc`, all codegen'd [[graft.functions.LongDotExpr]]
+    *     dots against a broadcast centroid table), ties to the lowest
+    *     cluster index;
+    *   - update: centroids are FLOOR-AVERAGED back to integers
+    *     (`floor(sum/n)` per component — exact: |sum| ≪ 2^53 so the double
+    *     quotient's floor is the true floor). Quantized centroids keep every
+    *     later distance in exact BIGINT math; the ~1e-3-scale rounding is
+    *     noise at clustering granularity. Empty clusters keep their previous
+    *     centroid;
+    *   - `iters` (assign, update) rounds, then one final assignment is
+    *     reported.
+    *
+    * 100 TB shape: each round is one broadcast-join scan (k·dim-sized
+    * centroid table) plus one map-side-combined component-sum aggregation —
+    * the textbook distributed Lloyd step; nothing but k·dim values ever
+    * leaves an executor twice. */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = quantized(emb).select("vec_id", "q", "nq")
+    val init = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("q").as("cq"))
+
+    def withNc(cent: DataFrame): DataFrame =
+      cent.withColumn("nc", long_dot(col("cq"), col("cq")))
+
+    def assign(cent: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(withNc(cent)))
+        .withColumn("dist2",
+          col("nq") - lit(2L) * long_dot(col("q"), col("cq")) + col("nc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist2"), col("cluster"))))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cluster", "dist2", "q")
+
+    def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy("cluster", "i")
+        .agg(floor(sum("x").cast("double") / count(lit(1))).cast("long").as("c"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").as("ucq"))
+      prev.join(sums, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("ucq"), col("cq")).as("cq"))
+    }
+
+    val centFinal = (1 to iters).foldLeft(init) { (cent, _) =>
+      update(assign(cent), cent)
+    }
+    assign(centFinal).select("vec_id", "cluster", "dist2").orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[kmeans]] at the default (k=8, iters=2): the same
+    * init / integer-distance assignment / floor-averaged update, unrolled —
+    * centroids carried in long format (cluster, i, c), distances as direct
+    * Σ(q−c)² which equals the operator's nq − 2·dot + nc exactly in
+    * integers. */
+  val kmeansSql: String = {
+    def assign(a: String, cent: String): String =
+      s"""d$a AS (
+         |  SELECT e.vec_id, c.cluster, CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS dist2
+         |  FROM ev e JOIN $cent c ON c.i = e.i GROUP BY 1, 2),
+         |$a AS (SELECT vec_id, cluster, dist2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+         |  FROM d$a) WHERE rn = 1)""".stripMargin
+    def update(u: String, a: String, prev: String, next: String): String =
+      s"""$u AS (
+         |  SELECT a.cluster, e.i,
+         |    CAST(floor(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM $a a JOIN ev e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+         |$next AS (
+         |  SELECT cluster, i, c FROM $u
+         |  UNION ALL
+         |  SELECT cluster, i, c FROM $prev
+         |  WHERE cluster NOT IN (SELECT DISTINCT cluster FROM $u))""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, unnest(embedding) AS x,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |c0 AS (SELECT vec_id AS cluster, i, q AS c FROM ev WHERE vec_id < 8),
+       |${assign("a1", "c0")},
+       |${update("u1", "a1", "c0", "c1")},
+       |${assign("a2", "c1")},
+       |${update("u2", "a2", "c1", "c2")},
+       |${assign("a3", "c2")}
+       |SELECT vec_id, cluster, dist2 FROM a3 ORDER BY vec_id""".stripMargin
+  }
+
   /** Shared oracle prelude: quantized components + exact norms. */
   private val evNormsSql: String =
     """ev AS (

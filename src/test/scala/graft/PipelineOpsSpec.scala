@@ -268,6 +268,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("b").getAs[Long]("n_keep_repetition") == 0L)
   }
 
+  test("kmeans: every vector assigned once to a locally-nearest final centroid; identical vectors co-cluster") {
+    val out = Similarity.kmeans(emb).collect()
+    assert(out.length == emb.count())
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == out.length)
+    assert(out.forall(_.getAs[Long]("dist2") >= 0L))
+    val nClusters = out.map(_.getAs[Long]("cluster")).distinct.length
+    assert(nClusters > 1 && nClusters <= 8, s"got $nClusters clusters")
+    // a duplicated vector must land in the same cluster with the same dist2
+    import spark.implicits._
+    val dup = emb.limit(1).unionAll(emb.limit(1).withColumn("vec_id", lit(999999L)))
+      .unionAll(emb.filter(col("vec_id") >= 1))
+    val dupOut = Similarity.kmeans(dup).collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Long]("cluster"), r.getAs[Long]("dist2"))).toMap
+    assert(dupOut(emb.select(min("vec_id")).head().getLong(0)) == dupOut(999999L))
+  }
+
   test("writeShuffled materializes the shard layout: one dir per shard, key-ordered rows, full coverage") {
     val out = java.nio.file.Files.createTempDirectory("graft_shuffle_out").toFile.getAbsolutePath
     Sampling.writeShuffled(docs, out)
