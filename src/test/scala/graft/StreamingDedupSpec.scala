@@ -62,6 +62,69 @@ class StreamingDedupSpec extends SparkSpec {
     assert(r2 == Seq((6L, "delta")), s"run 2 emitted $r2")
   }
 
+  test("streaming ingest pipeline: mixture sampling + repetition filter + dedup compose; matches the batch result") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val src = Files.createTempDirectory("graft_spipe_src").toFile
+    val ckpt = Files.createTempDirectory("graft_spipe_ckpt").toFile.getAbsolutePath
+    StreamingDedupSpec.emitted.clear()
+
+    val srcSchema = schema.add(StructField("source", StringType))
+    val rates = Map("keepall" -> 1.0)
+    // 12-token unique-bigram texts pass the repetition filter; the 'spam'
+    // doc fails it; the dup text must be dropped by dedup across batches
+    val okA = "one two three four five six seven eight nine ten eleven twelve"
+    val okB = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b1 = Seq(
+      s"""{"doc_id": 1, "text": "$okA", "source": "keepall"}""",
+      s"""{"doc_id": 2, "text": "spam spam spam spam spam spam", "source": "keepall"}""")
+    val b2 = Seq(
+      s"""{"doc_id": 3, "text": "$okA", "source": "keepall"}""",
+      s"""{"doc_id": 4, "text": "$okB", "source": "keepall"}""")
+
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(srcSchema).json(src.getAbsolutePath)
+      // the same map-side keep conditions the batch/typed APIs use, then the
+      // stateful dedup — filters compose with a stream like with any frame
+      val cleaned = in
+        .filter(Sampling.keepCondition(rates, 1.0))
+        .filter(TextAnalysis.repetitionKeep())
+      val q = StreamingDedup.firstOccurrences(cleaned).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingDedupSpec.emitted.addAll(
+            batch.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq.asJava)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+
+    writeJson(src, "b1.json", b1)
+    runOnce()
+    writeJson(src, "b2.json", b2)
+    runOnce()
+    val streamed = StreamingDedupSpec.emitted.asScala.toSeq.map(_._1).sorted
+
+    // batch twin over the same corpus: same filters, exact dedup keeps the
+    // first (minimum) id — identical survivors
+    import spark.implicits._
+    val all = (b1 ++ b2).map { j =>
+      val m = ujsonish(j); (m("doc_id").toLong, m("text"), m("source"))
+    }.toDF("doc_id", "text", "source")
+    val batchKept = graft.operators.Dedup.exact(
+      all.filter(Sampling.keepCondition(rates, 1.0))
+        .filter(TextAnalysis.repetitionKeep()))
+      .select("keep_id").collect().map(_.getLong(0)).sorted
+    assert(streamed.sameElements(batchKept), s"streamed $streamed vs batch ${batchKept.toSeq}")
+    assert(streamed == Seq(1L, 4L))
+  }
+
+  /** Minimal JSON-object field extractor for the fixture lines (keys are
+    * known, values have no escapes). */
+  private def ujsonish(j: String): Map[String, String] =
+    """"(\w+)":\s*(?:"([^"]*)"|(\d+))""".r.findAllMatchIn(j)
+      .map(m => m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))).toMap
+
   test("watermark-bounded dedup re-admits a text after its state ages out") {
     val src = Files.createTempDirectory("graft_sdedup_wm_src").toFile
     val ckpt = Files.createTempDirectory("graft_sdedup_wm_ckpt").toFile.getAbsolutePath
