@@ -77,8 +77,51 @@ object SketchHashes {
     new GenericArrayData(mins.map(x => x: Any))
   }
 
+  /** Sorted distinct 48-bit hashes of a text's 3-word shingles — the first
+    * 12 hex chars of md5(shingle) as an integer (6 digest bytes), matching
+    * `conv(substring(md5(s), 1, 12), 16, 10)`; texts under 3 tokens hash
+    * whole. One pass: build each shingle string, hash, sort, dedup —
+    * replacing an interpreted CASE + transform + array_sort + array_distinct
+    * lambda chain. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(s: String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h
+    }
+    if (toks.length < n) return new GenericArrayData(Array[Any](h48(text.toString)))
+    val m = toks.length - n + 1
+    val hs = new Array[Long](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      hs(i) = h48(sb.toString)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    val out = new Array[Any](m)
+    var k = 0
+    i = 0
+    while (i < m) {
+      if (k == 0 || hs(i) != hs(i - 1)) { out(k) = hs(i); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], k))
+  }
+
   def simhash_sig(c: Column, bits: Int): Column =
     GraftColumns.of(SimHashSigExpr(GraftColumns.expr(c), bits))
+
+  def shingle_hashes(c: Column, n: Int): Column =
+    GraftColumns.of(ShingleHashesExpr(GraftColumns.expr(c), n))
 
   def affine_min_hashes(c: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
     GraftColumns.of(AffineMinHashesExpr(GraftColumns.expr(c), as, bs, p))
@@ -103,6 +146,28 @@ case class SimHashSigExpr(child: Expression, bits: Int) extends UnaryExpression 
       s"${ev.value} = graft.functions.SketchHashes.simhashSig($c, $bits);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSigExpr =
+    copy(child = newChild)
+}
+
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchHashes.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchHashes.shingleHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 }
 

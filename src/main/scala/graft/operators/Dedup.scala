@@ -158,27 +158,18 @@ object Dedup {
   private[operators] def hashA(i: Int): Long = 4097L + 257L * i // < 2^14
   private[operators] def hashB(i: Int): Long = 1000003L * (i + 1)
 
-  /** 48-bit base hash of a string expression, as SQL text usable inside
-    * lambda bodies: the first 12 hex chars of md5. Spark and DuckDB agree
-    * byte-for-byte on md5 of the same UTF-8 input. */
-  private def h48(sqlExpr: String): String =
-    s"CAST(conv(substring(md5($sqlExpr), 1, 12), 16, 10) AS BIGINT)"
-
   /** Per-doc distinct 3-word shingle set as a SORTED BIGINT array: shingles
     * are hashed to 48-bit ints at build time (map-side, no explode/shuffle),
     * so every downstream op — minhash signatures, banding, the verify merge
     * scan — moves 8-byte hashes instead of ~20-byte strings. Set semantics
     * are preserved modulo 48-bit collisions (~n²/2⁴⁹ over the shingle
     * vocabulary — harmless, and both engines collide identically since the
-    * oracle computes the same hashes). */
+    * oracle computes the same hashes: the first 12 hex chars of
+    * md5(shingle), built in one codegen'd pass per document
+    * ([[graft.functions.SketchHashes.shingle_hashes]]). */
   private def shingleArrays(docs: DataFrame): DataFrame = {
-    val gram = "concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2])"
-    docs.select(col("doc_id"),
-      expr("CASE WHEN size(split(text,' ')) >= 3 THEN " +
-        "array_sort(array_distinct(transform(sequence(0, size(split(text,' ')) - 3), " +
-        s"i -> ${h48(gram)}))) " +
-        s"ELSE array(${h48("text")}) END")
-        .as("shs"))
+    import graft.functions.SketchHashes.shingle_hashes
+    docs.select(col("doc_id"), shingle_hashes(col("text"), 3).as("shs"))
   }
 
   /** Banded LSH buckets `(doc_id, band, sig)` for a set-per-doc frame. The
