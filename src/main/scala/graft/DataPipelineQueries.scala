@@ -32,6 +32,7 @@ object DataPipelineQueries {
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "embed_kmeans" -> ((s, dir) => Similarity.kmeans(emb(s, dir))),
+    "embed_cluster_sample" -> ((s, dir) => Similarity.clusterBalancedSample(emb(s, dir))),
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_subword_tokens" -> ((s, dir) => TextAnalysis.subwordTokens(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
@@ -75,6 +76,7 @@ object DataPipelineQueries {
     "sim_topk_lsh" -> Similarity.lshTopKSql,
     "sim_topk_ivf" -> Similarity.ivfTopKSql,
     "embed_kmeans" -> Similarity.kmeansSql,
+    "embed_cluster_sample" -> Similarity.clusterBalancedSampleSql,
     "text_token_stats" -> TextAnalysis.tokenStatsSql,
     "text_subword_tokens" -> TextAnalysis.subwordTokensSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,

@@ -210,7 +210,12 @@ object Similarity {
     * centroid table) plus one map-side-combined component-sum aggregation —
     * the textbook distributed Lloyd step; nothing but k·dim values ever
     * leaves an executor twice. */
-  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssign(emb, k, iters).select("vec_id", "cluster", "dist2").orderBy("vec_id")
+
+  /** The final k-means assignment frame (unordered; carries `q`), shared by
+    * [[kmeans]] and [[clusterBalancedSample]]. */
+  private def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = quantized(emb).select("vec_id", "q", "nq")
     val init = vecs.filter(col("vec_id") < k)
@@ -242,15 +247,62 @@ object Similarity {
     val centFinal = (1 to iters).foldLeft(init) { (cent, _) =>
       update(assign(cent), cent)
     }
-    assign(centFinal).select("vec_id", "cluster", "dist2").orderBy("vec_id")
+    assign(centFinal)
   }
+
+  /** Cluster-balanced sampling — what the clusters are FOR in a curation
+    * pipeline: equalize cluster contributions to a training mixture by
+    * keeping each cluster at rate `n_min / n_cluster` (the smallest
+    * cluster's size over this cluster's), decided by the same deterministic
+    * content-hash unit draw the mixture sampler uses. Rate-based rather
+    * than exact-top-n so the keep decision stays MAP-SIDE (no per-cluster
+    * global sort — at 100 TB a k-partition ranking window would serialize
+    * each cluster through one task); the tiny (cluster, rate) table
+    * broadcasts. Returns per-cluster accounting. */
+  def clusterBalancedSample(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      salt: String = "bal0"): DataFrame = {
+    val assigned = kmeansAssign(emb, k, iters).select("vec_id", "cluster")
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+    val rates = sizes.crossJoin(broadcast(sizes.agg(min("n_vecs").as("n_min"))))
+      .withColumn("target_rate", col("n_min").cast("double") / col("n_vecs"))
+      .select("cluster", "n_vecs", "target_rate")
+    val draw = conv(substring(md5(
+      concat_ws(":", lit(salt), col("vec_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("long").cast("double") / 65536.0
+    assigned.join(broadcast(rates), Seq("cluster"))
+      .groupBy("cluster").agg(
+        first("n_vecs").as("n_vecs"), first("target_rate").as("target_rate"),
+        sum(when(draw < col("target_rate"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB oracle for [[clusterBalancedSample]] at the defaults: the
+    * k-means core plus per-cluster sizes, min-size rate, and the same md5
+    * unit draw. */
+  lazy val clusterBalancedSampleSql: String =
+    s"""$kmeansCoreSql,
+       |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs FROM a3 GROUP BY 1),
+       |m AS (SELECT min(n_vecs) AS n_min FROM sizes),
+       |rates AS (SELECT cluster, n_vecs,
+       |  CAST(n_min AS DOUBLE) / n_vecs AS target_rate FROM sizes CROSS JOIN m),
+       |drawn AS (
+       |  SELECT a.cluster,
+       |    CAST(CAST(('0x' || substr(md5('bal0:' || CAST(a.vec_id AS VARCHAR)), 1, 4)) AS INTEGER) AS DOUBLE)
+       |      / 65536.0 AS u
+       |  FROM a3 a)
+       |SELECT r.cluster, r.n_vecs, r.target_rate,
+       |  CAST(sum(CASE WHEN d.u < r.target_rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM drawn d JOIN rates r ON r.cluster = d.cluster
+       |GROUP BY 1, 2, 3 ORDER BY r.cluster""".stripMargin
 
   /** DuckDB oracle for [[kmeans]] at the default (k=8, iters=2): the same
     * init / integer-distance assignment / floor-averaged update, unrolled —
     * centroids carried in long format (cluster, i, c), distances as direct
     * Σ(q−c)² which equals the operator's nq − 2·dot + nc exactly in
     * integers. */
-  val kmeansSql: String = {
+  /** The k-means WITH-chain through the final assignment CTE `a3`, shared
+    * by [[kmeansSql]] and [[clusterBalancedSampleSql]]. */
+  private val kmeansCoreSql: String = {
     def assign(a: String, cent: String): String =
       s"""d$a AS (
          |  SELECT e.vec_id, c.cluster, CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS dist2
@@ -277,9 +329,12 @@ object Similarity {
        |${update("u1", "a1", "c0", "c1")},
        |${assign("a2", "c1")},
        |${update("u2", "a2", "c1", "c2")},
-       |${assign("a3", "c2")}
-       |SELECT vec_id, cluster, dist2 FROM a3 ORDER BY vec_id""".stripMargin
+       |${assign("a3", "c2")}""".stripMargin
   }
+
+  val kmeansSql: String =
+    s"""$kmeansCoreSql
+       |SELECT vec_id, cluster, dist2 FROM a3 ORDER BY vec_id""".stripMargin
 
   /** Shared oracle prelude: quantized components + exact norms. */
   private val evNormsSql: String =

@@ -284,6 +284,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dupOut(emb.select(min("vec_id")).head().getLong(0)) == dupOut(999999L))
   }
 
+  test("cluster-balanced sample: rates equalize toward the smallest cluster, which keeps everything") {
+    val out = Similarity.clusterBalancedSample(emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, rate, kept) = (r.getAs[Long]("n_vecs"),
+        r.getAs[Double]("target_rate"), r.getAs[Long]("n_kept"))
+      assert(rate > 0.0 && rate <= 1.0 && kept <= n)
+    }
+    val minRow = out.minBy(_.getAs[Long]("n_vecs"))
+    assert(minRow.getAs[Double]("target_rate") == 1.0)
+    assert(minRow.getAs[Long]("n_kept") == minRow.getAs[Long]("n_vecs"))
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == emb.count())
+  }
+
   test("writeShuffled materializes the shard layout: one dir per shard, key-ordered rows, full coverage") {
     val out = java.nio.file.Files.createTempDirectory("graft_shuffle_out").toFile.getAbsolutePath
     Sampling.writeShuffled(docs, out)
