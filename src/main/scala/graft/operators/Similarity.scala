@@ -240,7 +240,9 @@ object Similarity {
         .agg(floor(sum("x").cast("double") / count(lit(1))).cast("long").as("c"))
         .groupBy("cluster")
         .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").as("ucq"))
-      prev.join(sums, Seq("cluster"), "left")
+      // both sides are k rows — without the hint this pair of tiny frames
+      // plans as a SortMergeJoin (caught by ScaleTechniquesSpec)
+      prev.join(broadcast(sums), Seq("cluster"), "left")
         .select(col("cluster"), coalesce(col("ucq"), col("cq")).as("cq"))
     }
 

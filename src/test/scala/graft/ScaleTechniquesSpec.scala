@@ -74,4 +74,23 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(prunedFiles > 0 && prunedFiles < allFiles,
       s"pruning must skip files: $prunedFiles vs $allFiles")
   }
+
+  test("simhash signature plan is pure map-side: no explode, no aggregation") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val plan = graft.operators.Dedup.simhash(docs).queryExecution.executedPlan.toString
+    // the codegen'd simhash_sig computes the signature per row — the naive
+    // shape's Generate (explode) and HashAggregate must be absent
+    assert(!plan.contains("Generate"), s"token explode in plan:\n${plan.take(1200)}")
+    assert(!plan.contains("Aggregate"), s"aggregation in plan:\n${plan.take(1200)}")
+    assert(plan.contains("simhash_sig"), "expected the native expression in the plan")
+  }
+
+  test("kmeans assignment joins broadcast the centroid table, never shuffle the corpus side") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val plan = graft.operators.Similarity.kmeans(emb).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast centroid joins:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join here would shuffle the corpus per Lloyd round")
+  }
 }
