@@ -217,7 +217,9 @@ object Similarity {
     * [[kmeans]] and [[clusterBalancedSample]]. */
   private def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vecs = quantized(emb).select("vec_id", "q", "nq")
+    // scanned once per Lloyd round (assign) plus the update joins — cached
+    // like the minhash working sets; released by session cache cleanup
+    val vecs = quantized(emb).select("vec_id", "q", "nq").cache()
     val init = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("q").as("cq"))
 
@@ -263,7 +265,9 @@ object Similarity {
     * broadcasts. Returns per-cluster accounting. */
   def clusterBalancedSample(emb: DataFrame, k: Int = 8, iters: Int = 2,
       salt: String = "bal0"): DataFrame = {
-    val assigned = kmeansAssign(emb, k, iters).select("vec_id", "cluster")
+    // consumed twice (cluster sizes, then the rate join) — cache the final
+    // assignment rather than re-running the Lloyd rounds per consumer
+    val assigned = kmeansAssign(emb, k, iters).select("vec_id", "cluster").cache()
     val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
     val rates = sizes.crossJoin(broadcast(sizes.agg(min("n_vecs").as("n_min"))))
       .withColumn("target_rate", col("n_min").cast("double") / col("n_vecs"))
