@@ -24,6 +24,7 @@ object DataPipelineQueries {
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
+    "dedup_clusters" -> ((s, dir) => Dedup.clusters(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "embed_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(emb(s, dir))),
@@ -43,6 +44,7 @@ object DataPipelineQueries {
     "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(docs(s, dir))),
     "text_contamination" -> ((s, dir) => TextAnalysis.contamination(docs(s, dir))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
+    "text_surprisal" -> ((s, dir) => TextAnalysis.surprisal(docs(s, dir))),
     "text_tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir))),
     "source_report" -> ((s, dir) => TextAnalysis.sourceReport(docs(s, dir))),
     "sample_shuffle" -> ((s, dir) => Sampling.shuffleShards(docs(s, dir))),
@@ -67,6 +69,7 @@ object DataPipelineQueries {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_jaccard_pairs" -> Dedup.jaccardPairsSql,
     "dedup_minhash_pairs" -> Dedup.minhashPairsSql,
+    "dedup_clusters" -> Dedup.clustersSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql,
     "text_winnowing_pairs" -> TextAnalysis.winnowingPairsSql,
@@ -86,6 +89,7 @@ object DataPipelineQueries {
     "text_top_bigrams" -> TextAnalysis.topBigramsSql,
     "text_contamination" -> TextAnalysis.contaminationSql,
     "text_repetition" -> TextAnalysis.repetitionSql,
+    "text_surprisal" -> TextAnalysis.surprisalSql,
     "text_tfidf_topk" -> TextAnalysis.tfidfTopKSql,
     "source_report" -> TextAnalysis.sourceReportSql,
     "sample_shuffle" -> Sampling.shuffleShardsSql,

@@ -84,6 +84,7 @@ object SparkEntry {
       }
     drop(parsedCache)
     drop(linesCache)
+    PinnedCaches.release(s) // the operators' call-local working-set pins
     s.sharedState.cacheManager.clearCache() // the pinned merge-subtree frames
   }
 

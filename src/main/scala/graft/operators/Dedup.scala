@@ -203,16 +203,21 @@ object Dedup {
     * [[minhashPairsSql]] reproduces the full pipeline and the query is
     * oracle hash-checked. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
-    // Both caches span multiple consumers inside this one query (groups:
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    minhashPairsUnordered(docs, threshold, bucketCap).orderBy("doc_a", "doc_b")
+
+  /** [[minhashPairs]] without the presentation sort — the form consumers
+    * like [[clusters]] build on. */
+  private def minhashPairsUnordered(docs: DataFrame, threshold: Double,
+      bucketCap: Int): DataFrame = {
+    // Both pins span multiple consumers inside this one query (groups:
     // shingles + expansion; sets: signatures + both verify sides); they are
-    // released by session-level cache cleanup (SparkEntry.clearCaches /
-    // catalog.clearCache), not per-call — callers embedding this in a
-    // long-lived service should clear between corpora.
-    val groups = dupGroups(docs).cache()
+    // registered with PinnedCaches so repeated calls over the same corpus
+    // share one materialization and PinnedCaches.release drops them.
+    val groups = PinnedCaches.pin(dupGroups(docs))
     // map-side signatures: min over the shingle array per hash seed — no
     // explode, no shuffle until the (tiny) band-bucket join.
-    val sets = shingleArrays(groups.select("doc_id", "text")).cache()
+    val sets = PinnedCaches.pin(shingleArrays(groups.select("doc_id", "text")))
     val buckets = capBuckets(minhashBuckets(sets), Seq("band", "sig"), bucketCap)
 
     val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "sig"))
@@ -230,14 +235,78 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
 
     expandPairs(repPairs, groups, "jaccard", groups.withColumn("jaccard", lit(1.0)))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Maximum hash-to-min rounds before [[clusters]] gives up: label
+    * propagation needs one round per unit of component diameter, and a
+    * near-dup component's diameter is small (every member is within one
+    * verified similarity hop of a shared representative chain); 64 is far
+    * above anything a real corpus produces. */
+  private val MaxClusterRounds = 64
+
+  /** Near-duplicate CLUSTERS — the stage the pair lists exist for: connected
+    * components of the [[minhashPairs]] similarity graph, with the dedup
+    * decision (keep each component's minimum doc id). One row per document:
+    * `(doc_id, cluster_id, kept)` where `cluster_id` is the component's
+    * minimum member id and `kept` marks the representative (singletons keep
+    * themselves).
+    *
+    * Components are computed by hash-to-min label propagation: every doc
+    * starts labeled with its own id; each round every doc takes the minimum
+    * of its label and its neighbors' labels; fixpoint = components. Each
+    * round is ONE shuffle of the edge list (near-dup pairs only — tiny
+    * relative to the corpus) joined against the per-doc label frame, and the
+    * round count is the component diameter, not the corpus size — the
+    * textbook distributed CC shape (alternating large-star/small-star would
+    * cut rounds to O(log d) if corpora with long similarity chains ever
+    * appear; near-dup graphs don't have them). Deterministic, so the DuckDB
+    * oracle ([[clustersSql]]) reproduces it with a recursive CTE. */
+  def clusters(docs: DataFrame, threshold: Double = 0.8,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val pairs = minhashPairsUnordered(docs, threshold, bucketCap)
+      .select("doc_a", "doc_b")
+    // symmetric edge list, reused every round
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+
+    var frontier = Tables.fanOut(docs)
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    frontier.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < MaxClusterRounds) {
+      val nbrMin = edges
+        .join(frontier.select(col("doc_id").as("doc_b"), col("cluster_id").as("lb")),
+          Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id")).agg(min("lb").as("nbr_min"))
+      val next = frontier.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("prev"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      next.count()
+      converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
+      frontier.unpersist()
+      frontier = next
+      rounds += 1
+    }
+    require(converged, s"near-dup label propagation did not converge in $MaxClusterRounds rounds")
+    edges.unpersist()
+    // register the final (already materialized) pin so release() covers it
+    PinnedCaches.pin(frontier)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("cluster_id") === col("doc_id")).as("kept"))
+      .orderBy("doc_id")
   }
 
   /** DuckDB oracle for [[minhashPairs]]: the same dup-collapse → shingle
     * hash → 32 affine minhashes → 8 band signatures → cap → candidate join →
     * exact verify → member expansion, with the affine constants interpolated
     * from the single source of truth above. */
-  val minhashPairsSql: String = {
+  /** The [[minhashPairsSql]] CTE chain (dup-collapse through the
+    * member-expanded `crossp`/`intra` pair CTEs), shared with
+    * [[clustersSql]]. */
+  private val minhashPairsCoreSql: String = {
     val hashDefs = (0 until NumHashes).map(i =>
       s"    list_min(list_transform(shs, s -> (${hashA(i)} * s + ${hashB(i)}) % $MinHashP)) AS h$i")
       .mkString(",\n")
@@ -246,7 +315,7 @@ object Dedup {
         .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
       s"  SELECT doc_id, $b AS band, md5($cs) AS sig FROM sigs"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH g AS (
+    s"""g AS (
        |  SELECT min(doc_id) AS doc_id, any_value(text) AS text,
        |    list_sort(list(doc_id)) AS member_ids
        |  FROM documents GROUP BY md5(text)),
@@ -278,11 +347,33 @@ object Dedup {
        |  FROM repf JOIN mem ma ON ma.rep_id = repf.doc_a JOIN mem mb ON mb.rep_id = repf.doc_b),
        |intra AS (
        |  SELECT a.member AS doc_a, b.member AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
-       |  FROM mem a JOIN mem b ON a.rep_id = b.rep_id AND a.member < b.member)
+       |  FROM mem a JOIN mem b ON a.rep_id = b.rep_id AND a.member < b.member)""".stripMargin
+  }
+
+  val minhashPairsSql: String =
+    s"""WITH $minhashPairsCoreSql
        |SELECT doc_a, doc_b, jaccard FROM crossp
        |UNION ALL SELECT doc_a, doc_b, jaccard FROM intra
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** DuckDB oracle for [[clusters]]: the minhash-pair chain, then connected
+    * components as transitive reachability over the symmetric edge list (a
+    * recursive CTE — UNION-dedup guarantees termination), labeling each doc
+    * with the minimum reachable id. */
+  val clustersSql: String =
+    s"""WITH RECURSIVE $minhashPairsCoreSql,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM crossp
+       |  UNION ALL SELECT doc_a, doc_b FROM intra),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS kept
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   /** The (band, sig) buckets [[minhashPairs]] would skip at `bucketCap`,
     * with their sizes — drop accounting for cap tuning. */
@@ -367,7 +458,7 @@ object Dedup {
     * Oracle hash-checked ([[simhashPairsSql]]). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val groups = dupGroups(docs).cache()
+    val groups = PinnedCaches.pin(dupGroups(docs))
     val sigs = simhash(groups.select("doc_id", "text"))
     val chunkMask = (1L << SimHashChunkBits) - 1L
     val chunks = (0 until 4).map(c =>

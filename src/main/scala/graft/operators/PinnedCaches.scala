@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Registry for the operators' call-local cache pins (dup-group collapse,
+  * shingle/fingerprint working sets, k-means assignments).
+  *
+  * Before this existed each operator call issued its own `.cache()`, and the
+  * pins were released only by a full `catalog`-level cache clear — a
+  * long-lived service invoking the operators repeatedly across corpora would
+  * accumulate executor storage until that manual sweep. Centralizing the
+  * pins here makes the lifecycle explicit ([[release]] drops exactly what
+  * the operators pinned for a session, nothing else) and adds cross-call
+  * reuse for free: the key is the frame's CANONICALIZED logical plan, so two
+  * operator calls over the same input (minhash pairs and simhash pairs both
+  * collapsing the same corpus, k-means and the cluster sampler sharing one
+  * assignment) hit one materialization instead of pinning twins.
+  */
+object PinnedCaches {
+
+  private val pinned =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, LogicalPlan), DataFrame]
+
+  /** Cache-and-register `df`: returns the already-pinned frame for a
+    * semantically equal plan in the same session, else caches this one and
+    * tracks it for [[release]]. */
+  def pin(df: DataFrame): DataFrame = {
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    pinned.getOrElseUpdate(key, df.cache())
+  }
+
+  /** Unpersist and forget every pin registered for `s` (called by
+    * `SparkEntry.clearCaches`; safe to call between corpora). */
+  def release(s: SparkSession): Unit =
+    pinned.keys.filter(_._1 == s).foreach { k =>
+      pinned.remove(k).foreach(_.unpersist())
+    }
+
+  /** Pin count for `s` — spec hook. */
+  def size(s: SparkSession): Int = pinned.keys.count(_._1 == s)
+}

@@ -191,8 +191,10 @@ object Similarity {
     * cluster-balanced mixtures, semantic dedup). Engineered for exact
     * cross-engine replay like every sketch op here:
     *
-    *   - init: the `k` lowest vec_ids ARE the initial centroids (cluster j =
-    *     vector j) — deterministic, no RNG;
+    *   - init: the `k` lowest vec_ids ARE the initial centroids (cluster
+    *     label = the centroid's vec_id) — selected by sort/limit, so the
+    *     init is well-defined for non-contiguous or non-0-based ids too;
+    *     deterministic, no RNG;
     *   - assignment: argmin over exact integer squared distances
     *     (`nq - 2·dot + nc`, all codegen'd [[graft.functions.LongDotExpr]]
     *     dots against a broadcast centroid table), ties to the lowest
@@ -217,10 +219,12 @@ object Similarity {
     * [[kmeans]] and [[clusterBalancedSample]]. */
   private def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // scanned once per Lloyd round (assign) plus the update joins — cached
-    // like the minhash working sets; released by session cache cleanup
-    val vecs = quantized(emb).select("vec_id", "q", "nq").cache()
-    val init = vecs.filter(col("vec_id") < k)
+    // scanned once per Lloyd round (assign) plus the update joins — pinned
+    // like the minhash working sets; released by PinnedCaches.release
+    val vecs = PinnedCaches.pin(quantized(emb).select("vec_id", "q", "nq"))
+    // the k lowest ids, not `vec_id < k`: robust to non-contiguous ids
+    // (TakeOrderedAndProject — no global sort materializes)
+    val init = vecs.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cluster"), col("q").as("cq"))
 
     def withNc(cent: DataFrame): DataFrame =
@@ -265,9 +269,9 @@ object Similarity {
     * broadcasts. Returns per-cluster accounting. */
   def clusterBalancedSample(emb: DataFrame, k: Int = 8, iters: Int = 2,
       salt: String = "bal0"): DataFrame = {
-    // consumed twice (cluster sizes, then the rate join) — cache the final
+    // consumed twice (cluster sizes, then the rate join) — pin the final
     // assignment rather than re-running the Lloyd rounds per consumer
-    val assigned = kmeansAssign(emb, k, iters).select("vec_id", "cluster").cache()
+    val assigned = PinnedCaches.pin(kmeansAssign(emb, k, iters).select("vec_id", "cluster"))
     val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
     val rates = sizes.crossJoin(broadcast(sizes.agg(min("n_vecs").as("n_min"))))
       .withColumn("target_rate", col("n_min").cast("double") / col("n_vecs"))
@@ -330,7 +334,8 @@ object Similarity {
        |  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
        |  FROM (SELECT vec_id, unnest(embedding) AS x,
        |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
-       |c0 AS (SELECT vec_id AS cluster, i, q AS c FROM ev WHERE vec_id < 8),
+       |c0 AS (SELECT vec_id AS cluster, i, q AS c FROM ev WHERE vec_id IN (
+       |  SELECT DISTINCT vec_id FROM ev ORDER BY vec_id LIMIT 8)),
        |${assign("a1", "c0")},
        |${update("u1", "a1", "c0", "c1")},
        |${assign("a2", "c1")},
@@ -401,13 +406,18 @@ object Similarity {
        |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
        |$rankSql""".stripMargin
 
-  /** DuckDB oracle for [[lshCosinePairs]] at the default parameters. */
+  /** DuckDB oracle for [[lshCosinePairs]] at the default parameters — the
+    * bucket cap included (`sigc`), so operator and oracle agree even on a
+    * corpus with a degenerate (> cap) LSH bucket. */
   def lshCosinePairsSql: String =
     s"""WITH $evNormsSql,
        |$sigsSql,
+       |sigc AS (SELECT vec_id, tbl, bucket FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bn FROM sigs)
+       |  WHERE bn <= ${Dedup.DefaultBucketCap}),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  FROM sigc a JOIN sigc b ON a.tbl = b.tbl AND a.bucket = b.bucket
        |  WHERE a.vec_id < b.vec_id),
        |dots AS (
        |  SELECT c.vec_a, c.vec_b, CAST(sum(a.q*b.q) AS BIGINT) AS dot

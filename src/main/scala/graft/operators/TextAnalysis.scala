@@ -265,10 +265,10 @@ object TextAnalysis {
     * [[winnowingHotFingerprints]] enumerates what was dropped. */
   def winnowingPairs(docs: DataFrame, minShared: Long = 5,
       hotFpCap: Int = Dedup.DefaultBucketCap): DataFrame = {
-    val groups = Dedup.dupGroups(docs).cache()
-    // cached in ARRAY form (one row per doc): feeds the exploded index, the
+    val groups = PinnedCaches.pin(Dedup.dupGroups(docs))
+    // pinned in ARRAY form (one row per doc): feeds the exploded index, the
     // hot-hit counts, and the map-side per-doc fingerprint totals
-    val fpa = winnowingFpArrays(groups.select("doc_id", "text")).cache()
+    val fpa = PinnedCaches.pin(winnowingFpArrays(groups.select("doc_id", "text")))
     val fp = fpa.select(col("doc_id"), explode(col("fps")).as("fingerprint"))
     // hot-fp filter as a broadcast anti-join against the (tiny, usually
     // empty) over-cap set. The document-frequency pass shuffles only
@@ -466,6 +466,63 @@ object TextAnalysis {
       |  (CAST(coalesce(top_bigram_count, 0) AS DOUBLE) * 2.0 / n_tokens <= 0.18
       |    AND CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens <= 0.5) AS keep
       |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Unigram-LM surprisal — the rational proxy for an LM-perplexity quality
+    * filter. True perplexity needs `log`, which is not correctly rounded in
+    * either engine's math library, so this computes two EXACT integer
+    * rarity terms per token against the corpus unigram model and divides
+    * once at the end:
+    *
+    *   - `bits` = bitlen(N) − bitlen(count): floor-log2 surprisal within ±1
+    *     of −log2(count/N), as the length of the minimal binary string
+    *     (`bin()` behaves identically in Spark and DuckDB);
+    *   - `ifreq` = N div count: the floored inverse frequency — the
+    *     fine-grained rarity term (both operands positive, so Spark's
+    *     truncating `div` equals DuckDB's flooring `//`).
+    *
+    * Per-doc sums are exact BIGINTs; the means are one double division each;
+    * `keep` drops the rare-token tail (gibberish/OCR noise under a unigram
+    * model). 100 TB shape: one map-side-combined token count (the unigram
+    * model — Zipf makes it vocabulary-sized, ≪ the token stream), one join
+    * of the token stream against that table (AQE broadcasts it when it
+    * fits), one per-doc re-aggregation. */
+  def surprisal(docs: DataFrame, keepMaxMeanIfreq: Double = 32.0): DataFrame = {
+    val toks = Tables.fanOut(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val scored = counts.crossJoin(broadcast(total)).select(col("tok"),
+      (length(bin(col("total"))) - length(bin(col("cnt")))).cast("long").as("bits"),
+      expr("total DIV cnt").as("ifreq"))
+    toks.join(scored, Seq("tok"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum("bits").as("sum_bits"),
+        sum("ifreq").as("sum_ifreq"))
+      .withColumn("mean_bits", col("sum_bits").cast("double") / col("n_tokens"))
+      .withColumn("mean_ifreq", col("sum_ifreq").cast("double") / col("n_tokens"))
+      .withColumn("keep", col("mean_ifreq") <= lit(keepMaxMeanIfreq))
+      .orderBy("doc_id")
+  }
+
+  val surprisalSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+      |scored AS (SELECT tok,
+      |    CAST(length(bin(total)) - length(bin(cnt)) AS BIGINT) AS bits,
+      |    total // cnt AS ifreq
+      |  FROM counts CROSS JOIN tot),
+      |agg AS (
+      |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(s.bits) AS BIGINT) AS sum_bits,
+      |    CAST(sum(s.ifreq) AS BIGINT) AS sum_ifreq
+      |  FROM tok t JOIN scored s ON s.tok = t.tok GROUP BY t.doc_id)
+      |SELECT doc_id, n_tokens, sum_bits, sum_ifreq,
+      |  CAST(sum_bits AS DOUBLE) / n_tokens AS mean_bits,
+      |  CAST(sum_ifreq AS DOUBLE) / n_tokens AS mean_ifreq,
+      |  (CAST(sum_ifreq AS DOUBLE) / n_tokens <= CAST(32.0 AS DOUBLE)) AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Corpus-level word-bigram frequencies, top 20: the classic n-gram
     * aggregation — explode is linear, count partial-aggregates map-side. */
