@@ -25,10 +25,13 @@ object DataPipelineQueries {
     "dedup_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(docs(s, dir))),
+    "dedup_spans" -> ((s, dir) => Dedup.spans(docs(s, dir))),
+    "dedup_incremental" -> ((s, dir) => Dedup.incremental(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "embed_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(emb(s, dir))),
     "embed_lsh_pairs" -> ((s, dir) => Similarity.lshCosinePairs(emb(s, dir))),
+    "embed_clusters" -> ((s, dir) => Similarity.embedClusters(emb(s, dir))),
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
@@ -37,6 +40,7 @@ object DataPipelineQueries {
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_subword_tokens" -> ((s, dir) => TextAnalysis.subwordTokens(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
+    "text_quality_classifier" -> ((s, dir) => TextAnalysis.qualityClassifier(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "text_langid_trigram" -> ((s, dir) => TextAnalysis.langIdTrigram(docs(s, dir))),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
@@ -70,11 +74,14 @@ object DataPipelineQueries {
     "dedup_jaccard_pairs" -> Dedup.jaccardPairsSql,
     "dedup_minhash_pairs" -> Dedup.minhashPairsSql,
     "dedup_clusters" -> Dedup.clustersSql,
+    "dedup_spans" -> Dedup.spansSql,
+    "dedup_incremental" -> Dedup.incrementalSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql,
     "text_winnowing_pairs" -> TextAnalysis.winnowingPairsSql,
     "embed_cosine_pairs" -> Similarity.cosinePairsSql,
     "embed_lsh_pairs" -> Similarity.lshCosinePairsSql,
+    "embed_clusters" -> Similarity.embedClustersSql,
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSql,
     "sim_topk_lsh" -> Similarity.lshTopKSql,
     "sim_topk_ivf" -> Similarity.ivfTopKSql,
@@ -83,6 +90,7 @@ object DataPipelineQueries {
     "text_token_stats" -> TextAnalysis.tokenStatsSql,
     "text_subword_tokens" -> TextAnalysis.subwordTokensSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,
+    "text_quality_classifier" -> TextAnalysis.qualityClassifierSql,
     "text_langid" -> TextAnalysis.langIdSql,
     "text_langid_trigram" -> TextAnalysis.langIdTrigramSql,
     "text_fingerprints" -> TextAnalysis.fingerprintsSql,

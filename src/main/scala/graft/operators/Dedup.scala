@@ -210,11 +210,21 @@ object Dedup {
     * like [[clusters]] build on. */
   private def minhashPairsUnordered(docs: DataFrame, threshold: Double,
       bucketCap: Int): DataFrame = {
+    val groups = PinnedCaches.pin(dupGroups(docs))
+    val repPairs = minhashRepPairs(groups, threshold, bucketCap)
+    expandPairs(repPairs, groups, "jaccard", groups.withColumn("jaccard", lit(1.0)))
+  }
+
+  /** Verified representative-level minhash pairs `(doc_a, doc_b, jaccard)`
+    * over an already-collapsed [[dupGroups]] frame — the shared core of
+    * [[minhashPairs]] (which expands members) and [[incremental]] (which
+    * folds them into per-batch-doc novelty). */
+  private def minhashRepPairs(groups: DataFrame, threshold: Double,
+      bucketCap: Int): DataFrame = {
     // Both pins span multiple consumers inside this one query (groups:
     // shingles + expansion; sets: signatures + both verify sides); they are
     // registered with PinnedCaches so repeated calls over the same corpus
     // share one materialization and PinnedCaches.release drops them.
-    val groups = PinnedCaches.pin(dupGroups(docs))
     // map-side signatures: min over the shingle array per hash seed — no
     // explode, no shuffle until the (tiny) band-bucket join.
     val sets = PinnedCaches.pin(shingleArrays(groups.select("doc_id", "text")))
@@ -225,7 +235,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val repPairs = cand
+    cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
       .withColumn("inter", sorted_intersect_count(col("shs_a"), col("shs_b")))
@@ -233,16 +243,59 @@ object Dedup {
         (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-
-    expandPairs(repPairs, groups, "jaccard", groups.withColumn("jaccard", lit(1.0)))
   }
 
-  /** Maximum hash-to-min rounds before [[clusters]] gives up: label
+  /** Maximum hash-to-min rounds before [[componentsOf]] gives up: label
     * propagation needs one round per unit of component diameter, and a
     * near-dup component's diameter is small (every member is within one
     * verified similarity hop of a shared representative chain); 64 is far
     * above anything a real corpus produces. */
   private val MaxClusterRounds = 64
+
+  /** Connected components of an undirected similarity graph by hash-to-min
+    * label propagation — the shared core of [[clusters]] (minhash text
+    * graph) and [[Similarity.embedClusters]] (embedding LSH graph). Every
+    * node starts labeled with its own id; each round every node takes the
+    * minimum of its label and its neighbors' labels; fixpoint = components.
+    * Each round is ONE shuffle of the edge list (verified near-dup pairs
+    * only — tiny relative to the corpus) joined against the per-node label
+    * frame, and the round count is the component diameter, not the corpus
+    * size — the textbook distributed CC shape (alternating
+    * large-star/small-star would cut rounds to O(log d) if corpora with
+    * long similarity chains ever appear; near-dup graphs don't have them).
+    * One action per round: the changed-label count both materializes the
+    * round's cache and decides convergence.
+    *
+    * `ids` must have one column `id`; `pairs` columns `a`, `b`. Returns
+    * `(id, cluster_id)` where `cluster_id` is the component's minimum id. */
+  private[operators] def componentsOf(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    // symmetric edge list, reused every round
+    val edges = pairs.unionAll(
+      pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+
+    var frontier = ids.select(col("id"), col("id").as("cluster_id")).cache()
+    frontier.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < MaxClusterRounds) {
+      val nbrMin = edges
+        .join(frontier.select(col("id").as("b"), col("cluster_id").as("lb")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min("lb").as("nbr_min"))
+      val next = frontier.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("cluster_id").as("prev"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      converged = next.filter(col("cluster_id") =!= col("prev")).count() == 0
+      frontier.unpersist()
+      frontier = next
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $MaxClusterRounds rounds")
+    edges.unpersist()
+    // register the final (already materialized) pin so release() covers it
+    PinnedCaches.pin(frontier).select("id", "cluster_id")
+  }
 
   /** Near-duplicate CLUSTERS — the stage the pair lists exist for: connected
     * components of the [[minhashPairs]] similarity graph, with the dedup
@@ -251,51 +304,15 @@ object Dedup {
     * minimum member id and `kept` marks the representative (singletons keep
     * themselves).
     *
-    * Components are computed by hash-to-min label propagation: every doc
-    * starts labeled with its own id; each round every doc takes the minimum
-    * of its label and its neighbors' labels; fixpoint = components. Each
-    * round is ONE shuffle of the edge list (near-dup pairs only — tiny
-    * relative to the corpus) joined against the per-doc label frame, and the
-    * round count is the component diameter, not the corpus size — the
-    * textbook distributed CC shape (alternating large-star/small-star would
-    * cut rounds to O(log d) if corpora with long similarity chains ever
-    * appear; near-dup graphs don't have them). Deterministic, so the DuckDB
-    * oracle ([[clustersSql]]) reproduces it with a recursive CTE. */
+    * Components are computed by [[componentsOf]] — deterministic, so the
+    * DuckDB oracle ([[clustersSql]]) reproduces it with a recursive CTE. */
   def clusters(docs: DataFrame, threshold: Double = 0.8,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     val pairs = minhashPairsUnordered(docs, threshold, bucketCap)
-      .select("doc_a", "doc_b")
-    // symmetric edge list, reused every round
-    val edges = pairs.unionAll(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-
-    var frontier = Tables.fanOut(docs)
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
-    frontier.count()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < MaxClusterRounds) {
-      val nbrMin = edges
-        .join(frontier.select(col("doc_id").as("doc_b"), col("cluster_id").as("lb")),
-          Seq("doc_b"))
-        .groupBy(col("doc_a").as("doc_id")).agg(min("lb").as("nbr_min"))
-      val next = frontier.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster_id").as("prev"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .cache()
-      next.count()
-      converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
-      frontier.unpersist()
-      frontier = next
-      rounds += 1
-    }
-    require(converged, s"near-dup label propagation did not converge in $MaxClusterRounds rounds")
-    edges.unpersist()
-    // register the final (already materialized) pin so release() covers it
-    PinnedCaches.pin(frontier)
-      .select(col("doc_id"), col("cluster_id"),
-        (col("cluster_id") === col("doc_id")).as("kept"))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    componentsOf(Tables.fanOut(docs).select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        (col("cluster_id") === col("id")).as("kept"))
       .orderBy("doc_id")
   }
 
@@ -374,6 +391,180 @@ object Dedup {
        |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id)
        |SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS kept
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** Window length for [[spans]]: 24 bytes ≈ 5 words of this corpus — long
+    * enough that a repeated window is real shared content, short enough
+    * that partial overlaps (not just whole near-dup documents) surface. */
+  private val SpanWindowBytes = 24
+
+  /** Duplicated-SPAN detection — substring-level dedup in the style of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+    * 2022): for every document, the maximal spans covered by `k`-byte
+    * windows whose content occurs MORE THAN ONCE in the corpus (in another
+    * document or elsewhere in the same one), plus the duplicated-byte
+    * fraction and the keep decision. Document-level dedup ([[exact]],
+    * [[minhashPairs]]) misses exactly this case — a unique page wrapping a
+    * boilerplate block; span-level detection finds the block itself.
+    *
+    * Where the paper builds a suffix array, the distributed shape here is
+    * window fingerprinting: each k-byte window's Rabin-Karp hash
+    * ([[graft.functions.RollingHashesExpr]] — O(1) per window, one linear
+    * pass per doc) is counted corpus-wide, positions whose hash count
+    * exceeds 1 are duplicated, and overlapping/adjacent duplicated windows
+    * merge into maximal spans (a shared substring of length L ≥ k yields
+    * L − k + 1 consecutive duplicated windows = one span of exactly L
+    * bytes). Exact modulo 2^31−1 hash collisions — which both engines
+    * reproduce identically (same polynomial), so [[spansSql]] is
+    * hash-exact.
+    *
+    * 100 TB notes: the hash-count aggregation is the honest cost of
+    * substring-level dedup (the suffix array it stands in for costs ~8
+    * bytes/byte too) — it partial-aggregates map-side and shuffles
+    * (hash, count) pairs, never text; the count>1 side then joins back on
+    * the hash (both sides already partitioned by it). The span merge is a
+    * map-side fold over each doc's sorted duplicated positions — no
+    * per-position window functions. [[TextAnalysis.winnowingPairs]] is the
+    * SAMPLED variant of the same signal when full window counting is too
+    * heavy. */
+  def spans(docs: DataFrame, k: Int = SpanWindowBytes,
+      keepMaxFrac: Double = 0.5): DataFrame = {
+    import graft.functions.RollingHashes.rolling_hashes
+    val base = Tables.fanOut(docs).select(col("doc_id"),
+      length(col("text")).cast("long").as("n_bytes"),
+      rolling_hashes(col("text"), k).as("rh"))
+    val pos = base.select(col("doc_id"), posexplode(col("rh")).as(Seq("p", "h")))
+    val dup = pos.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val dupPos = pos.join(dup, Seq("h"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("ps"))
+    // one fold computes both the span count and the covered-byte union:
+    // window i adds min(k, p_i − p_{i−1}) new bytes and starts a new span
+    // iff the gap exceeds k; the -(k+1) seed makes the first window
+    // contribute k bytes and one span through the same two branches.
+    val fold = expr(
+      s"""aggregate(coalesce(ps, CAST(array() AS ARRAY<INT>)),
+         |  named_struct('pp', CAST(${-(k + 1)} AS BIGINT), 'ns', 0L, 'cov', 0L),
+         |  (acc, x) -> named_struct('pp', CAST(x AS BIGINT),
+         |    'ns', acc.ns + IF(CAST(x AS BIGINT) - acc.pp > $k, 1L, 0L),
+         |    'cov', acc.cov + least(CAST($k AS BIGINT), CAST(x AS BIGINT) - acc.pp)),
+         |  acc -> struct(acc.ns AS ns, acc.cov AS cov))""".stripMargin)
+    base.select("doc_id", "n_bytes").join(dupPos, Seq("doc_id"), "left")
+      .withColumn("st", fold)
+      .select(col("doc_id"), col("n_bytes"),
+        col("st.ns").as("dup_spans"), col("st.cov").as("dup_bytes"))
+      .withColumn("dup_frac", col("dup_bytes").cast("double") / col("n_bytes"))
+      .withColumn("keep", col("dup_frac") <= keepMaxFrac)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[spans]] (defaults k=24, keep ≤ 0.5): each window
+    * hash recomputed as the left fold `(acc * 257 + byte) mod (2^31−1)` —
+    * the polynomial [[graft.functions.RollingHashes]] rolls in O(1)/window
+    * — then the same count>1 mark and gaps-and-islands span merge (byte =
+    * character: the corpus is ASCII). */
+  val spansSql: String = {
+    val k = SpanWindowBytes
+    val (p, b) = (graft.functions.RollingHashes.Mod, graft.functions.RollingHashes.Base)
+    s"""WITH rh AS (
+       |  SELECT doc_id, list_transform(range(1, length(text) - $k + 2), i ->
+       |    list_reduce(
+       |      list_transform(range(0, $k), j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+       |      (a, c) -> (a * $b + c) % $p)) AS hs
+       |  FROM documents WHERE length(text) >= $k),
+       |pos AS (SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) - 1 AS p FROM rh),
+       |dup AS (SELECT h FROM (SELECT h, count(*) AS c FROM pos GROUP BY h) WHERE c > 1),
+       |dp AS (SELECT doc_id, p FROM pos JOIN dup USING (h)),
+       |win AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM dp),
+       |agg AS (SELECT doc_id,
+       |    sum(CASE WHEN pp IS NULL OR p - pp > $k THEN 1 ELSE 0 END) AS dup_spans,
+       |    sum(CASE WHEN pp IS NULL THEN $k ELSE least($k, p - pp) END) AS dup_bytes
+       |  FROM win GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+       |  CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans,
+       |  CAST(coalesce(dup_bytes, 0) AS BIGINT) AS dup_bytes,
+       |  CAST(coalesce(dup_bytes, 0) AS DOUBLE) / length(d.text) AS dup_frac,
+       |  (CAST(coalesce(dup_bytes, 0) AS DOUBLE) / length(d.text) <= 0.5) AS keep
+       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** INCREMENTAL dedup — the batch-ingest novelty gate (the batch twin of
+    * [[graft.streaming.StreamingDedup]], extended from exact to NEAR-dup
+    * matching): given a corpus split into an EXISTING side and a NEW batch
+    * (`batchCol`; default: odd doc_ids are today's batch, even ids
+    * yesterday's snapshot), report for every batch document its best match
+    * in the existing corpus — `(doc_id, best_match, best_jaccard, novel)`
+    * where `novel` marks batch docs with no existing match at `threshold`
+    * (exact copies match at jaccard 1.0 through their [[dupGroups]] group;
+    * near-dups through the banded LSH pairs). Only novel docs enter the
+    * corpus — the dedup decision an ingest pipeline actually executes.
+    *
+    * Reuses the [[minhashPairs]] machinery wholesale: the SAME pinned
+    * dup-group collapse and shingle sets (one materialization serves both
+    * queries), the same capped band-bucket candidate join and exact verify —
+    * then, instead of member-pair expansion, a per-batch-member fold: best
+    * match = highest jaccard, ties to the lowest existing doc_id (encoded
+    * as `min(struct(-jaccard, match))`, one shuffle keyed by the batch
+    * doc). At 100 TB the existing side's signatures are precomputed and
+    * stored — each batch pays LSH work proportional to the BATCH, not the
+    * corpus. */
+  def incremental(docs: DataFrame, threshold: Double = 0.8,
+      bucketCap: Int = DefaultBucketCap,
+      batchCol: Column = pmod(col("doc_id"), lit(2)) === 1): DataFrame = {
+    val groups = PinnedCaches.pin(dupGroups(docs))
+    val repPairs = minhashRepPairs(groups, threshold, bucketCap)
+
+    val members = groups
+      .select(col("doc_id").as("rep_id"), explode(col("member_ids")).as("doc_id"))
+      .withColumn("is_batch", batchCol)
+    val batchMembers = members.filter(col("is_batch")).select("rep_id", "doc_id")
+    // each group's lowest existing member — the match id exact copies report
+    val existMin = members.filter(!col("is_batch"))
+      .groupBy("rep_id").agg(min("doc_id").as("m"))
+
+    // candidate (batch member, existing match, jaccard):
+    //  (a) an existing copy in the batch doc's own group → jaccard 1.0;
+    //  (b) rep-level near-dup pairs, in both orientations, joined to the
+    //      other rep's lowest existing member.
+    val intra = batchMembers.join(existMin, Seq("rep_id"))
+      .select(col("doc_id"), col("m"), lit(1.0).as("jaccard"))
+    val oriented = repPairs.select(col("doc_a").as("rep_id"), col("doc_b").as("other"), col("jaccard"))
+      .unionAll(repPairs.select(col("doc_b").as("rep_id"), col("doc_a").as("other"), col("jaccard")))
+    val cross = batchMembers.join(oriented, Seq("rep_id"))
+      .join(existMin.select(col("rep_id").as("other"), col("m")), Seq("other"))
+      .select(col("doc_id"), col("m"), col("jaccard"))
+
+    val best = intra.unionAll(cross)
+      .groupBy("doc_id")
+      .agg(min(struct((-col("jaccard")).as("nj"), col("m").as("m"))).as("b"))
+      .select(col("doc_id"), col("b.m").as("best_match"), (-col("b.nj")).as("best_jaccard"))
+    Tables.fanOut(docs).filter(batchCol).select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("novel", col("best_jaccard").isNull)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[incremental]] at the defaults: the member-level
+    * minhash pair chain (crossp ∪ intra from [[minhashPairsSql]]'s core),
+    * oriented batch→existing by the parity split, best match per batch doc
+    * by (jaccard DESC, match ASC). */
+  val incrementalSql: String =
+    s"""WITH $minhashPairsCoreSql,
+       |pairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM crossp
+       |  UNION ALL SELECT doc_a, doc_b, jaccard FROM intra),
+       |bcand AS (
+       |  SELECT doc_a AS doc_id, doc_b AS m, jaccard FROM pairs
+       |  WHERE doc_a % 2 = 1 AND doc_b % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_a AS m, jaccard FROM pairs
+       |  WHERE doc_b % 2 = 1 AND doc_a % 2 = 0),
+       |best AS (SELECT doc_id, m AS best_match, jaccard AS best_jaccard FROM (
+       |  SELECT doc_id, m, jaccard,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, m) AS rn
+       |  FROM bcand) WHERE rn = 1)
+       |SELECT d.doc_id, best_match, best_jaccard, best_jaccard IS NULL AS novel
+       |FROM documents d LEFT JOIN best USING (doc_id)
+       |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin
 
   /** The (band, sig) buckets [[minhashPairs]] would skip at `bucketCap`,
     * with their sizes — drop accounting for cap tuning. */

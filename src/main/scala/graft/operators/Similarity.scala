@@ -166,7 +166,13 @@ object Similarity {
     * not reported); deterministic → DuckDB oracle ([[lshCosinePairsSql]]).
     */
   def lshCosinePairs(emb: DataFrame, threshold: Double = 0.35,
-      bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
+      bucketCap: Int = Dedup.DefaultBucketCap): DataFrame =
+    lshCosinePairsUnordered(emb, threshold, bucketCap).orderBy("vec_a", "vec_b")
+
+  /** [[lshCosinePairs]] without the presentation sort — the form
+    * [[embedClusters]] builds on. */
+  private def lshCosinePairsUnordered(emb: DataFrame, threshold: Double,
+      bucketCap: Int): DataFrame = {
     val q = quantized(emb)
     val bucketed = Dedup.capBuckets(
       lshBuckets(q).select("vec_id", "table", "bucket"),
@@ -183,7 +189,24 @@ object Similarity {
         (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
-      .orderBy("vec_a", "vec_b")
+  }
+
+  /** SEMANTIC dedup clusters — connected components of the
+    * [[lshCosinePairs]] similarity graph (the embedding twin of
+    * [[Dedup.clusters]], via the same [[Dedup.componentsOf]] label
+    * propagation): one row per vector, `(vec_id, cluster_id, kept)` where
+    * `cluster_id` is the component's minimum member id and `kept` marks the
+    * representative — the SemDeDup-style decision of keeping one exemplar
+    * per semantic duplicate group. Deterministic end to end, so
+    * [[embedClustersSql]] replays it with a recursive CTE. */
+  def embedClusters(emb: DataFrame, threshold: Double = 0.35,
+      bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val pairs = lshCosinePairsUnordered(emb, threshold, bucketCap)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    Dedup.componentsOf(Tables.fanOut(emb).select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        (col("cluster_id") === col("id")).as("kept"))
+      .orderBy("vec_id")
   }
 
   /** Deterministic quantized k-means over the embedding corpus — the
@@ -406,11 +429,10 @@ object Similarity {
        |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
        |$rankSql""".stripMargin
 
-  /** DuckDB oracle for [[lshCosinePairs]] at the default parameters — the
-    * bucket cap included (`sigc`), so operator and oracle agree even on a
-    * corpus with a degenerate (> cap) LSH bucket. */
-  def lshCosinePairsSql: String =
-    s"""WITH $evNormsSql,
+  /** The [[lshCosinePairsSql]] CTE chain (signatures through the verified
+    * `sims` pairs), shared with [[embedClustersSql]]. */
+  private def lshCosinePairsCoreSql: String =
+    s"""$evNormsSql,
        |$sigsSql,
        |sigc AS (SELECT vec_id, tbl, bucket FROM (
        |  SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bn FROM sigs)
@@ -427,9 +449,32 @@ object Similarity {
        |sims AS (
        |  SELECT vec_a, vec_b,
        |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
-       |  FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b)
+       |  FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b)""".stripMargin
+
+  /** DuckDB oracle for [[lshCosinePairs]] at the default parameters — the
+    * bucket cap included (`sigc`), so operator and oracle agree even on a
+    * corpus with a degenerate (> cap) LSH bucket. */
+  def lshCosinePairsSql: String =
+    s"""WITH $lshCosinePairsCoreSql
        |SELECT vec_a, vec_b, cos FROM sims WHERE cos >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** DuckDB oracle for [[embedClusters]]: the LSH pair chain, then connected
+    * components as transitive reachability over the symmetric edge list
+    * (recursive CTE — UNION-dedup guarantees termination), labeling each
+    * vector with the minimum reachable id. */
+  def embedClustersSql: String =
+    s"""WITH RECURSIVE $lshCosinePairsCoreSql,
+       |p AS (SELECT vec_a, vec_b FROM sims WHERE cos >= 0.35),
+       |edges AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM p
+       |  UNION SELECT vec_b, vec_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id)
+       |SELECT id AS vec_id, min(r) AS cluster_id, min(r) = id AS kept
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   /** DuckDB oracle for [[ivfTopK]] at the default parameters — codebook
     * selection, cell assignment, nProbe probing, and the exact-rank tail are

@@ -98,6 +98,70 @@ object TextAnalysis {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Weights of the [[qualityClassifier]] linear model, fixed literals
+    * interpolated into both the Column expression and the oracle SQL —
+    * (bias, stop_ratio, diversity, mean_word_len, len_norm). */
+  private val ClassifierWeights = (-2.2, 4.0, 2.0, 0.1, 1.0)
+
+  /** Model-based quality filtering — the fastText-classifier-shaped stage
+    * of a curation pipeline (CCNet/GPT-3 style), as a linear scorer over
+    * deterministic per-doc features: a fixed-weight dot product of
+    * stopword ratio, lexical diversity, mean word length, and a saturated
+    * length term, with `keep = score >= 0` as the decision margin. A real
+    * deployment would learn [[ClassifierWeights]] offline and broadcast
+    * them; the SCORING operator — one map-side expression per document, no
+    * shuffle, the model applied inside whole-stage codegen — is what runs
+    * at 100 TB, and is exactly what this implements. No sigmoid: the keep
+    * decision only needs the margin's sign, and exp() is not correctly
+    * rounded cross-engine, while the feature divisions and the fixed
+    * left-to-right multiply-add chain are — so [[qualityClassifierSql]] is
+    * hash-exact. */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val (b, w1, w2, w3, w4) = ClassifierWeights
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    Tables.fanOut(docs).select(col("doc_id"), col("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      size(expr(s"filter(split(text, ' '), t -> t IN ($stopList))")).cast("long").as("n_stop"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("diversity", col("n_distinct").cast("double") / col("n_tokens"))
+      // single-space tokenization: word bytes = n_chars minus the n-1 separators
+      .withColumn("mean_word_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("len_norm", least(col("n_tokens"), lit(100L)).cast("double") / 100.0)
+      .withColumn("score",
+        lit(b) + lit(w1) * col("stop_ratio") + lit(w2) * col("diversity") +
+          lit(w3) * col("mean_word_len") + lit(w4) * col("len_norm"))
+      .withColumn("keep", col("score") >= 0.0)
+      .select("doc_id", "stop_ratio", "diversity", "mean_word_len", "len_norm",
+        "score", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[qualityClassifier]] — the same features and the
+    * same left-to-right multiply-add chain (parenthesized to fix the IEEE
+    * rounding order both engines then share). */
+  val qualityClassifierSql: String = {
+    val (b, w1, w2, w3, w4) = ClassifierWeights
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |    CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
+       |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
+       |    CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 AS len_norm
+       |  FROM t)
+       |SELECT doc_id, stop_ratio, diversity, mean_word_len, len_norm,
+       |  (((($b + $w1 * stop_ratio) + $w2 * diversity) + $w3 * mean_word_len) + $w4 * len_norm) AS score,
+       |  ((((($b + $w1 * stop_ratio) + $w2 * diversity) + $w3 * mean_word_len) + $w4 * len_norm) >= 0.0) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Language-ID stopword sets (n-gram-free heuristic: count hits per
     * language's closed-class words, argmax with a fixed precedence). */
   val LangStops: Seq[(String, Seq[String])] = Seq(

@@ -324,4 +324,170 @@ class PipelineOpsSpec extends SparkSpec {
       assert(pos.sameElements(1L to rs.length), "positions must be 1..n per shard")
     }
   }
+
+  test("clusters equal the connected components of the minhash pair graph (union-find replay)") {
+    val pairs = Dedup.minhashPairs(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min id stays root
+    }
+    val out = Dedup.clusters(docs).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val (id, cid, kept) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      assert(cid == find(id), s"doc $id: cluster $cid != union-find ${find(id)}")
+      assert(kept == (cid == id))
+    }
+  }
+
+  test("clusters: a near-dup CHAIN (A~B~C, A!~C) converges to one component — multi-round propagation") {
+    // base(40 tokens) -> 38 shingles; B adds 3 tokens (41 sh, j(A,B)=38/41≈.927);
+    // C adds 7 more (48 sh, j(B,C)=41/48≈.854, j(A,C)=38/48≈.792 < .8), so the
+    // component only exists through the B link (verified against the oracle
+    // pipeline: exactly {(10,20),(20,30)} come out of the pair stage).
+    val base = (1 to 40).map(i => s"w$i")
+    val a = base.mkString(" ")
+    val b = (base ++ (1 to 3).map(i => s"x$i")).mkString(" ")
+    val c = (base ++ (1 to 3).map(i => s"x$i") ++ (1 to 7).map(i => s"y$i")).mkString(" ")
+    val crafted = Seq((10L, a), (20L, b), (30L, c),
+      (40L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val pairSet = Dedup.minhashPairs(crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((10L, 20L)) && pairSet.contains((20L, 30L)),
+      s"chain premise: LSH must catch both links, got $pairSet")
+    assert(!pairSet.contains((10L, 30L)), "A~C would make the chain trivial")
+    val out = Dedup.clusters(crafted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(10L) == ((10L, true)) && out(20L) == ((10L, false)) &&
+      out(30L) == ((10L, false)), s"one component rooted at 10: $out")
+    assert(out(40L) == ((40L, true)), "unrelated doc stays a kept singleton")
+  }
+
+  test("spans: shared substring yields one span of exactly its length; internal repetition covers the doc") {
+    val p = "the quick brown fox jumps over the lazy dog once more" // 53 bytes
+    val r = "abcdefghijklmnopqrstuvwxyz1234" // 30 bytes
+    val crafted = Seq(
+      (1L, p + "XtailXwordsXneverXrepeatedX"),      // P then unique tail
+      (2L, "QheadQuniqueQ" + p + "ZcodaZfinishZ"),  // P embedded, distinct borders
+      (3L, "totally fresh content with no repeats anywhere inside"),
+      (4L, r + r)).toDF("doc_id", "text")
+    val out = Dedup.spans(crafted, k = 24).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // shared P: L-k+1 consecutive dup windows merge to one span of L bytes
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id).getAs[Long]("dup_spans") == 1L, s"doc $id spans")
+      assert(out(id).getAs[Long]("dup_bytes") == p.length.toLong, s"doc $id bytes")
+    }
+    assert(out(3L).getAs[Long]("dup_spans") == 0L)
+    assert(out(3L).getAs[Long]("dup_bytes") == 0L)
+    assert(out(3L).getAs[Boolean]("keep"))
+    // R+R: every window repeats |R| bytes later; the two runs merge (gap == k)
+    assert(out(4L).getAs[Long]("dup_spans") == 1L)
+    assert(out(4L).getAs[Long]("dup_bytes") == 2L * r.length)
+    assert(out(4L).getAs[Double]("dup_frac") == 1.0)
+    assert(!out(4L).getAs[Boolean]("keep"))
+  }
+
+  test("spans on testdata: covered bytes bounded by doc size, every doc reported once") {
+    val out = Dedup.spans(docs).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val (nb, ds, db) = (r.getAs[Long]("n_bytes"), r.getAs[Long]("dup_spans"), r.getAs[Long]("dup_bytes"))
+      assert(db >= 0L && db <= nb, s"covered $db out of $nb")
+      assert((ds == 0L) == (db == 0L))
+      if (ds > 0) assert(db >= 24L, "a span is at least one window long")
+    }
+    assert(out.exists(_.getAs[Long]("dup_spans") > 0L), "corpus has near-dups; spans must fire")
+  }
+
+  test("incremental: exact copy matches at 1.0 with the lowest existing id, near-dup matches its group, fresh doc is novel") {
+    val t1 = (1 to 30).map(i => s"t$i").mkString(" ")
+    val base = (1 to 40).map(i => s"w$i")
+    val nearExisting = (base ++ (1 to 3).map(i => s"x$i")).mkString(" ") // j vs base ≈ .927
+    val crafted = Seq(
+      (0L, t1),                                  // existing
+      (4L, t1),                                  // existing, same text (group min is 0)
+      (2L, nearExisting),                        // existing near-dup target
+      (1L, t1),                                  // batch: exact copy -> match 0 @ 1.0
+      (3L, base.mkString(" ")),                  // batch: near-dup -> match 2
+      (5L, (1 to 40).map(i => s"q$i").mkString(" "))) // batch: novel
+      .toDF("doc_id", "text")
+    val out = Dedup.incremental(crafted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 3L, 5L), "one row per batch doc")
+    assert(out(1L).getAs[Long]("best_match") == 0L)
+    assert(out(1L).getAs[Double]("best_jaccard") == 1.0)
+    assert(!out(1L).getAs[Boolean]("novel"))
+    assert(out(3L).getAs[Long]("best_match") == 2L)
+    val j = out(3L).getAs[Double]("best_jaccard")
+    assert(j >= 0.8 && j < 1.0, s"near-dup jaccard $j")
+    assert(!out(3L).getAs[Boolean]("novel"))
+    assert(out(5L).getAs[Boolean]("novel"))
+    assert(out(5L).isNullAt(out(5L).fieldIndex("best_match")))
+  }
+
+  test("embed clusters: identical/parallel vectors co-cluster under the min id; an opposed vector stays out") {
+    val up = (0 until 64).map(i => (i % 7 + 1).toFloat).toArray
+    val crafted = Seq(
+      (0L, "a", up),
+      (1L, "a", up),                      // identical -> cos 1.0
+      (2L, "b", up.map(_ * 2.0f)),        // parallel  -> cos 1.0, same sign buckets
+      (3L, "b", up.map(_ * -1.0f)))       // opposed   -> cos -1.0
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.embedClusters(crafted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L) == ((0L, true)))
+    assert(out(1L) == ((0L, false)) && out(2L) == ((0L, false)))
+    assert(out(3L) == ((3L, true)))
+  }
+
+  test("embed clusters on testdata agree with a union-find replay of the LSH pair graph") {
+    val pairs = Similarity.lshCosinePairs(emb).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val out = Similarity.embedClusters(emb).collect()
+    assert(out.length == emb.count())
+    out.foreach { r =>
+      assert(r.getLong(1) == find(r.getLong(0)))
+      assert(r.getBoolean(2) == (r.getLong(1) == r.getLong(0)))
+    }
+  }
+
+  test("quality classifier: score is the exact fixed-weight dot product; keep is its sign") {
+    val text = "the cat sat" // n_chars 11, 3 tokens, 3 distinct, 1 stopword
+    val crafted = Seq((1L, text, 11L)).toDF("doc_id", "text", "n_chars")
+    val r = TextAnalysis.qualityClassifier(crafted).collect().head
+    val sr = 1.0 / 3
+    val dv = 3.0 / 3
+    val mwl = (11.0 - 2) / 3
+    val ln = math.min(3L, 100L).toDouble / 100.0
+    val expected = -2.2 + 4.0 * sr + 2.0 * dv + 0.1 * mwl + 1.0 * ln
+    assert(r.getAs[Double]("score") == expected, "bit-exact IEEE chain")
+    assert(r.getAs[Boolean]("keep") == (expected >= 0.0))
+  }
+
+  test("quality classifier on testdata: keep splits the corpus, score bounded by the weight envelope") {
+    val out = TextAnalysis.qualityClassifier(docs).collect()
+    assert(out.length == docs.count())
+    val kept = out.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < out.length, s"degenerate split: $kept/${out.length}")
+    out.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s > -2.2 && s < -2.2 + 4.0 + 2.0 + 0.1 * 10 + 1.0, s"score $s out of envelope")
+    }
+  }
 }
