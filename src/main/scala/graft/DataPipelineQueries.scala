@@ -57,6 +57,7 @@ object DataPipelineQueries {
     "sample_kept" -> ((s, dir) =>
       Sampling.hashSampleKept(docs(s, dir), Sampling.DefaultRates, Sampling.DefaultRate)),
     "pack_chunks" -> ((s, dir) => Sampling.packChunks(docs(s, dir))),
+    "pipeline_e2e" -> ((s, dir) => CurationPipeline.e2e(docs(s, dir))),
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(docs(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.features(docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir))),
@@ -104,6 +105,7 @@ object DataPipelineQueries {
     "sample_mix" -> Sampling.hashSampleStatsSql,
     "sample_kept" -> Sampling.hashSampleKeptSql,
     "pack_chunks" -> Sampling.packChunksSql,
+    "pipeline_e2e" -> CurationPipeline.e2eSql,
     "mm_metadata" -> Multimodal.metadataSql,
     "mm_features" -> Multimodal.featuresSql,
     "mm_frame_sample" -> frameSampleSql,

@@ -69,6 +69,11 @@ object Documents {
         dupTokenMax: Double = 0.5): Dataset[Document] =
       ds.filter(TextAnalysis.repetitionKeep(topBigramMax, dupTokenMax))
 
+    /** Map-side linear quality-classifier filter
+      * ([[TextAnalysis.qualityClassifierKeep]]). */
+    def keptByClassifier: Dataset[Document] =
+      ds.filter(TextAnalysis.qualityClassifierKeep)
+
     /** Map-side deterministic mixture sampling
       * ([[Sampling.keepCondition]]). */
     def sampledMixture(rates: Map[String, Double],

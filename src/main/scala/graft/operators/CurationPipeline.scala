@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END curation pass — the composed form the individual
+  * operators exist for, as ONE declarative plan a user would actually
+  * schedule over a corpus:
+  *
+  *   exact dedup (keep the min id per distinct text)
+  *     → repetition filter      ([[TextAnalysis.repetitionKeep]])
+  *     → quality classifier     ([[TextAnalysis.qualityClassifierKeep]])
+  *     → mixture sampling       ([[Sampling.keepCondition]])
+  *     → sequence packing       ([[Sampling.packChunks]])
+  *
+  * Because every stage is either a map-side predicate or the dedup semi
+  * join, Catalyst fuses the three filters into a single scan predicate
+  * behind the join — the whole pass costs one fingerprint aggregation, one
+  * semi join, and the per-source packing window, no matter how many
+  * filters the pipeline grows. That is the point of composing DataFrame
+  * transforms rather than materializing each stage: at 100 TB the corpus
+  * is read ONCE. The same chain is available typed
+  * ([[graft.model.Documents]]); this is the query-surface form, and
+  * [[CurationPipeline.e2eSql]] replays all five stages for the oracle.
+  */
+object CurationPipeline {
+
+  /** Packed training chunks over the fully-curated corpus (see object doc).
+    * Output schema matches [[Sampling.packChunks]]. */
+  def e2e(docs: DataFrame, budget: Long = 512): DataFrame = {
+    val kept = Tables.fanOut(docs)
+      .join(Dedup.exact(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .filter(TextAnalysis.repetitionKeep())
+      .filter(TextAnalysis.qualityClassifierKeep)
+      .filter(Sampling.keepCondition(Sampling.DefaultRates, Sampling.DefaultRate))
+    Sampling.packChunks(kept, budget)
+  }
+
+  /** DuckDB oracle for [[e2e]] at the defaults: the four keep stages and
+    * the packing window, each stage's arithmetic identical to its
+    * stand-alone oracle (dedup_exact / text_repetition /
+    * text_quality_classifier / sample_kept / pack_chunks — all proven
+    * hash-exact separately; the composition adds no new arithmetic). */
+  val e2eSql: String = {
+    val stopList = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+    val (b, w1, w2, w3, w4) = TextAnalysis.ClassifierWeights
+    s"""WITH keepids AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |base AS (
+       |  SELECT d.doc_id, d.text, d.source, d.n_chars, string_split(d.text, ' ') AS t
+       |  FROM documents d JOIN keepids USING (doc_id)),
+       |feat AS (
+       |  SELECT doc_id, text, source, n_chars,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(t, x -> x IN ($stopList))) AS BIGINT) AS n_stop
+       |  FROM base),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS bg
+       |  FROM base WHERE len(t) >= 2),
+       |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+       |topbg AS (SELECT doc_id, max(c) AS top_bigram_count FROM cnt GROUP BY 1),
+       |kept AS (
+       |  SELECT f.source, f.doc_id, f.n_tokens
+       |  FROM feat f LEFT JOIN topbg USING (doc_id)
+       |  WHERE CAST(coalesce(top_bigram_count, 0) AS DOUBLE) * 2.0 / n_tokens <= 0.18
+       |    AND CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens <= 0.5
+       |    AND (((($b + $w1 * (CAST(n_stop AS DOUBLE) / n_tokens))
+       |          + $w2 * (CAST(n_distinct AS DOUBLE) / n_tokens))
+       |          + $w3 * (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens))
+       |          + $w4 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)) >= 0.0
+       |    AND CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) AS DOUBLE) / 65536.0
+       |        < ${Sampling.rateCaseSql}),
+       |o AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tok_offset
+       |  FROM kept)
+       |SELECT source, doc_id, n_tokens, tok_offset,
+       |  CAST(tok_offset // 512 AS BIGINT) AS chunk_first,
+       |  CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS chunk_last
+       |FROM o ORDER BY source, doc_id""".stripMargin
+  }
+}

@@ -252,49 +252,54 @@ object Dedup {
     * above anything a real corpus produces. */
   private val MaxClusterRounds = 64
 
-  /** Connected components of an undirected similarity graph by hash-to-min
-    * label propagation — the shared core of [[clusters]] (minhash text
-    * graph) and [[Similarity.embedClusters]] (embedding LSH graph). Every
-    * node starts labeled with its own id; each round every node takes the
-    * minimum of its label and its neighbors' labels; fixpoint = components.
-    * Each round is ONE shuffle of the edge list (verified near-dup pairs
-    * only — tiny relative to the corpus) joined against the per-node label
-    * frame, and the round count is the component diameter, not the corpus
-    * size — the textbook distributed CC shape (alternating
-    * large-star/small-star would cut rounds to O(log d) if corpora with
-    * long similarity chains ever appear; near-dup graphs don't have them).
-    * One action per round: the changed-label count both materializes the
-    * round's cache and decides convergence.
+  /** Connected components of an undirected similarity graph by Hash-to-Min
+    * (Rastogi et al., "Finding Connected Components in MapReduce and
+    * Beyond", ICDE 2013) — the shared core of [[clusters]] (minhash text
+    * graph, over representatives) and [[Similarity.embedClusters]]
+    * (embedding LSH graph). Each node carries a SET seeded with itself and
+    * its neighbors; every round each node sends the set's minimum to every
+    * member and the whole set to the minimum, then replaces its set with
+    * what it received. Fixpoint: non-minimum nodes hold exactly {component
+    * min}, the minimum holds its whole component. Rounds grow with
+    * log(diameter), NOT diameter — plain neighbor-min label propagation is
+    * one round per hop, and real similarity graphs are not shallow (the
+    * sf0.1 embedding LSH graph at cos ≥ 0.35 has a 444-node component of
+    * diameter ≈ 42; measured: 43 rounds plain vs 10 rounds here).
+    *
+    * Each round is one explode-shuffle-aggregate over the message frame
+    * (bounded by the running Σ|set|, which collapses toward one entry per
+    * non-min node), ending in `localCheckpoint(eager)`: an iterative
+    * DataFrame loop otherwise accumulates every previous round in its
+    * logical plan and re-plans the whole chain each iteration — the
+    * standard Spark iterative-algorithm pitfall (GraphFrames checkpoints
+    * for the same reason). Only nodes with at least one edge iterate;
+    * singletons rejoin at the end labeled with themselves.
     *
     * `ids` must have one column `id`; `pairs` columns `a`, `b`. Returns
     * `(id, cluster_id)` where `cluster_id` is the component's minimum id. */
   private[operators] def componentsOf(ids: DataFrame, pairs: DataFrame): DataFrame = {
-    // symmetric edge list, reused every round
-    val edges = pairs.unionAll(
-      pairs.select(col("b").as("a"), col("a").as("b"))).cache()
-
-    var frontier = ids.select(col("id"), col("id").as("cluster_id")).cache()
-    frontier.count()
+    val sym = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    var st = sym.groupBy("a").agg(collect_set(col("b")).as("nbrs"))
+      .select(col("a").as("v"),
+        sort_array(array_union(col("nbrs"), array(col("a")))).as("c"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < MaxClusterRounds) {
-      val nbrMin = edges
-        .join(frontier.select(col("id").as("b"), col("cluster_id").as("lb")), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min("lb").as("nbr_min"))
-      val next = frontier.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("cluster_id").as("prev"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .cache()
-      converged = next.filter(col("cluster_id") =!= col("prev")).count() == 0
-      frontier.unpersist()
-      frontier = next
+      val m1 = st.select(explode(col("c")).as("v"), array_min(col("c")).as("x"))
+      val m2 = st.select(array_min(col("c")).as("v"), explode(col("c")).as("x"))
+      val next = m1.unionAll(m2).groupBy("v")
+        .agg(sort_array(collect_set(col("x"))).as("c"))
+        .localCheckpoint(true)
+      converged = next.join(st.select(col("v"), col("c").as("pc")), Seq("v"), "full")
+        .filter(col("c").isNull || col("pc").isNull || col("c") =!= col("pc"))
+        .count() == 0
+      st = next
       rounds += 1
     }
-    require(converged, s"label propagation did not converge in $MaxClusterRounds rounds")
-    edges.unpersist()
-    // register the final (already materialized) pin so release() covers it
-    PinnedCaches.pin(frontier).select("id", "cluster_id")
+    require(converged, s"hash-to-min did not converge in $MaxClusterRounds rounds")
+    ids.join(st.select(col("v").as("id"), array_min(col("c")).as("m")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("m"), col("id")).as("cluster_id"))
   }
 
   /** Near-duplicate CLUSTERS — the stage the pair lists exist for: connected
@@ -304,15 +309,28 @@ object Dedup {
     * minimum member id and `kept` marks the representative (singletons keep
     * themselves).
     *
-    * Components are computed by [[componentsOf]] — deterministic, so the
-    * DuckDB oracle ([[clustersSql]]) reproduces it with a recursive CTE. */
+    * Components are computed by [[componentsOf]] over REPRESENTATIVES
+    * only: exact copies collapse into their [[dupGroups]] group before the
+    * graph is built, members inherit their representative's component
+    * afterwards. The label needs no translation — every representative is
+    * its group's minimum member and the component label is the minimum
+    * representative, so the rep-level label IS the minimum member id. On a
+    * duplicate-heavy corpus this is the difference between propagating
+    * over d²/2 member pairs and over the handful of rep pairs (the same
+    * collapse [[minhashPairs]] relies on, applied to the graph stage).
+    * Deterministic, so the DuckDB oracle ([[clustersSql]]) reproduces it
+    * with a recursive CTE over the member-level pair list — member
+    * reachability and rep reachability partition identically. */
   def clusters(docs: DataFrame, threshold: Double = 0.8,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val pairs = minhashPairsUnordered(docs, threshold, bucketCap)
+    val groups = PinnedCaches.pin(dupGroups(docs))
+    val repPairs = minhashRepPairs(groups, threshold, bucketCap)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    componentsOf(Tables.fanOut(docs).select(col("doc_id").as("id")), pairs)
-      .select(col("id").as("doc_id"), col("cluster_id"),
-        (col("cluster_id") === col("id")).as("kept"))
+    val repCC = componentsOf(groups.select(col("doc_id").as("id")), repPairs)
+    groups.select(col("doc_id").as("id"), explode(col("member_ids")).as("doc_id"))
+      .join(repCC, Seq("id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("cluster_id") === col("doc_id")).as("kept"))
       .orderBy("doc_id")
   }
 

@@ -53,7 +53,7 @@ object Sampling {
     Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.25, "src3" -> 0.75)
   val DefaultRate: Double = 0.5
 
-  private def rateCaseSql: String = {
+  private[operators] def rateCaseSql: String = {
     val cases = DefaultRates.toSeq.sortBy(_._1).reverse
       .map { case (s, r) => s"WHEN source = '$s' THEN CAST($r AS DOUBLE)" }
       .mkString(" ")

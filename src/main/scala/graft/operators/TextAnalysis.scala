@@ -101,7 +101,7 @@ object TextAnalysis {
   /** Weights of the [[qualityClassifier]] linear model, fixed literals
     * interpolated into both the Column expression and the oracle SQL —
     * (bias, stop_ratio, diversity, mean_word_len, len_norm). */
-  private val ClassifierWeights = (-2.2, 4.0, 2.0, 0.1, 1.0)
+  private[operators] val ClassifierWeights = (-2.2, 4.0, 2.0, 0.1, 1.0)
 
   /** Model-based quality filtering — the fastText-classifier-shaped stage
     * of a curation pipeline (CCNet/GPT-3 style), as a linear scorer over
@@ -160,6 +160,24 @@ object TextAnalysis {
        |  (((($b + $w1 * stop_ratio) + $w2 * diversity) + $w3 * mean_word_len) + $w4 * len_norm) AS score,
        |  ((((($b + $w1 * stop_ratio) + $w2 * diversity) + $w3 * mean_word_len) + $w4 * len_norm) >= 0.0) AS keep
        |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** The classifier keep decision as a reusable map-side Column over
+    * (`text`, `n_chars`) rows — the filter form of [[qualityClassifier]]
+    * (same [[ClassifierWeights]], same IEEE multiply-add chain), used by
+    * the composed [[CurationPipeline]] and available to the typed API. */
+  def qualityClassifierKeep: Column = {
+    val (b, w1, w2, w3, w4) = ClassifierWeights
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    val nTokens = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val nStop = size(expr(s"filter(split(text, ' '), t -> t IN ($stopList))")).cast("long")
+    val score = lit(b) +
+      lit(w1) * (nStop.cast("double") / nTokens) +
+      lit(w2) * (nDistinct.cast("double") / nTokens) +
+      lit(w3) * ((col("n_chars") - (nTokens - 1)).cast("double") / nTokens) +
+      lit(w4) * (least(nTokens, lit(100L)).cast("double") / 100.0)
+    score >= 0.0
   }
 
   /** Language-ID stopword sets (n-gram-free heuristic: count hits per

@@ -110,6 +110,63 @@ class DedupScaleSpec extends SparkSpec {
     assert(!pairs.keys.exists(p => p._1 <= n && p._2 > n), "unrelated group must not pair")
   }
 
+  test("clusters on a 1000-copy corpus: one component per text family, rep-level propagation") {
+    val n = 1000
+    val out = Dedup.clusters(dupCorpus(n)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == n + 4)
+    // every copy of baseA plus its near-dup: one component rooted at 0
+    (0 to n).foreach { i =>
+      assert(out(i.toLong) == ((0L, i == 0)), s"doc $i: ${out(i.toLong)}")
+    }
+    // the unrelated trio: its own component rooted at its min id
+    (1 to 3).foreach { j =>
+      assert(out((n + j).toLong) == (((n + 1).toLong, j == 1)))
+    }
+  }
+
+  test("spans on a 1000-copy corpus: every copy fully covered by one span, linear window accounting") {
+    val n = 1000
+    val out = Dedup.spans(dupCorpus(n)).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == n + 4)
+    (0 until n).foreach { i =>
+      val r = out(i.toLong)
+      assert(r.getAs[Long]("dup_spans") == 1L)
+      assert(r.getAs[Long]("dup_bytes") == baseA.length.toLong)
+      assert(r.getAs[Double]("dup_frac") == 1.0)
+      assert(!r.getAs[Boolean]("keep"))
+    }
+    // the unrelated trio duplicates each other entirely too
+    (1 to 3).foreach { j =>
+      assert(out((n + j).toLong).getAs[Double]("dup_frac") == 1.0)
+    }
+    // the one-word edit is still mostly covered, but not fully
+    val near = out(n.toLong)
+    assert(near.getAs[Long]("dup_spans") >= 1L)
+    assert(near.getAs[Long]("dup_bytes") < near.getAs[Long]("n_bytes"))
+  }
+
+  test("incremental on a duplicate-heavy corpus: every odd copy matches the even minimum at 1.0") {
+    val n = 200
+    val out = Dedup.incremental(dupCorpus(n)).collect().map(r => r.getLong(0) -> r).toMap
+    // batch = odd ids; copies 1,3,...,n-1 all match existing copy 0 exactly
+    (1 until n by 2).foreach { i =>
+      val r = out(i.toLong)
+      assert(r.getAs[Long]("best_match") == 0L)
+      assert(r.getAs[Double]("best_jaccard") == 1.0)
+      assert(!r.getAs[Boolean]("novel"))
+    }
+    // unrelated trio: ids n+1..n+3 -> odd members match the even one
+    val oddUnrelated = (1 to 3).map(j => (n + j).toLong).filter(_ % 2 == 1)
+    val evenUnrelated = (1 to 3).map(j => (n + j).toLong).filter(_ % 2 == 0)
+    oddUnrelated.foreach { id =>
+      val r = out(id)
+      assert(!r.getAs[Boolean]("novel"))
+      assert(r.getAs[Long]("best_match") == evenUnrelated.min)
+      assert(r.getAs[Double]("best_jaccard") == 1.0)
+    }
+  }
+
   test("winnowing stop-fingerprint cap removes hot fingerprints from matching") {
     // 8 distinct texts sharing a long common prefix -> the prefix fingerprints
     // are hot (df = 8); with a cap below that they stop contributing

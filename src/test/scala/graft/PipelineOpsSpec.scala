@@ -480,6 +480,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("keep") == (expected >= 0.0))
   }
 
+  test("pipeline e2e: kept set is exactly the intersection of the four stand-alone keep decisions") {
+    val e2e = CurationPipeline.e2e(docs).collect()
+    val dedupKeep = Dedup.exact(docs).select("keep_id").collect().map(_.getLong(0)).toSet
+    val repKeep = TextAnalysis.repetition(docs).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    val clsKeep = TextAnalysis.qualityClassifier(docs).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    val mixKeep = Sampling.hashSampleKept(docs, Sampling.DefaultRates, Sampling.DefaultRate)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val expected = dedupKeep & repKeep & clsKeep & mixKeep
+    assert(e2e.map(_.getAs[Long]("doc_id")).toSet == expected)
+    assert(e2e.nonEmpty && e2e.length < docs.count(), "pipeline must filter, not erase")
+    // packing invariant holds over the filtered stream: per-source offsets
+    // are the running sum of the kept docs' token counts in id order
+    e2e.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var off = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("tok_offset") == off)
+        off += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("quality classifier on testdata: keep splits the corpus, score bounded by the weight envelope") {
     val out = TextAnalysis.qualityClassifier(docs).collect()
     assert(out.length == docs.count())
