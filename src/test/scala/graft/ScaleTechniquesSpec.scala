@@ -93,4 +93,33 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "a sort-merge join here would shuffle the corpus per Lloyd round")
   }
+
+  test("e2e pipeline plan: all three filters fuse into ONE scan predicate, no per-stage materialization") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val planStr = graft.operators.CurationPipeline.e2e(docs)
+      .queryExecution.executedPlan.toString
+    // exactly two corpus scans: the fingerprint-group side and the filter side
+    val scans = planStr.split("Scan parquet").length - 1
+    assert(scans == 2, s"expected 2 corpus scans, got $scans:\n${planStr.take(1200)}")
+    // the repetition + classifier + mixture predicates all live in ONE
+    // Filter node (Catalyst fused them — its printed condition carries each
+    // stage's signature literal), directly over the scan
+    val fused = planStr.linesIterator.exists(l => l.contains("Filter") &&
+      l.contains("aggregate(") && l.contains("65536.0") && l.contains("-2.2"))
+    assert(fused,
+      s"repetition+classifier+mixture must fuse into one Filter:\n${planStr.take(2000)}")
+  }
+
+  test("spans plan: window-hash counting partial-aggregates map-side before its shuffle") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val plan = graft.operators.Dedup.spans(docs).queryExecution.executedPlan.toString
+    // the count-per-hash aggregation appears as a partial/final HashAggregate
+    // pair around an Exchange — (hash, partial count) is what shuffles, never
+    // the exploded position frame itself
+    assert(plan.contains("partial_count") || plan.split("HashAggregate").length - 1 >= 2,
+      s"expected map-side combine on the hash counts:\n${plan.take(1500)}")
+    // the per-doc span merge is a fold over a collected array, not a window
+    // over per-position rows
+    assert(!plan.contains("Window"), "span merge must not use a per-position window")
+  }
 }
