@@ -59,6 +59,7 @@ object DataPipelineQueries {
     "pack_chunks" -> ((s, dir) => Sampling.packChunks(docs(s, dir))),
     "pipeline_e2e" -> ((s, dir) => CurationPipeline.e2e(docs(s, dir))),
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(docs(s, dir))),
+    "mm_dup_frames" -> ((s, dir) => Multimodal.dupFrames(docs(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.features(docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir))),
     "mm_resize" -> ((s, dir) => Multimodal.resize(docs(s, dir))),
@@ -107,6 +108,7 @@ object DataPipelineQueries {
     "pack_chunks" -> Sampling.packChunksSql,
     "pipeline_e2e" -> CurationPipeline.e2eSql,
     "mm_metadata" -> Multimodal.metadataSql,
+    "mm_dup_frames" -> Multimodal.dupFramesSql,
     "mm_features" -> Multimodal.featuresSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize" -> Multimodal.resizeSql,

@@ -350,6 +350,61 @@ object RelationalQueries {
       |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Ordered-FUNNEL analysis (view → click → purchase): per user, the
+    * first view, the first click STRICTLY after it, the first purchase
+    * strictly after that, and the depth reached — the classic
+    * product-analytics sequential-pattern query. Computed in ONE shuffle:
+    * funnel events collect per user (bounded per-user lists, the same
+    * assumption sessionization makes), sort by (ts, type), and a single
+    * fold applies the strict-ordering rules. The fold's conditions depend
+    * only on timestamps — a qualifying step-k event is always sorted after
+    * the event that set step k-1 (strict `>`), so the fold equals the
+    * declarative min-after-min form [[eventsFunnelSql]] uses, regardless
+    * of how ties order. */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(s, dir))
+
+  /** [[eventsFunnel]] over an explicit events frame (spec surface). */
+  def funnelOf(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type").as("et")))).as("evs"))
+      .withColumn("f", expr(
+        """aggregate(evs,
+          |  named_struct('t1', CAST(NULL AS TIMESTAMP), 't2', CAST(NULL AS TIMESTAMP),
+          |               't3', CAST(NULL AS TIMESTAMP)),
+          |  (acc, e) -> named_struct(
+          |    't1', CASE WHEN acc.t1 IS NULL AND e.et = 'view' THEN e.ts ELSE acc.t1 END,
+          |    't2', CASE WHEN acc.t2 IS NULL AND e.et = 'click'
+          |               AND acc.t1 IS NOT NULL AND e.ts > acc.t1 THEN e.ts ELSE acc.t2 END,
+          |    't3', CASE WHEN acc.t3 IS NULL AND e.et = 'purchase'
+          |               AND acc.t2 IS NOT NULL AND e.ts > acc.t2 THEN e.ts ELSE acc.t3 END))""".stripMargin))
+      .select(col("user_id"),
+        col("f.t1").cast("timestamp_ntz").as("t_view"),
+        col("f.t2").cast("timestamp_ntz").as("t_click"),
+        col("f.t3").cast("timestamp_ntz").as("t_purchase"),
+        when(col("f.t3").isNotNull, 3L).when(col("f.t2").isNotNull, 2L)
+          .when(col("f.t1").isNotNull, 1L).otherwise(0L).as("steps"))
+      .orderBy("user_id")
+
+  val eventsFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |t1 AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM e JOIN t1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > t1.t_view GROUP BY 1),
+      |t3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e JOIN t2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > t2.t_click GROUP BY 1)
+      |SELECT u.user_id, t_view, t_click, t_purchase,
+      |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3 WHEN t_click IS NOT NULL THEN 2
+      |       WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps
+      |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+      |  LEFT JOIN t3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** Semi-structured extraction from the JSON-ish props column (regex on
     * both sides — engine-neutral). */
   def eventsProps(s: SparkSession, dir: String): DataFrame =
@@ -511,6 +566,7 @@ object RelationalQueries {
     "cube_pricing" -> cubePricing _,
     "events_hourly" -> eventsHourly _,
     "events_sessions" -> eventsSessions _,
+    "events_funnel" -> eventsFunnel _,
     "events_props" -> eventsProps _,
   )
 
@@ -535,6 +591,7 @@ object RelationalQueries {
     "cube_pricing" -> cubePricingSql,
     "events_hourly" -> eventsHourlySql,
     "events_sessions" -> eventsSessionsSql,
+    "events_funnel" -> eventsFunnelSql,
     "events_props" -> eventsPropsSql,
   )
 }

@@ -121,6 +121,49 @@ object Multimodal {
       |  CAST(ascii(substr(text, CAST((idx * length(text)) // 16 AS INT) + 1, 1)) AS BIGINT) AS sample_byte
       |FROM f ORDER BY doc_id, idx""".stripMargin
 
+  /** Frame-level exact dedup across the corpus — the video-pipeline
+    * "identical frame removal" stage: payloads slice into 16-byte frames
+    * (the same slicing as [[frameSample]]), each frame fingerprints by
+    * md5, and fingerprints occurring more than once report occurrence
+    * count, document spread, and the canonical keeper (lowest (doc, idx)
+    * occurrence, via one `min(struct(...))` — no per-group ranking
+    * window). The aggregation shuffles 16-byte hashes, map-side combined —
+    * never frame bytes; at 100 TB this is the frame-dedup shape exactly
+    * like [[graft.operators.Dedup.exact]] is the document one. */
+  def dupFrames(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs).select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (octet_length(payload) - 1) div 16), " +
+          "i -> substring(payload, i * 16 + 1, 16))"))
+        .as(Seq("frame_idx", "frame")))
+      .groupBy(md5(col("frame")).as("frame_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("frame_idx").cast("long").as("fi"))).as("k"))
+      .filter(col("n_occurrences") > 1)
+      .select(col("frame_md5"), col("n_occurrences"), col("n_docs"),
+        col("k.doc_id").as("keep_doc"), col("k.fi").as("keep_idx"))
+      .orderBy("frame_md5")
+
+  /** DuckDB oracle for [[dupFrames]] (byte = character: ASCII corpus, and
+    * md5 consumes the same UTF-8 bytes in both engines). */
+  val dupFramesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |f AS (SELECT doc_id, unnest(range(0, (n - 1) // 16 + 1)) AS i, text FROM d),
+      |fr AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |         md5(substr(text, CAST(i * 16 AS INT) + 1, 16)) AS frame_md5 FROM f),
+      |g AS (SELECT frame_md5, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |      FROM fr GROUP BY 1 HAVING count(*) > 1),
+      |k AS (SELECT frame_md5, doc_id AS keep_doc, i AS keep_idx FROM (
+      |        SELECT frame_md5, doc_id, i,
+      |          ROW_NUMBER() OVER (PARTITION BY frame_md5 ORDER BY doc_id, i) AS rn
+      |        FROM fr) WHERE rn = 1)
+      |SELECT g.frame_md5, n_occurrences, n_docs, keep_doc, keep_idx
+      |FROM g JOIN k USING (frame_md5) ORDER BY frame_md5""".stripMargin
+
   /** Frame sampling stub: every k-th 16-byte "frame" of the payload —
     * the partition-parallel slicing pattern for video columns. */
   def frameSample(docs: DataFrame, everyK: Int = 4): DataFrame =

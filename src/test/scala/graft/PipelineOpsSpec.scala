@@ -467,6 +467,47 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel: strict ordering rules — clicks before the first view and purchases before the first qualifying click don't count") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val events = Seq(
+      // u1 completes the funnel in order
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // u2: click BEFORE its first view -> depth stops at 1
+      (2L, ts(1), "click"), (2L, ts(2), "view"),
+      // u3: purchase arrives before the click that follows the view -> depth 2
+      (3L, ts(1), "view"), (3L, ts(2), "purchase"), (3L, ts(3), "click"),
+      // u4: later click qualifies even though an earlier one didn't
+      (4L, ts(1), "click"), (4L, ts(2), "view"), (4L, ts(3), "click"), (4L, ts(4), "purchase"),
+      // u5: only views
+      (5L, ts(1), "view"), (5L, ts(2), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = RelationalQueries.funnelOf(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("steps") == 3L)
+    assert(out(2L).getAs[Long]("steps") == 1L)
+    assert(out(3L).getAs[Long]("steps") == 2L)
+    assert(out(4L).getAs[Long]("steps") == 3L)
+    assert(out(4L).getAs[Any]("t_click").toString.contains("10:03")) // ntz -> LocalDateTime
+    assert(out(5L).getAs[Long]("steps") == 1L)
+    assert(out(5L).getAs[Any]("t_view").toString.contains("10:01"))
+  }
+
+  test("dup frames: aligned shared prefixes and internal repeats dedupe to the lowest (doc, idx) keeper") {
+    val block = "0123456789abcdef" // exactly one 16-byte frame
+    val crafted = Seq(
+      (1L, block + "uniq tail one ........"),
+      (2L, block + "different tail two ...."),
+      (3L, block + block + "x"),              // internal repeat of the same block
+      (4L, "no duplicate frames here at all ....."))
+      .toDF("doc_id", "text")
+    val out = Multimodal.dupFrames(crafted).collect()
+    val hit = out.find(_.getAs[Long]("n_occurrences") >= 4L)
+    assert(hit.isDefined, s"the shared block must group: ${out.mkString(";")}")
+    assert(hit.get.getAs[Long]("n_docs") == 3L)
+    assert(hit.get.getAs[Long]("keep_doc") == 1L)
+    assert(hit.get.getAs[Long]("keep_idx") == 0L)
+  }
+
   test("quality classifier: score is the exact fixed-weight dot product; keep is its sign") {
     val text = "the cat sat" // n_chars 11, 3 tokens, 3 distinct, 1 stopword
     val crafted = Seq((1L, text, 11L)).toDF("doc_id", "text", "n_chars")
