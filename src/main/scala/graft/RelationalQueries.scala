@@ -405,6 +405,36 @@ object RelationalQueries {
       |  LEFT JOIN t3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Cohort RETENTION — the other classic product-analytics matrix: users
+    * cohort by the hour of their first event; each later active hour
+    * contributes to that cohort's retention at `age = hours since cohort`.
+    * Two aggregations (first-seen per user; distinct-users per (cohort,
+    * age)) and one join on user_id — every stage partial-aggregates, and
+    * the join key is the natural partitioning for both sides. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame =
+    retentionOf(Tables.events(s, dir))
+
+  /** [[eventsRetention]] over an explicit events frame (spec surface). */
+  def retentionOf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+    val cohort = e.groupBy("user_id").agg(min("h").as("c"))
+    e.join(cohort, Seq("user_id"))
+      .groupBy(col("c"), expr("timestampdiff(HOUR, c, h)").as("age"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("c").cast("timestamp_ntz").as("cohort_hour"), col("age"), col("n_users"))
+      .orderBy("cohort_hour", "age")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+      |c AS (SELECT user_id, min(h) AS c FROM e GROUP BY 1)
+      |SELECT c.c AS cohort_hour,
+      |  CAST(date_diff('hour', c.c, e.h) AS BIGINT) AS age,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Semi-structured extraction from the JSON-ish props column (regex on
     * both sides — engine-neutral). */
   def eventsProps(s: SparkSession, dir: String): DataFrame =
@@ -567,6 +597,7 @@ object RelationalQueries {
     "events_hourly" -> eventsHourly _,
     "events_sessions" -> eventsSessions _,
     "events_funnel" -> eventsFunnel _,
+    "events_retention" -> eventsRetention _,
     "events_props" -> eventsProps _,
   )
 
@@ -592,6 +623,7 @@ object RelationalQueries {
     "events_hourly" -> eventsHourlySql,
     "events_sessions" -> eventsSessionsSql,
     "events_funnel" -> eventsFunnelSql,
+    "events_retention" -> eventsRetentionSql,
     "events_props" -> eventsPropsSql,
   )
 }

@@ -492,6 +492,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(5L).getAs[Any]("t_view").toString.contains("10:01"))
   }
 
+  test("retention: cohort = first-seen hour, each later active hour counts distinct users once") {
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      (1L, ts(10, 0)), (1L, ts(10, 30)), (1L, ts(12, 5)),  // cohort 10:00; ages 0 (x2 -> once), 2
+      (2L, ts(10, 59)), (2L, ts(11, 1)),                   // cohort 10:00; ages 0, 1
+      (3L, ts(11, 0)))                                     // cohort 11:00; age 0
+      .toDF("user_id", "ts")
+    val out = RelationalQueries.retentionOf(events).collect()
+      .map(r => (r.get(0).toString.take(13), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2026-01-01T10", 0L) -> 2L,  // users 1 and 2 active in their cohort hour
+      ("2026-01-01T10", 1L) -> 1L,  // user 2 an hour later
+      ("2026-01-01T10", 2L) -> 1L,  // user 1 two hours later
+      ("2026-01-01T11", 0L) -> 1L), s"got $out")
+  }
+
   test("dup frames: aligned shared prefixes and internal repeats dedupe to the lowest (doc, idx) keeper") {
     val block = "0123456789abcdef" // exactly one 16-byte frame
     val crafted = Seq(
