@@ -71,6 +71,12 @@ object SparkEntry {
       QueryMerge.stateInserts(p).count()
       QueryMerge.classified(p).count()
     }
+    // the pipeline families' pinned working sets (dup groups, shingle sets,
+    // winnowing fingerprints, quantized vectors, the k-means assignment)
+    val docs = Tables.load(s, dir, "documents")
+    Dedup.warmPins(docs)
+    TextAnalysis.warmPins(docs)
+    Similarity.warmPins(Tables.load(s, dir, "embeddings"))
   }
 
   /** Drop every cached frame this object pinned for `s` (long-lived-session

@@ -209,6 +209,15 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Materialize this family's pinned working sets (quantized vectors, the
+    * default k-means assignment) — bench warm-up hook, so per-query numbers
+    * measure the queries instead of charging the shared materializations to
+    * whichever family member happens to run first. */
+  def warmPins(emb: DataFrame): Unit = {
+    PinnedCaches.pin(quantized(emb).select("vec_id", "q", "nq")).count()
+    kmeansAssign(emb, 8, 2).count()
+  }
+
   /** Deterministic quantized k-means over the embedding corpus — the
     * semantic-clustering stage of a curation pipeline (diversity sampling,
     * cluster-balanced mixtures, semantic dedup). Engineered for exact
@@ -278,7 +287,10 @@ object Similarity {
     val centFinal = (1 to iters).foldLeft(init) { (cent, _) =>
       update(assign(cent), cent)
     }
-    assign(centFinal)
+    // the FINAL assignment is the frame every consumer reads (kmeans's
+    // report, the balanced sampler's sizes and rate join) — pin it so the
+    // Lloyd chain runs once per corpus, not once per consumer
+    PinnedCaches.pin(assign(centFinal))
   }
 
   /** Cluster-balanced sampling — what the clusters are FOR in a curation
@@ -292,9 +304,9 @@ object Similarity {
     * broadcasts. Returns per-cluster accounting. */
   def clusterBalancedSample(emb: DataFrame, k: Int = 8, iters: Int = 2,
       salt: String = "bal0"): DataFrame = {
-    // consumed twice (cluster sizes, then the rate join) — pin the final
-    // assignment rather than re-running the Lloyd rounds per consumer
-    val assigned = PinnedCaches.pin(kmeansAssign(emb, k, iters).select("vec_id", "cluster"))
+    // consumed twice (cluster sizes, then the rate join) — reads through
+    // the assignment pin kmeansAssign registered
+    val assigned = kmeansAssign(emb, k, iters).select("vec_id", "cluster")
     val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
     val rates = sizes.crossJoin(broadcast(sizes.agg(min("n_vecs").as("n_min"))))
       .withColumn("target_rate", col("n_min").cast("double") / col("n_vecs"))

@@ -336,6 +336,13 @@ object TextAnalysis {
         .as("fps"))
   }
 
+  /** Materialize this family's pinned working set (the per-doc winnowing
+    * fingerprint arrays over dup-group representatives) — bench warm-up
+    * hook, see [[Dedup.warmPins]]. */
+  def warmPins(docs: DataFrame): Unit =
+    PinnedCaches.pin(winnowingFpArrays(
+      PinnedCaches.pin(Dedup.dupGroups(docs)).select("doc_id", "text"))).count()
+
   /** Near-dup candidates by shared winnowing fingerprints: docs sharing at
     * least `minShared` fingerprints. Exact duplicates are collapsed first
     * ([[Dedup.dupGroups]]) so the inverted-index join runs over distinct

@@ -86,7 +86,9 @@ class ScaleTechniquesSpec extends SparkSpec {
   }
 
   test("kmeans assignment joins broadcast the centroid table, never shuffle the corpus side") {
-    val emb = Tables.load(spark, sf(), "embeddings")
+    // a perturbed (but equal) input so the plan can't resolve to another
+    // suite's pinned assignment cache — the joins must be visible
+    val emb = Tables.load(spark, sf(), "embeddings").filter(col("vec_id") >= 0)
     val plan = graft.operators.Similarity.kmeans(emb).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"expected broadcast centroid joins:\n${plan.take(1500)}")
