@@ -83,6 +83,18 @@ object Documents {
     /** Typed [[Sampling.packChunks]]. */
     def packed(budget: Long = 512): Dataset[PackedChunk] =
       Sampling.packChunks(df, budget).as[PackedChunk]
+
+    /** The full curation pass — the typed twin of
+      * [[graft.operators.CurationPipeline.e2e]] (same stages, same
+      * operators, one declarative plan). */
+    def curated(rates: Map[String, Double] = Sampling.DefaultRates,
+        defaultRate: Double = Sampling.DefaultRate,
+        budget: Long = 512): Dataset[PackedChunk] =
+      ds.withoutExactDups
+        .keptByRepetition()
+        .keptByClassifier
+        .sampledMixture(rates, defaultRate)
+        .packed(budget)
   }
 
   /** Mean whitespace-token count as a typed `Aggregator` — the

@@ -58,6 +58,16 @@ class DocumentsApiSpec extends SparkSpec {
     }
   }
 
+  test("curated: the typed chain equals CurationPipeline.e2e row for row") {
+    val typed = docs.curated().collect()
+      .map(c => (c.source, c.doc_id, c.n_tokens, c.tok_offset, c.chunk_first, c.chunk_last))
+      .sortBy(t => (t._1, t._2))
+    val untyped = graft.operators.CurationPipeline.e2e(docs.toDF()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(typed.nonEmpty && typed.sameElements(untyped))
+  }
+
   test("typed aggregator: avgTokens equals the SQL mean") {
     val typed = docs.select(Documents.avgTokens.toColumn).head()
     val viaSql = docs.toDF()
