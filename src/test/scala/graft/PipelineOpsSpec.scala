@@ -432,6 +432,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(5L).isNullAt(out(5L).fieldIndex("best_match")))
   }
 
+  test("incremental adds no pins beyond minhashPairs' working sets (one materialization serves both)") {
+    Dedup.minhashPairs(docs).count()
+    val afterPairs = PinnedCaches.size(spark)
+    Dedup.incremental(docs).count()
+    assert(PinnedCaches.size(spark) == afterPairs,
+      "incremental must reuse the dup-group/shingle pins, not add twins")
+  }
+
   test("embed clusters: identical/parallel vectors co-cluster under the min id; an opposed vector stays out") {
     val up = (0 until 64).map(i => (i % 7 + 1).toFloat).toArray
     val crafted = Seq(
