@@ -92,7 +92,11 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.fanOut(docs)
+    // token counts are computed BEFORE any exchange, so only the three
+    // small columns ever shuffle (the per-source window exchange provides
+    // the parallelism boundary; an up-front fanOut would push full text
+    // through an extra round-robin exchange for nothing)
+    docs
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("tok_offset", sum("n_tokens").over(w) - col("n_tokens"))
@@ -118,7 +122,10 @@ object Sampling {
   private def shuffleShardsRaw(docs: DataFrame, salt: String,
       nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.fanOut(docs)
+    // the shuffle key depends only on doc_id — project before any exchange
+    // so document text never moves (the per-shard window exchange is the
+    // parallelism boundary)
+    docs
       .select(col("doc_id"),
         md5(concat_ws(":", lit(salt), col("doc_id").cast("string")).cast("binary")).as("skey"))
       .withColumn("shard",
