@@ -26,6 +26,7 @@ object DataPipelineQueries {
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(docs(s, dir))),
     "dedup_spans" -> ((s, dir) => Dedup.spans(docs(s, dir))),
+    "dedup_spans_clean" -> ((s, dir) => Dedup.spansClean(docs(s, dir))),
     "dedup_incremental" -> ((s, dir) => Dedup.incremental(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
@@ -77,6 +78,7 @@ object DataPipelineQueries {
     "dedup_minhash_pairs" -> Dedup.minhashPairsSql,
     "dedup_clusters" -> Dedup.clustersSql,
     "dedup_spans" -> Dedup.spansSql,
+    "dedup_spans_clean" -> Dedup.spansCleanSql,
     "dedup_incremental" -> Dedup.incrementalSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql,

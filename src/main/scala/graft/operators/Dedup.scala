@@ -515,6 +515,107 @@ object Dedup {
        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Substring-dedup as a TRANSFORM — the cut [[spans]] only reports:
+    * every duplicated `k`-byte window keeps its globally-FIRST occurrence
+    * (minimum (doc_id, position) — one `min(struct)` per hash, no ranking
+    * window) and is removed everywhere else; per document the removed
+    * windows merge into maximal spans and the kept byte ranges concatenate
+    * back into `clean_text`. Exact copies collapse to the first doc's full
+    * text and empty strings elsewhere; internal repetition R+R collapses
+    * to one R; a boilerplate block survives only where it first appeared —
+    * the single-pass cut of Lee et al. 2022, window-fingerprint form.
+    *
+    * The span merge AND the cut are ONE fold over each doc's sorted
+    * removed positions (state: open span, cut watermark, rebuilt string) —
+    * pure map-side work after the (hash-keyed, map-side-combined) keeper
+    * aggregation and position join. Deterministic, so [[spansCleanSql]]
+    * replays it hash-exactly. */
+  def spansClean(docs: DataFrame, k: Int = SpanWindowBytes): DataFrame = {
+    import graft.functions.RollingHashes.rolling_hashes
+    val base = Tables.fanOut(docs).select(col("doc_id"), col("text"),
+      rolling_hashes(col("text"), k).as("rh"))
+    val pos = base.select(col("doc_id"), posexplode(col("rh")).as(Seq("p", "h")))
+    val dupKeep = pos.groupBy("h")
+      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("p"))).as("kk"))
+      .filter(col("c") > 1)
+      .select(col("h"), col("kk.doc_id").as("kd"), col("kk.p").as("kp"))
+    val rm = pos.join(dupKeep, Seq("h"))
+      .filter(!(col("doc_id") === col("kd") && col("p") === col("kp")))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("ps"))
+    // one pass over the sorted positions: extend the open span while the
+    // next window touches it (p <= e), else flush the kept bytes before it
+    // and open a new span; finish flushes the last span and the tail.
+    val fold = expr(
+      s"""aggregate(ps,
+         |  named_struct('s', CAST(-1 AS BIGINT), 'e', CAST(-1 AS BIGINT),
+         |               'ce', 0L, 'sb', ''),
+         |  (acc, x) -> CASE
+         |    WHEN acc.s < 0 THEN
+         |      named_struct('s', CAST(x AS BIGINT), 'e', CAST(x AS BIGINT) + $k,
+         |                   'ce', acc.ce, 'sb', acc.sb)
+         |    WHEN CAST(x AS BIGINT) <= acc.e THEN
+         |      named_struct('s', acc.s, 'e', CAST(x AS BIGINT) + $k,
+         |                   'ce', acc.ce, 'sb', acc.sb)
+         |    ELSE named_struct('s', CAST(x AS BIGINT), 'e', CAST(x AS BIGINT) + $k,
+         |                   'ce', acc.e,
+         |                   'sb', concat(acc.sb, substring(text, CAST(acc.ce + 1 AS INT),
+         |                                CAST(acc.s - acc.ce AS INT)))) END,
+         |  acc -> concat(acc.sb,
+         |    substring(text, CAST(acc.ce + 1 AS INT), CAST(acc.s - acc.ce AS INT)),
+         |    substring(text, CAST(acc.e + 1 AS INT))))""".stripMargin)
+    base.select("doc_id", "text").join(rm, Seq("doc_id"), "left")
+      .withColumn("clean_text", when(col("ps").isNull, col("text")).otherwise(fold))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_bytes"),
+        col("clean_text"),
+        (length(col("text")) - length(col("clean_text"))).cast("long").as("removed_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[spansClean]] (k=24): same window hashes, the
+    * keeper via ROW_NUMBER over (doc_id, p), removed-window islands, and
+    * the kept-range complement concatenated with `string_agg` (a piece per
+    * span boundary plus the tail; zero-length pieces contribute ''). */
+  val spansCleanSql: String = {
+    val k = SpanWindowBytes
+    val (p, b) = (graft.functions.RollingHashes.Mod, graft.functions.RollingHashes.Base)
+    s"""WITH rh AS (
+       |  SELECT doc_id, list_transform(range(1, length(text) - $k + 2), i ->
+       |    list_reduce(
+       |      list_transform(range(0, $k), j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+       |      (a, c) -> (a * $b + c) % $p)) AS hs
+       |  FROM documents WHERE length(text) >= $k),
+       |pos AS (SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) - 1 AS p FROM rh),
+       |dup AS (SELECT h FROM (SELECT h, count(*) AS c FROM pos GROUP BY h) WHERE c > 1),
+       |keep AS (SELECT h, doc_id AS kd, p AS kp FROM (
+       |  SELECT h, doc_id, p, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+       |  FROM pos JOIN dup USING (h)) WHERE rn = 1),
+       |rm AS (
+       |  SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (h)
+       |  LEFT JOIN keep ON keep.h = pos.h AND keep.kd = pos.doc_id AND keep.kp = pos.p
+       |  WHERE keep.h IS NULL),
+       |win AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM rm),
+       |isl AS (SELECT doc_id, p, sum(CASE WHEN pp IS NULL OR p - pp > $k THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY p) AS g FROM win),
+       |spans AS (SELECT doc_id, min(p) AS s, max(p) + $k AS e FROM isl GROUP BY doc_id, g),
+       |pieces AS (
+       |  SELECT sp.doc_id,
+       |    coalesce(lag(e) OVER (PARTITION BY sp.doc_id ORDER BY s), 0) AS ks,
+       |    s AS ke
+       |  FROM spans sp
+       |  UNION ALL
+       |  SELECT doc_id, max(e), NULL FROM spans GROUP BY doc_id),
+       |clean AS (
+       |  SELECT pc.doc_id,
+       |    string_agg(substr(d.text, CAST(ks AS INT) + 1,
+       |      CAST(coalesce(ke, length(d.text)) - ks AS INT)), '' ORDER BY ks) AS ctext
+       |  FROM pieces pc JOIN documents d USING (doc_id)
+       |  GROUP BY pc.doc_id)
+       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+       |  coalesce(c.ctext, d.text) AS clean_text,
+       |  CAST(length(d.text) - length(coalesce(c.ctext, d.text)) AS BIGINT) AS removed_bytes
+       |FROM documents d LEFT JOIN clean c USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
   /** INCREMENTAL dedup — the batch-ingest novelty gate (the batch twin of
     * [[graft.streaming.StreamingDedup]], extended from exact to NEAR-dup
     * matching): given a corpus split into an EXISTING side and a NEW batch

@@ -146,6 +146,22 @@ class DedupScaleSpec extends SparkSpec {
     assert(near.getAs[Long]("dup_bytes") < near.getAs[Long]("n_bytes"))
   }
 
+  test("spans clean on a 1000-copy corpus: the first copy keeps everything, every other copy empties") {
+    val n = 1000
+    val out = Dedup.spansClean(dupCorpus(n)).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[String]("clean_text") == baseA, "first copy is every window's keeper")
+    (1 until n).foreach { i =>
+      assert(out(i.toLong).getAs[String]("clean_text") == "", s"copy $i must empty")
+    }
+    // the near-dup keeps only its edited remainder; the unrelated trio
+    // keeps its first copy and empties the rest
+    val near = out(n.toLong).getAs[String]("clean_text")
+    assert(near.nonEmpty && near.length < baseB.length && near.contains("doorstep"))
+    assert(out((n + 1).toLong).getAs[String]("clean_text") == unrelated)
+    assert(out((n + 2).toLong).getAs[String]("clean_text") == "")
+    assert(out((n + 3).toLong).getAs[String]("clean_text") == "")
+  }
+
   test("incremental on a duplicate-heavy corpus: every odd copy matches the even minimum at 1.0") {
     val n = 200
     val out = Dedup.incremental(dupCorpus(n)).collect().map(r => r.getLong(0) -> r).toMap

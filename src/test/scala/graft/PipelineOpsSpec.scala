@@ -394,6 +394,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out(4L).getAs[Boolean]("keep"))
   }
 
+  test("spans clean: first occurrence survives, copies lose the shared bytes, internal repeats collapse") {
+    val p = "the quick brown fox jumps over the lazy dog once more"
+    val r = "abcdefghijklmnopqrstuvwxyz1234" // 30 bytes, one 24-byte window family
+    val crafted = Seq(
+      (1L, p + "X"), // keeper of every shared window
+      (2L, p + "Y"), // copy: shared prefix removed, unique suffix survives
+      (3L, "totally fresh content with no repeats anywhere inside"),
+      (4L, r + r))   // internal repeat: second R collapses
+      .toDF("doc_id", "text")
+    val out = Dedup.spansClean(crafted, k = 24).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(out(1L).getAs[String]("clean_text") == p + "X", "keeper must be untouched")
+    assert(out(1L).getAs[Long]("removed_bytes") == 0L)
+    // doc 2 keeps only what its last (unshared) windows cover: the suffix
+    val c2 = out(2L).getAs[String]("clean_text")
+    assert(c2.endsWith("Y") && c2.length < p.length, s"copy kept '$c2'")
+    assert(out(3L).getAs[Long]("removed_bytes") == 0L)
+    assert(out(4L).getAs[String]("clean_text") == r, "R+R must collapse to one R")
+  }
+
   test("spans on testdata: covered bytes bounded by doc size, every doc reported once") {
     val out = Dedup.spans(docs).collect()
     assert(out.length == docs.count())
