@@ -164,14 +164,28 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean)
     // replaced by a new file (dev/inode changed — catches move+recreate
     // even if the new file already grew past the old offset). Unread bytes
     // of the old generation are lost, as with the reference's reopened tail.
+    //
+    // A poll can race an in-flight move+recreate: identity, length, and
+    // the boundary scan are separate filesystem reads, so a key read
+    // during the gap (file absent → "") combined with a length read after
+    // the new file lands would skip the identity check and resume MID-FILE
+    // in the new generation. Two guards close the window: hold position
+    // while the file is absent, and re-validate the identity AFTER the
+    // boundary scan — if it moved underneath us, report no progress and
+    // let the next poll see the settled file.
     val curKey = TailOffset.keyOf(path)
-    val rotated = new java.io.File(path).length() < k.pos ||
-      (k.fileKey.nonEmpty && curKey.nonEmpty && curKey != k.fileKey)
-    observe(
-      if (rotated)
-        TailOffset(k.epoch + 1, TailFileSource.lastLineBoundary(path, 0L), curKey)
-      else
-        k.copy(pos = TailFileSource.lastLineBoundary(path, k.pos), fileKey = curKey))
+    val len = new java.io.File(path).length()
+    if (curKey.isEmpty && len == 0L) k // mid-rotation gap: hold position
+    else {
+      val rotated = len < k.pos ||
+        (k.fileKey.nonEmpty && curKey.nonEmpty && curKey != k.fileKey)
+      val next =
+        if (rotated)
+          TailOffset(k.epoch + 1, TailFileSource.lastLineBoundary(path, 0L), curKey)
+        else
+          k.copy(pos = TailFileSource.lastLineBoundary(path, k.pos), fileKey = curKey)
+      if (TailOffset.keyOf(path) != curKey) k else observe(next)
+    }
   }
 
   override def deserializeOffset(json: String): Offset =
