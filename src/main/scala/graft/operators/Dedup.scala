@@ -285,6 +285,22 @@ object Dedup {
     * for the same reason). Only nodes with at least one edge iterate;
     * singletons rejoin at the end labeled with themselves.
     *
+    * Convergence is detected by a per-round CHECKSUM of the (already
+    * checkpointed) state — `(row count, Σ xxhash64(v, c))` — compared to the
+    * previous round's: one small aggregate job per round instead of a
+    * full-outer join of consecutive states plus a count (two jobs and a
+    * join-shuffle). Hash-to-Min reaches an exact fixpoint (the state stops
+    * changing), so checksum equality ⇔ fixpoint up to a ~2^-64 per-round
+    * hash-collision chance; MaxClusterRounds still backstops.
+    *
+    * SKEW BOUND (inherent to Hash-to-Min): at fixpoint the component-minimum
+    * node's row holds its ENTIRE component in one collect_set — a giant
+    * component is one O(|component|) row handled by one task. Near-dup
+    * components are content-similarity cliques (size ~ dup family, not
+    * corpus), so this is fine here; if a corpus with million-member
+    * components is expected, shard the min node's set (two-phase
+    * large-star/small-star) before trusting this loop.
+    *
     * `ids` must have one column `id`; `pairs` columns `a`, `b`. Returns
     * `(id, cluster_id)` where `cluster_id` is the component's minimum id. */
   private[operators] def componentsOf(ids: DataFrame, pairs: DataFrame): DataFrame = {
@@ -293,6 +309,14 @@ object Dedup {
       .select(col("a").as("v"),
         sort_array(array_union(col("nbrs"), array(col("a")))).as("c"))
       .localCheckpoint(true)
+    // (count, content hash) of a checkpointed round — `c` is sort_array'd,
+    // so the row hash is deterministic
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("v"), col("c"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(st)
     var converged = false
     var rounds = 0
     while (!converged && rounds < MaxClusterRounds) {
@@ -301,9 +325,9 @@ object Dedup {
       val next = m1.unionAll(m2).groupBy("v")
         .agg(sort_array(collect_set(col("x"))).as("c"))
         .localCheckpoint(true)
-      converged = next.join(st.select(col("v"), col("c").as("pc")), Seq("v"), "full")
-        .filter(col("c").isNull || col("pc").isNull || col("c") =!= col("pc"))
-        .count() == 0
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
       st = next
       rounds += 1
     }
@@ -441,9 +465,16 @@ object Dedup {
     * exceeds 1 are duplicated, and overlapping/adjacent duplicated windows
     * merge into maximal spans (a shared substring of length L ≥ k yields
     * L − k + 1 consecutive duplicated windows = one span of exactly L
-    * bytes). Exact modulo 2^31−1 hash collisions — which both engines
-    * reproduce identically (same polynomial), so [[spansSql]] is
-    * hash-exact.
+    * bytes). Hashing is exact modulo 2^61−1 ([[graft.functions.RollingHashes]]
+    * — expected phantom-dup window pairs ≈ W²/2^62 corpus-wide, negligible
+    * even at 100 TB; see the collision analysis there), and both engines
+    * compute the identical polynomial, so [[spansSql]] is hash-exact.
+    *
+    * All accounting is in BYTES: window positions come from the UTF-8
+    * rolling hash, `n_bytes` is `octet_length`, and the [[spansClean]] cut
+    * slices the UTF-8 byte stream — so the operator is consistent on
+    * arbitrary multibyte input (a span boundary inside a multibyte
+    * character cuts at the byte, the Lee et al. suffix-array semantics).
     *
     * 100 TB notes: the hash-count aggregation is the honest cost of
     * substring-level dedup (the suffix array it stands in for costs ~8
@@ -458,7 +489,7 @@ object Dedup {
       keepMaxFrac: Double = 0.5): DataFrame = {
     import graft.functions.RollingHashes.rolling_hashes
     val base = Tables.fanOut(docs).select(col("doc_id"),
-      length(col("text")).cast("long").as("n_bytes"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
       rolling_hashes(col("text"), k).as("rh"))
     val pos = base.select(col("doc_id"), posexplode(col("rh")).as(Seq("p", "h")))
     val dup = pos.groupBy("h").agg(count(lit(1)).as("c"))
@@ -485,34 +516,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** DuckDB oracle for [[spans]] (defaults k=24, keep ≤ 0.5): each window
-    * hash recomputed as the left fold `(acc * 257 + byte) mod (2^31−1)` —
-    * the polynomial [[graft.functions.RollingHashes]] rolls in O(1)/window
-    * — then the same count>1 mark and gaps-and-islands span merge (byte =
-    * character: the corpus is ASCII). */
+  /** The byte-domain window-hash CTE chain shared by [[spansSql]] and
+    * [[spansCleanSql]]: the UTF-8 byte stream as a hex string (2 hex chars
+    * per byte — DuckDB has no BLOB substring, so hex is the byte-accurate
+    * representation), each k-byte window hash recomputed as the left fold
+    * `(acc * 257 + byte) mod (2^61−1)` in 128-bit HUGEINT — exactly the
+    * polynomial [[graft.functions.RollingHashes]] rolls in O(1)/window. */
+  private def spanHashCoreSql(k: Int): String = {
+    val (p, b) = (graft.functions.RollingHashes.Mod, graft.functions.RollingHashes.Base)
+    s"""dx AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+       |  FROM documents),
+       |rh AS (
+       |  SELECT doc_id, list_transform(range(0, nb - $k + 1), i ->
+       |    list_reduce(
+       |      list_transform(range(0, $k), j ->
+       |        ('0x' || substr(hx, CAST(2 * (i + j) + 1 AS INT), 2))::BIGINT),
+       |      (a, c) -> CAST((CAST(a AS HUGEINT) * $b + c) % $p AS BIGINT))) AS hs
+       |  FROM dx WHERE nb >= $k),
+       |pos AS (SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) - 1 AS p FROM rh),
+       |dup AS (SELECT h FROM (SELECT h, count(*) AS c FROM pos GROUP BY h) WHERE c > 1)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[spans]] (defaults k=24, keep ≤ 0.5): the shared
+    * byte-domain hash chain ([[spanHashCoreSql]]), then the same count>1
+    * mark and gaps-and-islands span merge — positions and lengths in bytes. */
   val spansSql: String = {
     val k = SpanWindowBytes
-    val (p, b) = (graft.functions.RollingHashes.Mod, graft.functions.RollingHashes.Base)
-    s"""WITH rh AS (
-       |  SELECT doc_id, list_transform(range(1, length(text) - $k + 2), i ->
-       |    list_reduce(
-       |      list_transform(range(0, $k), j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
-       |      (a, c) -> (a * $b + c) % $p)) AS hs
-       |  FROM documents WHERE length(text) >= $k),
-       |pos AS (SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) - 1 AS p FROM rh),
-       |dup AS (SELECT h FROM (SELECT h, count(*) AS c FROM pos GROUP BY h) WHERE c > 1),
+    s"""WITH ${spanHashCoreSql(k)},
        |dp AS (SELECT doc_id, p FROM pos JOIN dup USING (h)),
        |win AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM dp),
        |agg AS (SELECT doc_id,
        |    sum(CASE WHEN pp IS NULL OR p - pp > $k THEN 1 ELSE 0 END) AS dup_spans,
        |    sum(CASE WHEN pp IS NULL THEN $k ELSE least($k, p - pp) END) AS dup_bytes
        |  FROM win GROUP BY doc_id)
-       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+       |SELECT d.doc_id, CAST(d.nb AS BIGINT) AS n_bytes,
        |  CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans,
        |  CAST(coalesce(dup_bytes, 0) AS BIGINT) AS dup_bytes,
-       |  CAST(coalesce(dup_bytes, 0) AS DOUBLE) / length(d.text) AS dup_frac,
-       |  (CAST(coalesce(dup_bytes, 0) AS DOUBLE) / length(d.text) <= 0.5) AS keep
-       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+       |  CAST(coalesce(dup_bytes, 0) AS DOUBLE) / d.nb AS dup_frac,
+       |  (CAST(coalesce(dup_bytes, 0) AS DOUBLE) / d.nb <= 0.5) AS keep
+       |FROM dx d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
   /** Substring-dedup as a TRANSFORM — the cut [[spans]] only reports:
@@ -544,11 +587,14 @@ object Dedup {
       .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("ps"))
     // one pass over the sorted positions: extend the open span while the
     // next window touches it (p <= e), else flush the kept bytes before it
-    // and open a new span; finish flushes the last span and the tail.
+    // and open a new span; finish flushes the last span and the tail. The
+    // cut slices `tb` — the UTF-8 BYTE stream — because the rolling-hash
+    // positions are byte offsets; a char-indexed substring would misalign
+    // on any multibyte document.
     val fold = expr(
       s"""aggregate(ps,
          |  named_struct('s', CAST(-1 AS BIGINT), 'e', CAST(-1 AS BIGINT),
-         |               'ce', 0L, 'sb', ''),
+         |               'ce', 0L, 'sb', CAST('' AS BINARY)),
          |  (acc, x) -> CASE
          |    WHEN acc.s < 0 THEN
          |      named_struct('s', CAST(x AS BIGINT), 'e', CAST(x AS BIGINT) + $k,
@@ -558,34 +604,29 @@ object Dedup {
          |                   'ce', acc.ce, 'sb', acc.sb)
          |    ELSE named_struct('s', CAST(x AS BIGINT), 'e', CAST(x AS BIGINT) + $k,
          |                   'ce', acc.e,
-         |                   'sb', concat(acc.sb, substring(text, CAST(acc.ce + 1 AS INT),
+         |                   'sb', concat(acc.sb, substring(tb, CAST(acc.ce + 1 AS INT),
          |                                CAST(acc.s - acc.ce AS INT)))) END,
-         |  acc -> concat(acc.sb,
-         |    substring(text, CAST(acc.ce + 1 AS INT), CAST(acc.s - acc.ce AS INT)),
-         |    substring(text, CAST(acc.e + 1 AS INT))))""".stripMargin)
+         |  acc -> CAST(concat(acc.sb,
+         |    substring(tb, CAST(acc.ce + 1 AS INT), CAST(acc.s - acc.ce AS INT)),
+         |    substring(tb, CAST(acc.e + 1 AS INT), CAST(octet_length(tb) AS INT))) AS STRING))""".stripMargin)
     base.select("doc_id", "text").join(rm, Seq("doc_id"), "left")
+      .withColumn("tb", col("text").cast("binary"))
       .withColumn("clean_text", when(col("ps").isNull, col("text")).otherwise(fold))
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_bytes"),
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"),
         col("clean_text"),
-        (length(col("text")) - length(col("clean_text"))).cast("long").as("removed_bytes"))
+        (octet_length(col("text")) - octet_length(col("clean_text"))).cast("long").as("removed_bytes"))
       .orderBy("doc_id")
   }
 
-  /** DuckDB oracle for [[spansClean]] (k=24): same window hashes, the
-    * keeper via ROW_NUMBER over (doc_id, p), removed-window islands, and
-    * the kept-range complement concatenated with `string_agg` (a piece per
-    * span boundary plus the tail; zero-length pieces contribute ''). */
+  /** DuckDB oracle for [[spansClean]] (k=24): the shared byte-domain hash
+    * chain ([[spanHashCoreSql]]), the keeper via ROW_NUMBER over
+    * (doc_id, p), removed-window islands, and the kept-range complement
+    * concatenated as HEX substrings (2 hex chars per byte — the
+    * byte-accurate cut) then decoded back to text; zero-length pieces
+    * contribute ''. */
   val spansCleanSql: String = {
     val k = SpanWindowBytes
-    val (p, b) = (graft.functions.RollingHashes.Mod, graft.functions.RollingHashes.Base)
-    s"""WITH rh AS (
-       |  SELECT doc_id, list_transform(range(1, length(text) - $k + 2), i ->
-       |    list_reduce(
-       |      list_transform(range(0, $k), j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
-       |      (a, c) -> (a * $b + c) % $p)) AS hs
-       |  FROM documents WHERE length(text) >= $k),
-       |pos AS (SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) - 1 AS p FROM rh),
-       |dup AS (SELECT h FROM (SELECT h, count(*) AS c FROM pos GROUP BY h) WHERE c > 1),
+    s"""WITH ${spanHashCoreSql(k)},
        |keep AS (SELECT h, doc_id AS kd, p AS kp FROM (
        |  SELECT h, doc_id, p, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
        |  FROM pos JOIN dup USING (h)) WHERE rn = 1),
@@ -606,14 +647,15 @@ object Dedup {
        |  SELECT doc_id, max(e), NULL FROM spans GROUP BY doc_id),
        |clean AS (
        |  SELECT pc.doc_id,
-       |    string_agg(substr(d.text, CAST(ks AS INT) + 1,
-       |      CAST(coalesce(ke, length(d.text)) - ks AS INT)), '' ORDER BY ks) AS ctext
-       |  FROM pieces pc JOIN documents d USING (doc_id)
+       |    string_agg(substr(d.hx, CAST(2 * ks + 1 AS INT),
+       |      CAST(2 * (coalesce(ke, d.nb) - ks) AS INT)), '' ORDER BY ks) AS chex
+       |  FROM pieces pc JOIN dx d USING (doc_id)
        |  GROUP BY pc.doc_id)
-       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
-       |  coalesce(c.ctext, d.text) AS clean_text,
-       |  CAST(length(d.text) - length(coalesce(c.ctext, d.text)) AS BIGINT) AS removed_bytes
-       |FROM documents d LEFT JOIN clean c USING (doc_id) ORDER BY d.doc_id""".stripMargin
+       |SELECT dd.doc_id, CAST(d.nb AS BIGINT) AS n_bytes,
+       |  CASE WHEN c.chex IS NULL THEN dd.text ELSE decode(unhex(c.chex)) END AS clean_text,
+       |  CAST(d.nb - coalesce(len(c.chex) // 2, d.nb) AS BIGINT) AS removed_bytes
+       |FROM documents dd JOIN dx d USING (doc_id) LEFT JOIN clean c USING (doc_id)
+       |ORDER BY dd.doc_id""".stripMargin
   }
 
   /** INCREMENTAL dedup — the batch-ingest novelty gate (the batch twin of

@@ -129,9 +129,16 @@ object Multimodal {
     * occurrence, via one `min(struct(...))` — no per-group ranking
     * window). The aggregation shuffles 16-byte hashes, map-side combined —
     * never frame bytes; at 100 TB this is the frame-dedup shape exactly
-    * like [[graft.operators.Dedup.exact]] is the document one. */
+    * like [[graft.operators.Dedup.exact]] is the document one.
+    *
+    * Empty payloads are filtered on BOTH engines: Spark's
+    * `sequence(0, (octet_length-1) div 16)` would yield one empty frame for
+    * a zero-length payload while the oracle's `range(0, (n-1)//16 + 1)`
+    * yields none — an explicit `octet_length > 0` guard keeps the
+    * engines (and the semantics: no bytes, no frames) aligned. */
   def dupFrames(docs: DataFrame): DataFrame =
     Tables.fanOut(docs).select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(octet_length(col("payload")) > 0)
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, (octet_length(payload) - 1) div 16), " +
           "i -> substring(payload, i * 16 + 1, 16))"))
@@ -150,7 +157,7 @@ object Multimodal {
   val dupFramesSql: String =
     """WITH d AS (
       |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
-      |  FROM documents),
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
       |f AS (SELECT doc_id, unnest(range(0, (n - 1) // 16 + 1)) AS i, text FROM d),
       |fr AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
       |         md5(substr(text, CAST(i * 16 AS INT) + 1, 16)) AS frame_md5 FROM f),

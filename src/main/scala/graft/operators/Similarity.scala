@@ -250,7 +250,6 @@ object Similarity {
   /** The final k-means assignment frame (unordered; carries `q`), shared by
     * [[kmeans]] and [[clusterBalancedSample]]. */
   private def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // scanned once per Lloyd round (assign) plus the update joins — pinned
     // like the minhash working sets; released by PinnedCaches.release
     val vecs = PinnedCaches.pin(quantized(emb).select("vec_id", "q", "nq"))
@@ -262,14 +261,20 @@ object Similarity {
     def withNc(cent: DataFrame): DataFrame =
       cent.withColumn("nc", long_dot(col("cq"), col("cq")))
 
+    // nearest centroid as a map-side-combinable aggregate (the same shape as
+    // the IVF probe): min(struct(dist2, cluster)) IS the (dist2 ASC, cluster
+    // ASC) tie-break, and because the broadcast crossJoin preserves the vec
+    // partitioning, the k rows per vec_id collapse to one BEFORE the
+    // exchange — ~N rows shuffle instead of the N×k a ranking window sorts.
+    // `first(q)` is deterministic: q is identical across a vec_id's k rows.
     def assign(cent: DataFrame): DataFrame =
       vecs.crossJoin(broadcast(withNc(cent)))
         .withColumn("dist2",
           col("nq") - lit(2L) * long_dot(col("q"), col("cq")) + col("nc"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("dist2"), col("cluster"))))
-        .filter(col("rn") === 1)
-        .select("vec_id", "cluster", "dist2", "q")
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cluster"))).as("b"), first(col("q")).as("q"))
+        .select(col("vec_id"), col("b.cluster").as("cluster"),
+          col("b.dist2").as("dist2"), col("q"))
 
     def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
       val sums = assigned

@@ -398,11 +398,13 @@ object TextAnalysis {
 
   /** DuckDB oracle for [[winnowingPairs]] (defaults k=16, w=8, minShared=5,
     * cap=[[Dedup.DefaultBucketCap]]): dup-collapse, then each k-byte window
-    * hash recomputed as the left fold `(acc * 257 + byte) mod (2^31-1)` —
-    * exactly the polynomial [[graft.functions.RollingHashes]] rolls in O(n)
-    * — then per-window minima, distinct, hot-fingerprint cap, shared-count
+    * hash recomputed as the left fold `(acc * 257 + byte) mod (2^61-1)` in
+    * 128-bit HUGEINT — exactly the polynomial
+    * [[graft.functions.RollingHashes]] rolls in O(n) with multiplyHigh —
+    * then per-window minima, distinct, hot-fingerprint cap, shared-count
     * self-join and member expansion. Byte = character here because the
-    * corpus is ASCII (the rolling hash consumes UTF-8 bytes). */
+    * corpus is ASCII (the rolling hash consumes UTF-8 bytes; only the
+    * fingerprint VALUES depend on it, no positions are cut). */
   val winnowingPairsSql: String = {
     val (k, w) = (16, 8)
     val (p, b) = (graft.functions.RollingHashes.Mod, graft.functions.RollingHashes.Base)
@@ -415,7 +417,7 @@ object TextAnalysis {
        |  SELECT doc_id, list_transform(range(1, length(text) - $k + 2), i ->
        |    list_reduce(
        |      list_transform(range(0, $k), j -> CAST(ascii(substr(lower(text), CAST(i + j AS INT), 1)) AS BIGINT)),
-       |      (a, c) -> (a * $b + c) % $p)) AS hs
+       |      (a, c) -> CAST((CAST(a AS HUGEINT) * $b + c) % $p AS BIGINT))) AS hs
        |  FROM g WHERE length(text) >= $k),
        |fp AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs) - $w + 2),

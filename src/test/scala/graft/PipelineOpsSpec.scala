@@ -426,6 +426,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("dup_spans") > 0L), "corpus has near-dups; spans must fire")
   }
 
+  test("spans: a collision-free corpus reports zero phantom-dup windows (61-bit hash space)") {
+    // every token carries its doc id, so no 24-byte window repeats anywhere
+    // in the corpus — any reported dup would be a rolling-hash collision.
+    // At the 61-bit modulus the expected phantom pairs over W windows are
+    // ~W²/2^62 (~1e-10 here); the old 31-bit space gave ~W²/2^32.
+    val crafted = (1 to 200).map(i =>
+      (i.toLong, (1 to 12).map(j => s"u${i}q${j}r${i * 31 + j}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.spans(crafted).collect()
+    assert(out.forall(_.getAs[Long]("dup_spans") == 0L), "phantom duplicate window")
+    assert(out.forall(_.getAs[Long]("dup_bytes") == 0L))
+  }
+
+  test("spans/clean on multibyte UTF-8: all accounting in bytes, exact copy empties") {
+    val m = "héllo wörld — 日本語のテキストが続く naïve café über alles" // multibyte
+    val crafted = Seq(
+      (1L, m),                                                  // keeper
+      (2L, m),                                                  // exact copy
+      (3L, "plain ascii filler with no duplicate content here")).toDF("doc_id", "text")
+    val nb = m.getBytes("UTF-8").length.toLong
+    val sp = Dedup.spans(crafted, k = 24).collect().map(r => r.getLong(0) -> r).toMap
+    assert(sp(1L).getAs[Long]("n_bytes") == nb, "n_bytes is octet_length, not char count")
+    assert(sp(1L).getAs[Long]("dup_bytes") == nb && sp(2L).getAs[Long]("dup_bytes") == nb)
+    val cl = Dedup.spansClean(crafted, k = 24).collect().map(r => r.getLong(0) -> r).toMap
+    assert(cl(1L).getAs[String]("clean_text") == m, "first occurrence untouched")
+    assert(cl(2L).getAs[String]("clean_text") == "", "copy fully cut")
+    assert(cl(2L).getAs[Long]("removed_bytes") == nb, "removal accounted in bytes")
+  }
+
   test("incremental: exact copy matches at 1.0 with the lowest existing id, near-dup matches its group, fresh doc is novel") {
     val t1 = (1 to 30).map(i => s"t$i").mkString(" ")
     val base = (1 to 40).map(i => s"w$i")

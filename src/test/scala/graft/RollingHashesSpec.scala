@@ -7,15 +7,17 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.RollingHashes
 
 /** The rolling recurrence must equal the naive per-window left fold
-  * `(acc * Base + byte) mod Mod` — the exact identity the winnowing DuckDB
-  * oracle relies on (it computes the fold; the expression rolls). */
+  * `(acc * Base + byte) mod Mod` — the exact identity the winnowing/span
+  * DuckDB oracles rely on (they compute the fold in 128-bit HUGEINT; the
+  * expression rolls with multiplyHigh). The reference fold here uses BigInt
+  * so it is trivially overflow-free at the 61-bit modulus. */
 class RollingHashesSpec extends AnyFunSuite {
 
   private def naive(s: String, k: Int): Seq[Long] = {
     val bytes = s.getBytes("UTF-8")
     (0 to bytes.length - k).map { i =>
-      bytes.slice(i, i + k).foldLeft(0L)((acc, b) =>
-        (acc * RollingHashes.Base + (b & 0xff)) % RollingHashes.Mod)
+      bytes.slice(i, i + k).foldLeft(BigInt(0))((acc, b) =>
+        (acc * RollingHashes.Base + (b & 0xff)) % RollingHashes.Mod).toLong
     }
   }
 
@@ -34,6 +36,13 @@ class RollingHashesSpec extends AnyFunSuite {
       assert(r == naive(s, k), s"mismatch at k=$k, s=${s.take(40)}...")
       assert(r.forall(h => h >= 0 && h < RollingHashes.Mod))
     }
+  }
+
+  test("rolling equals the naive fold on multibyte UTF-8 (hash consumes bytes, not chars)") {
+    val s = "héllo wörld — naïve café über 日本語テキスト mixed ascii tail"
+    for (k <- Seq(1, 3, 8, 16, 24)) assert(rolled(s, k) == naive(s, k))
+    // window count is byte-based: n_bytes - k + 1, not n_chars - k + 1
+    assert(rolled(s, 24).length == s.getBytes("UTF-8").length - 24 + 1)
   }
 
   test("edge cases: shorter than k is empty; k equals length is one hash; null is null") {

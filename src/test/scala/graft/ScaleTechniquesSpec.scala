@@ -94,6 +94,11 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"expected broadcast centroid joins:\n${plan.take(1500)}")
     assert(!plan.contains("SortMergeJoin"),
       "a sort-merge join here would shuffle the corpus per Lloyd round")
+    // nearest-centroid selection is min(struct(dist2, cluster)) — a
+    // map-side-combinable aggregate; a ranking window would force a full
+    // N×k sort-shuffle per Lloyd round
+    assert(!plan.contains("Window"),
+      "Lloyd assignment must aggregate, not rank with a window")
   }
 
   test("e2e pipeline plan: all three filters fuse into ONE scan predicate, no per-stage materialization") {
