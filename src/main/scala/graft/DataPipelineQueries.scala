@@ -28,6 +28,16 @@ object DataPipelineQueries {
     "dedup_spans" -> ((s, dir) => Dedup.spans(docs(s, dir))),
     "dedup_spans_clean" -> ((s, dir) => Dedup.spansClean(docs(s, dir))),
     "dedup_incremental" -> ((s, dir) => Dedup.incremental(docs(s, dir))),
+    // the indexed novelty gate (streaming twin's core) on the same parity
+    // split as dedup_incremental — must produce identical rows, and shares
+    // its oracle
+    "dedup_novelty_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val d = docs(s, dir)
+      val idx = Dedup.corpusIndex(d.filter(pmod(col("doc_id"), lit(2)) === 0))
+      Dedup.bestMatchAgainst(d.filter(pmod(col("doc_id"), lit(2)) === 1), idx)
+        .orderBy("doc_id")
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "embed_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(emb(s, dir))),
@@ -80,6 +90,7 @@ object DataPipelineQueries {
     "dedup_spans" -> Dedup.spansSql,
     "dedup_spans_clean" -> Dedup.spansCleanSql,
     "dedup_incremental" -> Dedup.incrementalSql,
+    "dedup_novelty_gate" -> Dedup.incrementalSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql,
     "text_winnowing_pairs" -> TextAnalysis.winnowingPairsSql,

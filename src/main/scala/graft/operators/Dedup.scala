@@ -677,7 +677,14 @@ object Dedup {
     * as `min(struct(-jaccard, match))`, one shuffle keyed by the batch
     * doc). At 100 TB the existing side's signatures are precomputed and
     * stored — each batch pays LSH work proportional to the BATCH, not the
-    * corpus. */
+    * corpus.
+    *
+    * CONTRACT: batch docs are matched against the EXISTING side only —
+    * two copies arriving in the same batch are each reported novel.
+    * In-batch dedup is deliberately a separate upstream pass ([[exact]] /
+    * [[graft.streaming.StreamingDedup.firstOccurrences]]); keeping the
+    * tiers separate is what lets the novelty join stay
+    * batch-proportional. */
   def incremental(docs: DataFrame, threshold: Double = 0.8,
       bucketCap: Int = DefaultBucketCap,
       batchCol: Column = pmod(col("doc_id"), lit(2)) === 1): DataFrame = {
@@ -736,6 +743,83 @@ object Dedup {
        |SELECT d.doc_id, best_match, best_jaccard, best_jaccard IS NULL AS novel
        |FROM documents d LEFT JOIN best USING (doc_id)
        |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin
+
+  /** Precomputed EXISTING-corpus side of the stream-vs-corpus NEAR-dup
+    * novelty gate ([[bestMatchAgainst]] /
+    * [[graft.streaming.StreamingDedup.novelNearCorpus]]): the exact-tier
+    * fingerprint table (16-byte md5 → the group's minimum member id), the
+    * dup-group representatives' shingle sets (verify side), and their
+    * capped LSH band buckets (candidate side). All three are pinned — at
+    * 100 TB this is the signature table an ingest pipeline materializes
+    * ONCE and every batch/micro-batch joins against, so ingest cost is
+    * proportional to the BATCH, never the corpus. */
+  final case class CorpusIndex private[operators] (
+      fps: DataFrame, sets: DataFrame, buckets: DataFrame)
+
+  /** Build (and pin) the [[CorpusIndex]] for a static corpus. The bucket
+    * cap applies to the CORPUS side: a degenerate corpus bucket (> cap
+    * distinct texts behind one band signature) is skipped, so an incoming
+    * doc landing in it finds no candidates there — the same drop rule as
+    * [[minhashPairs]]. */
+  def corpusIndex(corpus: DataFrame,
+      bucketCap: Int = DefaultBucketCap): CorpusIndex = {
+    val groups = PinnedCaches.pin(dupGroups(corpus))
+    val fps = PinnedCaches.pin(
+      groups.select(md5(col("text")).as("fp"), col("doc_id").as("match_id")))
+    val sets = PinnedCaches.pin(shingleArrays(groups.select("doc_id", "text")))
+    val buckets = PinnedCaches.pin(
+      capBuckets(minhashBuckets(sets), Seq("band", "sig"), bucketCap))
+    CorpusIndex(fps, sets, buckets)
+  }
+
+  /** Best corpus match per incoming document — the shared core of the
+    * batch and streaming novelty gates: for each doc in `docs`, its best
+    * match in the indexed corpus as `(doc_id, best_match, best_jaccard,
+    * novel)`, `novel` ⇔ no match at `threshold`. Two tiers, exactly
+    * [[incremental]]'s semantics against a corpus that is entirely
+    * "existing":
+    *
+    *   - EXACT: md5 fingerprint join against `idx.fps` → jaccard 1.0 with
+    *     the group's minimum member;
+    *   - NEAR: the doc's own band signatures (map-side, the same codegen'd
+    *     shingle/minhash expressions) joined against `idx.buckets`, then
+    *     exact shingle-Jaccard verify against `idx.sets` on collisions.
+    *
+    * Best = highest jaccard, ties to the lowest corpus id (one
+    * `min(struct)` fold). Docs-vs-docs dedup is deliberately NOT part of
+    * this operator (same contract as [[incremental]]): run [[exact]] /
+    * [[graft.streaming.StreamingDedup.firstOccurrences]] over the incoming
+    * side first if in-batch copies must also collapse.
+    *
+    * Works on any batch frame; inside a `foreachBatch` body it is the
+    * per-micro-batch transform — pure stream-static joins plus one
+    * batch-local aggregate, no streaming state at all. */
+  def bestMatchAgainst(docs: DataFrame, idx: CorpusIndex,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.functions.SketchHashes.shingle_hashes
+    val base = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+      shingle_hashes(col("text"), 3).as("shs"))
+    val exact = base.select("doc_id", "fp").join(idx.fps, Seq("fp"))
+      .select(col("doc_id"), col("match_id").as("m"), lit(1.0).as("jaccard"))
+    val cand = minhashBuckets(base.select("doc_id", "shs"))
+      .join(idx.buckets.select(col("band"), col("sig"), col("doc_id").as("m")),
+        Seq("band", "sig"))
+      .select("doc_id", "m").distinct()
+    val near = cand
+      .join(base.select(col("doc_id"), col("shs").as("shs_a")), Seq("doc_id"))
+      .join(idx.sets.select(col("doc_id").as("m"), col("shs").as("shs_b")), Seq("m"))
+      .withColumn("inter", sorted_intersect_count(col("shs_a"), col("shs_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "m", "jaccard")
+    val best = exact.unionAll(near)
+      .groupBy("doc_id")
+      .agg(min(struct((-col("jaccard")).as("nj"), col("m").as("m"))).as("b"))
+      .select(col("doc_id"), col("b.m").as("best_match"), (-col("b.nj")).as("best_jaccard"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .withColumn("novel", col("best_jaccard").isNull)
+  }
 
   /** The (band, sig) buckets [[minhashPairs]] would skip at `bucketCap`,
     * with their sizes — drop accounting for cap tuning. */

@@ -61,4 +61,36 @@ object StreamingDedup {
     val fps = corpus.select(md5(col("text")).as("fp")).distinct()
     withFp(stream).join(fps, Seq("fp"), "left_anti").dropDuplicates("fp")
   }
+
+  /** Stream-vs-corpus novelty gate, NEAR-dup tier — the streaming twin of
+    * [[graft.operators.Dedup.incremental]]'s FULL semantics (where
+    * [[novelAgainstCorpus]] gates on exact fingerprints only): each
+    * streamed document reports its best corpus match `(doc_id, best_match,
+    * best_jaccard, novel)` through two tiers — the exact md5 join plus the
+    * banded-LSH candidate join with exact shingle-Jaccard verify — against
+    * the corpus's PRECOMPUTED, pinned signature index
+    * ([[graft.operators.Dedup.corpusIndex]], built once at call time).
+    *
+    * Returns the per-micro-batch transform for
+    * `DataStreamWriter.foreachBatch` — deliberately NOT a stream-native
+    * plan: the per-doc best-match fold is an aggregation, and a streaming
+    * aggregation would accrete one state-store entry per document forever;
+    * as a `foreachBatch` body the whole gate is stateless stream-static
+    * joins plus a batch-local aggregate (each doc's candidates all live in
+    * its own micro-batch), so state is ZERO regardless of stream length —
+    * the 100 TB ingest shape. Restart semantics are `foreachBatch`'s:
+    * exactly-once batch replay from the checkpoint, so the sink must be
+    * idempotent per (batchId, doc_id) — the standard contract.
+    *
+    * In-stream copies are NOT matched against each other (same contract as
+    * `incremental`, whose batch side doesn't self-dedup): compose with
+    * [[firstOccurrences]] upstream when the stream itself must collapse.
+    *
+    * Proven equivalent to `Dedup.incremental` on a parity-split corpus,
+    * across a kill/restart, in StreamingDedupSpec. */
+  def novelNearCorpus(corpus: DataFrame, threshold: Double = 0.8,
+      bucketCap: Int = graft.operators.Dedup.DefaultBucketCap): DataFrame => DataFrame = {
+    val idx = graft.operators.Dedup.corpusIndex(corpus, bucketCap)
+    batch => graft.operators.Dedup.bestMatchAgainst(batch, idx, threshold)
+  }
 }

@@ -161,6 +161,59 @@ class StreamingDedupSpec extends SparkSpec {
     assert(docs == Seq(1L, 2L, 3L), s"emitted $docs")
   }
 
+  test("near-dup novelty gate: stream output equals Dedup.incremental on the same split, across a checkpointed restart") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = graft.operators.Tables.load(spark, sf(), "documents")
+    val src = Files.createTempDirectory("graft_sdedup_near_src").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_sdedup_near_ckpt").toFile.getAbsolutePath
+    StreamingDedupSpec.nearEmitted.clear()
+
+    // the same parity split dedup_incremental uses: evens are the existing
+    // corpus, odds arrive as the stream — in two micro-batches with a full
+    // query restart between them
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val streamDocs = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val splitId = streamDocs.agg(org.apache.spark.sql.functions.expr(
+      "percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    val gate = StreamingDedup.novelNearCorpus(corpus)
+
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema(streamDocs.select("doc_id", "text").schema)
+        .parquet(src)
+      val q = in.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingDedupSpec.nearEmitted.addAll(
+            gate(batch).collect().map(r => (r.getAs[Long]("doc_id"),
+              Option(r.get(r.fieldIndex("best_match"))).map(_.asInstanceOf[Long]),
+              Option(r.get(r.fieldIndex("best_jaccard"))).map(_.asInstanceOf[Double]),
+              r.getAs[Boolean]("novel"))).toSeq.asJava)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+
+    streamDocs.filter(col("doc_id") <= splitId).select("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runOnce()
+    val afterB1 = StreamingDedupSpec.nearEmitted.size()
+    streamDocs.filter(col("doc_id") > splitId).select("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runOnce() // restart from checkpoint: only the new files process
+    val got = StreamingDedupSpec.nearEmitted.asScala.toSeq.sortBy(_._1)
+    assert(afterB1 > 0 && got.size > afterB1, "both micro-batches must emit")
+    assert(got.map(_._1).distinct.size == got.size, "restart must not replay batch 1")
+
+    val want = graft.operators.Dedup.incremental(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        Option(r.get(r.fieldIndex("best_match"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("best_jaccard"))).map(_.asInstanceOf[Double]),
+        r.getAs[Boolean]("novel"))).toSeq.sortBy(_._1)
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+  }
+
   test("novel-against-corpus: corpus copies rejected by the stream-static anti join, in-stream dups by state, across restarts") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_sdedup_corpus_src").toFile
@@ -205,4 +258,6 @@ class StreamingDedupSpec extends SparkSpec {
   * driver-side shared state). */
 object StreamingDedupSpec {
   val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+  val nearEmitted = new java.util.concurrent.ConcurrentLinkedQueue[
+    (Long, Option[Long], Option[Double], Boolean)]()
 }
