@@ -64,6 +64,13 @@ object Documents {
       ds.join(Dedup.exact(df).select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
         .as[Document]
 
+    /** Keep one document per NEAR-dup cluster (the component-minimum id,
+      * matching [[Dedup.clusters]]'s keep rule — exact copies share a
+      * component, so this subsumes [[withoutExactDups]]). */
+    def withoutNearDups(threshold: Double = 0.8): Dataset[Document] =
+      ds.join(Dedup.clusters(df, threshold).filter(col("kept")).select("doc_id"),
+        Seq("doc_id"), "left_semi").as[Document]
+
     /** Map-side repetition filter ([[TextAnalysis.repetitionKeep]]). */
     def keptByRepetition(topBigramMax: Double = 0.18,
         dupTokenMax: Double = 0.5): Dataset[Document] =
@@ -91,6 +98,17 @@ object Documents {
         defaultRate: Double = Sampling.DefaultRate,
         budget: Long = 512): Dataset[PackedChunk] =
       ds.withoutExactDups
+        .keptByRepetition()
+        .keptByClassifier
+        .sampledMixture(rates, defaultRate)
+        .packed(budget)
+
+    /** The full curation pass with the NEAR-dup stage — the typed twin of
+      * [[graft.operators.CurationPipeline.e2eNear]]. */
+    def curatedNear(rates: Map[String, Double] = Sampling.DefaultRates,
+        defaultRate: Double = Sampling.DefaultRate,
+        budget: Long = 512, threshold: Double = 0.8): Dataset[PackedChunk] =
+      ds.withoutNearDups(threshold)
         .keptByRepetition()
         .keptByClassifier
         .sampledMixture(rates, defaultRate)

@@ -36,16 +36,41 @@ object CurationPipeline {
     Sampling.packChunks(kept, budget)
   }
 
-  /** DuckDB oracle for [[e2e]] at the defaults: the four keep stages and
-    * the packing window, each stage's arithmetic identical to its
-    * stand-alone oracle (dedup_exact / text_repetition /
-    * text_quality_classifier / sample_kept / pack_chunks — all proven
-    * hash-exact separately; the composition adds no new arithmetic). */
-  val e2eSql: String = {
+  /** [[e2e]] with the NEAR-dup stage — the full curation pass:
+    *
+    *   near-dup cluster keep ([[Dedup.clusters]]: exact-dup collapse is
+    *   SUBSUMED — exact copies share a component, so keeping each
+    *   component's minimum id is exact dedup and minhash-cluster dedup in
+    *   one semi join)
+    *     → repetition filter → quality classifier → mixture sampling
+    *     → sequence packing.
+    *
+    * Plan shape: the cluster keep-set comes from the pinned dup-group
+    * collapse plus the (eager, localCheckpoint-per-round) Hash-to-Min
+    * loop — the one part of the pipeline that is inherently iterative —
+    * after which the downstream is the same single declarative plan as
+    * [[e2e]]: the three filters still fuse into ONE scan predicate behind
+    * the keep-set semi join (plan-asserted in ScaleTechniquesSpec). */
+  def e2eNear(docs: DataFrame, budget: Long = 512,
+      threshold: Double = 0.8): DataFrame = {
+    val keep = Dedup.clusters(docs, threshold)
+      .filter(col("kept")).select("doc_id")
+    val kept = Tables.fanOut(docs)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .filter(TextAnalysis.repetitionKeep())
+      .filter(TextAnalysis.qualityClassifierKeep)
+      .filter(Sampling.keepCondition(Sampling.DefaultRates, Sampling.DefaultRate))
+    Sampling.packChunks(kept, budget)
+  }
+
+  /** The downstream-stage SQL shared by [[e2eSql]] and [[e2eNearSql]]:
+    * repetition + classifier + mixture + packing over the docs selected by
+    * a preceding `keepids(doc_id)` CTE — each stage's arithmetic identical
+    * to its stand-alone oracle. */
+  private val curationTailSql: String = {
     val stopList = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
     val (b, w1, w2, w3, w4) = TextAnalysis.ClassifierWeights
-    s"""WITH keepids AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-       |base AS (
+    s"""base AS (
        |  SELECT d.doc_id, d.text, d.source, d.n_chars, string_split(d.text, ' ') AS t
        |  FROM documents d JOIN keepids USING (doc_id)),
        |feat AS (
@@ -81,4 +106,31 @@ object CurationPipeline {
        |  CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS chunk_last
        |FROM o ORDER BY source, doc_id""".stripMargin
   }
+
+  /** DuckDB oracle for [[e2e]] at the defaults: exact-dedup keep ids, then
+    * the shared stage tail (dedup_exact / text_repetition /
+    * text_quality_classifier / sample_kept / pack_chunks — all proven
+    * hash-exact separately; the composition adds no new arithmetic). */
+  val e2eSql: String =
+    s"""WITH keepids AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |$curationTailSql""".stripMargin
+
+  /** DuckDB oracle for [[e2eNear]] at the defaults: the minhash-pair chain
+    * and transitive-reachability components (exactly [[Dedup.clustersSql]]'s
+    * construction), keep ids = component minima, then the shared stage
+    * tail. */
+  val e2eNearSql: String =
+    s"""WITH RECURSIVE ${Dedup.minhashPairsCoreSql},
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM crossp
+       |  UNION ALL SELECT doc_a, doc_b FROM intra),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id),
+       |keepids AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id),
+       |$curationTailSql""".stripMargin
 }

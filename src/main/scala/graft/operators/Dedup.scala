@@ -310,11 +310,13 @@ object Dedup {
         sort_array(array_union(col("nbrs"), array(col("a")))).as("c"))
       .localCheckpoint(true)
     // (count, content hash) of a checkpointed round — `c` is sort_array'd,
-    // so the row hash is deterministic
-    def checksum(df: DataFrame): (Long, Long) = {
+    // so the row hash is deterministic; the sum runs in decimal(38,0)
+    // because a BIGINT sum of full-range xxhash64 values overflows (ANSI)
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("v"), col("c"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+        coalesce(sum(xxhash64(col("v"), col("c")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
     }
     var prev = checksum(st)
     var converged = false
@@ -375,7 +377,7 @@ object Dedup {
   /** The [[minhashPairsSql]] CTE chain (dup-collapse through the
     * member-expanded `crossp`/`intra` pair CTEs), shared with
     * [[clustersSql]]. */
-  private val minhashPairsCoreSql: String = {
+  private[operators] val minhashPairsCoreSql: String = {
     val hashDefs = (0 until NumHashes).map(i =>
       s"    list_min(list_transform(shs, s -> (${hashA(i)} * s + ${hashB(i)}) % $MinHashP)) AS h$i")
       .mkString(",\n")

@@ -594,6 +594,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("keep") == (expected >= 0.0))
   }
 
+  test("pipeline e2e near: kept set swaps exact dedup for cluster keep, rest identical") {
+    val near = CurationPipeline.e2eNear(docs).collect()
+    val clusterKeep = Dedup.clusters(docs).collect()
+      .filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("doc_id")).toSet
+    val repKeep = TextAnalysis.repetition(docs).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    val clsKeep = TextAnalysis.qualityClassifier(docs).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    val mixKeep = Sampling.hashSampleKept(docs, Sampling.DefaultRates, Sampling.DefaultRate)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(near.map(_.getAs[Long]("doc_id")).toSet == (clusterKeep & repKeep & clsKeep & mixKeep))
+    // the near stage strictly strengthens exact dedup: cluster keepers are a
+    // subset of exact keepers, so the near pipeline keeps at most e2e's docs
+    val exactIds = CurationPipeline.e2e(docs).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(near.map(_.getAs[Long]("doc_id")).toSet.subsetOf(exactIds))
+    assert(near.nonEmpty, "pipeline must keep something")
+  }
+
   test("pipeline e2e: kept set is exactly the intersection of the four stand-alone keep decisions") {
     val e2e = CurationPipeline.e2e(docs).collect()
     val dedupKeep = Dedup.exact(docs).select("keep_id").collect().map(_.getLong(0)).toSet

@@ -117,6 +117,30 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"repetition+classifier+mixture must fuse into one Filter:\n${planStr.take(2000)}")
   }
 
+  test("e2e near pipeline plan: downstream stays one fused-filter scan; keep set reads caches, not parquet") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val planStr = graft.operators.CurationPipeline.e2eNear(docs)
+      .queryExecution.executedPlan.toString
+    // the cluster keep side resolves through the pinned dup-group cache and
+    // the checkpointed component RDD — the corpus parquet is scanned ONCE,
+    // on the filter side. InMemoryRelation nodes PRINT their cached build
+    // plan (which contains a FileScan that does not re-execute); the live
+    // scan is the only one whose line is not the cache build's 2-column
+    // (doc_id, text) read.
+    val liveScans = planStr.linesIterator.filter(_.contains("FileScan parquet"))
+      .filterNot(_.contains("ReadSchema: struct<doc_id:bigint,text:string>")).size
+    assert(liveScans == 1, s"expected 1 live corpus scan, got $liveScans:\n${planStr.take(1200)}")
+    assert(planStr.contains("InMemoryTableScan"),
+      "keep side must read the pinned dup-group cache")
+    assert(planStr.contains("Scan ExistingRDD"),
+      "component labels must come from the checkpointed CC state, not a recomputation")
+    // repetition + classifier + mixture still fuse into ONE Filter node
+    val fused = planStr.linesIterator.exists(l => l.contains("Filter") &&
+      l.contains("aggregate(") && l.contains("65536.0") && l.contains("-2.2"))
+    assert(fused,
+      s"repetition+classifier+mixture must fuse into one Filter:\n${planStr.take(2000)}")
+  }
+
   test("spans plan: window-hash counting partial-aggregates map-side before its shuffle") {
     val docs = Tables.load(spark, sf(), "documents")
     val plan = graft.operators.Dedup.spans(docs).queryExecution.executedPlan.toString
