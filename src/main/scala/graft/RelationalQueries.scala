@@ -475,19 +475,116 @@ object RelationalQueries {
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** Sketch-based approximate aggregates (HLL++ distinct, GK percentile) —
-    * the constant-memory path for 100 TB cardinality/quantile questions.
-    * No SQL oracle (sketch internals are engine-specific); a spec bounds the
-    * error against exact answers. */
-  def approxAgg(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  /** Number of minima the KMV distinct sketch keeps (relative error
+    * ≈ 1/√(k−2) ≈ 13%), and its register count for the pruning pass. */
+  private val KmvK = 64
+  private val KmvP = 8192
+  private val KmvR = 281474976710656L // 2^48: the hash space (12 hex chars)
+
+  /** Sketch-based approximate aggregates — the bounded-memory path for
+    * 100 TB cardinality/quantile questions — built DETERMINISTIC on the
+    * engine-portable md5 machinery (same discipline as the minhash family),
+    * so unlike HLL++/GK sketches (engine-internal layouts) every value is
+    * reproducible by a SQL oracle:
+    *
+    *   - `approx_parts`: a KMV (k-minimum-values) distinct sketch —
+    *     N̂ = (k−1)·2^48 DIV h₍ₖ₎ where h₍ₖ₎ is the k-th smallest DISTINCT
+    *     48-bit md5 hash of the value (Bar-Yossef et al. 2002), k=64,
+    *     integer arithmetic end to end. The k minima are found WITHOUT a
+    *     global distinct: a register pass (min hash per (group, hash mod
+    *     8192) — one map-side-combined aggregate, fixed 8192 longs per
+    *     group) yields a threshold τ = k-th smallest register minimum
+    *     (≥ h₍ₖ₎ always, since register minima are a subset of distinct
+    *     hashes), and only hashes ≤ τ — O(k) of them — reach the exact
+    *     bottom-k sort. τ falls back to MaxValue when a group has fewer
+    *     than k non-empty registers (then the sketch degenerates to the
+    *     exact count, the standard KMV small-cardinality rule).
+    *   - `p50/p95_price`: DISCRETE quantiles (no interpolation — the
+    *     selected element itself) over a deterministic 25% hash sample of
+    *     integer cents, ranks by the exact integer form ⌈p·n⌉ =
+    *     (p·100·n + 99) DIV 100. Sampling error ~ √(p(1−p)/n) rank units.
+    *   - `cnt`: exact (it is free on the register scan).
+    *
+    * Oracle-checked hash-exact ([[approxAggSql]] replays the identical
+    * integer arithmetic); ApproxAggSpec bounds the estimates against the
+    * exact twin [[exactAgg]]. */
+  def approxAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val h = conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 12),
+      16, 10).cast("long")
+    // register pass: min hash per (flag, h mod P) — bounded, map-side combined
+    val regs = li.select(col("l_returnflag"), h.as("h"))
+      .groupBy(col("l_returnflag"), pmod(col("h"), lit(KmvP)).as("b"))
+      .agg(min("h").as("mn"))
+    val wReg = Window.partitionBy("l_returnflag").orderBy("mn")
+    val tau = regs.withColumn("rn", row_number().over(wReg))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("nb"), max(when(col("rn") === KmvK, col("mn"))).as("tk"))
+      .select(col("l_returnflag"),
+        when(col("nb") < KmvK, lit(Long.MaxValue)).otherwise(col("tk")).as("tau"))
+    // exact bottom-k over the pruned sliver
+    val wH = Window.partitionBy("l_returnflag").orderBy("h")
+    val kmv = li.select(col("l_returnflag"), h.as("h"))
+      .join(broadcast(tau), Seq("l_returnflag"))
+      .filter(col("h") <= col("tau"))
+      .select("l_returnflag", "h").distinct()
+      .withColumn("rn", row_number().over(wH))
+      .filter(col("rn") <= KmvK)
+      .groupBy("l_returnflag")
+      .agg(max("rn").as("n"), max(when(col("rn") === KmvK, col("h"))).as("hk"))
+      .select(col("l_returnflag"),
+        when(col("n") < KmvK, col("n").cast("long"))
+          .otherwise(expr(s"${(KmvK - 1).toLong * KmvR} DIV hk")).as("approx_parts"))
+    // deterministic 25% sample, discrete quantiles over cents
+    val draw = conv(substring(md5(concat_ws(":", lit("aprx0"),
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))
+      .cast("binary")), 1, 4), 16, 10).cast("long")
+    val wS = Window.partitionBy("l_returnflag").orderBy("c")
+    val q = li.filter(draw < lit(16384L)) // 0.25 * 65536, integer compare
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("l_returnflag")))
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"),
-        count(lit(1)).as("cnt"))
+        (max(when(col("rn") === expr("(nn * 50 + 99) DIV 100"), col("c"))) / 100.0).as("p50_price"),
+        (max(when(col("rn") === expr("(nn * 95 + 99) DIV 100"), col("c"))) / 100.0).as("p95_price"))
+    val cnt = li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+    kmv.join(q, Seq("l_returnflag")).join(cnt, Seq("l_returnflag"))
+      .select("l_returnflag", "approx_parts", "p50_price", "p95_price", "cnt")
       .orderBy("l_returnflag")
+  }
+
+  /** DuckDB oracle for [[approxAgg]]: the k-th smallest distinct hash
+    * directly (the τ register pruning is an execution detail — it provably
+    * selects the same bottom-k), the same integer-rank discrete sample
+    * quantiles, the same integer estimator. */
+  val approxAggSql: String =
+    s"""WITH h AS (SELECT DISTINCT l_returnflag,
+       |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM lineitem),
+       |r AS (SELECT l_returnflag, h,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
+       |kmv AS (SELECT l_returnflag, max(rn) AS n,
+       |    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |  FROM r WHERE rn <= $KmvK GROUP BY 1),
+       |samp AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+       |  FROM lineitem
+       |  WHERE ('0x' || substr(md5('aprx0:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+       |    CAST(l_linenumber AS VARCHAR)), 1, 4))::BIGINT < 16384),
+       |sr AS (SELECT l_returnflag, c,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn,
+       |    count(*) OVER (PARTITION BY l_returnflag) AS nn FROM samp),
+       |q AS (SELECT l_returnflag,
+       |    max(CASE WHEN rn = (nn * 50 + 99) // 100 THEN c END) / 100.0 AS p50_price,
+       |    max(CASE WHEN rn = (nn * 95 + 99) // 100 THEN c END) / 100.0 AS p95_price
+       |  FROM sr GROUP BY 1),
+       |cn AS (SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag,
+       |  CAST(CASE WHEN n < $KmvK THEN n
+       |    ELSE ${(KmvK - 1).toLong * KmvR} // hk END AS BIGINT) AS approx_parts,
+       |  p50_price, p95_price, cnt
+       |FROM kmv JOIN q USING (l_returnflag) JOIN cn USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
 
   /** Exact twin of [[approxAgg]] — the same cardinality/quantile questions
     * answered exactly, so the sketches have an oracle-checked target
@@ -602,6 +699,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_approx" -> approxAggSql,
     "agg_exact" -> exactAggSql,
     "events_asof_orders" -> eventsAsofOrdersSql,
     "events_pivot" -> eventsPivotSql,
