@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** First three fields of /proc/loadavg (1/5/15-min load) — printed into
+    * the bench JSON so a contaminated run is diagnosable from the artifact
+    * itself (r4's 474 s vs a quiet-box 131 s was shared-box load, not a
+    * regression; the loadavg line item makes that adjudication one glance). */
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").take(3).mkString(" ")
+    catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -11,26 +21,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
     // shared corpus caches built once, attributed as their own line item —
     // without this, whichever log query ran first carried the ~15 s
-    // render+parse+merge materialization and per-query numbers were noise
+    // render+parse+merge materialization and per-query numbers were noise.
+    // cache_build is also the CALIBRATION line: identical work every round,
+    // so round-over-round drift on it is box noise, not code.
     val warm0 = System.nanoTime()
     try SparkEntry.warmCaches(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] cache warm failed: $e") }
     val cacheBuild = (System.nanoTime() - warm0) / 1e9
+    // per-query BEST-OF-2: a shared box steals cores in bursts, and one
+    // burst landing on one query used to distort that query's number 10-25x
+    // (r4 adjudication); the min of two runs rejects any burst shorter than
+    // a full run. Plans, pins and OS caches are identical across the two
+    // runs, so the min measures the query, not the warmup.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: computes every output column (a bare count() would let
-      // Catalyst prune joins/projections and under-measure)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // noop sink: computes every output column (a bare count() would let
+        // Catalyst prune joins/projections and under-measure)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = (Map("cache_build" -> cacheBuild) ++ results)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = cacheBuild + (if (results.nonEmpty) results.values.sum else 0.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","policy":"best_of_2","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}""")
     spark.stop()
   }
 }

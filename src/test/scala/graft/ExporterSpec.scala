@@ -33,6 +33,74 @@ class ExporterSpec extends SparkSpec {
     }
   }
 
+  /** Rotate the tailed file mid-run (logrotate move+recreate — the epoch
+    * bump path) with scrapes before, DURING the rotation window (file moved
+    * aside, replacement not yet written to), and after: every counter must
+    * be monotone non-decreasing across the bump — a reset to zero (lost
+    * registry) or a re-read of the archived lines (double count) both
+    * violate Prometheus counter semantics and break rate() on the scraper
+    * side. Shared by the default and RocksDB state-store provider tests. */
+  private def rotationScenario(): Unit = {
+    val f = Files.createTempFile("graft-exporter-rot", ".log")
+    val dt = "2024.03.01 12:00:01.000000"
+    val (server, query) = Exporter.run(spark,
+      Exporter.Config(log = f.toString, listen = "127.0.0.1:0", fromStart = true))
+    try {
+      def append(s: String): Unit =
+        Files.write(f, (s + "\n").getBytes, StandardOpenOption.APPEND)
+      def poll(pred: String => Boolean): String = {
+        val deadline = System.nanoTime() + 90000L * 1000000L
+        var body = get(s"http://127.0.0.1:${server.boundPort}/metrics")
+        while (!pred(body) && System.nanoTime() < deadline) {
+          query.processAllAvailable()
+          body = get(s"http://127.0.0.1:${server.boundPort}/metrics")
+        }
+        body
+      }
+
+      append(s"$dt [ 7 ] {r1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1")
+      val b1 = poll(_.contains("""clickhouse_query_count{stmt_type="select"} 1"""))
+      assert(b1.contains("chlogexporter_read_lines 1"))
+
+      // classic logrotate: the live file moves aside, a fresh one replaces it
+      val aside = f.resolveSibling(f.getFileName.toString + ".1")
+      Files.move(f, aside)
+      // scrape INSIDE the rotation window (replacement absent): the served
+      // registry must hold the pre-rotation values, not reset
+      val during = get(s"http://127.0.0.1:${server.boundPort}/metrics")
+      assert(during.contains("""clickhouse_query_count{stmt_type="select"} 1"""),
+        "counters must survive the rotation window")
+      Files.createFile(f)
+
+      append(s"$dt [ 8 ] {r2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2")
+      val b2 = poll(_.contains("""clickhouse_query_count{stmt_type="select"} 2"""))
+      // monotone: 1 -> 2 (no reset), and read_lines counts exactly the two
+      // lines ever written — the archived line was not re-read after the bump
+      assert(b2.contains("""clickhouse_query_count{stmt_type="select"} 2"""))
+      assert(b2.contains("chlogexporter_read_lines 2"),
+        "epoch bump must neither drop nor double-count lines")
+    } finally {
+      query.stop()
+      server.stop(0)
+    }
+  }
+
+  test("rotation mid-scrape: counters monotone across the epoch bump") {
+    rotationScenario()
+  }
+
+  test("rotation mid-scrape under the RocksDB state store provider") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try rotationScenario()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("exporter end-to-end: tail, merge, scrape, shutdown") {
     val f = Files.createTempFile("graft-exporter", ".log")
     val dt = "2024.03.01 12:00:01.000000"
