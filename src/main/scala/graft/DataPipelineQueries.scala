@@ -23,6 +23,7 @@ object DataPipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
+    "dedup_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir))),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(docs(s, dir))),
     "dedup_spans" -> ((s, dir) => Dedup.spans(docs(s, dir))),
@@ -86,6 +87,7 @@ object DataPipelineQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
     "dedup_jaccard_pairs" -> Dedup.jaccardPairsSql,
+    "dedup_containment_pairs" -> Dedup.containmentPairsSql,
     "dedup_minhash_pairs" -> Dedup.minhashPairsSql,
     "dedup_clusters" -> Dedup.clustersSql,
     "dedup_spans" -> Dedup.spansSql,

@@ -147,6 +147,56 @@ object Dedup {
       |  FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Asymmetric CONTAINMENT near-dup pairs — the doc-embedded-in-doc case
+    * symmetric Jaccard structurally misses: a paragraph quoted inside a
+    * much larger page has tiny Jaccard (union is the page) but containment
+    * |A∩B| / min(|A|,|B|) = 1.0. Shingle-set based (the same 48-bit hashed
+    * 3-word shingles as the minhash family, so "contained" means contiguous
+    * phrasing, not just shared vocabulary), blocked by `source` like
+    * [[jaccardPairs]] — the per-block exact baseline. No size-ratio prune
+    * exists here BY DEFINITION (the interesting pair is exactly the
+    * size-skewed one), which is why this stays a per-block scan; the
+    * corpus-wide sampled variant of the same signal is
+    * [[TextAnalysis.winnowingPairs]] (a shared substring of winnowing
+    * length always yields shared fingerprints regardless of the size
+    * skew). */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    import graft.functions.SketchHashes.shingle_hashes
+    val t = Tables.fanOut(docs).select(col("doc_id"), col("source"),
+      shingle_hashes(col("text"), 3).as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
+    val a = t.select(col("doc_id").as("doc_a"), col("source"),
+      col("shs").as("shs_a"), col("n").as("n_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("source"),
+      col("shs").as("shs_b"), col("n").as("n_b"))
+    a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", sorted_intersect_count(col("shs_a"), col("shs_b")))
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[containmentPairs]] (threshold 0.9): the same
+    * hashed-shingle sets, per-source pairs, intersection over the smaller
+    * set. */
+  val containmentPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(
+      |    CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |      ELSE [text] END,
+      |    s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS shs
+      |  FROM (SELECT doc_id, text, source, string_split(text, ' ') AS t FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+      |    CAST(least(len(a.shs), len(b.shs)) AS DOUBLE) AS containment
+      |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, containment FROM p WHERE containment >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private val NumHashes = 32
   private val BandRows = 4 // 8 bands x 4 rows
 

@@ -426,6 +426,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("dup_spans") > 0L), "corpus has near-dups; spans must fire")
   }
 
+  test("containment catches a doc embedded in a larger one where jaccard misses it") {
+    val para = (1 to 30).map(i => s"core$i").mkString(" ") // 30 unique tokens
+    val page = "intro words here " + para + " " + (1 to 60).map(i => s"pad$i").mkString(" ")
+    val crafted = Seq(
+      (1L, para, "s0"), (2L, page, "s0"),
+      (3L, "unrelated text about something else entirely different", "s0"))
+      .toDF("doc_id", "text", "source")
+    val cont = Dedup.containmentPairs(crafted, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every 3-shingle of the paragraph appears contiguously inside the page
+    assert(cont.get((1L, 2L)).exists(_ == 1.0), s"containment pairs: $cont")
+    assert(!cont.contains((1L, 3L)) && !cont.contains((2L, 3L)))
+    // the same pair is INVISIBLE to symmetric jaccard at any useful threshold
+    val jac = Dedup.jaccardPairs(crafted, threshold = 0.5).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "premise: jaccard must miss the size-skewed pair")
+  }
+
   test("spans: a collision-free corpus reports zero phantom-dup windows (61-bit hash space)") {
     // every token carries its doc id, so no 24-byte window repeats anywhere
     // in the corpus — any reported dup would be a rolling-hash collision.

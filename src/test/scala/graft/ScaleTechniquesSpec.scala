@@ -117,6 +117,25 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"repetition+classifier+mixture must fuse into one Filter:\n${planStr.take(2000)}")
   }
 
+  test("novelty gate plan: corpus index reads pinned caches; no window, no sort-merge explosion") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val idx = graft.operators.Dedup.corpusIndex(docs.filter(col("doc_id") % 2 === 0))
+    val plan = graft.operators.Dedup.bestMatchAgainst(
+      docs.filter(col("doc_id") % 2 === 1), idx).queryExecution.executedPlan.toString
+    // all three corpus-side tables come from the pinned index, built once
+    assert(plan.split("InMemoryTableScan").length - 1 >= 3,
+      s"fps/sets/buckets must read the pinned index:\n${plan.take(1500)}")
+    // the batch side's signatures are map-side codegen'd expressions
+    assert(plan.contains("shingle_hashes") && plan.contains("affine_min_hashes"),
+      "stream-side signatures must be computed map-side, not joined in")
+    // best-match is the min(struct) fold, partial-aggregated map-side — no
+    // ranking window. (A bare "no Window" check would false-positive on the
+    // pinned bucket cache, whose PRINTED build plan contains capBuckets'
+    // count-window; that window ran once at index build, not per batch.)
+    assert(!plan.contains("row_number"), "per-doc best match must aggregate, not rank")
+    assert(plan.contains("partial_min"), "best-match fold must map-side combine")
+  }
+
   test("e2e near pipeline plan: downstream stays one fused-filter scan; keep set reads caches, not parquet") {
     val docs = Tables.load(spark, sf(), "documents")
     val planStr = graft.operators.CurationPipeline.e2eNear(docs)
