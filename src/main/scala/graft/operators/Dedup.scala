@@ -408,17 +408,22 @@ object Dedup {
     * with a recursive CTE over the member-level pair list — member
     * reachability and rep reachability partition identically. */
   def clusters(docs: DataFrame, threshold: Double = 0.8,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val groups = PinnedCaches.pin(dupGroups(docs))
-    val repPairs = minhashRepPairs(groups, threshold, bucketCap)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val repCC = componentsOf(groups.select(col("doc_id").as("id")), repPairs)
-    groups.select(col("doc_id").as("id"), explode(col("member_ids")).as("doc_id"))
-      .join(repCC, Seq("id"))
-      .select(col("doc_id"), col("cluster_id"),
-        (col("cluster_id") === col("doc_id")).as("kept"))
-      .orderBy("doc_id")
-  }
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    // memo-pinned like the other working sets — the Hash-to-Min loop is
+    // EAGER (it runs jobs at construction) and ends in a checkpoint RDD no
+    // plan-keyed cache can deduplicate, so without the memo every consumer
+    // (the registry query, pipeline_e2e_near, repeated bench runs) would
+    // re-propagate the whole component graph
+    PinnedCaches.memo(docs, s"dedup_clusters:$threshold:$bucketCap") {
+      val groups = PinnedCaches.pin(dupGroups(docs))
+      val repPairs = minhashRepPairs(groups, threshold, bucketCap)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val repCC = componentsOf(groups.select(col("doc_id").as("id")), repPairs)
+      groups.select(col("doc_id").as("id"), explode(col("member_ids")).as("doc_id"))
+        .join(repCC, Seq("id"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("cluster_id") === col("doc_id")).as("kept"))
+    }.orderBy("doc_id")
 
   /** DuckDB oracle for [[minhashPairs]]: the same dup-collapse → shingle
     * hash → 32 affine minhashes → 8 band signatures → cap → candidate join →

@@ -30,12 +30,29 @@ object PinnedCaches {
     pinned.getOrElseUpdate(key, df.cache())
   }
 
+  private val memos = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, LogicalPlan, String), DataFrame]
+
+  /** Pin keyed by an INPUT frame + tag instead of the result's own plan —
+    * for operators whose result embeds non-canonicalizable state (the
+    * Hash-to-Min loop ends in a `localCheckpoint` RDD, so two runs over
+    * the same corpus produce plan-distinct results and [[pin]] alone can
+    * never deduplicate them; worse, the loop is EAGER, so the work re-runs
+    * before any cache lookup could hit). `build` runs once per (session,
+    * canonicalized input plan, tag); the result is pinned and shared. */
+  def memo(keyFrame: DataFrame, tag: String)(build: => DataFrame): DataFrame = {
+    val key = (keyFrame.sparkSession, keyFrame.queryExecution.analyzed.canonicalized, tag)
+    memos.getOrElseUpdate(key, pin(build))
+  }
+
   /** Unpersist and forget every pin registered for `s` (called by
     * `SparkEntry.clearCaches`; safe to call between corpora). */
-  def release(s: SparkSession): Unit =
+  def release(s: SparkSession): Unit = {
+    memos.keys.filter(_._1 == s).foreach(memos.remove)
     pinned.keys.filter(_._1 == s).foreach { k =>
       pinned.remove(k).foreach(_.unpersist())
     }
+  }
 
   /** Pin count for `s` — spec hook. */
   def size(s: SparkSession): Int = pinned.keys.count(_._1 == s)

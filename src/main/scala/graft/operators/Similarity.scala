@@ -200,14 +200,17 @@ object Similarity {
     * per semantic duplicate group. Deterministic end to end, so
     * [[embedClustersSql]] replays it with a recursive CTE. */
   def embedClusters(emb: DataFrame, threshold: Double = 0.35,
-      bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
-    val pairs = lshCosinePairsUnordered(emb, threshold, bucketCap)
-      .select(col("vec_a").as("a"), col("vec_b").as("b"))
-    Dedup.componentsOf(Tables.fanOut(emb).select(col("vec_id").as("id")), pairs)
-      .select(col("id").as("vec_id"), col("cluster_id"),
-        (col("cluster_id") === col("id")).as("kept"))
-      .orderBy("vec_id")
-  }
+      bucketCap: Int = Dedup.DefaultBucketCap): DataFrame =
+    // memo-pinned: the Hash-to-Min loop is eager and checkpoint-backed, so
+    // repeated calls over the same corpus would re-propagate the graph
+    // (see Dedup.clusters)
+    PinnedCaches.memo(emb, s"embed_clusters:$threshold:$bucketCap") {
+      val pairs = lshCosinePairsUnordered(emb, threshold, bucketCap)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      Dedup.componentsOf(Tables.fanOut(emb).select(col("vec_id").as("id")), pairs)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          (col("cluster_id") === col("id")).as("kept"))
+    }.orderBy("vec_id")
 
   /** Materialize this family's pinned working sets (quantized vectors, the
     * default k-means assignment) — bench warm-up hook, so per-query numbers
