@@ -96,6 +96,11 @@ object Dedup {
     val groups = PinnedCaches.pin(dupGroups(docs))
     groups.count()
     PinnedCaches.pin(shingleArrays(groups.select("doc_id", "text"))).count()
+    // the memoized cluster labeling (eager Hash-to-Min loop) — warmed here so
+    // the bench's best-of-2 min measures consuming the labels, not a
+    // first-run/memo-hit asymmetry, and the CC cost is attributed to
+    // cache_build like every other shared materialization
+    clusters(docs).count()
   }
 
   /** Exact dedup via content fingerprint: one row per distinct text with the
