@@ -46,7 +46,7 @@ object CurationPipeline {
     *     → sequence packing.
     *
     * Plan shape: the cluster keep-set comes from the pinned dup-group
-    * collapse plus the (eager, localCheckpoint-per-round) Hash-to-Min
+    * collapse plus the (eager, localCheckpoint-per-round) large-star/small-star CC
     * loop — the one part of the pipeline that is inherently iterative —
     * after which the downstream is the same single declarative plan as
     * [[e2e]]: the three filters still fuse into ONE scan predicate behind

@@ -96,7 +96,7 @@ object Dedup {
     val groups = PinnedCaches.pin(dupGroups(docs))
     groups.count()
     PinnedCaches.pin(shingleArrays(groups.select("doc_id", "text"))).count()
-    // the memoized cluster labeling (eager Hash-to-Min loop) — warmed here so
+    // the memoized cluster labeling (eager star-contraction CC loop) — warmed here so
     // the bench's best-of-2 min measures consuming the labels, not a
     // first-run/memo-hit asymmetry, and the CC cost is attributed to
     // cache_build like every other shared materialization
@@ -310,86 +310,101 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Maximum hash-to-min rounds before [[componentsOf]] gives up: label
-    * propagation needs one round per unit of component diameter, and a
-    * near-dup component's diameter is small (every member is within one
-    * verified similarity hop of a shared representative chain); 64 is far
+  /** Maximum large-star/small-star iterations before [[componentsOf]] gives
+    * up: the alternation converges in O(log² n) iterations in the worst
+    * case and single digits on real similarity graphs (the sf0.1 embedding
+    * LSH graph's 444-node diameter-42 component converges in ~5); 64 is far
     * above anything a real corpus produces. */
   private val MaxClusterRounds = 64
 
-  /** Connected components of an undirected similarity graph by Hash-to-Min
-    * (Rastogi et al., "Finding Connected Components in MapReduce and
-    * Beyond", ICDE 2013) — the shared core of [[clusters]] (minhash text
-    * graph, over representatives) and [[Similarity.embedClusters]]
-    * (embedding LSH graph). Each node carries a SET seeded with itself and
-    * its neighbors; every round each node sends the set's minimum to every
-    * member and the whole set to the minimum, then replaces its set with
-    * what it received. Fixpoint: non-minimum nodes hold exactly {component
-    * min}, the minimum holds its whole component. Rounds grow with
-    * log(diameter), NOT diameter — plain neighbor-min label propagation is
-    * one round per hop, and real similarity graphs are not shallow (the
-    * sf0.1 embedding LSH graph at cos ≥ 0.35 has a 444-node component of
-    * diameter ≈ 42; measured: 43 rounds plain vs 10 rounds here).
+  /** Connected components of an undirected similarity graph by alternating
+    * LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC 2014) — the shared core of [[clusters]]
+    * (minhash text graph, over representatives) and
+    * [[Similarity.embedClusters]] (embedding LSH graph).
     *
-    * Each round is one explode-shuffle-aggregate over the message frame
-    * (bounded by the running Σ|set|, which collapses toward one entry per
-    * non-min node), ending in `localCheckpoint(eager)`: an iterative
+    * State is an EDGE LIST, canonically oriented (u, v) with u > v — every
+    * row is O(1) regardless of component size. Per iteration:
+    *   - large-star: each node x links its strictly-larger neighbors to
+    *     m = min(Γ(x) ∪ {x});
+    *   - small-star: on the (larger → smaller) orientation, each node u
+    *     links itself and its smaller neighbors to their minimum.
+    * The alternation strictly contracts toward star graphs rooted at each
+    * component's minimum id; edge count never grows (each input edge maps
+    * to exactly one output edge, then duplicates collapse). This is the
+    * skew-proof successor to the previous Hash-to-Min loop, whose fixpoint
+    * held each ENTIRE component in one collect_set row at the min node — a
+    * single-task O(|component|) hotspot for giant components at 100 TB.
+    * Here the per-node work is a map-side-combinable `min` plus an
+    * edge-keyed join; a giant component is just many O(1) rows.
+    *
+    * Each iteration ends in `localCheckpoint(eager)`: an iterative
     * DataFrame loop otherwise accumulates every previous round in its
     * logical plan and re-plans the whole chain each iteration — the
     * standard Spark iterative-algorithm pitfall (GraphFrames checkpoints
     * for the same reason). Only nodes with at least one edge iterate;
     * singletons rejoin at the end labeled with themselves.
     *
-    * Convergence is detected by a per-round CHECKSUM of the (already
-    * checkpointed) state — `(row count, Σ xxhash64(v, c))` — compared to the
-    * previous round's: one small aggregate job per round instead of a
-    * full-outer join of consecutive states plus a count (two jobs and a
-    * join-shuffle). Hash-to-Min reaches an exact fixpoint (the state stops
+    * Convergence is detected by a per-iteration CHECKSUM of the (already
+    * checkpointed) canonical edge set — `(row count, Σ xxhash64(u, v))` —
+    * compared to the previous iteration's: one small aggregate job per
+    * round instead of a full-outer join of consecutive states plus a
+    * count. The alternation reaches an exact fixpoint (the edge set stops
     * changing), so checksum equality ⇔ fixpoint up to a ~2^-64 per-round
-    * hash-collision chance; MaxClusterRounds still backstops.
+    * hash-collision chance; MaxClusterRounds still backstops. The sum runs
+    * in decimal(38,0) because a BIGINT sum of full-range xxhash64 values
+    * overflows (ANSI).
     *
-    * SKEW BOUND (inherent to Hash-to-Min): at fixpoint the component-minimum
-    * node's row holds its ENTIRE component in one collect_set — a giant
-    * component is one O(|component|) row handled by one task. Near-dup
-    * components are content-similarity cliques (size ~ dup family, not
-    * corpus), so this is fine here; if a corpus with million-member
-    * components is expected, shard the min node's set (two-phase
-    * large-star/small-star) before trusting this loop.
+    * Deterministic end to end (pure min arithmetic), so the DuckDB oracles
+    * replay the same partition with a recursive CTE.
     *
     * `ids` must have one column `id`; `pairs` columns `a`, `b`. Returns
     * `(id, cluster_id)` where `cluster_id` is the component's minimum id. */
   private[operators] def componentsOf(ids: DataFrame, pairs: DataFrame): DataFrame = {
-    val sym = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-    var st = sym.groupBy("a").agg(collect_set(col("b")).as("nbrs"))
-      .select(col("a").as("v"),
-        sort_array(array_union(col("nbrs"), array(col("a")))).as("c"))
+    var edges = pairs.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .dropDuplicates("u", "v")
       .localCheckpoint(true)
-    // (count, content hash) of a checkpointed round — `c` is sort_array'd,
-    // so the row hash is deterministic; the sum runs in decimal(38,0)
-    // because a BIGINT sum of full-range xxhash64 values overflows (ANSI)
     def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("v"), col("c")).cast("decimal(38,0)")),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)"))).head()
       (r.getLong(0), r.getDecimal(1))
     }
-    var prev = checksum(st)
-    var converged = false
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
     var rounds = 0
     while (!converged && rounds < MaxClusterRounds) {
-      val m1 = st.select(explode(col("c")).as("v"), array_min(col("c")).as("x"))
-      val m2 = st.select(array_min(col("c")).as("v"), explode(col("c")).as("x"))
-      val next = m1.unionAll(m2).groupBy("v")
-        .agg(sort_array(collect_set(col("x"))).as("c"))
+      // large-star: for each node x, link neighbors n > x to min(Γ⁺(x));
+      // the emitted (n, m) is already canonical since n > x ≥ m
+      val sym = edges.select(col("u").as("x"), col("v").as("n"))
+        .unionAll(edges.select(col("v").as("x"), col("u").as("n")))
+      val mins = sym.groupBy("x").agg(min("n").as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("x")).filter(col("n") > col("x"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .dropDuplicates("u", "v")
+      // small-star on the canonical (larger → smaller) orientation: link u
+      // and every smaller neighbor to the group minimum
+      val mins2 = large.groupBy("u").agg(min("v").as("m"))
+      val next = large.join(mins2, Seq("u")).filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins2.select(col("u"), col("m").as("v")))
+        .dropDuplicates("u", "v")
         .localCheckpoint(true)
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
-      st = next
+      edges = next
       rounds += 1
     }
-    require(converged, s"hash-to-min did not converge in $MaxClusterRounds rounds")
-    ids.join(st.select(col("v").as("id"), array_min(col("c")).as("m")), Seq("id"), "left")
+    require(converged, s"large-star/small-star did not converge in $MaxClusterRounds rounds")
+    // at the star fixpoint every non-root u carries exactly (u, root);
+    // roots and singletons label themselves
+    val labels = edges.groupBy("u").agg(min("v").as("m"))
+      .select(col("u").as("id"), col("m"))
+    ids.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("m"), col("id")).as("cluster_id"))
   }
 
@@ -414,7 +429,7 @@ object Dedup {
     * reachability and rep reachability partition identically. */
   def clusters(docs: DataFrame, threshold: Double = 0.8,
       bucketCap: Int = DefaultBucketCap): DataFrame =
-    // memo-pinned like the other working sets — the Hash-to-Min loop is
+    // memo-pinned like the other working sets — the star-contraction CC loop is
     // EAGER (it runs jobs at construction) and ends in a checkpoint RDD no
     // plan-keyed cache can deduplicate, so without the memo every consumer
     // (the registry query, pipeline_e2e_near, repeated bench runs) would

@@ -35,7 +35,7 @@ object PinnedCaches {
 
   /** Pin keyed by an INPUT frame + tag instead of the result's own plan —
     * for operators whose result embeds non-canonicalizable state (the
-    * Hash-to-Min loop ends in a `localCheckpoint` RDD, so two runs over
+    * star-contraction CC loop ends in a `localCheckpoint` RDD, so two runs over
     * the same corpus produce plan-distinct results and [[pin]] alone can
     * never deduplicate them; worse, the loop is EAGER, so the work re-runs
     * before any cache lookup could hit). `build` runs once per (session,

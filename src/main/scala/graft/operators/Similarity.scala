@@ -201,7 +201,7 @@ object Similarity {
     * [[embedClustersSql]] replays it with a recursive CTE. */
   def embedClusters(emb: DataFrame, threshold: Double = 0.35,
       bucketCap: Int = Dedup.DefaultBucketCap): DataFrame =
-    // memo-pinned: the Hash-to-Min loop is eager and checkpoint-backed, so
+    // memo-pinned: the star-contraction CC loop is eager and checkpoint-backed, so
     // repeated calls over the same corpus would re-propagate the graph
     // (see Dedup.clusters)
     PinnedCaches.memo(emb, s"embed_clusters:$threshold:$bucketCap") {
@@ -219,7 +219,7 @@ object Similarity {
   def warmPins(emb: DataFrame): Unit = {
     PinnedCaches.pin(quantized(emb).select("vec_id", "q", "nq")).count()
     kmeansAssign(emb, 8, 2).count()
-    // memoized semantic-cluster labeling (eager Hash-to-Min loop) — warmed so
+    // memoized semantic-cluster labeling (eager star-contraction CC loop) — warmed so
     // bench best-of-2 measures label consumption, not first-run asymmetry
     embedClusters(emb).count()
   }
