@@ -47,6 +47,7 @@ object DataPipelineQueries {
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
+    "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "embed_kmeans" -> ((s, dir) => Similarity.kmeans(emb(s, dir))),
     "embed_cluster_sample" -> ((s, dir) => Similarity.clusterBalancedSample(emb(s, dir))),
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -103,6 +104,7 @@ object DataPipelineQueries {
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSql,
     "sim_topk_lsh" -> Similarity.lshTopKSql,
     "sim_topk_ivf" -> Similarity.ivfTopKSql,
+    "sim_topk_pq" -> Similarity.pqTopKSql,
     "embed_kmeans" -> Similarity.kmeansSql,
     "embed_cluster_sample" -> Similarity.clusterBalancedSampleSql,
     "text_token_stats" -> TextAnalysis.tokenStatsSql,

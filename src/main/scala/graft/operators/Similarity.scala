@@ -587,4 +587,102 @@ object Similarity {
 
     rankCandidates(cand, q, k)
   }
+
+  /** Product-quantization approximate NN (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the third
+    * 100 TB scale path next to [[lshTopK]] and [[ivfTopK]], and the one a
+    * billion-vector index actually runs: the corpus is COMPRESSED to
+    * `subspaces` one-code-per-subspace bytes per vector, queries score the
+    * whole corpus through per-subspace distance lookup tables (ADC), and
+    * only a small re-rank buffer pays an exact dot product.
+    *
+    *   - codebook: per subspace, the sub-vectors of every `centroidMod`-th
+    *     vector (deterministic, scale-proportional — the same sampled-
+    *     codebook discipline as [[ivfTopK]]; a learned variant would train
+    *     per-subspace k-means with [[kmeansAssign]]'s machinery);
+    *   - encode: each vector's subspace slice takes the code of its nearest
+    *     centroid by exact integer squared distance `nqc − 2·dot` (the
+    *     vector-side norm is constant per (vector, subspace), so it cannot
+    *     change the argmin; ties to the lower cent_id);
+    *   - ADC: a query's table entry for (subspace, code) is the SAME
+    *     `nqc − 2·dot(sub_q, c)` expression — the query-side norm sums to a
+    *     per-query constant across subspaces, so candidate order is the true
+    *     quantized-L2 order of the code approximation; the approximate score
+    *     is an exact BIGINT sum of `subspaces` table lookups;
+    *   - re-rank: the `rerank` best ADC candidates per query (ties to the
+    *     lower neighbor_id) go through the shared exact-cosine tail
+    *     ([[rankCandidates]]), which absorbs both the code approximation and
+    *     the L2-vs-cosine gap on unnormalized vectors.
+    *
+    * Plan shape: the codebook and the query tables are broadcast (both tiny
+    * by construction), so encode and ADC are map-side against the corpus
+    * scan; the only corpus-sized shuffles are the two partial-aggregated
+    * sums (codes, ADC totals). Integer arithmetic end to end until the final
+    * cosine → hash-exact DuckDB oracle ([[pqTopKSql]]). */
+  def pqTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+      rerank: Int = 32, centroidMod: Int = 127, subspaces: Int = 8): DataFrame = {
+    val q = quantized(emb)
+    val sub = 64 / subspaces
+    def sliced(vecCol: String, outCol: String) = (df: DataFrame, idCol: String) =>
+      df.select(col(idCol), explode(array((0 until subspaces).map { m =>
+        struct(lit(m).as("m"), slice(col(vecCol), m * sub + 1, sub).as(outCol))
+      }: _*)).as("s"))
+        .select(col(idCol), col("s.m").as("m"), col(s"s.$outCol").as(outCol))
+
+    val cents = sliced("q", "qc")(
+      q.filter(pmod(col("vec_id"), lit(centroidMod)) === 1)
+        .select(col("vec_id").as("cent_id"), col("q")), "cent_id")
+      .withColumn("nqc", long_dot(col("qc"), col("qc")))
+    val subs = sliced("q", "qs")(q.select(col("vec_id"), col("q")), "vec_id")
+
+    // shared encode/table frame: d = nqc − 2·dot(sub, centroid) per
+    // (vector, subspace, centroid) — broadcast codebook, map-side
+    val scored = subs.join(broadcast(cents), Seq("m"))
+      .withColumn("d", col("nqc") - lit(2L) * long_dot(col("qs"), col("qc")))
+
+    val codes = scored.groupBy("vec_id", "m")
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("code"))
+    val qtab = scored.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("m"), col("cent_id"), col("d"))
+
+    val adc = codes.join(broadcast(qtab),
+        codes("m") === qtab("m") && codes("code") === qtab("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id").agg(sum(col("d")).as("adc"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    val cand = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    rankCandidates(cand, q, k)
+  }
+
+  /** DuckDB oracle for [[pqTopK]] at the default parameters — sampled
+    * codebook, per-subspace encode, ADC scoring, re-rank buffer, and the
+    * exact-rank tail, reproduced step for step in BIGINT. */
+  val pqTopKSql: String =
+    s"""WITH $evNormsSql,
+       |cents AS (SELECT vec_id AS cent_id FROM norms WHERE vec_id % 127 = 1),
+       |cdist AS (
+       |  SELECT a.vec_id, CAST((a.i - 1) // 8 AS BIGINT) AS m, b.vec_id AS cent_id,
+       |    CAST(sum(b.q*b.q) - 2*sum(a.q*b.q) AS BIGINT) AS d
+       |  FROM ev a JOIN ev b ON b.i = a.i AND b.vec_id IN (SELECT cent_id FROM cents)
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, m, cent_id AS code FROM (
+       |    SELECT vec_id, m, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn
+       |    FROM cdist) WHERE rn = 1),
+       |adc AS (
+       |  SELECT t.vec_id AS query_id, n.vec_id AS neighbor_id, CAST(sum(t.d) AS BIGINT) AS adc
+       |  FROM codes n JOIN cdist t ON t.m = n.m AND t.cent_id = n.code
+       |  WHERE t.vec_id < 10 AND n.vec_id <> t.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= 32),
+       |$rankSql""".stripMargin
 }

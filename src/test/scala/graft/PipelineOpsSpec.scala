@@ -78,6 +78,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 <= rAll)
   }
 
+  test("PQ top-k: cosines agree with brute force; a full re-rank buffer equals brute force") {
+    val brute = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def run(rerank: Int): Set[(Long, Long)] = {
+      val pq = Similarity.pqTopK(emb, rerank = rerank).collect()
+      assert(pq.nonEmpty)
+      pq.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        // exact re-rank tail: any pair also in brute force carries the
+        // identical exact quantized cosine
+        brute.get(key).foreach(c => assert(c == r.getDouble(2), s"cos mismatch at $key"))
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)
+      }
+      pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // rerank >= corpus: the ADC stage passes every vector through, so the
+    // exact tail IS brute force
+    val full = run(1000000)
+    assert(full == brute.keySet, "full re-rank buffer must equal brute force")
+    val dflt = run(32)
+    val recall = brute.keySet.count(dflt).toDouble / brute.size
+    assert(recall > 0.2, s"default-rerank recall too low: $recall") // deterministic corpus
+  }
+
   test("brute-force top-k: k neighbors per query, descending cosine, |cos| <= 1") {
     val rows = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5).collect()
     val byQuery = rows.groupBy(_.getLong(0))
