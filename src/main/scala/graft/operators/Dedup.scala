@@ -831,22 +831,68 @@ object Dedup {
     * ONCE and every batch/micro-batch joins against, so ingest cost is
     * proportional to the BATCH, never the corpus. */
   final case class CorpusIndex private[operators] (
-      fps: DataFrame, sets: DataFrame, buckets: DataFrame)
+      fps: DataFrame, sets: DataFrame, buckets: DataFrame,
+      fpBloom: DataFrame, bucketBloom: DataFrame, logBloomBits: Int)
+
+  private val BloomHashes = 4
+
+  /** Word table `(w, bits)` of a 2^`logBits`-bit Bloom filter over the
+    * given key columns: each key sets [[BloomHashes]] salted-xxhash64 bit
+    * positions; bits pack 64-per-word so the whole filter is
+    * 2^(logBits−6) rows (a few hundred KB at the default — broadcastable
+    * however big the keyed corpus is). Built as a plain aggregation: no
+    * driver-side collect, no UDF. */
+  private[operators] def bloomWords(keys: DataFrame, key: Seq[Column],
+      logBits: Int): DataFrame = {
+    val nBits = 1L << logBits
+    val pos = (0 until BloomHashes).map(j => pmod(xxhash64((key :+ lit(j)): _*), lit(nBits)))
+    keys.select(explode(array(pos: _*)).as("p"))
+      .select(expr("p div 64").as("w"), expr("cast(p % 64 as int)").as("b"))
+      .groupBy("w").agg(bit_or(expr("shiftleft(1L, b)")).as("bits"))
+  }
+
+  /** Keep only rows whose key MIGHT be in the Bloom filter `words` — the
+    * map-side semi-join reduction ahead of the novelty gate's corpus-index
+    * joins: a definite miss (any of the [[BloomHashes]] bits unset) is
+    * proven absent from the corpus key set and skips the join entirely.
+    * No false negatives, so the gate's RESULT is unchanged — false
+    * positives just pay the join they would have paid anyway. Each probe is
+    * a broadcast hash join on the word index plus a bit test; all map-side,
+    * no shuffle. */
+  private[operators] def bloomFiltered(df: DataFrame, key: Seq[Column],
+      words: DataFrame, logBits: Int): DataFrame = {
+    val nBits = 1L << logBits
+    val out = (0 until BloomHashes).foldLeft(df) { (acc, j) =>
+      val w = words.select(col("w").as(s"_bw$j"), col("bits").as(s"_bb$j"))
+      acc.withColumn(s"_bp$j", pmod(xxhash64((key :+ lit(j)): _*), lit(nBits)))
+        .join(broadcast(w), expr(s"_bp$j div 64") === col(s"_bw$j"))
+        .filter(expr(s"(shiftright(_bb$j, cast(_bp$j % 64 as int)) & 1) = 1"))
+    }
+    out.drop((0 until BloomHashes).flatMap(j => Seq(s"_bp$j", s"_bw$j", s"_bb$j")): _*)
+  }
 
   /** Build (and pin) the [[CorpusIndex]] for a static corpus. The bucket
     * cap applies to the CORPUS side: a degenerate corpus bucket (> cap
     * distinct texts behind one band signature) is skipped, so an incoming
     * doc landing in it finds no candidates there — the same drop rule as
     * [[minhashPairs]]. */
-  def corpusIndex(corpus: DataFrame,
-      bucketCap: Int = DefaultBucketCap): CorpusIndex = {
+  def corpusIndex(corpus: DataFrame, bucketCap: Int = DefaultBucketCap,
+      logBloomBits: Int = 20): CorpusIndex = {
     val groups = PinnedCaches.pin(dupGroups(corpus))
     val fps = PinnedCaches.pin(
       groups.select(md5(col("text")).as("fp"), col("doc_id").as("match_id")))
     val sets = PinnedCaches.pin(shingleArrays(groups.select("doc_id", "text")))
     val buckets = PinnedCaches.pin(
       capBuckets(minhashBuckets(sets), Seq("band", "sig"), bucketCap))
-    CorpusIndex(fps, sets, buckets)
+    // Bloom word tables over both join-key sets — the gate's map-side
+    // semi-join reduction. 2^20 bits ≈ 1% false positives at 10^5 keys;
+    // size logBloomBits ≈ log2(10 × keys) for a larger corpus (the CAPPED
+    // bucket table feeds the bucket bloom, so a pruned probe and a missing
+    // bucket agree by construction).
+    val fpBloom = PinnedCaches.pin(bloomWords(fps, Seq(col("fp")), logBloomBits))
+    val bucketBloom = PinnedCaches.pin(
+      bloomWords(buckets, Seq(col("band"), col("sig")), logBloomBits))
+    CorpusIndex(fps, sets, buckets, fpBloom, bucketBloom, logBloomBits)
   }
 
   /** Best corpus match per incoming document — the shared core of the
@@ -876,9 +922,17 @@ object Dedup {
     import graft.functions.SketchHashes.shingle_hashes
     val base = docs.select(col("doc_id"), md5(col("text")).as("fp"),
       shingle_hashes(col("text"), 3).as("shs"))
-    val exact = base.select("doc_id", "fp").join(idx.fps, Seq("fp"))
+    // both tiers are Bloom-prefiltered map-side ([[bloomFiltered]]):
+    // definite-novel keys skip the corpus-index joins entirely — at ingest
+    // scale most incoming docs ARE novel, so the broadcast bit test, not
+    // the index join, is the common path. Result-neutral by construction
+    // (no false negatives).
+    val exact = bloomFiltered(base.select("doc_id", "fp"),
+        Seq(col("fp")), idx.fpBloom, idx.logBloomBits)
+      .join(idx.fps, Seq("fp"))
       .select(col("doc_id"), col("match_id").as("m"), lit(1.0).as("jaccard"))
-    val cand = minhashBuckets(base.select("doc_id", "shs"))
+    val cand = bloomFiltered(minhashBuckets(base.select("doc_id", "shs")),
+        Seq(col("band"), col("sig")), idx.bucketBloom, idx.logBloomBits)
       .join(idx.buckets.select(col("band"), col("sig"), col("doc_id").as("m")),
         Seq("band", "sig"))
       .select("doc_id", "m").distinct()

@@ -101,6 +101,23 @@ class ScaleTechniquesSpec extends SparkSpec {
       "Lloyd assignment must aggregate, not rank with a window")
   }
 
+  test("PQ plan: codebook and ADC tables broadcast; corpus never sort-merge joined or cross joined") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val plan = graft.operators.Similarity.pqTopK(emb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"encode/ADC must broadcast the codebook and query tables:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join would shuffle the corpus against the tiny codebook")
+    assert(!plan.contains("CartesianProduct"),
+      "no unbroadcast cartesian anywhere in the PQ chain")
+    // encode picks codes with min_by — a map-side-combinable aggregate;
+    // the only windows allowed are the rerank-buffer and final top-k ranks,
+    // both over per-query candidate sets, never the raw N×K scored frame
+    assert(plan.contains("partial_min") || plan.contains("min("),
+      "code selection must partial-aggregate map-side")
+  }
+
   test("e2e pipeline plan: all three filters fuse into ONE scan predicate, no per-stage materialization") {
     val docs = Tables.load(spark, sf(), "documents")
     val planStr = graft.operators.CurationPipeline.e2e(docs)
@@ -134,6 +151,13 @@ class ScaleTechniquesSpec extends SparkSpec {
     // count-window; that window ran once at index build, not per batch.)
     assert(!plan.contains("row_number"), "per-doc best match must aggregate, not rank")
     assert(plan.contains("partial_min"), "best-match fold must map-side combine")
+    // the Bloom semi-join reduction: both tiers probe a broadcast word
+    // table before touching the corpus index — the probe joins must be
+    // broadcast hash joins (map-side), never a shuffle
+    assert(plan.split("InMemoryTableScan").length - 1 >= 5,
+      "the two Bloom word tables must also come from the pinned index")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"Bloom probes must broadcast:\n${plan.take(1500)}")
   }
 
   test("e2e near pipeline plan: downstream stays one fused-filter scan; keep set reads caches, not parquet") {
