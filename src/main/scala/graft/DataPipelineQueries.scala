@@ -48,6 +48,7 @@ object DataPipelineQueries {
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
+    "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfpqTopK(emb(s, dir))),
     "embed_kmeans" -> ((s, dir) => Similarity.kmeans(emb(s, dir))),
     "embed_cluster_sample" -> ((s, dir) => Similarity.clusterBalancedSample(emb(s, dir))),
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -69,6 +70,7 @@ object DataPipelineQueries {
       Sampling.hashSampleStats(docs(s, dir), Sampling.DefaultRates, Sampling.DefaultRate)),
     "sample_kept" -> ((s, dir) =>
       Sampling.hashSampleKept(docs(s, dir), Sampling.DefaultRates, Sampling.DefaultRate)),
+    "sample_split" -> ((s, dir) => Sampling.trainValTestSplit(docs(s, dir))),
     "pack_chunks" -> ((s, dir) => Sampling.packChunks(docs(s, dir))),
     "pipeline_e2e" -> ((s, dir) => CurationPipeline.e2e(docs(s, dir))),
     "pipeline_e2e_near" -> ((s, dir) => CurationPipeline.e2eNear(docs(s, dir))),
@@ -105,6 +107,7 @@ object DataPipelineQueries {
     "sim_topk_lsh" -> Similarity.lshTopKSql,
     "sim_topk_ivf" -> Similarity.ivfTopKSql,
     "sim_topk_pq" -> Similarity.pqTopKSql,
+    "sim_topk_ivfpq" -> Similarity.ivfpqTopKSql,
     "embed_kmeans" -> Similarity.kmeansSql,
     "embed_cluster_sample" -> Similarity.clusterBalancedSampleSql,
     "text_token_stats" -> TextAnalysis.tokenStatsSql,
@@ -123,6 +126,7 @@ object DataPipelineQueries {
     "sample_shuffle" -> Sampling.shuffleShardsSql,
     "sample_mix" -> Sampling.hashSampleStatsSql,
     "sample_kept" -> Sampling.hashSampleKeptSql,
+    "sample_split" -> Sampling.trainValTestSplitSql,
     "pack_chunks" -> Sampling.packChunksSql,
     "pipeline_e2e" -> CurationPipeline.e2eSql,
     "pipeline_e2e_near" -> CurationPipeline.e2eNearSql,

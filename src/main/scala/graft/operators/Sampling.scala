@@ -79,6 +79,39 @@ object Sampling {
        |  FROM documents)
        |SELECT doc_id, source FROM d WHERE u < rate ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test split by CONTENT hash — the assignment
+    * depends only on `md5(text)`, which buys two properties a 100 TB
+    * pipeline needs: (1) reproducible across runs, partitionings, and
+    * engines (no RNG, no ordering dependence); (2) leak-proof under exact
+    * duplication — two byte-identical documents draw the same `u` and land
+    * in the SAME split, so an exact dup can never straddle train/test (the
+    * classic eval-contamination failure; near-dups still need the minhash
+    * pass, [[Dedup.clusters]]). Pure map-side: no shuffle, no state.
+    * Interval layout: `[0, testFrac) → test`, `[testFrac, testFrac +
+    * valFrac) → val`, rest train, so a GROWING val/test fraction only moves
+    * documents out of train, never between val and test. */
+  def trainValTestSplit(docs: DataFrame, valFrac: Double = 0.05,
+      testFrac: Double = 0.05): DataFrame =
+    Tables.fanOut(docs)
+      .withColumn("u", unitDraw)
+      .withColumn("split",
+        when(col("u") < testFrac, "test")
+          .when(col("u") < testFrac + valFrac, "val")
+          .otherwise("train"))
+      .select("doc_id", "source", "split")
+      .orderBy("doc_id")
+
+  val trainValTestSplitSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) AS DOUBLE) / 65536.0 AS u
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |  CASE WHEN u < 0.05 THEN 'test'
+      |       WHEN u < 0.10 THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM d ORDER BY doc_id""".stripMargin
+
   /** Pretraining sequence packing, concat-and-chunk form: documents are
     * concatenated in a deterministic order and cut into fixed
     * `budget`-token training sequences; each document reports its token

@@ -528,6 +528,19 @@ object Similarity {
        |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id),
        |$rankSql""".stripMargin
 
+  /** Explode a 64-dim vector column into one `(ids…, m, outCol)` row per
+    * contiguous `64/subspaces`-dim subspace slice — the shared fan-out of
+    * the product-quantization paths. Pure map-side (a generate, no
+    * shuffle). */
+  private def sliceSubs(df: DataFrame, idCols: Seq[String], vecCol: String,
+      outCol: String, subspaces: Int): DataFrame = {
+    val sub = 64 / subspaces
+    df.select(idCols.map(col) :+ explode(array((0 until subspaces).map { m =>
+        struct(lit(m).as("m"), slice(col(vecCol), m * sub + 1, sub).as(outCol))
+      }: _*)).as("s"): _*)
+      .select(idCols.map(col) :+ col("s.m").as("m") :+ col(s"s.$outCol").as(outCol): _*)
+  }
+
   /** Exact (quantized-cosine) ranking of a `(query_id, neighbor_id)`
     * candidate set — the shared verification tail of the ANN variants: only
     * candidate pairs pay a dot product, the window partitions on query_id. */
@@ -622,18 +635,14 @@ object Similarity {
   def pqTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
       rerank: Int = 32, centroidMod: Int = 127, subspaces: Int = 8): DataFrame = {
     val q = quantized(emb)
-    val sub = 64 / subspaces
-    def sliced(vecCol: String, outCol: String) = (df: DataFrame, idCol: String) =>
-      df.select(col(idCol), explode(array((0 until subspaces).map { m =>
-        struct(lit(m).as("m"), slice(col(vecCol), m * sub + 1, sub).as(outCol))
-      }: _*)).as("s"))
-        .select(col(idCol), col("s.m").as("m"), col(s"s.$outCol").as(outCol))
 
-    val cents = sliced("q", "qc")(
+    val cents = sliceSubs(
       q.filter(pmod(col("vec_id"), lit(centroidMod)) === 1)
-        .select(col("vec_id").as("cent_id"), col("q")), "cent_id")
+        .select(col("vec_id").as("cent_id"), col("q")),
+      Seq("cent_id"), "q", "qc", subspaces)
       .withColumn("nqc", long_dot(col("qc"), col("qc")))
-    val subs = sliced("q", "qs")(q.select(col("vec_id"), col("q")), "vec_id")
+    val subs = sliceSubs(q.select(col("vec_id"), col("q")),
+      Seq("vec_id"), "q", "qs", subspaces)
 
     // shared encode/table frame: d = nqc − 2·dot(sub, centroid) per
     // (vector, subspace, centroid) — broadcast codebook, map-side
@@ -679,6 +688,182 @@ object Similarity {
        |  FROM codes n JOIN cdist t ON t.m = n.m AND t.cent_id = n.code
        |  WHERE t.vec_id < 10 AND n.vec_id <> t.vec_id
        |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= 32),
+       |$rankSql""".stripMargin
+
+  /** IVF-PQ approximate NN (Jégou et al., TPAMI 2011, §V "IVFADC") — the
+    * composition a billion-vector index actually deploys: [[ivfTopK]]'s
+    * coarse quantizer restricts each query to `nProbe` cells, and within
+    * the probed cells candidates are scored through [[pqTopK]]'s ADC lookup
+    * tables built on the RESIDUAL `x − c(cell)` rather than the raw vector
+    * (residuals concentrate around 0, so the same code budget quantizes
+    * them far more accurately than raw vectors).
+    *
+    *   - coarse pass: identical discipline to [[ivfTopK]] — every
+    *     `centroidMod`-th vector is a centroid, assignment by exact integer
+    *     projection score, broadcast codebook, map-side-combinable argmax;
+    *   - residuals: `r = x − c(cell)` element-wise over the quantized
+    *     vectors (exact BIGINT), computed map-side after a broadcast join
+    *     back to the centroid table;
+    *   - PQ codebook: residual sub-slices of every `pqMod`-th vector
+    *     (sampled AFTER assignment, so codes model the residual
+    *     distribution; a coarse centroid can be sampled — its residual is
+    *     the zero vector, a perfectly valid code word);
+    *   - ADC with the cross-cell correction: a query's approximate distance
+    *     to candidate `x` in cell `c` is `Σ_m ‖qr_m − code_m(x)‖²` where
+    *     `qr = q − c` is the PER-CELL query residual. Unlike single-table
+    *     PQ the `‖qr‖²` term VARIES across probed cells, so it is added
+    *     back (`nqr`), making scores comparable across cells — exactly
+    *     `‖q − x̂‖²` for the reconstruction `x̂ = c + r̂`, all BIGINT;
+    *   - re-rank: the `rerank` best candidates per query through the shared
+    *     exact-cosine tail ([[rankCandidates]]).
+    *
+    * Plan shape: every join against a codebook (coarse cents, residual
+    * cents, the per-query ADC tables) broadcasts the small side; the
+    * corpus-sized work is three map-side-combinable aggregates (coarse
+    * argmax, code argmin, ADC sum). At 100 TB the probed-cell candidate
+    * join replaces pqTopK's whole-corpus ADC scan with `nProbe/K` of the
+    * corpus. Integer arithmetic end to end until the final cosine →
+    * hash-exact DuckDB oracle ([[ivfpqTopKSql]]). */
+  def ivfpqTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nProbe: Int = 2, rerank: Int = 32, centroidMod: Int = 127,
+      pqMod: Int = 61, subspaces: Int = 8): DataFrame = {
+    val q = quantized(emb)
+    val cents = q.filter(pmod(col("vec_id"), lit(centroidMod)) === 1)
+      .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("nq").as("nqc"))
+
+    // coarse pass — same normalized-projection argmax as ivfTopK
+    val scored = q.crossJoin(broadcast(cents))
+      .withColumn("score", long_dot(col("q"), col("qc")).cast("double") /
+        sqrt(col("nqc").cast("double")))
+    val assigned = scored.groupBy("vec_id").agg(
+      max_by(col("cent_id"), struct(col("score"), col("cent_id"))).as("cell"),
+      first(col("q")).as("q"))
+
+    val centVecs = cents.select(col("cent_id").as("cell"), col("qc"))
+    val res = assigned.join(broadcast(centVecs), Seq("cell"))
+      .withColumn("r", expr("zip_with(q, qc, (x, y) -> x - y)"))
+      .select("vec_id", "cell", "r")
+
+    val pqCents = sliceSubs(
+      res.filter(pmod(col("vec_id"), lit(pqMod)) === 3)
+        .select(col("vec_id").as("code_id"), col("r")),
+      Seq("code_id"), "r", "rc", subspaces)
+      .withColumn("nrc", long_dot(col("rc"), col("rc")))
+
+    // encode: nearest residual code word per (vector, subspace) — broadcast
+    // codebook, exact integer `‖c‖² − 2·r·c` (the r-side norm is constant
+    // per (vector, subspace) so it cannot change the argmin), ties to the
+    // lower code_id
+    val rsubs = sliceSubs(res, Seq("vec_id", "cell"), "r", "rs", subspaces)
+    val codes = rsubs.join(broadcast(pqCents), Seq("m"))
+      .withColumn("d", col("nrc") - lit(2L) * long_dot(col("rs"), col("rc")))
+      .groupBy("vec_id", "m").agg(
+        min_by(col("code_id"), struct(col("d"), col("code_id"))).as("code"),
+        first(col("cell")).as("cell"))
+
+    // query side — tiny by construction: nQueries × nProbe (cells) ×
+    // subspaces × |codes| table entries, plus the per-(query, cell)
+    // residual-norm constant
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("score").desc, col("cent_id").desc)
+    val probes = scored.filter(col("vec_id") < nQueries)
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
+        col("q"), col("qc"))
+    val qres = probes
+      .withColumn("qr", expr("zip_with(q, qc, (x, y) -> x - y)"))
+      .withColumn("nqr", long_dot(col("qr"), col("qr")))
+      .select("query_id", "cell", "qr", "nqr")
+    val qtab = sliceSubs(qres, Seq("query_id", "cell", "nqr"), "qr", "qs", subspaces)
+      .join(pqCents, Seq("m"))
+      .withColumn("e", col("nrc") - lit(2L) * long_dot(col("qs"), col("rc")))
+      .select("query_id", "cell", "m", "code_id", "e", "nqr")
+
+    val adc = codes.join(broadcast(qtab),
+        codes("cell") === qtab("cell") && codes("m") === qtab("m") &&
+          codes("code") === qtab("code_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg((sum(col("e")) + first(col("nqr"))).as("adc"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    val cand = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    rankCandidates(cand, q, k)
+  }
+
+  /** DuckDB oracle for [[ivfpqTopK]] at the default parameters — coarse
+    * assignment, residuals, residual codebook, encode, per-(query, cell)
+    * ADC tables with the `‖qr‖²` cross-cell correction, re-rank buffer, and
+    * the exact-rank tail, reproduced step for step in BIGINT. */
+  val ivfpqTopKSql: String =
+    s"""WITH $evNormsSql,
+       |cents AS (SELECT vec_id AS cent_id FROM norms WHERE vec_id % 127 = 1),
+       |cdots AS (
+       |  SELECT a.vec_id, c.cent_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM ev a JOIN cents c ON true JOIN ev b ON b.vec_id = c.cent_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |cscored AS (
+       |  SELECT d.vec_id, d.cent_id,
+       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nc.nq AS DOUBLE)) AS score
+       |  FROM cdots d JOIN norms nc ON nc.vec_id = d.cent_id),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cent_id DESC) AS rn
+       |    FROM cscored) WHERE rn = 1),
+       |res AS (
+       |  SELECT a.vec_id, ax.cell, a.i, a.q - b.q AS r
+       |  FROM ev a JOIN assigned ax ON ax.vec_id = a.vec_id
+       |    JOIN ev b ON b.vec_id = ax.cell AND b.i = a.i),
+       |pqc AS (
+       |  SELECT vec_id AS code_id, CAST((i - 1) // 8 AS BIGINT) AS m, i, r
+       |  FROM res WHERE vec_id % 61 = 3),
+       |cdist AS (
+       |  SELECT a.vec_id, p.m, p.code_id,
+       |    CAST(sum(p.r * p.r) - 2 * sum(a.r * p.r) AS BIGINT) AS d
+       |  FROM res a JOIN pqc p ON p.i = a.i
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, m, code_id AS code FROM (
+       |    SELECT vec_id, m, code_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, code_id) AS rn
+       |    FROM cdist) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cent_id DESC) AS pr
+       |    FROM cscored WHERE vec_id < 10) WHERE pr <= 2),
+       |qres AS (
+       |  SELECT p.query_id, p.cell, a.i, a.q - b.q AS r
+       |  FROM probes p JOIN ev a ON a.vec_id = p.query_id
+       |    JOIN ev b ON b.vec_id = p.cell AND b.i = a.i),
+       |qrnorm AS (
+       |  SELECT query_id, cell, CAST(sum(r * r) AS BIGINT) AS nqr
+       |  FROM qres GROUP BY 1, 2),
+       |qtab AS (
+       |  SELECT qr.query_id, qr.cell, p.m, p.code_id,
+       |    CAST(sum(p.r * p.r) - 2 * sum(qr.r * p.r) AS BIGINT) AS e
+       |  FROM qres qr JOIN pqc p ON p.i = qr.i
+       |  GROUP BY 1, 2, 3, 4),
+       |adcs AS (
+       |  SELECT t.query_id, c.vec_id AS neighbor_id, na.cell,
+       |    CAST(sum(t.e) AS BIGINT) AS s
+       |  FROM codes c JOIN assigned na ON na.vec_id = c.vec_id
+       |    JOIN qtab t ON t.cell = na.cell AND t.m = c.m AND t.code_id = c.code
+       |  WHERE c.vec_id <> t.query_id
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT a.query_id, a.neighbor_id, a.s + qn.nqr AS adc
+       |  FROM adcs a JOIN qrnorm qn ON qn.query_id = a.query_id AND qn.cell = a.cell),
        |cand AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (

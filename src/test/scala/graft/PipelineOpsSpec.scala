@@ -102,6 +102,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall > 0.2, s"default-rerank recall too low: $recall") // deterministic corpus
   }
 
+  test("IVF-PQ top-k: cosines agree with brute force; probing all cells with a full buffer equals brute force") {
+    val brute = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def run(nProbe: Int, rerank: Int): Set[(Long, Long)] = {
+      val rows = Similarity.ivfpqTopK(emb, nProbe = nProbe, rerank = rerank).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        brute.get(key).foreach(c => assert(c == r.getDouble(2), s"cos mismatch at $key"))
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)
+      }
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // probe every cell + pass every candidate through the exact tail: the
+    // candidate set is the whole corpus, so the result IS brute force
+    val full = run(1000, 1000000)
+    assert(full == brute.keySet, "full probe + full re-rank must equal brute force")
+    val dflt = run(2, 32)
+    val recall = brute.keySet.count(dflt).toDouble / brute.size
+    assert(recall > 0.2, s"default-parameter recall too low: $recall") // deterministic corpus
+  }
+
+  test("train/val/test split: exhaustive, content-keyed (exact dups share a split), fractions in range") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val rows = Sampling.trainValTestSplit(docs).collect()
+    assert(rows.length == docs.count())
+    val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("val", 0))
+    // content-hash keying: byte-identical docs always land in the same split
+    import spark.implicits._
+    val dups = Seq((1L, "s", "same text"), (2L, "s", "same text"),
+      (3L, "s", "other text")).toDF("doc_id", "source", "text")
+    val dupSplits = Sampling.trainValTestSplit(dups).collect()
+      .filter(r => r.getLong(0) <= 2L).map(_.getString(2)).distinct
+    assert(dupSplits.length == 1, "exact duplicates must share one split")
+  }
+
   test("brute-force top-k: k neighbors per query, descending cosine, |cos| <= 1") {
     val rows = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5).collect()
     val byQuery = rows.groupBy(_.getLong(0))
