@@ -118,6 +118,23 @@ class ScaleTechniquesSpec extends SparkSpec {
       "code selection must partial-aggregate map-side")
   }
 
+  test("IVF-PQ plan: codebooks broadcast, no cartesian, corpus-sized work is map-side-combinable aggregates") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val plan = graft.operators.Similarity.ivfpqTopK(emb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"coarse/residual codebooks and the ADC tables must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      "no unbroadcast cartesian anywhere in the IVF-PQ chain")
+    // coarse argmax (max_by), encode argmin (min_by), and the ADC sum must
+    // all partial-aggregate map-side — the windows are confined to the tiny
+    // query side (probe selection) and per-query candidate sets
+    assert(plan.contains("partial_min") || plan.contains("min("),
+      "code selection must partial-aggregate map-side")
+    assert(plan.contains("partial_max") || plan.contains("max("),
+      "coarse assignment must partial-aggregate map-side")
+  }
+
   test("e2e pipeline plan: all three filters fuse into ONE scan predicate, no per-stage materialization") {
     val docs = Tables.load(spark, sf(), "documents")
     val planStr = graft.operators.CurationPipeline.e2e(docs)
