@@ -300,14 +300,21 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    cand
+    // the verified pair set is pinned too: it is tiny (near-dup pairs at
+    // threshold), but the chain BEHIND it (bucket self-join + distinct +
+    // shingle verify) is the family's most expensive stage, and several
+    // consumers evaluate the frame more than once per query —
+    // [[incremental]] unions both orientations, [[minhashPairs]] feeds it
+    // to the member expansion join twice. One materialization serves
+    // minhash_pairs, clusters, incremental, and the bench's repeat runs.
+    PinnedCaches.pin(cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
       .withColumn("inter", sorted_intersect_count(col("shs_a"), col("shs_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select("doc_a", "doc_b", "jaccard"))
   }
 
   /** Maximum large-star/small-star iterations before [[componentsOf]] gives
