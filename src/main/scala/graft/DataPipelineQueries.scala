@@ -44,6 +44,14 @@ object DataPipelineQueries {
     "embed_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(emb(s, dir))),
     "embed_lsh_pairs" -> ((s, dir) => Similarity.lshCosinePairs(emb(s, dir))),
     "embed_clusters" -> ((s, dir) => Similarity.embedClusters(emb(s, dir))),
+    // the vector-ingest novelty gate on the parity split (odd ids = the
+    // arriving batch, even = the indexed corpus)
+    "embed_novelty_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val e = emb(s, dir)
+      Similarity.embedNovelty(e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        e.filter(pmod(col("vec_id"), lit(2)) === 0))
+    }),
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
@@ -103,6 +111,7 @@ object DataPipelineQueries {
     "embed_cosine_pairs" -> Similarity.cosinePairsSql,
     "embed_lsh_pairs" -> Similarity.lshCosinePairsSql,
     "embed_clusters" -> Similarity.embedClustersSql,
+    "embed_novelty_gate" -> Similarity.embedNoveltySql,
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSql,
     "sim_topk_lsh" -> Similarity.lshTopKSql,
     "sim_topk_ivf" -> Similarity.ivfTopKSql,

@@ -212,6 +212,81 @@ object Similarity {
           (col("cluster_id") === col("id")).as("kept"))
     }.orderBy("vec_id")
 
+  /** Embedding-ingest novelty gate — the vector twin of
+    * [[Dedup.bestMatchAgainst]], the decision a vector store executes
+    * before admitting new embeddings: for every BATCH vector, its best
+    * match in the EXISTING corpus (`(vec_id, best_match, best_cos,
+    * novel)`; best = highest quantized cosine ≥ `threshold`, ties to the
+    * lowest corpus id; `novel` = no such match).
+    *
+    * The corpus side is the precomputed pinned index (quantized vectors +
+    * capped multi-table LSH buckets — materialized once, every batch joins
+    * against it, so ingest cost is proportional to the BATCH); the batch
+    * pays map-side signatures, the bucket join, and the exact verify on
+    * candidates only. The cap applies to the CORPUS buckets (a degenerate
+    * corpus bucket yields no candidates — [[Dedup.corpusIndex]]'s drop
+    * rule). ANN semantics by construction: a match missed by all
+    * `NumTables` tables is reported novel; recall is tuned via the table
+    * count. Deterministic → hash-exact oracle ([[embedNoveltySql]]). */
+  def embedNovelty(batch: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.35, bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val qc = PinnedCaches.pin(quantized(corpus).select("vec_id", "q", "nq"))
+    val cb = PinnedCaches.pin(Dedup.capBuckets(
+      lshBuckets(qc).select("vec_id", "table", "bucket"),
+      Seq("table", "bucket"), bucketCap))
+    val qb = quantized(batch).select("vec_id", "q", "nq")
+    val cand = lshBuckets(qb).select("vec_id", "table", "bucket")
+      .join(cb.select(col("vec_id").as("m"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .select("vec_id", "m").distinct()
+    val best = cand
+      .join(qb.select(col("vec_id"), col("q").as("qa"), col("nq").as("nqa")), Seq("vec_id"))
+      .join(qc.select(col("vec_id").as("m"), col("q").as("qb"), col("nq").as("nqb")), Seq("m"))
+      .withColumn("cos", dotCol.cast("double") /
+        (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
+      .filter(col("cos") >= threshold)
+      // best match via a map-side-combinable fold, not a ranking window
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cos")).as("nc"), col("m").as("m"))).as("b"))
+      .select(col("vec_id"), col("b.m").as("best_match"), (-col("b.nc")).as("best_cos"))
+    Tables.fanOut(batch).select("vec_id")
+      .join(best, Seq("vec_id"), "left")
+      .withColumn("novel", col("best_cos").isNull)
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[embedNovelty]] on the parity split (odd ids =
+    * batch, even = existing) at the defaults — signatures from the SAME
+    * embedded hyperplane literals, corpus-side bucket cap, exact verify,
+    * best-by-(cos DESC, id). */
+  def embedNoveltySql: String =
+    s"""WITH $evNormsSql,
+       |$sigsSql,
+       |csig AS (SELECT vec_id, tbl, bucket FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bn
+       |  FROM sigs WHERE vec_id % 2 = 0) WHERE bn <= ${Dedup.DefaultBucketCap}),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id, c.vec_id AS m
+       |  FROM sigs b JOIN csig c ON c.tbl = b.tbl AND c.bucket = b.bucket
+       |  WHERE b.vec_id % 2 = 1),
+       |dots AS (
+       |  SELECT cd.vec_id, cd.m, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM cand cd JOIN ev a ON a.vec_id = cd.vec_id
+       |    JOIN ev b ON b.vec_id = cd.m AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT dots.vec_id, dots.m,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+       |  FROM dots JOIN norms na ON na.vec_id = dots.vec_id
+       |    JOIN norms nb ON nb.vec_id = dots.m),
+       |best AS (SELECT vec_id, m AS best_match, cos AS best_cos FROM (
+       |  SELECT vec_id, m, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, m) AS rn
+       |  FROM sims WHERE cos >= 0.35) WHERE rn = 1)
+       |SELECT e.vec_id, best_match, best_cos, best_cos IS NULL AS novel
+       |FROM embeddings e LEFT JOIN best USING (vec_id)
+       |WHERE e.vec_id % 2 = 1 ORDER BY e.vec_id""".stripMargin
+
   /** Materialize this family's pinned working sets (quantized vectors, the
     * default k-means assignment) — bench warm-up hook, so per-query numbers
     * measure the queries instead of charging the shared materializations to

@@ -140,6 +140,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dupSplits.length == 1, "exact duplicates must share one split")
   }
 
+  test("embedding novelty gate: exact copies match their corpus twin at 1.0; orthogonal vectors are novel") {
+    import spark.implicits._
+    def oneHot(dim: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == dim) 1.0f else 0.0f)
+    // corpus: one-hot vectors on dims 0..19 (ids 100..119); batch: exact
+    // copies of dims 0..9 (ids 0..9) + one-hots on unseen dims 40..49
+    // (ids 10..19, cos 0 with every corpus vector => novel)
+    val corpus = (0 until 20).map(d => (100L + d, "c", oneHot(d)))
+      .toDF("vec_id", "label", "embedding")
+    val batch = ((0 until 10).map(d => (d.toLong, "b", oneHot(d))) ++
+      (0 until 10).map(d => (10L + d, "b", oneHot(40 + d))))
+      .toDF("vec_id", "label", "embedding")
+    val rows = Similarity.embedNovelty(batch, corpus).collect()
+    assert(rows.length == 20)
+    rows.filter(_.getLong(0) < 10).foreach { r =>
+      assert(!r.getBoolean(3), s"copy ${r.getLong(0)} must not be novel")
+      assert(r.getLong(1) == 100L + r.getLong(0), "best match is the corpus twin")
+      assert(r.getDouble(2) == 1.0)
+    }
+    rows.filter(_.getLong(0) >= 10).foreach { r =>
+      assert(r.getBoolean(3), s"orthogonal ${r.getLong(0)} must be novel")
+      assert(r.isNullAt(1) && r.isNullAt(2))
+    }
+  }
+
   test("brute-force top-k: k neighbors per query, descending cosine, |cos| <= 1") {
     val rows = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5).collect()
     val byQuery = rows.groupBy(_.getLong(0))
