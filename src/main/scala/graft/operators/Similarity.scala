@@ -229,11 +229,31 @@ object Similarity {
     * `NumTables` tables is reported novel; recall is tuned via the table
     * count. Deterministic → hash-exact oracle ([[embedNoveltySql]]). */
   def embedNovelty(batch: DataFrame, corpus: DataFrame,
-      threshold: Double = 0.35, bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
+      threshold: Double = 0.35, bucketCap: Int = Dedup.DefaultBucketCap): DataFrame =
+    embedNoveltyAgainst(batch, embedIndex(corpus, bucketCap), threshold)
+
+  /** Precomputed EXISTING-corpus side of the embedding novelty gate: pinned
+    * quantized vectors (verify side) and their capped multi-table LSH
+    * buckets (candidate side) — the vector-store index a 100 TB ingest
+    * pipeline materializes ONCE; every batch/micro-batch joins against it
+    * ([[graft.operators.Dedup.CorpusIndex]]'s discipline). */
+  final case class EmbedIndex private[operators] (qc: DataFrame, cb: DataFrame)
+
+  def embedIndex(corpus: DataFrame,
+      bucketCap: Int = Dedup.DefaultBucketCap): EmbedIndex = {
     val qc = PinnedCaches.pin(quantized(corpus).select("vec_id", "q", "nq"))
     val cb = PinnedCaches.pin(Dedup.capBuckets(
       lshBuckets(qc).select("vec_id", "table", "bucket"),
       Seq("table", "bucket"), bucketCap))
+    EmbedIndex(qc, cb)
+  }
+
+  /** [[embedNovelty]] against an already-built [[EmbedIndex]] — the form
+    * the streaming gate applies per micro-batch. */
+  def embedNoveltyAgainst(batch: DataFrame, idx: EmbedIndex,
+      threshold: Double = 0.35): DataFrame = {
+    val qc = idx.qc
+    val cb = idx.cb
     val qb = quantized(batch).select("vec_id", "q", "nq")
     val cand = lshBuckets(qb).select("vec_id", "table", "bucket")
       .join(cb.select(col("vec_id").as("m"), col("table"), col("bucket")),

@@ -252,6 +252,59 @@ class StreamingDedupSpec extends SparkSpec {
     val kept = StreamingDedupSpec.emitted.asScala.toSeq
     assert(kept == Seq((2L, "fresh alpha"), (6L, "fresh beta")), s"kept $kept")
   }
+
+  test("embedding novelty gate: stream output equals Similarity.embedNovelty on the same split, across a checkpointed restart") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val emb = graft.operators.Tables.load(spark, sf(), "embeddings")
+    val src = Files.createTempDirectory("graft_semb_src").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_semb_ckpt").toFile.getAbsolutePath
+    StreamingDedupSpec.embEmitted.clear()
+
+    // the same parity split embed_novelty_gate uses: evens are the indexed
+    // corpus, odds arrive as the stream — two micro-batches with a full
+    // query restart between them
+    val corpus = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val streamVecs = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val splitId = streamVecs.agg(org.apache.spark.sql.functions.expr(
+      "percentile_approx(vec_id, 0.5)")).head().getLong(0)
+    val gate = graft.streaming.StreamingSimilarity.novelAgainstIndex(corpus)
+
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema(streamVecs.select("vec_id", "label", "embedding").schema)
+        .parquet(src)
+      val q = in.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingDedupSpec.embEmitted.addAll(
+            gate(batch).collect().map(r => (r.getAs[Long]("vec_id"),
+              Option(r.get(r.fieldIndex("best_match"))).map(_.asInstanceOf[Long]),
+              Option(r.get(r.fieldIndex("best_cos"))).map(_.asInstanceOf[Double]),
+              r.getAs[Boolean]("novel"))).toSeq.asJava)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+
+    streamVecs.filter(col("vec_id") <= splitId).select("vec_id", "label", "embedding")
+      .write.mode("append").parquet(src)
+    runOnce()
+    val afterB1 = StreamingDedupSpec.embEmitted.size()
+    streamVecs.filter(col("vec_id") > splitId).select("vec_id", "label", "embedding")
+      .write.mode("append").parquet(src)
+    runOnce() // restart from checkpoint: only the new files process
+    val got = StreamingDedupSpec.embEmitted.asScala.toSeq.sortBy(_._1)
+    assert(afterB1 > 0 && got.size > afterB1, "both micro-batches must emit")
+    assert(got.map(_._1).distinct.size == got.size, "restart must not replay batch 1")
+
+    val want = graft.operators.Similarity.embedNovelty(streamVecs, corpus).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        Option(r.get(r.fieldIndex("best_match"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("best_cos"))).map(_.asInstanceOf[Double]),
+        r.getAs[Boolean]("novel"))).toSeq.sortBy(_._1)
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+  }
 }
 
 /** Cross-restart sink buffer (foreachBatch closures must reference
@@ -259,5 +312,7 @@ class StreamingDedupSpec extends SparkSpec {
 object StreamingDedupSpec {
   val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
   val nearEmitted = new java.util.concurrent.ConcurrentLinkedQueue[
+    (Long, Option[Long], Option[Double], Boolean)]()
+  val embEmitted = new java.util.concurrent.ConcurrentLinkedQueue[
     (Long, Option[Long], Option[Double], Boolean)]()
 }
