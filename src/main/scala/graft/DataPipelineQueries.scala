@@ -79,6 +79,7 @@ object DataPipelineQueries {
     "sample_kept" -> ((s, dir) =>
       Sampling.hashSampleKept(docs(s, dir), Sampling.DefaultRates, Sampling.DefaultRate)),
     "sample_split" -> ((s, dir) => Sampling.trainValTestSplit(docs(s, dir))),
+    "sample_split_neardup" -> ((s, dir) => Sampling.trainValTestSplitNearDup(docs(s, dir))),
     "pack_chunks" -> ((s, dir) => Sampling.packChunks(docs(s, dir))),
     "pipeline_e2e" -> ((s, dir) => CurationPipeline.e2e(docs(s, dir))),
     "pipeline_e2e_near" -> ((s, dir) => CurationPipeline.e2eNear(docs(s, dir))),
@@ -136,6 +137,7 @@ object DataPipelineQueries {
     "sample_mix" -> Sampling.hashSampleStatsSql,
     "sample_kept" -> Sampling.hashSampleKeptSql,
     "sample_split" -> Sampling.trainValTestSplitSql,
+    "sample_split_neardup" -> Sampling.trainValTestSplitNearDupSql,
     "pack_chunks" -> Sampling.packChunksSql,
     "pipeline_e2e" -> CurationPipeline.e2eSql,
     "pipeline_e2e_near" -> CurationPipeline.e2eNearSql,

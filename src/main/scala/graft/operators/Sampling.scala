@@ -112,6 +112,56 @@ object Sampling {
       |       ELSE 'train' END AS split
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** NEAR-DUP-leak-proof train/val/test split — the upgrade of
+    * [[trainValTestSplit]] for the leakage its content-hash draw cannot
+    * catch: two nearly identical documents hash differently and can
+    * straddle train/test. Here the unit of assignment is the whole minhash
+    * near-dup CLUSTER ([[Dedup.clusters]] — exact copies share a component
+    * by construction, near-dups at jaccard ≥ 0.8 through the banded LSH
+    * graph): every member draws from the cluster REPRESENTATIVE's content
+    * hash, so an entire duplicate family lands in one split. This is the
+    * split discipline an eval-decontaminated pretraining corpus actually
+    * needs (Lee et al. 2022's leakage finding). Cost at 100 TB: the
+    * cluster labeling is the pipeline's existing (memoized) CC pass; the
+    * split itself is one broadcast-sized join of draws keyed by the
+    * cluster reps plus map-side interval logic. */
+  def trainValTestSplitNearDup(docs: DataFrame, valFrac: Double = 0.05,
+      testFrac: Double = 0.05): DataFrame = {
+    val cl = Dedup.clusters(docs).select("doc_id", "cluster_id")
+    // the rep IS its cluster's minimum member id, so its row provides the
+    // family draw; only (id, draw) pairs cross the join, never text
+    val repDraw = docs.select(col("doc_id").as("cluster_id"), unitDraw.as("u"))
+    cl.join(repDraw, Seq("cluster_id"))
+      .withColumn("split",
+        when(col("u") < testFrac, "test")
+          .when(col("u") < testFrac + valFrac, "val")
+          .otherwise("train"))
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+  }
+
+  val trainValTestSplitNearDupSql: String =
+    s"""WITH RECURSIVE ${Dedup.minhashPairsCoreSql},
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM crossp
+       |  UNION ALL SELECT doc_a, doc_b FROM intra),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id),
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |rd AS (SELECT doc_id AS cluster_id,
+       |  CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) AS DOUBLE) / 65536.0 AS u
+       |  FROM documents)
+       |SELECT cl.doc_id, cl.cluster_id,
+       |  CASE WHEN u < 0.05 THEN 'test'
+       |       WHEN u < 0.10 THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM cl JOIN rd USING (cluster_id) ORDER BY cl.doc_id""".stripMargin
+
   /** Pretraining sequence packing, concat-and-chunk form: documents are
     * concatenated in a deterministic order and cut into fixed
     * `budget`-token training sequences; each document reports its token

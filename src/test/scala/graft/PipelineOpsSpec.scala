@@ -165,6 +165,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("near-dup split: every member of a cluster shares its split; near-dups cannot straddle train/test") {
+    import spark.implicits._
+    // a near-dup family (one word changed => jaccard > 0.8 on shingles),
+    // an exact copy, and an unrelated doc
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base.replace("mu", "nu")
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq((1L, "s", base), (2L, "s", near), (3L, "s", base),
+      (4L, "s", other)).toDF("doc_id", "source", "text")
+    val rows = Sampling.trainValTestSplitNearDup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    assert(rows(1L)._1 == 1L && rows(2L)._1 == 1L && rows(3L)._1 == 1L,
+      "the near-dup family must share one cluster")
+    assert(Set(rows(1L)._2, rows(2L)._2, rows(3L)._2).size == 1,
+      "the whole family must land in one split")
+    // on the real corpus: no cluster ever straddles splits
+    val real = Sampling.trainValTestSplitNearDup(Tables.load(spark, sf(), "documents"))
+    val straddlers = real.groupBy("cluster_id")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(straddlers == 0L, "no cluster may straddle splits")
+  }
+
   test("brute-force top-k: k neighbors per query, descending cosine, |cos| <= 1") {
     val rows = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5).collect()
     val byQuery = rows.groupBy(_.getLong(0))
