@@ -123,8 +123,9 @@ object Sampling {
     * split discipline an eval-decontaminated pretraining corpus actually
     * needs (Lee et al. 2022's leakage finding). Cost at 100 TB: the
     * cluster labeling is the pipeline's existing (memoized) CC pass; the
-    * split itself is one broadcast-sized join of draws keyed by the
-    * cluster reps plus map-side interval logic. */
+    * split itself is one shuffle join keyed on cluster_id in which only
+    * (id, draw) pairs ever move — never text — plus map-side interval
+    * logic. */
   def trainValTestSplitNearDup(docs: DataFrame, valFrac: Double = 0.05,
       testFrac: Double = 0.05): DataFrame = {
     val cl = Dedup.clusters(docs).select("doc_id", "cluster_id")

@@ -822,8 +822,13 @@ object Similarity {
     * corpus-sized work is three map-side-combinable aggregates (coarse
     * argmax, code argmin, ADC sum). At 100 TB the probed-cell candidate
     * join replaces pqTopK's whole-corpus ADC scan with `nProbe/K` of the
-    * corpus. Integer arithmetic end to end until the final cosine →
-    * hash-exact DuckDB oracle ([[ivfpqTopKSql]]). */
+    * corpus. The broadcasts stay broadcastable only if the codebooks have
+    * a FIXED budget: at N vectors set `centroidMod ≈ N/K` for the target
+    * cell count K (k-NN practice: K ≈ √N up to ~2^18) and `pqMod ≈ N/256`
+    * for byte-sized codes — the defaults here are sized for the test
+    * corpora, not a constant for every scale. Integer arithmetic end to
+    * end until the final cosine → hash-exact DuckDB oracle
+    * ([[ivfpqTopKSql]]). */
   def ivfpqTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
       nProbe: Int = 2, rerank: Int = 32, centroidMod: Int = 127,
       pqMod: Int = 61, subspaces: Int = 8): DataFrame = {
