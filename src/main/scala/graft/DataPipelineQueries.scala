@@ -83,6 +83,7 @@ object DataPipelineQueries {
     "pack_chunks" -> ((s, dir) => Sampling.packChunks(docs(s, dir))),
     "pipeline_e2e" -> ((s, dir) => CurationPipeline.e2e(docs(s, dir))),
     "pipeline_e2e_near" -> ((s, dir) => CurationPipeline.e2eNear(docs(s, dir))),
+    "pipeline_exemplars" -> ((s, dir) => CurationPipeline.qualityExemplars(docs(s, dir))),
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(docs(s, dir))),
     "mm_dup_frames" -> ((s, dir) => Multimodal.dupFrames(docs(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.features(docs(s, dir))),
@@ -141,6 +142,7 @@ object DataPipelineQueries {
     "pack_chunks" -> Sampling.packChunksSql,
     "pipeline_e2e" -> CurationPipeline.e2eSql,
     "pipeline_e2e_near" -> CurationPipeline.e2eNearSql,
+    "pipeline_exemplars" -> CurationPipeline.qualityExemplarsSql,
     "mm_metadata" -> Multimodal.metadataSql,
     "mm_dup_frames" -> Multimodal.dupFramesSql,
     "mm_features" -> Multimodal.featuresSql,

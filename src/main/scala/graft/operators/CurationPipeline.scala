@@ -133,4 +133,63 @@ object CurationPipeline {
        |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id),
        |keepids AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id),
        |$curationTailSql""".stripMargin
+
+  /** QUALITY-ranked exemplar selection — the keep decision [[e2eNear]]'s
+    * min-id rule upgrades to when quality varies inside a duplicate
+    * family: from each near-dup cluster ([[Dedup.clusters]]) keep the
+    * member with the HIGHEST [[TextAnalysis.qualityScore]] (ties to the
+    * lower doc_id) — `(cluster_id, keep_id, quality_score, n_members)`.
+    * This is how a curation pass actually resolves near-dup families: not
+    * "first crawled wins" but "best copy wins" (boilerplate-stripped
+    * mirrors, paywalled truncations, and OCR re-crawls of the same page
+    * differ exactly in quality score).
+    *
+    * Plan shape: both inputs are the pipeline's existing materializations
+    * (memoized cluster labels, map-side quality features); the selection
+    * itself is ONE map-side-combinable `max_by` fold keyed by cluster —
+    * no window, no text through the shuffle. Score arithmetic is the
+    * hash-exact text_quality chain, so [[qualityExemplarsSql]] replays
+    * the selection deterministically, ties included. */
+  def qualityExemplars(docs: DataFrame): DataFrame =
+    Dedup.clusters(docs).select("doc_id", "cluster_id")
+      .join(TextAnalysis.qualityScore(docs).select("doc_id", "quality_score"), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        max_by(struct(col("doc_id"), col("quality_score")),
+          struct(col("quality_score"), (-col("doc_id")).as("nd"))).as("b"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("b.doc_id").as("keep_id"),
+        col("b.quality_score").as("quality_score"), col("n_members"))
+      .orderBy("cluster_id")
+
+  /** DuckDB oracle for [[qualityExemplars]]: the cluster reachability CTE
+    * (exactly [[Dedup.clustersSql]]'s construction), the UNCHANGED
+    * [[TextAnalysis.qualityScoreSql]] embedded as a nested-WITH CTE (same
+    * doubles bit for bit), best member by (score DESC, doc_id). */
+  val qualityExemplarsSql: String =
+    s"""WITH RECURSIVE ${Dedup.minhashPairsCoreSql},
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM crossp
+       |  UNION ALL SELECT doc_a, doc_b FROM intra),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id),
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |qx AS (${TextAnalysis.qualityScoreSql}),
+       |j AS (
+       |  SELECT cl.cluster_id, cl.doc_id, qx.quality_score
+       |  FROM cl JOIN qx USING (doc_id)),
+       |best AS (
+       |  SELECT cluster_id, doc_id AS keep_id, quality_score,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_score DESC, doc_id) AS rn
+       |  FROM j),
+       |nm AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM j GROUP BY 1)
+       |SELECT b.cluster_id, keep_id, quality_score, n_members
+       |FROM best b JOIN nm USING (cluster_id) WHERE rn = 1
+       |ORDER BY b.cluster_id""".stripMargin
 }

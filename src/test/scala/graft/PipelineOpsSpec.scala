@@ -188,6 +188,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(straddlers == 0L, "no cluster may straddle splits")
   }
 
+  test("quality exemplars: keep is each cluster's max-quality member, ties to the lower id") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val ex = CurationPipeline.qualityExemplars(docs).collect()
+    val byCluster = Dedup.clusters(docs).select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+    val q = graft.operators.TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ex.length == byCluster.size, "one exemplar per cluster")
+    ex.foreach { r =>
+      val (c, keep, score, n) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      val members = byCluster(c).map(_._1)
+      assert(n == members.length)
+      val expected = members.maxBy(d => (q(d), -d))
+      assert(keep == expected && score == q(keep),
+        s"cluster $c kept $keep (${q(keep)}), expected $expected (${q(expected)})")
+    }
+  }
+
   test("brute-force top-k: k neighbors per query, descending cosine, |cos| <= 1") {
     val rows = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5).collect()
     val byQuery = rows.groupBy(_.getLong(0))
