@@ -84,6 +84,54 @@ object LogOracle {
        |SELECT * FROM k ORDER BY seq""".stripMargin
   }
 
+  /** [[graft.operators.Pii.scrub]] over the rendered clean corpus: rebuild
+    * every line TEXT from `events` (the render is integer-exact and the
+    * session timezone is UTC on both engines, so the strings — timestamps
+    * included — match byte-for-byte), then replay the count + sequential
+    * redaction with the identical RE2-safe patterns. */
+  val piiScrub: String = {
+    import graft.operators.Pii
+    def head(dt: String) =
+      s"$dt || ' [ ' || CAST(pid AS VARCHAR) || ' ] {' || id || '} '"
+    val dtStart = "strftime(ts, '%Y.%m.%d %H:%M:%S.%f')"
+    val dtEnd = "strftime(ts + to_microseconds(elapsed_us), '%Y.%m.%d %H:%M:%S.%f')"
+    val init = head(dtStart) +
+      " || '<Debug> executeQuery: (from 10.0.0.' || CAST(user_id % 256 AS VARCHAR)" +
+      " || ':' || CAST(9000 + event_id % 100 AS VARCHAR) || ', user: default) ' || " +
+      stmtCase("query")
+    val stats = head(dtStart) +
+      " || '<Information> executeQuery: Read ' || CAST(rows_read AS VARCHAR)" +
+      s" || ' rows, ' || CAST((event_id * $GibMul) % $GibMod AS VARCHAR)" +
+      " || ' GiB in 0.500 sec., ' || CAST(rps AS VARCHAR)" +
+      s" || ' rows/sec., ' || CAST((event_id * $MibPsMul) % $MibPsMod AS VARCHAR)" +
+      " || ' MiB/sec.'"
+    val err = head(dtStart) +
+      " || '<Error> executeQuery: Code: ' || CAST(error_code AS VARCHAR)" +
+      " || ', e.displayText() = DB::Exception: synthetic error ' || CAST(event_id AS VARCHAR)"
+    val mem = head(dtEnd) +
+      " || '<Debug> MemoryTracker: Peak memory usage (for query): '" +
+      s" || CAST((event_id * $MemMibMul) % $MemMibMod AS VARCHAR) || ' MiB.'"
+    s"""WITH $E, lines AS (
+       |  SELECT event_id*8 AS seq, $init AS value FROM e WHERE NOT orphan
+       |  UNION ALL
+       |  SELECT event_id*8+1, $init FROM e WHERE NOT orphan AND dup
+       |  UNION ALL
+       |  SELECT event_id*8+2, $stats FROM e
+       |  UNION ALL
+       |  SELECT event_id*8+3, $err FROM e WHERE haserr
+       |  UNION ALL
+       |  SELECT event_id*8+4, $mem FROM e)
+       |SELECT seq,
+       |  CAST(len(regexp_extract_all(value, '${Pii.EmailRe}')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(value, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(value, '${Pii.LongNumRe}')) AS BIGINT) AS n_num,
+       |  regexp_replace(regexp_replace(regexp_replace(value,
+       |    '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
+       |    '${Pii.Ipv4Re}', '${Pii.IpTag}', 'g'),
+       |    '${Pii.LongNumRe}', '${Pii.NumTag}', 'g') AS redacted
+       |FROM lines ORDER BY seq""".stripMargin
+  }
+
   val merged: String =
     s"""WITH $E
        |SELECT id,

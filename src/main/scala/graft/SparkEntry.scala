@@ -157,6 +157,12 @@ object SparkEntry {
       PromMetrics.statsSumCounts(parsed(s, dir))
         .withColumnRenamed("count", "cnt")),
 
+    // PII scrub over the rendered corpus (map-side, codegen regex; the
+    // oracle rebuilds every line string and replays the redaction)
+    "log_pii_scrub" -> ((s, dir) =>
+      Pii.scrub(renderedLines(s, dir), "value")
+        .select("seq", "n_email", "n_ipv4", "n_num", "redacted")),
+
     // the whole registry as one tall table (S4 table-sink form) — a single
     // hash-checked query covering every metric series at once
     "log_metrics_table" -> ((s, dir) =>
@@ -180,6 +186,7 @@ object SparkEntry {
     "log_rps_hist" -> LogOracle.rpsHist,
     "log_bps_hist" -> LogOracle.bpsHist,
     "log_stats_sums" -> LogOracle.statsSums,
+    "log_pii_scrub" -> LogOracle.piiScrub,
     "log_metrics_table" -> LogOracle.metricsTable,
   ) ++ RelationalQueries.oracles ++ DataPipelineQueries.oracles
 }
