@@ -81,6 +81,7 @@ object DataPipelineQueries {
     "sample_split" -> ((s, dir) => Sampling.trainValTestSplit(docs(s, dir))),
     "sample_split_neardup" -> ((s, dir) => Sampling.trainValTestSplitNearDup(docs(s, dir))),
     "pack_chunks" -> ((s, dir) => Sampling.packChunks(docs(s, dir))),
+    "sample_curriculum" -> ((s, dir) => Sampling.curriculumTiers(docs(s, dir))),
     "pipeline_e2e" -> ((s, dir) => CurationPipeline.e2e(docs(s, dir))),
     "pipeline_e2e_near" -> ((s, dir) => CurationPipeline.e2eNear(docs(s, dir))),
     "pipeline_exemplars" -> ((s, dir) => CurationPipeline.qualityExemplars(docs(s, dir))),
@@ -140,6 +141,7 @@ object DataPipelineQueries {
     "sample_split" -> Sampling.trainValTestSplitSql,
     "sample_split_neardup" -> Sampling.trainValTestSplitNearDupSql,
     "pack_chunks" -> Sampling.packChunksSql,
+    "sample_curriculum" -> Sampling.curriculumTiersSql,
     "pipeline_e2e" -> CurationPipeline.e2eSql,
     "pipeline_e2e_near" -> CurationPipeline.e2eNearSql,
     "pipeline_exemplars" -> CurationPipeline.qualityExemplarsSql,

@@ -244,6 +244,78 @@ object Sampling {
       |  skey
       |FROM s ORDER BY shard, pos_in_shard""".stripMargin
 
+  /** Curriculum tiering: bucket the corpus into `nTiers` quality tiers
+    * (tier 1 = lowest) whose boundaries are DISCRETE quantiles of
+    * [[TextAnalysis.qualityScore]] over a deterministic 25% hash sample —
+    * the curriculum/annealing mixer's input ("train low→high quality", or
+    * re-weight tiers per epoch), and the same sampled-boundary discipline
+    * Spark's own `repartitionByRange` uses for range boundaries.
+    *
+    * Scale shape: the boundary job is a single-task window over the BOUNDED
+    * sample only (at 100 TB the sample rate is tuned so the sample stays
+    * ~1e6 rows; scores never all sort globally); the 9-value bounds array
+    * broadcasts to a one-row nested-loop join; assignment is one map-side
+    * `aggregate()` over the array; the final per-tier rollup partial-
+    * aggregates to ≤ `nTiers` rows. Assumes a non-empty sample (any corpus
+    * big enough to tier satisfies it).
+    *
+    * Returns `(tier, n_docs, total_chars, min_score, max_score)`. */
+  def curriculumTiers(docs: DataFrame, nTiers: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.fanOut(docs).select("doc_id", "n_chars")
+      .join(TextAnalysis.qualityScore(docs).select("doc_id", "quality_score"), Seq("doc_id"))
+    val draw = conv(substring(md5(concat_ws(":", lit("curr0"),
+      col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10).cast("long")
+    val ranked = scored.filter(draw < lit(16384L)) // 0.25 * 65536, integer compare
+      .select(col("quality_score").as("c"), col("doc_id"))
+      .withColumn("rn", row_number().over(Window.orderBy("c", "doc_id")))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+    val bounds = ranked.groupBy().agg(array((1 until nTiers).map { i =>
+      max(when(col("rn") === expr(s"(nn * $i + ${nTiers - 1}) DIV $nTiers"), col("c")))
+    }: _*).as("bounds"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("tier",
+        (lit(1) + expr("aggregate(bounds, 0, (acc, b) -> acc + IF(quality_score > b, 1, 0))"))
+          .cast("long"))
+      .groupBy("tier").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("quality_score").as("min_score"),
+        max("quality_score").as("max_score"))
+      .orderBy("tier")
+  }
+
+  /** DuckDB oracle for [[curriculumTiers]] (nTiers = 10): the unchanged
+    * [[TextAnalysis.qualityScoreSql]] as a CTE, the same doc_id-keyed
+    * integer draw, the same ceil-rank discrete boundaries, the same
+    * strictly-greater tier rule. */
+  val curriculumTiersSql: String = {
+    val boundCols = (1 until 10).map { i =>
+      s"max(CASE WHEN rn = (nn * $i + 9) // 10 THEN c END) AS b$i"
+    }.mkString(", ")
+    val tierSum = (1 until 10).map { i =>
+      s"(CASE WHEN quality_score > b$i THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
+       |d AS (
+       |  SELECT doc.doc_id, doc.n_chars, q.quality_score
+       |  FROM documents doc JOIN q USING (doc_id)),
+       |smp AS (
+       |  SELECT quality_score AS c, doc_id FROM d
+       |  WHERE CAST(('0x' || substr(md5('curr0:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < 16384),
+       |rk AS (
+       |  SELECT c, ROW_NUMBER() OVER (ORDER BY c, doc_id) AS rn,
+       |    COUNT(*) OVER () AS nn FROM smp),
+       |bounds AS (SELECT $boundCols FROM rk),
+       |t AS (
+       |  SELECT CAST(1 + $tierSum AS BIGINT) AS tier, n_chars, quality_score
+       |  FROM d CROSS JOIN bounds)
+       |SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  min(quality_score) AS min_score, max(quality_score) AS max_score
+       |FROM t GROUP BY tier ORDER BY tier""".stripMargin
+  }
+
   val packChunksSql: String =
     """WITH d AS (
       |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

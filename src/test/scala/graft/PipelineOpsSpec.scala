@@ -207,6 +207,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("curriculum tiers partition the corpus into ordered, non-overlapping score bands") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val tiers = Sampling.curriculumTiers(docs).collect()
+    assert(tiers.map(_.getLong(1)).sum == docs.count(), "every doc lands in exactly one tier")
+    val ts = tiers.map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(ts.map(_._1).toSeq == ts.map(_._1).sorted.toSeq)
+    ts.foreach { case (_, lo, hi) => assert(lo <= hi) }
+    ts.sliding(2).foreach {
+      case Array((_, _, hi), (_, lo, _)) => assert(hi <= lo,
+        s"tier bands must not overlap: $hi > $lo")
+      case _ =>
+    }
+    // sampled decile boundaries keep tiers within a loose factor of n/10
+    val n = docs.count().toDouble
+    tiers.foreach { r =>
+      assert(r.getLong(1) <= n * 0.35, s"tier ${r.getLong(0)} holds ${r.getLong(1)} of $n docs")
+    }
+  }
+
   test("brute-force top-k: k neighbors per query, descending cosine, |cos| <= 1") {
     val rows = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5).collect()
     val byQuery = rows.groupBy(_.getLong(0))
