@@ -498,8 +498,10 @@ object Similarity {
 
   /** Shared oracle tail: exact-rank the candidate set (mirrors
     * [[rankCandidates]]; expects a `cand(query_id, neighbor_id)` CTE). */
-  private val rankSql: String =
-    """dots AS (
+  private val rankSql: String = rankSqlK(5)
+
+  private def rankSqlK(k: Int): String =
+    s"""dots AS (
       |  SELECT c.query_id, c.neighbor_id, CAST(sum(a.q*b.q) AS BIGINT) AS dot
       |  FROM cand c JOIN ev a ON a.vec_id = c.query_id
       |    JOIN ev b ON b.vec_id = c.neighbor_id AND b.i = a.i
@@ -512,7 +514,7 @@ object Similarity {
       |  SELECT query_id, neighbor_id, cos,
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
       |  FROM sims)
-      |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+      |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= $k
       |ORDER BY query_id, rnk""".stripMargin
 
   /** DuckDB oracle for [[lshTopK]] at the default parameters: the ±1
@@ -623,6 +625,36 @@ object Similarity {
        |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id),
        |$rankSql""".stripMargin
 
+  /** DuckDB oracle for [[knnGraph]] at the defaults (k=3, nProbe=2): the
+    * [[ivfTopKSql]] chain with the query-set filter removed — the ranking-
+    * window probe selection here is semantically identical to the
+    * operator's sorted-slice collect (DESC score, DESC cent_id ties). */
+  val knnGraphSql: String =
+    s"""WITH $evNormsSql,
+       |cents AS (SELECT vec_id AS cent_id FROM norms WHERE vec_id % 127 = 1),
+       |cdots AS (
+       |  SELECT a.vec_id, c.cent_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM ev a JOIN cents c ON true JOIN ev b ON b.vec_id = c.cent_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.vec_id, d.cent_id,
+       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nc.nq AS DOUBLE)) AS score
+       |  FROM cdots d JOIN norms nc ON nc.vec_id = d.cent_id),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cent_id DESC) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cent_id DESC) AS pr
+       |    FROM scored) WHERE pr <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |${rankSqlK(3)}""".stripMargin
+
   /** Explode a 64-dim vector column into one `(ids…, m, outCol)` row per
     * contiguous `64/subspaces`-dim subspace slice — the shared fan-out of
     * the product-quantization paths. Pure map-side (a generate, no
@@ -693,6 +725,46 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
 
+    rankCandidates(cand, q, k)
+  }
+
+  /** All-vectors k-nearest-neighbor GRAPH via the [[ivfTopK]] machinery —
+    * the batch graph-construction primitive behind SemDeDup-style semantic
+    * curation, kNN-graph quality propagation, and connectivity-based
+    * cluster analysis: every vector is a query, so the output is the edge
+    * list `(query_id, neighbor_id, cos, rnk)` with `rnk ≤ k` per vector.
+    *
+    * Differences from the query-set path, both for scale:
+    *   - probe selection uses NO ranking window: the per-vector top-`nProbe`
+    *     cells come from one map-side-combinable `collect_list` over the
+    *     K-row codebook scores (K is fixed by the codebook budget —
+    *     `centroidMod ≈ N/K` — so the collected array is O(K), never O(N)),
+    *     sorted and sliced in place; the N×K scored frame is never
+    *     sort-shuffled;
+    *   - candidate volume is N·nProbe·cellSize rather than
+    *     nQueries·nProbe·cellSize — the quadratic-avoidance arithmetic
+    *     (N²·nProbe/K pairwise dots instead of N²) is the reason a 1e9-
+    *     vector graph build is feasible at all.
+    * Exact integer/IEEE arithmetic end to end → [[knnGraphSql]] hash-exact;
+    * the full-probe form collapses to brute force (spec-pinned). */
+  def knnGraph(emb: DataFrame, k: Int = 3, nProbe: Int = 2,
+      centroidMod: Int = 127): DataFrame = {
+    val q = quantized(emb)
+    val cents = q.filter(pmod(col("vec_id"), lit(centroidMod)) === 1)
+      .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("nq").as("nqc"))
+    val scored = q.crossJoin(broadcast(cents))
+      .withColumn("score", long_dot(col("q"), col("qc")).cast("double") /
+        sqrt(col("nqc").cast("double")))
+    val assigned = scored.groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("score"), col("cent_id"))).as("cell"))
+    val probes = scored.groupBy("vec_id")
+      .agg(slice(reverse(array_sort(collect_list(struct(col("score"), col("cent_id"))))),
+        1, nProbe).as("cells"))
+      .select(col("vec_id").as("query_id"), explode(col("cells.cent_id")).as("cell"))
+    val cand = probes
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
     rankCandidates(cand, q, k)
   }
 

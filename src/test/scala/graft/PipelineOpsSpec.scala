@@ -226,6 +226,15 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("knn graph: full-probe form equals brute force for every vector") {
+    val n = emb.count().toInt
+    val g = Similarity.knnGraph(emb, k = 3, nProbe = 10000).collect()
+    val bf = Similarity.bruteForceTopK(emb, k = 3, nQueries = n).collect()
+    assert(g.nonEmpty)
+    assert(g.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet ==
+      bf.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet)
+  }
+
   test("brute-force top-k: k neighbors per query, descending cosine, |cos| <= 1") {
     val rows = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5).collect()
     val byQuery = rows.groupBy(_.getLong(0))

@@ -101,6 +101,19 @@ class ScaleTechniquesSpec extends SparkSpec {
       "Lloyd assignment must aggregate, not rank with a window")
   }
 
+  test("knn graph plan: codebook broadcast; probe selection aggregates — only the rank tail windows") {
+    val emb = Tables.load(spark, sf(), "embeddings").filter(col("vec_id") >= 0)
+    val g = graft.operators.Similarity.knnGraph(emb)
+    val windows = g.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1,
+      s"exactly one window (the exact-rank tail) expected, got ${windows.size}")
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast codebook join:\n${plan.take(1500)}")
+  }
+
   test("PQ plan: codebook and ADC tables broadcast; corpus never sort-merge joined or cross joined") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val plan = graft.operators.Similarity.pqTopK(emb)
