@@ -56,6 +56,7 @@ object DataPipelineQueries {
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "sim_knn_graph" -> ((s, dir) => Similarity.knnGraph(emb(s, dir))),
+    "graph_quality_prop" -> ((s, dir) => Similarity.qualityPropagation(docs(s, dir), emb(s, dir))),
     "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfpqTopK(emb(s, dir))),
     "embed_kmeans" -> ((s, dir) => Similarity.kmeans(emb(s, dir))),
@@ -120,6 +121,7 @@ object DataPipelineQueries {
     "sim_topk_lsh" -> Similarity.lshTopKSql,
     "sim_topk_ivf" -> Similarity.ivfTopKSql,
     "sim_knn_graph" -> Similarity.knnGraphSql,
+    "graph_quality_prop" -> Similarity.qualityPropagationSql,
     "sim_topk_pq" -> Similarity.pqTopKSql,
     "sim_topk_ivfpq" -> Similarity.ivfpqTopKSql,
     "embed_kmeans" -> Similarity.kmeansSql,

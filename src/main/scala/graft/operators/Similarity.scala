@@ -768,6 +768,62 @@ object Similarity {
     rankCandidates(cand, q, k)
   }
 
+  /** One round of quality-score propagation over the [[knnGraph]] — the
+    * graph-curation step that smooths a noisy per-document quality signal
+    * with its semantic neighborhood (label-propagation/SSL shape: a doc
+    * surrounded by high-quality neighbors is probably under-scored by the
+    * text heuristics, and vice versa). Per document: its own
+    * [[TextAnalysis.qualityScore]], the shifted-cosine-weighted mean of its
+    * k neighbors' scores, and the 50/50 blend.
+    *
+    * Determinism discipline: weights (`round((1+cos)·1e6)`) and scores
+    * (`round(score·100)`) are integerized AT ROW LEVEL, so the weighted sums
+    * are exact BIGINT arithmetic in any summation order — the ratio is then
+    * one deterministic double division ([[qualityPropagationSql]]
+    * hash-exact). Scale shape: the edge list joins the (doc_id, s100)
+    * projection — never text — and the propagation is one map-side-
+    * combinable aggregate keyed by doc; isolated vectors keep NULL
+    * neighbor/blended scores on both engines. */
+  def qualityPropagation(docs: DataFrame, emb: DataFrame, k: Int = 3): DataFrame = {
+    val s = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), round(col("quality_score") * 100).cast("long").as("s100"))
+    val contrib = knnGraph(emb, k)
+      .join(s.select(col("doc_id").as("neighbor_id"), col("s100")), Seq("neighbor_id"))
+      .withColumn("w", round((lit(1.0) + col("cos")) * 1000000).cast("long"))
+      .groupBy(col("query_id").as("doc_id"))
+      .agg(sum(col("w") * col("s100")).as("ws"), sum("w").as("wsum"),
+        count(lit(1)).as("n_neighbors"))
+    s.join(contrib, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("s100").cast("double") / 100.0).as("quality_score"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        (col("ws").cast("double") / col("wsum").cast("double") / 100.0).as("neighbor_score"))
+      .withColumn("blended",
+        (col("quality_score") + col("neighbor_score")) / 2.0)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[qualityPropagation]] at the defaults: the
+    * [[knnGraphSql]] edge list and [[TextAnalysis.qualityScoreSql]] as
+    * CTEs, identical row-level integerization, identical division order. */
+  val qualityPropagationSql: String =
+    s"""WITH g AS ($knnGraphSql),
+       |q AS (${TextAnalysis.qualityScoreSql}),
+       |s AS (SELECT doc_id, CAST(round(quality_score * 100) AS BIGINT) AS s100 FROM q),
+       |c AS (
+       |  SELECT g.query_id AS doc_id,
+       |    CAST(sum(CAST(round((1.0 + cos) * 1000000) AS BIGINT) * s.s100) AS BIGINT) AS ws,
+       |    CAST(sum(CAST(round((1.0 + cos) * 1000000) AS BIGINT)) AS BIGINT) AS wsum,
+       |    CAST(count(*) AS BIGINT) AS n_neighbors
+       |  FROM g JOIN s ON s.doc_id = g.neighbor_id GROUP BY 1)
+       |SELECT s.doc_id,
+       |  CAST(s100 AS DOUBLE) / 100.0 AS quality_score,
+       |  COALESCE(n_neighbors, 0) AS n_neighbors,
+       |  CAST(ws AS DOUBLE) / CAST(wsum AS DOUBLE) / 100.0 AS neighbor_score,
+       |  (CAST(s100 AS DOUBLE) / 100.0 + CAST(ws AS DOUBLE) / CAST(wsum AS DOUBLE) / 100.0) / 2.0 AS blended
+       |FROM s LEFT JOIN c ON c.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   /** Product-quantization approximate NN (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011) — the third
     * 100 TB scale path next to [[lshTopK]] and [[ivfTopK]], and the one a

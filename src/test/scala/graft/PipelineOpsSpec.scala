@@ -235,6 +235,23 @@ class PipelineOpsSpec extends SparkSpec {
       bf.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet)
   }
 
+  test("quality propagation: blend is the own/neighbor mean; isolated docs keep nulls") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val rows = Similarity.qualityPropagation(docs, emb).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      assert(n <= 3L, s"at most k neighbors, got $n")
+      if (r.isNullAt(3)) assert(r.isNullAt(4), "no neighbors => no blend")
+      else {
+        val expected = (r.getDouble(1) + r.getDouble(3)) / 2.0
+        assert(r.getDouble(4) == expected)
+        assert(n > 0L)
+      }
+    }
+    assert(rows.exists(!_.isNullAt(3)), "the corpus graph must have edges")
+  }
+
   test("brute-force top-k: k neighbors per query, descending cosine, |cos| <= 1") {
     val rows = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5).collect()
     val byQuery = rows.groupBy(_.getLong(0))
