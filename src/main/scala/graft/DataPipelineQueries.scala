@@ -22,6 +22,8 @@ object DataPipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_canonical" -> ((s, dir) => Dedup.canonical(docs(s, dir))),
+    "source_overlap" -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     "dedup_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
     "dedup_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir))),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
@@ -102,6 +104,8 @@ object DataPipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
+    "dedup_canonical" -> Dedup.canonicalSql,
+    "source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_jaccard_pairs" -> Dedup.jaccardPairsSql,
     "dedup_containment_pairs" -> Dedup.containmentPairsSql,
     "dedup_minhash_pairs" -> Dedup.minhashPairsSql,

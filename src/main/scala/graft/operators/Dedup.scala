@@ -114,6 +114,76 @@ object Dedup {
     """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** Case/punctuation/whitespace-canonicalizing dedup — the CCNet-style
+    * normalization tier between exact dedup and minhash: lowercase, squash
+    * every non-alphanumeric run to one space, trim, THEN fingerprint, so
+    * `"Hello,  World!"` and `"hello world"` collapse into one group. One
+    * row per canonical text: the kept (minimum) doc id, the copy count,
+    * and `n_variants` = how many DISTINCT raw texts the group folds
+    * together (groups with `n_variants > 1` are exactly the duplicates
+    * [[exact]] cannot see). Same scale shape as [[exact]]: map-side
+    * normalization inside codegen, a 16-byte md5 shuffle key, one
+    * partial-aggregated groupBy. The normalization is deliberately
+    * ASCII-regex only ([a-z0-9] classes) so the oracle replays it
+    * byte-identically in RE2. */
+  def canonical(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("cfp", md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .groupBy("cfp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(md5(col("text"))).as("n_variants"))
+      .orderBy("keep_id")
+
+  val canonicalSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS cfp,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_variants
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Cross-source duplication matrix over NEAR-dup clusters — the
+    * provenance question a multi-source corpus audit asks first: which
+    * source pairs carry (near-)copies of the same content (mirrors,
+    * scrape-of-a-scrape, boilerplate-edited reposts), and how much? One
+    * row per unordered source pair sharing at least one [[clusters]]
+    * family, `n_shared` = the number of distinct families containing both.
+    * Scale shape: the memoized cluster labels join the tiny
+    * `(doc_id, source)` projection; the self-join runs on the DISTINCT
+    * `(cluster_id, source)` frame — bounded by clusters × sources, not by
+    * corpus size — and output is ≤ n_sources² rows. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val f = clusters(docs).select("doc_id", "cluster_id")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select("cluster_id", "source").distinct()
+    f.join(f.select(col("cluster_id"), col("source").as("source_b")), Seq("cluster_id"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB oracle for [[sourceOverlap]]: cluster labels via the same
+    * reachability construction as [[clustersSql]], then the distinct
+    * (cluster, source) self-join. */
+  lazy val sourceOverlapSql: String =
+    s"""WITH RECURSIVE $minhashPairsCoreSql,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM crossp
+       |  UNION ALL SELECT doc_a, doc_b FROM intra),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id),
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |f AS (
+       |  SELECT DISTINCT cl.cluster_id, d.source
+       |  FROM cl JOIN documents d USING (doc_id))
+       |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |FROM f a JOIN f b ON a.cluster_id = b.cluster_id AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Exact n-gram (word-set) Jaccard near-dup pairs, blocked by `source` so
     * candidate generation is per-block (at 100 TB the block is the unit of
     * pairwise work; an unblocked corpus would use [[minhashPairs]]). Jaccard

@@ -207,6 +207,39 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("canonical dedup folds case/punctuation/whitespace variants exact dedup misses") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO-WORLD"),
+      (4L, "hello worlds"), (5L, "unrelated text")).toDF("doc_id", "text")
+    val rows = Dedup.canonical(fixture).collect()
+    assert(rows.length == 3)
+    val g = rows.map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(g(1L) == ((3L, 3L)), "three raw variants of one canonical text")
+    assert(g(4L) == ((1L, 1L)) && g(5L) == ((1L, 1L)))
+    // exact dedup sees 5 distinct texts — the 3-variant fold is invisible to it
+    assert(Dedup.exact(fixture).count() == 5)
+  }
+
+  test("source overlap counts each near-dup family once per source pair") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val m = Dedup.sourceOverlap(docs).collect()
+    m.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "unordered pairs, lexicographic")
+      assert(r.getLong(2) >= 1L)
+    }
+    // replay: distinct (cluster, source) self-join ground truth
+    val f = Dedup.clusters(docs).select("doc_id", "cluster_id")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select("cluster_id", "source").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = f.groupBy(_._1).values.toSeq.flatMap { members =>
+      val ss = members.map(_._2).distinct.sorted.toSeq
+      for (a <- ss; b <- ss if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(m.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap == expected)
+  }
+
   test("curriculum tiers partition the corpus into ordered, non-overlapping score bands") {
     val docs = Tables.load(spark, sf(), "documents")
     val tiers = Sampling.curriculumTiers(docs).collect()
