@@ -23,6 +23,7 @@ object DataPipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_canonical" -> ((s, dir) => Dedup.canonical(docs(s, dir))),
+    "corpus_report" -> ((s, dir) => Dedup.corpusReport(docs(s, dir))),
     "source_overlap" -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     "dedup_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
     "dedup_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir))),
@@ -105,6 +106,7 @@ object DataPipelineQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
     "dedup_canonical" -> Dedup.canonicalSql,
+    "corpus_report" -> Dedup.corpusReportSql,
     "source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_jaccard_pairs" -> Dedup.jaccardPairsSql,
     "dedup_containment_pairs" -> Dedup.containmentPairsSql,

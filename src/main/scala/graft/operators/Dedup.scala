@@ -184,6 +184,86 @@ object Dedup {
        |FROM f a JOIN f b ON a.cluster_id = b.cluster_id AND a.source < b.source
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** One-row corpus health report — the summary a curation run prints
+    * before anyone ships a training mix: document count, distinct /
+    * canonical / near-dup-family counts with the implied dup rates,
+    * language spread, token volume, and the integerized mean quality
+    * score. Composes the already-hash-exact per-doc signals ([[exact]]'s
+    * fp, [[canonical]]'s cfp, the memoized [[clusters]] labels,
+    * [[TextAnalysis.qualityScore]]) into one aggregate.
+    *
+    * Scale note: the multiple exact `count(DISTINCT)`s expand into one
+    * multi-pass aggregate here; a 100 TB deployment would either run them
+    * as separate partial-agg passes over the same cached projection or
+    * swap in the KMV sketch ([[RelationalQueries.approxAgg]]'s machinery)
+    * — the per-doc projection this aggregates is 5 small columns, never
+    * text. Rates are ratios of exact BIGINTs; the mean is an exact-BIGINT
+    * sum divided once — deterministic in any partitioning. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), col("lang"),
+        md5(col("text")).as("fp"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("cfp"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), round(col("quality_score") * 100).cast("long").as("s100")),
+        Seq("doc_id"))
+      .join(clusters(docs).select("doc_id", "cluster_id"), Seq("doc_id"))
+    perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("fp").as("n_distinct_texts"),
+      countDistinct("cfp").as("n_canonical_texts"),
+      countDistinct("cluster_id").as("n_families"),
+      countDistinct("lang").as("n_langs"),
+      sum("n_tokens").as("total_tokens"),
+      sum("s100").as("sum_q100"))
+      .withColumn("exact_dup_rate",
+        lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs").cast("double"))
+      .withColumn("near_dup_rate",
+        lit(1.0) - col("n_families").cast("double") / col("n_docs").cast("double"))
+      .withColumn("mean_quality",
+        col("sum_q100").cast("double") / col("n_docs").cast("double") / 100.0)
+  }
+
+  /** DuckDB oracle for [[corpusReport]]: cluster labels via the
+    * [[clustersSql]] reachability construction, the unchanged quality CTE,
+    * identical integerization and division order. */
+  lazy val corpusReportSql: String =
+    s"""WITH RECURSIVE $minhashPairsCoreSql,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM crossp
+       |  UNION ALL SELECT doc_a, doc_b FROM intra),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id),
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |q AS (${TextAnalysis.qualityScoreSql}),
+       |per AS (
+       |  SELECT d.doc_id, d.lang, md5(d.text) AS fp,
+       |    md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS cfp,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(round(q.quality_score * 100) AS BIGINT) AS s100,
+       |    cl.cluster_id
+       |  FROM documents d JOIN q USING (doc_id) JOIN cl USING (doc_id)),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+       |    CAST(count(DISTINCT cfp) AS BIGINT) AS n_canonical_texts,
+       |    CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_families,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(s100) AS BIGINT) AS sum_q100
+       |  FROM per)
+       |SELECT n_docs, n_distinct_texts, n_canonical_texts, n_families, n_langs,
+       |  total_tokens, sum_q100,
+       |  1.0 - CAST(n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE) AS exact_dup_rate,
+       |  1.0 - CAST(n_families AS DOUBLE) / CAST(n_docs AS DOUBLE) AS near_dup_rate,
+       |  CAST(sum_q100 AS DOUBLE) / CAST(n_docs AS DOUBLE) / 100.0 AS mean_quality
+       |FROM a""".stripMargin
+
   /** Exact n-gram (word-set) Jaccard near-dup pairs, blocked by `source` so
     * candidate generation is per-block (at 100 TB the block is the unit of
     * pairwise work; an unblocked corpus would use [[minhashPairs]]). Jaccard
