@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Tables, TextAnalysis}
+import graft.operators.{CurationPipeline, Dedup, Pii, Sampling, Tables, TextAnalysis}
 
 /** One row of the `documents` table, the unit every pipeline op consumes. */
 case class Document(doc_id: Long, text: String, lang: String, source: String,
@@ -17,6 +17,12 @@ case class DedupGroup(fp: String, keep_id: Long, n_copies: Long)
   * fixed-budget training stream of its source. */
 case class PackedChunk(source: String, doc_id: Long, n_tokens: Long,
     tok_offset: Long, chunk_first: Long, chunk_last: Long)
+
+/** [[Dedup.corpusReport]] output: the one-row corpus health card. */
+case class CorpusReport(n_docs: Long, n_distinct_texts: Long,
+    n_canonical_texts: Long, n_families: Long, n_langs: Long,
+    total_tokens: Long, sum_q100: Long, exact_dup_rate: Double,
+    near_dup_rate: Double, mean_quality: Double)
 
 /** Typed `Dataset[Document]` veneer over the pipeline operators — the
   * case-class-encoded API a caller composes instead of wiring DataFrames:
@@ -46,6 +52,8 @@ object Documents {
     org.apache.spark.sql.Encoders.product[DedupGroup]
   private implicit val packedChunkEnc: org.apache.spark.sql.Encoder[PackedChunk] =
     org.apache.spark.sql.Encoders.product[PackedChunk]
+  private implicit val corpusReportEnc: org.apache.spark.sql.Encoder[CorpusReport] =
+    org.apache.spark.sql.Encoders.product[CorpusReport]
 
   def load(spark: SparkSession, dir: String): Dataset[Document] =
     Tables.load(spark, dir, "documents").as[Document]
@@ -70,6 +78,33 @@ object Documents {
     def withoutNearDups(threshold: Double = 0.8): Dataset[Document] =
       ds.join(Dedup.clusters(df, threshold).filter(col("kept")).select("doc_id"),
         Seq("doc_id"), "left_semi").as[Document]
+
+    /** Keep one document per CANONICAL-text group ([[Dedup.canonical]]'s
+      * keep rule) — additionally folds case/punctuation/whitespace
+      * variants that [[withoutExactDups]] treats as distinct. */
+    def withoutCanonicalDups: Dataset[Document] =
+      ds.join(Dedup.canonical(df).select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi").as[Document]
+
+    /** Keep each near-dup family's HIGHEST-quality member — the typed form
+      * of [[CurationPipeline.qualityExemplars]]'s best-copy-wins rule
+      * (vs [[withoutNearDups]]'s first-id-wins). */
+    def bestOfEachFamily: Dataset[Document] =
+      ds.join(CurationPipeline.qualityExemplars(df).select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi").as[Document]
+
+    /** PII-scrubbed copy: `text` replaced by [[Pii.scrub]]'s sequential
+      * redaction (`n_chars` recomputed); pure map-side. */
+    def scrubbed: Dataset[Document] =
+      Pii.scrub(df, "text")
+        .withColumn("text", col("redacted"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .as[Document]
+
+    /** The one-row corpus health card, typed ([[Dedup.corpusReport]]). */
+    def report: Dataset[CorpusReport] =
+      Dedup.corpusReport(df).as[CorpusReport]
 
     /** Map-side repetition filter ([[TextAnalysis.repetitionKeep]]). */
     def keptByRepetition(topBigramMax: Double = 0.18,

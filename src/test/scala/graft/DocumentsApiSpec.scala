@@ -41,6 +41,28 @@ class DocumentsApiSpec extends SparkSpec {
     assert(sampled == keptOracle)
   }
 
+  test("new typed accessors match their untyped operators") {
+    val canon = docs.withoutCanonicalDups.collect().map(_.doc_id).sorted
+    val canonOracle = Dedup.canonical(docs.toDF()).select("keep_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(canon.sameElements(canonOracle))
+
+    val best = docs.bestOfEachFamily.collect().map(_.doc_id).sorted
+    val bestOracle = graft.operators.CurationPipeline.qualityExemplars(docs.toDF())
+      .select("keep_id").collect().map(_.getLong(0)).sorted
+    assert(best.sameElements(bestOracle))
+
+    val r = docs.report.head()
+    assert(r.n_docs == docs.count())
+    assert(r.n_distinct_texts <= r.n_docs && r.n_families <= r.n_distinct_texts)
+    assert(r.exact_dup_rate >= 0.0 && r.near_dup_rate >= r.exact_dup_rate - 1e-12)
+
+    // scrub preserves ids and recomputes n_chars on the redacted text
+    val s = docs.scrubbed.collect()
+    assert(s.map(_.doc_id).sorted.sameElements(docs.collect().map(_.doc_id).sorted))
+    s.foreach(d => assert(d.n_chars == d.text.length.toLong))
+  }
+
   test("end-to-end typed chain: dedup -> repetition -> mixture -> pack") {
     val packed: Array[PackedChunk] = docs
       .withoutExactDups
