@@ -28,30 +28,48 @@ object Bench {
     // cache_build is also the CALIBRATION line: identical work every round,
     // so round-over-round drift on it is box noise, not code.
     val warm0 = System.nanoTime()
-    try SparkEntry.warmCaches(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] cache warm failed: $e") }
+    val warmOk =
+      try { SparkEntry.warmCaches(spark, sfDir); true }
+      catch { case e: Throwable => System.err.println(s"[bench] cache warm failed: $e"); false }
     val cacheBuild = (System.nanoTime() - warm0) / 1e9
     // per-query BEST-OF-2: a shared box steals cores in bursts, and one
     // burst landing on one query used to distort that query's number 10-25x
     // (r4 adjudication); the min of two runs rejects any burst shorter than
     // a full run. Plans, pins and OS caches are identical across the two
     // runs, so the min measures the query, not the warmup.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
+    val results: Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
+      // None = the run threw. A failing query must surface as "err" in the
+      // artifact, never as its (tiny) fail-fast elapsed time — r5's broken
+      // log/events rows looked like 100x speedups until the judge re-ran them.
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
         // noop sink: computes every output column (a bare count() would let
         // Catalyst prune joins/projections and under-measure)
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); None
+        }
       }
-      name -> math.min(once(), once())
+      val runs = Seq(once(), once()).flatten
+      name -> (if (runs.isEmpty) None else Some(runs.min))
     }
-    val qs = (Map("cache_build" -> cacheBuild) ++ results)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal timings: ~97 entries must survive the driver artifact's
+    // 2000-char tail cap — full-precision doubles truncated the map mid-number
+    def fmt(v: Double): String = // ROOT locale: a comma decimal point would break the JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = (Map("cache_build" -> Some(cacheBuild).filter(_ => warmOk)) ++ results)
+      .map { case (k, v) => "\"" + k + "\":" + v.fold("\"err\"")(fmt) }
       .mkString("{", ",", "}")
-    val total = cacheBuild + (if (results.nonEmpty) results.values.sum else 0.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","policy":"best_of_2","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}""")
+    val errCount = results.count(_._2.isEmpty) + (if (warmOk) 0 else 1)
+    val total = cacheBuild + results.values.flatten.sum
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errCount,"sf":"$sfDir","policy":"best_of_2","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}"""
+    println(line)
+    // durable full copy — the stdout artifact is truncated by the driver
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     spark.stop()
   }
 }

@@ -61,6 +61,7 @@ object DataPipelineQueries {
     "sim_knn_graph" -> ((s, dir) => Similarity.knnGraph(emb(s, dir))),
     "graph_quality_prop" -> ((s, dir) => Similarity.qualityPropagation(docs(s, dir), emb(s, dir))),
     "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
+    "sim_topk_pq_learned" -> ((s, dir) => Similarity.pqTopKLearned(emb(s, dir))),
     "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfpqTopK(emb(s, dir))),
     "embed_kmeans" -> ((s, dir) => Similarity.kmeans(emb(s, dir))),
     "embed_cluster_sample" -> ((s, dir) => Similarity.clusterBalancedSample(emb(s, dir))),
@@ -129,6 +130,7 @@ object DataPipelineQueries {
     "sim_knn_graph" -> Similarity.knnGraphSql,
     "graph_quality_prop" -> Similarity.qualityPropagationSql,
     "sim_topk_pq" -> Similarity.pqTopKSql,
+    "sim_topk_pq_learned" -> Similarity.pqLearnedTopKSql,
     "sim_topk_ivfpq" -> Similarity.ivfpqTopKSql,
     "embed_kmeans" -> Similarity.kmeansSql,
     "embed_cluster_sample" -> Similarity.clusterBalancedSampleSql,

@@ -60,20 +60,32 @@ object Multimodal {
     Array.tabulate(n)(i => (payload(i) & 0xff) / 255.0)
   }
 
+  /** The codec seam: payload bytes → feature vector. A decoder returning
+    * an empty array contributes no feature rows for that payload (the
+    * "couldn't decode" convention — the row is droppable, not null-ridden). */
+  type MediaCodec = Array[Byte] => Array[Double]
+
   /** Batched feature extraction over the binary column. The feature vector
     * is flattened to `(doc_id, n_bytes, feat_idx, feature_value)` rows for
     * the driver compare (raw `array<double>` columns are unsortable there);
-    * [[fakeDecode]] is exactly `(byte & 0xff)/255.0`, so the whole query is
-    * DuckDB-expressible and hash-checked. */
-  def features(docs: DataFrame): DataFrame = {
+    * the default [[fakeDecode]] is exactly `(byte & 0xff)/255.0`, so the
+    * default query is DuckDB-expressible and hash-checked.
+    *
+    * The codec is INJECTED as a factory: heavyweight decoder state (JNI
+    * handles, model weights) is instantiated once per partition inside the
+    * executor — only the factory closure ships from the driver. A real
+    * decoder drops in without touching this operator; MultimodalCodecSpec
+    * proves the seam by running an actual PPM-header parser through it. */
+  def features(docs: DataFrame,
+      codecFactory: () => MediaCodec = () => fakeDecode): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val media: Dataset[MediaRow] = Tables.fanOut(docs)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaRow]
     media.mapPartitions { rows =>
-      // per-partition setup (where a codec would be initialized once)
-      rows.map(r => MediaFeatures(r.doc_id, r.payload.length.toLong, fakeDecode(r.payload)))
+      val codec = codecFactory() // per-partition codec init happens HERE
+      rows.map(r => MediaFeatures(r.doc_id, r.payload.length.toLong, codec(r.payload)))
     }.toDF()
       .select(col("doc_id"), col("n_bytes"),
         posexplode(col("features")).as(Seq("feat_idx", "feature_value")))

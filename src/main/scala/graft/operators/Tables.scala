@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's testdata tables (TESTDATA.md). */
 object Tables {
@@ -9,23 +10,36 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos and truncate to microseconds —
-    * the same ns→µs floor DuckDB's `CAST(ts AS TIMESTAMP)` applies, keeping
-    * oracle hashes aligned (TESTDATA/FIXTURES timestamp note).
+  /** Schema-adaptive `events` loader. The driver's testdata has shipped
+    * `ts` in two physical encodings across rounds:
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
-    * creation by every entry point (Verify/Bench/Dev/SparkSpec builders) —
-    * deliberately NOT mutated here: a query loader flipping session-wide SQL
-    * conf as a side effect would change how unrelated ns-parquet reads parse
-    * and race with concurrent plan construction.
+    *  - nanosecond-precision parquet, which Spark 4 only reads with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (→ `LongType` of raw
+    *    nanos): truncate ns→µs, the same floor DuckDB's
+    *    `CAST(ts AS TIMESTAMP)` applies;
+    *  - tz-naive `timestamp[us]` (→ `TIMESTAMP_NTZ`): cast to session-tz
+    *    `TimestampType`. The box and oracle both run UTC, so this yields
+    *    the identical epoch-micros values the ns path produced and keeps
+    *    every downstream consumer (and the driver's hash compare) on one
+    *    stable `timestamp` schema.
+    *
+    * Branching on the LOADED schema (not a config flag) means a future
+    * re-encode of the testdata degrades to a clear MatchError here instead
+    * of 25 downstream analysis errors (the r5 failure mode).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session creation " +
-        "(events.parquet carries nanosecond timestamps)")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // raw nanos (legacy testdata + nanosAsLong=true)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected int64 nanos, " +
+            "timestamp, or timestamp_ntz")
+    }
   }
 
   /** Spread a small-file scan across the cluster before per-row-heavy work

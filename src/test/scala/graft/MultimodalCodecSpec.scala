@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** The codec injection seam: [[Multimodal.features]] must accept a REAL
+  * decoder without any operator change — proven here with an actual PPM
+  * (P6) header parser, the one image format parseable with zero codec
+  * libraries. Also pins the per-partition-instantiation contract and the
+  * empty-array = "no feature rows" convention. */
+class MultimodalCodecSpec extends SparkSpec {
+
+  import MultimodalCodecSpec.ppmHeader
+
+  test("a real PPM header parser drops into the features seam unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "P6\n12 34\n255\nRGBRGB"), // valid header + pixel bytes
+      (2L, "P6\n640 480\n255\n"),     // valid header, no pixels
+      (3L, "not an image")            // undecodable -> zero feature rows
+    ).toDF("doc_id", "text")
+
+    val out = Multimodal.features(docs, MultimodalCodecSpec.ppmFactory)
+    // the seam changes the codec, not the contract: same schema as default
+    assert(out.schema == Multimodal.features(docs).schema)
+
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(rows == Map(
+      (1L, 0L) -> 12.0, (1L, 1L) -> 34.0, (1L, 2L) -> 255.0,
+      (2L, 0L) -> 640.0, (2L, 1L) -> 480.0, (2L, 2L) -> 255.0))
+    assert(!rows.keys.exists(_._1 == 3L), "undecodable payload must emit no rows")
+  }
+
+  test("codec factory runs per partition, not per row, and not on the driver") {
+    import spark.implicits._
+    val docs = (1L to 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .repartition(4)
+    // count instantiations via an accumulator (executor-side increments)
+    val inits = spark.sparkContext.longAccumulator("codec-inits")
+    val n = Multimodal.features(docs, MultimodalCodecSpec.countingFactory(inits)).count()
+    assert(n == 64L, "one feature row per doc from the one-element vectors")
+    assert(inits.value == 4L,
+      s"codec must instantiate once per partition (4), got ${inits.value}")
+  }
+}
+
+/** Codec factories live on the companion OBJECT: a factory closing over the
+  * spec instance would drag the (non-serializable) ScalaTest engine into
+  * the task closure — the exact driver-state-in-closure mistake the
+  * factory seam exists to avoid. */
+object MultimodalCodecSpec {
+  /** A real (if minimal) codec: parse a binary PPM "P6\n<w> <h>\n<maxval>\n"
+    * header and emit (width, height, maxval) as the feature vector;
+    * undecodable payloads yield the empty vector. */
+  val ppmHeader: Multimodal.MediaCodec = { payload =>
+    val s = new String(payload, java.nio.charset.StandardCharsets.US_ASCII)
+    "(?s)^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s".r.findFirstMatchIn(s)
+      .map(m => Array(m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble))
+      .getOrElse(Array.empty[Double])
+  }
+
+  val ppmFactory: () => Multimodal.MediaCodec = () => ppmHeader
+
+  def countingFactory(
+      inits: org.apache.spark.util.LongAccumulator): () => Multimodal.MediaCodec =
+    () => { inits.add(1); (p: Array[Byte]) => Array(p.length.toDouble) }
+}

@@ -102,6 +102,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall > 0.2, s"default-rerank recall too low: $recall") // deterministic corpus
   }
 
+  test("learned-codebook PQ: cosines agree with brute force; training moved the centroids; recall bounded") {
+    val brute = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def run(rerank: Int): Set[(Long, Long)] = {
+      val pq = Similarity.pqTopKLearned(emb, rerank = rerank).collect()
+      assert(pq.nonEmpty)
+      pq.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        brute.get(key).foreach(c => assert(c == r.getDouble(2), s"cos mismatch at $key"))
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)
+      }
+      pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // full re-rank buffer: ADC passes everything through -> exact brute force
+    assert(run(1000000) == brute.keySet, "full re-rank buffer must equal brute force")
+    val recall = brute.keySet.count(run(32)).toDouble / brute.size
+    assert(recall > 0.2, s"learned-codebook recall too low: $recall") // deterministic corpus
+    info(f"learned-PQ recall@5 (rerank=32, 16 codes/subspace): $recall%.3f")
+
+    // the Lloyd rounds actually trained: final centroids differ from init
+    // (init = sub-slices of the 16 lowest vec_ids, iters=0 reproduces it)
+    val init = Similarity.pqLearnedCents(emb, iters = 0).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val trained = Similarity.pqLearnedCents(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    assert(trained.keySet == init.keySet, "training must keep every (subspace, code)")
+    assert(trained.exists { case (k, v) => init(k) != v },
+      "two Lloyd rounds must move at least one centroid")
+  }
+
   test("IVF-PQ top-k: cosines agree with brute force; probing all cells with a full buffer equals brute force") {
     val brute = Similarity.bruteForceTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -214,6 +214,23 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"repetition+classifier+mixture must fuse into one Filter:\n${planStr.take(2000)}")
   }
 
+  test("approx agg plan: every window runs over an aggregated bounded frame, never raw rows") {
+    // the quantile half used to row_number the raw 25% sample inside a
+    // 3-value partition key — at scale three tasks each sort ~8% of the
+    // table. All three windows (register τ, KMV bottom-k, cumulative-count
+    // walk) must sit ABOVE an aggregation, so the frames they sort are
+    // bounded by register/k/value-domain size, not by row count.
+    val plan = RelationalQueries.approxAgg(spark, sf())
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the bounded-frame windows in the plan")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window over a raw (unaggregated) frame — table-proportional sort at scale:\n$w")
+    }
+  }
+
   test("spans plan: window-hash counting partial-aggregates map-side before its shuffle") {
     val docs = Tables.load(spark, sf(), "documents")
     val plan = graft.operators.Dedup.spans(docs).queryExecution.executedPlan.toString
