@@ -1001,7 +1001,11 @@ object Similarity {
         .select(col("m"), col("cent_id"), coalesce(col("ucq"), col("qc")).as("qc"))
     }
 
-    withN((1 to iters).foldLeft(init) { (c, _) => update(assign(c), c) })
+    // the codebook FRAME is 128 rows, but its build is 2·iters corpus
+    // scans — pin the result so the query-side ADC tables (and repeated
+    // calls) read the trained centroids instead of re-running Lloyd
+    PinnedCaches.pin(
+      withN((1 to iters).foldLeft(init) { (c, _) => update(assign(c), c) }))
   }
 
   /** Corpus code table under the learned codebook — PINNED like
