@@ -80,6 +80,7 @@ object DataPipelineQueries {
     "text_tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir))),
     "source_report" -> ((s, dir) => TextAnalysis.sourceReport(docs(s, dir))),
     "sample_shuffle" -> ((s, dir) => Sampling.shuffleShards(docs(s, dir))),
+    "sample_temperature" -> ((s, dir) => Sampling.temperatureMix(docs(s, dir))),
     "sample_mix" -> ((s, dir) =>
       Sampling.hashSampleStats(docs(s, dir), Sampling.DefaultRates, Sampling.DefaultRate)),
     "sample_kept" -> ((s, dir) =>
@@ -149,6 +150,7 @@ object DataPipelineQueries {
     "source_report" -> TextAnalysis.sourceReportSql,
     "sample_shuffle" -> Sampling.shuffleShardsSql,
     "sample_mix" -> Sampling.hashSampleStatsSql,
+    "sample_temperature" -> Sampling.temperatureMixSql,
     "sample_kept" -> Sampling.hashSampleKeptSql,
     "sample_split" -> Sampling.trainValTestSplitSql,
     "sample_split_neardup" -> Sampling.trainValTestSplitNearDupSql,

@@ -64,8 +64,16 @@ object SparkEntry {
     * render+parse+merge cache build to whichever log query happens to run
     * first ([[Bench]] reports this as its own `cache_build` line item). */
   def warmCaches(s: SparkSession, dir: String): Unit = {
-    renderedLines(s, dir).count()
-    for (noisy <- Seq(false, true)) {
+    // per-stage stderr breakdown: cache_build is the bench's calibration
+    // line, and when it drifts round-over-round this log says WHICH index
+    // build moved (box noise shifts every stage; a code change shifts one)
+    def stage(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      System.err.println(
+        f"[warm] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    stage("render")(renderedLines(s, dir).count())
+    for (noisy <- Seq(false, true)) stage(s"parse_merge(noisy=$noisy)") {
       val p = parsed(s, dir, noisy)
       p.count()
       QueryMerge.stateInserts(p).count()
@@ -74,9 +82,9 @@ object SparkEntry {
     // the pipeline families' pinned working sets (dup groups, shingle sets,
     // winnowing fingerprints, quantized vectors, the k-means assignment)
     val docs = Tables.load(s, dir, "documents")
-    Dedup.warmPins(docs)
-    TextAnalysis.warmPins(docs)
-    Similarity.warmPins(Tables.load(s, dir, "embeddings"))
+    stage("dedup_pins")(Dedup.warmPins(docs))
+    stage("text_pins")(TextAnalysis.warmPins(docs))
+    stage("sim_pins")(Similarity.warmPins(Tables.load(s, dir, "embeddings")))
   }
 
   /** Drop every cached frame this object pinned for `s` (long-lived-session

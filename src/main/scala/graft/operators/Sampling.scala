@@ -79,6 +79,69 @@ object Sampling {
        |  FROM documents)
        |SELECT doc_id, source FROM d WHERE u < rate ORDER BY doc_id""".stripMargin
 
+  /** TEMPERATURE-scaled source mixture (α-sampling with α = 1/2, the
+    * common default of multilingual-pretraining practice — Devlin et al.'s
+    * exponentiated-smoothing for mBERT, Conneau & Lample's XLM mixing):
+    * source `s` is sampled with weight ∝ n_s^α instead of its raw share,
+    * flattening the head and boosting the tail; the per-source keep rate
+    * that realizes a `frac`·N document budget is
+    * `min(1, frac · N · √n_s / Z / n_s)` with `Z = Σ √n_t` (the cap keeps
+    * tiny sources at 100 % rather than over-sampling; the realized total
+    * then undershoots the budget by the capped surplus — the standard
+    * accept/cap rule, accounted per source in the output).
+    *
+    * α = 1/2 is computed as an explicit `sqrt`, which is IEEE
+    * exactly-rounded in every engine — a general `pow(n, α)` is not, and a
+    * last-ulp rate difference could flip a boundary draw; other α values
+    * belong behind integer-safe rationals, not this query.
+    *
+    * 100 TB shape: two map-side-combined aggregations over (source) — a
+    * 20-row frame — a broadcast of the rate table, and the same content-
+    * hash unit draw as every sampler here, so the keep decision never
+    * shuffles the corpus. */
+  def temperatureMix(docs: DataFrame, frac: Double = 0.5,
+      salt: String = "temp0"): DataFrame = {
+    val d = Tables.fanOut(docs)
+    val sizes = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val z = sizes.agg(sum(sqrt(col("n_docs").cast("double"))).as("z"),
+      sum(col("n_docs")).as("n_total"))
+    val rates = sizes.crossJoin(broadcast(z))
+      .withColumn("rate", least(lit(1.0),
+        lit(frac) * col("n_total") * sqrt(col("n_docs").cast("double"))
+          / col("z") / col("n_docs")))
+      .select("source", "n_docs", "rate")
+    val draw = conv(substring(md5(
+      concat_ws(":", lit(salt), col("text")).cast("binary")), 1, 4), 16, 10)
+      .cast("long").cast("double") / 65536.0
+    d.join(broadcast(rates), Seq("source"))
+      .groupBy("source")
+      .agg(first("n_docs").as("n_docs"),
+        sum(when(draw < col("rate"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("realized_rate", col("n_kept").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[temperatureMix]] at the defaults — same counts,
+    * same √-weighted capped rate in the same operation order, same salted
+    * draw. */
+  val temperatureMixSql: String =
+    """WITH sizes AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+      |z AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z, sum(n_docs) AS n_total
+      |  FROM sizes),
+      |rates AS (SELECT source, n_docs,
+      |    least(1.0, 0.5 * n_total * sqrt(CAST(n_docs AS DOUBLE)) / z / n_docs) AS rate
+      |  FROM sizes CROSS JOIN z),
+      |d AS (SELECT source,
+      |    CAST(CAST(('0x' || substr(md5('temp0:' || text), 1, 4)) AS INTEGER) AS DOUBLE)
+      |      / 65536.0 AS u
+      |  FROM documents)
+      |SELECT r.source, r.n_docs,
+      |  CAST(sum(CASE WHEN d.u < r.rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN d.u < r.rate THEN 1 ELSE 0 END) AS DOUBLE) / r.n_docs AS realized_rate
+      |FROM d JOIN rates r USING (source)
+      |GROUP BY 1, 2 ORDER BY r.source""".stripMargin
+
   /** Deterministic train/val/test split by CONTENT hash — the assignment
     * depends only on `md5(text)`, which buys two properties a 100 TB
     * pipeline needs: (1) reproducible across runs, partitionings, and

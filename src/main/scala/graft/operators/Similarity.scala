@@ -312,17 +312,22 @@ object Similarity {
     * measure the queries instead of charging the shared materializations to
     * whichever family member happens to run first. */
   def warmPins(emb: DataFrame): Unit = {
-    PinnedCaches.pin(quantized(emb).select("vec_id", "q", "nq")).count()
-    kmeansAssign(emb, 8, 2).count()
+    def stage(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      System.err.println(
+        f"[warm]   sim.$name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    stage("quantized")(PinnedCaches.pin(quantized(emb).select("vec_id", "q", "nq")).count())
+    stage("kmeans")(kmeansAssign(emb, 8, 2).count())
     // memoized semantic-cluster labeling (eager star-contraction CC loop) — warmed so
     // bench best-of-2 measures label consumption, not first-run asymmetry
-    embedClusters(emb).count()
+    stage("clusters")(embedClusters(emb).count())
     // PQ / IVF-PQ index builds (codebooks + whole-corpus encodes) — pinned
     // per-corpus artifacts, charged to cache_build so the sim_topk_pq /
     // sim_topk_ivfpq rows measure query cost (ADC + re-rank) only
-    pqCodes(emb).count()
-    pqLearnedCodes(emb).count()
-    ivfpqCodes(emb).count()
+    stage("pq_codes")(pqCodes(emb).count())
+    stage("pq_learned")(pqLearnedCodes(emb).count())
+    stage("ivfpq_codes")(ivfpqCodes(emb).count())
   }
 
   /** Deterministic quantized k-means over the embedding corpus — the

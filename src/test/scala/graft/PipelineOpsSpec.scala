@@ -154,6 +154,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall > 0.2, s"default-parameter recall too low: $recall") // deterministic corpus
   }
 
+  test("temperature mixture: tail source capped at 100%, head suppressed below its raw rate, accounting exact") {
+    import spark.implicits._
+    // skewed crafted corpus (the testdata's sources are equal-sized, which
+    // degenerates every α-rate to the same value): 400 head vs 20 tail docs
+    val docs = ((1 to 400).map(i => (i.toLong, s"head doc $i", "big")) ++
+      (1 to 20).map(i => (i + 1000L, s"tail doc $i", "small")))
+      .toDF("doc_id", "text", "source")
+    val rows = Sampling.temperatureMix(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set("big", "small"))
+    rows.values.foreach { case (n, k, rr) =>
+      assert(k >= 0 && k <= n && rr == k.toDouble / n)
+    }
+    // α = 1/2 rates: small gets min(1, 0.5·420·√20/Z/20) = 1 (capped),
+    // big gets 0.5·420·√400/Z/400 ≈ 0.43 < its raw 0.5 share
+    assert(rows("small")._2 == 20L, "capped tail source must keep everything")
+    val bigRate = rows("big")._3
+    assert(bigRate > 0.3 && bigRate < 0.5,
+      s"head source must sample below its raw rate, got $bigRate")
+  }
+
   test("train/val/test split: exhaustive, content-keyed (exact dups share a split), fractions in range") {
     val docs = Tables.load(spark, sf(), "documents")
     val rows = Sampling.trainValTestSplit(docs).collect()

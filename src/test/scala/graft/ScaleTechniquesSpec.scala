@@ -131,6 +131,18 @@ class ScaleTechniquesSpec extends SparkSpec {
       "code selection must partial-aggregate map-side")
   }
 
+  test("learned-PQ plan: trained codebook broadcast, corpus codes read the pin, no cartesian") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val plan = graft.operators.Similarity.pqTopKLearned(emb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      "corpus codes and the trained centroids must read their pinned caches")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ADC tables / codebook joins must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      "no unbroadcast cartesian anywhere in the learned-PQ chain")
+  }
+
   test("IVF-PQ plan: codebooks broadcast, no cartesian, corpus-sized work is map-side-combinable aggregates") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val plan = graft.operators.Similarity.ivfpqTopK(emb)
