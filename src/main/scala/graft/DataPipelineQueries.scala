@@ -63,6 +63,7 @@ object DataPipelineQueries {
     "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "sim_topk_pq_learned" -> ((s, dir) => Similarity.pqTopKLearned(emb(s, dir))),
     "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfpqTopK(emb(s, dir))),
+    "sim_topk_ivfpq_learned" -> ((s, dir) => Similarity.ivfpqTopKLearned(emb(s, dir))),
     "embed_kmeans" -> ((s, dir) => Similarity.kmeans(emb(s, dir))),
     "embed_cluster_sample" -> ((s, dir) => Similarity.clusterBalancedSample(emb(s, dir))),
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -133,6 +134,7 @@ object DataPipelineQueries {
     "sim_topk_pq" -> Similarity.pqTopKSql,
     "sim_topk_pq_learned" -> Similarity.pqLearnedTopKSql,
     "sim_topk_ivfpq" -> Similarity.ivfpqTopKSql,
+    "sim_topk_ivfpq_learned" -> Similarity.ivfpqLearnedTopKSql,
     "embed_kmeans" -> Similarity.kmeansSql,
     "embed_cluster_sample" -> Similarity.clusterBalancedSampleSql,
     "text_token_stats" -> TextAnalysis.tokenStatsSql,

@@ -328,6 +328,7 @@ object Similarity {
     stage("pq_codes")(pqCodes(emb).count())
     stage("pq_learned")(pqLearnedCodes(emb).count())
     stage("ivfpq_codes")(ivfpqCodes(emb).count())
+    stage("ivfpq_learned")(ivfpqLearnedCodes(emb).count())
   }
 
   /** Deterministic quantized k-means over the embedding corpus — the
@@ -977,27 +978,32 @@ object Similarity {
     * corpus trains on all vectors so the oracle replay stays one WHERE-free
     * chain. Integer end to end → hash-exact DuckDB oracle
     * ([[pqLearnedTopKSql]]). */
-  private[graft] def pqLearnedCents(emb: DataFrame, subspaces: Int = 8,
-      codes: Int = 16, iters: Int = 2): DataFrame = {
-    val subs = sliceSubs(quantized(emb).select(col("vec_id"), col("q")),
-      Seq("vec_id"), "q", "qs", subspaces)
-    val initIds = quantized(emb).select("vec_id").orderBy("vec_id").limit(codes)
+  /** The shared per-subspace Lloyd core: train `codes` centroids per
+    * subspace over a `(vec_id, m, sub)` slice frame — init from `initIds`'
+    * slices, integer-argmin assignment (ties to the lowest code),
+    * floor-averaged integer updates, empty-code carry-forward. Returns the
+    * PINNED codebook `(m, cent_id, qc, nqc)` — the frame is k·subspaces
+    * rows, but its build is 2·iters corpus scans, so repeated callers (and
+    * the query-side ADC tables) must read the trained centroids instead of
+    * re-running Lloyd. */
+  private def lloydSubspaces(subs: DataFrame, subCol: String,
+      initIds: DataFrame, iters: Int): DataFrame = {
     val init = subs.join(broadcast(initIds), Seq("vec_id"))
-      .select(col("m"), col("vec_id").as("cent_id"), col("qs").as("qc"))
+      .select(col("m"), col("vec_id").as("cent_id"), col(subCol).as("qc"))
 
     def withN(cent: DataFrame): DataFrame =
       cent.withColumn("nqc", long_dot(col("qc"), col("qc")))
 
     def assign(cent: DataFrame): DataFrame =
       subs.join(broadcast(withN(cent)), Seq("m"))
-        .withColumn("d", col("nqc") - lit(2L) * long_dot(col("qs"), col("qc")))
+        .withColumn("d", col("nqc") - lit(2L) * long_dot(col(subCol), col("qc")))
         .groupBy("vec_id", "m")
         .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cent_id"),
-          first(col("qs")).as("qs"))
+          first(col(subCol)).as("s"))
 
     def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
       val sums = assigned
-        .select(col("m"), col("cent_id"), posexplode(col("qs")).as(Seq("i", "x")))
+        .select(col("m"), col("cent_id"), posexplode(col("s")).as(Seq("i", "x")))
         .groupBy("m", "cent_id", "i")
         .agg(floor(sum("x").cast("double") / count(lit(1))).cast("long").as("c"))
         .groupBy("m", "cent_id")
@@ -1006,12 +1012,18 @@ object Similarity {
         .select(col("m"), col("cent_id"), coalesce(col("ucq"), col("qc")).as("qc"))
     }
 
-    // the codebook FRAME is 128 rows, but its build is 2·iters corpus
-    // scans — pin the result so the query-side ADC tables (and repeated
-    // calls) read the trained centroids instead of re-running Lloyd
     PinnedCaches.pin(
       withN((1 to iters).foldLeft(init) { (c, _) => update(assign(c), c) }))
   }
+
+  private[graft] def pqLearnedCents(emb: DataFrame, subspaces: Int = 8,
+      codes: Int = 16, iters: Int = 2): DataFrame =
+    lloydSubspaces(
+      sliceSubs(quantized(emb).select(col("vec_id"), col("q")),
+        Seq("vec_id"), "q", "qs", subspaces),
+      "qs",
+      quantized(emb).select("vec_id").orderBy("vec_id").limit(codes),
+      iters)
 
   /** Corpus code table under the learned codebook — PINNED like
     * [[pqCodes]] (warmed by [[warmPins]]). */
@@ -1132,11 +1144,21 @@ object Similarity {
     * ([[ivfpqTopKSql]]). */
   def ivfpqTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
       nProbe: Int = 2, rerank: Int = 32, centroidMod: Int = 127,
-      pqMod: Int = 61, subspaces: Int = 8): DataFrame = {
+      pqMod: Int = 61, subspaces: Int = 8): DataFrame =
+    ivfpqAdcTail(emb,
+      ivfpqCodes(emb, centroidMod, pqMod, subspaces),
+      ivfpqCodebook(emb, centroidMod, pqMod, subspaces),
+      k, nQueries, nProbe, rerank, centroidMod, subspaces)
+
+  /** The shared IVF-PQ query tail against an arbitrary residual codebook
+    * `(m, code_id, rc, nrc)` and its corpus code table: probe selection,
+    * per-(query, cell) residual ADC tables with the `‖qr‖²` cross-cell
+    * correction, re-rank buffer, exact-cosine rank. */
+  private def ivfpqAdcTail(emb: DataFrame, codes: DataFrame, pqCents: DataFrame,
+      k: Int, nQueries: Int, nProbe: Int, rerank: Int,
+      centroidMod: Int, subspaces: Int): DataFrame = {
     val q = quantized(emb)
     val scored = ivfpqScored(emb, centroidMod)
-    val codes = ivfpqCodes(emb, centroidMod, pqMod, subspaces)
-    val pqCents = ivfpqCodebook(emb, centroidMod, pqMod, subspaces)
 
     // query side — tiny by construction: nQueries × nProbe (cells) ×
     // subspaces × |codes| table entries, plus the per-(query, cell)
@@ -1170,6 +1192,53 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
 
     rankCandidates(cand, q, k)
+  }
+
+  /** [[ivfpqTopK]] with a LEARNED residual codebook: the coarse quantizer
+    * stays the sampled projection pass (its job is routing, and a learned
+    * coarse pass would put a second Lloyd chain inside every oracle CTE for
+    * marginal routing gain), but the RESIDUAL code words — where the
+    * reconstruction error actually lives (Jégou et al.'s finding: residual
+    * quantization dominates IVFADC accuracy) — are trained with the shared
+    * per-subspace Lloyd core over the residual slices. Same ADC tail;
+    * hash-exact oracle ([[ivfpqLearnedTopKSql]]); recall spec'd vs brute
+    * force in PipelineOpsSpec. */
+  def ivfpqTopKLearned(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nProbe: Int = 2, rerank: Int = 32, centroidMod: Int = 127,
+      codes: Int = 16, subspaces: Int = 8, iters: Int = 2): DataFrame =
+    ivfpqAdcTail(emb,
+      ivfpqLearnedCodes(emb, centroidMod, codes, subspaces, iters),
+      ivfpqLearnedCents(emb, centroidMod, codes, subspaces, iters),
+      k, nQueries, nProbe, rerank, centroidMod, subspaces)
+
+  /** Learned residual codebook `(m, code_id, rc, nrc)` — the per-subspace
+    * Lloyd core over the pinned residual frame, init from the residuals of
+    * the `codes` lowest vec_ids. Pinned (via the core). */
+  private[graft] def ivfpqLearnedCents(emb: DataFrame, centroidMod: Int = 127,
+      codes: Int = 16, subspaces: Int = 8, iters: Int = 2): DataFrame =
+    lloydSubspaces(
+      sliceSubs(ivfResiduals(emb, centroidMod),
+        Seq("vec_id", "cell"), "r", "rs", subspaces)
+        .select("vec_id", "m", "rs"),
+      "rs",
+      quantized(emb).select("vec_id").orderBy("vec_id").limit(codes),
+      iters)
+      .select(col("m"), col("cent_id").as("code_id"),
+        col("qc").as("rc"), col("nqc").as("nrc"))
+
+  /** Corpus residual-code table under the learned codebook — PINNED like
+    * [[ivfpqCodes]], warmed by [[warmPins]]. */
+  private[graft] def ivfpqLearnedCodes(emb: DataFrame, centroidMod: Int = 127,
+      codes: Int = 16, subspaces: Int = 8, iters: Int = 2): DataFrame = {
+    val rsubs = sliceSubs(ivfResiduals(emb, centroidMod),
+      Seq("vec_id", "cell"), "r", "rs", subspaces)
+    PinnedCaches.pin(
+      rsubs.join(broadcast(ivfpqLearnedCents(emb, centroidMod, codes, subspaces, iters)),
+          Seq("m"))
+        .withColumn("d", col("nrc") - lit(2L) * long_dot(col("rs"), col("rc")))
+        .groupBy("vec_id", "m").agg(
+          min_by(col("code_id"), struct(col("d"), col("code_id"))).as("code"),
+          first(col("cell")).as("cell")))
   }
 
   /** Coarse codebook: every `centroidMod`-th vector, with its norm. */
@@ -1299,4 +1368,100 @@ object Similarity {
        |      PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
        |    FROM adc) WHERE rn <= 32),
        |$rankSql""".stripMargin
+
+  /** DuckDB oracle for [[ivfpqTopKLearned]] at the defaults — the same
+    * coarse/residual prelude as [[ivfpqTopKSql]], then the per-subspace
+    * Lloyd chain over residual slices (init from the 16 lowest ids' residuals,
+    * two assign/update rounds, floor-averaged integer centroids, empty-code
+    * carry-forward), then the standard encode / per-(query, cell) ADC with
+    * the `‖qr‖²` correction / re-rank tail, all in BIGINT. */
+  val ivfpqLearnedTopKSql: String = {
+    def assign(a: String, cent: String): String =
+      s"""d$a AS (
+         |  SELECT e.vec_id, e.m, c.cent_id,
+         |    CAST(SUM((e.r - c.c) * (e.r - c.c)) AS BIGINT) AS dist2
+         |  FROM resm e JOIN $cent c ON c.i = e.i GROUP BY 1, 2, 3),
+         |$a AS (SELECT vec_id, m, cent_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist2, cent_id) AS rn
+         |  FROM d$a) WHERE rn = 1)""".stripMargin
+    def update(u: String, a: String, prev: String, next: String): String =
+      s"""$u AS (
+         |  SELECT a.m, a.cent_id, e.i,
+         |    CAST(floor(CAST(SUM(e.r) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM $a a JOIN resm e ON e.vec_id = a.vec_id AND e.m = a.m GROUP BY 1, 2, 3),
+         |$next AS (
+         |  SELECT m, cent_id, i, c FROM $u
+         |  UNION ALL
+         |  SELECT p.m, p.cent_id, p.i, p.c FROM $prev p
+         |  WHERE NOT EXISTS (SELECT 1 FROM $u u
+         |    WHERE u.m = p.m AND u.cent_id = p.cent_id))""".stripMargin
+    s"""WITH $evNormsSql,
+       |cents AS (SELECT vec_id AS cent_id FROM norms WHERE vec_id % 127 = 1),
+       |cdots AS (
+       |  SELECT a.vec_id, c.cent_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM ev a JOIN cents c ON true JOIN ev b ON b.vec_id = c.cent_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |cscored AS (
+       |  SELECT d.vec_id, d.cent_id,
+       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nc.nq AS DOUBLE)) AS score
+       |  FROM cdots d JOIN norms nc ON nc.vec_id = d.cent_id),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cent_id DESC) AS rn
+       |    FROM cscored) WHERE rn = 1),
+       |res AS (
+       |  SELECT a.vec_id, ax.cell, a.i, a.q - b.q AS r
+       |  FROM ev a JOIN assigned ax ON ax.vec_id = a.vec_id
+       |    JOIN ev b ON b.vec_id = ax.cell AND b.i = a.i),
+       |resm AS (SELECT vec_id, cell, i, r, CAST((i - 1) // 8 AS BIGINT) AS m FROM res),
+       |r0 AS (SELECT m, vec_id AS cent_id, i, r AS c FROM resm WHERE vec_id IN (
+       |  SELECT DISTINCT vec_id FROM ev ORDER BY vec_id LIMIT 16)),
+       |${assign("a1", "r0")},
+       |${update("u1", "a1", "r0", "r1")},
+       |${assign("a2", "r1")},
+       |${update("u2", "a2", "r1", "r2")},
+       |cdist AS (
+       |  SELECT a.vec_id, c.m, c.cent_id AS code_id,
+       |    CAST(SUM(c.c * c.c) - 2 * SUM(a.r * c.c) AS BIGINT) AS d
+       |  FROM resm a JOIN r2 c ON c.i = a.i GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, m, code_id AS code FROM (
+       |    SELECT vec_id, m, code_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, code_id) AS rn
+       |    FROM cdist) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cent_id DESC) AS pr
+       |    FROM cscored WHERE vec_id < 10) WHERE pr <= 2),
+       |qres AS (
+       |  SELECT p.query_id, p.cell, a.i, a.q - b.q AS r
+       |  FROM probes p JOIN ev a ON a.vec_id = p.query_id
+       |    JOIN ev b ON b.vec_id = p.cell AND b.i = a.i),
+       |qrnorm AS (
+       |  SELECT query_id, cell, CAST(sum(r * r) AS BIGINT) AS nqr
+       |  FROM qres GROUP BY 1, 2),
+       |qtab AS (
+       |  SELECT qr.query_id, qr.cell, c.m, c.cent_id AS code_id,
+       |    CAST(SUM(c.c * c.c) - 2 * SUM(qr.r * c.c) AS BIGINT) AS e
+       |  FROM qres qr JOIN r2 c ON c.i = qr.i
+       |  GROUP BY 1, 2, 3, 4),
+       |adcs AS (
+       |  SELECT t.query_id, c.vec_id AS neighbor_id, na.cell,
+       |    CAST(sum(t.e) AS BIGINT) AS s
+       |  FROM codes c JOIN assigned na ON na.vec_id = c.vec_id
+       |    JOIN qtab t ON t.cell = na.cell AND t.m = c.m AND t.code_id = c.code
+       |  WHERE c.vec_id <> t.query_id
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT a.query_id, a.neighbor_id, a.s + qn.nqr AS adc
+       |  FROM adcs a JOIN qrnorm qn ON qn.query_id = a.query_id AND qn.cell = a.cell),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= 32),
+       |$rankSql""".stripMargin
+  }
 }

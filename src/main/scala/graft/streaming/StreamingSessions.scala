@@ -40,4 +40,22 @@ object StreamingSessions {
   def perUser(sessions: DataFrame): DataFrame =
     sessions.groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("evts").as("n_events"))
+
+  /** Tumbling-window streaming twin of
+    * [[graft.RelationalQueries.eventsHourly]]: 1-hour event-time buckets
+    * per event type, watermarked append mode — each window emits exactly
+    * once, when the watermark passes its end, so the union of emissions
+    * across restarts IS the batch answer (value sums in integer cents, the
+    * engine-portable discipline every money aggregate here uses). State is
+    * one row per (open hour, event_type) — bounded by the lateness
+    * horizon, independent of corpus size. */
+  def hourly(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("sum_c"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("cnt"),
+        (col("sum_c").cast("double") / 100.0).as("sum_value"))
 }

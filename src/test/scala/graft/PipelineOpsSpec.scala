@@ -175,6 +175,27 @@ class PipelineOpsSpec extends SparkSpec {
       s"head source must sample below its raw rate, got $bigRate")
   }
 
+  test("learned-residual IVF-PQ: cosines agree with brute force; full probe + buffer equals brute force") {
+    val brute = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def run(nProbe: Int, rerank: Int): Set[(Long, Long)] = {
+      val rows = Similarity.ivfpqTopKLearned(emb, nProbe = nProbe, rerank = rerank).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        brute.get(key).foreach(c => assert(c == r.getDouble(2), s"cos mismatch at $key"))
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)
+      }
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // probe every cell + full re-rank buffer -> candidate set is the corpus
+    assert(run(1000, 1000000) == brute.keySet,
+      "full probe + full re-rank must equal brute force")
+    val recall = brute.keySet.count(run(2, 32)).toDouble / brute.size
+    assert(recall > 0.2, s"learned-residual recall too low: $recall") // deterministic corpus
+    info(f"learned-residual IVF-PQ recall@5 (nProbe=2, rerank=32): $recall%.3f")
+  }
+
   test("train/val/test split: exhaustive, content-keyed (exact dups share a split), fractions in range") {
     val docs = Tables.load(spark, sf(), "documents")
     val rows = Sampling.trainValTestSplit(docs).collect()

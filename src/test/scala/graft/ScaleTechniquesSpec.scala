@@ -226,6 +226,40 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"repetition+classifier+mixture must fuse into one Filter:\n${planStr.take(2000)}")
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true in the final plan)") {
+    // the join-side half of the skew story (salting covers the aggregation
+    // side, RelationalQueries.saltedUserStats): one hot key lands ~all of
+    // one side in a single reduce partition; AQE's skew-join rule must
+    // split it into parallel sub-partitions instead of serializing the key
+    // through one task
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key 0: ~100k of 120k rows, ~100-byte payloads
+      val left = spark.range(0, 120000)
+        .select(when(col("id") < 100000, 0L).otherwise(col("id") % 50 + 1).as("k"),
+          lpad(col("id").cast("string"), 100, "x").as("pay"))
+      val right = spark.range(0, 51).select(col("id").as("k"),
+        lpad(col("id").cast("string"), 100, "y").as("rpay"))
+      val joined = left.join(right, "k")
+      // run THIS frame's own QueryExecution (count()/foreach() build a NEW
+      // QueryExecution, leaving joined's adaptive plan isFinalPlan=false)
+      joined.queryExecution.toRdd.foreach(_ => ())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"expected a runtime skew-split join in the final plan:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approx agg plan: every window runs over an aggregated bounded frame, never raw rows") {
     // the quantile half used to row_number the raw 25% sample inside a
     // 3-value partition key — at scale three tasks each sort ~8% of the

@@ -76,6 +76,55 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(afterRun1 < buf.size, "the restart must add the remaining sessions")
   }
 
+  test("streaming hourly windows equal batch events_hourly across a kill/restart (boundary window spans it)") {
+    val srcDir = Files.createTempDirectory("graft_hr_src").toString
+    val ckpt = Files.createTempDirectory("graft_hr_ckpt").toString
+    val buf = StreamingSessionsSpec.hourlyEmitted
+    buf.clear()
+
+    val ev = Tables.events(spark, sf()).select(col("ts"), col("event_type"), col("value"))
+    // MID-hour cut: the [00:00, 01:00) window of Jan 16 has events on both
+    // sides of the restart, so its count/sum are only right if the open
+    // window's state survives recovery
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:30:00")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      StructField("ts", TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+      val q = graft.streaming.StreamingSessions.hourly(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => buf.add(
+            (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(240000L)
+    }
+
+    ev.filter(col("ts") < cut).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    ev.filter(col("ts") >= cut).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    // sentinel pushes the watermark past every real window; its own open
+    // window never emits
+    Seq((java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), "sentinel", 0.0))
+      .toDF("ts", "event_type", "value").coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val streaming = buf.asScala.toSet.filterNot(_._2 == "sentinel")
+    val batch = RelationalQueries.eventsHourly(spark, sf()).collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streaming == batch,
+      s"streaming-only: ${(streaming -- batch).take(3)}; batch-only: ${(batch -- streaming).take(3)}")
+  }
+
   test("streaming sessionization equals batch events_sessions across a kill/restart") {
     scenario(StreamingSessionsSpec.emitted)
   }
@@ -98,4 +147,6 @@ object StreamingSessionsSpec {
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
   val rocksEmitted: java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)] =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+  val hourlyEmitted: java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long, Double)] =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long, Double)]()
 }
