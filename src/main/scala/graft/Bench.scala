@@ -63,7 +63,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v.fold("\"err\"")(fmt) }
       .mkString("{", ",", "}")
     val errCount = results.count(_._2.isEmpty) + (if (warmOk) 0 else 1)
-    val total = cacheBuild + results.values.flatten.sum
+    // a FAILED warm's fail-fast elapsed must not leak into the headline
+    // total any more than a failed query's may
+    val total = (if (warmOk) cacheBuild else 0.0) + results.values.flatten.sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errCount,"sf":"$sfDir","policy":"best_of_2","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}"""
     println(line)
     // durable full copy — the stdout artifact is truncated by the driver

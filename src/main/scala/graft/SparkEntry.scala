@@ -67,11 +67,7 @@ object SparkEntry {
     // per-stage stderr breakdown: cache_build is the bench's calibration
     // line, and when it drifts round-over-round this log says WHICH index
     // build moved (box noise shifts every stage; a code change shifts one)
-    def stage(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      System.err.println(
-        f"[warm] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
+    def stage(name: String)(f: => Unit): Unit = PinnedCaches.warmStage(name)(f)
     stage("render")(renderedLines(s, dir).count())
     for (noisy <- Seq(false, true)) stage(s"parse_merge(noisy=$noisy)") {
       val p = parsed(s, dir, noisy)

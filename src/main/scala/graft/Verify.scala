@@ -18,6 +18,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // optional trailing args: dump only the named queries (dev fast path
     // for iterating on one oracle; the driver always passes exactly 2 args)
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      // fail loudly: a typo'd name silently dumping nothing would leave a
+      // STALE parquet in outDir to be compared instead of the fresh one
+      System.err.println(s"[verify] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.contains(n) }

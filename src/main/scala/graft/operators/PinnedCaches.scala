@@ -56,4 +56,14 @@ object PinnedCaches {
 
   /** Pin count for `s` — spec hook. */
   def size(s: SparkSession): Int = pinned.keys.count(_._1 == s)
+
+  /** Stage timer for the cache warms — ONE format (`[warm] <label> <s> s`
+    * on stderr) so the round-over-round cache_build drift adjudication
+    * greps a single shape; shared by SparkEntry.warmCaches and the
+    * families' warmPins. */
+  private[graft] def warmStage(label: String)(f: => Unit): Unit = {
+    val t0 = System.nanoTime(); f
+    System.err.println(
+      f"[warm] $label ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
 }

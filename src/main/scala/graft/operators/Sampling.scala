@@ -14,8 +14,13 @@ object Sampling {
 
   /** The unit-interval draw: md5's first 4 hex digits as an integer over
     * 65536 — exactly representable in a double, identical in any engine. */
-  private def unitDraw: org.apache.spark.sql.Column =
-    conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long").cast("double") / 65536.0
+  /** 16-bit md5 draw over an arbitrary hash input — the one definition of
+    * the unit-draw discipline (every sampler derives from this; widening
+    * the draw means changing exactly this function). */
+  private def draw16(hashInput: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(hashInput), 1, 4), 16, 10).cast("long").cast("double") / 65536.0
+
+  private def unitDraw: org.apache.spark.sql.Column = draw16(col("text"))
 
   /** The per-row keep decision (`text` hash draw under the row's `source`
     * rate) as a reusable Column — pure map-side, also the filter behind the
@@ -93,7 +98,11 @@ object Sampling {
     * α = 1/2 is computed as an explicit `sqrt`, which is IEEE
     * exactly-rounded in every engine — a general `pow(n, α)` is not, and a
     * last-ulp rate difference could flip a boundary draw; other α values
-    * belong behind integer-safe rationals, not this query.
+    * belong behind integer-safe rationals, not this query. The normalizer
+    * Z is summed over INTEGERIZED weights `round(√n_s · 2^20)` (exact per
+    * row, order-independent as a BIGINT sum) — a raw `sum(sqrt(..))` is an
+    * order-dependent double aggregate, the float-rule violation every
+    * other money/score aggregate here integerizes away.
     *
     * 100 TB shape: two map-side-combined aggregations over (source) — a
     * 20-row frame — a broadcast of the rate table, and the same content-
@@ -103,16 +112,16 @@ object Sampling {
       salt: String = "temp0"): DataFrame = {
     val d = Tables.fanOut(docs)
     val sizes = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val z = sizes.agg(sum(sqrt(col("n_docs").cast("double"))).as("z"),
-      sum(col("n_docs")).as("n_total"))
+      // per-source √-weight quantized to 2^-20: exact per row, so Z is an
+      // order-independent BIGINT sum instead of a partition-order double sum
+      .withColumn("s20",
+        round(sqrt(col("n_docs").cast("double")) * 1048576L).cast("long"))
+    val z = sizes.agg(sum(col("s20")).as("z"), sum(col("n_docs")).as("n_total"))
     val rates = sizes.crossJoin(broadcast(z))
       .withColumn("rate", least(lit(1.0),
-        lit(frac) * col("n_total") * sqrt(col("n_docs").cast("double"))
-          / col("z") / col("n_docs")))
+        lit(frac) * col("n_total") * col("s20") / col("z") / col("n_docs")))
       .select("source", "n_docs", "rate")
-    val draw = conv(substring(md5(
-      concat_ws(":", lit(salt), col("text")).cast("binary")), 1, 4), 16, 10)
-      .cast("long").cast("double") / 65536.0
+    val draw = draw16(concat_ws(":", lit(salt), col("text")).cast("binary"))
     d.join(broadcast(rates), Seq("source"))
       .groupBy("source")
       .agg(first("n_docs").as("n_docs"),
@@ -126,11 +135,12 @@ object Sampling {
     * draw. */
   val temperatureMixSql: String =
     """WITH sizes AS (
-      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
-      |z AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z, sum(n_docs) AS n_total
-      |  FROM sizes),
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1048576) AS BIGINT) AS s20
+      |  FROM documents GROUP BY 1),
+      |z AS (SELECT sum(s20) AS z, sum(n_docs) AS n_total FROM sizes),
       |rates AS (SELECT source, n_docs,
-      |    least(1.0, 0.5 * n_total * sqrt(CAST(n_docs AS DOUBLE)) / z / n_docs) AS rate
+      |    least(1.0, CAST(0.5 AS DOUBLE) * n_total * s20 / z / n_docs) AS rate
       |  FROM sizes CROSS JOIN z),
       |d AS (SELECT source,
       |    CAST(CAST(('0x' || substr(md5('temp0:' || text), 1, 4)) AS INTEGER) AS DOUBLE)

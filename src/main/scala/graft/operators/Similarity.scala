@@ -312,11 +312,8 @@ object Similarity {
     * measure the queries instead of charging the shared materializations to
     * whichever family member happens to run first. */
   def warmPins(emb: DataFrame): Unit = {
-    def stage(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      System.err.println(
-        f"[warm]   sim.$name ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
+    def stage(name: String)(f: => Unit): Unit =
+      PinnedCaches.warmStage(s"  sim.$name")(f)
     stage("quantized")(PinnedCaches.pin(quantized(emb).select("vec_id", "q", "nq")).count())
     stage("kmeans")(kmeansAssign(emb, 8, 2).count())
     // memoized semantic-cluster labeling (eager star-contraction CC loop) — warmed so
@@ -1054,26 +1051,36 @@ object Similarity {
     * Lloyd chain (init from the 16 lowest ids, two assign/update rounds
     * with floor-averaged integer centroids and empty-code carry-forward),
     * then the standard encode/ADC/re-rank tail, all replayed in BIGINT. */
+  /** Lloyd assign/update CTE builders shared by the two learned-codebook
+    * oracles ([[pqLearnedTopKSql]] over raw slices `evm.q`,
+    * [[ivfpqLearnedTopKSql]] over residual slices `resm.r`) — one
+    * definition, so a chain fix cannot reach one oracle and miss its twin. */
+  private def lloydAssignSql(frame: String, v: String)(a: String, cent: String): String =
+    s"""d$a AS (
+       |  SELECT e.vec_id, e.m, c.cent_id,
+       |    CAST(SUM((e.$v - c.c) * (e.$v - c.c)) AS BIGINT) AS dist2
+       |  FROM $frame e JOIN $cent c ON c.i = e.i GROUP BY 1, 2, 3),
+       |$a AS (SELECT vec_id, m, cent_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist2, cent_id) AS rn
+       |  FROM d$a) WHERE rn = 1)""".stripMargin
+
+  private def lloydUpdateSql(frame: String, v: String)(
+      u: String, a: String, prev: String, next: String): String =
+    s"""$u AS (
+       |  SELECT a.m, a.cent_id, e.i,
+       |    CAST(floor(CAST(SUM(e.$v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM $a a JOIN $frame e ON e.vec_id = a.vec_id AND e.m = a.m GROUP BY 1, 2, 3),
+       |$next AS (
+       |  SELECT m, cent_id, i, c FROM $u
+       |  UNION ALL
+       |  SELECT p.m, p.cent_id, p.i, p.c FROM $prev p
+       |  WHERE NOT EXISTS (SELECT 1 FROM $u u
+       |    WHERE u.m = p.m AND u.cent_id = p.cent_id))""".stripMargin
+
   val pqLearnedTopKSql: String = {
-    def assign(a: String, cent: String): String =
-      s"""d$a AS (
-         |  SELECT e.vec_id, e.m, c.cent_id,
-         |    CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS dist2
-         |  FROM evm e JOIN $cent c ON c.i = e.i GROUP BY 1, 2, 3),
-         |$a AS (SELECT vec_id, m, cent_id FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist2, cent_id) AS rn
-         |  FROM d$a) WHERE rn = 1)""".stripMargin
+    val assign = lloydAssignSql("evm", "q") _
     def update(u: String, a: String, prev: String, next: String): String =
-      s"""$u AS (
-         |  SELECT a.m, a.cent_id, e.i,
-         |    CAST(floor(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-         |  FROM $a a JOIN evm e ON e.vec_id = a.vec_id AND e.m = a.m GROUP BY 1, 2, 3),
-         |$next AS (
-         |  SELECT m, cent_id, i, c FROM $u
-         |  UNION ALL
-         |  SELECT p.m, p.cent_id, p.i, p.c FROM $prev p
-         |  WHERE NOT EXISTS (SELECT 1 FROM $u u
-         |    WHERE u.m = p.m AND u.cent_id = p.cent_id))""".stripMargin
+      lloydUpdateSql("evm", "q")(u, a, prev, next)
     s"""WITH $evNormsSql,
        |evm AS (SELECT vec_id, i, q, CAST((i - 1) // 8 AS BIGINT) AS m FROM ev),
        |c0 AS (SELECT m, vec_id AS cent_id, i, q AS c FROM evm WHERE vec_id IN (
@@ -1376,25 +1383,9 @@ object Similarity {
     * carry-forward), then the standard encode / per-(query, cell) ADC with
     * the `‖qr‖²` correction / re-rank tail, all in BIGINT. */
   val ivfpqLearnedTopKSql: String = {
-    def assign(a: String, cent: String): String =
-      s"""d$a AS (
-         |  SELECT e.vec_id, e.m, c.cent_id,
-         |    CAST(SUM((e.r - c.c) * (e.r - c.c)) AS BIGINT) AS dist2
-         |  FROM resm e JOIN $cent c ON c.i = e.i GROUP BY 1, 2, 3),
-         |$a AS (SELECT vec_id, m, cent_id FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist2, cent_id) AS rn
-         |  FROM d$a) WHERE rn = 1)""".stripMargin
+    val assign = lloydAssignSql("resm", "r") _
     def update(u: String, a: String, prev: String, next: String): String =
-      s"""$u AS (
-         |  SELECT a.m, a.cent_id, e.i,
-         |    CAST(floor(CAST(SUM(e.r) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-         |  FROM $a a JOIN resm e ON e.vec_id = a.vec_id AND e.m = a.m GROUP BY 1, 2, 3),
-         |$next AS (
-         |  SELECT m, cent_id, i, c FROM $u
-         |  UNION ALL
-         |  SELECT p.m, p.cent_id, p.i, p.c FROM $prev p
-         |  WHERE NOT EXISTS (SELECT 1 FROM $u u
-         |    WHERE u.m = p.m AND u.cent_id = p.cent_id))""".stripMargin
+      lloydUpdateSql("resm", "r")(u, a, prev, next)
     s"""WITH $evNormsSql,
        |cents AS (SELECT vec_id AS cent_id FROM norms WHERE vec_id % 127 = 1),
        |cdots AS (

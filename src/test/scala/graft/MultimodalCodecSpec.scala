@@ -36,13 +36,16 @@ class MultimodalCodecSpec extends SparkSpec {
   test("codec factory runs per partition, not per row, and not on the driver") {
     import spark.implicits._
     val docs = (1L to 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
-      .repartition(4)
-    // count instantiations via an accumulator (executor-side increments)
+    // count instantiations via an accumulator (executor-side increments).
+    // features fans the input out to defaultParallelism partitions
+    // (Tables.fanOut), so THAT is the expected instantiation count — not
+    // any repartitioning done here
+    val expected = spark.sparkContext.defaultParallelism.toLong
     val inits = spark.sparkContext.longAccumulator("codec-inits")
     val n = Multimodal.features(docs, MultimodalCodecSpec.countingFactory(inits)).count()
     assert(n == 64L, "one feature row per doc from the one-element vectors")
-    assert(inits.value == 4L,
-      s"codec must instantiate once per partition (4), got ${inits.value}")
+    assert(inits.value == expected,
+      s"codec must instantiate once per partition ($expected), got ${inits.value}")
   }
 }
 

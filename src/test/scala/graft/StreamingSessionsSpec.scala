@@ -46,7 +46,8 @@ class StreamingSessionsSpec extends SparkSpec {
         }
         .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(240000L)
+      assert(q.awaitTermination(240000L),
+        "streaming run timed out — a still-running query would collide with the next restart")
     }
 
     // run 1: first half of the month -> checkpointed "kill" mid-corpus
@@ -105,7 +106,8 @@ class StreamingSessionsSpec extends SparkSpec {
         }
         .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(240000L)
+      assert(q.awaitTermination(240000L),
+        "streaming run timed out — a still-running query would collide with the next restart")
     }
 
     ev.filter(col("ts") < cut).coalesce(1).write.mode("append").parquet(srcDir)
