@@ -134,6 +134,45 @@ object CurationPipeline {
        |keepids AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id),
        |$curationTailSql""".stripMargin
 
+  /** [[e2eNear]] with SEMANTIC dedup (SemDeDup — Abbas et al. 2023,
+    * arXiv:2303.09540): the keep set swaps the minhash TEXT clusters for
+    * embedding-similarity components ([[Similarity.embedClusters]] over
+    * the corpus's embedding table; `vec_id ≡ doc_id` in the testdata, the
+    * usual contract when embeddings are computed per document). This is
+    * the tier shingle dedup cannot reach — paraphrases, translations, and
+    * template re-renders share no n-grams but collapse to one exemplar
+    * per semantic component here. Downstream is the identical single
+    * fused-filter scan as [[e2e]]/[[e2eNear]]; the keep side reads the
+    * memoized embedding-CC labels, so the corpus text is still read
+    * exactly once. */
+  def e2eSemantic(docs: DataFrame, emb: DataFrame, budget: Long = 512): DataFrame = {
+    val keep = Similarity.embedClusters(emb)
+      .filter(col("kept")).select(col("vec_id").as("doc_id"))
+    val kept = Tables.fanOut(docs)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .filter(TextAnalysis.repetitionKeep())
+      .filter(TextAnalysis.qualityClassifierKeep)
+      .filter(Sampling.keepCondition(Sampling.DefaultRates, Sampling.DefaultRate))
+    Sampling.packChunks(kept, budget)
+  }
+
+  /** DuckDB oracle for [[e2eSemantic]] at the defaults: the LSH cosine
+    * pair chain + reachability components (exactly
+    * [[Similarity.embedClustersSql]]'s construction), keep ids = component
+    * minima, then the shared stage tail. */
+  val e2eSemanticSql: String =
+    s"""WITH RECURSIVE ${Similarity.lshCosinePairsCoreSql},
+       |p AS (SELECT vec_a, vec_b FROM sims WHERE cos >= 0.35),
+       |sedges AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM p
+       |  UNION SELECT vec_b, vec_a FROM p),
+       |sreach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.b, re.r FROM sreach re JOIN sedges e ON e.a = re.id),
+       |keepids AS (SELECT id AS doc_id FROM sreach GROUP BY id HAVING min(r) = id),
+       |$curationTailSql""".stripMargin
+
   /** QUALITY-ranked exemplar selection — the keep decision [[e2eNear]]'s
     * min-id rule upgrades to when quality varies inside a duplicate
     * family: from each near-dup cluster ([[Dedup.clusters]]) keep the

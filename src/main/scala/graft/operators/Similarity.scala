@@ -559,8 +559,9 @@ object Similarity {
        |$rankSql""".stripMargin
 
   /** The [[lshCosinePairsSql]] CTE chain (signatures through the verified
-    * `sims` pairs), shared with [[embedClustersSql]]. */
-  private def lshCosinePairsCoreSql: String =
+    * `sims` pairs), shared with [[embedClustersSql]] and the semantic
+    * pipeline stage ([[CurationPipeline.e2eSemanticSql]]). */
+  private[operators] def lshCosinePairsCoreSql: String =
     s"""$evNormsSql,
        |$sigsSql,
        |sigc AS (SELECT vec_id, tbl, bucket FROM (

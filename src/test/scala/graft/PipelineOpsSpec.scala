@@ -196,6 +196,24 @@ class PipelineOpsSpec extends SparkSpec {
     info(f"learned-residual IVF-PQ recall@5 (nProbe=2, rerank=32): $recall%.3f")
   }
 
+  test("pipeline e2e semantic: kept set is embedding-component exemplars ∩ the three filters") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf(), "documents")
+    val sem = graft.operators.CurationPipeline.e2eSemantic(docs, emb)
+      .select("doc_id").as[Long].collect().toSet
+    val exemplars = Similarity.embedClusters(emb)
+      .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    val filters = graft.operators.Tables.fanOut(docs)
+      .filter(graft.operators.TextAnalysis.repetitionKeep())
+      .filter(graft.operators.TextAnalysis.qualityClassifierKeep)
+      .filter(graft.operators.Sampling.keepCondition(
+        graft.operators.Sampling.DefaultRates, graft.operators.Sampling.DefaultRate))
+      .select("doc_id").as[Long].collect().toSet
+    assert(sem.nonEmpty)
+    assert(sem == (exemplars intersect filters),
+      "semantic pipeline must keep exactly the semantic exemplars passing every filter")
+  }
+
   test("train/val/test split: exhaustive, content-keyed (exact dups share a split), fractions in range") {
     val docs = Tables.load(spark, sf(), "documents")
     val rows = Sampling.trainValTestSplit(docs).collect()
