@@ -94,6 +94,8 @@ object DataPipelineQueries {
     "pipeline_e2e_near" -> ((s, dir) => CurationPipeline.e2eNear(docs(s, dir))),
     "pipeline_e2e_semantic" -> ((s, dir) =>
       CurationPipeline.e2eSemantic(docs(s, dir), emb(s, dir))),
+    "pipeline_exemplars_semantic" -> ((s, dir) =>
+      CurationPipeline.semanticExemplars(docs(s, dir), emb(s, dir))),
     "pipeline_exemplars" -> ((s, dir) => CurationPipeline.qualityExemplars(docs(s, dir))),
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(docs(s, dir))),
     "mm_dup_frames" -> ((s, dir) => Multimodal.dupFrames(docs(s, dir))),
@@ -163,6 +165,7 @@ object DataPipelineQueries {
     "pipeline_e2e" -> CurationPipeline.e2eSql,
     "pipeline_e2e_near" -> CurationPipeline.e2eNearSql,
     "pipeline_e2e_semantic" -> CurationPipeline.e2eSemanticSql,
+    "pipeline_exemplars_semantic" -> CurationPipeline.semanticExemplarsSql,
     "pipeline_exemplars" -> CurationPipeline.qualityExemplarsSql,
     "mm_metadata" -> Multimodal.metadataSql,
     "mm_dup_frames" -> Multimodal.dupFramesSql,

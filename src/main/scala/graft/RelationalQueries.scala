@@ -682,7 +682,39 @@ object RelationalQueries {
       |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
       |ORDER BY e.event_id""".stripMargin
 
+  /** Value-RANGE sliding window: per event, the same user's event count
+    * and value sum over the TRAILING HOUR (inclusive) — the rate/burst
+    * feature product analytics and bot-filtering curation both compute.
+    * The frame is VALUE-based (`rangeBetween` over epoch-micros), not
+    * row-based: the window ends at the current timestamp and reaches back
+    * exactly one hour regardless of how many rows sit in between, and
+    * equal-timestamp peers are all in-frame, so the result is independent
+    * of row order without needing an id tiebreak. One shuffle on user_id;
+    * per-user frame size is bounded by the activity horizon — the same
+    * per-key assumption sessionization makes — and the money sum rides
+    * integer cents. */
+  def eventsRateWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .withColumn("v_c", sum(cents(col("value"))).over(w))
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("n_last_hour"),
+        (col("v_c").cast("double") / 100.0).as("value_last_hour"))
+  }
+
+  val eventsRateWindowSql: String =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0 AS value_last_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rate_window" -> eventsRateWindow _,
     "agg_approx" -> approxAgg _,
     "agg_exact" -> exactAgg _,
     "events_asof_orders" -> eventsAsofOrders _,
@@ -710,6 +742,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_rate_window" -> eventsRateWindowSql,
     "agg_approx" -> approxAggSql,
     "agg_exact" -> exactAggSql,
     "events_asof_orders" -> eventsAsofOrdersSql,

@@ -201,6 +201,55 @@ object CurationPipeline {
         col("b.quality_score").as("quality_score"), col("n_members"))
       .orderBy("cluster_id")
 
+  /** [[qualityExemplars]]' "best copy wins" rule at the SEMANTIC tier:
+    * from each embedding-similarity component ([[Similarity.embedClusters]],
+    * `vec_id ≡ doc_id`) keep the member with the highest
+    * [[TextAnalysis.qualityScore]], ties to the lower id — how a SemDeDup
+    * pass picks which paraphrase/translation/re-render survives, rather
+    * than "lowest id wins". Same one-fold `max_by` shape over the memoized
+    * component labels; no window, no text through the shuffle. */
+  def semanticExemplars(docs: DataFrame, emb: DataFrame): DataFrame =
+    Similarity.embedClusters(emb)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+      .join(TextAnalysis.qualityScore(docs).select("doc_id", "quality_score"), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        max_by(struct(col("doc_id"), col("quality_score")),
+          struct(col("quality_score"), (-col("doc_id")).as("nd"))).as("b"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("b.doc_id").as("keep_id"),
+        col("b.quality_score").as("quality_score"), col("n_members"))
+      .orderBy("cluster_id")
+
+  /** DuckDB oracle for [[semanticExemplars]]: the embedding LSH-pair
+    * reachability chain (exactly [[Similarity.embedClustersSql]]'s
+    * construction), the unchanged quality-score CTE, best member by
+    * (score DESC, doc_id). */
+  val semanticExemplarsSql: String =
+    s"""WITH RECURSIVE ${Similarity.lshCosinePairsCoreSql},
+       |p AS (SELECT vec_a, vec_b FROM sims WHERE cos >= 0.35),
+       |sedges AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM p
+       |  UNION SELECT vec_b, vec_a FROM p),
+       |sreach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.b, re.r FROM sreach re JOIN sedges e ON e.a = re.id),
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM sreach GROUP BY id),
+       |qx AS (${TextAnalysis.qualityScoreSql}),
+       |j AS (
+       |  SELECT cl.cluster_id, cl.doc_id, qx.quality_score
+       |  FROM cl JOIN qx USING (doc_id)),
+       |best AS (
+       |  SELECT cluster_id, doc_id AS keep_id, quality_score,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_score DESC, doc_id) AS rn
+       |  FROM j),
+       |nm AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM j GROUP BY 1)
+       |SELECT b.cluster_id, keep_id, quality_score, n_members
+       |FROM best b JOIN nm USING (cluster_id) WHERE rn = 1
+       |ORDER BY b.cluster_id""".stripMargin
+
   /** DuckDB oracle for [[qualityExemplars]]: the cluster reachability CTE
     * (exactly [[Dedup.clustersSql]]'s construction), the UNCHANGED
     * [[TextAnalysis.qualityScoreSql]] embedded as a nested-WITH CTE (same
