@@ -25,16 +25,24 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  /** Packed training chunks over the fully-curated corpus (see object doc).
-    * Output schema matches [[Sampling.packChunks]]. */
-  def e2e(docs: DataFrame, budget: Long = 512): DataFrame = {
+  /** The shared downstream: semi-join the keep set, the three fused
+    * map-side filters, sequence packing — ONE definition for every
+    * pipeline variant (the Scala twin of [[curationTailSql]]); a new
+    * stage added here reaches e2e, e2eNear, and e2eSemantic at once. */
+  private def curationTail(docs: DataFrame, keep: DataFrame, budget: Long): DataFrame = {
     val kept = Tables.fanOut(docs)
-      .join(Dedup.exact(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .join(keep, Seq("doc_id"), "left_semi")
       .filter(TextAnalysis.repetitionKeep())
       .filter(TextAnalysis.qualityClassifierKeep)
       .filter(Sampling.keepCondition(Sampling.DefaultRates, Sampling.DefaultRate))
     Sampling.packChunks(kept, budget)
   }
+
+  /** Packed training chunks over the fully-curated corpus (see object doc).
+    * Output schema matches [[Sampling.packChunks]]. */
+  def e2e(docs: DataFrame, budget: Long = 512): DataFrame =
+    curationTail(docs,
+      Dedup.exact(docs).select(col("keep_id").as("doc_id")), budget)
 
   /** [[e2e]] with the NEAR-dup stage — the full curation pass:
     *
@@ -52,16 +60,9 @@ object CurationPipeline {
     * [[e2e]]: the three filters still fuse into ONE scan predicate behind
     * the keep-set semi join (plan-asserted in ScaleTechniquesSpec). */
   def e2eNear(docs: DataFrame, budget: Long = 512,
-      threshold: Double = 0.8): DataFrame = {
-    val keep = Dedup.clusters(docs, threshold)
-      .filter(col("kept")).select("doc_id")
-    val kept = Tables.fanOut(docs)
-      .join(keep, Seq("doc_id"), "left_semi")
-      .filter(TextAnalysis.repetitionKeep())
-      .filter(TextAnalysis.qualityClassifierKeep)
-      .filter(Sampling.keepCondition(Sampling.DefaultRates, Sampling.DefaultRate))
-    Sampling.packChunks(kept, budget)
-  }
+      threshold: Double = 0.8): DataFrame =
+    curationTail(docs,
+      Dedup.clusters(docs, threshold).filter(col("kept")).select("doc_id"), budget)
 
   /** The downstream-stage SQL shared by [[e2eSql]] and [[e2eNearSql]]:
     * repetition + classifier + mixture + packing over the docs selected by
@@ -145,31 +146,16 @@ object CurationPipeline {
     * fused-filter scan as [[e2e]]/[[e2eNear]]; the keep side reads the
     * memoized embedding-CC labels, so the corpus text is still read
     * exactly once. */
-  def e2eSemantic(docs: DataFrame, emb: DataFrame, budget: Long = 512): DataFrame = {
-    val keep = Similarity.embedClusters(emb)
-      .filter(col("kept")).select(col("vec_id").as("doc_id"))
-    val kept = Tables.fanOut(docs)
-      .join(keep, Seq("doc_id"), "left_semi")
-      .filter(TextAnalysis.repetitionKeep())
-      .filter(TextAnalysis.qualityClassifierKeep)
-      .filter(Sampling.keepCondition(Sampling.DefaultRates, Sampling.DefaultRate))
-    Sampling.packChunks(kept, budget)
-  }
+  def e2eSemantic(docs: DataFrame, emb: DataFrame, budget: Long = 512): DataFrame =
+    curationTail(docs,
+      Similarity.embedClusters(emb)
+        .filter(col("kept")).select(col("vec_id").as("doc_id")), budget)
 
-  /** DuckDB oracle for [[e2eSemantic]] at the defaults: the LSH cosine
-    * pair chain + reachability components (exactly
-    * [[Similarity.embedClustersSql]]'s construction), keep ids = component
-    * minima, then the shared stage tail. */
+  /** DuckDB oracle for [[e2eSemantic]] at the defaults: the shared
+    * embedding reachability chain ([[Similarity.embedReachCoreSql]]),
+    * keep ids = component minima, then the shared stage tail. */
   val e2eSemanticSql: String =
-    s"""WITH RECURSIVE ${Similarity.lshCosinePairsCoreSql},
-       |p AS (SELECT vec_a, vec_b FROM sims WHERE cos >= 0.35),
-       |sedges AS (
-       |  SELECT vec_a AS a, vec_b AS b FROM p
-       |  UNION SELECT vec_b, vec_a FROM p),
-       |sreach(id, r) AS (
-       |  SELECT vec_id, vec_id FROM embeddings
-       |  UNION
-       |  SELECT e.b, re.r FROM sreach re JOIN sedges e ON e.a = re.id),
+    s"""WITH RECURSIVE ${Similarity.embedReachCoreSql()},
        |keepids AS (SELECT id AS doc_id FROM sreach GROUP BY id HAVING min(r) = id),
        |$curationTailSql""".stripMargin
 
@@ -190,16 +176,7 @@ object CurationPipeline {
     * hash-exact text_quality chain, so [[qualityExemplarsSql]] replays
     * the selection deterministically, ties included. */
   def qualityExemplars(docs: DataFrame): DataFrame =
-    Dedup.clusters(docs).select("doc_id", "cluster_id")
-      .join(TextAnalysis.qualityScore(docs).select("doc_id", "quality_score"), Seq("doc_id"))
-      .groupBy("cluster_id")
-      .agg(
-        max_by(struct(col("doc_id"), col("quality_score")),
-          struct(col("quality_score"), (-col("doc_id")).as("nd"))).as("b"),
-        count(lit(1)).as("n_members"))
-      .select(col("cluster_id"), col("b.doc_id").as("keep_id"),
-        col("b.quality_score").as("quality_score"), col("n_members"))
-      .orderBy("cluster_id")
+    exemplarsOf(Dedup.clusters(docs).select("doc_id", "cluster_id"), docs)
 
   /** [[qualityExemplars]]' "best copy wins" rule at the SEMANTIC tier:
     * from each embedding-similarity component ([[Similarity.embedClusters]],
@@ -209,8 +186,26 @@ object CurationPipeline {
     * than "lowest id wins". Same one-fold `max_by` shape over the memoized
     * component labels; no window, no text through the shuffle. */
   def semanticExemplars(docs: DataFrame, emb: DataFrame): DataFrame =
-    Similarity.embedClusters(emb)
-      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    exemplarsOf(
+      Similarity.embedClusters(emb)
+        .select(col("vec_id").as("doc_id"), col("cluster_id")),
+      docs)
+
+  /** DuckDB oracle for [[semanticExemplars]]: the shared embedding
+    * reachability chain ([[Similarity.embedReachCoreSql]]), then the
+    * shared exemplar tail. */
+  val semanticExemplarsSql: String =
+    s"""WITH RECURSIVE ${Similarity.embedReachCoreSql()},
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM sreach GROUP BY id),
+       |$exemplarTailSql""".stripMargin
+
+  /** The shared exemplar selection — best-quality member per cluster
+    * (ties to the lower doc_id) over a `(doc_id, cluster_id)` frame: ONE
+    * `max_by` fold, no window, no text through the shuffle. One
+    * definition for the text tier ([[qualityExemplars]]) and the semantic
+    * tier ([[semanticExemplars]]); [[exemplarTailSql]] is its SQL twin. */
+  private def exemplarsOf(clusters: DataFrame, docs: DataFrame): DataFrame =
+    clusters
       .join(TextAnalysis.qualityScore(docs).select("doc_id", "quality_score"), Seq("doc_id"))
       .groupBy("cluster_id")
       .agg(
@@ -221,22 +216,14 @@ object CurationPipeline {
         col("b.quality_score").as("quality_score"), col("n_members"))
       .orderBy("cluster_id")
 
-  /** DuckDB oracle for [[semanticExemplars]]: the embedding LSH-pair
-    * reachability chain (exactly [[Similarity.embedClustersSql]]'s
-    * construction), the unchanged quality-score CTE, best member by
-    * (score DESC, doc_id). */
-  val semanticExemplarsSql: String =
-    s"""WITH RECURSIVE ${Similarity.lshCosinePairsCoreSql},
-       |p AS (SELECT vec_a, vec_b FROM sims WHERE cos >= 0.35),
-       |sedges AS (
-       |  SELECT vec_a AS a, vec_b AS b FROM p
-       |  UNION SELECT vec_b, vec_a FROM p),
-       |sreach(id, r) AS (
-       |  SELECT vec_id, vec_id FROM embeddings
-       |  UNION
-       |  SELECT e.b, re.r FROM sreach re JOIN sedges e ON e.a = re.id),
-       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM sreach GROUP BY id),
-       |qx AS (${TextAnalysis.qualityScoreSql}),
+  /** The exemplar-selection SQL tail over a preceding `cl(doc_id,
+    * cluster_id)` CTE: unchanged quality-score chain, best member by
+    * (score DESC, doc_id), member counts. LAZY: referenced by oracle vals
+    * declared ABOVE it — a strict val would interpolate null there
+    * (object-init order), which is exactly how the r6 review-refactor
+    * briefly broke this oracle. */
+  private lazy val exemplarTailSql: String =
+    s"""qx AS (${TextAnalysis.qualityScoreSql}),
        |j AS (
        |  SELECT cl.cluster_id, cl.doc_id, qx.quality_score
        |  FROM cl JOIN qx USING (doc_id)),
@@ -251,9 +238,8 @@ object CurationPipeline {
        |ORDER BY b.cluster_id""".stripMargin
 
   /** DuckDB oracle for [[qualityExemplars]]: the cluster reachability CTE
-    * (exactly [[Dedup.clustersSql]]'s construction), the UNCHANGED
-    * [[TextAnalysis.qualityScoreSql]] embedded as a nested-WITH CTE (same
-    * doubles bit for bit), best member by (score DESC, doc_id). */
+    * (exactly [[Dedup.clustersSql]]'s construction), then the shared
+    * exemplar tail. */
   val qualityExemplarsSql: String =
     s"""WITH RECURSIVE ${Dedup.minhashPairsCoreSql},
        |pairs AS (
@@ -267,17 +253,5 @@ object CurationPipeline {
        |  UNION
        |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id),
        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-       |qx AS (${TextAnalysis.qualityScoreSql}),
-       |j AS (
-       |  SELECT cl.cluster_id, cl.doc_id, qx.quality_score
-       |  FROM cl JOIN qx USING (doc_id)),
-       |best AS (
-       |  SELECT cluster_id, doc_id AS keep_id, quality_score,
-       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
-       |      ORDER BY quality_score DESC, doc_id) AS rn
-       |  FROM j),
-       |nm AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM j GROUP BY 1)
-       |SELECT b.cluster_id, keep_id, quality_score, n_members
-       |FROM best b JOIN nm USING (cluster_id) WHERE rn = 1
-       |ORDER BY b.cluster_id""".stripMargin
+       |$exemplarTailSql""".stripMargin
 }

@@ -589,22 +589,31 @@ object Similarity {
        |SELECT vec_a, vec_b, cos FROM sims WHERE cos >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** DuckDB oracle for [[embedClusters]]: the LSH pair chain, then connected
-    * components as transitive reachability over the symmetric edge list
-    * (recursive CTE — UNION-dedup guarantees termination), labeling each
-    * vector with the minimum reachable id. */
-  def embedClustersSql: String =
-    s"""WITH RECURSIVE $lshCosinePairsCoreSql,
-       |p AS (SELECT vec_a, vec_b FROM sims WHERE cos >= 0.35),
-       |edges AS (
+  /** The embedding-similarity reachability chain through `sreach(id, r)` —
+    * the LSH pair chain, then transitive reachability over the symmetric
+    * edge list (recursive CTE; UNION-dedup guarantees termination).
+    * ONE definition of the component graph, shared by [[embedClustersSql]]
+    * and the semantic pipeline oracles
+    * ([[CurationPipeline.e2eSemanticSql]]/`semanticExemplarsSql`), with
+    * the threshold inlined here so the oracles can never drift from the
+    * operator's default. */
+  private[operators] def embedReachCoreSql(threshold: Double = 0.35): String =
+    s"""$lshCosinePairsCoreSql,
+       |p AS (SELECT vec_a, vec_b FROM sims WHERE cos >= $threshold),
+       |sedges AS (
        |  SELECT vec_a AS a, vec_b AS b FROM p
        |  UNION SELECT vec_b, vec_a FROM p),
-       |reach(id, r) AS (
+       |sreach(id, r) AS (
        |  SELECT vec_id, vec_id FROM embeddings
        |  UNION
-       |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id)
+       |  SELECT e.b, re.r FROM sreach re JOIN sedges e ON e.a = re.id)""".stripMargin
+
+  /** DuckDB oracle for [[embedClusters]]: the shared reachability chain,
+    * labeling each vector with the minimum reachable id. */
+  def embedClustersSql: String =
+    s"""WITH RECURSIVE ${embedReachCoreSql()}
        |SELECT id AS vec_id, min(r) AS cluster_id, min(r) = id AS kept
-       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+       |FROM sreach GROUP BY id ORDER BY id""".stripMargin
 
   /** DuckDB oracle for [[ivfTopK]] at the default parameters — codebook
     * selection, cell assignment, nProbe probing, and the exact-rank tail are

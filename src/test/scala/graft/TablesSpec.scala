@@ -49,6 +49,21 @@ class TablesSpec extends SparkSpec {
       s"all three encodings must agree: ${loaded.map(_.take(2))}")
   }
 
+  test("REAL parquet timestamp[ns] data decodes through the legacy branch (the full contract)") {
+    // the synthetic LongType test above pins the branch ARITHMETIC; this
+    // fixture (written by pyarrow with ts: timestamp[ns]) pins the DECODE
+    // contract too — that nanosAsLong=true surfaces parquet TIMESTAMP(NANOS)
+    // as LongType at all. If a Spark upgrade drops the legacy flag, THIS
+    // fails at the loader instead of real ns testdata failing in 25 places.
+    val df = Tables.events(spark, "src/test/resources/fixtures/events_ns")
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // nanos 1709293496789012123 / 789013987 / ...001 truncate to micros
+    assert(got == Seq((0L, 1709293496789012L), (1L, 1709293496789013L),
+      (2L, 1709380000000000L)))
+  }
+
   test("an unsupported ts encoding fails at the loader with one clear error") {
     val dir = writeEvents(Seq((1L, "2024-03-01")).toDF("event_id", "ts"))
     val e = intercept[IllegalStateException](Tables.events(spark, dir))
