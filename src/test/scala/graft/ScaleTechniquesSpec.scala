@@ -277,6 +277,26 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("e2e semantic plan: corpus text scanned once; keep side reads the memoized embedding components") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val planStr = graft.operators.CurationPipeline.e2eSemantic(docs, emb)
+      .queryExecution.executedPlan.toString
+    // the keep side resolves through the embedding-cluster memo (quantized
+    // pin + checkpointed CC labels) — documents parquet is scanned ONCE, on
+    // the filter side; embeddings live scans don't read text
+    val docScans = planStr.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("text:string")).size
+    assert(docScans <= 1, s"expected at most 1 live documents scan, got $docScans:\n${planStr.take(1200)}")
+    assert(planStr.contains("Scan ExistingRDD"),
+      "component labels must come from the checkpointed CC state, not a recomputation")
+    // repetition + classifier + mixture still fuse into ONE Filter node
+    val fused = planStr.linesIterator.exists(l => l.contains("Filter") &&
+      l.contains("aggregate(") && l.contains("65536.0") && l.contains("-2.2"))
+    assert(fused,
+      s"repetition+classifier+mixture must fuse into one Filter:\n${planStr.take(2000)}")
+  }
+
   test("spans plan: window-hash counting partial-aggregates map-side before its shuffle") {
     val docs = Tables.load(spark, sf(), "documents")
     val plan = graft.operators.Dedup.spans(docs).queryExecution.executedPlan.toString
