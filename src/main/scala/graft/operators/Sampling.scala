@@ -324,13 +324,20 @@ object Sampling {
     * re-weight tiers per epoch), and the same sampled-boundary discipline
     * Spark's own `repartitionByRange` uses for range boundaries.
     *
-    * Scale shape: the boundary job is a single-task window over the BOUNDED
-    * sample only (at 100 TB the sample rate is tuned so the sample stays
-    * ~1e6 rows; scores never all sort globally); the 9-value bounds array
-    * broadcasts to a one-row nested-loop join; assignment is one map-side
-    * `aggregate()` over the array; the final per-tier rollup partial-
-    * aggregates to ≤ `nTiers` rows. Assumes a non-empty sample (any corpus
-    * big enough to tier satisfies it).
+    * Scale shape: the boundary job NEVER sorts sample rows globally — the
+    * sample reduces to map-side-combined counts per DISTINCT score value (a
+    * frame bounded by the score's value domain, not row count), cumulated in
+    * two keyed levels: within integer score buckets (`quality_score` ∈
+    * [0, 100], so ≤ 101 keys) by a PARTITIONED window, plus bucket base
+    * offsets from a broadcast triangular self-join over the ≤ 101-row bucket
+    * totals. The discrete-rank boundary is then min{c : cum(c) ≥ rank} —
+    * element-for-element the row_number selection (the [[graft
+    * .RelationalQueries.approxAgg]] discipline), with NO partitionless
+    * WindowExec anywhere (ScaleTechniquesSpec bans the class registry-wide).
+    * The 9-value bounds array broadcasts to a one-row nested-loop join;
+    * assignment is one map-side `aggregate()` over the array; the final
+    * per-tier rollup partial-aggregates to ≤ `nTiers` rows. Assumes a
+    * non-empty sample (any corpus big enough to tier satisfies it).
     *
     * Returns `(tier, n_docs, total_chars, min_score, max_score)`. */
   def curriculumTiers(docs: DataFrame, nTiers: Int = 10): DataFrame = {
@@ -339,13 +346,24 @@ object Sampling {
       .join(TextAnalysis.qualityScore(docs).select("doc_id", "quality_score"), Seq("doc_id"))
     val draw = conv(substring(md5(concat_ws(":", lit("curr0"),
       col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10).cast("long")
-    val ranked = scored.filter(draw < lit(16384L)) // 0.25 * 65536, integer compare
-      .select(col("quality_score").as("c"), col("doc_id"))
-      .withColumn("rn", row_number().over(Window.orderBy("c", "doc_id")))
-      .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
-    val bounds = ranked.groupBy().agg(array((1 until nTiers).map { i =>
-      max(when(col("rn") === expr(s"(nn * $i + ${nTiers - 1}) DIV $nTiers"), col("c")))
-    }: _*).as("bounds"))
+    val cnts = scored.filter(draw < lit(16384L)) // 0.25 * 65536, integer compare
+      .groupBy(col("quality_score").as("c")).agg(count(lit(1)).as("f"))
+      .withColumn("bk", floor(col("c")).cast("long")) // score ∈ [0,100] ⇒ ≤101 buckets
+    val wB = Window.partitionBy("bk").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = cnts.groupBy("bk").agg(sum("f").as("bf"))
+    val bases = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.bk") < col("a.bk"), "left")
+      .groupBy(col("a.bk").as("bk"))
+      .agg(coalesce(sum(col("b.bf")), lit(0L)).as("base"))
+    val nnRow = totals.agg(sum("bf").as("nn"))
+    val cum = cnts.withColumn("lcum", sum("f").over(wB))
+      .join(broadcast(bases), Seq("bk"))
+      .withColumn("cum", col("lcum") + col("base"))
+    val bounds = cum.crossJoin(broadcast(nnRow))
+      .groupBy().agg(array((1 until nTiers).map { i =>
+        min(when(col("cum") >= expr(s"(nn * $i + ${nTiers - 1}) DIV $nTiers"), col("c")))
+      }: _*).as("bounds"))
     scored.crossJoin(broadcast(bounds))
       .withColumn("tier",
         (lit(1) + expr("aggregate(bounds, 0, (acc, b) -> acc + IF(quality_score > b, 1, 0))"))

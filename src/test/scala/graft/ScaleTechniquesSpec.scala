@@ -297,6 +297,23 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"repetition+classifier+mixture must fuse into one Filter:\n${planStr.take(2000)}")
   }
 
+  test("registry-wide: NO partitionless window in any query's plan (single-task global sort ban)") {
+    // the class of defect sample_curriculum used to have (an unpartitioned
+    // row_number/count over a constant fraction of the corpus — one task
+    // sorts it at any scale): banned across the ENTIRE registry, so a new
+    // query can't reintroduce it. Logical Window with an empty partitionSpec
+    // is exactly what WindowExec warns about with "No Partition Defined ...
+    // Moving all data to a single partition".
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      q(spark, sf()).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => name
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"partitionless window (single-task sort at scale) in: ${offenders.mkString(", ")}")
+  }
+
   test("spans plan: window-hash counting partial-aggregates map-side before its shuffle") {
     val docs = Tables.load(spark, sf(), "documents")
     val plan = graft.operators.Dedup.spans(docs).queryExecution.executedPlan.toString
