@@ -616,12 +616,22 @@ object TextAnalysis {
       |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Corpus-level word-bigram frequencies, top 20: the classic n-gram
-    * aggregation — explode is linear, count partial-aggregates map-side. */
+    * aggregation — explode is linear, count partial-aggregates map-side.
+    *
+    * The token array is BOUND ONCE in its own projection and the bigram
+    * lambda reads the bound attribute: lambda bodies get no subexpression
+    * elimination, so `split(text)[i]` inside the transform re-splits the
+    * whole document per element — O(words²) work, pathological on
+    * book-length documents (CollapseProject keeps the binding because the
+    * alias is referenced more than once by non-cheap consumers;
+    * TextOpsSpec pins both the plan shape and the long-doc behavior). */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
-    Tables.fanOut(docs).filter(size(split(col("text"), " ")) >= 2)
+    Tables.fanOut(docs)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
       .select(explode(expr(
-        "transform(sequence(0, size(split(text,' ')) - 2), " +
-          "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]))")).as("bigram"))
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1]))")).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(k)

@@ -462,6 +462,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Map(101L -> 1L), out.toString)
   }
 
+  test("top bigrams: token array bound once (no re-split in the lambda), long doc stays linear") {
+    import spark.implicits._
+    // 30k words: the old form re-evaluated split(text) for EVERY element
+    // access inside the transform lambda (lambda bodies get no subexpression
+    // elimination) — ~2.7e9 string splits for this document, minutes of work.
+    // The bound-array form does one split + one linear pass.
+    val longDoc = (0 until 30000).map(i => s"w${i % 977}").mkString(" ")
+    val docs = Seq((1L, longDoc), (2L, "a b a b a c")).toDF("doc_id", "text")
+    val df = TextAnalysis.topBigrams(docs, k = 5)
+    // plan shape: the generator's lambda reads the bound array attribute —
+    // any split() inside it means CollapseProject re-inlined the projection
+    val gen = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g.generator.toString
+    }
+    assert(gen.nonEmpty, "expected an explode Generate in the plan")
+    assert(!gen.head.contains("split("),
+      s"re-split inside the bigram lambda (quadratic on long docs): ${gen.head}")
+    val t0 = System.nanoTime()
+    val top = df.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, f"30k-word doc took $secs%.1f s — quadratic re-split back?")
+    // correctness: the cyclic long doc's dominant bigrams count ~31; doc 2
+    // alone yields "a b" twice (output values pinned by the DuckDB oracle)
+    assert(top.head.getLong(1) >= 30L, top.mkString(", "))
+    val small = TextAnalysis.topBigrams(docs.filter($"doc_id" === 2L), k = 1).collect()
+    assert(small.head.getString(0) == "a b" && small.head.getLong(1) == 2L)
+  }
+
   test("repetition: degenerate doc rejected, varied doc kept, fractions exact") {
     // doc 2 needs > 2/0.18 ~ 11 tokens for an all-distinct doc to pass the
     // top-bigram threshold (every bigram unique -> frac = 2/n)
