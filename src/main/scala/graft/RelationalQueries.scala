@@ -702,6 +702,7 @@ object RelationalQueries {
       .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
         col("n_last_hour"),
         (col("v_c").cast("double") / 100.0).as("value_last_hour"))
+      .orderBy("event_id") // output-order symmetry with the oracle, file convention
   }
 
   val eventsRateWindowSql: String =

@@ -24,8 +24,8 @@ object Tables {
     *    stable `timestamp` schema.
     *
     * Branching on the LOADED schema (not a config flag) means a future
-    * re-encode of the testdata degrades to a clear MatchError here instead
-    * of 25 downstream analysis errors (the r5 failure mode).
+    * re-encode of the testdata fails with one clear IllegalStateException
+    * here instead of 25 downstream analysis errors (the r5 failure mode).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
