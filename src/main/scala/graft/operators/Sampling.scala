@@ -239,24 +239,40 @@ object Sampling {
   /** Pretraining sequence packing, concat-and-chunk form: documents are
     * concatenated in a deterministic order and cut into fixed
     * `budget`-token training sequences; each document reports its token
-    * offset and the chunk span it lands in. Packing is per `source` — the
-    * cumulative-offset window then distributes (one shuffle, each source's
-    * stream packed independently, exactly how a sharded pretraining
-    * pipeline packs per shard); a single global concatenation would force
-    * every token offset through one partition. All exact integer
-    * arithmetic. */
-  def packChunks(docs: DataFrame, budget: Long = 512): DataFrame = {
+    * offset and the chunk span it lands in. Packing is per `source` (each
+    * source's stream packed independently, exactly how a sharded
+    * pretraining pipeline packs per shard). All exact integer arithmetic.
+    *
+    * TWO-LEVEL prefix sum, so no single task ever serializes a whole
+    * source's rows (a per-source window alone pushes ~1e9 narrow rows per
+    * source through one task at 100 TB): doc_ids split into contiguous
+    * `shardWidth`-wide ranges — `doc_id DIV shardWidth` is monotone in
+    * doc_id, so shards preserve the concatenation order — with (1) local
+    * prefix sums inside each (source, shard), (2) shard base offsets from a
+    * per-source running sum over the AGGREGATED shard totals (≤ corpus_ids /
+    * shardWidth tiny rows — ~1e4 at 100 TB with the default 2^20 width),
+    * broadcast back onto the locals. `tok_offset = base + local − own`,
+    * byte-identical to the single-window form (PipelineOpsSpec pins the
+    * multi-shard ≡ single-window equality; token counts are computed BEFORE
+    * any exchange so text never shuffles). */
+  def packChunks(docs: DataFrame, budget: Long = 512,
+      shardWidth: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // token counts are computed BEFORE any exchange, so only the three
-    // small columns ever shuffle (the per-source window exchange provides
-    // the parallelism boundary; an up-front fanOut would push full text
-    // through an extra round-robin exchange for nothing)
-    docs
+    val wS = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val narrow = docs
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("tok_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("shard", expr(s"doc_id DIV $shardWidth"))
+    val bases = narrow.groupBy("source", "shard").agg(sum("n_tokens").as("st"))
+      .withColumn("base", sum("st").over(wS) - col("st"))
+      .select("source", "shard", "base")
+    narrow
+      .withColumn("lsum", sum("n_tokens").over(w))
+      .join(broadcast(bases), Seq("source", "shard"))
+      .withColumn("tok_offset", col("base") + col("lsum") - col("n_tokens"))
       .withColumn("chunk_first", (col("tok_offset") / budget).cast("long"))
       .withColumn("chunk_last",
         ((col("tok_offset") + col("n_tokens") - 1) / budget).cast("long"))

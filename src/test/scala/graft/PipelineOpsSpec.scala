@@ -545,6 +545,13 @@ class PipelineOpsSpec extends SparkSpec {
         assert(r.getAs[Long]("chunk_last") >= r.getAs[Long]("chunk_first"))
       }
     }
+    // the two-level prefix sum is byte-identical when the shard width forces
+    // MANY shards per source (width 16 ⇒ every source spans dozens of
+    // shards at sf0.001 — the 100 TB path where no task sees a whole source)
+    val sharded = operators.Sampling.packChunks(docs, budget = 512, shardWidth = 16L)
+      .collect().map(_.toSeq).toSet
+    assert(sharded == packed.map(_.toSeq).toSet,
+      "multi-shard packing must equal the single-shard concatenation")
   }
 
   test("language id picks the language with most stopword hits") {
