@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, decode / feature-extraction as batched
   * per-partition functions.
   *
-  * This container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB ([[fakeDecode]]); everything around it
-  * — the binary column, the metadata struct, the mapPartitions batch shape,
-  * the output schema — is the real Spark plumbing a codec would plug into.
-  * Payloads are synthesized from `documents.text` (UTF-8 bytes) so the
-  * pipeline has real binary data to move.
+  * The ORACLE-checked queries use a deterministic stand-in decoder
+  * ([[fakeDecode]], DuckDB-replayable); a REAL image decoder over the JDK's
+  * built-in `javax.imageio` codecs ([[imageDecode]] — PNG/JPEG/BMP/GIF, no
+  * external dependency) drops into the same seam, spec-proven on actual PNG
+  * bytes. Everything around the seam — the binary column, the metadata
+  * struct, the mapPartitions batch shape, the output schema — is identical
+  * for both. Oracle payloads are synthesized from `documents.text` (UTF-8
+  * bytes) so the hash-checked pipeline has real binary data to move.
   */
 object Multimodal {
 
@@ -65,6 +67,41 @@ object Multimodal {
     * "couldn't decode" convention — the row is droppable, not null-ridden). */
   type MediaCodec = Array[Byte] => Array[Double]
 
+  /** REAL image decoder through the seam: `javax.imageio` ships in the JDK
+    * with PNG/JPEG/BMP/GIF readers, so this needs no external dependency.
+    * Emits `[width, height, meanR, meanG, meanB]` — dimensions plus exact
+    * per-channel means (PNG is lossless, so the means are deterministic
+    * integerized-sum divisions). Unreadable bytes → empty vector (no rows).
+    * Not the oracle default only because DuckDB cannot replay a PNG decode;
+    * MultimodalCodecSpec pins it on real PNG bytes. */
+  val imageDecode: MediaCodec = { payload =>
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) Array.empty[Double]
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Array(w.toDouble, h.toDouble, r.toDouble / n, g.toDouble / n, b.toDouble / n)
+      }
+    } catch { case _: Throwable => Array.empty[Double] }
+  }
+
+  /** Factory form of [[imageDecode]] for [[features]]/[[featuresOf]] —
+    * ImageIO's readers are stateless here, so the "once per partition"
+    * instantiation is just the closure itself. */
+  val imageFactory: () => MediaCodec = () => imageDecode
+
   /** Batched feature extraction over the binary column. The feature vector
     * is flattened to `(doc_id, n_bytes, feat_idx, feature_value)` rows for
     * the driver compare (raw `array<double>` columns are unsortable there);
@@ -77,12 +114,21 @@ object Multimodal {
     * decoder drops in without touching this operator; MultimodalCodecSpec
     * proves the seam by running an actual PPM-header parser through it. */
   def features(docs: DataFrame,
-      codecFactory: () => MediaCodec = () => fakeDecode): DataFrame = {
-    val spark = docs.sparkSession
+      codecFactory: () => MediaCodec = () => fakeDecode): DataFrame =
+    featuresOf(Tables.fanOut(docs)
+      .select(col("doc_id"), col("text").cast("binary").as("payload")), codecFactory)
+
+  /** The same extraction over an arbitrary `(doc_id, payload: binary)`
+    * frame — the entry point for REAL media bytes, which cannot ride a
+    * UTF-8 `text` column (PNG streams are not valid UTF-8). The caller owns
+    * the input partitioning; the codec still instantiates once per
+    * partition. */
+  def featuresOf(mediaDf: DataFrame,
+      codecFactory: () => MediaCodec): DataFrame = {
+    val spark = mediaDf.sparkSession
     import spark.implicits._
-    val media: Dataset[MediaRow] = Tables.fanOut(docs)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[MediaRow]
+    val media: Dataset[MediaRow] =
+      mediaDf.select(col("doc_id"), col("payload")).as[MediaRow]
     media.mapPartitions { rows =>
       val codec = codecFactory() // per-partition codec init happens HERE
       rows.map(r => MediaFeatures(r.doc_id, r.payload.length.toLong, codec(r.payload)))

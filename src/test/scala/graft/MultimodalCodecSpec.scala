@@ -33,6 +33,36 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(!rows.keys.exists(_._1 == 3L), "undecodable payload must emit no rows")
   }
 
+  test("the JDK image codec decodes REAL PNG bytes through the unchanged seam") {
+    import spark.implicits._
+    // actual PNG streams, written by the same JDK codec family that reads
+    // them — arbitrary binary, so they ride featuresOf's payload column
+    // (PNG bytes are not valid UTF-8 and cannot pose as a text column)
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(3, 2, 0x336699)),
+      (2L, png(1, 1, 0xffffff)),
+      (3L, "not an image".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.featuresOf(media, Multimodal.imageFactory).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // [width, height, meanR, meanG, meanB]; PNG is lossless so the solid
+    // fills decode to exact channel constants
+    assert(out == Map(
+      (1L, 0L) -> 3.0, (1L, 1L) -> 2.0,
+      (1L, 2L) -> 0x33.toDouble, (1L, 3L) -> 0x66.toDouble, (1L, 4L) -> 0x99.toDouble,
+      (2L, 0L) -> 1.0, (2L, 1L) -> 1.0,
+      (2L, 2L) -> 255.0, (2L, 3L) -> 255.0, (2L, 4L) -> 255.0), out.toString)
+    assert(!out.keys.exists(_._1 == 3L), "non-image bytes must emit no rows")
+  }
+
   test("codec factory runs per partition, not per row, and not on the driver") {
     import spark.implicits._
     val docs = (1L to 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
