@@ -119,10 +119,10 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run(1000000) == brute.keySet, "full re-rank buffer must equal brute force")
     val recall = brute.keySet.count(run(32)).toDouble / brute.size
     assert(recall > 0.2, s"learned-codebook recall too low: $recall") // deterministic corpus
-    info(f"learned-PQ recall@5 (rerank=32, 16 codes/subspace): $recall%.3f")
+    info(f"learned-PQ recall@5 (rerank=32, 32 codes/subspace): $recall%.3f")
 
     // the Lloyd rounds actually trained: final centroids differ from init
-    // (init = sub-slices of the 16 lowest vec_ids, iters=0 reproduces it)
+    // (init = sub-slices of the 32 lowest vec_ids, iters=0 reproduces it)
     val init = Similarity.pqLearnedCents(emb, iters = 0).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
     val trained = Similarity.pqLearnedCents(emb).collect()
