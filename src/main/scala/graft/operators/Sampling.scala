@@ -266,11 +266,22 @@ object Sampling {
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("shard", expr(s"doc_id DIV $shardWidth"))
-    val bases = narrow.groupBy("source", "shard").agg(sum("n_tokens").as("st"))
+      // explicit null-key filter (vacuous on a real corpus): the bases join
+      // infers it on one branch only, and an asymmetric pushdown would
+      // break the exchange-subtree equality reuse depends on
+      .filter(col("source").isNotNull && col("shard").isNotNull)
+    val local = narrow.withColumn("lsum", sum("n_tokens").over(w))
+    // shard totals come from the WINDOW OUTPUT (max of a nonnegative
+    // running sum = the shard's total), not from a second pass over the
+    // corpus: both branches then contain the identical under-window
+    // exchange subtree, which exchange reuse executes ONCE — scan,
+    // tokenization, and shuffle are never duplicated (ScaleTechniquesSpec's
+    // e2e scan counts catch exactly that), while the duplicated tail above
+    // the reused shuffle is per-partition sort+sum over narrow rows
+    val bases = local.groupBy("source", "shard").agg(max("lsum").as("st"))
       .withColumn("base", sum("st").over(wS) - col("st"))
       .select("source", "shard", "base")
-    narrow
-      .withColumn("lsum", sum("n_tokens").over(w))
+    local
       .join(broadcast(bases), Seq("source", "shard"))
       .withColumn("tok_offset", col("base") + col("lsum") - col("n_tokens"))
       .withColumn("chunk_first", (col("tok_offset") / budget).cast("long"))

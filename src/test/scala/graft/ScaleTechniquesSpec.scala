@@ -160,10 +160,22 @@ class ScaleTechniquesSpec extends SparkSpec {
       "coarse assignment must partial-aggregate map-side")
   }
 
+  /** Physical plan with AQE off: the static ReuseExchange rule then
+    * collapses shared exchange subtrees (pack_chunks' two-level prefix sum
+    * relies on it), which AQE only applies at RUNTIME — an un-executed
+    * adaptive plan string would double-count the reused scan. The runtime
+    * equivalence under AQE is pinned by the same subtree printing a
+    * single FileScan in the executed final plan. */
+  private def planNoAqe(df: => org.apache.spark.sql.DataFrame): String = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("e2e pipeline plan: all three filters fuse into ONE scan predicate, no per-stage materialization") {
     val docs = Tables.load(spark, sf(), "documents")
-    val planStr = graft.operators.CurationPipeline.e2e(docs)
-      .queryExecution.executedPlan.toString
+    val planStr = planNoAqe(graft.operators.CurationPipeline.e2e(docs))
     // exactly two corpus scans: the fingerprint-group side and the filter side
     val scans = planStr.split("Scan parquet").length - 1
     assert(scans == 2, s"expected 2 corpus scans, got $scans:\n${planStr.take(1200)}")
@@ -204,8 +216,7 @@ class ScaleTechniquesSpec extends SparkSpec {
 
   test("e2e near pipeline plan: downstream stays one fused-filter scan; keep set reads caches, not parquet") {
     val docs = Tables.load(spark, sf(), "documents")
-    val planStr = graft.operators.CurationPipeline.e2eNear(docs)
-      .queryExecution.executedPlan.toString
+    val planStr = planNoAqe(graft.operators.CurationPipeline.e2eNear(docs))
     // the cluster keep side resolves through the pinned dup-group cache and
     // the checkpointed component RDD — the corpus parquet is scanned ONCE,
     // on the filter side. InMemoryRelation nodes PRINT their cached build
@@ -280,8 +291,13 @@ class ScaleTechniquesSpec extends SparkSpec {
   test("e2e semantic plan: corpus text scanned once; keep side reads the memoized embedding components") {
     val docs = Tables.load(spark, sf(), "documents")
     val emb = Tables.load(spark, sf(), "embeddings")
-    val planStr = graft.operators.CurationPipeline.e2eSemantic(docs, emb)
-      .queryExecution.executedPlan.toString
+    // EXECUTED final plan: the packing stage's shard-total branch shares
+    // the corpus exchange and the keep-set Bloom subquery with the main
+    // branch through AQE's runtime stage/subquery reuse — which the static
+    // (pre-execution) plan string doesn't yet reflect
+    val df = graft.operators.CurationPipeline.e2eSemantic(docs, emb)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val planStr = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     // the keep side resolves through the embedding-cluster memo (quantized
     // pin + checkpointed CC labels) — documents parquet is scanned ONCE, on
     // the filter side; embeddings live scans don't read text
@@ -295,6 +311,21 @@ class ScaleTechniquesSpec extends SparkSpec {
       l.contains("aggregate(") && l.contains("65536.0") && l.contains("-2.2"))
     assert(fused,
       s"repetition+classifier+mixture must fuse into one Filter:\n${planStr.take(2000)}")
+  }
+
+  test("pack_chunks plan: two-level prefix sum reads the corpus ONCE (shared exchange reused)") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val plan = planNoAqe(graft.operators.Sampling.packChunks(docs))
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"shard-total branch must reuse the window's exchange, not re-scan:\n${plan.take(1500)}")
+    assert(plan.contains("ReusedExchange"),
+      s"expected the shared (source, shard) exchange to be reused:\n${plan.take(1500)}")
+    // runtime equivalence under AQE: the executed final plan also scans once
+    val df = graft.operators.Sampling.packChunks(docs)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val finalSection = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(finalSection.split("FileScan parquet").length - 1 == 1,
+      s"AQE final plan must execute one corpus scan:\n${finalSection.take(1500)}")
   }
 
   test("registry-wide: NO partitionless window in any query's plan (single-task global sort ban)") {
