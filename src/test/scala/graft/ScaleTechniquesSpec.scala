@@ -336,13 +336,22 @@ class ScaleTechniquesSpec extends SparkSpec {
     // is exactly what WindowExec warns about with "No Partition Defined ...
     // Moving all data to a single partition".
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
-      q(spark, sf()).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty => name
-      }
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
+      name -> q(spark, sf()).queryExecution
+    }
+    val offenders = plans.flatMap { case (name, qe) =>
+      qe.optimizedPlan.collect { case w: LWindow if w.partitionSpec.isEmpty => name }
     }.distinct
     assert(offenders.isEmpty,
       s"partitionless window (single-task sort at scale) in: ${offenders.mkString(", ")}")
+    // second registry-wide invariant, same sweep: no unbroadcast cartesian
+    // anywhere — every production cross join must be broadcast-tiny (a
+    // CartesianProductExec is the quadratic-shuffle scale killer)
+    val cartesian = plans.collect {
+      case (name, qe) if qe.executedPlan.toString.contains("CartesianProduct") => name
+    }
+    assert(cartesian.isEmpty,
+      s"unbroadcast cartesian product in: ${cartesian.mkString(", ")}")
   }
 
   test("spans plan: window-hash counting partial-aggregates map-side before its shuffle") {
