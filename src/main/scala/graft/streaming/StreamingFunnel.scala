@@ -61,12 +61,12 @@ object StreamingFunnel {
   /** One batch-fold step — the EXACT transition of the batch `aggregate()`
     * lambda: every condition reads the PRE-update accumulator (a view can't
     * enable a same-event click), steps gate on strict `ts >`. */
-  private def step(t1: Long, t2: Long, t3: Long, e: FEvent): (Long, Long, Long) = (
+  private[graft] def step(t1: Long, t2: Long, t3: Long, e: FEvent): (Long, Long, Long) = (
     if (t1 == 0L && e.et == "view") e.tsUs else t1,
     if (t2 == 0L && e.et == "click" && t1 != 0L && e.tsUs > t1) e.tsUs else t2,
     if (t3 == 0L && e.et == "purchase" && t2 != 0L && e.tsUs > t2) e.tsUs else t3)
 
-  private def foldSorted(st: FState, evs: Seq[FEvent]): FState = {
+  private[graft] def foldSorted(st: FState, evs: Seq[FEvent]): FState = {
     var (a, b, c) = (st.t1, st.t2, st.t3)
     evs.sortBy(e => (e.tsUs, e.et)).foreach { e =>
       val n = step(a, b, c, e); a = n._1; b = n._2; c = n._3
