@@ -376,15 +376,25 @@ object Sampling {
     val cnts = scored.filter(draw < lit(16384L)) // 0.25 * 65536, integer compare
       .groupBy(col("quality_score").as("c")).agg(count(lit(1)).as("f"))
       .withColumn("bk", floor(col("c")).cast("long")) // score ∈ [0,100] ⇒ ≤101 buckets
+      // vacuous (floor of a non-null score), but keeps the downstream join's
+      // inferred null filter from diverging the shared subtree (the same
+      // exchange-reuse discipline packChunks documents)
+      .filter(col("bk").isNotNull)
     val wB = Window.partitionBy("bk").orderBy("c")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = cnts.groupBy("bk").agg(sum("f").as("bf"))
+    // every downstream consumer (bucket totals, their triangular base join,
+    // the normalizer, the cumulative frame) derives from the ONE windowed
+    // frame — bucket total = max of the in-bucket running sum — so all
+    // branches share the window's exchange subtree and the sample scan +
+    // score computation execute once, not once per consumer
+    val cum0 = cnts.withColumn("lcum", sum("f").over(wB))
+    val totals = cum0.groupBy("bk").agg(max("lcum").as("bf"))
     val bases = totals.as("a")
       .join(broadcast(totals.as("b")), col("b.bk") < col("a.bk"), "left")
       .groupBy(col("a.bk").as("bk"))
       .agg(coalesce(sum(col("b.bf")), lit(0L)).as("base"))
     val nnRow = totals.agg(sum("bf").as("nn"))
-    val cum = cnts.withColumn("lcum", sum("f").over(wB))
+    val cum = cum0
       .join(broadcast(bases), Seq("bk"))
       .withColumn("cum", col("lcum") + col("base"))
     val bounds = cum.crossJoin(broadcast(nnRow))

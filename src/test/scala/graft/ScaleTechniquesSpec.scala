@@ -328,6 +328,23 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"AQE final plan must execute one corpus scan:\n${finalSection.take(1500)}")
   }
 
+  test("curriculum plan: boundary job shares one sample scan across its consumers (2 text scans total)") {
+    // the boundary side's totals / triangular base join / normalizer /
+    // cumulative frame all derive from ONE windowed frame over the counted
+    // sample — without that, each consumer re-ran the sample scan + quality
+    // scoring (3+ corpus text scans at runtime). The 2 remaining scans are
+    // the structural minimum: the sampled boundary pass and the full
+    // assignment pass both need quality scores over text.
+    val docs = Tables.load(spark, sf(), "documents")
+    val df = graft.operators.Sampling.curriculumTiers(docs)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val textScans = fin.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("text:string"))
+    assert(textScans <= 2,
+      s"boundary consumers must share the sample scan, got $textScans text scans:\n${fin.take(1500)}")
+  }
+
   test("registry-wide: NO partitionless window in any query's plan (single-task global sort ban)") {
     // the class of defect sample_curriculum used to have (an unpartitioned
     // row_number/count over a constant fraction of the corpus — one task
