@@ -200,13 +200,16 @@ object Dedup {
     * text. Rates are ratios of exact BIGINTs; the mean is an exact-BIGINT
     * sum divided once — deterministic in any partitioning. */
   def corpusReport(docs: DataFrame): DataFrame = {
-    val perDoc = docs.select(col("doc_id"), col("lang"),
+    // fingerprints, token counts AND the quality score all come from ONE
+    // text scan (the score arithmetic is TextAnalysis's single shared
+    // definition) — the former qualityScore join was a second full corpus
+    // pass for a column this projection can compute in place
+    val perDoc = docs.select(Seq(col("doc_id"), col("lang"),
         md5(col("text")).as("fp"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("cfp"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(TextAnalysis.qualityScore(docs)
-        .select(col("doc_id"), round(col("quality_score") * 100).cast("long").as("s100")),
-        Seq("doc_id"))
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("cfp")) ++
+        TextAnalysis.qualityCountCols: _*)
+      .withColumn("s100", round(TextAnalysis.qualityScoreFrom(
+        col("n_stop"), col("n_distinct"), col("n_tokens")) * 100).cast("long"))
       .join(clusters(docs).select("doc_id", "cluster_id"), Seq("doc_id"))
     perDoc.agg(
       count(lit(1)).as("n_docs"),

@@ -65,22 +65,38 @@ object TextAnalysis {
 
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
-  /** Quality scoring: stopword ratio, lexical diversity, length component —
-    * a deterministic 0..100 score from integer counts. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  /** The three integer counts the quality score derives from, as named
+    * columns over `text` — ONE definition, shared by [[qualityScore]] and
+    * corpus-level consumers ([[graft.operators.Dedup.corpusReport]]) that
+    * fuse the scoring into their own scan instead of joining a second
+    * corpus pass in. */
+  private[operators] def qualityCountCols: Seq[org.apache.spark.sql.Column] = {
     val stopList = StopWords.map(w => s"'$w'").mkString(", ")
-    Tables.fanOut(docs).select(col("doc_id"), col("n_chars"),
-      size(toks).cast("long").as("n_tokens"),
+    Seq(size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
       size(expr(s"filter(split(text, ' '), t -> t IN ($stopList))")).cast("long").as("n_stop"))
+  }
+
+  /** `quality_score` from the counted columns — the one definition of the
+    * arithmetic (exact operation order matters: the DuckDB oracles replay
+    * it term for term). */
+  private[operators] def qualityScoreFrom(nStop: org.apache.spark.sql.Column,
+      nDistinct: org.apache.spark.sql.Column,
+      nTokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (nStop.cast("double") / nTokens) * 30.0 + (nDistinct.cast("double") / nTokens) * 40.0 +
+      least(nTokens, lit(100L)).cast("double") / 100.0 * 30.0
+
+  /** Quality scoring: stopword ratio, lexical diversity, length component —
+    * a deterministic 0..100 score from integer counts. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs)
+      .select(col("doc_id") +: col("n_chars") +: qualityCountCols: _*)
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("diversity", col("n_distinct").cast("double") / col("n_tokens"))
       .withColumn("quality_score",
-        col("stop_ratio") * 30.0 + col("diversity") * 40.0 +
-          least(col("n_tokens"), lit(100L)).cast("double") / 100.0 * 30.0)
+        qualityScoreFrom(col("n_stop"), col("n_distinct"), col("n_tokens")))
       .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "diversity", "quality_score")
       .orderBy("doc_id")
-  }
 
   val qualityScoreSql: String = {
     val stopList = StopWords.map(w => s"'$w'").mkString(", ")
