@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Watermarked streaming twin of the batch trailing-hour rate window
+  * ([[graft.RelationalQueries.eventsRateWindow]]): per event, the same
+  * user's event count and cents-sum over `[ts − 1h, ts]` (inclusive, the
+  * batch RANGE frame) — emitted exactly once per event, as soon as the
+  * event's frame is COMPLETE.
+  *
+  * Completeness model: an event `e` finalizes when the watermark passes
+  * its timestamp — every frame member has `ts' ≤ e.ts < wm`, and the
+  * watermark contract says nothing with `ts' < wm` can still arrive — so
+  * the frame computed from the buffer at that moment is the batch frame.
+  * The emission frontier (the watermark through which events have been
+  * emitted) makes the emission exactly-once; the buffer prunes to
+  * `ts ≥ wm − 1h`, because only those rows can sit in a future event's
+  * frame (already-emitted rows stay until they age out of reach — a row
+  * is a frame MEMBER for an hour after it is itself emitted).
+  *
+  * 100 TB shape: keyed and shuffled by user_id only; state per active
+  * user = the events inside `lateness + 1h` of the frontier — the same
+  * activity-horizon bound the batch window's per-user frame assumes.
+  * State removes on event-time timeout after `horizonMs` of inactivity
+  * (safe: a longer gap than the horizon means no frame can span it,
+  * since horizon ≫ 1h). Late events beyond `delay` are dropped by the
+  * watermark — the package's documented trade. */
+object StreamingRateWindow {
+
+  /** Buffered event: id, epoch-micros, integer cents. */
+  final case class REvent(eventId: Long, tsUs: Long, cents: Long)
+
+  final case class RWState(buf: List[REvent], frontierUs: Long, maxTsUs: Long)
+
+  final case class RWOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      n_last_hour: Long, value_last_hour: Double)
+
+  private val HourUs = 3600L * 1000000L
+
+  private def toUs(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  private def toTs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+
+  /** Emit every buffered event in `[frontier, cut)` with its trailing-hour
+    * stats over the WHOLE buffer (members may already be emitted rows). */
+  private def emitUpTo(user: Long, st: RWState, cutUs: Long): (Iterator[RWOut], List[REvent]) = {
+    val ready = st.buf.filter(e => e.tsUs >= st.frontierUs && e.tsUs < cutUs)
+    val outs = ready.sortBy(e => (e.tsUs, e.eventId)).map { e =>
+      val frame = st.buf.filter(m => m.tsUs >= e.tsUs - HourUs && m.tsUs <= e.tsUs)
+      RWOut(e.eventId, user, toTs(e.tsUs),
+        frame.size.toLong, frame.map(_.cents).sum.toDouble / 100.0)
+    }
+    // retain only rows a FUTURE event (ts >= cut) can still frame
+    (outs.iterator, st.buf.filter(_.tsUs >= cutUs - HourUs))
+  }
+
+  private def update(horizonMs: Long)(user: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+      state: GroupState[RWState]): Iterator[RWOut] = {
+    if (state.hasTimedOut) {
+      // watermark is past every buffered event: flush the tail, drop state
+      val st = state.get
+      val (outs, _) = emitUpTo(user, st, Long.MaxValue)
+      state.remove()
+      outs
+    } else {
+      val st = state.getOption.getOrElse(RWState(Nil, 0L, 0L))
+      val incoming = rows.map { case (_, id, ts, c) => REvent(id, toUs(ts), c) }.toList
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val full = st.copy(buf = st.buf ++ incoming)
+      val (outs, keep) = emitUpTo(user, full, wmUs)
+      val maxTs = (st.maxTsUs :: incoming.map(_.tsUs)).max
+      state.update(RWState(keep, math.max(st.frontierUs, wmUs), maxTs))
+      state.setTimeoutTimestamp(maxTs / 1000L + horizonMs)
+      outs
+    }
+  }
+
+  /** Exactly-once per-event trailing-hour stats of a streaming
+    * `(user_id, event_id, ts, value)` frame. */
+  def rateWindow(events: DataFrame, delay: String = "30 minutes",
+      horizonMs: Long = 30L * 24 * 3600 * 1000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // integer cents computed in the projection — the exact expression the
+    // batch query aggregates, so the engines can never round differently;
+    // casts sit BEFORE the watermark (see StreamingFunnel)
+    val typed: Dataset[(Long, Long, java.sql.Timestamp, Long)] = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts").cast("timestamp").as("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withWatermark("ts", delay)
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        update(horizonMs))
+      .toDF()
+  }
+}
