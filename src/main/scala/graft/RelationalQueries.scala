@@ -512,10 +512,12 @@ object RelationalQueries {
     val li = t(s, dir, "lineitem")
     val h = conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 12),
       16, 10).cast("long")
-    // register pass: min hash per (flag, h mod P) — bounded, map-side combined
+    // register pass: min hash per (flag, h mod P) — bounded, map-side
+    // combined; the per-register row count rides along so the exact cnt is
+    // a rollup of THIS pass instead of a fourth full lineitem scan
     val regs = li.select(col("l_returnflag"), h.as("h"))
       .groupBy(col("l_returnflag"), pmod(col("h"), lit(KmvP)).as("b"))
-      .agg(min("h").as("mn"))
+      .agg(min("h").as("mn"), count(lit(1)).as("cb"))
     val wReg = Window.partitionBy("l_returnflag").orderBy("mn")
     val tau = regs.withColumn("rn", row_number().over(wReg))
       .groupBy("l_returnflag")
@@ -559,7 +561,9 @@ object RelationalQueries {
       .agg(
         (min(when(col("cum") >= expr("(nn * 50 + 99) DIV 100"), col("c"))) / 100.0).as("p50_price"),
         (min(when(col("cum") >= expr("(nn * 95 + 99) DIV 100"), col("c"))) / 100.0).as("p95_price"))
-    val cnt = li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+    // exact per-flag count = sum of the register-pass per-bucket counts
+    // (every row lands in exactly one register) — no extra corpus pass
+    val cnt = regs.groupBy("l_returnflag").agg(sum("cb").as("cnt"))
     kmv.join(q, Seq("l_returnflag")).join(cnt, Seq("l_returnflag"))
       .select("l_returnflag", "approx_parts", "p50_price", "p95_price", "cnt")
       .orderBy("l_returnflag")
