@@ -728,10 +728,15 @@ object Dedup {
     val base = Tables.fanOut(docs).select(col("doc_id"),
       octet_length(col("text")).cast("long").as("n_bytes"),
       rolling_hashes(col("text"), k).as("rh"))
+    // duplicate marking rides ONE keyed window over the single exploded
+    // frame — the former groupBy-then-self-join consumed `pos` twice, and
+    // each consumer re-ran the scan + rolling hashes + explode (the shuffle
+    // volume is the same either way: the position frame moves once on `h`;
+    // per-h window groups are occurrence counts, tiny by construction)
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val pos = base.select(col("doc_id"), posexplode(col("rh")).as(Seq("p", "h")))
-    val dup = pos.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("h")
-    val dupPos = pos.join(dup, Seq("h"))
+    val dupPos = pos.withColumn("c", count(lit(1)).over(wH))
+      .filter(col("c") > 1)
       .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("ps"))
     // one fold computes both the span count and the covered-byte union:
     // window i adds min(k, p_i − p_{i−1}) new bytes and starts a new span
@@ -814,13 +819,18 @@ object Dedup {
     import graft.functions.RollingHashes.rolling_hashes
     val base = Tables.fanOut(docs).select(col("doc_id"), col("text"),
       rolling_hashes(col("text"), k).as("rh"))
+    // same one-window discipline as [[spans]]: occurrence count AND the
+    // canonical keeper both ride ONE keyed window over the single exploded
+    // frame (the former groupBy + self-join re-ran scan + hashes + explode
+    // per consumer); the keeper is min(struct(doc_id, p)) — identical to
+    // the aggregated form
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val pos = base.select(col("doc_id"), posexplode(col("rh")).as(Seq("p", "h")))
-    val dupKeep = pos.groupBy("h")
-      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("p"))).as("kk"))
-      .filter(col("c") > 1)
-      .select(col("h"), col("kk.doc_id").as("kd"), col("kk.p").as("kp"))
-    val rm = pos.join(dupKeep, Seq("h"))
-      .filter(!(col("doc_id") === col("kd") && col("p") === col("kp")))
+    val rm = pos
+      .withColumn("c", count(lit(1)).over(wH))
+      .withColumn("kk", min(struct(col("doc_id"), col("p"))).over(wH))
+      .filter(col("c") > 1 &&
+        !(col("doc_id") === col("kk.doc_id") && col("p") === col("kk.p")))
       .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("ps"))
     // one pass over the sorted positions: extend the open span while the
     // next window touches it (p <= e), else flush the kept bytes before it

@@ -371,16 +371,31 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"unbroadcast cartesian product in: ${cartesian.mkString(", ")}")
   }
 
-  test("spans plan: window-hash counting partial-aggregates map-side before its shuffle") {
+  test("spans plan: ONE explode, one position shuffle; dup marking rides a keyed window") {
+    // the expensive part is scan + rolling hashes + explode: it must appear
+    // exactly once (the former groupBy + self-join consumed the exploded
+    // frame twice and re-ran all three per consumer). The dup count rides a
+    // window KEYED on the hash — per-h groups are occurrence counts, tiny —
+    // and the position frame crosses the wire once either way.
     val docs = Tables.load(spark, sf(), "documents")
-    val plan = graft.operators.Dedup.spans(docs).queryExecution.executedPlan.toString
-    // the count-per-hash aggregation appears as a partial/final HashAggregate
-    // pair around an Exchange — (hash, partial count) is what shuffles, never
-    // the exploded position frame itself
-    assert(plan.contains("partial_count") || plan.split("HashAggregate").length - 1 >= 2,
-      s"expected map-side combine on the hash counts:\n${plan.take(1500)}")
-    // the per-doc span merge is a fold over a collected array, not a window
-    // over per-position rows
-    assert(!plan.contains("Window"), "span merge must not use a per-position window")
+    val df = graft.operators.Dedup.spans(docs)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("Generate").length - 1 == 1,
+      s"the rolling-hash explode must run once:\n${plan.take(1500)}")
+    // the per-doc span merge stays a fold over the collected array — the
+    // only window is the h-keyed dup mark (the registry-wide spec already
+    // bans partitionless ones)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1 && windows.head.partitionSpec.nonEmpty,
+      s"expected exactly the h-keyed dup-mark window, got ${windows.size}")
+    // executed final plan: the two corpus text scans are the hash side and
+    // the n_bytes roster — never a re-scan per consumer
+    df.queryExecution.toRdd.foreach(_ => ())
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val textScans = fin.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("text:string"))
+    assert(textScans <= 2, s"expected <=2 text scans, got $textScans:\n${fin.take(1500)}")
   }
 }
