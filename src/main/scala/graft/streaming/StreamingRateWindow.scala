@@ -49,17 +49,26 @@ object StreamingRateWindow {
   private def toTs(us: Long): java.sql.Timestamp =
     java.sql.Timestamp.from(Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
 
-  /** Emit every buffered event in `[frontier, cut)` with its trailing-hour
-    * stats over the WHOLE buffer (members may already be emitted rows). */
-  private def emitUpTo(user: Long, st: RWState, cutUs: Long): (Iterator[RWOut], List[REvent]) = {
-    val ready = st.buf.filter(e => e.tsUs >= st.frontierUs && e.tsUs < cutUs)
+  /** The PURE state transition (property-tested directly by
+    * RateWindowPropertySpec): absorb `incoming` (all with `ts ≥` the
+    * previous watermark, per the lateness contract), emit every buffered
+    * event in `[frontier, wm)` with its trailing-hour stats over the whole
+    * buffer (members may already be emitted rows), prune the buffer to
+    * rows a future event (`ts ≥ wm`) can still frame, and advance the
+    * frontier. `wm = Long.MaxValue` flushes everything (the timeout path). */
+  private[graft] def advance(user: Long, st: RWState, incoming: List[REvent],
+      wmUs: Long): (List[RWOut], RWState) = {
+    val buf = st.buf ++ incoming
+    val ready = buf.filter(e => e.tsUs >= st.frontierUs && e.tsUs < wmUs)
     val outs = ready.sortBy(e => (e.tsUs, e.eventId)).map { e =>
-      val frame = st.buf.filter(m => m.tsUs >= e.tsUs - HourUs && m.tsUs <= e.tsUs)
+      val frame = buf.filter(m => m.tsUs >= e.tsUs - HourUs && m.tsUs <= e.tsUs)
       RWOut(e.eventId, user, toTs(e.tsUs),
         frame.size.toLong, frame.map(_.cents).sum.toDouble / 100.0)
     }
-    // retain only rows a FUTURE event (ts >= cut) can still frame
-    (outs.iterator, st.buf.filter(_.tsUs >= cutUs - HourUs))
+    val maxTs = (st.maxTsUs :: incoming.map(_.tsUs)).max
+    (outs, RWState(
+      buf.filter(e => wmUs == Long.MaxValue || e.tsUs >= wmUs - HourUs),
+      math.max(st.frontierUs, wmUs), maxTs))
   }
 
   private def update(horizonMs: Long)(user: Long,
@@ -67,20 +76,17 @@ object StreamingRateWindow {
       state: GroupState[RWState]): Iterator[RWOut] = {
     if (state.hasTimedOut) {
       // watermark is past every buffered event: flush the tail, drop state
-      val st = state.get
-      val (outs, _) = emitUpTo(user, st, Long.MaxValue)
+      val (outs, _) = advance(user, state.get, Nil, Long.MaxValue)
       state.remove()
-      outs
+      outs.iterator
     } else {
       val st = state.getOption.getOrElse(RWState(Nil, 0L, 0L))
       val incoming = rows.map { case (_, id, ts, c) => REvent(id, toUs(ts), c) }.toList
       val wmUs = state.getCurrentWatermarkMs() * 1000L
-      val full = st.copy(buf = st.buf ++ incoming)
-      val (outs, keep) = emitUpTo(user, full, wmUs)
-      val maxTs = (st.maxTsUs :: incoming.map(_.tsUs)).max
-      state.update(RWState(keep, math.max(st.frontierUs, wmUs), maxTs))
-      state.setTimeoutTimestamp(maxTs / 1000L + horizonMs)
-      outs
+      val (outs, next) = advance(user, st, incoming, wmUs)
+      state.update(next)
+      state.setTimeoutTimestamp(next.maxTsUs / 1000L + horizonMs)
+      outs.iterator
     }
   }
 
