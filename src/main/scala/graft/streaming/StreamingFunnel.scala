@@ -38,8 +38,9 @@ object StreamingFunnel {
   final case class FEvent(tsUs: Long, et: String)
 
   /** Group state: not-yet-finalized buffer (ts ≥ last watermark), the
-    * 3-step accumulator over the finalized prefix (0 = unset — epoch 0
-    * predates every real corpus and None doesn't fit a stable encoder as
+    * 3-step accumulator over the finalized prefix (−1 = unset — 0 is a
+    * legitimate epoch-0 timestamp, the sentinel-collision class
+    * RetentionPropertySpec caught; None doesn't fit a stable encoder as
     * cleanly), and the max event time seen (drives the inactivity timeout). */
   final case class FState(buf: List[FEvent], t1: Long, t2: Long, t3: Long, maxTsUs: Long)
 
@@ -54,7 +55,7 @@ object StreamingFunnel {
   }
 
   private def toTs(us: Long): Option[java.sql.Timestamp] =
-    if (us == 0L) None
+    if (us < 0L) None
     else Some(java.sql.Timestamp.from(
       Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)))
 
@@ -62,9 +63,9 @@ object StreamingFunnel {
     * lambda: every condition reads the PRE-update accumulator (a view can't
     * enable a same-event click), steps gate on strict `ts >`. */
   private[graft] def step(t1: Long, t2: Long, t3: Long, e: FEvent): (Long, Long, Long) = (
-    if (t1 == 0L && e.et == "view") e.tsUs else t1,
-    if (t2 == 0L && e.et == "click" && t1 != 0L && e.tsUs > t1) e.tsUs else t2,
-    if (t3 == 0L && e.et == "purchase" && t2 != 0L && e.tsUs > t2) e.tsUs else t3)
+    if (t1 < 0L && e.et == "view") e.tsUs else t1,
+    if (t2 < 0L && e.et == "click" && t1 >= 0L && e.tsUs > t1) e.tsUs else t2,
+    if (t3 < 0L && e.et == "purchase" && t2 >= 0L && e.tsUs > t2) e.tsUs else t3)
 
   private[graft] def foldSorted(st: FState, evs: Seq[FEvent]): FState = {
     var (a, b, c) = (st.t1, st.t2, st.t3)
@@ -77,7 +78,7 @@ object StreamingFunnel {
   private def out(user: Long, st: FState): FOut = {
     val fin = foldSorted(st, st.buf) // timeout ⇒ watermark passed everything
     FOut(user, toTs(fin.t1), toTs(fin.t2), toTs(fin.t3),
-      if (fin.t3 != 0L) 3L else if (fin.t2 != 0L) 2L else if (fin.t1 != 0L) 1L else 0L)
+      if (fin.t3 >= 0L) 3L else if (fin.t2 >= 0L) 2L else if (fin.t1 >= 0L) 1L else 0L)
   }
 
   private def update(horizonMs: Long)(user: Long,
@@ -88,7 +89,7 @@ object StreamingFunnel {
       state.remove()
       Iterator.single(done)
     } else {
-      val st = state.getOption.getOrElse(FState(Nil, 0L, 0L, 0L, 0L))
+      val st = state.getOption.getOrElse(FState(Nil, -1L, -1L, -1L, 0L))
       val incoming = rows.map { case (_, ts, et) => FEvent(toUs(ts), et) }.toList
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       // finalize everything the watermark has passed: these timestamps all

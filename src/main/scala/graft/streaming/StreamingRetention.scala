@@ -50,50 +50,47 @@ object StreamingRetention {
   private def toTs(us: Long): java.sql.Timestamp =
     java.sql.Timestamp.from(Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
 
+  /** The PURE state transition (property-tested directly by
+    * RetentionPropertySpec): absorb `incoming` (all `ts ≥` the previous
+    * watermark), finalize everything the watermark passed, fix the cohort
+    * on first finalization (nothing earlier can arrive), emit each newly
+    * covered `(cohort, age)` cell once, keep the rest buffered.
+    * `wm = Long.MaxValue` flushes everything (the timeout path). */
+  private[graft] def advance(user: Long, st: RState, incoming: List[Long],
+      wmUs: Long): (List[ROut], RState) = {
+    val (fin, keep) = (st.bufUs ++ incoming).partition(_ < wmUs)
+    // −1 = cohort unset: 0 is a LEGITIMATE cohort (an epoch-hour-zero
+    // event), and using it as the sentinel let a second segment recompute
+    // the cohort — caught by RetentionPropertySpec
+    val cohort =
+      if (st.cohortUs >= 0L) st.cohortUs
+      else if (fin.nonEmpty) hourFloor(fin.min) else -1L
+    val newAges =
+      if (cohort < 0L) Nil
+      else fin.map(us => (hourFloor(us) - cohort) / HourUs)
+        .distinct.filterNot(st.emittedAges.contains).sorted
+    val maxTs = (st.maxTsUs :: incoming).max
+    (newAges.map(age => ROut(user, toTs(cohort), age)),
+      RState(keep, cohort, st.emittedAges ++ newAges, maxTs))
+  }
+
   private def update(horizonMs: Long)(user: Long,
       rows: Iterator[(Long, java.sql.Timestamp)],
       state: GroupState[RState]): Iterator[ROut] = {
     if (state.hasTimedOut) {
       // watermark has passed everything buffered (timeout ≥ maxTs+horizon):
       // flush the remaining hours, then drop the state
-      val st = state.get
-      val outs = flush(user, st, st.bufUs)
+      val (outs, _) = advance(user, state.get, Nil, Long.MaxValue)
       state.remove()
-      outs
+      outs.iterator
     } else {
-      val st = state.getOption.getOrElse(RState(Nil, 0L, Nil, 0L))
+      val st = state.getOption.getOrElse(RState(Nil, -1L, Nil, 0L))
       val incoming = rows.map { case (_, ts) => toUs(ts) }.toList
       val wmUs = state.getCurrentWatermarkMs() * 1000L
-      val (fin, keep) = (st.bufUs ++ incoming).partition(_ < wmUs)
-      val maxTs = (st.maxTsUs :: incoming).max
-      val outs = flush(user, st, fin)
-      // flush() folded fin into cohort/emitted via its returned rows; redo
-      // the state bookkeeping here (flush is pure)
-      val cohort =
-        if (st.cohortUs != 0L) st.cohortUs
-        else if (fin.nonEmpty) hourFloor(fin.min) else 0L
-      val newAges =
-        if (cohort == 0L) Nil
-        else fin.map(us => (hourFloor(us) - cohort) / HourUs)
-          .distinct.filterNot(st.emittedAges.contains)
-      state.update(RState(keep, cohort,
-        st.emittedAges ++ newAges, maxTs))
-      state.setTimeoutTimestamp(maxTs / 1000L + horizonMs)
-      outs
-    }
-  }
-
-  /** Cells newly contributed by finalizing `fin` against state `st` —
-    * pure: the caller owns the matching state update. */
-  private def flush(user: Long, st: RState, fin: List[Long]): Iterator[ROut] = {
-    if (fin.isEmpty) Iterator.empty
-    else {
-      val cohort = if (st.cohortUs != 0L) st.cohortUs else hourFloor(fin.min)
-      fin.map(us => (hourFloor(us) - cohort) / HourUs)
-        .distinct.filterNot(st.emittedAges.contains)
-        .sorted
-        .map(age => ROut(user, toTs(cohort), age))
-        .iterator
+      val (outs, next) = advance(user, st, incoming, wmUs)
+      state.update(next)
+      state.setTimeoutTimestamp(next.maxTsUs / 1000L + horizonMs)
+      outs.iterator
     }
   }
 
