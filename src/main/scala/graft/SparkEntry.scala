@@ -64,23 +64,41 @@ object SparkEntry {
     * render+parse+merge cache build to whichever log query happens to run
     * first ([[Bench]] reports this as its own `cache_build` line item). */
   def warmCaches(s: SparkSession, dir: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     // per-stage stderr breakdown: cache_build is the bench's calibration
     // line, and when it drifts round-over-round this log says WHICH index
     // build moved (box noise shifts every stage; a code change shifts one)
     def stage(name: String)(f: => Unit): Unit = PinnedCaches.warmStage(name)(f)
-    stage("render")(renderedLines(s, dir).count())
-    for (noisy <- Seq(false, true)) stage(s"parse_merge(noisy=$noisy)") {
-      val p = parsed(s, dir, noisy)
-      p.count()
-      QueryMerge.stateInserts(p).count()
-      QueryMerge.classified(p).count()
+    // THREE independent chains run CONCURRENTLY (Spark schedules jobs from
+    // multiple driver threads across the same executor pool; no pin is
+    // shared across chains, and PinnedCaches' TrieMaps are concurrent) —
+    // the sequential warm left most cores idle through each chain's
+    // intra-stage barriers, and cache_build was ~40% of the whole bench.
+    // Stages WITHIN a chain stay ordered (parse consumes render's lines;
+    // text_pins reads dedup's dup-group pin).
+    val logChain = Future {
+      stage("render")(renderedLines(s, dir).count())
+      for (noisy <- Seq(false, true)) stage(s"parse_merge(noisy=$noisy)") {
+        val p = parsed(s, dir, noisy)
+        p.count()
+        QueryMerge.stateInserts(p).count()
+        QueryMerge.classified(p).count()
+      }
     }
     // the pipeline families' pinned working sets (dup groups, shingle sets,
     // winnowing fingerprints, quantized vectors, the k-means assignment)
     val docs = Tables.load(s, dir, "documents")
-    stage("dedup_pins")(Dedup.warmPins(docs))
-    stage("text_pins")(TextAnalysis.warmPins(docs))
-    stage("sim_pins")(Similarity.warmPins(Tables.load(s, dir, "embeddings")))
+    val docChain = Future {
+      stage("dedup_pins")(Dedup.warmPins(docs))
+      stage("text_pins")(TextAnalysis.warmPins(docs))
+    }
+    val simChain = Future {
+      stage("sim_pins")(Similarity.warmPins(Tables.load(s, dir, "embeddings")))
+    }
+    Await.result(Future.sequence(Seq(logChain, docChain, simChain)), Duration.Inf)
+    ()
   }
 
   /** Drop every cached frame this object pinned for `s` (long-lived-session
