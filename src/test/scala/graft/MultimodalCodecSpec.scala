@@ -63,6 +63,22 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(!out.keys.exists(_._1 == 3L), "non-image bytes must emit no rows")
   }
 
+  test("the same seam decodes JPEG (second JDK codec family; lossy, so dims-only asserts)") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, 0x804020)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val media = Seq((9L, bos.toByteArray)).toDF("doc_id", "payload")
+    val out = Multimodal.featuresOf(media, Multimodal.imageFactory).collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    // width/height are exact for any codec; JPEG quantizes the channel
+    // means, so bound them instead of pinning
+    assert(out(0L) == 5.0 && out(1L) == 4.0, out.toString)
+    for (i <- 2L to 4L) assert(out(i) >= 0.0 && out(i) <= 255.0)
+  }
+
   test("codec factory runs per partition, not per row, and not on the driver") {
     import spark.implicits._
     val docs = (1L to 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
