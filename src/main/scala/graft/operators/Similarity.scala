@@ -1042,9 +1042,10 @@ object Similarity {
         .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("code")))
 
   /** [[pqTopK]] with the LEARNED codebook: same encode/ADC/re-rank chain,
-    * only the code words change. 32 codes/subspace (vs the sampled path's 127-modular table), trained
-    * cells - measured recall@5 0.700 vs 0.640 at 16 codes, the r7 sweep — the recall-vs-
-    * brute-force bound is spec'd in PipelineOpsSpec. */
+    * only the code words change. 32 codes/subspace trained by Lloyd rounds
+    * (vs the sampled path's 127-modular table); measured recall@5 0.700, up
+    * from 0.640 at 16 codes (r7 sweep). The recall-vs-brute-force bound is
+    * spec'd in PipelineOpsSpec. */
   def pqTopKLearned(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
       rerank: Int = 32, codes: Int = 32, subspaces: Int = 8,
       iters: Int = 2): DataFrame = {

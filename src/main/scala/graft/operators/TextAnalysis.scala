@@ -482,11 +482,15 @@ object TextAnalysis {
     * corpus itself never shuffles. */
   def contamination(docs: DataFrame, n: Int = 3, evalMod: Int = 97,
       evalRem: Int = 3): DataFrame = {
+    // token array bound ONCE in its own projection: `slice(split(text),…)`
+    // inside the lambda re-split the whole document per n-gram (no
+    // subexpression elimination in lambda bodies — see [[topRunSql]])
     val grams = Tables.fanOut(docs)
-      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(split(text,' ')) - $n), i -> " +
-          s"array_join(slice(split(text,' '), i + 1, $n), ' '))"))).as("g"))
+        s"transform(sequence(0, size(ws) - $n), i -> " +
+          s"array_join(slice(ws, i + 1, $n), ' '))"))).as("g"))
     val evalGrams = grams.filter(pmod(col("doc_id"), lit(evalMod)) === evalRem)
       .select("g").distinct()
     grams.filter(pmod(col("doc_id"), lit(evalMod)) =!= evalRem)
@@ -515,37 +519,61 @@ object TextAnalysis {
   // the per-doc top-bigram count is a longest-equal-run scan over the
   // doc's SORTED bigram array — pure map-side work (a few dozen elements
   // per doc), where a groupBy(doc, bigram) would shuffle every bigram of
-  // the corpus just to take a per-doc max. Shared by [[repetition]] and
-  // [[sourceReport]].
-  private val topRun: Column = expr(
-    """aggregate(
-      |  array_sort(CASE WHEN size(split(text, ' ')) >= 2 THEN
-      |    transform(sequence(0, size(split(text,' ')) - 2),
-      |      i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]))
+  // the corpus just to take a per-doc max. Shared by [[repetition]],
+  // [[repetitionKeep]] and [[sourceReport]].
+  //
+  // `ws` is the NAME of a pre-bound token-array reference (a projected
+  // alias of `split(text, ' ')`, or a lambda variable binding it): lambda
+  // bodies get no subexpression elimination, so the former inline form —
+  // `split(text,' ')[i]` inside the transform — re-split the whole
+  // document per bigram, O(words²) per row on the hot curation-filter
+  // path (a book-length 10⁵-word document ⇒ ~10¹⁰ char ops in one row).
+  // Referencing the bound array makes each element O(1); CollapseProject
+  // keeps callers' bindings because the alias is referenced more than
+  // once by non-cheap consumers (ScaleTechniquesSpec bans the
+  // whole-column-recompute-in-lambda class across the registry).
+  private def topRunSql(ws: String): String =
+    s"""aggregate(
+      |  array_sort(CASE WHEN size($ws) >= 2 THEN
+      |    transform(sequence(0, size($ws) - 2),
+      |      i -> concat_ws(' ', $ws[i], $ws[i+1]))
       |    ELSE array() END),
       |  named_struct('p', cast(null as string), 'r', 0L, 'b', 0L),
       |  (acc, x) -> CASE WHEN acc.p IS NOT NULL AND x = acc.p
       |    THEN named_struct('p', x, 'r', acc.r + 1L, 'b', greatest(acc.b, acc.r + 1L))
       |    ELSE named_struct('p', x, 'r', 1L, 'b', greatest(acc.b, 1L)) END,
-      |  acc -> acc.b)""".stripMargin)
+      |  acc -> acc.b)""".stripMargin
+
+  /** Longest-equal-run scan over a PRE-BOUND token-array column — callers
+    * must project `split(text, ' ')` into its own alias first (see
+    * [[topRunSql]] for why the inline form was quadratic). */
+  private def topRunOf(ws: String): Column = expr(topRunSql(ws))
 
   /** The repetition-filter keep decision as a reusable map-side Column over
     * a `text` column — the same arithmetic [[repetition]] reports, also the
-    * filter behind the typed [[graft.model.Documents]] API. */
+    * filter behind the typed [[graft.model.Documents]] API.
+    *
+    * A standalone Column can't introduce a projection, so the token array
+    * is bound ONCE via a single-element `transform` lambda variable (the
+    * SQL-level `let`): `split` runs once per row as the transform's input,
+    * and every reference inside the predicate body reads the bound `ws`
+    * variable — linear per document, unlike the former inline form. */
   def repetitionKeep(topBigramMax: Double = 0.18,
-      dupTokenMax: Double = 0.5): Column = {
-    val nTokens = size(split(col("text"), " ")).cast("long")
-    val nDistinct = size(array_distinct(split(col("text"), " "))).cast("long")
-    (topRun * lit(2.0) / nTokens <= topBigramMax) &&
-      ((nTokens - nDistinct).cast("double") / nTokens <= dupTokenMax)
-  }
+      dupTokenMax: Double = 0.5): Column = expr(
+    s"""element_at(transform(array(split(text, ' ')), ws ->
+      |  ${topRunSql("ws")}
+      |  * CAST(2.0 AS DOUBLE) / CAST(size(ws) AS BIGINT) <= CAST($topBigramMax AS DOUBLE)
+      |  AND CAST(CAST(size(ws) AS BIGINT) - CAST(size(array_distinct(ws)) AS BIGINT) AS DOUBLE)
+      |    / CAST(size(ws) AS BIGINT) <= CAST($dupTokenMax AS DOUBLE)), 1)""".stripMargin)
 
   def repetition(docs: DataFrame, topBigramMax: Double = 0.18,
       dupTokenMax: Double = 0.5): DataFrame = {
-    Tables.fanOut(docs).select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
-      topRun.as("top_bigram_count"))
+    Tables.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_tokens"),
+      size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+      topRunOf("ws").as("top_bigram_count"))
       .withColumn("top_bigram_frac", col("top_bigram_count") * lit(2.0) / col("n_tokens"))
       .withColumn("dup_token_frac",
         (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
@@ -709,10 +737,13 @@ object TextAnalysis {
     * per-document work is map-side, then a single per-source aggregation
     * (the distinct-text count shuffles 16-byte fingerprints, not texts). */
   def sourceReport(docs: DataFrame): DataFrame =
-    Tables.fanOut(docs).select(col("source"), md5(col("text")).as("fp"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_toks"),
-      topRun.as("top_bigram_count"))
+    Tables.fanOut(docs)
+      .select(col("source"), md5(col("text")).as("fp"),
+        split(col("text"), " ").as("ws"))
+      .select(col("source"), col("fp"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct_toks"),
+        topRunOf("ws").as("top_bigram_count"))
       .withColumn("keep",
         col("top_bigram_count") * lit(2.0) / col("n_tokens") <= 0.18 &&
           (col("n_tokens") - col("n_distinct_toks")).cast("double") / col("n_tokens") <= 0.5)

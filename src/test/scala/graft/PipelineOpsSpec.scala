@@ -507,6 +507,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L)._2 == 0.0)
   }
 
+  test("repetition + keep filter + contamination: token array bound once, 30k-word doc stays linear") {
+    import spark.implicits._
+    // same fixture class as the topBigrams spec: the former topRun /
+    // contamination forms re-split the whole document per lambda element
+    // (~2.7e9 splits for this doc — minutes); the bound-array forms do one
+    // split + one linear pass. ScaleTechniquesSpec bans the plan shape
+    // registry-wide; this pins the runtime behavior on a book-length doc.
+    val longDoc = (0 until 30000).map(i => s"w${i % 977}").mkString(" ")
+    val varied = "a sufficiently varied document holding twenty distinct tokens " +
+      "so that no single bigram can dominate its contents at all today ok"
+    val docs = Seq((1L, longDoc), (2L, varied)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val rep = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // cyclic 977-period doc: 29999 bigrams / 977 distinct -> max count ~31;
+    // dup_token_frac (30000-977)/30000 ~ 0.97 rejects it, the varied doc passes
+    assert(rep(1L).getAs[Long]("n_tokens") == 30000L)
+    assert(rep(1L).getAs[Long]("top_bigram_count") >= 30L)
+    assert(!rep(1L).getAs[Boolean]("keep"))
+    assert(rep(2L).getAs[Boolean]("keep"))
+    // the standalone-Column filter (single-element transform binding) agrees
+    val kept = docs.filter(TextAnalysis.repetitionKeep()).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), kept.toString)
+    // contamination: doc 3 (eval slice, 3 % 97 == 3) shares exactly the
+    // 3-gram "w0 w1 w2" with the long training doc
+    val cdocs = Seq((1L, longDoc), (3L, "w0 w1 w2")).toDF("doc_id", "text")
+    val cont = TextAnalysis.contamination(cdocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cont == Map(1L -> 1L), cont.toString)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, f"30k-word doc took $secs%.1f s — quadratic re-split back?")
+  }
+
   test("hash sampling: deterministic, rate-monotone, stats match kept set") {
     val stats = operators.Sampling
       .hashSampleStats(docs, operators.Sampling.DefaultRates, operators.Sampling.DefaultRate)

@@ -12,6 +12,35 @@ import graft.operators.Tables
   * the executed plan, not just claimed in Scaladoc. */
 class ScaleTechniquesSpec extends SparkSpec {
 
+  import org.apache.spark.sql.catalyst.expressions.{
+    AttributeReference, Expression, LambdaFunction, Md5, StringSplit}
+
+  /** True when `e` re-runs a full-column split/md5 — quadratic if it sits
+    * inside a lambda body (no subexpression elimination there). split/md5
+    * OF a lambda variable is legit per-element work and not flagged. */
+  private def recomputesColumn(e: Expression): Boolean = e match {
+    case s: StringSplit => s.str.exists(_.isInstanceOf[AttributeReference])
+    case m: Md5 => m.child.exists(_.isInstanceOf[AttributeReference])
+    case _ => false
+  }
+
+  /** All whole-column split/md5 expressions inside any lambda body of the
+    * query's optimized plan — the registry-wide ban's detector. */
+  private def lambdaOffenders(
+      qe: org.apache.spark.sql.execution.QueryExecution): Seq[Expression] = {
+    val found = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    qe.optimizedPlan.foreach { p =>
+      p.expressions.foreach { root =>
+        root.foreach {
+          case lf: LambdaFunction =>
+            lf.function.foreach { e => if (recomputesColumn(e)) found += e }
+          case _ => ()
+        }
+      }
+    }
+    found.toSeq
+  }
+
   test("bucketed fact/fact join runs with NO shuffle exchange (co-located)") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
@@ -369,6 +398,30 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
     assert(cartesian.isEmpty,
       s"unbroadcast cartesian product in: ${cartesian.mkString(", ")}")
+    // third registry-wide invariant, same sweep: no whole-column recompute
+    // inside a lambda body. Lambda bodies get NO subexpression elimination,
+    // so `split(text,' ')[i]` / `md5(text)` inside a transform/aggregate
+    // lambda re-runs the full-column function PER ELEMENT — O(words²) per
+    // row on book-length documents, invisible on a short-doc test corpus.
+    // This class bit three times (topBigrams r6, topRun + contamination r7)
+    // before this ban; the fix is always the same: bind the array/hash once
+    // in its own projection (or a single-element transform lambda for
+    // standalone Columns) and reference the bound attribute. Legit
+    // per-element work (split/md5 OF a lambda variable) stays allowed —
+    // only subtrees reaching back to a plan attribute are flagged.
+    // detector self-check: the exact quadratic form this ban exists for
+    // (the pre-r8 topRun shape) must be flagged, or the sweep is vacuous
+    val bad = Tables.load(spark, sf(), "documents").select(expr(
+      "transform(sequence(0, size(split(text,' ')) - 2), i -> split(text,' ')[i])"))
+    assert(lambdaOffenders(bad.queryExecution).nonEmpty,
+      "detector failed to flag a known in-lambda re-split")
+    val lambdaRecompute = plans.flatMap { case (name, qe) =>
+      val offending = lambdaOffenders(qe)
+      if (offending.nonEmpty) Some(s"$name: ${offending.head.sql.take(80)}") else None
+    }
+    assert(lambdaRecompute.isEmpty,
+      s"whole-column split()/md5() inside a lambda body (quadratic per row) in:\n  ${
+        lambdaRecompute.mkString("\n  ")}")
   }
 
   test("spans plan: ONE explode, one position shuffle; dup marking rides a keyed window") {
