@@ -58,4 +58,88 @@ class MetricsWriterSpec extends SparkSpec {
       s"jdbc-only: ${(fromJdbc -- directSentinel).take(3)}; missing: ${(directSentinel -- fromJdbc).take(3)}")
     reg.unpersist()
   }
+
+  test("exactly-once JDBC upsert: streaming merge deltas match the batch registry across a restart") {
+    import graft.streaming.MetricsJdbcUpsert
+    val dir = Files.createTempDirectory("graft_jdbc_in").toString
+    val ckpt = Files.createTempDirectory("graft_jdbc_ckpt").toString
+    val db = s"memory:upsert${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = MetricsJdbcUpsert.Target(s"jdbc:derby:$db;create=true", "metrics")
+
+    val dt = "2024.03.01 12:00:01.000000"
+    val dtEnd = "2024.03.01 12:00:03.500000"
+    // part 1: w1 (SELECT) initial+stats, w2 (INSERT) initial — w1's
+    // lifecycle COMPLETES only in part 2, proving merge state and the sink
+    // table both survive the restart
+    val part1 = Seq(
+      s"$dt [ 7 ] {w1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1",
+      s"$dt [ 7 ] {w1} <Information> executeQuery: Read 500 rows, 2 KiB in 0.100 sec., 5000 rows/sec., 20 KiB/sec.",
+      s"$dt [ 7 ] {w2} <Debug> executeQuery: (from 10.0.0.9:9000) INSERT INTO t VALUES (1)")
+    // part 2: w1 memory (completes -> time_obs + record), w2 memory (insert:
+    // time_obs, no eviction), w3 initial+error (query_errors cell), and an
+    // orphan stats id (not_found_query counter)
+    val part2 = Seq(
+      s"$dtEnd [ 7 ] {w1} <Debug> MemoryTracker: Peak memory usage (for query): 3 MiB.",
+      s"$dtEnd [ 7 ] {w2} <Debug> MemoryTracker: Peak memory usage (for query): 1 MiB.",
+      s"$dt [ 7 ] {w3} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2",
+      s"$dt [ 7 ] {w3} <Error> executeQuery: Code: 60, e.displayText() = DB::Exception: boom",
+      s"$dt [ 7 ] {zz} <Information> executeQuery: Read 10 rows, 1 KiB in 0.100 sec., 100 rows/sec., 10 KiB/sec.")
+
+    def jdbcRows(): Set[(String, String, Option[Double], Double)] = {
+      val conn = t.connect()
+      try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT metric, labels, le, value FROM metrics")
+        val buf = scala.collection.mutable.Set.empty[(String, String, Option[Double], Double)]
+        while (rs.next()) {
+          val metric = rs.getString(1)
+          val le = rs.getString(3) match {
+            case "" => None
+            case "+Inf" => Some(Double.PositiveInfinity)
+            case s => Some(s.toDouble)
+          }
+          val v = rs.getLong(4)
+          val value = if (metric == "clickhouse_query_time_sum") v * 1e-6 else v.toDouble
+          buf += ((metric, rs.getString(2), le, value))
+        }
+        buf.toSet
+      } finally conn.close()
+    }
+    def expected(lines: Seq[String]): Set[(String, String, Option[Double], Double)] =
+      MetricsSink.metricsTable(
+        graft.operators.LogParser.parse(
+          lines.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("seq", "value")),
+        readLines = lines.size.toLong).collect().map(key).toSet
+    def eventually(expect: Set[(String, String, Option[Double], Double)]): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var got = jdbcRows()
+      while (got != expect && System.nanoTime() < deadline) { // listener lands async
+        Thread.sleep(200); got = jdbcRows()
+      }
+      assert(got == expect,
+        s"jdbc-only: ${(got -- expect).take(5)}; missing: ${(expect -- got).take(5)}")
+    }
+
+    Files.write(java.nio.file.Paths.get(dir, "part1.log"),
+      part1.mkString("", "\n", "\n").getBytes)
+    val q1 = MetricsJdbcUpsert.serveJdbc(spark, dir, t, ckpt, availableNow = true)
+    q1.awaitTermination(120000L)
+    eventually(expected(part1))
+
+    // restart: same checkpoint, same table — run 2 resumes the merge state
+    // (w1 completes) and keeps ADDING deltas to the already-populated table
+    Files.write(java.nio.file.Paths.get(dir, "part2.log"),
+      part2.mkString("", "\n", "\n").getBytes)
+    val q2 = MetricsJdbcUpsert.serveJdbc(spark, dir, t, ckpt, availableNow = true)
+    q2.awaitTermination(120000L)
+    eventually(expected(part1 ++ part2))
+
+    // replay idempotence: a re-delivered batch (crash between sink commit
+    // and checkpoint commit) hits the ledger and is skipped whole
+    val before = jdbcRows()
+    val applied = MetricsJdbcUpsert.applyDelta(t, "merge", 0L,
+      Seq(("clickhouse_query_count", "type=select", "", 999L)))
+    assert(!applied, "replayed batch id must be skipped by the ledger")
+    assert(jdbcRows() == before, "skipped replay must not change the table")
+  }
 }
