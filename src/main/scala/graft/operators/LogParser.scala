@@ -82,9 +82,11 @@ object LogParser {
         c.cast("decimal(20,0)").cast("long"))
 
   /** @param lines DataFrame with `seq: long` (arrival order) and `value: string`.
+    *         Any OTHER columns pass through unchanged (the tail-fleet path
+    *         carries a per-file `src` tag alongside each line).
     * @return typed event frame: seq, kind, id, pid, ts, host, port, query_text,
     *         stmt_type, rows_read, bytes_read, rps, speed, memory, error_code,
-    *         error_message, cv_ok
+    *         error_message, cv_ok [, passthrough columns]
     *
     * The classify+extract step is the fused [[graft.functions.LogLineParseExpr]]
     * — severity prefilter, guarded dispatch, and one regex pass per line in a
@@ -118,7 +120,9 @@ object LogParser {
     val codeRaw = digitsToLong(grp("error", 4))
     val code = when(codeRaw <= 32767, codeRaw)
 
-    tagged.select(
+    val passthrough = lines.columns.toSeq
+      .filterNot(Set("seq", "value").contains).map(col)
+    tagged.select(Seq(
       col("seq"),
       col("kind"),
       element_at(g, 3).as("id"),
@@ -140,6 +144,6 @@ object LogParser {
           rows.isNotNull && bytes.isNotNull && rps.isNotNull && speed.isNotNull)
         .when(col("kind") === "error", code.isNotNull)
         .otherwise(ts.isNotNull && mem.isNotNull)
-        .as("cv_ok"))
+        .as("cv_ok")) ++ passthrough: _*)
   }
 }

@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tail-follow a FLEET of appending log files — the cluster story the
+  * single-file source's scaladoc promises (TailFileSource.scala: "MANY
+  * tailed files, one per server, each a cheap single-partition scan
+  * feeding the id-partitioned stateful merge"): one ClickHouse server log
+  * per path, all tailed by ONE source whose offset is the map of per-file
+  * positions.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format("graft.sources.TailFleetSourceProvider")
+  *     .option("paths", "/logs/ch1.log,/logs/ch2.log")
+  *     .option("fromStart", "false")
+  *     .load()                 // schema: src string, seq long, value string
+  * }}}
+  *
+  * Design: the stream DELEGATES per-file to [[TailFileMicroBatchStream]] —
+  * every single-file behavior (seek-to-EOF, line-buffered delivery,
+  * copytruncate + move/recreate rotation epochs, mid-file checkpoint
+  * resume) holds per fleet member unchanged, and this class only composes
+  * offsets and partitions. Each micro-batch plans at most one
+  * [[TailRange]] per file, tagged with its `src` path; readers run in
+  * parallel across the cluster (one task per progressing file), and the
+  * shuffle into the id-partitioned stateful merge is where per-query
+  * parallelism happens — the fleet scales by adding files, not by
+  * splitting any one tail.
+  *
+  * `src` + `seq` is the fleet's arrival-order key: `seq` is monotone per
+  * file (byte offset within rotation epoch), and lines of different files
+  * are causally independent — exactly the partial order the keyed merge
+  * needs once query ids are namespaced per server (see
+  * `StreamingMerge.fleetPipeline`). A restart may grow/shrink the fleet:
+  * checkpointed offsets are matched by path, a new path starts at its own
+  * initial offset, a removed path's offset entry is ignored.
+  *
+  * Paths must not contain `,` (the option separator), newlines, or
+  * U+0001/U+0002 (the offset-map separators).
+  */
+class TailFleetSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TailFleetSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TailFleetTable(
+      Option(properties.get("paths")).getOrElse(
+        throw new IllegalArgumentException("option 'paths' is required"))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      java.lang.Boolean.parseBoolean(properties.getOrDefault("fromStart", "false")))
+}
+
+object TailFleetSource {
+  val Schema: StructType = new StructType()
+    .add("src", StringType, nullable = false)
+    .add("seq", LongType, nullable = false)
+    .add("value", StringType, nullable = false)
+}
+
+/** Fleet position: one [[TailOffset]] per path. The wire form must stay a
+  * SINGLE line — Spark's offset log is line-based, so an embedded newline
+  * would read back as extra sources — hence the control-char separators
+  * (U+0001 inside an entry, U+0002 between entries). */
+final case class TailFleetOffset(offsets: Map[String, TailOffset]) extends Offset {
+  override def json(): String = offsets.toSeq.sortBy(_._1)
+    .map { case (p, o) => p + "\u0001" + o.json() }.mkString("\u0002")
+}
+
+object TailFleetOffset {
+  def parse(s: String): TailFleetOffset = TailFleetOffset(
+    s.split("\u0002").filter(_.nonEmpty).map { entry =>
+      val Array(p, o) = entry.split("\u0001", 2)
+      p -> TailOffset.parse(o)
+    }.toMap)
+}
+
+class TailFleetTable(paths: Seq[String], fromStart: Boolean)
+    extends Table with SupportsRead {
+  require(paths.nonEmpty, "option 'paths' must list at least one file")
+  override def name(): String = s"tailfleet:${paths.mkString(",")}"
+  override def schema(): StructType = TailFleetSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = TailFleetSource.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new TailFleetMicroBatchStream(paths, fromStart)
+      override def toBatch: Batch = throw new UnsupportedOperationException(
+        "tailfleet is a streaming-only source; use LogSource.readText per file for batch")
+    }
+}
+
+class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean)
+    extends MicroBatchStream {
+
+  private val streams: Map[String, TailFileMicroBatchStream] =
+    paths.map(p => p -> new TailFileMicroBatchStream(p, fromStart)).toMap
+
+  private def perFile(o: Offset): Map[String, TailOffset] =
+    o.asInstanceOf[TailFleetOffset].offsets
+
+  override def initialOffset(): Offset = TailFleetOffset(
+    streams.map { case (p, s) => p -> s.initialOffset().asInstanceOf[TailOffset] })
+
+  override def latestOffset(): Offset = TailFleetOffset(
+    streams.map { case (p, s) => p -> s.latestOffset().asInstanceOf[TailOffset] })
+
+  override def deserializeOffset(json: String): Offset = {
+    val fleet = TailFleetOffset.parse(json)
+    // replay the per-file positions into each member stream's known-offset
+    // tracking (checkpoint restore path); offsets of paths no longer in the
+    // fleet are dropped, paths without an entry start fresh
+    fleet.offsets.foreach { case (p, o) =>
+      streams.get(p).foreach(_.deserializeOffset(o.json()))
+    }
+    TailFleetOffset(fleet.offsets.filter { case (p, _) => streams.contains(p) })
+  }
+
+  override def commit(end: Offset): Unit =
+    perFile(end).foreach { case (p, o) => streams.get(p).foreach(_.commit(o)) }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = perFile(start)
+    val e = perFile(end)
+    streams.toArray.flatMap { case (p, stream) =>
+      val from = s.getOrElse(p, stream.initialOffset().asInstanceOf[TailOffset])
+      e.get(p).toSeq.flatMap(to =>
+        stream.planInputPartitions(from, to)
+          .map(ip => FleetRange(p, ip.asInstanceOf[TailRange])))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new FleetRangeReader(p.asInstanceOf[FleetRange])
+    }
+
+  override def stop(): Unit = streams.values.foreach(_.stop())
+}
+
+/** One file's byte range, tagged with its fleet source path. */
+final case class FleetRange(src: String, range: TailRange) extends InputPartition
+
+/** [[TailRangeReader]] with the `src` tag prepended to each row. */
+class FleetRangeReader(fr: FleetRange) extends PartitionReader[InternalRow] {
+  private val inner = new TailRangeReader(fr.range)
+  private val srcUtf8 = UTF8String.fromString(fr.src)
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = {
+    val r = inner.get()
+    new GenericInternalRow(Array[Any](srcUtf8, r.getLong(0), r.getUTF8String(1)))
+  }
+  override def close(): Unit = inner.close()
+}

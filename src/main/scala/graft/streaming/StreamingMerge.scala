@@ -262,4 +262,39 @@ object StreamingMerge {
       .load()
     merge(toLogEvents(graft.operators.LogParser.parse(lines)), timeoutMs)
   }
+
+  /** Server-id separator inside the fleet merge's composite state key:
+    * U+0000 cannot appear in a ClickHouse query id. */
+  private val FleetSep = "\u0000"
+
+  /** The CLUSTER deployment of the reference's loop: tail a FLEET of server
+    * logs ([[graft.sources.TailFleetSourceProvider]], one per ClickHouse
+    * server) through ONE keyed merge. Query ids are only unique per server,
+    * so the merge keys state on the composite `(src, id)` — two servers
+    * reusing the same id stay independent lifecycles — and completed
+    * records come back with a `server` column (the source path) alongside
+    * the original id.
+    *
+    * Scale shape: one cheap single-partition scan per progressing file,
+    * then the shuffle into the id-partitioned `flatMapGroupsWithState` is
+    * where parallelism happens — state spreads over
+    * `spark.sql.shuffle.partitions` regardless of fleet size, and adding
+    * servers adds scan tasks, never widens any single tail. */
+  def fleetPipeline(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      fromStart: Boolean = false, timeoutMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat_ws, substring_index}
+    val lines = spark.readStream
+      .format(classOf[graft.sources.TailFleetSourceProvider].getName)
+      .option("paths", paths.mkString(","))
+      .option("fromStart", fromStart.toString)
+      .load()
+    // `src` passes through the parser untouched, then folds into the state
+    // key; the merge itself is byte-for-byte the single-file one
+    val parsed = graft.operators.LogParser.parse(lines)
+      .withColumn("id", concat_ws(FleetSep, col("src"), col("id")))
+      .drop("src")
+    merge(toLogEvents(parsed), timeoutMs).toDF()
+      .withColumn("server", substring_index(col("id"), FleetSep, 1))
+      .withColumn("id", substring_index(col("id"), FleetSep, -1))
+  }
 }

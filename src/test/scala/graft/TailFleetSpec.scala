@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.{TailFleetOffset, TailOffset}
+import graft.streaming.StreamingMerge
+
+/** The multi-file tail fleet (the cluster story of SURVEY §2.1 S1): N
+  * server logs tailed by one source, query ids namespaced per server into
+  * ONE keyed stateful merge. The spec drives two concurrently-appended
+  * files that (a) reuse the same query id, (b) rotate (copytruncate), and
+  * (c) complete a lifecycle on the other side of a checkpointed restart. */
+class TailFleetSpec extends SparkSpec {
+
+  private val dt = "2024.03.01 12:00:01.000000"
+  private val dtEnd = "2024.03.01 12:00:02.000000"
+
+  private def append(p: Path, s: String): Unit =
+    Files.write(p, s.getBytes, StandardOpenOption.APPEND)
+
+  private def initial(id: String, stmt: String = "SELECT 1"): String =
+    s"$dt [ 7 ] {$id} <Debug> executeQuery: (from 10.0.0.9:9000) $stmt\n"
+  private def stats(id: String, rows: Long): String =
+    s"$dt [ 7 ] {$id} <Information> executeQuery: Read $rows rows, 2 KiB in 0.100 sec., 5000 rows/sec., 20 KiB/sec.\n"
+  private def memory(id: String): String =
+    s"$dtEnd [ 7 ] {$id} <Debug> MemoryTracker: Peak memory usage (for query): 3 MiB.\n"
+
+  test("fleet offset: per-file map round-trips through its wire form") {
+    val o = TailFleetOffset(Map(
+      "/logs/a.log" -> TailOffset(2L, 123L, "(dev=1;ino=2)"),
+      "/logs/b.log" -> TailOffset(0L, 0L)))
+    assert(TailFleetOffset.parse(o.json()) == o)
+    assert(TailFleetOffset.parse(TailFleetOffset(Map.empty).json()).offsets.isEmpty)
+  }
+
+  test("two rotating fleet files, same query id, one keyed merge, restart mid-lifecycle") {
+    val a = Files.createTempFile("graft-fleet-a", ".log")
+    val b = Files.createTempFile("graft-fleet-b", ".log")
+    val ckpt = Files.createTempDirectory("graft-fleet-ckpt").toString
+    val sunk = TailFleetSpec.sunk
+    sunk.clear()
+
+    def start(): StreamingQuery =
+      StreamingMerge.fleetPipeline(spark, Seq(a.toString, b.toString),
+        fromStart = true, timeoutMs = 0L)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => TailFleetSpec.sunk.add((
+            r.getAs[String]("server"), r.getAs[String]("id"),
+            r.getAs[Long]("rowsRead"), r.getAs[Long]("memory"),
+            r.getAs[Boolean]("fullInfo"))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    def waitFor(n: Int, q: StreamingQuery): Seq[(String, String, Long, Long, Boolean)] = {
+      val deadline = System.nanoTime() + 120000L * 1000000L
+      while (sunk.size < n && System.nanoTime() < deadline) q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      sunk.asScala.toSeq
+    }
+
+    // run 1: both servers run a query with the SAME id "w1"; only server
+    // b's completes — a's stays open in the merge state
+    val q1 = start()
+    try {
+      append(a, initial("w1"))
+      append(a, stats("w1", 500L))
+      append(b, initial("w1", "SELECT 2"))
+      append(b, stats("w1", 10L))
+      append(b, memory("w1"))
+      val recs = waitFor(1, q1)
+      assert(recs == Seq((b.toString, "w1", 10L, 3L * 1024 * 1024, true)),
+        s"b's lifecycle must complete alone with ITS stats: $recs")
+    } finally q1.stop()
+
+    // while down: server a's log ROTATES (copytruncate) and the new
+    // generation carries the memory line completing a's still-open w1;
+    // server b starts a fresh lifecycle
+    Files.write(a, memory("w1").getBytes) // truncation: shorter than old pos
+    append(b, initial("w2"))
+    append(b, stats("w2", 77L))
+    append(b, memory("w2"))
+
+    val q2 = start()
+    try {
+      val recs = waitFor(3, q2)
+      // a's w1 completes with the stats it accumulated BEFORE the restart
+      // and rotation — state survived both, unpolluted by b's same-id
+      // query — and b adds exactly w2; nothing is re-emitted
+      val mb = 3L * 1024 * 1024
+      assert(recs.toSet == Set(
+        (a.toString, "w1", 500L, mb, true),
+        (b.toString, "w1", 10L, mb, true),
+        (b.toString, "w2", 77L, mb, true)), recs.toString)
+      assert(recs.size == 3, s"no duplicate records across the restart: $recs")
+    } finally q2.stop()
+  }
+}
+
+object TailFleetSpec {
+  /** Cross-restart sink buffer (foreachBatch closures need driver-shared state). */
+  val sunk: java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long, Long, Boolean)] =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long, Long, Boolean)]()
+}
