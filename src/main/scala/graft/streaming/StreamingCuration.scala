@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{Sampling, TextAnalysis}
+
+/** The streaming INGEST twin of [[graft.operators.CurationPipeline.e2e]] —
+  * the composed incremental pipeline a crawler actually runs, built from
+  * the already-proven streaming pieces:
+  *
+  *   within-stream exact dedup  ([[firstArrivalsMinId]])
+  *     → repetition filter      ([[TextAnalysis.repetitionKeep]])
+  *     → quality classifier     ([[TextAnalysis.qualityClassifierKeep]])
+  *     → mixture sampling       ([[Sampling.keepCondition]])
+  *     → incremental packing    ([[packBatch]], per-source running offsets)
+  *
+  * Equivalence to the batch pass: every filter is a per-document pure
+  * function of `(text, source, n_chars)`, so it commutes with dedup (all
+  * copies of a text filter identically), and [[firstArrivalsMinId]] (min-id
+  * wins within a batch, first batch wins across batches) equals batch
+  * `Dedup.exact`'s min-id rule whenever ingest order is id order — the
+  * natural contract of an incremental pipeline, where ARRIVAL order IS the
+  * packing order. Under that contract the packed
+  * output is row-identical to `CurationPipeline.e2e` over the union of all
+  * ingested batches (StreamingCurationSpec proves it across a
+  * checkpointed restart).
+  *
+  * Restart/exactly-once: each micro-batch lands in its own
+  * `ingest_batch=<id>` partition directory with overwrite — a replayed
+  * batch (crash between sink write and checkpoint commit) rewrites the
+  * same directory instead of appending duplicates. Per-source token bases
+  * are rebuilt ONCE per run from the batches already on disk (strictly
+  * below the first replayed id, so a half-written replay directory never
+  * double-counts), then maintained in memory.
+  *
+  * 100 TB shape: dedup state is 16-byte fingerprints in the state store;
+  * every filter is map-side; packing is one keyed window over ONE
+  * micro-batch (ingest-sized, not corpus-sized) plus a per-source base
+  * map whose size is the source cardinality. The corpus never re-enters
+  * a batch. */
+object StreamingCuration {
+
+  /** The three fused map-side keep filters — literally the batch
+    * pipeline's `curationTail` predicate chain over a streaming frame. */
+  def curationFilters(df: DataFrame, rates: Map[String, Double],
+      defaultRate: Double): DataFrame =
+    df.filter(TextAnalysis.repetitionKeep())
+      .filter(TextAnalysis.qualityClassifierKeep)
+      .filter(Sampling.keepCondition(rates, defaultRate))
+
+  /** The ingest record schema the curation chain needs: the three filters
+    * read `(text, source, n_chars)`, dedup and packing read `doc_id`. */
+  final case class IngestDoc(doc_id: Long, text: String, source: String, n_chars: Long)
+
+  private def fpOf(text: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** DETERMINISTIC first-arrival dedup: the min-`doc_id` copy per distinct
+    * text wins its whole micro-batch (where [[StreamingDedup.firstOccurrences]]'
+    * `dropDuplicates` keeps an ARBITRARY in-batch copy — fine for a
+    * crawler, fatal for batch-equivalence proofs). Keyed
+    * `flatMapGroupsWithState`: each fingerprint group folds its batch to
+    * one candidate, emits it only when no earlier batch claimed the key;
+    * state per distinct text is the single `seen` mark. With id-ordered
+    * ingest this reproduces batch `Dedup.exact`'s min-id rule exactly. */
+  def firstArrivalsMinId(docs: org.apache.spark.sql.Dataset[IngestDoc]): org.apache.spark.sql.Dataset[IngestDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.groupByKey(d => fpOf(d.text))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[IngestDoc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(rows.minBy(_.doc_id))
+          }
+      }
+  }
+
+  /** Deduped + filtered streaming frame over `(doc_id, text, source,
+    * n_chars)` input (extra columns dropped). */
+  def curated(stream: DataFrame, rates: Map[String, Double] = Sampling.DefaultRates,
+      defaultRate: Double = Sampling.DefaultRate): DataFrame = {
+    import stream.sparkSession.implicits._
+    val typed = stream.select(col("doc_id").cast("long"), col("text"),
+      col("source"), col("n_chars").cast("long")).as[IngestDoc]
+    curationFilters(firstArrivalsMinId(typed).toDF(), rates, defaultRate)
+  }
+
+  /** Pack ONE micro-batch against the per-source running token bases:
+    * batch-local prefix sums ride a source-KEYED window (micro-batches are
+    * ingest-sized; the registry-wide partitionless-window ban applies here
+    * too), then shift by each source's base. Output schema =
+    * [[Sampling.packChunks]]. */
+  def packBatch(batch: DataFrame, bases: Map[String, Long],
+      budget: Long = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = bases.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, b)) => when(col("source") === s, lit(b)).otherwise(acc)
+    }
+    batch
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("lsum", sum("n_tokens").over(w))
+      .withColumn("tok_offset", base + col("lsum") - col("n_tokens"))
+      .withColumn("chunk_first", (col("tok_offset") / budget).cast("long"))
+      .withColumn("chunk_last",
+        ((col("tok_offset") + col("n_tokens") - 1) / budget).cast("long"))
+      .select("source", "doc_id", "n_tokens", "tok_offset", "chunk_first", "chunk_last")
+  }
+
+  /** Per-source token totals of the batches already landed below
+    * `beforeBatch` — the restart-safe base rebuild (a crashed run's
+    * half-written replay directory has id ≥ `beforeBatch` and is
+    * excluded; its overwrite then makes the totals whole). */
+  private[streaming] def basesFromSink(spark: SparkSession, outPath: String,
+      beforeBatch: Long): Map[String, Long] = {
+    if (!new java.io.File(outPath).exists()) return Map.empty
+    spark.read.parquet(outPath)
+      .filter(col("ingest_batch") < beforeBatch)
+      .groupBy("source").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Run the full incremental ingest: curate the stream, pack each
+    * micro-batch, land it exactly-once under `outPath/ingest_batch=<id>`.
+    * Reading `outPath` as parquet (partition discovery supplies the
+    * `ingest_batch` column) yields the accumulated packed corpus. */
+  def ingestTo(spark: SparkSession, stream: DataFrame, outPath: String,
+      checkpointDir: String, budget: Long = 512,
+      rates: Map[String, Double] = Sampling.DefaultRates,
+      defaultRate: Double = Sampling.DefaultRate,
+      availableNow: Boolean = false): StreamingQuery = {
+    val bases = new AtomicReference[Map[String, Long]](null)
+    val w = curated(stream, rates, defaultRate).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (bases.get == null) bases.set(basesFromSink(spark, outPath, batchId))
+        val packed = packBatch(batch, bases.get, budget).persist()
+        try {
+          packed.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
+          val deltas = packed.groupBy("source").agg(sum("n_tokens").as("t"))
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+          bases.set(deltas.foldLeft(bases.get) { case (m, (s, t)) =>
+            m.updated(s, m.getOrElse(s, 0L) + t)
+          })
+        } finally { packed.unpersist(); () }
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationPipeline, Tables}
+import graft.streaming.StreamingCuration
+
+/** The streaming curation-ingest twin: dedup → repetition → classifier →
+  * mixture → incremental packing over micro-batches must reproduce the
+  * batch `CurationPipeline.e2e` pass row-for-row on the same corpus,
+  * ingested in two halves with a checkpointed restart between them. */
+class StreamingCurationSpec extends SparkSpec {
+
+  private def addFile(df: org.apache.spark.sql.DataFrame, srcDir: String, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_cur_half").toString
+    df.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(srcDir, name))
+    ()
+  }
+
+  test("incremental ingest equals the batch e2e pass across a checkpointed restart") {
+    val docs = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text", "source", "n_chars")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+
+    val srcDir = Files.createTempDirectory("graft_cur_src").toString
+    val outPath = Files.createTempDirectory("graft_cur_out").toString + "/packed"
+    val ckpt = Files.createTempDirectory("graft_cur_ckpt").toString
+
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(docs.schema).parquet(srcDir)
+      val q = StreamingCuration.ingestTo(spark, in, outPath, ckpt, availableNow = true)
+      q.awaitTermination(180000L)
+    }
+
+    // run 1: the id-ordered first half (ingest order = id order is the
+    // documented equivalence contract — arrival order IS packing order)
+    addFile(docs.filter(col("doc_id") < mid), srcDir, "half1.parquet")
+    runOnce()
+    val afterHalf1 = spark.read.parquet(outPath)
+      .select("source", "doc_id", "n_tokens", "tok_offset", "chunk_first", "chunk_last")
+      .collect().map(_.toSeq).toSet
+    val batchHalf1 = CurationPipeline.e2e(docs.filter(col("doc_id") < mid))
+      .collect().map(_.toSeq).toSet
+    assert(afterHalf1 == batchHalf1,
+      s"half-1 mismatch: stream-only ${(afterHalf1 -- batchHalf1).take(3)}, " +
+        s"missing ${(batchHalf1 -- afterHalf1).take(3)}")
+    assert(afterHalf1.nonEmpty, "the curated half must keep documents")
+
+    // restart: second half arrives while the query is down; the dedup
+    // state, checkpoint, and per-source packing bases must all resume
+    addFile(docs.filter(col("doc_id") >= mid), srcDir, "half2.parquet")
+    runOnce()
+    val streamed = spark.read.parquet(outPath)
+      .select("source", "doc_id", "n_tokens", "tok_offset", "chunk_first", "chunk_last")
+      .collect().map(_.toSeq).toSet
+    val batch = CurationPipeline.e2e(docs).collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream-only ${(streamed -- batch).take(5)}, missing ${(batch -- streamed).take(5)}")
+    assert(streamed.size > afterHalf1.size, "half 2 must add documents")
+
+    // idle re-run: no new files -> no new batches -> sink unchanged
+    runOnce()
+    val again = spark.read.parquet(outPath).count()
+    assert(again == streamed.size.toLong, "idle restart must not duplicate rows")
+  }
+}
