@@ -16,13 +16,13 @@ object Bench {
     try loadavg().split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
 
   /** Per-query record: best-of elapsed (None = every attempt threw), every
-    * attempt's elapsed, and the 1-min load read just before the attempts —
-    * enough for an adjudicator to see contention in the artifact itself
-    * instead of needing a quiet-box re-run (the r6 artifact was captured at
-    * loadavg 8-10 and its numbers were 10-300x inflated with nothing in the
-    * record to prove it). */
+    * attempt's elapsed, and the 1-min load read just before AND just after
+    * the attempts — enough for an adjudicator to see contention in the
+    * artifact itself instead of needing a quiet-box re-run (the r6 artifact
+    * was captured at loadavg 8-10 and its numbers were 10-300x inflated
+    * with nothing in the record to prove it). */
   private case class QRes(best: Option[Double], attempts: Seq[Double],
-      load: Double, extraAttempt: Boolean)
+      load: Double, loadAfter: Double, extraAttempt: Boolean)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,10 +76,16 @@ object Bench {
         }
       }
       val two = Seq(once(), once()).flatten
+      // the load is sampled BEFORE and AFTER the attempts: a burst that
+      // begins mid-attempts and inflates both runs by a similar factor
+      // (ratio < 2x) evades the start reading and the disagreement check —
+      // the after reading catches it and triggers the third attempt
+      val loadAfter = load1()
       val contended = loadQ > cpus.toDouble / 2 ||
+        loadAfter > cpus.toDouble / 2 ||
         (two.size == 2 && two.max > 2 * two.min)
       val all = if (contended) two ++ once() else two
-      name -> QRes(if (all.isEmpty) None else Some(all.min), all, loadQ, contended)
+      name -> QRes(if (all.isEmpty) None else Some(all.min), all, loadQ, loadAfter, contended)
     }
     // 3-decimal timings: ~100+ entries must survive the driver artifact's
     // 2000-char tail cap — full-precision doubles truncated the map mid-number
@@ -96,7 +102,8 @@ object Bench {
     // per-attempt + per-query-load map for every query goes to BENCH_FULL
     val contendedJson = results.collect {
       case (n, r) if r.extraAttempt =>
-        "\"" + n + "\":{\"load1\":" + fmt1(r.load) + ",\"attempts\":[" +
+        "\"" + n + "\":{\"load1\":" + fmt1(r.load) + ",\"load1_after\":" +
+          fmt1(r.loadAfter) + ",\"attempts\":[" +
           r.attempts.map(fmt).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val errCount = results.count(_._2.best.isEmpty) + (if (warmOk) 0 else 1)
@@ -108,7 +115,8 @@ object Bench {
     // durable full copy — the stdout artifact is truncated by the driver;
     // this one additionally carries every query's attempts and start load
     val detail = results.map { case (n, r) =>
-      "\"" + n + "\":{\"load1\":" + fmt1(r.load) + ",\"attempts\":[" +
+      "\"" + n + "\":{\"load1\":" + fmt1(r.load) + ",\"load1_after\":" +
+        fmt1(r.loadAfter) + ",\"attempts\":[" +
         r.attempts.map(fmt).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val full = line.dropRight(1) + s""","detail":$detail}"""

@@ -97,7 +97,14 @@ object SparkEntry {
     val simChain = Future {
       stage("sim_pins")(Similarity.warmPins(Tables.load(s, dir, "embeddings")))
     }
-    Await.result(Future.sequence(Seq(logChain, docChain, simChain)), Duration.Inf)
+    // await ALL chains to COMPLETION before rethrowing: Future.sequence
+    // fails fast, which would return control to Bench while the sibling
+    // chains still run warm jobs — contaminating the per-query timings
+    // with nothing in the artifact flagging it
+    val settled = Await.result(
+      Future.sequence(Seq(logChain, docChain, simChain)
+        .map(_.transform(scala.util.Success(_)))), Duration.Inf)
+    settled.foreach(_.get) // rethrow the first failure, if any
     ()
   }
 

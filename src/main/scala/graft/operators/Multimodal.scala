@@ -102,6 +102,66 @@ object Multimodal {
     * instantiation is just the closure itself. */
   val imageFactory: () => MediaCodec = () => imageDecode
 
+  /** REAL audio decoder through the SAME seam — the second modality that
+    * proves the seam's claim ("a real decoder drops in without touching
+    * the operator"): `javax.sound.sampled` ships a WAV (RIFF) reader in
+    * the JDK, no external dependency. Emits
+    * `[n_channels, sample_rate, n_frames, duration_sec, rms_ch0, …]` —
+    * format metadata, duration, and per-channel RMS amplitude. The RMS is
+    * an exact integer sum of squares (16-bit samples square to ≤ 2³⁰, so
+    * the Long accumulator is exact past 10¹² frames) with one division and
+    * one `sqrt` — both correctly rounded under IEEE 754, so the output is
+    * bit-deterministic. PCM 16-bit signed (either endianness) and 8-bit
+    * unsigned payloads decode; anything else — including undecodable
+    * bytes — yields the empty vector (no rows), same convention as
+    * [[imageDecode]]. */
+  val audioDecode: MediaCodec = { payload =>
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        import javax.sound.sampled.AudioFormat.Encoding
+        val fmt = in.getFormat
+        val ch = fmt.getChannels
+        val bits = fmt.getSampleSizeInBits
+        val supported = (fmt.getEncoding == Encoding.PCM_SIGNED && bits == 16) ||
+          (fmt.getEncoding == Encoding.PCM_UNSIGNED && bits == 8)
+        if (!supported || ch <= 0) Array.empty[Double]
+        else {
+          val bytes = in.readAllBytes()
+          val bytesPerSample = bits / 8
+          val frameBytes = bytesPerSample * ch
+          val nFrames = bytes.length / frameBytes
+          val sumSq = new Array[Long](ch)
+          var f = 0
+          while (f < nFrames) {
+            var c = 0
+            while (c < ch) {
+              val off = f * frameBytes + c * bytesPerSample
+              val s: Long =
+                if (bits == 16) {
+                  val b0 = bytes(off); val b1 = bytes(off + 1)
+                  val v = if (fmt.isBigEndian) (b0 << 8) | (b1 & 0xff)
+                  else (b1 << 8) | (b0 & 0xff)
+                  v.toShort.toLong
+                } else (bytes(off) & 0xff) - 128L // 8-bit PCM is unsigned-biased
+              sumSq(c) += s * s
+              c += 1
+            }
+            f += 1
+          }
+          val rate = fmt.getSampleRate.toDouble
+          Array(ch.toDouble, rate, nFrames.toDouble,
+            if (rate > 0) nFrames / rate else 0.0) ++
+            sumSq.map(ss => if (nFrames == 0) 0.0 else math.sqrt(ss.toDouble / nFrames))
+        }
+      } finally in.close()
+    } catch { case _: Throwable => Array.empty[Double] }
+  }
+
+  /** Factory form of [[audioDecode]] (stateless, like [[imageFactory]]). */
+  val audioFactory: () => MediaCodec = () => audioDecode
+
   /** Batched feature extraction over the binary column. The feature vector
     * is flattened to `(doc_id, n_bytes, feat_idx, feature_value)` rows for
     * the driver compare (raw `array<double>` columns are unsortable there);

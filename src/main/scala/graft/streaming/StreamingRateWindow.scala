@@ -80,7 +80,10 @@ object StreamingRateWindow {
       state.remove()
       outs.iterator
     } else {
-      val st = state.getOption.getOrElse(RWState(Nil, 0L, 0L))
+      // Long.MinValue sentinels, like the funnel/retention twins' -1: a 0L
+      // frontier would silently never emit pre-1970 (negative epoch-µs)
+      // events, and a 0L maxTs would skew their first timeout deadline
+      val st = state.getOption.getOrElse(RWState(Nil, Long.MinValue, Long.MinValue))
       val incoming = rows.map { case (_, id, ts, c) => REvent(id, toUs(ts), c) }.toList
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val (outs, next) = advance(user, st, incoming, wmUs)

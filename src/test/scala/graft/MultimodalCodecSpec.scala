@@ -79,6 +79,46 @@ class MultimodalCodecSpec extends SparkSpec {
     for (i <- 2L to 4L) assert(out(i) >= 0.0 && out(i) <= 255.0)
   }
 
+  test("the JDK audio codec decodes REAL WAV bytes through the unchanged seam (second modality)") {
+    import spark.implicits._
+    // real RIFF/WAVE streams written by the same JDK family that reads
+    // them: 16-bit PCM with CONSTANT per-channel amplitude, so the RMS is
+    // exactly |amp| (sqrt of a perfect square) and every assert is exact
+    def wav(frames: Int, rate: Float, amps: Seq[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, rate, 16, amps.size,
+        2 * amps.size, rate, false)
+      val data = new Array[Byte](frames * 2 * amps.size)
+      for (f <- 0 until frames; c <- amps.indices) {
+        val off = (f * amps.size + c) * 2
+        data(off) = (amps(c) & 0xff).toByte
+        data(off + 1) = ((amps(c) >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, wav(8000, 8000f, Seq(1000.toShort, (-2000).toShort))), // 1 s stereo
+      (2L, wav(4000, 16000f, Seq(512.toShort))),                  // 0.25 s mono
+      (3L, "definitely not audio".getBytes)                       // no rows
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.featuresOf(media, Multimodal.audioFactory).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // [n_channels, sample_rate, n_frames, duration_sec, rms per channel]
+    assert(out((1L, 0L)) == 2.0 && out((1L, 1L)) == 8000.0, out.toString)
+    assert(out((1L, 2L)) == 8000.0 && out((1L, 3L)) == 1.0)
+    assert(out((1L, 4L)) == 1000.0 && out((1L, 5L)) == 2000.0,
+      "per-channel RMS must be exact for constant amplitudes")
+    assert(out((2L, 0L)) == 1.0 && out((2L, 1L)) == 16000.0)
+    assert(out((2L, 2L)) == 4000.0 && out((2L, 3L)) == 0.25)
+    assert(out((2L, 4L)) == 512.0)
+    assert(!out.keys.exists(_._1 == 3L), "undecodable payload must emit no rows")
+  }
+
   test("codec factory runs per partition, not per row, and not on the driver") {
     import spark.implicits._
     val docs = (1L to 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -33,7 +33,7 @@ class RateWindowPropertySpec extends AnyFunSuite {
       // random monotone cut schedule over the span (plus the final flush)
       val cuts = Vector.fill(1 + rnd.nextInt(6))(
         (rnd.nextInt(60).toLong * HourUs) / 12).sorted.distinct
-      var st = RWState(Nil, 0L, 0L)
+      var st = RWState(Nil, Long.MinValue, Long.MinValue) // the twin's initial state
       var wm = 0L
       var undelivered = rnd.shuffle(evs)
       val emitted = scala.collection.mutable.ArrayBuffer.empty[RWOut]
