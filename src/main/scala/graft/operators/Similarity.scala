@@ -1220,9 +1220,15 @@ object Similarity {
     * quantization dominates IVFADC accuracy) — are trained with the shared
     * per-subspace Lloyd core over the residual slices. Same ADC tail;
     * hash-exact oracle ([[ivfpqLearnedTopKSql]]); recall spec'd vs brute
-    * force in PipelineOpsSpec. */
+    * force in PipelineOpsSpec.
+    *
+    * `nProbe` defaults to 4 here (vs the sampled path's 2) after the r8
+    * sweep: recall@5 0.54 → 0.64 at sf0.01 and 0.16 → 0.30 at sf0.1 with
+    * NO measurable query-time cost (warm ≈ 0.7–1.0 s either way — probing
+    * is query-side only, candidate volume stays nProbe/K of the corpus);
+    * nProbe=8 bought only +0.04 more at sf0.1, so 4 is the knee. */
   def ivfpqTopKLearned(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
-      nProbe: Int = 2, rerank: Int = 32, centroidMod: Int = 127,
+      nProbe: Int = 4, rerank: Int = 32, centroidMod: Int = 127,
       codes: Int = 32, subspaces: Int = 8, iters: Int = 2): DataFrame =
     ivfpqAdcTail(emb,
       ivfpqLearnedCodes(emb, centroidMod, codes, subspaces, iters),
@@ -1436,7 +1442,7 @@ object Similarity {
        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
        |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
        |      PARTITION BY vec_id ORDER BY score DESC, cent_id DESC) AS pr
-       |    FROM cscored WHERE vec_id < 10) WHERE pr <= 2),
+       |    FROM cscored WHERE vec_id < 10) WHERE pr <= 4),
        |qres AS (
        |  SELECT p.query_id, p.cell, a.i, a.q - b.q AS r
        |  FROM probes p JOIN ev a ON a.vec_id = p.query_id
