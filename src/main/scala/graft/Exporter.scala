@@ -18,6 +18,14 @@ import graft.streaming.{MetricsHttpServer, MetricsServing}
   * where they ran the Go binary; scrape `GET /metrics` on `--listen`
   * (default 0.0.0.0:19901, main.go:20) exactly as before. SIGINT/SIGTERM
   * shut down the stream, then the HTTP server, mirroring main.go:130-142.
+  *
+  * Beyond the reference: `--jdbc <url> [--jdbc-table <name>]` additionally
+  * lands every micro-batch's metric delta exactly-once in a warehouse
+  * table off the SAME merge and checkpoint
+  * ([[graft.streaming.MetricsJdbcUpsert]] — the BASELINE "Structured
+  * Streaming + ClickHouse sink" shape; point it at
+  * `jdbc:clickhouse://host:8123/db` with the ClickHouse JDBC driver on
+  * the classpath).
   */
 object Exporter {
 
@@ -25,7 +33,9 @@ object Exporter {
       log: String = "/var/log/clickhouse-server/clickhouse-server.log",
       listen: String = "0.0.0.0:19901",
       fromStart: Boolean = false,
-      checkpoint: Option[String] = None)
+      checkpoint: Option[String] = None,
+      jdbcUrl: Option[String] = None,
+      jdbcTable: String = "metrics")
 
   def parseArgs(args: Seq[String]): Config = {
     def loop(rest: List[String], c: Config): Config = rest match {
@@ -33,9 +43,16 @@ object Exporter {
       case "--listen" :: v :: t => loop(t, c.copy(listen = v))
       case "--from-start" :: t => loop(t, c.copy(fromStart = true))
       case "--checkpoint" :: v :: t => loop(t, c.copy(checkpoint = Some(v)))
+      // beyond-reference: land the metric registry in a warehouse table
+      // (the BASELINE "ClickHouse sink" north star) alongside the scrape —
+      // `--jdbc jdbc:clickhouse://host:8123/db` with the ClickHouse driver
+      // on the classpath; any JDBC url works (specs use embedded Derby)
+      case "--jdbc" :: v :: t => loop(t, c.copy(jdbcUrl = Some(v)))
+      case "--jdbc-table" :: v :: t => loop(t, c.copy(jdbcTable = v))
       case Nil => c
       case other :: _ => throw new IllegalArgumentException(
-        s"unknown flag: $other (supported: --log <file> --listen <host:port> --from-start --checkpoint <dir>)")
+        s"unknown flag: $other (supported: --log <file> --listen <host:port> " +
+          "--from-start --checkpoint <dir> --jdbc <url> --jdbc-table <name>)")
     }
     loop(args.toList, Config())
   }
@@ -52,7 +69,9 @@ object Exporter {
     val ckpt = config.checkpoint.getOrElse(
       Files.createTempDirectory("graft-exporter-ckpt").toString)
     val query = MetricsServing.serveIncrementalTail(
-      spark, config.log, server, ckpt, fromStart = config.fromStart)
+      spark, config.log, server, ckpt, fromStart = config.fromStart,
+      jdbc = config.jdbcUrl.map(u =>
+        graft.streaming.MetricsJdbcUpsert.Target(u, config.jdbcTable)))
     (server, query)
   }
 

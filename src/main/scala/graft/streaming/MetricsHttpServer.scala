@@ -121,22 +121,29 @@ object MetricsServing {
   /** [[serveIncremental]] for a true tail-follow of ONE appending file
     * ([[graft.sources.TailFileSourceProvider]]) — the reference's primary
     * mode, registry-served: `tail -f` → parse → keyed merge → observation
-    * fold → `GET /metrics`. */
+    * fold → `GET /metrics`. With `jdbc` set, every micro-batch's metric
+    * delta ALSO lands exactly-once in the JDBC table
+    * ([[MetricsJdbcUpsert]]) off the same stream — the scrape surface and
+    * the warehouse sink share one merge, one checkpoint. */
   def serveIncrementalTail(spark: SparkSession, path: String, server: MetricsHttpServer,
-      checkpointDir: String, fromStart: Boolean = false): StreamingQuery = {
+      checkpointDir: String, fromStart: Boolean = false,
+      jdbc: Option[MetricsJdbcUpsert.Target] = None): StreamingQuery = {
     val lines = spark.readStream
       .format(classOf[graft.sources.TailFileSourceProvider].getName)
       .option("path", path)
       .option("fromStart", fromStart.toString)
       .load()
-    serveIncrementalLines(spark, lines, server, checkpointDir, availableNow = false)
+    serveIncrementalLines(spark, lines, server, checkpointDir,
+      availableNow = false, jdbc = jdbc)
   }
 
   /** Shared incremental-serving pipeline over any streaming `(seq, value)`
     * line frame. */
   private def serveIncrementalLines(spark: SparkSession, seqLines: DataFrame,
       server: MetricsHttpServer, checkpointDir: String,
-      availableNow: Boolean): StreamingQuery = {
+      availableNow: Boolean,
+      jdbc: Option[MetricsJdbcUpsert.Target] = None): StreamingQuery = {
+    jdbc.foreach(MetricsJdbcUpsert.ensureTables)
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import spark.implicits._
     val registry = new PromRegistry
@@ -162,11 +169,19 @@ object MetricsServing {
         // first batch) scopes this listener to its own pipeline
         val om = e.progress.observedMetrics.get(obsName)
         if (om != null) {
-          Option(om.getAs[java.lang.Long]("read"))
-            .foreach(n => registry.addReadLines(n))
-          Option(om.getAs[java.lang.Long]("tail_err"))
-            .foreach(n => registry.addTailLineErrors(n))
+          val read = Option(om.getAs[java.lang.Long]("read")).map(_.longValue)
+          val errs = Option(om.getAs[java.lang.Long]("tail_err")).map(_.longValue)
+          read.foreach(registry.addReadLines)
+          errs.foreach(registry.addTailLineErrors)
           server.update(registry.render())
+          // same delivery counts into the JDBC table, ledgered per batch
+          jdbc.foreach { t =>
+            val rows =
+              Seq(("chlogexporter_read_lines", "", "", read.getOrElse(0L))) ++
+                errs.filter(_ > 0).map(n => ("chlogexporter_errors", "type=tail_line", "", n))
+            MetricsJdbcUpsert.applyDelta(t, "delivery", e.progress.batchId, rows)
+            ()
+          }
         }
       }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
@@ -176,7 +191,10 @@ object MetricsServing {
 
     val writer = outs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[StreamingMerge.MergeOut], _: Long) =>
+      .foreachBatch { (batch: Dataset[StreamingMerge.MergeOut], batchId: Long) =>
+        // one merge, two sinks: the in-process registry fold (scrape
+        // surface) and, when configured, the ledgered JDBC delta upsert
+        jdbc.foreach(t => MetricsJdbcUpsert.writer(t)(batch, batchId))
         batch.filter(_.out != "record").collect().foreach(registry.observe)
         server.update(registry.render())
       }

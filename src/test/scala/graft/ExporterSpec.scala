@@ -140,4 +140,61 @@ class ExporterSpec extends SparkSpec {
     }
     intercept[Exception] { get(s"http://127.0.0.1:${server.boundPort}/metrics") }
   }
+
+  test("--jdbc lands the registry in a warehouse table alongside the scrape (one merge, two sinks)") {
+    val f = Files.createTempFile("graft-exporter-jdbc", ".log")
+    val dt = "2024.03.01 12:00:01.000000"
+    val db = s"memory:expjdbc${java.util.UUID.randomUUID().toString.take(8)}"
+    val url = s"jdbc:derby:$db;create=true"
+    val (server, query) = Exporter.run(spark, Exporter.Config(
+      log = f.toString, listen = "127.0.0.1:0", fromStart = true,
+      jdbcUrl = Some(url)))
+    try {
+      def append(s: String): Unit =
+        Files.write(f, (s + "\n").getBytes, StandardOpenOption.APPEND)
+      def poll(pred: String => Boolean): String = {
+        val deadline = System.nanoTime() + 90000L * 1000000L
+        var body = get(s"http://127.0.0.1:${server.boundPort}/metrics")
+        while (!pred(body) && System.nanoTime() < deadline) {
+          query.processAllAvailable()
+          body = get(s"http://127.0.0.1:${server.boundPort}/metrics")
+        }
+        body
+      }
+      append(s"$dt [ 7 ] {j1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1")
+      append(s"$dt [ 7 ] {j1} <Information> executeQuery: Read 500 rows, 2 KiB in 0.100 sec., 5000 rows/sec., 20 KiB/sec.")
+      append(s"2024.03.01 12:00:03.500000 [ 7 ] {j1} <Debug> MemoryTracker: Peak memory usage (for query): 3 MiB.")
+      poll(_.contains("clickhouse_select_query_rows_read_count 1"))
+
+      def jdbcValue(metric: String, labels: String, le: String): Option[Long] = {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.prepareStatement(
+            "SELECT value FROM metrics WHERE metric = ? AND labels = ? AND le = ?")
+          st.setString(1, metric); st.setString(2, labels); st.setString(3, le)
+          val rs = st.executeQuery()
+          val v = if (rs.next()) Some(rs.getLong(1)) else None
+          st.close(); v
+        } finally conn.close()
+      }
+      // the listener-side delivery delta may land a beat after the scrape
+      val deadline = System.nanoTime() + 60000L * 1000000L
+      def settled(): Boolean =
+        jdbcValue("chlogexporter_read_lines", "", "").contains(3L) &&
+          jdbcValue("clickhouse_query_count", "type=select", "").contains(1L)
+      while (!settled() && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(jdbcValue("clickhouse_query_count", "type=select", "").contains(1L))
+      assert(jdbcValue("chlogexporter_read_lines", "", "").contains(3L))
+      assert(jdbcValue("clickhouse_select_query_rows_read_sum", "", "").contains(500L))
+      assert(jdbcValue("clickhouse_query_time_bucket", "type=select", "5").contains(1L))
+      assert(jdbcValue("clickhouse_query_time_count", "type=select", "").contains(1L))
+      // exact µs, stored unscaled (2.5 s elapsed)
+      assert(jdbcValue("clickhouse_query_time_sum", "type=select", "").contains(2500000L))
+      // the zero-filled stats grid is seeded even where nothing was observed
+      assert(jdbcValue("clickhouse_select_query_bytes_read_bucket", "", "+Inf").contains(1L))
+    } finally {
+      query.stop()
+      server.stop(0)
+    }
+  }
 }
