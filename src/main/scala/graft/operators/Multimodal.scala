@@ -74,26 +74,30 @@ object Multimodal {
     * integerized-sum divisions). Unreadable bytes → empty vector (no rows).
     * Not the oracle default only because DuckDB cannot replay a PNG decode;
     * MultimodalCodecSpec pins it on real PNG bytes. */
+  /** `[width, height, meanR, meanG, meanB]` of one decoded image —
+    * integerized channel sums, so the means are exact divisions. Shared by
+    * [[imageDecode]] and the per-frame [[gifFrames]] decoder. */
+  private def imageStats(img: java.awt.image.BufferedImage): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (r, g, b) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Array(w.toDouble, h.toDouble, r.toDouble / n, g.toDouble / n, b.toDouble / n)
+  }
+
   val imageDecode: MediaCodec = { payload =>
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) Array.empty[Double]
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        var (r, g, b) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-            x += 1
-          }
-          y += 1
-        }
-        val n = w.toLong * h
-        Array(w.toDouble, h.toDouble, r.toDouble / n, g.toDouble / n, b.toDouble / n)
-      }
+      if (img == null) Array.empty[Double] else imageStats(img)
     } catch { case _: Throwable => Array.empty[Double] }
   }
 
@@ -161,6 +165,70 @@ object Multimodal {
 
   /** Factory form of [[audioDecode]] (stateless, like [[imageFactory]]). */
   val audioFactory: () => MediaCodec = () => audioDecode
+
+  /** The FRAME-codec seam — the video-shaped sibling of [[MediaCodec]]:
+    * one payload decodes to one feature vector PER FRAME. Empty result =
+    * undecodable (no rows), same convention as the scalar seam. */
+  type FrameCodec = Array[Byte] => Seq[Array[Double]]
+
+  /** REAL multi-frame decoder through the frame seam: animated GIF via the
+    * JDK's ImageIO GIF reader (the one multi-frame container the JDK
+    * decodes without external codecs) — one `[w, h, meanR, meanG, meanB]`
+    * vector per frame, shared stats with [[imageDecode]]. The reader is
+    * instantiated per payload and disposed; heavyweight video codecs would
+    * hold JNI state in the per-partition factory instead. This makes the
+    * frame ops' claim real for one container: [[frameSample]]'s byte
+    * slicing is the oracle-checkable stand-in, and a true container
+    * decoder drops into [[frameFeaturesOf]] without touching the
+    * operator. */
+  val gifFrames: FrameCodec = { payload =>
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq.empty
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false)
+            (0 until reader.getNumImages(true)).map(i => imageStats(reader.read(i)))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Throwable => Seq.empty }
+  }
+
+  /** Factory form of [[gifFrames]] (stateless). */
+  val gifFrameFactory: () => FrameCodec = () => gifFrames
+
+  final case class FrameFeatures(doc_id: Long, n_bytes: Long,
+      features: Seq[Array[Double]])
+
+  /** Per-FRAME feature extraction over a `(doc_id, payload: binary)` frame
+    * — the video twin of [[featuresOf]]: same injected-factory seam, same
+    * batched mapPartitions shape, output flattened to
+    * `(doc_id, n_bytes, frame_idx, feat_idx, feature_value)` rows. Frame
+    * sampling composes downstream (`filter(frame_idx % k === 0)`) — the
+    * decode is the expensive part and happens once either way. */
+  def frameFeaturesOf(mediaDf: DataFrame,
+      codecFactory: () => FrameCodec): DataFrame = {
+    val spark = mediaDf.sparkSession
+    import spark.implicits._
+    val media: Dataset[MediaRow] =
+      mediaDf.select(col("doc_id"), col("payload")).as[MediaRow]
+    media.mapPartitions { rows =>
+      val codec = codecFactory() // per-partition codec init
+      rows.map(r => FrameFeatures(r.doc_id, r.payload.length.toLong, codec(r.payload)))
+    }.toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("frame_idx", "f")))
+      .select(col("doc_id"), col("n_bytes"), col("frame_idx").cast("long").as("frame_idx"),
+        posexplode(col("f")).as(Seq("feat_idx", "feature_value")))
+      .select(col("doc_id"), col("n_bytes"), col("frame_idx"),
+        col("feat_idx").cast("long").as("feat_idx"), col("feature_value"))
+      .orderBy("doc_id", "frame_idx", "feat_idx")
+  }
 
   /** Batched feature extraction over the binary column. The feature vector
     * is flattened to `(doc_id, n_bytes, feat_idx, feature_value)` rows for

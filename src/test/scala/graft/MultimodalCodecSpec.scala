@@ -119,6 +119,48 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(!out.keys.exists(_._1 == 3L), "undecodable payload must emit no rows")
   }
 
+  test("the frame seam decodes a REAL animated GIF: one feature vector per frame") {
+    import spark.implicits._
+    // a true multi-frame container written by the JDK's own GIF sequence
+    // writer; solid-color frames survive GIF's palette quantization
+    // exactly, so dims AND channel means assert exactly per frame
+    def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      img
+    }
+    def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val gif = animatedGif(Seq(
+      solid(4, 3, 0xff0000), solid(4, 3, 0x00ff00), solid(4, 3, 0x0000ff)))
+    val media = Seq(
+      (1L, gif),
+      (2L, "not a container".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.frameFeaturesOf(media, Multimodal.gifFrameFactory).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)) -> r.getDouble(4)).toMap
+    val frames = out.keys.filter(_._1 == 1L).map(_._2).toSet
+    assert(frames == Set(0L, 1L, 2L), s"3 frames expected, got $frames")
+    for (f <- 0L to 2L) {
+      assert(out((1L, f, 0L)) == 4.0 && out((1L, f, 1L)) == 3.0, s"frame $f dims")
+    }
+    // frame 0 pure red, 1 pure green, 2 pure blue — means exact
+    assert(out((1L, 0L, 2L)) == 255.0 && out((1L, 0L, 3L)) == 0.0 && out((1L, 0L, 4L)) == 0.0)
+    assert(out((1L, 1L, 2L)) == 0.0 && out((1L, 1L, 3L)) == 255.0 && out((1L, 1L, 4L)) == 0.0)
+    assert(out((1L, 2L, 2L)) == 0.0 && out((1L, 2L, 3L)) == 0.0 && out((1L, 2L, 4L)) == 255.0)
+    assert(!out.keys.exists(_._1 == 2L), "undecodable payload must emit no rows")
+  }
+
   test("codec factory runs per partition, not per row, and not on the driver") {
     import spark.implicits._
     val docs = (1L to 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
