@@ -101,6 +101,7 @@ object DataPipelineQueries {
     "mm_dup_frames" -> ((s, dir) => Multimodal.dupFrames(docs(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.features(docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir))),
+    "mm_frame_features" -> ((s, dir) => Multimodal.frameFeatures(docs(s, dir))),
     "mm_resize" -> ((s, dir) => Multimodal.resize(docs(s, dir))),
   )
 
@@ -171,6 +172,7 @@ object DataPipelineQueries {
     "mm_dup_frames" -> Multimodal.dupFramesSql,
     "mm_features" -> Multimodal.featuresSql,
     "mm_frame_sample" -> frameSampleSql,
+    "mm_frame_features" -> Multimodal.frameFeaturesSql,
     "mm_resize" -> Multimodal.resizeSql,
   )
 }

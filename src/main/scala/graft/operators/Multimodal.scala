@@ -205,6 +205,42 @@ object Multimodal {
   final case class FrameFeatures(doc_id: Long, n_bytes: Long,
       features: Seq[Array[Double]])
 
+  /** Deterministic fake FRAME decoder — the frame seam's oracle twin of
+    * [[fakeDecode]]: 16-byte slices as frames, each frame's vector
+    * `[frame_len, first_byte, last_byte]`. DuckDB-replayable, so the frame
+    * seam itself is hash-checked (`mm_frame_features`), not just spec-green
+    * with the real GIF decoder. */
+  def fakeFrameDecode(payload: Array[Byte]): Seq[Array[Double]] =
+    payload.grouped(16).map(f => Array(f.length.toDouble,
+      (f.head & 0xff).toDouble, (f.last & 0xff).toDouble)).toSeq
+
+  /** [[frameFeaturesOf]] over the documents table's synthesized payloads
+    * with the oracle-checkable fake frame decoder as default. */
+  def frameFeatures(docs: DataFrame,
+      codecFactory: () => FrameCodec = () => fakeFrameDecode _): DataFrame =
+    frameFeaturesOf(Tables.fanOut(docs)
+      .select(col("doc_id"), col("text").cast("binary").as("payload")), codecFactory)
+
+  /** DuckDB oracle for [[frameFeatures]] (ASCII corpus: byte = character,
+    * as in [[featuresSql]]). */
+  val frameFeaturesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |f AS (SELECT doc_id, text, n_bytes,
+      |        unnest(range(0, (n_bytes - 1) // 16 + 1)) AS frame_idx FROM d),
+      |x AS (SELECT doc_id, n_bytes, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |        CAST(least(16, n_bytes - frame_idx * 16) AS BIGINT) AS flen,
+      |        CAST(ascii(substr(text, CAST(frame_idx * 16 AS INT) + 1, 1)) AS BIGINT) AS fb,
+      |        CAST(ascii(substr(text,
+      |          CAST(frame_idx * 16 + least(16, n_bytes - frame_idx * 16) AS INT), 1)) AS BIGINT) AS lb
+      |      FROM f),
+      |e AS (SELECT doc_id, n_bytes, frame_idx, unnest(range(0, 3)) AS feat_idx,
+      |        flen, fb, lb FROM x)
+      |SELECT doc_id, n_bytes, frame_idx, CAST(feat_idx AS BIGINT) AS feat_idx,
+      |  CAST(CASE feat_idx WHEN 0 THEN flen WHEN 1 THEN fb ELSE lb END AS DOUBLE) AS feature_value
+      |FROM e ORDER BY doc_id, frame_idx, feat_idx""".stripMargin
+
   /** Per-FRAME feature extraction over a `(doc_id, payload: binary)` frame
     * — the video twin of [[featuresOf]]: same injected-factory seam, same
     * batched mapPartitions shape, output flattened to
