@@ -80,12 +80,20 @@ object SparkEntry {
     // text_pins reads dedup's dup-group pin).
     val logChain = Future {
       stage("render")(renderedLines(s, dir).count())
-      for (noisy <- Seq(false, true)) stage(s"parse_merge(noisy=$noisy)") {
-        val p = parsed(s, dir, noisy)
-        p.count()
-        QueryMerge.stateInserts(p).count()
-        QueryMerge.classified(p).count()
-      }
+      // the two parse+merge corpora are independent once the clean lines
+      // are rendered (the noisy corpus renders its own lines inline) —
+      // concurrent halves the log chain's post-render wall time
+      val parses = Seq(false, true).map(noisy => Future {
+        stage(s"parse_merge(noisy=$noisy)") {
+          val p = parsed(s, dir, noisy)
+          p.count()
+          QueryMerge.stateInserts(p).count()
+          QueryMerge.classified(p).count()
+        }
+      })
+      Await.result(Future.sequence(
+        parses.map(_.transform(scala.util.Success(_)))), Duration.Inf)
+        .foreach(_.get)
     }
     // the pipeline families' pinned working sets (dup groups, shingle sets,
     // winnowing fingerprints, quantized vectors, the k-means assignment)
