@@ -103,7 +103,7 @@ object MetricsJdbcUpsert {
   /** The per-event contribution rows — the additive twin of the fused
     * explode in [[MetricsSink.metricsTable]] (each observe site's cells,
     * histogram observations as one 0/1 row per bucket). */
-  private[streaming] def contributions(o: MergeOut): Seq[(String, String, String, Long)] =
+  private[graft] def contributions(o: MergeOut): Seq[(String, String, String, Long)] =
     o.out match {
       case "counter" =>
         o.counterType.toSeq.map(t => ("chlogexporter_errors", s"type=$t", "", 1L))

@@ -22,7 +22,7 @@ class StreamingCurationSpec extends SparkSpec {
     ()
   }
 
-  test("incremental ingest equals the batch e2e pass across a checkpointed restart") {
+  private def scenario(): Unit = {
     val docs = Tables.load(spark, sf(), "documents")
       .select("doc_id", "text", "source", "n_chars")
     val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
@@ -68,5 +68,21 @@ class StreamingCurationSpec extends SparkSpec {
     runOnce()
     val again = spark.read.parquet(outPath).count()
     assert(again == streamed.size.toLong, "idle restart must not duplicate rows")
+  }
+
+  test("incremental ingest equals the batch e2e pass across a checkpointed restart") {
+    scenario()
+  }
+
+  test("same ingest equivalence under the RocksDB state store provider (the 100x-scale store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try scenario()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

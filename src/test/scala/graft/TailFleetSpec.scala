@@ -35,7 +35,7 @@ class TailFleetSpec extends SparkSpec {
     assert(TailFleetOffset.parse(TailFleetOffset(Map.empty).json()).offsets.isEmpty)
   }
 
-  test("two rotating fleet files, same query id, one keyed merge, restart mid-lifecycle") {
+  private def fleetScenario(): Unit = {
     val a = Files.createTempFile("graft-fleet-a", ".log")
     val b = Files.createTempFile("graft-fleet-b", ".log")
     val ckpt = Files.createTempDirectory("graft-fleet-ckpt").toString
@@ -98,6 +98,22 @@ class TailFleetSpec extends SparkSpec {
         (b.toString, "w2", 77L, mb, true)), recs.toString)
       assert(recs.size == 3, s"no duplicate records across the restart: $recs")
     } finally q2.stop()
+  }
+
+  test("two rotating fleet files, same query id, one keyed merge, restart mid-lifecycle") {
+    fleetScenario()
+  }
+
+  test("same fleet recovery under the RocksDB state store provider (the 100x-scale store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try fleetScenario()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }
 
