@@ -23,9 +23,11 @@ import graft.streaming.{MetricsHttpServer, MetricsServing}
   * lands every micro-batch's metric delta exactly-once in a warehouse
   * table off the SAME merge and checkpoint
   * ([[graft.streaming.MetricsJdbcUpsert]] — the BASELINE "Structured
-  * Streaming + ClickHouse sink" shape; point it at
-  * `jdbc:clickhouse://host:8123/db` with the ClickHouse JDBC driver on
-  * the classpath).
+  * Streaming + warehouse sink" shape). The writer's exactly-once
+  * mechanism needs a transactional JDBC backend (Derby is what the specs
+  * drive; PostgreSQL/MySQL fit the same contract); ClickHouse itself
+  * needs the append-only SummingMergeTree mapping described in the
+  * writer's scaladoc, not this upsert.
   */
 object Exporter {
 
@@ -44,9 +46,9 @@ object Exporter {
       case "--from-start" :: t => loop(t, c.copy(fromStart = true))
       case "--checkpoint" :: v :: t => loop(t, c.copy(checkpoint = Some(v)))
       // beyond-reference: land the metric registry in a warehouse table
-      // (the BASELINE "ClickHouse sink" north star) alongside the scrape —
-      // `--jdbc jdbc:clickhouse://host:8123/db` with the ClickHouse driver
-      // on the classpath; any JDBC url works (specs use embedded Derby)
+      // (the BASELINE warehouse-sink north star) alongside the scrape —
+      // any TRANSACTIONAL JDBC backend (specs drive embedded Derby; see
+      // MetricsJdbcUpsert's scaladoc for the ClickHouse-native mapping)
       case "--jdbc" :: v :: t => loop(t, c.copy(jdbcUrl = Some(v)))
       case "--jdbc-table" :: v :: t => loop(t, c.copy(jdbcTable = v))
       case Nil => c

@@ -180,7 +180,16 @@ object Multimodal {
     * frame ops' claim real for one container: [[frameSample]]'s byte
     * slicing is the oracle-checkable stand-in, and a true container
     * decoder drops into [[frameFeaturesOf]] without touching the
-    * operator. */
+    * operator.
+    *
+    * RAW-frame semantics, deliberately: `reader.read(i)` yields each frame
+    * AS STORED — for size-optimized GIFs (inter-frame delta rects +
+    * disposal metadata) later frames are the changed sub-rectangles, not
+    * the composited screen, so their dims/means describe the delta region.
+    * Compositing against the logical screen (apply per-frame offsets and
+    * disposal from the image metadata) is codec-side work that belongs in
+    * a richer FrameCodec, not in the operator; the spec's full-size solid
+    * frames pin the raw contract. */
   val gifFrames: FrameCodec = { payload =>
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(

@@ -106,11 +106,13 @@ object MetricsServing {
     * accumulated corpus per batch (like [[serve]]), the stateful merge emits
     * one observation event per reference observe site and a driver-side
     * [[PromRegistry]] folds each micro-batch's (tiny) delta; line/delivery
-    * counts ride the stream's `observe()` metrics via a listener. Serving
-    * cost per batch is O(batch events), corpus size never re-enters.
-    * Registry counters are volatile across restarts, exactly like the
-    * reference's in-process registry. At scale the "record" outputs would
-    * additionally feed a table sink; here they are simply not collected. */
+    * counts ride the SAME stream as per-line events
+    * ([[StreamingMerge.mergeWithDelivery]]), folded batch-synchronously —
+    * no listener side channel. Serving cost per batch is O(batch events),
+    * corpus size never re-enters. Registry counters are volatile across
+    * restarts, exactly like the reference's in-process registry. At scale
+    * the "record" outputs would additionally feed a table sink; here they
+    * are simply not collected. */
   def serveIncremental(spark: SparkSession, dir: String, server: MetricsHttpServer,
       checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
     import spark.implicits._
@@ -144,63 +146,41 @@ object MetricsServing {
       availableNow: Boolean,
       jdbc: Option[MetricsJdbcUpsert.Target] = None): StreamingQuery = {
     jdbc.foreach(MetricsJdbcUpsert.ensureTables)
-    import org.apache.spark.sql.streaming.StreamingQueryListener
-    import spark.implicits._
     val registry = new PromRegistry
-    // per-pipeline observation name: listeners are session-global, so two
-    // concurrent incremental pipelines must not fold each other's counts
-    val obsName =
-      s"graft_delivery_${java.util.UUID.randomUUID().toString.take(8)}"
 
-    val delivered = graft.sources.LogSource.withDelivery(seqLines)
-      .observe(obsName,
-        // read_lines counts delivered lines only (main.go:113-120 order)
-        sum(when(col("tail_ok"), 1L).otherwise(0L)).as("read"),
-        sum(when(col("tail_ok"), 0L).otherwise(1L)).as("tail_err"))
-    val ok = delivered.filter(col("tail_ok")).select("seq", "value")
-    val outs = StreamingMerge.mergeWithMetrics(
-      StreamingMerge.toLogEvents(graft.operators.LogParser.parse(ok)), timeoutMs = 0L)
-
-    val queryIdRef = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
-    val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        // the unique obsName (not a query-id check, which would race the
-        // first batch) scopes this listener to its own pipeline
-        val om = e.progress.observedMetrics.get(obsName)
-        if (om != null) {
-          val read = Option(om.getAs[java.lang.Long]("read")).map(_.longValue)
-          val errs = Option(om.getAs[java.lang.Long]("tail_err")).map(_.longValue)
-          read.foreach(registry.addReadLines)
-          errs.foreach(registry.addTailLineErrors)
-          server.update(registry.render())
-          // same delivery counts into the JDBC table, ledgered per batch
-          jdbc.foreach { t =>
-            val rows =
-              Seq(("chlogexporter_read_lines", "", "", read.getOrElse(0L))) ++
-                errs.filter(_ > 0).map(n => ("chlogexporter_errors", "type=tail_line", "", n))
-            MetricsJdbcUpsert.applyDelta(t, "delivery", e.progress.batchId, rows)
-            ()
-          }
-        }
-      }
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == queryIdRef.get()) spark.streams.removeListener(this)
-    }
-    spark.streams.addListener(listener)
+    // ONE stream carries everything — merge metrics AND the per-line
+    // delivery events (read_line / tail_line): the former observe() +
+    // StreamingQueryListener side channel was at-most-once (a crash after
+    // the checkpoint commit but before the async progress event lost that
+    // batch's line counts; listener exceptions vanish into the listener
+    // bus), and its JDBC writes raced the batch ledger. In-stream, the
+    // delivery counts commit under the SAME foreachBatch (and, with jdbc
+    // configured, the same ledger row) as the merge metrics.
+    val outs = StreamingMerge.mergeWithDelivery(seqLines, timeoutMs = 0L)
 
     val writer = outs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[StreamingMerge.MergeOut], batchId: Long) =>
-        // one merge, two sinks: the in-process registry fold (scrape
-        // surface) and, when configured, the ledgered JDBC delta upsert
-        jdbc.foreach(t => MetricsJdbcUpsert.writer(t)(batch, batchId))
-        batch.filter(_.out != "record").collect().foreach(registry.observe)
-        server.update(registry.render())
+        import batch.sparkSession.implicits._
+        // the batch feeds two sinks and up to three actions — persist so
+        // the source range / parse / state-store replay runs ONCE
+        val evs = batch.persist()
+        try {
+          jdbc.foreach(t => MetricsJdbcUpsert.writer(t)(evs, batchId))
+          // line-level events fold via one tiny aggregate (collecting them
+          // row-per-line would put the whole batch's line count on the
+          // driver); the bounded observation events collect as before
+          val lineCounts = evs
+            .filter(o => o.out == "read_line" || o.out == "tail_line")
+            .groupByKey(_.out).count().collect().toMap
+          registry.addReadLines(lineCounts.getOrElse("read_line", 0L))
+          registry.addTailLineErrors(lineCounts.getOrElse("tail_line", 0L))
+          evs.filter(o => o.out != "record" && o.out != "read_line" && o.out != "tail_line")
+            .collect().foreach(registry.observe)
+          server.update(registry.render())
+        } finally { evs.unpersist(); () }
       }
-    val q = (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
-    queryIdRef.set(q.id)
-    q
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
   /** Table-sink form (BASELINE north star: metrics land in a queryable

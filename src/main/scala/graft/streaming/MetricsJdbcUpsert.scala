@@ -38,8 +38,22 @@ import graft.streaming.StreamingMerge.MergeOut
   * additive folding is order-exact; scaling to seconds is a read-side
   * concern. `le` is stored as its rendered string (`""` for non-bucket
   * rows) — a NOT NULL primary-key component that also sidesteps backends
-  * that reject non-finite DOUBLEs (Derby, MySQL); ClickHouse DDL differs
-  * only in the engine clause.
+  * that reject non-finite DOUBLEs (Derby, MySQL).
+  *
+  * BACKEND SCOPE: this writer's exactly-once mechanism needs a
+  * TRANSACTIONAL backend with an enforced primary key and standard
+  * `UPDATE` — Derby (spec'd), PostgreSQL, MySQL, and kin. It is NOT
+  * directly runnable against ClickHouse, which has none of the three
+  * (MergeTree inserts never raise duplicate-key, `UPDATE … SET value =
+  * value + ?` is not ClickHouse SQL, and there are no rollbacks): the
+  * ClickHouse-native mapping of the same design is append-only INSERTs of
+  * the tagged delta rows `(metric, labels, le, v, batch_id)` into a
+  * SummingMergeTree keyed on `(metric, labels, le)` — merges do the
+  * folding this writer does with `UPDATE` — with replay idempotence from
+  * ClickHouse's insert-block deduplication (or a `batch_id` dedup read
+  * filter). That variant needs a live ClickHouse to be tested against and
+  * is out of scope here; the delta computation ([[deltaRows]] /
+  * [[contributions]]) is shared by both shapes.
   */
 object MetricsJdbcUpsert {
 
@@ -66,22 +80,33 @@ object MetricsJdbcUpsert {
     val conn = t.connect()
     try {
       conn.setAutoCommit(true)
-      def ddl(sql: String): Unit = {
-        val st = conn.createStatement()
-        try st.executeUpdate(sql)
-        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () } // exists
-        finally st.close()
+      // portable existence probe through JDBC metadata — catching Derby's
+      // X0Y32 SQLState here would make every OTHER backend's restart throw
+      // "table already exists"
+      def tableExists(name: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+        try {
+          var found = false
+          while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(name)
+          found
+        } finally rs.close()
       }
-      ddl(s"""CREATE TABLE ${t.table} (
-             |  metric VARCHAR(128) NOT NULL,
-             |  labels VARCHAR(512) NOT NULL,
-             |  le VARCHAR(32) NOT NULL,
-             |  value BIGINT NOT NULL,
-             |  PRIMARY KEY (metric, labels, le))""".stripMargin)
-      ddl(s"""CREATE TABLE ${t.ledger} (
-             |  source VARCHAR(32) NOT NULL,
-             |  batch_id BIGINT NOT NULL,
-             |  PRIMARY KEY (source, batch_id))""".stripMargin)
+      def ddl(table: String, sql: String): Unit = if (!tableExists(table)) {
+        val st = conn.createStatement()
+        try st.executeUpdate(sql) finally st.close()
+      }
+      ddl(t.table,
+        s"""CREATE TABLE ${t.table} (
+           |  metric VARCHAR(128) NOT NULL,
+           |  labels VARCHAR(512) NOT NULL,
+           |  le VARCHAR(32) NOT NULL,
+           |  value BIGINT NOT NULL,
+           |  PRIMARY KEY (metric, labels, le))""".stripMargin)
+      ddl(t.ledger,
+        s"""CREATE TABLE ${t.ledger} (
+           |  source VARCHAR(32) NOT NULL,
+           |  batch_id BIGINT NOT NULL,
+           |  PRIMARY KEY (source, batch_id))""".stripMargin)
       val grid = statsFamilies.flatMap { case (m, buckets) =>
         (buckets :+ Double.PositiveInfinity).map(b => (s"${m}_bucket", "", fmtLe(b), 0L))
       }
@@ -129,6 +154,13 @@ object MetricsJdbcUpsert {
             (s"${m}_sum", "", "", v),
             (s"${m}_count", "", "", 1L))
         }
+      // per-line delivery events (StreamingMerge.mergeWithDelivery) — in
+      // the SAME stream and batch ledger as the merge metrics, so the
+      // delivery counts are exactly-once too (the former listener path
+      // was at-most-once: a crash between checkpoint commit and the async
+      // progress event lost that batch's counts forever)
+      case "read_line" => Seq(("chlogexporter_read_lines", "", "", 1L))
+      case "tail_line" => Seq(("chlogexporter_errors", "type=tail_line", "", 1L))
       case _ => Seq.empty // "record" rows feed the record sink, not the registry
     }
 
@@ -184,50 +216,19 @@ object MetricsJdbcUpsert {
   }
 
   /** End-to-end serving into JDBC: tail `dir`'s log lines, run the keyed
-    * stateful merge, land every micro-batch's metric delta exactly-once.
-    * `chlogexporter_read_lines` / `tail_line` errors ride the stream's
-    * `observe()` counts, committed under their own ledger source keyed by
-    * the progress batchId — also replay-idempotent. */
+    * stateful merge WITH the per-line delivery events union'd in
+    * ([[StreamingMerge.mergeWithDelivery]]), land every micro-batch's
+    * whole metric delta — merge metrics AND `read_lines`/`tail_line`
+    * counts — under one ledger row, exactly-once together. */
   def serveJdbc(spark: SparkSession, dir: String, t: Target,
       checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
     import spark.implicits._
     ensureTables(t)
-    val obsName = s"graft_jdbc_${java.util.UUID.randomUUID().toString.take(8)}"
-
     val seqd = StreamingMerge.seqAssign(spark.readStream.text(dir).as[String])
-    val delivered = graft.sources.LogSource.withDelivery(seqd)
-      .observe(obsName,
-        sum(when(col("tail_ok"), 1L).otherwise(0L)).as("read"),
-        sum(when(col("tail_ok"), 0L).otherwise(1L)).as("tail_err"))
-    val ok = delivered.filter(col("tail_ok")).select("seq", "value")
-    val outs = StreamingMerge.mergeWithMetrics(
-      StreamingMerge.toLogEvents(graft.operators.LogParser.parse(ok)), timeoutMs = 0L)
-
-    val queryIdRef = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
-    val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        val om = e.progress.observedMetrics.get(obsName)
-        if (om != null) {
-          val read = Option(om.getAs[java.lang.Long]("read")).map(_.longValue).getOrElse(0L)
-          val errs = Option(om.getAs[java.lang.Long]("tail_err")).map(_.longValue).getOrElse(0L)
-          val rows =
-            Seq(("chlogexporter_read_lines", "", "", read)) ++
-              (if (errs > 0) Seq(("chlogexporter_errors", "type=tail_line", "", errs))
-              else Seq.empty)
-          applyDelta(t, "delivery", e.progress.batchId, rows)
-        }
-      }
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == queryIdRef.get()) spark.streams.removeListener(this)
-    }
-    spark.streams.addListener(listener)
-
+    val outs = StreamingMerge.mergeWithDelivery(seqd, timeoutMs = 0L)
     val w = outs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(writer(t))
-    val q = (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
-    queryIdRef.set(q.id)
-    q
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 }

@@ -85,6 +85,10 @@ final class PromRegistry {
         rpsSum += o.rps.getOrElse(0L)
         bpsSum += o.speed.getOrElse(0L)
         statsN += 1
+      // per-line delivery events (StreamingMerge.mergeWithDelivery): the
+      // exactly-once replacement for the observe()-listener side channel
+      case "read_line" => readLines += 1
+      case "tail_line" => tailLineErrors += 1
       case _ => () // "record" — the data sink's concern, not the registry's
     }
   }

@@ -110,6 +110,9 @@ object StreamingCuration {
     batch
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      // same null-key guard as the batch packChunks: a null-source doc is
+      // dropped there, so packing it here would break stream ≡ batch
+      .filter(col("source").isNotNull)
       .withColumn("lsum", sum("n_tokens").over(w))
       .withColumn("tok_offset", base + col("lsum") - col("n_tokens"))
       .withColumn("chunk_first", (col("tok_offset") / budget).cast("long"))
@@ -124,9 +127,23 @@ object StreamingCuration {
     * excluded; its overwrite then makes the totals whole). */
   private[streaming] def basesFromSink(spark: SparkSession, outPath: String,
       beforeBatch: Long): Map[String, Long] = {
-    if (!new java.io.File(outPath).exists()) return Map.empty
-    spark.read.parquet(outPath)
-      .filter(col("ingest_batch") < beforeBatch)
+    // existence through the Hadoop filesystem of the path, NOT java.io.File
+    // — the sink lives on s3://-like stores in a real deployment, where a
+    // local-File probe is always false and the bases would silently reset
+    // to zero (offset collisions with every prior run)
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    // read only COMMITTED batch directories (id < the first replayed one):
+    // a crash can leave a half-written ingest_batch dir — or, before the
+    // very first commit, a sink root with no readable parquet at all —
+    // so list-and-filter the leaf dirs instead of reading the root
+    val committed = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
+      .filter(_.getPath.getName.stripPrefix("ingest_batch=").toLong < beforeBatch)
+      .map(_.getPath.toString)
+    if (committed.isEmpty) return Map.empty
+    spark.read.parquet(committed: _*)
       .groupBy("source").agg(sum("n_tokens").as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }

@@ -68,7 +68,7 @@ object StreamingMerge {
     * metric surface INCREMENTAL: a registry folds these per batch instead of
     * re-aggregating the corpus. */
   final case class MergeOut(
-      out: String, // "record" | "counter" | "insert" | "query_error" | "time_obs" | "stats_obs"
+      out: String, // "record" | "counter" | "insert" | "query_error" | "time_obs" | "stats_obs" | "read_line" | "tail_line"
       record: Option[ChQuery],
       counterType: Option[String],
       stmtType: Option[String] = None,
@@ -154,6 +154,33 @@ object StreamingMerge {
       case None => if (state.exists) state.remove()
     }
     out.iterator
+  }
+
+  /** [[mergeWithMetrics]] plus per-line DELIVERY events union'd into the
+    * same output stream: one `MergeOut("read_line")` per delivered line,
+    * one `MergeOut("tail_line")` per delivery failure (the S3 side
+    * channel). Every counter the serving layer needs then rides ONE
+    * stream, so a `foreachBatch` sink commits delivery counts and merge
+    * metrics under the SAME batch — exactly-once together — where the
+    * former `observe()` + StreamingQueryListener side channel was
+    * at-most-once (a crash after checkpoint commit but before the async
+    * progress event permanently lost that batch's line counts, and a
+    * listener-thrown SQLException vanished into the listener bus).
+    *
+    * The two branches make the source range read twice per micro-batch
+    * (Spark does not share the scan across a union); both the text and
+    * tail sources are cheap local range reads, and the parse + stateful
+    * merge still run once, on the ok branch only. */
+  def mergeWithDelivery(seqLines: DataFrame,
+      timeoutMs: Long = 30 * 60 * 1000L): Dataset[MergeOut] = {
+    import seqLines.sparkSession.implicits._
+    val delivered = graft.sources.LogSource.withDelivery(seqLines)
+    val deliveryOuts = delivered
+      .select(when(col("tail_ok"), "read_line").otherwise("tail_line").as("k"))
+      .as[String].map(k => MergeOut(k, None, None))
+    val ok = delivered.filter(col("tail_ok")).select("seq", "value")
+    mergeWithMetrics(toLogEvents(graft.operators.LogParser.parse(ok)), timeoutMs)
+      .union(deliveryOuts)
   }
 
   /** Record-only view of [[transitionFull]] (compat + simple pipelines). */

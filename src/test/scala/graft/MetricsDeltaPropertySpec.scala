@@ -55,18 +55,22 @@ class MetricsDeltaPropertySpec extends AnyFunSuite {
       val rnd = new scala.util.Random(4200 + case_)
       def typ = types(rnd.nextInt(types.size))
       val events = Seq.fill(rnd.nextInt(250)) {
-        rnd.nextInt(5) match {
+        rnd.nextInt(7) match {
           case 0 => MergeOut("counter", None, Some(counters(rnd.nextInt(counters.size))))
           case 1 => MergeOut("insert", None, None, stmtType = Some(typ))
           case 2 => MergeOut("query_error", None, None, stmtType = Some(typ),
             errorCode = Some(Seq(60L, 241L, 1000L)(rnd.nextInt(3))))
           case 3 => MergeOut("time_obs", None, None, stmtType = Some(typ),
             elapsedUs = Some(rnd.nextLong(30000000L)))
-          case _ => MergeOut("stats_obs", None, None,
+          case 4 => MergeOut("stats_obs", None, None,
             rowsRead = Some(rnd.nextLong(3000000000L)),
             bytesRead = Some(rnd.nextLong(1000000000L)),
             rps = Some(rnd.nextLong(200000000L)),
             speed = Some(rnd.nextLong(600000000L)))
+          // the per-line delivery events of mergeWithDelivery — both
+          // consumers must count them identically too
+          case 5 => MergeOut("read_line", None, None)
+          case _ => MergeOut("tail_line", None, None)
         }
       }
 

@@ -193,10 +193,13 @@ class PipelineOpsSpec extends SparkSpec {
       "full probe + full re-rank must equal brute force")
     val recall2 = brute.keySet.count(run(2, 32)).toDouble / brute.size
     assert(recall2 > 0.2, s"learned-residual recall too low: $recall2") // deterministic corpus
-    // the adopted default (r8 sweep): nProbe=4 — query-side-only cost, and
-    // probing more cells can only add candidates, never lose them
+    // the adopted default (r8 sweep): nProbe=4. NOTE recall is NOT
+    // guaranteed monotone in nProbe at a FIXED re-rank buffer — extra
+    // probed candidates with better ADC but worse exact distance can
+    // displace a true neighbor from the top-32 buffer — so this asserts
+    // the same absolute floor as nProbe=2, not ordering
     val recall4 = brute.keySet.count(run(4, 32)).toDouble / brute.size
-    assert(recall4 >= recall2, s"nProbe=4 recall $recall4 below nProbe=2 $recall2")
+    assert(recall4 > 0.2, s"nProbe=4 recall too low: $recall4")
     info(f"learned-residual IVF-PQ recall@5: nProbe=2 $recall2%.3f, nProbe=4 (default) $recall4%.3f")
   }
 
