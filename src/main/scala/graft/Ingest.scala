@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Sampling
+import graft.streaming.StreamingCuration
+
+/** The curation-ingest daemon — the LLM-pipeline side's runnable binary,
+  * as [[Exporter]] is the log side's: watch a directory for document
+  * files, run the incremental curation pipeline (deterministic exact
+  * dedup → repetition filter → quality classifier → mixture sampling →
+  * sequence packing), and land packed chunks exactly-once under
+  * `--out/ingest_batch=<id>`.
+  *
+  * {{{
+  *   spark-submit --class graft.Ingest <jar> \
+  *     --src /data/incoming --out s3://bucket/packed \
+  *     --checkpoint s3://bucket/ckpt [--budget 512] [--rate 0.5] \
+  *     [--rate-for web=0.25 --rate-for wiki=1.0] [--once]
+  * }}}
+  *
+  * Input files are parquet with `(doc_id long, text string, source
+  * string, n_chars long)`; reading `--out` as parquet yields the
+  * accumulated packed corpus. `--once` processes everything currently
+  * in `--src` and exits (the batch-refresh deployment); without it the
+  * query follows the directory forever. Restart-safe: the checkpoint
+  * resumes the dedup state, and per-source packing offsets rebuild from
+  * the committed batches already in `--out`
+  * ([[StreamingCuration.ingestTo]]). */
+object Ingest {
+
+  final case class Config(
+      src: String = "",
+      out: String = "",
+      checkpoint: String = "",
+      budget: Long = 512L,
+      rates: Map[String, Double] = Sampling.DefaultRates,
+      defaultRate: Double = Sampling.DefaultRate,
+      once: Boolean = false)
+
+  def parseArgs(args: Seq[String]): Config = {
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case "--src" :: v :: t => loop(t, c.copy(src = v))
+      case "--out" :: v :: t => loop(t, c.copy(out = v))
+      case "--checkpoint" :: v :: t => loop(t, c.copy(checkpoint = v))
+      case "--budget" :: v :: t => loop(t, c.copy(budget = v.toLong))
+      case "--rate" :: v :: t => loop(t, c.copy(defaultRate = v.toDouble))
+      case "--rate-for" :: v :: t => v.split("=", 2) match {
+        case Array(srcName, r) => loop(t, c.copy(rates = c.rates + (srcName -> r.toDouble)))
+        case _ => throw new IllegalArgumentException(s"bad --rate-for (want source=rate): $v")
+      }
+      case "--once" :: t => loop(t, c.copy(once = true))
+      case Nil =>
+        require(c.src.nonEmpty && c.out.nonEmpty && c.checkpoint.nonEmpty,
+          "--src, --out, and --checkpoint are required")
+        c
+      case other :: _ => throw new IllegalArgumentException(
+        s"unknown flag: $other (supported: --src <dir> --out <path> --checkpoint <dir> " +
+          "--budget <tokens> --rate <r> --rate-for <source=r> --once)")
+    }
+    loop(args.toList, Config())
+  }
+
+  private val srcSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT")
+
+  def main(args: Array[String]): Unit = {
+    val config = parseArgs(args.toSeq)
+    val spark = SparkSession.builder()
+      .appName("graft-curation-ingest")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    val in = spark.readStream.schema(srcSchema).parquet(config.src)
+    val query = StreamingCuration.ingestTo(spark, in, config.out, config.checkpoint,
+      budget = config.budget, rates = config.rates, defaultRate = config.defaultRate,
+      availableNow = config.once)
+    sys.addShutdownHook { query.stop() }
+    query.awaitTermination()
+  }
+}
