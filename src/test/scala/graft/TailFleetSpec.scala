@@ -104,6 +104,61 @@ class TailFleetSpec extends SparkSpec {
     fleetScenario()
   }
 
+  test("fleet grows across a restart: a path added to --paths starts fresh, existing offsets resume") {
+    val a = Files.createTempFile("graft-fleet-grow-a", ".log")
+    val sunk = TailFleetSpec.sunk
+    sunk.clear()
+    val ckpt = Files.createTempDirectory("graft-fleet-grow-ckpt").toString
+
+    def start(paths: Seq[java.nio.file.Path]): StreamingQuery =
+      StreamingMerge.fleetPipeline(spark, paths.map(_.toString),
+        fromStart = true, timeoutMs = 0L)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => TailFleetSpec.sunk.add((
+            r.getAs[String]("server"), r.getAs[String]("id"),
+            r.getAs[Long]("rowsRead"), r.getAs[Long]("memory"),
+            r.getAs[Boolean]("fullInfo"))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    def waitFor(n: Int, q: StreamingQuery): Seq[(String, String, Long, Long, Boolean)] = {
+      val deadline = System.nanoTime() + 120000L * 1000000L
+      while (sunk.size < n && System.nanoTime() < deadline) q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      sunk.asScala.toSeq
+    }
+
+    // run 1: single-member fleet, one completed lifecycle
+    val q1 = start(Seq(a))
+    try {
+      append(a, initial("g1")); append(a, stats("g1", 11L)); append(a, memory("g1"))
+      assert(waitFor(1, q1).size == 1)
+    } finally q1.stop()
+
+    // a NEW server joins the fleet while the query is down; its history
+    // exists before the restart — the checkpoint has no offset entry for
+    // it, so it starts at ITS OWN initial offset (fromStart => offset 0)
+    val b = Files.createTempFile("graft-fleet-grow-b", ".log")
+    Files.write(b, (initial("g1", "SELECT 9") + stats("g1", 22L) + memory("g1")).getBytes)
+    append(a, initial("g2")); append(a, stats("g2", 33L)); append(a, memory("g2"))
+
+    val q2 = start(Seq(a, b))
+    try {
+      val recs = waitFor(3, q2)
+      val mb = 3L * 1024 * 1024
+      // a resumes from its checkpointed offset (g1 NOT re-read), b's full
+      // history is ingested, and the reused id g1 stays per-server
+      assert(recs.toSet == Set(
+        (a.toString, "g1", 11L, mb, true),
+        (a.toString, "g2", 33L, mb, true),
+        (b.toString, "g1", 22L, mb, true)), recs.toString)
+      assert(recs.size == 3, s"a's g1 must not be re-emitted: $recs")
+    } finally q2.stop()
+  }
+
   test("same fleet recovery under the RocksDB state store provider (the 100x-scale store)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
