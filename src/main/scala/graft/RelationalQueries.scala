@@ -475,6 +475,75 @@ object RelationalQueries {
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  private val CmsD = 4    // hash rows
+  private val CmsW = 1024 // counters per row
+  private val CmsMinSupport = 75L // registry default: stable nonempty at sf0.001-0.1
+
+  /** Count-Min-sketch frequent users (Cormode & Muthukrishnan 2005) — the
+    * frequent-items sibling of [[approxAgg]]'s KMV distinct sketch, over
+    * the skewed event-user stream: which users have at least `minSupport`
+    * events, found WITHOUT per-key state until the final sliver.
+    *
+    *   - sketch: `CmsD`×`CmsW` counters — each event increments one
+    *     counter per hash row (md5-derived buckets, engine-portable like
+    *     every sketch here), built by ONE map-side-combined aggregation
+    *     over an explode; the cell table is ≤ 4096 rows at ANY corpus
+    *     size, pinned so its four join consumers share one build;
+    *   - candidate pass: each event row joins its 4 cells (broadcast —
+    *     the sketch is KB) and the per-row estimate is their MIN; the CMS
+    *     overestimates, never under-, so `est ≥ minSupport` keeps every
+    *     truly frequent key MAP-SIDE — no keyed aggregation has happened
+    *     yet, which is the whole point at 100 TB (per-key state only for
+    *     the sliver that passes);
+    *   - exact verify: the surviving tuples (all tuples of candidate
+    *     keys — the filter is per-key deterministic) aggregate to exact
+    *     counts; `confirmed` marks true frequents, false-positive
+    *     candidates stay visible as the sketch's documented overcount.
+    *
+    * Integer end to end → hash-exact DuckDB oracle replaying the sketch
+    * cell-for-cell ([[heavyHittersSql]]). */
+  def heavyHitters(s: SparkSession, dir: String,
+      minSupport: Long = CmsMinSupport): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    def bucket(i: Int): Column = pmod(
+      conv(substring(md5(concat_ws(":", lit(s"cms$i"), col("user_id").cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(CmsW))
+    val cells = graft.operators.PinnedCaches.pin(
+      ev.select(col("user_id"),
+        posexplode(array((0 until CmsD).map(bucket): _*)).as(Seq("i", "b")))
+        .groupBy("i", "b").agg(count(lit(1)).as("cnt")))
+    val withB = ev.select(col("user_id") +:
+      (0 until CmsD).map(i => bucket(i).as(s"b$i")): _*)
+    val joined = (0 until CmsD).foldLeft(withB) { (df, i) =>
+      df.join(broadcast(cells.filter(col("i") === i)
+        .select(col("b").as(s"b$i"), col("cnt").as(s"c$i"))), Seq(s"b$i"))
+    }
+    val est = least((0 until CmsD).map(i => col(s"c$i")): _*)
+    joined.filter(est >= minSupport)
+      .groupBy("user_id")
+      .agg(min(est).as("cms_estimate"), count(lit(1)).as("exact_count"))
+      .withColumn("confirmed", col("exact_count") >= minSupport)
+      .select("user_id", "cms_estimate", "exact_count", "confirmed")
+      .orderBy("user_id")
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH e AS (SELECT user_id FROM events),
+       |hb AS (
+       |  SELECT user_id, t.i,
+       |    CAST(('0x' || substr(md5('cms' || CAST(t.i AS VARCHAR) || ':' ||
+       |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % $CmsW AS b
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS i) t),
+       |cells AS (SELECT i, b, CAST(count(*) AS BIGINT) AS cnt FROM hb GROUP BY 1, 2),
+       |keyest AS (
+       |  SELECT k.user_id, min(c.cnt) AS cms_estimate
+       |  FROM (SELECT DISTINCT user_id, i, b FROM hb) k
+       |  JOIN cells c USING (i, b) GROUP BY 1),
+       |exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count FROM e GROUP BY 1)
+       |SELECT k.user_id, cms_estimate, exact_count, exact_count >= $CmsMinSupport AS confirmed
+       |FROM keyest k JOIN exact USING (user_id)
+       |WHERE cms_estimate >= $CmsMinSupport ORDER BY user_id""".stripMargin
+
   /** Number of minima the KMV distinct sketch keeps (relative error
     * ≈ 1/√(k−2) ≈ 13%), and its register count for the pruning pass. */
   private val KmvK = 64
@@ -725,6 +794,7 @@ object RelationalQueries {
     "events_asof_orders" -> eventsAsofOrders _,
     "events_pivot" -> eventsPivot _,
     "events_user_stats_salted" -> saltedUserStats _,
+    "events_heavy_hitters" -> ((s: SparkSession, dir: String) => heavyHitters(s, dir)),
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_orders" -> q3TopOrders _,
     "q5_region_revenue" -> q5RegionRevenue _,
@@ -753,6 +823,7 @@ object RelationalQueries {
     "events_asof_orders" -> eventsAsofOrdersSql,
     "events_pivot" -> eventsPivotSql,
     "events_user_stats_salted" -> saltedUserStatsSql,
+    "events_heavy_hitters" -> heavyHittersSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,
     "q5_region_revenue" -> q5Sql,

@@ -73,4 +73,29 @@ class ApproxAggSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getAs[Long]("approx_parts")).toMap
     direct.foreach { case (flag, d) => assert(sketch(flag) == d, s"flag $flag") }
   }
+
+  test("CMS heavy hitters: estimate dominates exact; no truly frequent key missed; flag honest") {
+    val support = 40L // sf0.001: well below the ~67-event mean, many frequents
+    val out = RelationalQueries.heavyHitters(spark, sf(), minSupport = support).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.nonEmpty)
+    // CMS one-sided error: the min-of-counters estimate NEVER undercounts
+    out.foreach { case (u, (est, exact, confirmed)) =>
+      assert(est >= exact, s"user $u: CMS est $est under exact $exact")
+      assert(confirmed == (exact >= support), s"user $u flag")
+    }
+    // completeness: every truly frequent user survives the sketch filter
+    // (est >= exact >= support) and is confirmed
+    val trulyFrequent = Tables.events(spark, sf()).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= support)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    trulyFrequent.foreach { case (u, n) =>
+      assert(out.contains(u) && out(u)._3, s"frequent user $u ($n events) missed")
+      assert(out(u)._2 == n, s"exact count mismatch for $u")
+    }
+    // false-positive candidates (sketch overcount) are visible but unflagged
+    out.foreach { case (u, (_, _, confirmed)) =>
+      assert(confirmed == trulyFrequent.contains(u))
+    }
+  }
 }
