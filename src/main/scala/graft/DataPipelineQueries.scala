@@ -86,6 +86,7 @@ object DataPipelineQueries {
       Sampling.hashSampleStats(docs(s, dir), Sampling.DefaultRates, Sampling.DefaultRate)),
     "sample_kept" -> ((s, dir) =>
       Sampling.hashSampleKept(docs(s, dir), Sampling.DefaultRates, Sampling.DefaultRate)),
+    "sample_uniform_k" -> ((s, dir) => Sampling.uniformSample(docs(s, dir))),
     "sample_split" -> ((s, dir) => Sampling.trainValTestSplit(docs(s, dir))),
     "sample_split_neardup" -> ((s, dir) => Sampling.trainValTestSplitNearDup(docs(s, dir))),
     "pack_chunks" -> ((s, dir) => Sampling.packChunks(docs(s, dir))),
@@ -159,6 +160,7 @@ object DataPipelineQueries {
     "sample_mix" -> Sampling.hashSampleStatsSql,
     "sample_temperature" -> Sampling.temperatureMixSql,
     "sample_kept" -> Sampling.hashSampleKeptSql,
+    "sample_uniform_k" -> Sampling.uniformSampleSql,
     "sample_split" -> Sampling.trainValTestSplitSql,
     "sample_split_neardup" -> Sampling.trainValTestSplitNearDupSql,
     "pack_chunks" -> Sampling.packChunksSql,

@@ -53,6 +53,30 @@ object Sampling {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** EXACT-size uniform corpus sample by consistent hashing — the
+    * bottom-k sibling of the rate-based [[hashSampleKept]] (which is
+    * Bernoulli: size varies): the sample is the `k` documents with the
+    * smallest content-hash draws. Deterministic, order- and
+    * partitioning-independent, and STABLE UNDER APPEND — a document
+    * leaves the sample only when a smaller-hash one arrives (the
+    * consistent-sampling property dashboards over a growing corpus rely
+    * on; also exactly how the KMV sketch keeps its minima). Hash ties
+    * (exact-duplicate texts) break by doc_id, so the selection is total.
+    *
+    * 100 TB shape: NO global sort — Spark executes orderBy+limit as
+    * TakeOrderedAndProject (per-partition bottom-k, then a k-merge of
+    * partition heads; plan-asserted in ScaleTechniquesSpec), and only
+    * `(doc_id, 32-byte hash)` pairs move, never text. */
+  def uniformSample(docs: DataFrame, k: Int = 100): DataFrame =
+    Tables.fanOut(docs)
+      .select(col("doc_id"), md5(col("text")).as("draw"))
+      .orderBy(col("draw"), col("doc_id"))
+      .limit(k)
+
+  val uniformSampleSql: String =
+    """SELECT doc_id, md5(text) AS draw FROM documents
+      |ORDER BY draw, doc_id LIMIT 100""".stripMargin
+
   /** The default mixture used by the `sample_mix` query. */
   val DefaultRates: Map[String, Double] =
     Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.25, "src3" -> 0.75)

@@ -548,6 +548,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(secs < 30.0, f"30k-word doc took $secs%.1f s — quadratic re-split back?")
   }
 
+  test("uniform bottom-k sample: TakeOrdered plan (no global sort), consistent under corpus growth") {
+    val df = operators.Sampling.uniformSample(docs, k = 50)
+    // per-partition bottom-k + k-merge, never a range-partitioned global sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    assert(!plan.contains("rangepartitioning"), s"global sort crept in:\n${plan.take(600)}")
+    val full = df.collect().map(_.getLong(0)).toSet
+    assert(full.size == 50)
+    // consistency: any sampled doc that lies in a SUB-corpus must also be
+    // in that sub-corpus's own sample (its hash is among the k smallest of
+    // the superset, hence of the subset) — the append-stability property
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val subSample = operators.Sampling.uniformSample(
+      docs.filter(col("doc_id") < mid), k = 50).collect().map(_.getLong(0)).toSet
+    val inSub = full.filter(_ < mid)
+    assert(inSub.subsetOf(subSample),
+      s"consistency violated: ${inSub -- subSample} sampled from the full corpus but not the half")
+  }
+
   test("hash sampling: deterministic, rate-monotone, stats match kept set") {
     val stats = operators.Sampling
       .hashSampleStats(docs, operators.Sampling.DefaultRates, operators.Sampling.DefaultRate)

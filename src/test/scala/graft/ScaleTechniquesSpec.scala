@@ -13,14 +13,19 @@ import graft.operators.Tables
 class ScaleTechniquesSpec extends SparkSpec {
 
   import org.apache.spark.sql.catalyst.expressions.{
-    AttributeReference, Expression, LambdaFunction, Md5, StringSplit}
+    AttributeReference, Expression, LambdaFunction, Md5, RegExpExtract,
+    RegExpReplace, Sha2, StringSplit}
 
-  /** True when `e` re-runs a full-column split/md5 — quadratic if it sits
-    * inside a lambda body (no subexpression elimination there). split/md5
-    * OF a lambda variable is legit per-element work and not flagged. */
+  /** True when `e` re-runs a full-column split/hash/regex — quadratic if
+    * it sits inside a lambda body (no subexpression elimination there).
+    * The same function OF a lambda variable is legit per-element work and
+    * not flagged. */
   private def recomputesColumn(e: Expression): Boolean = e match {
     case s: StringSplit => s.str.exists(_.isInstanceOf[AttributeReference])
     case m: Md5 => m.child.exists(_.isInstanceOf[AttributeReference])
+    case h: Sha2 => h.left.exists(_.isInstanceOf[AttributeReference])
+    case r: RegExpExtract => r.subject.exists(_.isInstanceOf[AttributeReference])
+    case r: RegExpReplace => r.subject.exists(_.isInstanceOf[AttributeReference])
     case _ => false
   }
 
