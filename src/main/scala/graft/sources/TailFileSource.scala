@@ -151,10 +151,18 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean)
     o
   }
 
-  override def initialOffset(): Offset = observe(TailOffset(0L,
+  /** Computed ONCE and memoized: the fleet composition calls initialOffset
+    * from both latestOffset (via the known-position bootstrap) and
+    * planInputPartitions (for a path absent from the start-offset map —
+    * a fleet grown across a restart, or a glob-discovered member); a
+    * re-computed EOF between those two calls would plan an inverted empty
+    * range and permanently skip the lines appended in between. */
+  private lazy val initial: TailOffset = TailOffset(0L,
     if (fromStart) 0L
     else TailFileSource.lastLineBoundary(path, 0L), // seek-to-EOF (main.go:95)
-    TailOffset.keyOf(path)))
+    TailOffset.keyOf(path))
+
+  override def initialOffset(): Offset = observe(initial)
 
   override def latestOffset(): Offset = {
     if (known.pos < 0) initialOffset()

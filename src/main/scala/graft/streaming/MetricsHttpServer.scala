@@ -166,7 +166,8 @@ object MetricsServing {
         // the source range / parse / state-store replay runs ONCE
         val evs = batch.persist()
         try {
-          jdbc.foreach(t => MetricsJdbcUpsert.writer(t)(evs, batchId))
+          jdbc.foreach(t => MetricsJdbcUpsert.writer(t,
+            MetricsJdbcUpsert.ledgerSource(checkpointDir))(evs, batchId))
           // line-level events fold via one tiny aggregate (collecting them
           // row-per-line would put the whole batch's line count on the
           // driver); the bounded observation events collect as before

@@ -154,13 +154,14 @@ object MetricsJdbcUpsert {
             (s"${m}_sum", "", "", v),
             (s"${m}_count", "", "", 1L))
         }
-      // per-line delivery events (StreamingMerge.mergeWithDelivery) — in
-      // the SAME stream and batch ledger as the merge metrics, so the
-      // delivery counts are exactly-once too (the former listener path
-      // was at-most-once: a crash between checkpoint commit and the async
-      // progress event lost that batch's counts forever)
-      case "read_line" => Seq(("chlogexporter_read_lines", "", "", 1L))
-      case "tail_line" => Seq(("chlogexporter_errors", "type=tail_line", "", 1L))
+      // delivery events (StreamingMerge.mergeWithDelivery) — in the SAME
+      // stream and batch ledger as the merge metrics, so the delivery
+      // counts are exactly-once too (the former listener path was
+      // at-most-once: a crash between checkpoint commit and the async
+      // progress event lost that batch's counts forever). Pre-aggregated:
+      // each event carries `n` lines.
+      case "read_line" => Seq(("chlogexporter_read_lines", "", "", o.n))
+      case "tail_line" => Seq(("chlogexporter_errors", "type=tail_line", "", o.n))
       case _ => Seq.empty // "record" rows feed the record sink, not the registry
     }
 
@@ -185,7 +186,14 @@ object MetricsJdbcUpsert {
         ledger.setString(1, source); ledger.setLong(2, batchId)
         ledger.executeUpdate()
       } catch {
-        case e: java.sql.SQLException if e.getSQLState == "23505" => // duplicate key
+        // duplicate ledger key = replayed batch. SQLState class 23 is the
+        // standard integrity-violation class but backends disagree on the
+        // subclass (Derby/PostgreSQL raise 23505, MySQL raises 23000 for
+        // error 1062), so match the class OR the typed exception — an exact
+        // "23505" match would crash-loop MySQL on every post-crash replay.
+        case e: java.sql.SQLException
+            if e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+              Option(e.getSQLState).exists(_.startsWith("23")) =>
           conn.rollback(); return false
       } finally ledger.close()
       val upd = conn.prepareStatement(
@@ -206,12 +214,26 @@ object MetricsJdbcUpsert {
     } catch { case e: Throwable => conn.rollback(); throw e }
   }
 
+  /** Stable ledger-source token for a pipeline, derived from its checkpoint
+    * location: two streaming queries (two exporters, or two checkpoints)
+    * writing the same table then own DISJOINT ledger key spaces — with a
+    * shared hardcoded source their batch ids would collide and one query's
+    * deltas would be silently skipped as "replays". Same checkpoint across
+    * restarts → same token, so replay-skip still works. */
+  def ledgerSource(checkpointDir: String): String =
+    "q" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(7).map(b => f"$b%02x").mkString
+
   /** The `foreachBatch` function: aggregate the batch's delta (distributed),
-    * collect the KB-scale result, commit it with the batch's ledger row. */
-  def writer(t: Target): (Dataset[MergeOut], Long) => Unit = { (batch, batchId) =>
+    * collect the KB-scale result, commit it with the batch's ledger row.
+    * `source` must be unique per streaming query writing to `t` (use
+    * [[ledgerSource]] of the query's checkpoint dir); the default fits the
+    * one-query-per-table deployments the specs drive. */
+  def writer(t: Target, source: String = "merge"): (Dataset[MergeOut], Long) => Unit = { (batch, batchId) =>
     val delta = deltaRows(batch).collect().toSeq.map(r =>
       (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
-    applyDelta(t, "merge", batchId, delta)
+    applyDelta(t, source, batchId, delta)
     ()
   }
 
@@ -228,7 +250,7 @@ object MetricsJdbcUpsert {
     val outs = StreamingMerge.mergeWithDelivery(seqd, timeoutMs = 0L)
     val w = outs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(writer(t))
+      .foreachBatch(writer(t, ledgerSource(checkpointDir)))
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 }

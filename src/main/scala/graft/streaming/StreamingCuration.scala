@@ -102,19 +102,29 @@ object StreamingCuration {
   def packBatch(batch: DataFrame, bases: Map[String, Long],
       budget: Long = 512): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import batch.sparkSession.implicits._
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val base = bases.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (s, b)) => when(col("source") === s, lit(b)).otherwise(acc)
-    }
+    // per-source bases apply via a BROADCAST JOIN against a tiny bases
+    // frame — exactly how the batch packChunks shifts offsets
+    // (Sampling.packChunks). The former foldLeft when-chain built an
+    // expression of depth O(source cardinality), re-codegen'd per
+    // micro-batch: at the documented "source = per-domain" scale
+    // (10⁴–10⁶ sources) the PLAN blows up long before the data does.
+    // NB the driver-held `bases` map itself shares that cardinality
+    // ceiling (a Long per source — fine to ~10⁶; past that the bases
+    // belong in a table the join reads directly).
+    val basesDf = bases.toSeq.toDF("source", "src_base")
     batch
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       // same null-key guard as the batch packChunks: a null-source doc is
       // dropped there, so packing it here would break stream ≡ batch
       .filter(col("source").isNotNull)
+      .join(broadcast(basesDf), Seq("source"), "left_outer")
       .withColumn("lsum", sum("n_tokens").over(w))
-      .withColumn("tok_offset", base + col("lsum") - col("n_tokens"))
+      .withColumn("tok_offset",
+        coalesce(col("src_base"), lit(0L)) + col("lsum") - col("n_tokens"))
       .withColumn("chunk_first", (col("tok_offset") / budget).cast("long"))
       .withColumn("chunk_last",
         ((col("tok_offset") + col("n_tokens") - 1) / budget).cast("long"))
@@ -140,7 +150,11 @@ object StreamingCuration {
     // so list-and-filter the leaf dirs instead of reading the root
     val committed = fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
-      .filter(_.getPath.getName.stripPrefix("ingest_batch=").toLong < beforeBatch)
+      // toLongOption: a foreign/tooling directory dropped under the sink
+      // root with a non-numeric suffix is skipped, not a restart-killing
+      // NumberFormatException
+      .filter(_.getPath.getName.stripPrefix("ingest_batch=").toLongOption
+        .exists(_ < beforeBatch))
       .map(_.getPath.toString)
     if (committed.isEmpty) return Map.empty
     spark.read.parquet(committed: _*)

@@ -135,11 +135,20 @@ class MetricsWriterSpec extends SparkSpec {
     eventually(expected(part1 ++ part2))
 
     // replay idempotence: a re-delivered batch (crash between sink commit
-    // and checkpoint commit) hits the ledger and is skipped whole
+    // and checkpoint commit) hits the ledger and is skipped whole. The
+    // ledger source is the query's checkpoint-derived token — stable across
+    // restarts, distinct per pipeline (two queries on one table can't
+    // collide on batch ids).
     val before = jdbcRows()
-    val applied = MetricsJdbcUpsert.applyDelta(t, "merge", 0L,
+    val applied = MetricsJdbcUpsert.applyDelta(t,
+      MetricsJdbcUpsert.ledgerSource(ckpt), 0L,
       Seq(("clickhouse_query_count", "type=select", "", 999L)))
     assert(!applied, "replayed batch id must be skipped by the ledger")
     assert(jdbcRows() == before, "skipped replay must not change the table")
+    // a DIFFERENT pipeline's ledger space is independent: same batch id,
+    // other source, applies cleanly (the former hardcoded source dropped it)
+    val other = MetricsJdbcUpsert.applyDelta(t,
+      MetricsJdbcUpsert.ledgerSource(ckpt + "-other"), 0L, Seq.empty)
+    assert(other, "an unrelated query's batch 0 must not be skipped")
   }
 }

@@ -74,6 +74,30 @@ class StreamingCurationSpec extends SparkSpec {
     scenario()
   }
 
+  test("packBatch holds at many-source cardinality (broadcast-join bases, not a when-chain)") {
+    import spark.implicits._
+    // 2000 sources: the former foldLeft when-chain literal built a
+    // 2000-deep expression tree here (codegen/plan blowup at the
+    // documented per-domain source scale); the broadcast join is flat
+    val n = 2000
+    val bases = (0 until n).map(i => f"src$i%04d" -> i * 1000L).toMap
+    val batch = (0 until n).map(i => (f"src$i%04d", i.toLong, "a b c")) // 3 tokens each
+      .toDF("source", "doc_id", "text")
+    val packed = StreamingCuration.packBatch(batch, bases, budget = 512L)
+      .select("source", "tok_offset", "n_tokens").collect()
+    assert(packed.length == n)
+    packed.foreach { r =>
+      val i = r.getString(0).stripPrefix("src").toInt
+      assert(r.getLong(1) == i * 1000L, s"base must shift source ${r.getString(0)}")
+      assert(r.getLong(2) == 3L)
+    }
+    // a source with NO base entry starts at 0 (left join + coalesce)
+    val fresh = StreamingCuration.packBatch(
+      Seq(("unknown", 7L, "x y")).toDF("source", "doc_id", "text"), bases)
+      .select("tok_offset").head().getLong(0)
+    assert(fresh == 0L)
+  }
+
   test("same ingest equivalence under the RocksDB state store provider (the 100x-scale store)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
