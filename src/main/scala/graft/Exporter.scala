@@ -7,8 +7,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.streaming.{MetricsHttpServer, MetricsServing}
 
-/** The reference binary, Spark-native: tail-follow ONE ClickHouse server
-  * log (`tail -f` semantics, seek-to-EOF default), correlate its per-query
+/** The reference binary, Spark-native: tail-follow ClickHouse server
+  * log(s) (`tail -f` semantics, seek-to-EOF default), correlate per-query
   * lines through the keyed stateful merge, and serve the Prometheus metric
   * surface over HTTP — flag-for-flag the CLI of
   * /root/reference/main.go:17-21 (`--log`, `--listen`, `--from-start`).
@@ -19,50 +19,67 @@ import graft.streaming.{MetricsHttpServer, MetricsServing}
   * (default 0.0.0.0:19901, main.go:20) exactly as before. SIGINT/SIGTERM
   * shut down the stream, then the HTTP server, mirroring main.go:130-142.
   *
-  * Beyond the reference: `--jdbc <url> [--jdbc-table <name>]` additionally
-  * lands every micro-batch's metric delta exactly-once in a warehouse
-  * table off the SAME merge and checkpoint
-  * ([[graft.streaming.MetricsJdbcUpsert]] — the BASELINE "Structured
-  * Streaming + warehouse sink" shape). The writer's exactly-once
-  * mechanism needs a transactional JDBC backend (Derby is what the specs
-  * drive; PostgreSQL/MySQL fit the same contract); ClickHouse itself
-  * needs the append-only SummingMergeTree mapping described in the
-  * writer's scaladoc, not this upsert.
+  * Beyond the reference, two deployment upgrades:
+  *
+  *   - FLEET mode: `--log` repeated (or comma-separated) tails N server
+  *     logs through ONE merge and one `/metrics` endpoint, every series
+  *     labeled `server="<path>"` and query-id state keyed per server
+  *     ([[graft.streaming.MetricsServing.serveIncrementalFleet]]). One
+  *     `--log` keeps the reference's exact label-free exposition.
+  *   - `--jdbc <url> [--jdbc-table <name>]` additionally lands every
+  *     micro-batch's metric delta exactly-once in a warehouse table off
+  *     the SAME merge and checkpoint
+  *     ([[graft.streaming.MetricsJdbcUpsert]] — the BASELINE "Structured
+  *     Streaming + warehouse sink" shape). The upsert writer needs a
+  *     transactional JDBC backend (Derby is what the specs drive;
+  *     PostgreSQL/MySQL fit the same contract); ClickHouse itself uses
+  *     the append-only dialect ([[graft.streaming.MetricsJdbcAppend]]).
   */
 object Exporter {
 
+  val DefaultLog = "/var/log/clickhouse-server/clickhouse-server.log"
+
   final case class Config(
-      log: String = "/var/log/clickhouse-server/clickhouse-server.log",
+      logs: Seq[String] = Seq(DefaultLog),
       listen: String = "0.0.0.0:19901",
       fromStart: Boolean = false,
       checkpoint: Option[String] = None,
       jdbcUrl: Option[String] = None,
-      jdbcTable: String = "metrics")
+      jdbcTable: String = "metrics") {
+    /** Single-file compatibility view (the reference's one-file shape). */
+    def log: String = logs.head
+  }
 
   def parseArgs(args: Seq[String]): Config = {
-    def loop(rest: List[String], c: Config): Config = rest match {
-      case "--log" :: v :: t => loop(t, c.copy(log = v))
-      case "--listen" :: v :: t => loop(t, c.copy(listen = v))
-      case "--from-start" :: t => loop(t, c.copy(fromStart = true))
-      case "--checkpoint" :: v :: t => loop(t, c.copy(checkpoint = Some(v)))
+    def loop(rest: List[String], c: Config, logs: Vector[String]): Config = rest match {
+      // repeated --log flags (or one comma-separated value) form the fleet
+      case "--log" :: v :: t =>
+        loop(t, c, logs ++ v.split(",").map(_.trim).filter(_.nonEmpty))
+      case "--listen" :: v :: t => loop(t, c.copy(listen = v), logs)
+      case "--from-start" :: t => loop(t, c.copy(fromStart = true), logs)
+      case "--checkpoint" :: v :: t => loop(t, c.copy(checkpoint = Some(v)), logs)
       // beyond-reference: land the metric registry in a warehouse table
       // (the BASELINE warehouse-sink north star) alongside the scrape —
       // any TRANSACTIONAL JDBC backend (specs drive embedded Derby; see
       // MetricsJdbcUpsert's scaladoc for the ClickHouse-native mapping)
-      case "--jdbc" :: v :: t => loop(t, c.copy(jdbcUrl = Some(v)))
-      case "--jdbc-table" :: v :: t => loop(t, c.copy(jdbcTable = v))
-      case Nil => c
+      case "--jdbc" :: v :: t => loop(t, c.copy(jdbcUrl = Some(v)), logs)
+      case "--jdbc-table" :: v :: t => loop(t, c.copy(jdbcTable = v), logs)
+      case Nil => if (logs.isEmpty) c else c.copy(logs = logs)
       case other :: _ => throw new IllegalArgumentException(
-        s"unknown flag: $other (supported: --log <file> --listen <host:port> " +
-          "--from-start --checkpoint <dir> --jdbc <url> --jdbc-table <name>)")
+        s"unknown flag: $other (supported: --log <file>[,<file>…] (repeatable) " +
+          "--listen <host:port> --from-start --checkpoint <dir> " +
+          "--jdbc <url> --jdbc-table <name>)")
     }
-    loop(args.toList, Config())
+    loop(args.toList, Config(), Vector.empty)
   }
 
   /** Start the server + pipeline; returns both for lifecycle control
     * (tests drive this directly; [[main]] blocks on the query). */
   def run(spark: SparkSession, config: Config): (MetricsHttpServer, StreamingQuery) = {
-    graft.sources.LogSource.checkLogFile(config.log) // pre-flight, main.go:81-85
+    // pre-flight, main.go:81-85 — literal paths must exist; glob entries
+    // (dynamic fleet membership) may legitimately match nothing yet
+    config.logs.filterNot(graft.sources.TailFleetSource.isGlob)
+      .foreach(graft.sources.LogSource.checkLogFile)
     val (host, port) = config.listen.split(":", 2) match {
       case Array(h, p) => (h, p.toInt)
       case _ => throw new IllegalArgumentException(s"bad --listen: ${config.listen}")
@@ -70,10 +87,17 @@ object Exporter {
     val server = new MetricsHttpServer(port, host).start() // before the tail attaches, main.go:78
     val ckpt = config.checkpoint.getOrElse(
       Files.createTempDirectory("graft-exporter-ckpt").toString)
-    val query = MetricsServing.serveIncrementalTail(
-      spark, config.log, server, ckpt, fromStart = config.fromStart,
-      jdbc = config.jdbcUrl.map(u =>
-        graft.streaming.MetricsJdbcUpsert.Target(u, config.jdbcTable)))
+    val jdbc = config.jdbcUrl.map(u =>
+      graft.streaming.MetricsJdbcUpsert.Target(u, config.jdbcTable))
+    val singleLiteral = config.logs.size == 1 &&
+      !graft.sources.TailFleetSource.isGlob(config.log)
+    val query =
+      if (singleLiteral) // the reference's exact one-file, label-free shape
+        MetricsServing.serveIncrementalTail(
+          spark, config.log, server, ckpt, fromStart = config.fromStart, jdbc = jdbc)
+      else
+        MetricsServing.serveIncrementalFleet(
+          spark, config.logs, server, ckpt, fromStart = config.fromStart, jdbc = jdbc)
     (server, query)
   }
 

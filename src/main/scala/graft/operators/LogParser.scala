@@ -92,14 +92,30 @@ object LogParser {
     * — severity prefilter, guarded dispatch, and one regex pass per line in a
     * single expression (the M7 upgrade; the reference's hand-fused loop shape).
     */
-  def parse(lines: DataFrame): DataFrame = {
+  def parse(lines: DataFrame): DataFrame = parseImpl(lines, dropUnmatched = true)
+
+  /** [[parse]] keeping EVERY input line: non-matching lines (and, when a
+    * `tail_ok` column is present, delivery-failed lines — which are never
+    * regex'd, like the reference's `continue` at main.go:113-117) come out
+    * as `kind = null` rows with `cv_ok = false`. This is what lets the
+    * streaming serving path count `read_lines`/`tail_line` in the SAME
+    * scan that feeds the parser instead of a second source read
+    * ([[graft.streaming.StreamingMerge.mergeWithDelivery]]). */
+  def parseKeepAll(delivered: DataFrame): DataFrame =
+    parseImpl(delivered, dropUnmatched = false)
+
+  private def parseImpl(lines: DataFrame, dropUnmatched: Boolean): DataFrame = {
     import graft.functions.LogLineParse.log_line_parse
 
-    val tagged = lines
-      .withColumn("p", log_line_parse(col("value")))
-      .filter(col("p").isNotNull)
+    val pExpr =
+      if (lines.columns.contains("tail_ok"))
+        when(col("tail_ok"), log_line_parse(col("value")))
+      else log_line_parse(col("value"))
+    val withP = lines.withColumn("p", pExpr)
+    val tagged = (if (dropUnmatched) withP.filter(col("p").isNotNull) else withP)
       .withColumn("kind",
-        when(col("p.kind") === 0, "initial")
+        when(col("p").isNull, lit(null).cast("string"))
+          .when(col("p.kind") === 0, "initial")
           .when(col("p.kind") === 1, "stats")
           .when(col("p.kind") === 2, "error")
           .otherwise("memory"))

@@ -7,7 +7,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -61,6 +61,12 @@ object TailFileSource {
   val Schema: StructType = new StructType()
     .add("seq", LongType, nullable = false)
     .add("value", StringType, nullable = false)
+
+  /** Read accounting: byte-range reads actually opened (incremented once
+    * per [[TailRangeReader]] that reaches the file). Local-mode tests use
+    * the delta to assert the serving pipeline reads each micro-batch's
+    * range ONCE — the former two-branch delivery union read it twice. */
+  val rangesOpened = new java.util.concurrent.atomic.AtomicLong
 
   /** Last position p in [from, len) such that byte p-1 (the byte before p)
     * is '\n'; `from` if no newline arrived yet. Scanned over the new bytes
@@ -135,7 +141,7 @@ class TailFileTable(path: String, fromStart: Boolean) extends Table with Support
 }
 
 class TailFileMicroBatchStream(path: String, fromStart: Boolean)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   // Pre-flight validation exactly where the reference runs it: before the
   // tail attaches (main.go:81-85), with the is-directory fix.
@@ -163,6 +169,19 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean)
     TailOffset.keyOf(path))
 
   override def initialOffset(): Offset = observe(initial)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The admission-control poll Spark actually drives: `start` is the
+    * RESTORED position on the first post-restart call — observing it
+    * before computing the tail closes the restart race where a plain
+    * `latestOffset()` ran before `deserializeOffset` replayed the
+    * checkpoint and emitted a regressed epoch-0 offset (which the next
+    * poll then mistook for a rotation and re-read the whole file). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    observe(start.asInstanceOf[TailOffset])
+    latestOffset()
+  }
 
   override def latestOffset(): Offset = {
     if (known.pos < 0) initialOffset()
@@ -234,6 +253,7 @@ class TailRangeReader(range: TailRange) extends PartitionReader[InternalRow] {
     if (range.end <= range.start ||
         new java.io.File(range.path).length() < range.end) Iterator.empty
     else {
+      TailFileSource.rangesOpened.incrementAndGet()
       val raf = new RandomAccessFile(range.path, "r")
       try {
         val n = (range.end - range.start).toInt

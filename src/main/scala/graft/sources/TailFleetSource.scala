@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -54,12 +54,14 @@ class TailFleetSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TailFleetSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new TailFleetTable(
-      Option(properties.get("paths")).getOrElse(
-        throw new IllegalArgumentException("option 'paths' is required"))
-        .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      properties: util.Map[String, String]): Table = {
+    val specs = Option(properties.get("paths")).getOrElse(
+      throw new IllegalArgumentException("option 'paths' is required"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val (globs, literals) = specs.partition(TailFleetSource.isGlob)
+    new TailFleetTable(literals, globs,
       java.lang.Boolean.parseBoolean(properties.getOrDefault("fromStart", "false")))
+  }
 }
 
 object TailFleetSource {
@@ -67,6 +69,43 @@ object TailFleetSource {
     .add("src", StringType, nullable = false)
     .add("seq", LongType, nullable = false)
     .add("value", StringType, nullable = false)
+
+  /** A `paths` entry whose FILENAME component contains glob metacharacters
+    * is dynamic-membership: the parent directory is literal, the filename
+    * pattern is re-evaluated every `latestOffset()` poll, so a new
+    * server's log joins the fleet within a micro-batch of appearing — the
+    * same new-file discovery FileStreamSource does for directories,
+    * grafted onto per-file tail offsets. */
+  def isGlob(spec: String): Boolean = spec.exists("*?[{".contains(_))
+
+  /** Expand one glob spec against the CURRENT directory contents: regular
+    * files whose name matches the pattern, sorted for determinism. The
+    * directory component must be literal. */
+  def expandGlob(spec: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(spec)
+    val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
+    require(!isGlob(dir.toString),
+      s"only the filename component of a fleet glob may contain wildcards: $spec")
+    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    val matcher = java.nio.file.FileSystems.getDefault
+      .getPathMatcher("glob:" + p.getFileName.toString)
+    val stream = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f) &&
+          matcher.matches(f.getFileName))
+        .map(_.toString).toSeq.sorted
+    } finally stream.close()
+  }
+
+  /** The fleet membership a spec list denotes RIGHT NOW: literal entries
+    * as-is plus each glob's current expansion (used for registry seeding
+    * and the stream's initial membership). */
+  def expandMembers(specs: Seq[String]): Seq[String] = {
+    val (globs, literals) = specs.partition(isGlob)
+    (literals ++ globs.flatMap(expandGlob)).distinct
+  }
 }
 
 /** Fleet position: one [[TailOffset]] per path. The wire form must stay a
@@ -86,10 +125,11 @@ object TailFleetOffset {
     }.toMap)
 }
 
-class TailFleetTable(paths: Seq[String], fromStart: Boolean)
+class TailFleetTable(paths: Seq[String], globs: Seq[String], fromStart: Boolean)
     extends Table with SupportsRead {
-  require(paths.nonEmpty, "option 'paths' must list at least one file")
-  override def name(): String = s"tailfleet:${paths.mkString(",")}"
+  require(paths.nonEmpty || globs.nonEmpty,
+    "option 'paths' must list at least one file or glob")
+  override def name(): String = s"tailfleet:${(paths ++ globs).mkString(",")}"
   override def schema(): StructType = TailFleetSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -98,35 +138,87 @@ class TailFleetTable(paths: Seq[String], fromStart: Boolean)
       override def build(): Scan = this
       override def readSchema(): StructType = TailFleetSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new TailFleetMicroBatchStream(paths, fromStart)
+        new TailFleetMicroBatchStream(paths, fromStart, globs)
       override def toBatch: Batch = throw new UnsupportedOperationException(
         "tailfleet is a streaming-only source; use LogSource.readText per file for batch")
     }
 }
 
-class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean)
-    extends MicroBatchStream {
+class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
+    globs: Seq[String] = Nil) extends MicroBatchStream with SupportsAdmissionControl {
 
-  private val streams: Map[String, TailFileMicroBatchStream] =
-    paths.map(p => p -> new TailFileMicroBatchStream(p, fromStart)).toMap
+  /** Mutable membership: literal paths are fixed (and fail fast if
+    * invalid, like the reference's pre-flight); glob matches join at
+    * construction AND at every [[latestOffset]] poll. */
+  private val streams =
+    scala.collection.concurrent.TrieMap.empty[String, TailFileMicroBatchStream]
+  paths.foreach(p => streams.put(p, new TailFileMicroBatchStream(p, fromStart)))
+  globs.flatMap(TailFleetSource.expandGlob).foreach(register(_, fromStart))
+
+  /** Register a discovered member, SKIPPING files that fail pre-flight
+    * (e.g. a .gz rotation artifact matching the glob) — a bad discovered
+    * file must not kill the whole fleet, unlike a bad literal path. */
+  private def register(p: String, memberFromStart: Boolean): Unit =
+    if (!streams.contains(p)) {
+      try { streams.putIfAbsent(p, new TailFileMicroBatchStream(p, memberFromStart)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+
+  /** Re-evaluate the globs: a file that appeared mid-stream joins with
+    * `fromStart = true` — it postdates the attach, so ALL its content is
+    * new data (the seek-to-EOF default only applies to members present at
+    * query start). Membership never shrinks within a run; a deleted
+    * member simply holds position (and is dropped on the next restart,
+    * when its checkpoint entry finds no file). */
+  private def discover(): Unit =
+    globs.flatMap(TailFleetSource.expandGlob).foreach(register(_, memberFromStart = true))
 
   private def perFile(o: Offset): Map[String, TailOffset] =
     o.asInstanceOf[TailFleetOffset].offsets
 
   override def initialOffset(): Offset = TailFleetOffset(
-    streams.map { case (p, s) => p -> s.initialOffset().asInstanceOf[TailOffset] })
+    streams.toMap.map { case (p, s) => p -> s.initialOffset().asInstanceOf[TailOffset] })
 
-  override def latestOffset(): Offset = TailFleetOffset(
-    streams.map { case (p, s) => p -> s.latestOffset().asInstanceOf[TailOffset] })
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The admission-control poll Spark actually drives: replaying `start`
+    * (the RESTORED fleet position on the first post-restart call) into
+    * the members before polling closes the restart race where a plain
+    * `latestOffset()` ran before `deserializeOffset`, bootstrapped a
+    * member from its fresh initial offset, and emitted a regressed
+    * epoch — which the next poll mistook for a rotation and re-read. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    replayInto(perFile(start))
+    latestOffset()
+  }
+
+  override def latestOffset(): Offset = {
+    discover()
+    TailFleetOffset(
+      streams.toMap.map { case (p, s) => p -> s.latestOffset().asInstanceOf[TailOffset] })
+  }
+
+  /** Feed known per-file positions into the member streams, registering
+    * members for checkpointed paths that still exist (restart-before-
+    * discovery on the glob path). */
+  private def replayInto(offsets: Map[String, TailOffset]): Unit = {
+    offsets.foreach { case (p, _) =>
+      if (!streams.contains(p) && globs.nonEmpty &&
+          new java.io.File(p).isFile) register(p, memberFromStart = false)
+    }
+    offsets.foreach { case (p, o) =>
+      streams.get(p).foreach(_.deserializeOffset(o.json()))
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val fleet = TailFleetOffset.parse(json)
     // replay the per-file positions into each member stream's known-offset
-    // tracking (checkpoint restore path); offsets of paths no longer in the
-    // fleet are dropped, paths without an entry start fresh
-    fleet.offsets.foreach { case (p, o) =>
-      streams.get(p).foreach(_.deserializeOffset(o.json()))
-    }
+    // tracking (checkpoint restore path). A checkpointed path not in the
+    // current membership re-registers IF it still exists and belongs to a
+    // glob (restart before the first post-restore discovery); otherwise
+    // its offset entry is dropped and the path leaves the fleet.
+    replayInto(fleet.offsets)
     TailFleetOffset(fleet.offsets.filter { case (p, _) => streams.contains(p) })
   }
 
@@ -137,6 +229,9 @@ class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean)
     val s = perFile(start)
     val e = perFile(end)
     streams.toArray.flatMap { case (p, stream) =>
+      // initialOffset is memoized per member, so a path absent from the
+      // start map (fleet grown mid-run or across a restart) plans from
+      // exactly the position latestOffset() first observed
       val from = s.getOrElse(p, stream.initialOffset().asInstanceOf[TailOffset])
       e.get(p).toSeq.flatMap(to =>
         stream.planInputPartitions(from, to)

@@ -139,6 +139,46 @@ object MetricsServing {
       availableNow = false, jdbc = jdbc)
   }
 
+  /** [[serveIncrementalTail]] for a FLEET of tailed server logs through ONE
+    * `/metrics` endpoint: each file follows independently
+    * ([[graft.sources.TailFleetSourceProvider]] — per-file offsets,
+    * rotation epochs, checkpoint resume), one keyed merge correlates all
+    * of them on composite `(server, id)` state keys, and every series is
+    * labeled `server="<path>"` ([[FleetPromRegistry]]) so N servers stay
+    * distinct Prometheus series — the cluster deployment of the
+    * reference's one-file loop. With `jdbc` set, the same server-labeled
+    * deltas land exactly-once in the warehouse table off the same merge
+    * and checkpoint. */
+  def serveIncrementalFleet(spark: SparkSession, paths: Seq[String],
+      server: MetricsHttpServer, checkpointDir: String,
+      fromStart: Boolean = false,
+      jdbc: Option[MetricsJdbcUpsert.Target] = None): StreamingQuery = {
+    jdbc.foreach(MetricsJdbcUpsert.ensureTables)
+    val registry = new FleetPromRegistry
+    // seed the CURRENT membership (glob specs expand; a server discovered
+    // later gets its series on first observation)
+    graft.sources.TailFleetSource.expandMembers(paths).foreach(registry.seed)
+    val lines = spark.readStream
+      .format(classOf[graft.sources.TailFleetSourceProvider].getName)
+      .option("paths", paths.mkString(","))
+      .option("fromStart", fromStart.toString)
+      .load()
+    val outs = StreamingMerge.fleetMergeWithDelivery(lines, timeoutMs = 0L)
+    val writer = outs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[StreamingMerge.MergeOut], batchId: Long) =>
+        val evs = batch.persist()
+        try {
+          jdbc.foreach(t => MetricsJdbcUpsert.writer(t,
+            MetricsJdbcUpsert.ledgerSource(checkpointDir))(evs, batchId))
+          evs.filter(o => o.out != "record")
+            .collect().foreach(registry.observe)
+          server.update(registry.render())
+        } finally { evs.unpersist(); () }
+      }
+    writer.start()
+  }
+
   /** Shared incremental-serving pipeline over any streaming `(seq, value)`
     * line frame. */
   private def serveIncrementalLines(spark: SparkSession, seqLines: DataFrame,
@@ -168,15 +208,10 @@ object MetricsServing {
         try {
           jdbc.foreach(t => MetricsJdbcUpsert.writer(t,
             MetricsJdbcUpsert.ledgerSource(checkpointDir))(evs, batchId))
-          // line-level events fold via one tiny aggregate (collecting them
-          // row-per-line would put the whole batch's line count on the
-          // driver); the bounded observation events collect as before
-          val lineCounts = evs
-            .filter(o => o.out == "read_line" || o.out == "tail_line")
-            .groupByKey(_.out).count().collect().toMap
-          registry.addReadLines(lineCounts.getOrElse("read_line", 0L))
-          registry.addTailLineErrors(lineCounts.getOrElse("tail_line", 0L))
-          evs.filter(o => o.out != "record" && o.out != "read_line" && o.out != "tail_line")
+          // everything but "record" is bounded: observation events by the
+          // reference's observe sites, delivery events pre-aggregated to
+          // one n-valued row per source partition by the single-scan fold
+          evs.filter(o => o.out != "record")
             .collect().foreach(registry.observe)
           server.update(registry.render())
         } finally { evs.unpersist(); () }

@@ -1,0 +1,158 @@
+package graft.streaming
+
+import java.sql.Connection
+import java.util.Properties
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.streaming.StreamingMerge.MergeOut
+
+/** The APPEND-ONLY metric sink dialect — the executable form of the
+  * ClickHouse mapping [[MetricsJdbcUpsert]]'s scaladoc describes: instead
+  * of folding each micro-batch's delta into a keyed table with `UPDATE`
+  * (which ClickHouse cannot do), every delta row is INSERTed tagged with
+  * its `(source, batch_id)`, and the FOLD happens on the read side —
+  * here a SQL view (`<table>_folded`), on ClickHouse a SummingMergeTree's
+  * background merges over the same `(metric, labels, le)` key.
+  *
+  * Replay idempotence without a ledger table: a batch's rows are written
+  * only if no row tagged `(source, batch_id)` exists yet — the presence
+  * check and the inserts share one transaction, so a replayed batch
+  * (foreachBatch re-delivery after a crash between sink commit and
+  * checkpoint commit) is skipped whole. This mirrors ClickHouse's
+  * insert-block deduplication; the defense-in-depth `MAX` inside the fold
+  * view additionally collapses any duplicate `(… source, batch_id)` rows
+  * (deltas are deterministic on replay, so all copies carry equal
+  * values), which is the documented `batch_id` dedup read filter for
+  * backends without atomic check-and-insert.
+  *
+  * Both dialects share the delta computation
+  * ([[MetricsJdbcUpsert.deltaRows]] / contributions) — the seam is only
+  * HOW a delta lands. The spec proves the folded read equals the upsert
+  * dialect's table on the same stream, replay included.
+  *
+  * 100 TB shape: identical to the upsert dialect — all per-line work is
+  * distributed, only the label×bucket-bounded aggregated delta crosses to
+  * the driver. The append table grows by one bounded delta per
+  * micro-batch (on ClickHouse, background merges collapse it; on a
+  * relational backend, periodic compaction into a single summed batch is
+  * the equivalent — out of scope here, the view stays correct either
+  * way).
+  */
+object MetricsJdbcAppend {
+
+  /** One append-dialect destination: the raw delta table and its fold view. */
+  final case class Target(url: String, table: String,
+      properties: Properties = new Properties) {
+    def deltas: String = table + "_deltas"
+    def folded: String = table + "_folded"
+    def connect(): Connection =
+      java.sql.DriverManager.getConnection(url, properties)
+  }
+
+  /** Create the append table + fold view if absent and seed the
+    * zero-filled stats bucket grid once (tagged `(seed, 0)`, so restarts
+    * skip it like any replayed batch). Idempotent. */
+  def ensureTables(t: Target): Unit = {
+    val conn = t.connect()
+    try {
+      conn.setAutoCommit(true)
+      def exists(name: String, types: Array[String]): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, null, types)
+        try {
+          var found = false
+          while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(name)
+          found
+        } finally rs.close()
+      }
+      def ddl(sql: String): Unit = {
+        val st = conn.createStatement()
+        try { st.executeUpdate(sql); () } finally st.close()
+      }
+      if (!exists(t.deltas, Array("TABLE")))
+        ddl(s"""CREATE TABLE ${t.deltas} (
+               |  metric VARCHAR(128) NOT NULL,
+               |  labels VARCHAR(512) NOT NULL,
+               |  le VARCHAR(32) NOT NULL,
+               |  value BIGINT NOT NULL,
+               |  source VARCHAR(32) NOT NULL,
+               |  batch_id BIGINT NOT NULL)""".stripMargin)
+      if (!exists(t.folded, Array("VIEW")))
+        // inner MAX = the batch_id dedup filter (all copies of a replayed
+        // batch's row are equal); outer SUM = the SummingMergeTree fold
+        ddl(s"""CREATE VIEW ${t.folded} (metric, labels, le, value) AS
+               |SELECT metric, labels, le, SUM(value) FROM (
+               |  SELECT metric, labels, le, source, batch_id, MAX(value) AS value
+               |  FROM ${t.deltas}
+               |  WHERE metric <> '__batch_marker'
+               |  GROUP BY metric, labels, le, source, batch_id) d
+               |GROUP BY metric, labels, le""".stripMargin)
+      applyDelta(t, "seed", 0L, MetricsJdbcUpsert.staticGrid)
+      ()
+    } finally conn.close()
+  }
+
+  /** Append one tagged delta; returns false (no-op) when rows tagged
+    * `(source, batchId)` already exist — the replayed-batch path. The
+    * presence check and the inserts commit in one transaction. */
+  def applyDelta(t: Target, source: String, batchId: Long,
+      rows: Seq[(String, String, String, Long)]): Boolean = {
+    val conn = t.connect()
+    try {
+      conn.setAutoCommit(false)
+      try {
+        val probe = conn.prepareStatement(
+          s"SELECT 1 FROM ${t.deltas} WHERE source = ? AND batch_id = ? " +
+            "FETCH FIRST 1 ROWS ONLY")
+        val seen = try {
+          probe.setString(1, source); probe.setLong(2, batchId)
+          val rs = probe.executeQuery()
+          try rs.next() finally rs.close()
+        } finally probe.close()
+        if (seen) { conn.rollback(); return false }
+        // an EMPTY batch still needs a presence marker, or its replay
+        // would be indistinguishable from a first delivery — tag it with
+        // one explicit zero row on a reserved metric the view's consumers
+        // never read
+        val effective =
+          if (rows.nonEmpty) rows else Seq(("__batch_marker", "", "", 0L))
+        val ins = conn.prepareStatement(
+          s"INSERT INTO ${t.deltas} (metric, labels, le, value, source, batch_id) " +
+            "VALUES (?, ?, ?, ?, ?, ?)")
+        try effective.foreach { case (metric, labels, le, v) =>
+          ins.setString(1, metric); ins.setString(2, labels)
+          ins.setString(3, le); ins.setLong(4, v)
+          ins.setString(5, source); ins.setLong(6, batchId)
+          ins.executeUpdate()
+        } finally ins.close()
+        conn.commit()
+        true
+      } catch { case e: Throwable => conn.rollback(); throw e }
+    } finally conn.close()
+  }
+
+  /** The `foreachBatch` function — same contract as
+    * [[MetricsJdbcUpsert.writer]], append dialect. */
+  def writer(t: Target, source: String): (Dataset[MergeOut], Long) => Unit = { (batch, batchId) =>
+    val delta = MetricsJdbcUpsert.deltaRows(batch).collect().toSeq.map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    applyDelta(t, source, batchId, delta)
+    ()
+  }
+
+  /** End-to-end serving into the append dialect — the ClickHouse-shaped
+    * twin of [[MetricsJdbcUpsert.serveJdbc]]: same stream, same delta,
+    * append-only landing, read through `<table>_folded`. */
+  def serveJdbc(spark: SparkSession, dir: String, t: Target,
+      checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
+    import spark.implicits._
+    ensureTables(t)
+    val seqd = StreamingMerge.seqAssign(spark.readStream.text(dir).as[String])
+    val outs = StreamingMerge.mergeWithDelivery(seqd, timeoutMs = 0L)
+    val w = outs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(writer(t, MetricsJdbcUpsert.ledgerSource(checkpointDir)))
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+}

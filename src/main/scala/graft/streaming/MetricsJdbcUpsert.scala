@@ -72,6 +72,14 @@ object MetricsJdbcUpsert {
     ("clickhouse_select_query_rows_per_second", PromMetrics.RpsBuckets),
     ("clickhouse_select_query_bytes_per_second", PromMetrics.BpsBuckets))
 
+  /** The observation-independent zero-filled stats bucket grid both sink
+    * dialects seed (the same 35-row static grid
+    * [[MetricsSink.metricsTable]] unions in). */
+  private[streaming] def staticGrid: Seq[(String, String, String, Long)] =
+    statsFamilies.flatMap { case (m, buckets) =>
+      (buckets :+ Double.PositiveInfinity).map(b => (s"${m}_bucket", "", fmtLe(b), 0L))
+    }
+
   /** Create the metric + ledger tables if absent and seed the
     * observation-independent zero-filled stats bucket grid (the same
     * 35-row static grid [[MetricsSink.metricsTable]] unions in, so the
@@ -107,10 +115,7 @@ object MetricsJdbcUpsert {
            |  source VARCHAR(32) NOT NULL,
            |  batch_id BIGINT NOT NULL,
            |  PRIMARY KEY (source, batch_id))""".stripMargin)
-      val grid = statsFamilies.flatMap { case (m, buckets) =>
-        (buckets :+ Double.PositiveInfinity).map(b => (s"${m}_bucket", "", fmtLe(b), 0L))
-      }
-      applyDeltaWith(conn, t, "seed", 0L, grid)
+      applyDeltaWith(conn, t, "seed", 0L, staticGrid)
     } finally conn.close()
   }
 
@@ -127,8 +132,21 @@ object MetricsJdbcUpsert {
 
   /** The per-event contribution rows — the additive twin of the fused
     * explode in [[MetricsSink.metricsTable]] (each observe site's cells,
-    * histogram observations as one 0/1 row per bucket). */
-  private[graft] def contributions(o: MergeOut): Seq[(String, String, String, Long)] =
+    * histogram observations as one 0/1 row per bucket). Fleet emissions
+    * (`server` set) get a leading `server=` label on every row, so N
+    * servers keep disjoint key spaces in the same table; the seeded zero
+    * stats grid stays server-less (it predates any observation). */
+  private[graft] def contributions(o: MergeOut): Seq[(String, String, String, Long)] = {
+    val base = contributionsBase(o)
+    o.server match {
+      case Some(s) => base.map { case (m, labels, le, v) =>
+        (m, if (labels.isEmpty) s"server=$s" else s"server=$s,$labels", le, v)
+      }
+      case None => base
+    }
+  }
+
+  private def contributionsBase(o: MergeOut): Seq[(String, String, String, Long)] =
     o.out match {
       case "counter" =>
         o.counterType.toSeq.map(t => ("chlogexporter_errors", s"type=$t", "", 1L))

@@ -85,70 +85,145 @@ final class PromRegistry {
         rpsSum += o.rps.getOrElse(0L)
         bpsSum += o.speed.getOrElse(0L)
         statsN += 1
-      // per-line delivery events (StreamingMerge.mergeWithDelivery): the
-      // exactly-once replacement for the observe()-listener side channel
-      case "read_line" => readLines += 1
-      case "tail_line" => tailLineErrors += 1
+      // delivery events (StreamingMerge.mergeWithDelivery): the
+      // exactly-once replacement for the observe()-listener side channel,
+      // pre-aggregated per source partition (`n` lines each)
+      case "read_line" => readLines += o.n
+      case "tail_line" => tailLineErrors += o.n
       case _ => () // "record" — the data sink's concern, not the registry's
     }
   }
 
   import MetricsSink.fmtDouble
+  import PromRegistry.Family
 
   /** Prometheus text exposition — byte-identical to
     * [[MetricsSink.exposition]] over the same corpus. */
-  def render(): String = synchronized {
-    val sb = new StringBuilder
-    sb.append("# HELP chlogexporter_read_lines Total read lines count\n")
-    sb.append("# TYPE chlogexporter_read_lines counter\n")
-    sb.append(s"chlogexporter_read_lines $readLines\n")
+  def render(): String = PromRegistry.assemble(families(PromRegistry.plainWrap))
 
-    def counterBlock(name: String, help: String, lines: Seq[String]): Unit =
-      sb.append(s"# HELP $name $help\n# TYPE $name counter\n")
-        .append(lines.sorted.mkString("\n")).append("\n")
+  /** The metric families with every label set rendered through `wrap`
+    * (which receives the inner label body — possibly empty — and returns
+    * the braced rendering). The family list and per-family segment count
+    * are FIXED regardless of content, which is what lets the fleet
+    * renderer merge families position-by-position across per-server
+    * registries ([[PromRegistry.renderMerged]]). */
+  private[streaming] def families(wrap: String => String): Seq[Family] = synchronized {
+    def counterFamily(name: String, help: String, lines: Seq[String]): Family =
+      Family(name, help, "counter", Seq(lines.sorted))
+
+    val readFam = Family("chlogexporter_read_lines", "Total read lines count",
+      "counter", Seq(Seq(s"chlogexporter_read_lines${wrap("")} $readLines")))
 
     val errAll = errors.toMap ++
       (if (tailLineErrors > 0) Map("tail_line" -> tailLineErrors) else Map.empty)
-    counterBlock("chlogexporter_errors", "Clickhouse Log Exporter Internal Errors",
-      errAll.toSeq.map { case (t, v) => s"""chlogexporter_errors{type="$t"} $v""" })
-    counterBlock("clickhouse_query_count", "Clickhouse Query Count by Type",
-      queryCount.toSeq.map { case (t, v) => s"""clickhouse_query_count{stmt_type="$t"} $v""" })
-    counterBlock("clickhouse_query_errors", "Clickhouse Query Errors Count by Code",
+    val errFam = counterFamily("chlogexporter_errors",
+      "Clickhouse Log Exporter Internal Errors",
+      errAll.toSeq.map { case (t, v) =>
+        s"""chlogexporter_errors${wrap(s"""type="$t"""")} $v""" })
+    val countFam = counterFamily("clickhouse_query_count",
+      "Clickhouse Query Count by Type",
+      queryCount.toSeq.map { case (t, v) =>
+        s"""clickhouse_query_count${wrap(s"""stmt_type="$t"""")} $v""" })
+    val qErrFam = counterFamily("clickhouse_query_errors",
+      "Clickhouse Query Errors Count by Code",
       queryErrors.toSeq.map { case ((t, c), v) =>
-        s"""clickhouse_query_errors{stmt_type="$t",error_code="$c"} $v""" })
+        s"""clickhouse_query_errors${wrap(s"""stmt_type="$t",error_code="$c"""")} $v""" })
 
     // labeled time histogram: observed labels × full bucket grid, buckets in
     // (label, numeric le) order; _count/_sum lines sorted together
     val name = "clickhouse_query_time"
-    sb.append(s"# HELP $name Time needed to process query by type\n# TYPE $name histogram\n")
     val bucketLines = timeHists.toSeq.sortBy(_._1).flatMap { case (t, h) =>
       h.cumulative.map { case (le, c) =>
-        s"""${name}_bucket{stmt_type="$t",le="${fmtDouble(le)}"} $c"""
+        s"""${name}_bucket${wrap(s"""stmt_type="$t",le="${fmtDouble(le)}"""")} $c"""
       }
     }
-    sb.append(bucketLines.mkString("\n")).append("\n")
     val sumLines = timeHists.keys.toSeq.flatMap { t =>
-      Seq(s"""${name}_sum{stmt_type="$t"} ${fmtDouble(timeSumUs.getOrElse(t, 0L) * 1e-6)}""",
-        s"""${name}_count{stmt_type="$t"} ${timeHists(t).n}""")
-    }
-    sb.append(sumLines.sorted.mkString("\n")).append("\n")
+      Seq(s"""${name}_sum${wrap(s"""stmt_type="$t"""")} ${fmtDouble(timeSumUs.getOrElse(t, 0L) * 1e-6)}""",
+        s"""${name}_count${wrap(s"""stmt_type="$t"""")} ${timeHists(t).n}""")
+    }.sorted
+    val timeFam = Family(name, "Time needed to process query by type",
+      "histogram", Seq(bucketLines, sumLines))
 
-    def statBlock(name: String, help: String, h: Hist, sum: Long): Unit = {
-      sb.append(s"# HELP $name $help\n# TYPE $name histogram\n")
-      sb.append(h.cumulative.map { case (le, c) =>
-        s"""${name}_bucket{le="${fmtDouble(le)}"} $c"""
-      }.mkString("\n")).append("\n")
-      sb.append(s"${name}_sum $sum\n")
-      sb.append(s"${name}_count ${h.n}\n")
+    def statFamily(name: String, help: String, h: Hist, sum: Long): Family =
+      Family(name, help, "histogram", Seq(
+        h.cumulative.map { case (le, c) =>
+          s"""${name}_bucket${wrap(s"""le="${fmtDouble(le)}"""")} $c"""
+        },
+        Seq(s"${name}_sum${wrap("")} $sum"),
+        Seq(s"${name}_count${wrap("")} ${h.n}")))
+
+    Seq(readFam, errFam, countFam, qErrFam, timeFam,
+      statFamily("clickhouse_select_query_rows_read", "Number of rows read by query",
+        rowsHist, rowsSum),
+      statFamily("clickhouse_select_query_bytes_read", "Bytes read by query",
+        bytesHist, bytesSum),
+      statFamily("clickhouse_select_query_rows_per_second", "Rows Per Second speed by query",
+        rpsHist, rpsSum),
+      statFamily("clickhouse_select_query_bytes_per_second", "Bytes Per Second speed by query",
+        bpsHist, bpsSum))
+  }
+}
+
+object PromRegistry {
+
+  /** One metric family's rendering material: HELP/TYPE header plus
+    * line segments (each segment joins with '\n' and terminates with
+    * one '\n' — the segment boundaries reproduce the historical block
+    * layout byte-for-byte). */
+  private[streaming] final case class Family(name: String, help: String,
+      typ: String, segments: Seq[Seq[String]])
+
+  /** Label rendering of the single-registry scrape: no extra labels,
+    * empty label sets render as no braces at all. */
+  private[streaming] val plainWrap: String => String =
+    body => if (body.isEmpty) "" else "{" + body + "}"
+
+  /** Label rendering with a `server` label prepended to every series —
+    * the fleet form. */
+  private[streaming] def serverWrap(server: String): String => String = {
+    val esc = server.replace("\\", "\\\\").replace("\"", "\\\"")
+    body => s"""{server="$esc"""" + (if (body.isEmpty) "}" else "," + body + "}")
+  }
+
+  private[streaming] def assemble(fams: Seq[Family]): String = {
+    val sb = new StringBuilder
+    fams.foreach { f =>
+      sb.append(s"# HELP ${f.name} ${f.help}\n# TYPE ${f.name} ${f.typ}\n")
+      f.segments.foreach(seg => sb.append(seg.mkString("\n")).append("\n"))
     }
-    statBlock("clickhouse_select_query_rows_read", "Number of rows read by query",
-      rowsHist, rowsSum)
-    statBlock("clickhouse_select_query_bytes_read", "Bytes read by query",
-      bytesHist, bytesSum)
-    statBlock("clickhouse_select_query_rows_per_second", "Rows Per Second speed by query",
-      rpsHist, rpsSum)
-    statBlock("clickhouse_select_query_bytes_per_second", "Bytes Per Second speed by query",
-      bpsHist, bpsSum)
     sb.toString
   }
+
+  /** Merge per-server registries into ONE exposition: each family's
+    * HELP/TYPE appears once, its series enumerated per server (sorted by
+    * server name) with the `server` label leading every label set —
+    * valid Prometheus exposition for N servers through one endpoint
+    * (repeating HELP per server would be an invalid exposition). */
+  private[streaming] def renderMerged(regs: Seq[(String, PromRegistry)]): String = {
+    val perServer = regs.sortBy(_._1).map { case (srv, reg) =>
+      reg.families(serverWrap(srv))
+    }
+    if (perServer.isEmpty) return assemble(new PromRegistry().families(plainWrap))
+    val merged = perServer.transpose.map { fams =>
+      Family(fams.head.name, fams.head.help, fams.head.typ,
+        fams.head.segments.indices.map(i => fams.flatMap(_.segments(i))))
+    }
+    assemble(merged)
+  }
+}
+
+/** Per-server scrape registry for the FLEET exporter: one [[PromRegistry]]
+  * per tailed log, folded from the fleet merge's server-tagged emissions,
+  * rendered as one merged exposition with a `server` label on every
+  * series. [[seed]] the configured paths up front so every server's
+  * zero-state series are scrapeable before its first line arrives. */
+final class FleetPromRegistry {
+  private val regs = scala.collection.concurrent.TrieMap.empty[String, PromRegistry]
+
+  def seed(server: String): Unit = { regs.getOrElseUpdate(server, new PromRegistry); () }
+
+  def observe(o: MergeOut): Unit =
+    regs.getOrElseUpdate(o.server.getOrElse(""), new PromRegistry).observe(o)
+
+  def render(): String = PromRegistry.renderMerged(regs.toSeq)
 }

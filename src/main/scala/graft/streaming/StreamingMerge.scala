@@ -77,7 +77,14 @@ object StreamingMerge {
       rowsRead: Option[Long] = None,
       bytesRead: Option[Long] = None,
       rps: Option[Long] = None,
-      speed: Option[Long] = None)
+      speed: Option[Long] = None,
+      // multiplicity: "read_line"/"tail_line" arrive PRE-AGGREGATED (one
+      // event per source partition per batch, n = lines counted) since the
+      // single-scan delivery fold; every other kind stays n = 1
+      n: Long = 1L,
+      // fleet deployments: which server's log produced this emission
+      // (None on the single-file path — label-free, reference-identical)
+      server: Option[String] = None)
 
   /** One micro-batch worth of events for a single query id, replayed in
     * arrival order against the state record. Emits completed records AND
@@ -92,6 +99,13 @@ object StreamingMerge {
     events.toSeq.sortBy(_.seq).foreach { e =>
       e.ts.foreach(t => maxTsMs = math.max(maxTsMs, t.getTime))
       e.kind match {
+        // pre-aggregated per-partition delivery counts (synthetic
+        // CountIdPrefix-keyed events from the single-scan fold) — stateless
+        // passthrough into the metric stream
+        case "read_count" =>
+          out += MergeOut("read_line", None, None, n = e.rowsRead.getOrElse(0L))
+        case "tail_count" =>
+          out += MergeOut("tail_line", None, None, n = e.rowsRead.getOrElse(0L))
         case "initial" =>
           if (cur.isDefined) counter("duplicated_initial_query") // first kept
           else if (e.cvOk) {
@@ -156,31 +170,82 @@ object StreamingMerge {
     out.iterator
   }
 
-  /** [[mergeWithMetrics]] plus per-line DELIVERY events union'd into the
-    * same output stream: one `MergeOut("read_line")` per delivered line,
-    * one `MergeOut("tail_line")` per delivery failure (the S3 side
-    * channel). Every counter the serving layer needs then rides ONE
-    * stream, so a `foreachBatch` sink commits delivery counts and merge
-    * metrics under the SAME batch — exactly-once together — where the
-    * former `observe()` + StreamingQueryListener side channel was
-    * at-most-once (a crash after checkpoint commit but before the async
-    * progress event permanently lost that batch's line counts, and a
-    * listener-thrown SQLException vanished into the listener bus).
+  /** [[mergeWithMetrics]] plus per-line DELIVERY accounting in the same
+    * output stream: `MergeOut("read_line", n = …)` per delivered-line
+    * count, `MergeOut("tail_line", n = …)` per delivery-failure count
+    * (the S3 side channel). Every counter the serving layer needs rides
+    * ONE stream, so a `foreachBatch` sink commits delivery counts and
+    * merge metrics under the SAME batch — exactly-once together — where
+    * the former `observe()` + StreamingQueryListener side channel was
+    * at-most-once.
     *
-    * The two branches make the source range read twice per micro-batch
-    * (Spark does not share the scan across a union); both the text and
-    * tail sources are cheap local range reads, and the parse + stateful
-    * merge still run once, on the ok branch only. */
+    * SINGLE SCAN: the source range is read exactly once per micro-batch.
+    * [[graft.operators.LogParser.parseKeepAll]] keeps non-matching and
+    * delivery-failed lines as kind-null rows, [[deliveredEvents]] counts
+    * them map-side (per partition, BEFORE the shuffle — kind-null rows
+    * never shuffle) and appends one synthetic `read_count`/`tail_count`
+    * event per partition, which the state function passes through as the
+    * pre-aggregated `n`-valued delivery emissions. The former shape was a
+    * two-branch union that re-read the tail range per branch. */
   def mergeWithDelivery(seqLines: DataFrame,
       timeoutMs: Long = 30 * 60 * 1000L): Dataset[MergeOut] = {
-    import seqLines.sparkSession.implicits._
     val delivered = graft.sources.LogSource.withDelivery(seqLines)
-    val deliveryOuts = delivered
-      .select(when(col("tail_ok"), "read_line").otherwise("tail_line").as("k"))
-      .as[String].map(k => MergeOut(k, None, None))
-    val ok = delivered.filter(col("tail_ok")).select("seq", "value")
-    mergeWithMetrics(toLogEvents(graft.operators.LogParser.parse(ok)), timeoutMs)
-      .union(deliveryOuts)
+    val parsedAll = graft.operators.LogParser.parseKeepAll(delivered)
+    mergeWithMetrics(deliveredEvents(parsedAll, fleet = false), timeoutMs)
+  }
+
+  /** Id prefix (U+0001 sentinel) of the synthetic per-partition
+    * delivery-count events. Even a pathological real query id of the same
+    * shape is harmless: it would only share a state key with events that
+    * neither read nor write state (the count case in transitionFull is a
+    * stateless passthrough), so both lifecycles proceed unaffected. */
+  private val CountIdPrefix = "\u0001c:"
+
+  /** Typed events from a [[graft.operators.LogParser.parseKeepAll]] frame,
+    * with per-partition delivery counts folded in-band: passes real events
+    * through lazily, counts delivered/failed lines map-side, and emits one
+    * trailing `read_count`/`tail_count` synthetic event per partition
+    * (per server on the fleet path — `fleet = true` expects a `src`
+    * column, namespaces every id `src + FleetSep + id`, and keys the count
+    * events per (partition, src)). */
+  private[graft] def deliveredEvents(parsedAll: DataFrame, fleet: Boolean): Dataset[LogEvent] = {
+    import parsedAll.sparkSession.implicits._
+    val srcCol = if (fleet) col("src") else lit("")
+    val idCol =
+      if (fleet) concat_ws(FleetSep, col("src"), col("id"))
+      else col("id")
+    val sel = parsedAll.select(
+      struct(
+        col("seq"), col("kind"), idCol.as("id"), col("pid"), col("ts"),
+        col("host"), col("port"),
+        col("query_text").as("queryText"), col("stmt_type").as("stmtType"),
+        col("rows_read").as("rowsRead"), col("bytes_read").as("bytesRead"),
+        col("rps"), col("speed"), col("memory"),
+        col("error_code").as("errorCode"), col("error_message").as("errorMessage"),
+        col("cv_ok").as("cvOk")).as("_1"),
+      col("tail_ok").as("_2"),
+      srcCol.as("_3")).as[(LogEvent, Boolean, String)]
+    sel.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, Array[Long]]
+      val main = it.flatMap { case (ev, ok, src) =>
+        val c = counts.getOrElseUpdate(src, Array(0L, 0L))
+        if (!ok) { c(1) += 1; None }
+        else { c(0) += 1; if (ev.kind == null) None else Some(ev) }
+      }
+      def countEvent(kind: String, tag: String, src: String, cnt: Long): LogEvent = {
+        val marker = CountIdPrefix + tag + ":" + pid
+        LogEvent(0L, kind,
+          if (fleet) src + FleetSep + marker else marker,
+          None, None, None, None, None, None, Some(cnt), None, None, None,
+          None, None, None, cvOk = true)
+      }
+      def trailer: Iterator[LogEvent] = counts.iterator.flatMap { case (src, c) =>
+        (if (c(0) > 0) Seq(countEvent("read_count", "r", src, c(0))) else Nil) ++
+          (if (c(1) > 0) Seq(countEvent("tail_count", "t", src, c(1))) else Nil)
+      }
+      main ++ trailer
+    }
   }
 
   /** Record-only view of [[transitionFull]] (compat + simple pipelines). */
@@ -323,5 +388,41 @@ object StreamingMerge {
     merge(toLogEvents(parsed), timeoutMs).toDF()
       .withColumn("server", substring_index(col("id"), FleetSep, 1))
       .withColumn("id", substring_index(col("id"), FleetSep, -1))
+  }
+
+  /** [[mergeWithDelivery]] over a FLEET line frame (`src, seq, value` from
+    * [[graft.sources.TailFleetSourceProvider]]): the same single-scan
+    * delivery fold and keyed merge, with state keyed on the composite
+    * `(src, id)` (query ids are only unique per server) and EVERY emission
+    * tagged `server = src` — completed records, error counters, metric
+    * observations, and the per-partition delivery counts alike. This is
+    * what gives the fleet exporter per-server metric series
+    * ([[FleetPromRegistry]]) and per-server JDBC label rows off one merge. */
+  def fleetMergeWithDelivery(fleetLines: DataFrame,
+      timeoutMs: Long = 30 * 60 * 1000L): Dataset[MergeOut] = {
+    import fleetLines.sparkSession.implicits._
+    val delivered = graft.sources.LogSource.withDelivery(fleetLines)
+    val parsedAll = graft.operators.LogParser.parseKeepAll(delivered)
+    val events = deliveredEvents(parsedAll, fleet = true)
+    val timeoutConf =
+      if (timeoutMs <= 0) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+    events
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (key: String, es: Iterator[LogEvent], state: GroupState[ChQuery]) =>
+          val sep = key.indexOf(FleetSep)
+          val server = if (sep >= 0) key.substring(0, sep) else ""
+          val base =
+            if (state.hasTimedOut) {
+              val rec = state.get
+              state.remove()
+              Iterator.single(MergeOut("record", Some(rec), None))
+            } else transitionFull(es, state, timeoutMs)
+          // un-namespace the record id; the server rides its own field
+          base.map(o => o.copy(server = Some(server),
+            record = o.record.map(r =>
+              if (sep >= 0) r.copy(id = r.id.substring(sep + 1)) else r)))
+      }
   }
 }

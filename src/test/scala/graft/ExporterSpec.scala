@@ -25,11 +25,16 @@ class ExporterSpec extends SparkSpec {
     assert(d.log == "/var/log/clickhouse-server/clickhouse-server.log")
     assert(d.listen == "0.0.0.0:19901" && !d.fromStart)
     intercept[IllegalArgumentException] { Exporter.parseArgs(Seq("--bogus")) }
+    // fleet: repeated --log flags and comma-separated both accumulate
+    val f1 = Exporter.parseArgs(Seq("--log", "/a.log", "--log", "/b.log"))
+    assert(f1.logs == Seq("/a.log", "/b.log"))
+    val f2 = Exporter.parseArgs(Seq("--log", "/a.log,/b.log,/c.log"))
+    assert(f2.logs == Seq("/a.log", "/b.log", "/c.log"))
   }
 
   test("missing log file fails pre-flight before anything starts") {
     intercept[IllegalArgumentException] {
-      Exporter.run(spark, Exporter.Config(log = "/does/not/exist.log"))
+      Exporter.run(spark, Exporter.Config(logs = Seq("/does/not/exist.log")))
     }
   }
 
@@ -44,7 +49,7 @@ class ExporterSpec extends SparkSpec {
     val f = Files.createTempFile("graft-exporter-rot", ".log")
     val dt = "2024.03.01 12:00:01.000000"
     val (server, query) = Exporter.run(spark,
-      Exporter.Config(log = f.toString, listen = "127.0.0.1:0", fromStart = true))
+      Exporter.Config(logs = Seq(f.toString), listen = "127.0.0.1:0", fromStart = true))
     try {
       def append(s: String): Unit =
         Files.write(f, (s + "\n").getBytes, StandardOpenOption.APPEND)
@@ -105,7 +110,7 @@ class ExporterSpec extends SparkSpec {
     val f = Files.createTempFile("graft-exporter", ".log")
     val dt = "2024.03.01 12:00:01.000000"
     val (server, query) = Exporter.run(spark,
-      Exporter.Config(log = f.toString, listen = "127.0.0.1:0", fromStart = true))
+      Exporter.Config(logs = Seq(f.toString), listen = "127.0.0.1:0", fromStart = true))
     try {
       def append(s: String): Unit =
         Files.write(f, (s + "\n").getBytes, StandardOpenOption.APPEND)
@@ -141,13 +146,101 @@ class ExporterSpec extends SparkSpec {
     intercept[Exception] { get(s"http://127.0.0.1:${server.boundPort}/metrics") }
   }
 
+  /** The cluster deployment: two server logs, concurrently appended, each
+    * rotating independently, through ONE merge and one /metrics endpoint —
+    * per-server series, per-server query-id state, offsets resuming across
+    * a restart. */
+  test("fleet: two rotating server logs through one /metrics endpoint, restart included") {
+    val fa = Files.createTempFile("graft-fleet-a", ".log")
+    val fb = Files.createTempFile("graft-fleet-b", ".log")
+    val ckpt = Files.createTempDirectory("graft-fleet-ckpt").toString
+    val dt = "2024.03.01 12:00:01.000000"
+    val cfg = Exporter.Config(logs = Seq(fa.toString, fb.toString),
+      listen = "127.0.0.1:0", fromStart = true, checkpoint = Some(ckpt))
+    def srv(p: java.nio.file.Path): String = s"""server="${p.toString}""""
+    def append(p: java.nio.file.Path, s: String): Unit =
+      Files.write(p, (s + "\n").getBytes, StandardOpenOption.APPEND)
+
+    val (server, query) = Exporter.run(spark, cfg)
+    def poll(q: org.apache.spark.sql.streaming.StreamingQuery,
+        port: Int)(pred: String => Boolean): String = {
+      val deadline = System.nanoTime() + 90000L * 1000000L
+      var body = get(s"http://127.0.0.1:$port/metrics")
+      while (!pred(body) && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        body = get(s"http://127.0.0.1:$port/metrics")
+      }
+      body
+    }
+    try {
+      // seeded zero-state series are scrapeable before any line arrives
+      val b0 = poll(query, server.boundPort)(
+        _.contains(s"chlogexporter_read_lines{${srv(fa)}} 0"))
+      assert(b0.contains(s"chlogexporter_read_lines{${srv(fb)}} 0"))
+      // HELP/TYPE appear ONCE per family (valid exposition), not per server
+      assert("# HELP chlogexporter_read_lines ".r.findAllIn(b0).size == 1)
+
+      // the SAME query id on both servers: state must be per-server — a's
+      // select and b's insert are independent lifecycles
+      append(fa, s"$dt [ 7 ] {f1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1")
+      append(fb, s"$dt [ 9 ] {f1} <Debug> executeQuery: (from 10.0.0.9:9000) INSERT INTO t VALUES (1)")
+      val b1 = poll(query, server.boundPort)(b =>
+        b.contains(s"""clickhouse_query_count{${srv(fa)},stmt_type="select"} 1""") &&
+          b.contains(s"""clickhouse_query_count{${srv(fb)},stmt_type="insert"} 1"""))
+      assert(b1.contains(s"chlogexporter_read_lines{${srv(fa)}} 1"))
+      assert(b1.contains(s"chlogexporter_read_lines{${srv(fb)}} 1"))
+
+      // complete a's query; b's same-id insert must NOT complete from it
+      append(fa, s"$dt [ 7 ] {f1} <Information> executeQuery: Read 500 rows, 2 KiB in 0.100 sec., 5000 rows/sec., 20 KiB/sec.")
+      append(fa, s"2024.03.01 12:00:03.500000 [ 7 ] {f1} <Debug> MemoryTracker: Peak memory usage (for query): 3 MiB.")
+      val b2 = poll(query, server.boundPort)(
+        _.contains(s"""clickhouse_query_time_count{${srv(fa)},stmt_type="select"} 1"""))
+      assert(b2.contains(s"""clickhouse_select_query_rows_read_sum{${srv(fa)}} 500"""))
+      assert(!b2.contains(s"""clickhouse_query_time_count{${srv(fb)},stmt_type="insert"}"""),
+        "b's same-id query must not be completed by a's memory line")
+
+      // rotate a (classic logrotate move+recreate) while b keeps appending
+      val aside = fa.resolveSibling(fa.getFileName.toString + ".1")
+      Files.move(fa, aside)
+      Files.createFile(fa)
+      append(fa, s"$dt [ 7 ] {f2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2")
+      append(fb, s"$dt [ 9 ] {f2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 3")
+      val b3 = poll(query, server.boundPort)(b =>
+        b.contains(s"""clickhouse_query_count{${srv(fa)},stmt_type="select"} 2""") &&
+          b.contains(s"""clickhouse_query_count{${srv(fb)},stmt_type="select"} 1"""))
+      // monotone across the epoch bump; no re-read of the archived lines
+      assert(b3.contains(s"chlogexporter_read_lines{${srv(fa)}} 4"))
+    } finally {
+      query.stop()
+      server.stop(0)
+    }
+
+    // restart on the same checkpoint: per-file offsets resume (no re-read —
+    // the registry is volatile like the reference's, so any re-read would
+    // surface as nonzero counts before new lines arrive)
+    val (server2, query2) = Exporter.run(spark, cfg)
+    try {
+      append(fa, s"$dt [ 7 ] {f3} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 4")
+      append(fb, s"$dt [ 9 ] {f3} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 5")
+      val b4 = poll(query2, server2.boundPort)(b =>
+        b.contains(s"""clickhouse_query_count{${srv(fa)},stmt_type="select"} 1""") &&
+          b.contains(s"""clickhouse_query_count{${srv(fb)},stmt_type="select"} 1"""))
+      assert(b4.contains(s"chlogexporter_read_lines{${srv(fa)}} 1"),
+        "restart must resume from the checkpointed offset, not re-read")
+      assert(b4.contains(s"chlogexporter_read_lines{${srv(fb)}} 1"))
+    } finally {
+      query2.stop()
+      server2.stop(0)
+    }
+  }
+
   test("--jdbc lands the registry in a warehouse table alongside the scrape (one merge, two sinks)") {
     val f = Files.createTempFile("graft-exporter-jdbc", ".log")
     val dt = "2024.03.01 12:00:01.000000"
     val db = s"memory:expjdbc${java.util.UUID.randomUUID().toString.take(8)}"
     val url = s"jdbc:derby:$db;create=true"
     val (server, query) = Exporter.run(spark, Exporter.Config(
-      log = f.toString, listen = "127.0.0.1:0", fromStart = true,
+      logs = Seq(f.toString), listen = "127.0.0.1:0", fromStart = true,
       jdbcUrl = Some(url)))
     try {
       def append(s: String): Unit =

@@ -151,4 +151,75 @@ class MetricsWriterSpec extends SparkSpec {
       MetricsJdbcUpsert.ledgerSource(ckpt + "-other"), 0L, Seq.empty)
     assert(other, "an unrelated query's batch 0 must not be skipped")
   }
+
+  test("append dialect (ClickHouse shape): folded read equals the upsert table on the same stream, replay included") {
+    import graft.streaming.{MetricsJdbcAppend, MetricsJdbcUpsert}
+    val dir = Files.createTempDirectory("graft_app_in").toString
+    val ckptU = Files.createTempDirectory("graft_app_ckpt_u").toString
+    val ckptA = Files.createTempDirectory("graft_app_ckpt_a").toString
+    val db = s"memory:append${java.util.UUID.randomUUID().toString.take(8)}"
+    val url = s"jdbc:derby:$db;create=true"
+    val tU = MetricsJdbcUpsert.Target(url, "metrics")
+    val tA = MetricsJdbcAppend.Target(url, "metrics_app")
+
+    val dt = "2024.03.01 12:00:01.000000"
+    val dtEnd = "2024.03.01 12:00:03.500000"
+    val part1 = Seq(
+      s"$dt [ 7 ] {a1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1",
+      s"$dt [ 7 ] {a1} <Information> executeQuery: Read 500 rows, 2 KiB in 0.100 sec., 5000 rows/sec., 20 KiB/sec.",
+      s"$dt [ 7 ] {a2} <Debug> executeQuery: (from 10.0.0.9:9000) INSERT INTO t VALUES (1)")
+    val part2 = Seq(
+      s"$dtEnd [ 7 ] {a1} <Debug> MemoryTracker: Peak memory usage (for query): 3 MiB.",
+      s"$dt [ 7 ] {a3} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2",
+      s"$dt [ 7 ] {a3} <Error> executeQuery: Code: 60, e.displayText() = DB::Exception: boom")
+
+    def rowsOf(table: String): Set[(String, String, String, Long)] = {
+      val conn = tA.connect()
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT metric, labels, le, value FROM $table")
+        val buf = scala.collection.mutable.Set.empty[(String, String, String, Long)]
+        while (rs.next())
+          buf += ((rs.getString(1), rs.getString(2), rs.getString(3), rs.getLong(4)))
+        buf.toSet
+      } finally conn.close()
+    }
+
+    def runBoth(): Unit = {
+      val qU = MetricsJdbcUpsert.serveJdbc(spark, dir, tU, ckptU, availableNow = true)
+      qU.awaitTermination(120000L)
+      val qA = MetricsJdbcAppend.serveJdbc(spark, dir, tA, ckptA, availableNow = true)
+      qA.awaitTermination(120000L)
+    }
+
+    Files.write(java.nio.file.Paths.get(dir, "part1.log"),
+      part1.mkString("", "\n", "\n").getBytes)
+    runBoth()
+    val u1 = rowsOf(tU.table)
+    val a1 = rowsOf(tA.folded)
+    assert(a1 == u1, s"folded-only: ${(a1 -- u1).take(5)}; upsert-only: ${(u1 -- a1).take(5)}")
+    assert(a1.exists(_._1 == "clickhouse_query_count"))
+
+    // restart: both dialects resume their checkpoints and keep accumulating
+    Files.write(java.nio.file.Paths.get(dir, "part2.log"),
+      part2.mkString("", "\n", "\n").getBytes)
+    runBoth()
+    val u2 = rowsOf(tU.table)
+    val a2 = rowsOf(tA.folded)
+    assert(a2 == u2, s"folded-only: ${(a2 -- u2).take(5)}; upsert-only: ${(u2 -- a2).take(5)}")
+    assert(u2 != u1, "part 2 must have changed the surface")
+
+    // replay: a re-delivered batch re-INSERTs nothing (presence check in
+    // the same transaction) and the folded view is unchanged; and even a
+    // forced duplicate insert of equal tagged rows would fold away via
+    // the view's MAX dedup (the ClickHouse insert-block-dedup analog)
+    val src = MetricsJdbcUpsert.ledgerSource(ckptA)
+    val applied = MetricsJdbcAppend.applyDelta(tA, src, 0L,
+      Seq(("clickhouse_query_count", "type=select", "", 999L)))
+    assert(!applied, "replayed (source, batch) must be skipped")
+    assert(rowsOf(tA.folded) == a2, "skipped replay must not change the fold")
+    // an unrelated pipeline's batch 0 still lands
+    assert(MetricsJdbcAppend.applyDelta(tA, "otherq", 0L, Seq.empty))
+    assert(rowsOf(tA.folded) == a2, "an empty batch leaves the fold unchanged")
+  }
 }

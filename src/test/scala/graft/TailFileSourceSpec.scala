@@ -195,6 +195,52 @@ class TailFileSourceSpec extends SparkSpec {
         r.memory == 3L * 1024 * 1024 && r.elapsed == 1.0)
     } finally q.stop()
   }
+
+  test("single-scan delivery fold: one byte-range read per micro-batch, counts exact") {
+    val f = Files.createTempFile("graft-tail-scan", ".log")
+    val ckpt = Files.createTempDirectory("graft-tail-scan-ckpt").toString
+    val dt = "2024.03.01 12:00:01.000000"
+    val lines = spark.readStream
+      .format(classOf[graft.sources.TailFileSourceProvider].getName)
+      .option("path", f.toString)
+      .option("fromStart", "true")
+      .load()
+    val outs = StreamingMerge.mergeWithDelivery(lines, timeoutMs = 0L)
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val tailErr = new java.util.concurrent.atomic.AtomicLong
+    val nonEmptyBatches = new java.util.concurrent.atomic.AtomicLong
+    val before = graft.sources.TailFileSource.rangesOpened.get()
+    val q = outs.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingMerge.MergeOut], _: Long) =>
+        // ONE action per batch: the scan, parse, fold, and merge all run
+        // in this single job — that is the property under test
+        val evs = b.collect()
+        if (evs.nonEmpty) nonEmptyBatches.incrementAndGet()
+        evs.foreach {
+          case o if o.out == "read_line" => read.addAndGet(o.n); ()
+          case o if o.out == "tail_line" => tailErr.addAndGet(o.n); ()
+          case _ => ()
+        }
+      }.start()
+    try {
+      append(f, s"$dt [ 7 ] {s1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1\n")
+      append(f, "not a clickhouse line at all\n")
+      q.processAllAvailable()
+      Files.write(f, "corrupt � delivery failure\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8), StandardOpenOption.APPEND)
+      append(f, s"$dt [ 7 ] {s2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2\n")
+      q.processAllAvailable()
+      // read_lines counts every DELIVERED line (matched or not); the
+      // corrupt line routes to the tail_line side channel (main.go:113-120)
+      assert(read.get() == 3L, s"delivered lines: ${read.get()}")
+      assert(tailErr.get() == 1L, s"tail errors: ${tailErr.get()}")
+      val opened = graft.sources.TailFileSource.rangesOpened.get() - before
+      assert(opened == nonEmptyBatches.get(),
+        s"each non-empty micro-batch must read its range ONCE " +
+          s"(ranges opened $opened, non-empty batches ${nonEmptyBatches.get()})")
+    } finally q.stop()
+  }
 }
 
 object TailFileSourceSpec {

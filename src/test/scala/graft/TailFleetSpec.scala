@@ -159,6 +159,69 @@ class TailFleetSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("dynamic membership: a glob-matched file created mid-stream joins within a micro-batch") {
+    val dir = Files.createTempDirectory("graft-fleet-dyn")
+    val a = dir.resolve("a.log")
+    Files.createFile(a)
+    val ckpt = Files.createTempDirectory("graft-fleet-dyn-ckpt").toString
+    val sunk = TailFleetSpec.sunk
+    sunk.clear()
+
+    def start(): StreamingQuery =
+      StreamingMerge.fleetPipeline(spark, Seq(s"$dir/*.log"),
+        fromStart = true, timeoutMs = 0L)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => TailFleetSpec.sunk.add((
+            r.getAs[String]("server"), r.getAs[String]("id"),
+            r.getAs[Long]("rowsRead"), r.getAs[Long]("memory"),
+            r.getAs[Boolean]("fullInfo"))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    def waitFor(n: Int, q: StreamingQuery): Seq[(String, String, Long, Long, Boolean)] = {
+      val deadline = System.nanoTime() + 120000L * 1000000L
+      while (sunk.size < n && System.nanoTime() < deadline) q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      sunk.asScala.toSeq
+    }
+
+    val mb = 3L * 1024 * 1024
+    val q1 = start()
+    try {
+      append(a, initial("d1")); append(a, stats("d1", 5L)); append(a, memory("d1"))
+      assert(waitFor(1, q1).toSet ==
+        Set((a.toString, "d1", 5L, mb, true)))
+
+      // a NEW server's log appears MID-STREAM (no restart): the next poll
+      // discovers it, reads its full content (it postdates the attach),
+      // and checkpoints its offset. A non-matching file is ignored.
+      val b = dir.resolve("b.log")
+      Files.write(b, (initial("d1", "SELECT 9") + stats("d1", 7L) + memory("d1")).getBytes)
+      Files.write(dir.resolve("ignored.txt"), "not a member\n".getBytes)
+      val recs = waitFor(2, q1)
+      assert(recs.toSet == Set(
+        (a.toString, "d1", 5L, mb, true),
+        (b.toString, "d1", 7L, mb, true)), recs.toString)
+    } finally q1.stop()
+
+    // restart: the discovered member's offset was checkpointed — only lines
+    // appended while down are delivered (no re-read of b's history)
+    val b = dir.resolve("b.log")
+    append(b, initial("d2") + stats("d2", 9L) + memory("d2"))
+    val q2 = start()
+    try {
+      val recs = waitFor(3, q2)
+      assert(recs.toSet == Set(
+        (a.toString, "d1", 5L, mb, true),
+        (b.toString, "d1", 7L, mb, true),
+        (b.toString, "d2", 9L, mb, true)), recs.toString)
+      assert(recs.size == 3, s"b's history must not be re-read on restart: $recs")
+    } finally q2.stop()
+  }
+
   test("same fleet recovery under the RocksDB state store provider (the 100x-scale store)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
