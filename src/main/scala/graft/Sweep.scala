@@ -19,8 +19,12 @@ object Sweep {
     graft.operators.Similarity.warmPins(emb)
     val brute = graft.operators.Similarity.bruteForceTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    for (nProbe <- Seq(2, 4, 8)) {
-      val df = graft.operators.Similarity.ivfpqTopKLearned(emb, nProbe = nProbe)
+    // r9: rerank × residual-Lloyd-iters sweep at nProbe=4 (the r8 knee) —
+    // the non-monotonicity note: extra probes add candidates that can
+    // displace true neighbors from a too-small ADC top-`rerank`
+    for (iters <- Seq(2, 3); rerank <- Seq(32, 64, 128)) {
+      val df = graft.operators.Similarity.ivfpqTopKLearned(emb,
+        rerank = rerank, iters = iters)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val warm0 = System.nanoTime()
@@ -28,7 +32,7 @@ object Sweep {
       val warm = (System.nanoTime() - warm0) / 1e9
       val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = brute.count(got).toDouble / brute.size
-      println(f"[sweep] nProbe=$nProbe recall@5=$recall%.3f first=${(warm0 - t0) / 1e9}%.2f s warm=$warm%.2f s")
+      println(f"[sweep] iters=$iters rerank=$rerank recall@5=$recall%.3f first=${(warm0 - t0) / 1e9}%.2f s warm=$warm%.2f s")
     }
     spark.stop()
   }

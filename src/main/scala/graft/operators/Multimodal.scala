@@ -211,6 +211,95 @@ object Multimodal {
   /** Factory form of [[gifFrames]] (stateless). */
   val gifFrameFactory: () => FrameCodec = () => gifFrames
 
+  /** COMPOSITED-frame GIF decoder — the richer FrameCodec [[gifFrames]]'s
+    * scaladoc names: each emitted vector describes the LOGICAL SCREEN
+    * after applying the frame's stored delta rect at its
+    * `(imageLeftPosition, imageTopPosition)` offset and honoring the
+    * previous frame's disposal method (`doNotDispose` keeps the canvas,
+    * `restoreToBackgroundColor` clears the frame's rect,
+    * `restoreToPrevious` rolls the canvas back) — so size-optimized GIFs
+    * yield full-frame `[w, h, meanR, meanG, meanB]` stats with
+    * `w × h` = the logical screen for EVERY frame, what a video pipeline
+    * means by "frame". The raw codec stays the documented default (delta
+    * rects as stored, the honest cheap form); this one proves the seam
+    * composes — both drop into [[frameFeaturesOf]] unchanged. */
+  val gifFramesComposited: FrameCodec = { payload =>
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq.empty
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false)
+            val n = reader.getNumImages(true)
+            def imageMeta(i: Int): (Int, Int, String) = {
+              val tree = reader.getImageMetadata(i)
+                .getAsTree("javax_imageio_gif_image_1.0")
+                .asInstanceOf[org.w3c.dom.Element]
+              def node(name: String): Option[org.w3c.dom.Element] = {
+                val ns = tree.getElementsByTagName(name)
+                if (ns.getLength > 0) Some(ns.item(0).asInstanceOf[org.w3c.dom.Element])
+                else None
+              }
+              val desc = node("ImageDescriptor")
+              val left = desc.map(_.getAttribute("imageLeftPosition").toInt).getOrElse(0)
+              val top = desc.map(_.getAttribute("imageTopPosition").toInt).getOrElse(0)
+              val disposal = node("GraphicControlExtension")
+                .map(_.getAttribute("disposalMethod")).getOrElse("none")
+              (left, top, disposal)
+            }
+            // logical screen from the stream metadata; fall back to the
+            // frames' bounding box when a stream omits it
+            val screen: Option[(Int, Int)] = for {
+              sm <- Option(reader.getStreamMetadata)
+              tree = sm.getAsTree("javax_imageio_gif_stream_1.0")
+                .asInstanceOf[org.w3c.dom.Element]
+              ns = tree.getElementsByTagName("LogicalScreenDescriptor")
+              if ns.getLength > 0
+              d = ns.item(0).asInstanceOf[org.w3c.dom.Element]
+            } yield (d.getAttribute("logicalScreenWidth").toInt,
+              d.getAttribute("logicalScreenHeight").toInt)
+            val metas = (0 until n).map(imageMeta)
+            val frames = (0 until n).map(reader.read)
+            val (sw, sh) = screen.getOrElse((
+              metas.zip(frames).map { case ((l, _, _), f) => l + f.getWidth }.max,
+              metas.zip(frames).map { case ((_, t, _), f) => t + f.getHeight }.max))
+            val canvas = new java.awt.image.BufferedImage(sw, sh,
+              java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            val g = canvas.createGraphics()
+            try {
+              metas.zip(frames).map { case ((left, top, disposal), frame) =>
+                val before =
+                  if (disposal == "restoreToPrevious")
+                    canvas.getData(new java.awt.Rectangle(0, 0, sw, sh))
+                  else null
+                g.drawImage(frame, left, top, null)
+                val stats = imageStats(canvas)
+                disposal match {
+                  case "restoreToBackgroundColor" =>
+                    // GIF background ≈ cleared-to-transparent region
+                    val prev = g.getComposite
+                    g.setComposite(java.awt.AlphaComposite.Clear)
+                    g.fillRect(left, top, frame.getWidth, frame.getHeight)
+                    g.setComposite(prev)
+                  case "restoreToPrevious" => canvas.setData(before)
+                  case _ => () // none / doNotDispose: canvas persists
+                }
+                stats
+              }
+            } finally g.dispose()
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Throwable => Seq.empty }
+  }
+
+  /** Factory form of [[gifFramesComposited]] (stateless). */
+  val gifCompositedFactory: () => FrameCodec = () => gifFramesComposited
+
   final case class FrameFeatures(doc_id: Long, n_bytes: Long,
       features: Seq[Array[Double]])
 

@@ -1248,9 +1248,20 @@ object Similarity {
     * sweep: recall@5 0.54 → 0.64 at sf0.01 and 0.16 → 0.30 at sf0.1 with
     * NO measurable query-time cost (warm ≈ 0.7–1.0 s either way — probing
     * is query-side only, candidate volume stays nProbe/K of the corpus);
-    * nProbe=8 bought only +0.04 more at sf0.1, so 4 is the knee. */
+    * nProbe=8 bought only +0.04 more at sf0.1, so 4 is the knee.
+    *
+    * `rerank` defaults to 128 after the r9 sweep (rerank 32/64/128 ×
+    * residual-Lloyd iters 2/3 at sf0.1, nProbe 4): recall@5 0.30 → 0.48
+    * with warm time flat (0.69 s vs 0.72 s) — confirming r8's
+    * non-monotonicity diagnosis that the extra probes' candidates were
+    * displacing true neighbors from a too-small ADC top-32; the exact
+    * re-rank is over only nQueries × rerank rows, so the buffer is
+    * nearly free. A third Lloyd iteration LOST recall at rerank 32
+    * (0.26) and stayed below rerank-128 at every width while costing
+    * ~0.3 s warm — residual codebooks here overfit the init sample
+    * before they converge, so iters stays 2. */
   def ivfpqTopKLearned(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
-      nProbe: Int = 4, rerank: Int = 32, centroidMod: Int = 127,
+      nProbe: Int = 4, rerank: Int = 128, centroidMod: Int = 127,
       codes: Int = 32, subspaces: Int = 8, iters: Int = 2): DataFrame =
     ivfpqAdcTail(emb,
       ivfpqLearnedCodes(emb, centroidMod, codes, subspaces, iters),
@@ -1491,7 +1502,7 @@ object Similarity {
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
        |      PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
-       |    FROM adc) WHERE rn <= 32),
+       |    FROM adc) WHERE rn <= 128),
        |$rankSql""".stripMargin
   }
 }

@@ -84,6 +84,45 @@ object StreamingCuration {
       }
   }
 
+  /** [[firstArrivalsMinId]] with TTL-BOUNDED state — the dedup-horizon
+    * variant for unbounded crawls (the corpus-lifetime form above holds
+    * one mark per distinct text EVER seen; this one holds marks only for
+    * texts seen within the last `ttlMs` of processing time).
+    *
+    * Semantics (documented, spec-pinned): a fingerprint idle for `ttlMs`
+    * of wall-clock is EVICTED; a copy arriving after eviction is
+    * RE-ADMITTED (emitted again) — dedup weakens from "exactly one copy
+    * ever" to "at most one copy per `ttlMs` window", the standard
+    * state-size / recall trade ([[StreamingDedup
+    * .firstOccurrencesWithinWatermark]] makes the same one, watermark-
+    * driven, for frames that carry event time; ingest docs carry none, so
+    * the horizon here is processing time). Downstream contracts that
+    * assume global uniqueness (e.g. the packed-corpus ≡ batch-e2e
+    * equivalence) hold only while re-arrivals stay inside the horizon —
+    * which is why [[ingestTo]] keeps the unbounded form. */
+  def firstArrivalsMinIdTtl(docs: org.apache.spark.sql.Dataset[IngestDoc],
+      ttlMs: Long): org.apache.spark.sql.Dataset[IngestDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.groupByKey(d => fpOf(d.text))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: String, rows: Iterator[IngestDoc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed: the next copy re-admits
+            Iterator.empty
+          } else if (state.exists) {
+            // a sighting inside the horizon SLIDES the deadline (the
+            // horizon is "since last seen", not "since first seen")
+            state.setTimeoutDuration(ttlMs)
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(ttlMs)
+            Iterator(rows.minBy(_.doc_id))
+          }
+      }
+  }
+
   /** Deduped + filtered streaming frame over `(doc_id, text, source,
     * n_chars)` input (extra columns dropped). */
   def curated(stream: DataFrame, rates: Map[String, Double] = Sampling.DefaultRates,

@@ -39,4 +39,50 @@ object StreamingFrequent {
           else Iterator.empty
       }
   }
+
+  /** [[frequentUsers]] with WATERMARK-BOUNDED state — the TTL variant for
+    * unbounded user populations (the corpus-lifetime form above holds one
+    * Long per user EVER seen; this one holds one Long per user active
+    * within the `ttlMs` event-time horizon).
+    *
+    * Semantics (documented, spec-pinned): a user idle for `ttlMs` of
+    * EVENT time past their last event (once the watermark — bounded by
+    * `watermarkDelay` of lateness — passes that deadline) is EVICTED; a
+    * re-arriving evicted user restarts counting from zero, and a
+    * re-crossing RE-EMITS. So "frequent" means "reached `minSupport`
+    * within one activity span", not "ever" — the standard state-size /
+    * memory-horizon trade, the same one [[StreamingDedup
+    * .firstOccurrencesWithinWatermark]] makes for fingerprints (and the
+    * same J5 lesson the merge's timeout eviction applies to the
+    * reference's state leak). Watermark-driven, so eviction is
+    * deterministic on checkpoint replay. */
+  def frequentUsersTtl(events: DataFrame, minSupport: Long, ttlMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Crossing] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (u: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past the horizon: forget the count
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val prev = state.getOption.getOrElse(0L)
+            val next = prev + rs.size
+            state.update(next)
+            // deadline rides the user's LAST event; the watermark floor
+            // keeps it valid when a late batch carries only old timestamps
+            val maxTs = rs.iterator.map(_._2.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + ttlMs)
+            if (prev < minSupport && next >= minSupport) Iterator(Crossing(u, next))
+            else Iterator.empty
+          }
+      }
+  }
 }

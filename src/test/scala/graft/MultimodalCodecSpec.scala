@@ -161,6 +161,85 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(!out.keys.exists(_._1 == 2L), "undecodable payload must emit no rows")
   }
 
+  test("composited FrameCodec: delta-rect GIF frames yield full logical-screen stats") {
+    import spark.implicits._
+    import javax.imageio.metadata.IIOMetadataNode
+
+    def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+
+    /** A SIZE-OPTIMIZED animated GIF: later frames are small delta rects
+      * placed at explicit (left, top) offsets with doNotDispose — the
+      * inter-frame-compression shape real optimizers emit. */
+    def deltaGif(frames: Seq[(java.awt.image.BufferedImage, Int, Int)]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (img, left, top) =>
+        val param = writer.getDefaultWriteParam
+        val md = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+          .asInstanceOf[IIOMetadataNode]
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        val gce = {
+          val l = tree.getElementsByTagName("GraphicControlExtension")
+          if (l.getLength > 0) l.item(0).asInstanceOf[IIOMetadataNode]
+          else { val n = new IIOMetadataNode("GraphicControlExtension"); tree.appendChild(n); n }
+        }
+        gce.setAttribute("disposalMethod", "doNotDispose")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        md.setFromTree(fmt, tree)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), param)
+      }
+      writer.endWriteSequence()
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+
+    // frame 0: full 8×6 red screen; frame 1: 2×2 green delta at (3,2);
+    // frame 2: 2×2 blue delta at (0,0) — 48 screen pixels throughout
+    val gif = deltaGif(Seq(
+      (solid(8, 6, 0xff0000), 0, 0),
+      (solid(2, 2, 0x00ff00), 3, 2),
+      (solid(2, 2, 0x0000ff), 0, 0)))
+    val media = Seq((1L, gif)).toDF("doc_id", "payload")
+
+    def grab(factory: () => Multimodal.FrameCodec): Map[(Long, Long), Double] =
+      Multimodal.frameFeaturesOf(media, factory).collect()
+        .map(r => (r.getLong(2), r.getLong(3)) -> r.getDouble(4)).toMap
+
+    // raw codec: frames come back AS STORED — the deltas are 2×2
+    val raw = grab(Multimodal.gifFrameFactory)
+    assert(raw((1L, 0L)) == 2.0 && raw((1L, 1L)) == 2.0, "raw = stored delta rect")
+
+    // composited codec: EVERY frame describes the 8×6 logical screen
+    val comp = grab(Multimodal.gifCompositedFactory)
+    for (f <- 0L to 2L)
+      assert(comp((f, 0L)) == 8.0 && comp((f, 1L)) == 6.0,
+        s"composited frame $f must have logical-screen dims, " +
+          s"got ${comp((f, 0L))}x${comp((f, 1L))}")
+    // exact composited means over the 48-pixel screen:
+    // f0 all red; f1 44 red + 4 green; f2 40 red + 4 green + 4 blue
+    assert(comp((0L, 2L)) == 255.0 && comp((0L, 3L)) == 0.0)
+    assert(comp((1L, 2L)) == 255.0 * 44 / 48 && comp((1L, 3L)) == 255.0 * 4 / 48)
+    assert(comp((2L, 2L)) == 255.0 * 40 / 48 &&
+      comp((2L, 3L)) == 255.0 * 4 / 48 && comp((2L, 4L)) == 255.0 * 4 / 48)
+  }
+
   test("codec factory runs per partition, not per row, and not on the driver") {
     import spark.implicits._
     val docs = (1L to 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

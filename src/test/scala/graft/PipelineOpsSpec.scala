@@ -200,7 +200,15 @@ class PipelineOpsSpec extends SparkSpec {
     // the same absolute floor as nProbe=2, not ordering
     val recall4 = brute.keySet.count(run(4, 32)).toDouble / brute.size
     assert(recall4 > 0.2, s"nProbe=4 recall too low: $recall4")
-    info(f"learned-residual IVF-PQ recall@5: nProbe=2 $recall2%.3f, nProbe=4 (default) $recall4%.3f")
+    // the adopted default (r9 sweep): rerank 32 → 128 — widening the ADC
+    // buffer recovers the neighbors the extra probes displaced, so the
+    // default config must dominate the narrow-buffer runs above
+    val recallDflt = brute.keySet.count(run(4, 128)).toDouble / brute.size
+    assert(recallDflt >= recall4,
+      s"default rerank=128 ($recallDflt) must not lose to rerank=32 ($recall4)")
+    assert(recallDflt > 0.4, s"default-config recall floor: $recallDflt")
+    info(f"learned-residual IVF-PQ recall@5: nProbe=2 $recall2%.3f, " +
+      f"nProbe=4/rerank=32 $recall4%.3f, default (4, 128) $recallDflt%.3f")
   }
 
   test("pipeline e2e semantic: kept set is embedding-component exemplars ∩ the three filters") {

@@ -109,4 +109,88 @@ class StreamingCurationSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** TTL semantics pin for the dedup horizon: an evicted fingerprint
+    * RE-ADMITS — "at most one copy per horizon", not "one copy ever".
+    * Deterministic drive: the deadline is 1 ms of processing time, each
+    * run is separated by a real sleep, and the middle run carries data
+    * for a DIFFERENT key (expired keys fire their timeout in any batch
+    * where they receive no rows). */
+  private def ttlScenario(): Unit = {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_cur_ttl_src").toString
+    val ckpt = Files.createTempDirectory("graft_cur_ttl_ckpt").toString
+    val sunk = StreamingCurationSpec.sunkIds
+    sunk.clear()
+    def docs(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, t, "web", t.length.toLong) }
+        .toDF("doc_id", "text", "source", "n_chars")
+    val schema = docs((0L, "x")).schema
+
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(srcDir)
+        .as[StreamingCuration.IngestDoc]
+      // Trigger.Once, deliberately: exactly ONE micro-batch per run. With
+      // armed processing-time timers the engine keeps constructing empty
+      // timeout batches, so neither processAllAvailable nor AvailableNow
+      // ever drains — the same hazard StreamingMerge's timeoutMs<=0 note
+      // documents for its own eviction timer.
+      val q = StreamingCuration.firstArrivalsMinIdTtl(in, ttlMs = 1L)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingCuration.IngestDoc], _: Long) =>
+          batch.collect().foreach(d => StreamingCurationSpec.sunkIds.add(d.doc_id))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination(120000L)
+      ()
+    }
+    import scala.jdk.CollectionConverters._
+
+    // run 1: two copies of "aaa" → the min-id copy admits, once
+    addFile(docs((1L, "aaa"), (2L, "aaa")), srcDir, "b1.parquet")
+    runOnce()
+    assert(sunk.asScala.toSet == Set(1L))
+
+    // run 2 (after the horizon): a batch carrying only ANOTHER key — the
+    // expired "aaa" mark fires its timeout here and is evicted; within
+    // run 1 the duplicate was still suppressed
+    Thread.sleep(150L)
+    addFile(docs((3L, "bbb")), srcDir, "b2.parquet")
+    runOnce()
+    assert(sunk.asScala.toSet == Set(1L, 3L), "eviction emits nothing")
+
+    // run 3: "aaa" returns after eviction → RE-ADMITTED (the documented
+    // weakening vs the unbounded form, which would suppress forever)
+    Thread.sleep(150L)
+    addFile(docs((9L, "aaa")), srcDir, "b3.parquet")
+    runOnce()
+    assert(sunk.asScala.toSet == Set(1L, 3L, 9L),
+      s"an evicted fingerprint must re-admit: ${sunk.asScala.toSet}")
+  }
+
+  test("dedup TTL variant: evicted fingerprints re-admit past the horizon") {
+    ttlScenario()
+  }
+
+  test("same dedup TTL semantics under the RocksDB state store provider") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try ttlScenario()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
+
+object StreamingCurationSpec {
+  /** Cross-restart sink buffer (foreachBatch closures need driver-shared state). */
+  val sunkIds: java.util.concurrent.ConcurrentLinkedQueue[Long] =
+    new java.util.concurrent.ConcurrentLinkedQueue[Long]()
 }

@@ -88,6 +88,85 @@ class StreamingFrequentSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** TTL semantics pin (watermark-driven, deterministic): a user idle past
+    * the event-time horizon is EVICTED; when they return, the count
+    * restarts and a re-crossing RE-EMITS. */
+  private def ttlScenario(): Unit = {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_freq_ttl_src").toString
+    val ckpt = Files.createTempDirectory("graft_freq_ttl_ckpt").toString
+    val sunk = StreamingFrequentSpec.sunk
+    sunk.clear()
+    // offset well past epoch 0: the initial watermark IS 0, and events at
+    // the watermark boundary are dropped as late before the stateful op
+    def ts(s: Long) = new java.sql.Timestamp((100000L + s) * 1000L)
+    val schema = Seq((0L, ts(0))).toDF("user_id", "ts").schema
+
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(srcDir)
+      val q = StreamingFrequent
+        .frequentUsersTtl(in, minSupport = 3L, ttlMs = 10000L)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingFrequent.Crossing], _: Long) =>
+          batch.collect().foreach(c => StreamingFrequentSpec.sunk.add(
+            (c.user_id, c.count_at_crossing)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+    import scala.jdk.CollectionConverters._
+
+    // b1: user 1 crosses at t=0s; their eviction deadline becomes t=10s
+    addFile(Seq((1L, ts(0)), (1L, ts(0)), (1L, ts(0))).toDF("user_id", "ts"),
+      srcDir, "b1.parquet")
+    runOnce()
+    assert(sunk.asScala.toSeq == Seq((1L, 3L)))
+
+    // b2 advances the watermark to 30s (past user 1's deadline)…
+    addFile(Seq((2L, ts(30)), (2L, ts(30)), (2L, ts(30))).toDF("user_id", "ts"),
+      srcDir, "b2.parquet")
+    runOnce()
+    assert(sunk.asScala.toSeq == Seq((1L, 3L), (2L, 3L)))
+
+    // …so the NEXT batch evicts user 1 (timeouts fire once the watermark
+    // passes the deadline); user 2 stays under their refreshed deadline
+    addFile(Seq((2L, ts(31))).toDF("user_id", "ts"), srcDir, "b3.parquet")
+    runOnce()
+    assert(sunk.asScala.toSeq == Seq((1L, 3L), (2L, 3L)), "no emission on eviction")
+
+    // user 1 returns: count restarted from zero, crossing RE-EMITS —
+    // "frequent within one activity span", the documented TTL semantics
+    addFile(Seq((1L, ts(32)), (1L, ts(32)), (1L, ts(32))).toDF("user_id", "ts"),
+      srcDir, "b4.parquet")
+    runOnce()
+    assert(sunk.asScala.toSeq == Seq((1L, 3L), (2L, 3L), (1L, 3L)),
+      s"an evicted user's re-crossing must re-emit: ${sunk.asScala.toSeq}")
+
+    // control: user 2 was NEVER evicted (events at 30s and 31s kept the
+    // deadline sliding), so their count at 32s is 4 — no re-emission
+    addFile(Seq((2L, ts(32))).toDF("user_id", "ts"), srcDir, "b5.parquet")
+    runOnce()
+    assert(sunk.asScala.toSeq.size == 3, "a live user never re-emits")
+  }
+
+  test("TTL variant: eviction past the event-time horizon, re-crossing re-emits") {
+    ttlScenario()
+  }
+
+  test("same TTL semantics under the RocksDB state store provider") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try ttlScenario()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 object StreamingFrequentSpec {
