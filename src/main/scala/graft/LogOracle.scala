@@ -152,6 +152,34 @@ object LogOracle {
        |  CAST(0.0 AS DOUBLE) AS tcp_processed
        |FROM e WHERE NOT orphan ORDER BY id""".stripMargin
 
+  /** Fleet twin of [[merged]]: events 2k and 2k+1 land on srv0/srv1 with
+    * the COLLIDING plain id `q-k`; per-server state isolation means each
+    * event still produces exactly its own record — so the expected table
+    * is [[merged]]'s per-event rows with the rewritten id plus a `server`
+    * column. (A merge WITHOUT the per-server namespacing would see dup
+    * initials and cross-contaminated stats here — that is the semantics
+    * this oracle pins.) */
+  val mergedFleet: String =
+    s"""WITH $E
+       |SELECT 'srv' || CAST(event_id % 2 AS VARCHAR) AS server,
+       |  'q-' || CAST(event_id // 2 AS VARCHAR) AS id,
+       |  '10.0.0.' || CAST(user_id % 256 AS VARCHAR) AS host,
+       |  CAST(9000 + event_id % 100 AS BIGINT) AS port,
+       |  pid,
+       |  ${stmtCase("query")} AS query,
+       |  ts AS start_time,
+       |  ts + to_microseconds(elapsed_us) AS end_time,
+       |  rows_read, bytes_read,
+       |  CAST(elapsed_us AS DOUBLE) / 1000000.0 AS elapsed,
+       |  rps, speed, memory,
+       |  (s <> 1) AS full_info,
+       |  haserr AS error,
+       |  CAST(CASE WHEN haserr THEN 1 + event_id % 999 ELSE 0 END AS BIGINT) AS error_code,
+       |  CASE WHEN haserr THEN 'DB::Exception: synthetic error ' || CAST(event_id AS VARCHAR) ELSE '' END AS error_message,
+       |  ${stmtCase("type")} AS stmt_type,
+       |  CAST(0.0 AS DOUBLE) AS tcp_processed
+       |FROM e WHERE NOT orphan ORDER BY server, id""".stripMargin
+
   val queryCount: String =
     s"""WITH $E
        |SELECT ${stmtCase("type")} AS stmt_type, count(*) AS cnt

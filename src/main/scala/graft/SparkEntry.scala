@@ -153,6 +153,25 @@ object SparkEntry {
 
     "log_merged" -> mergedQueries _,
 
+    // the FLEET merge's batch twin: the corpus split across two synthetic
+    // servers BY EVENT with COLLIDING query ids (events 2k and 2k+1 share
+    // plain id q-k on srv0/srv1). A global merge on the plain ids would
+    // cross-contaminate the lifecycles (dup initials, clobbered stats);
+    // the per-server namespacing (exactly StreamingMerge.fleetPipeline's
+    // composite key) must keep them independent — pinned hash-exact by
+    // the per-event oracle.
+    "log_merged_fleet" -> ((s, dir) => {
+      val eid = substring(col("id"), 3, Int.MaxValue).cast("long")
+      val ns = parsed(s, dir).withColumn("id", concat_ws(" ",
+        concat(lit("srv"), (eid % 2).cast("string")),
+        concat(lit("q-"), (eid / 2).cast("long").cast("string"))))
+      QueryMerge.merged(ns)
+        .withColumn("server", substring_index(col("id"), " ", 1))
+        .withColumn("id", substring_index(col("id"), " ", -1))
+        .withColumn("start_time", ntz(col("start_time")))
+        .withColumn("end_time", ntz(col("end_time")))
+    }),
+
     "log_query_count" -> ((s, dir) =>
       PromMetrics.queryCount(parsed(s, dir))
         .withColumnRenamed("count", "cnt").orderBy("stmt_type")),
@@ -212,6 +231,7 @@ object SparkEntry {
     "log_read_lines" -> LogOracle.readLines,
     "log_parsed_events" -> LogOracle.parsedEvents,
     "log_merged" -> LogOracle.merged,
+    "log_merged_fleet" -> LogOracle.mergedFleet,
     "log_query_count" -> LogOracle.queryCount,
     "log_query_errors" -> LogOracle.queryErrors,
     "log_error_counters" -> LogOracle.errorCounters,
