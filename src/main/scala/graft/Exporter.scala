@@ -45,7 +45,8 @@ object Exporter {
       fromStart: Boolean = false,
       checkpoint: Option[String] = None,
       jdbcUrl: Option[String] = None,
-      jdbcTable: String = "metrics") {
+      jdbcTable: String = "metrics",
+      maxBytesPerTrigger: Long = 0L) {
     /** Single-file compatibility view (the reference's one-file shape). */
     def log: String = logs.head
   }
@@ -64,11 +65,17 @@ object Exporter {
       // MetricsJdbcUpsert's scaladoc for the ClickHouse-native mapping)
       case "--jdbc" :: v :: t => loop(t, c.copy(jdbcUrl = Some(v)), logs)
       case "--jdbc-table" :: v :: t => loop(t, c.copy(jdbcTable = v), logs)
+      // beyond-reference: admission control for the backlog case — with
+      // `--from-start` on a big log (or a restart after downtime) each
+      // micro-batch admits at most this many new bytes per tailed file,
+      // so the drain is bounded instead of one giant first batch
+      case "--max-bytes-per-trigger" :: v :: t =>
+        loop(t, c.copy(maxBytesPerTrigger = v.toLong), logs)
       case Nil => if (logs.isEmpty) c else c.copy(logs = logs)
       case other :: _ => throw new IllegalArgumentException(
         s"unknown flag: $other (supported: --log <file>[,<file>…] (repeatable) " +
           "--listen <host:port> --from-start --checkpoint <dir> " +
-          "--jdbc <url> --jdbc-table <name>)")
+          "--jdbc <url> --jdbc-table <name> --max-bytes-per-trigger <n>)")
     }
     loop(args.toList, Config(), Vector.empty)
   }
@@ -94,10 +101,12 @@ object Exporter {
     val query =
       if (singleLiteral) // the reference's exact one-file, label-free shape
         MetricsServing.serveIncrementalTail(
-          spark, config.log, server, ckpt, fromStart = config.fromStart, jdbc = jdbc)
+          spark, config.log, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
+          maxBytesPerTrigger = config.maxBytesPerTrigger)
       else
         MetricsServing.serveIncrementalFleet(
-          spark, config.logs, server, ckpt, fromStart = config.fromStart, jdbc = jdbc)
+          spark, config.logs, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
+          maxBytesPerTrigger = config.maxBytesPerTrigger)
     (server, query)
   }
 

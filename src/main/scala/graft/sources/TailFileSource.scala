@@ -26,6 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .format("graft.sources.TailFileSourceProvider")
   *     .option("path", "/var/log/clickhouse-server.log")
   *     .option("fromStart", "false")   // default: seek-to-EOF (main.go:95)
+  *     .option("maxBytesPerTrigger", "134217728") // optional admission cap
   *     .load()                          // schema: seq long, value string
   * }}}
   *
@@ -39,7 +40,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     shrinking below the committed offset → follow restarts at 0
   *     (`ReOpen:true`);
   *   - `seq` is the line's start byte offset — a monotone arrival-order key
-  *     for the keyed merge (same role as the line number in batch mode).
+  *     for the keyed merge (same role as the line number in batch mode);
+  *   - `maxBytesPerTrigger` (admission control, default unbounded): each
+  *     poll admits at most that many NEW bytes, cut back to a line
+  *     boundary — so `fromStart` on a huge backlog (or a restart after
+  *     downtime) drains in bounded micro-batches instead of planning one
+  *     giant first batch that must fit in memory at once. A single line
+  *     longer than the cap is still admitted whole (progress guarantee).
+  *     The true tail is still reported to progress events
+  *     ([[SupportsAdmissionControl.reportLatestOffset]]) as the backlog
+  *     gauge.
   *
   * Scale notes: a tail source is inherently single-file/single-partition —
   * the cluster story is MANY tailed files (one per server), each a cheap
@@ -54,7 +64,8 @@ class TailFileSourceProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new TailFileTable(properties.get("path"),
-      java.lang.Boolean.parseBoolean(properties.getOrDefault("fromStart", "false")))
+      java.lang.Boolean.parseBoolean(properties.getOrDefault("fromStart", "false")),
+      java.lang.Long.parseLong(properties.getOrDefault("maxBytesPerTrigger", "0")))
 }
 
 object TailFileSource {
@@ -71,11 +82,24 @@ object TailFileSource {
   /** Last position p in [from, len) such that byte p-1 (the byte before p)
     * is '\n'; `from` if no newline arrived yet. Scanned over the new bytes
     * only — O(appended data), not O(file). */
-  def lastLineBoundary(path: String, from: Long): Long = {
+  def lastLineBoundary(path: String, from: Long): Long =
+    boundedLineBoundary(path, from, Long.MaxValue)
+
+  /** [[lastLineBoundary]] under an admission-control byte budget: the last
+    * line boundary within [from, from+cap] — except when the FIRST line
+    * starting at `from` is itself longer than `cap`, in which case that
+    * line's own boundary (the first newline past the cap), so a poll
+    * always admits at least one complete line and a backlog drain can
+    * never stall on an oversized line. Returns `from` while no newline has
+    * arrived yet (a partial trailing line waits for its terminator, capped
+    * or not). The scan stops at the budget instead of chasing a growing
+    * EOF — under a cap a poll is O(cap), not O(backlog). */
+  def boundedLineBoundary(path: String, from: Long, cap: Long): Long = {
     val raf = new RandomAccessFile(path, "r")
     try {
       val len = raf.length()
       if (len <= from) return from
+      val budgetEnd = if (cap >= len - from) len else from + cap
       var boundary = from
       raf.seek(from)
       val buf = new Array[Byte](64 * 1024)
@@ -84,14 +108,34 @@ object TailFileSource {
       while (n > 0) {
         var i = 0
         while (i < n) {
-          if (buf(i) == '\n') boundary = pos + i + 1
+          val p = pos + i + 1 // boundary position if buf(i) is '\n'
+          if (buf(i) == '\n' && (p <= budgetEnd || boundary == from))
+            boundary = p
           i += 1
         }
         pos += n
-        n = if (pos < len) raf.read(buf) else -1
+        // done once past the budget with a complete line in hand (the
+        // oversized-first-line case keeps scanning for its newline)
+        n = if (pos < len && (pos < budgetEnd || boundary == from)) raf.read(buf)
+            else -1
       }
       boundary
     } finally raf.close()
+  }
+
+  /** The byte budget a ReadLimit denotes: an engine-passed `ReadMaxBytes`
+    * (possibly inside a composite) wins; anything else falls back to the
+    * source's configured `maxBytesPerTrigger` (rows/files limits don't map
+    * onto a byte-range tail). */
+  def byteCapOf(limit: ReadLimit, fallback: Long): Long = limit match {
+    case b: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+      b.maxBytes()
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.collectFirst {
+        case b: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+          b.maxBytes()
+      }.getOrElse(fallback)
+    case _ => fallback
   }
 }
 
@@ -123,7 +167,8 @@ object TailOffset {
     catch { case _: java.io.IOException => "" }
 }
 
-class TailFileTable(path: String, fromStart: Boolean) extends Table with SupportsRead {
+class TailFileTable(path: String, fromStart: Boolean,
+    maxBytesPerTrigger: Long = 0L) extends Table with SupportsRead {
   require(path != null, "option 'path' is required")
   override def name(): String = s"tailf:$path"
   override def schema(): StructType = TailFileSource.Schema
@@ -134,13 +179,14 @@ class TailFileTable(path: String, fromStart: Boolean) extends Table with Support
       override def build(): Scan = this
       override def readSchema(): StructType = TailFileSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new TailFileMicroBatchStream(path, fromStart)
+        new TailFileMicroBatchStream(path, fromStart, maxBytesPerTrigger)
       override def toBatch: Batch = throw new UnsupportedOperationException(
         "tailf is a streaming-only source; use LogSource.readText for batch")
     }
 }
 
-class TailFileMicroBatchStream(path: String, fromStart: Boolean)
+class TailFileMicroBatchStream(path: String, fromStart: Boolean,
+    maxBytesPerTrigger: Long = 0L)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // Pre-flight validation exactly where the reference runs it: before the
@@ -170,7 +216,12 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean)
 
   override def initialOffset(): Offset = observe(initial)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Advertise the configured byte budget so the engine's admission
+    * control (incl. `Trigger.AvailableNow`'s catch-up planning) sees the
+    * same cap the source enforces. */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxBytesPerTrigger > 0) ReadLimit.maxBytes(maxBytesPerTrigger)
+    else ReadLimit.allAvailable()
 
   /** The admission-control poll Spark actually drives: `start` is the
     * RESTORED position on the first post-restart call — observing it
@@ -180,12 +231,36 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean)
     * poll then mistook for a rotation and re-read the whole file). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     observe(start.asInstanceOf[TailOffset])
-    latestOffset()
+    admit(TailFileSource.byteCapOf(limit, maxBytesPerTrigger))
   }
 
-  override def latestOffset(): Offset = {
+  override def latestOffset(): Offset = admit(maxBytesPerTrigger)
+
+  /** The TRUE tail position regardless of the byte budget — Spark surfaces
+    * it as `latestOffset` in progress events, so `sources[0].latestOffset
+    * - endOffset` is the live backlog gauge while a capped drain is in
+    * flight. Never observe()d: it must not advance the admitted position. */
+  override def reportLatestOffset(): Offset = {
+    if (known.pos < 0) initialOffset()
+    computeNext(known, Long.MaxValue).getOrElse(known)
+  }
+
+  /** Poll-and-advance under a byte budget (≤0 = unbounded). Package-visible
+    * so the fleet composition drives every member with ONE budget per
+    * poll instead of constructing members cap-aware. */
+  private[sources] def admit(cap: Long): Offset = {
     if (known.pos < 0) initialOffset()
     val k = known
+    computeNext(k, if (cap > 0) cap else Long.MaxValue)
+      .map(observe).getOrElse(k)
+  }
+
+  /** One tail poll from position `k` under byte budget `cap`; None when an
+    * in-flight rotation raced the poll (report no progress, let the next
+    * poll see the settled file). Pure read — callers decide whether the
+    * result advances the admitted position ([[admit]]) or is merely
+    * reported ([[reportLatestOffset]]). */
+  private def computeNext(k: TailOffset, cap: Long): Option[TailOffset] = {
     // ReOpen semantics: the follow restarts at 0 in a NEW epoch when the
     // file was truncated in place (length shrank below our position) OR
     // replaced by a new file (dev/inode changed — catches move+recreate
@@ -202,16 +277,18 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean)
     // let the next poll see the settled file.
     val curKey = TailOffset.keyOf(path)
     val len = new java.io.File(path).length()
-    if (curKey.isEmpty && len == 0L) k // mid-rotation gap: hold position
+    if (curKey.isEmpty && len == 0L) Some(k) // mid-rotation gap: hold position
     else {
       val rotated = len < k.pos ||
         (k.fileKey.nonEmpty && curKey.nonEmpty && curKey != k.fileKey)
       val next =
         if (rotated)
-          TailOffset(k.epoch + 1, TailFileSource.lastLineBoundary(path, 0L), curKey)
+          TailOffset(k.epoch + 1,
+            TailFileSource.boundedLineBoundary(path, 0L, cap), curKey)
         else
-          k.copy(pos = TailFileSource.lastLineBoundary(path, k.pos), fileKey = curKey)
-      if (TailOffset.keyOf(path) != curKey) k else observe(next)
+          k.copy(pos = TailFileSource.boundedLineBoundary(path, k.pos, cap),
+            fileKey = curKey)
+      if (TailOffset.keyOf(path) != curKey) None else Some(next)
     }
   }
 

@@ -60,7 +60,8 @@ class TailFleetSourceProvider extends TableProvider {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val (globs, literals) = specs.partition(TailFleetSource.isGlob)
     new TailFleetTable(literals, globs,
-      java.lang.Boolean.parseBoolean(properties.getOrDefault("fromStart", "false")))
+      java.lang.Boolean.parseBoolean(properties.getOrDefault("fromStart", "false")),
+      java.lang.Long.parseLong(properties.getOrDefault("maxBytesPerTrigger", "0")))
   }
 }
 
@@ -125,7 +126,8 @@ object TailFleetOffset {
     }.toMap)
 }
 
-class TailFleetTable(paths: Seq[String], globs: Seq[String], fromStart: Boolean)
+class TailFleetTable(paths: Seq[String], globs: Seq[String], fromStart: Boolean,
+    maxBytesPerTrigger: Long = 0L)
     extends Table with SupportsRead {
   require(paths.nonEmpty || globs.nonEmpty,
     "option 'paths' must list at least one file or glob")
@@ -138,14 +140,15 @@ class TailFleetTable(paths: Seq[String], globs: Seq[String], fromStart: Boolean)
       override def build(): Scan = this
       override def readSchema(): StructType = TailFleetSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new TailFleetMicroBatchStream(paths, fromStart, globs)
+        new TailFleetMicroBatchStream(paths, fromStart, globs, maxBytesPerTrigger)
       override def toBatch: Batch = throw new UnsupportedOperationException(
         "tailfleet is a streaming-only source; use LogSource.readText per file for batch")
     }
 }
 
 class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
-    globs: Seq[String] = Nil) extends MicroBatchStream with SupportsAdmissionControl {
+    globs: Seq[String] = Nil, maxBytesPerTrigger: Long = 0L)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Mutable membership: literal paths are fixed (and fail fast if
     * invalid, like the reference's pre-flight); glob matches join at
@@ -179,7 +182,13 @@ class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
   override def initialOffset(): Offset = TailFleetOffset(
     streams.toMap.map { case (p, s) => p -> s.initialOffset().asInstanceOf[TailOffset] })
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Advertised as the PER-MEMBER budget ([[admitAll]]): a fleet poll may
+    * admit up to `members × maxBytesPerTrigger` bytes — each member drains
+    * its own backlog independently, so one cold `--from-start` giant
+    * cannot starve the live tails sharing its micro-batches. */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxBytesPerTrigger > 0) ReadLimit.maxBytes(maxBytesPerTrigger)
+    else ReadLimit.allAvailable()
 
   /** The admission-control poll Spark actually drives: replaying `start`
     * (the RESTORED fleet position on the first post-restart call) into
@@ -189,14 +198,23 @@ class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
     * epoch — which the next poll mistook for a rotation and re-read. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     replayInto(perFile(start))
-    latestOffset()
+    admitAll(TailFileSource.byteCapOf(limit, maxBytesPerTrigger))
   }
 
-  override def latestOffset(): Offset = {
+  override def latestOffset(): Offset = admitAll(maxBytesPerTrigger)
+
+  private def admitAll(cap: Long): Offset = {
     discover()
     TailFleetOffset(
-      streams.toMap.map { case (p, s) => p -> s.latestOffset().asInstanceOf[TailOffset] })
+      streams.toMap.map { case (p, s) => p -> s.admit(cap).asInstanceOf[TailOffset] })
   }
+
+  /** True per-member tail positions regardless of the byte budget — the
+    * live backlog gauge in progress events while a capped drain runs.
+    * Never advances any member's admitted position. */
+  override def reportLatestOffset(): Offset = TailFleetOffset(
+    streams.toMap.map { case (p, s) =>
+      p -> s.reportLatestOffset().asInstanceOf[TailOffset] })
 
   /** Feed known per-file positions into the member streams, registering
     * members for checkpointed paths that still exist (restart-before-

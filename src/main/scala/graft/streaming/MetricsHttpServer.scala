@@ -129,11 +129,13 @@ object MetricsServing {
     * the warehouse sink share one merge, one checkpoint. */
   def serveIncrementalTail(spark: SparkSession, path: String, server: MetricsHttpServer,
       checkpointDir: String, fromStart: Boolean = false,
-      jdbc: Option[MetricsJdbcUpsert.Target] = None): StreamingQuery = {
+      jdbc: Option[MetricsJdbcUpsert.Target] = None,
+      maxBytesPerTrigger: Long = 0L): StreamingQuery = {
     val lines = spark.readStream
       .format(classOf[graft.sources.TailFileSourceProvider].getName)
       .option("path", path)
       .option("fromStart", fromStart.toString)
+      .option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
       .load()
     serveIncrementalLines(spark, lines, server, checkpointDir,
       availableNow = false, jdbc = jdbc)
@@ -152,7 +154,8 @@ object MetricsServing {
   def serveIncrementalFleet(spark: SparkSession, paths: Seq[String],
       server: MetricsHttpServer, checkpointDir: String,
       fromStart: Boolean = false,
-      jdbc: Option[MetricsJdbcUpsert.Target] = None): StreamingQuery = {
+      jdbc: Option[MetricsJdbcUpsert.Target] = None,
+      maxBytesPerTrigger: Long = 0L): StreamingQuery = {
     jdbc.foreach(MetricsJdbcUpsert.ensureTables)
     val registry = new FleetPromRegistry
     // seed the CURRENT membership (glob specs expand; a server discovered
@@ -162,6 +165,7 @@ object MetricsServing {
       .format(classOf[graft.sources.TailFleetSourceProvider].getName)
       .option("paths", paths.mkString(","))
       .option("fromStart", fromStart.toString)
+      .option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
       .load()
     val outs = StreamingMerge.fleetMergeWithDelivery(lines, timeoutMs = 0L)
     val writer = outs.writeStream

@@ -346,11 +346,13 @@ object StreamingMerge {
     * `fromStart` = `--from-start`) → parse → keyed merge — the exact
     * main.go:100-129 loop, with `seq` = line start byte offset. */
   def tailPipeline(spark: org.apache.spark.sql.SparkSession, path: String,
-      fromStart: Boolean = false, timeoutMs: Long = 30 * 60 * 1000L): Dataset[ChQuery] = {
+      fromStart: Boolean = false, timeoutMs: Long = 30 * 60 * 1000L,
+      maxBytesPerTrigger: Long = 0L): Dataset[ChQuery] = {
     val lines = spark.readStream
       .format(classOf[graft.sources.TailFileSourceProvider].getName)
       .option("path", path)
       .option("fromStart", fromStart.toString)
+      .option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
       .load()
     merge(toLogEvents(graft.operators.LogParser.parse(lines)), timeoutMs)
   }
@@ -373,12 +375,14 @@ object StreamingMerge {
     * `spark.sql.shuffle.partitions` regardless of fleet size, and adding
     * servers adds scan tasks, never widens any single tail. */
   def fleetPipeline(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
-      fromStart: Boolean = false, timeoutMs: Long = 30 * 60 * 1000L): DataFrame = {
+      fromStart: Boolean = false, timeoutMs: Long = 30 * 60 * 1000L,
+      maxBytesPerTrigger: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions.{col, concat_ws, substring_index}
     val lines = spark.readStream
       .format(classOf[graft.sources.TailFleetSourceProvider].getName)
       .option("paths", paths.mkString(","))
       .option("fromStart", fromStart.toString)
+      .option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
       .load()
     // `src` passes through the parser untouched, then folds into the state
     // key; the merge itself is byte-for-byte the single-file one

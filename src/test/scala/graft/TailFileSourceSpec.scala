@@ -196,6 +196,80 @@ class TailFileSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger: a backlog drains in bounded line-aligned polls; the true tail is still reported") {
+    import graft.sources.{TailFileMicroBatchStream, TailOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val f = Files.createTempFile("graft-tail-cap", ".log")
+    // 10 lines × 6 bytes ("l0000\n") = 60 bytes of pre-existing backlog
+    Files.write(f, (0 until 10).map(i => f"l$i%04d\n").mkString.getBytes)
+    val s = new TailFileMicroBatchStream(f.toString, fromStart = true,
+      maxBytesPerTrigger = 14)
+    var cur = s.initialOffset().asInstanceOf[TailOffset]
+    assert(cur.pos == 0L)
+    // lag visibility: the REPORTED tail is the real EOF before any admission
+    assert(s.reportLatestOffset().asInstanceOf[TailOffset].pos == 60L)
+
+    val steps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var next = s.latestOffset(cur, ReadLimit.maxBytes(14)).asInstanceOf[TailOffset]
+    while (next.pos != cur.pos) {
+      steps += (next.pos - cur.pos)
+      // mid-drain the admitted offset lags, the reported tail does not
+      assert(s.reportLatestOffset().asInstanceOf[TailOffset].pos == 60L)
+      cur = next
+      next = s.latestOffset(cur, ReadLimit.maxBytes(14)).asInstanceOf[TailOffset]
+    }
+    assert(cur.pos == 60L, "the full backlog is eventually admitted")
+    assert(steps.forall(_ <= 14L), s"every poll within budget: $steps")
+    assert(steps.size == 5, s"14-byte budget over 6-byte lines = 2 lines/poll: $steps")
+    // ... and reporting the tail never advanced the admitted position
+    assert(s.latestOffset(cur, ReadLimit.maxBytes(14))
+      .asInstanceOf[TailOffset].pos == 60L)
+  }
+
+  test("maxBytesPerTrigger: an oversized line is admitted whole (progress guarantee)") {
+    import graft.sources.{TailFileMicroBatchStream, TailOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val f = Files.createTempFile("graft-tail-cap2", ".log")
+    Files.write(f, ("short\n" + "x" * 50 + "\n" + "tail\n").getBytes)
+    val s = new TailFileMicroBatchStream(f.toString, fromStart = true)
+    var cur = s.initialOffset().asInstanceOf[TailOffset]
+    def poll(): Long = {
+      cur = s.latestOffset(cur, ReadLimit.maxBytes(10)).asInstanceOf[TailOffset]
+      cur.pos
+    }
+    assert(poll() == 6L, "first poll: the complete short line within budget")
+    assert(poll() == 57L, "second poll: the 51-byte line exceeds the cap but still lands")
+    assert(poll() == 62L, "third poll: back to bounded")
+  }
+
+  test("maxBytesPerTrigger end-to-end: the first batch is not the whole file") {
+    val f = Files.createTempFile("graft-tail-cap3", ".log")
+    Files.write(f, (0 until 20).map(i => f"line-$i%04d\n").mkString.getBytes)
+    val ckpt = Files.createTempDirectory("graft-tail-cap3-ckpt").toString
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format(classOf[graft.sources.TailFileSourceProvider].getName)
+      .option("path", f.toString)
+      .option("fromStart", "true")
+      .option("maxBytesPerTrigger", "33") // 3 × 10-byte lines per batch
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count()
+        if (n > 0) { batchSizes.add(n); () }
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sizes = batchSizes.asScala.toSeq
+      assert(sizes.sum == 20L, s"every line exactly once: $sizes")
+      assert(sizes.forall(_ <= 3L), s"no batch over the 3-line budget: $sizes")
+      assert(sizes.size >= 7, s"the backlog drained incrementally: $sizes")
+    } finally q.stop()
+  }
+
   test("single-scan delivery fold: one byte-range read per micro-batch, counts exact") {
     val f = Files.createTempFile("graft-tail-scan", ".log")
     val ckpt = Files.createTempDirectory("graft-tail-scan-ckpt").toString

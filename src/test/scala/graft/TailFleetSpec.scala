@@ -222,6 +222,38 @@ class TailFleetSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxBytesPerTrigger is a PER-MEMBER budget: each file drains bounded, none starves") {
+    import graft.sources.{TailFleetMicroBatchStream, TailFleetOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val a = Files.createTempFile("graft-fleet-cap-a", ".log")
+    val b = Files.createTempFile("graft-fleet-cap-b", ".log")
+    // asymmetric backlogs: a cold 240-byte member next to a 12-byte one
+    Files.write(a, (0 until 40).map(i => f"a$i%04d\n").mkString.getBytes) // 40×6B
+    Files.write(b, "b0000\nb0001\n".getBytes)                            // 2×6B
+    val s = new TailFleetMicroBatchStream(
+      Seq(a.toString, b.toString), fromStart = true, maxBytesPerTrigger = 14)
+    var cur = s.initialOffset().asInstanceOf[TailFleetOffset]
+    // the reported tail sees both full backlogs before any admission
+    val reported = s.reportLatestOffset().asInstanceOf[TailFleetOffset]
+    assert(reported.offsets(a.toString).pos == 240L)
+    assert(reported.offsets(b.toString).pos == 12L)
+
+    var polls = 0
+    var next = s.latestOffset(cur, ReadLimit.maxBytes(14)).asInstanceOf[TailFleetOffset]
+    // the small member is fully admitted on the FIRST poll — the cold
+    // giant next to it cannot starve it (per-member, not fleet-total)
+    assert(next.offsets(b.toString).pos == 12L)
+    while (next != cur && polls < 100) {
+      for (p <- Seq(a, b))
+        assert(next.offsets(p.toString).pos - cur.offsets(p.toString).pos <= 14L,
+          s"member $p within budget")
+      cur = next; polls += 1
+      next = s.latestOffset(cur, ReadLimit.maxBytes(14)).asInstanceOf[TailFleetOffset]
+    }
+    assert(cur.offsets(a.toString).pos == 240L, "the giant eventually drains")
+    assert(polls == 20, s"240 bytes / (2 lines × 6B per poll) = 20 polls: $polls")
+  }
+
   test("same fleet recovery under the RocksDB state store provider (the 100x-scale store)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
