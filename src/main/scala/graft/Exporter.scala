@@ -46,7 +46,8 @@ object Exporter {
       checkpoint: Option[String] = None,
       jdbcUrl: Option[String] = None,
       jdbcTable: String = "metrics",
-      maxBytesPerTrigger: Long = 0L) {
+      maxBytesPerTrigger: Long = 0L,
+      selfMetrics: Boolean = true) {
     /** Single-file compatibility view (the reference's one-file shape). */
     def log: String = logs.head
   }
@@ -71,11 +72,16 @@ object Exporter {
       // so the drain is bounded instead of one giant first batch
       case "--max-bytes-per-trigger" :: v :: t =>
         loop(t, c.copy(maxBytesPerTrigger = v.toLong), logs)
+      // self-telemetry (graft_* block: scrape/batch counters, merge state
+      // size, tail backlog gauge) is on by default like any real exporter;
+      // this restores the reference's exact data-only exposition
+      case "--no-self-metrics" :: t => loop(t, c.copy(selfMetrics = false), logs)
       case Nil => if (logs.isEmpty) c else c.copy(logs = logs)
       case other :: _ => throw new IllegalArgumentException(
         s"unknown flag: $other (supported: --log <file>[,<file>…] (repeatable) " +
           "--listen <host:port> --from-start --checkpoint <dir> " +
-          "--jdbc <url> --jdbc-table <name> --max-bytes-per-trigger <n>)")
+          "--jdbc <url> --jdbc-table <name> --max-bytes-per-trigger <n> " +
+          "--no-self-metrics)")
     }
     loop(args.toList, Config(), Vector.empty)
   }
@@ -98,15 +104,17 @@ object Exporter {
       graft.streaming.MetricsJdbcUpsert.Target(u, config.jdbcTable))
     val singleLiteral = config.logs.size == 1 &&
       !graft.sources.TailFleetSource.isGlob(config.log)
+    val telemetry =
+      if (config.selfMetrics) Some(new graft.streaming.ExporterTelemetry) else None
     val query =
       if (singleLiteral) // the reference's exact one-file, label-free shape
         MetricsServing.serveIncrementalTail(
           spark, config.log, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
-          maxBytesPerTrigger = config.maxBytesPerTrigger)
+          maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry)
       else
         MetricsServing.serveIncrementalFleet(
           spark, config.logs, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
-          maxBytesPerTrigger = config.maxBytesPerTrigger)
+          maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry)
     (server, query)
   }
 

@@ -23,12 +23,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 final class MetricsHttpServer(port: Int = 0, host: String = "0.0.0.0") {
 
   @volatile private var body: String = ""
+  @volatile private var telemetry: Option[ExporterTelemetry] = None
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.createContext("/metrics", new HttpHandler {
     override def handle(x: HttpExchange): Unit = {
       val ok = x.getRequestMethod == "GET"
-      val bytes = (if (ok) body else "method not allowed\n")
+      val t = telemetry
+      if (ok) t.foreach(_.onScrape())
+      val bytes = (if (ok) body + t.map(_.render()).getOrElse("")
+        else "method not allowed\n")
         .getBytes(StandardCharsets.UTF_8)
       x.getResponseHeaders.set("Content-Type",
         "text/plain; version=0.0.4; charset=utf-8")
@@ -39,6 +43,13 @@ final class MetricsHttpServer(port: Int = 0, host: String = "0.0.0.0") {
   })
 
   def start(): this.type = { server.start(); this }
+
+  /** Append `t`'s `graft_*` self-telemetry block to every served scrape
+    * (and count the scrapes). Without it the exposition stays the
+    * reference's exact data-only shape. */
+  def attachTelemetry(t: ExporterTelemetry): this.type = {
+    telemetry = Some(t); this
+  }
 
   /** Atomically replace the served exposition text. */
   def update(text: String): Unit = body = text
@@ -130,7 +141,8 @@ object MetricsServing {
   def serveIncrementalTail(spark: SparkSession, path: String, server: MetricsHttpServer,
       checkpointDir: String, fromStart: Boolean = false,
       jdbc: Option[MetricsJdbcUpsert.Target] = None,
-      maxBytesPerTrigger: Long = 0L): StreamingQuery = {
+      maxBytesPerTrigger: Long = 0L,
+      telemetry: Option[ExporterTelemetry] = None): StreamingQuery = {
     val lines = spark.readStream
       .format(classOf[graft.sources.TailFileSourceProvider].getName)
       .option("path", path)
@@ -138,7 +150,7 @@ object MetricsServing {
       .option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
       .load()
     serveIncrementalLines(spark, lines, server, checkpointDir,
-      availableNow = false, jdbc = jdbc)
+      availableNow = false, jdbc = jdbc, telemetry = telemetry)
   }
 
   /** [[serveIncrementalTail]] for a FLEET of tailed server logs through ONE
@@ -155,7 +167,8 @@ object MetricsServing {
       server: MetricsHttpServer, checkpointDir: String,
       fromStart: Boolean = false,
       jdbc: Option[MetricsJdbcUpsert.Target] = None,
-      maxBytesPerTrigger: Long = 0L): StreamingQuery = {
+      maxBytesPerTrigger: Long = 0L,
+      telemetry: Option[ExporterTelemetry] = None): StreamingQuery = {
     jdbc.foreach(MetricsJdbcUpsert.ensureTables)
     val registry = new FleetPromRegistry
     // seed the CURRENT membership (glob specs expand; a server discovered
@@ -180,7 +193,9 @@ object MetricsServing {
           server.update(registry.render())
         } finally { evs.unpersist(); () }
       }
-    writer.start()
+    val query = writer.start()
+    telemetry.foreach { t => server.attachTelemetry(t); t.observeQuery(spark, query) }
+    query
   }
 
   /** Shared incremental-serving pipeline over any streaming `(seq, value)`
@@ -188,7 +203,8 @@ object MetricsServing {
   private def serveIncrementalLines(spark: SparkSession, seqLines: DataFrame,
       server: MetricsHttpServer, checkpointDir: String,
       availableNow: Boolean,
-      jdbc: Option[MetricsJdbcUpsert.Target] = None): StreamingQuery = {
+      jdbc: Option[MetricsJdbcUpsert.Target] = None,
+      telemetry: Option[ExporterTelemetry] = None): StreamingQuery = {
     jdbc.foreach(MetricsJdbcUpsert.ensureTables)
     val registry = new PromRegistry
 
@@ -220,7 +236,10 @@ object MetricsServing {
           server.update(registry.render())
         } finally { evs.unpersist(); () }
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    val query =
+      (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    telemetry.foreach { t => server.attachTelemetry(t); t.observeQuery(spark, query) }
+    query
   }
 
   /** Table-sink form (BASELINE north star: metrics land in a queryable
