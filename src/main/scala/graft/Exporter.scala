@@ -47,7 +47,8 @@ object Exporter {
       jdbcUrl: Option[String] = None,
       jdbcTable: String = "metrics",
       maxBytesPerTrigger: Long = 0L,
-      selfMetrics: Boolean = true) {
+      selfMetrics: Boolean = true,
+      resumeFromJdbc: Boolean = false) {
     /** Single-file compatibility view (the reference's one-file shape). */
     def log: String = logs.head
   }
@@ -76,12 +77,17 @@ object Exporter {
       // size, tail backlog gauge) is on by default like any real exporter;
       // this restores the reference's exact data-only exposition
       case "--no-self-metrics" :: t => loop(t, c.copy(selfMetrics = false), logs)
+      // with --jdbc + a durable --checkpoint: seed the scrape registry from
+      // the warehouse table at start, so counters CONTINUE across restarts
+      // instead of resetting (default keeps the reference's volatile
+      // registry; requires --jdbc)
+      case "--resume-from-jdbc" :: t => loop(t, c.copy(resumeFromJdbc = true), logs)
       case Nil => if (logs.isEmpty) c else c.copy(logs = logs)
       case other :: _ => throw new IllegalArgumentException(
         s"unknown flag: $other (supported: --log <file>[,<file>…] (repeatable) " +
           "--listen <host:port> --from-start --checkpoint <dir> " +
           "--jdbc <url> --jdbc-table <name> --max-bytes-per-trigger <n> " +
-          "--no-self-metrics)")
+          "--no-self-metrics --resume-from-jdbc)")
     }
     loop(args.toList, Config(), Vector.empty)
   }
@@ -110,11 +116,13 @@ object Exporter {
       if (singleLiteral) // the reference's exact one-file, label-free shape
         MetricsServing.serveIncrementalTail(
           spark, config.log, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
-          maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry)
+          maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
+          resumeFromJdbc = config.resumeFromJdbc)
       else
         MetricsServing.serveIncrementalFleet(
           spark, config.logs, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
-          maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry)
+          maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
+          resumeFromJdbc = config.resumeFromJdbc)
     (server, query)
   }
 

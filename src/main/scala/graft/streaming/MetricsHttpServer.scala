@@ -142,7 +142,8 @@ object MetricsServing {
       checkpointDir: String, fromStart: Boolean = false,
       jdbc: Option[MetricsJdbcUpsert.Target] = None,
       maxBytesPerTrigger: Long = 0L,
-      telemetry: Option[ExporterTelemetry] = None): StreamingQuery = {
+      telemetry: Option[ExporterTelemetry] = None,
+      resumeFromJdbc: Boolean = false): StreamingQuery = {
     val lines = spark.readStream
       .format(classOf[graft.sources.TailFileSourceProvider].getName)
       .option("path", path)
@@ -150,7 +151,8 @@ object MetricsServing {
       .option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
       .load()
     serveIncrementalLines(spark, lines, server, checkpointDir,
-      availableNow = false, jdbc = jdbc, telemetry = telemetry)
+      availableNow = false, jdbc = jdbc, telemetry = telemetry,
+      resumeFromJdbc = resumeFromJdbc)
   }
 
   /** [[serveIncrementalTail]] for a FLEET of tailed server logs through ONE
@@ -168,8 +170,12 @@ object MetricsServing {
       fromStart: Boolean = false,
       jdbc: Option[MetricsJdbcUpsert.Target] = None,
       maxBytesPerTrigger: Long = 0L,
-      telemetry: Option[ExporterTelemetry] = None): StreamingQuery = {
+      telemetry: Option[ExporterTelemetry] = None,
+      resumeFromJdbc: Boolean = false): StreamingQuery = {
     jdbc.foreach(MetricsJdbcUpsert.ensureTables)
+    val resumed = resumeFromJdbc && jdbc.nonEmpty
+    require(!resumeFromJdbc || jdbc.nonEmpty,
+      "resumeFromJdbc needs a JDBC target to seed from")
     val registry = new FleetPromRegistry
     // seed the CURRENT membership (glob specs expand; a server discovered
     // later gets its series on first observation)
@@ -180,17 +186,29 @@ object MetricsServing {
       .option("fromStart", fromStart.toString)
       .option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
       .load()
+    // registry resume: seed every server's counters from the warehouse
+    // table so the scrape surface CONTINUES across the restart (and serve
+    // the resumed values before the first micro-batch lands)
+    if (resumed) {
+      jdbc.foreach(t => registry.seedFrom(MetricsJdbcUpsert.snapshot(t)))
+      server.update(registry.render())
+    }
     val outs = StreamingMerge.fleetMergeWithDelivery(lines, timeoutMs = 0L)
     val writer = outs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[StreamingMerge.MergeOut], batchId: Long) =>
         val evs = batch.persist()
         try {
-          jdbc.foreach(t => MetricsJdbcUpsert.writer(t,
-            MetricsJdbcUpsert.ledgerSource(checkpointDir))(evs, batchId))
-          evs.filter(o => o.out != "record")
-            .collect().foreach(registry.observe)
-          server.update(registry.render())
+          val applied = jdbc.forall(t => MetricsJdbcUpsert.writeDelta(t,
+            MetricsJdbcUpsert.ledgerSource(checkpointDir), evs, batchId))
+          // a ledger-replayed batch is already IN the seeded snapshot: a
+          // resumed registry must skip the fold or double-count it; a
+          // volatile (zeroed) registry must fold it — it lost it at restart
+          if (applied || !resumed) {
+            evs.filter(o => o.out != "record")
+              .collect().foreach(registry.observe)
+            server.update(registry.render())
+          }
         } finally { evs.unpersist(); () }
       }
     val query = writer.start()
@@ -204,9 +222,17 @@ object MetricsServing {
       server: MetricsHttpServer, checkpointDir: String,
       availableNow: Boolean,
       jdbc: Option[MetricsJdbcUpsert.Target] = None,
-      telemetry: Option[ExporterTelemetry] = None): StreamingQuery = {
+      telemetry: Option[ExporterTelemetry] = None,
+      resumeFromJdbc: Boolean = false): StreamingQuery = {
     jdbc.foreach(MetricsJdbcUpsert.ensureTables)
+    val resumed = resumeFromJdbc && jdbc.nonEmpty
+    require(!resumeFromJdbc || jdbc.nonEmpty,
+      "resumeFromJdbc needs a JDBC target to seed from")
     val registry = new PromRegistry
+    if (resumed) {
+      jdbc.foreach(t => registry.seedFrom(MetricsJdbcUpsert.snapshot(t)))
+      server.update(registry.render())
+    }
 
     // ONE stream carries everything — merge metrics AND the per-line
     // delivery events (read_line / tail_line): the former observe() +
@@ -226,14 +252,18 @@ object MetricsServing {
         // the source range / parse / state-store replay runs ONCE
         val evs = batch.persist()
         try {
-          jdbc.foreach(t => MetricsJdbcUpsert.writer(t,
-            MetricsJdbcUpsert.ledgerSource(checkpointDir))(evs, batchId))
+          val applied = jdbc.forall(t => MetricsJdbcUpsert.writeDelta(t,
+            MetricsJdbcUpsert.ledgerSource(checkpointDir), evs, batchId))
           // everything but "record" is bounded: observation events by the
           // reference's observe sites, delivery events pre-aggregated to
-          // one n-valued row per source partition by the single-scan fold
-          evs.filter(o => o.out != "record")
-            .collect().foreach(registry.observe)
-          server.update(registry.render())
+          // one n-valued row per source partition by the single-scan fold.
+          // A ledger-replayed batch folds only into a VOLATILE registry
+          // (which lost it at restart); a resumed one already has it.
+          if (applied || !resumed) {
+            evs.filter(o => o.out != "record")
+              .collect().foreach(registry.observe)
+            server.update(registry.render())
+          }
         } finally { evs.unpersist(); () }
       }
     val query =

@@ -75,7 +75,7 @@ object MetricsJdbcUpsert {
   /** The observation-independent zero-filled stats bucket grid both sink
     * dialects seed (the same 35-row static grid
     * [[MetricsSink.metricsTable]] unions in). */
-  private[streaming] def staticGrid: Seq[(String, String, String, Long)] =
+  private[graft] def staticGrid: Seq[(String, String, String, Long)] =
     statsFamilies.flatMap { case (m, buckets) =>
       (buckets :+ Double.PositiveInfinity).map(b => (s"${m}_bucket", "", fmtLe(b), 0L))
     }
@@ -243,16 +243,41 @@ object MetricsJdbcUpsert {
       .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(7).map(b => f"$b%02x").mkString
 
-  /** The `foreachBatch` function: aggregate the batch's delta (distributed),
-    * collect the KB-scale result, commit it with the batch's ledger row.
-    * `source` must be unique per streaming query writing to `t` (use
-    * [[ledgerSource]] of the query's checkpoint dir); the default fits the
-    * one-query-per-table deployments the specs drive. */
-  def writer(t: Target, source: String = "merge"): (Dataset[MergeOut], Long) => Unit = { (batch, batchId) =>
+  /** One micro-batch: aggregate the delta (distributed), collect the
+    * KB-scale result, commit it with the batch's ledger row. Returns
+    * [[applyDelta]]'s verdict — false = the ledger already had this
+    * `(source, batchId)` (a replayed batch, skipped whole); a resumed
+    * registry ([[PromRegistry.seedFrom]]) must skip its fold too, since the
+    * snapshot it seeded from already contains that batch. */
+  def writeDelta(t: Target, source: String, batch: Dataset[MergeOut],
+      batchId: Long): Boolean = {
     val delta = deltaRows(batch).collect().toSeq.map(r =>
       (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
     applyDelta(t, source, batchId, delta)
+  }
+
+  /** The `foreachBatch` function: [[writeDelta]] curried for
+    * `foreachBatch`. `source` must be unique per streaming query writing to
+    * `t` (use [[ledgerSource]] of the query's checkpoint dir); the default
+    * fits the one-query-per-table deployments the specs drive. */
+  def writer(t: Target, source: String = "merge"): (Dataset[MergeOut], Long) => Unit = { (batch, batchId) =>
+    writeDelta(t, source, batch, batchId)
     ()
+  }
+
+  /** The table's current cumulative rows — the registry-resume seed
+    * ([[PromRegistry.seedFrom]]). KB-scale by the same label-cardinality
+    * argument as the scrape exposition; read once at query start. */
+  def snapshot(t: Target): Seq[(String, String, String, Long)] = {
+    val conn = t.connect()
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT metric, labels, le, value FROM ${t.table}")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
+      while (rs.next())
+        buf += ((rs.getString(1), rs.getString(2), rs.getString(3), rs.getLong(4)))
+      buf.toSeq
+    } finally conn.close()
   }
 
   /** End-to-end serving into JDBC: tail `dir`'s log lines, run the keyed

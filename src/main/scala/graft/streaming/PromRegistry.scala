@@ -46,6 +46,19 @@ final class PromRegistry {
         acc += counts(i); (le, acc)
       }
     }
+    /** Inverse of [[cumulative]] for registry resume: set the per-slot
+      * counts from cumulative per-`le` values keyed by their rendered
+      * string (the JDBC table's storage form). A missing cell inherits the
+      * previous cumulative (a zero slot). */
+    def seedCumulative(byLe: Map[String, Long]): Unit = {
+      var prev = 0L
+      (bounds :+ Double.PositiveInfinity).zipWithIndex.foreach { case (le, i) =>
+        val cum = byLe.getOrElse(MetricsSink.fmtDouble(le), prev)
+        counts(i) = cum - prev
+        prev = cum
+      }
+      n = prev
+    }
   }
 
   private val timeHists = mutable.Map.empty[String, Hist] // stmt_type -> hist
@@ -92,6 +105,71 @@ final class PromRegistry {
       case "tail_line" => tailLineErrors += o.n
       case _ => () // "record" — the data sink's concern, not the registry's
     }
+  }
+
+  /** REGISTRY RESUME — the inverse of the JDBC delta fold: replace this
+    * registry's whole state with the additive rows of a
+    * [[MetricsJdbcUpsert]] table snapshot (`(metric, labels, le, value)` on
+    * [[MetricsJdbcUpsert.contributions]]'s key space), so an exporter
+    * restarted on the same checkpoint + table serves counters that CONTINUE
+    * instead of resetting to zero (no post-restart rate() blip; scrape and
+    * warehouse surfaces agree at every batch boundary). The caller must
+    * then skip registry folds for ledger-replayed batches — the snapshot
+    * already contains them ([[MetricsServing]] does). Rows with label keys
+    * this registry doesn't own (e.g. another server's `server=` rows in a
+    * shared table) must be filtered by the caller ([[FleetPromRegistry
+    * .seedFrom]] routes them). */
+  def seedFrom(rows: Seq[(String, String, String, Long)]): Unit = synchronized {
+    def labelMap(s: String): Map[String, String] =
+      if (s.isEmpty) Map.empty
+      else s.split(",").map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+    readLines = 0L; tailLineErrors = 0L
+    errors.clear(); queryCount.clear(); queryErrors.clear()
+    timeHists.clear(); timeSumUs.clear()
+    rowsSum = 0L; bytesSum = 0L; rpsSum = 0L; bpsSum = 0L; statsN = 0L
+    val timeBuckets = mutable.Map.empty[String, mutable.Map[String, Long]]
+    val statBuckets = mutable.Map.empty[String, mutable.Map[String, Long]]
+    rows.foreach { case (metric, labels, le, v) =>
+      metric match {
+        case "chlogexporter_read_lines" => readLines = v
+        case "chlogexporter_errors" =>
+          val t = labelMap(labels)("type")
+          if (t == "tail_line") tailLineErrors = v else errors(t) = v
+        case "clickhouse_query_count" =>
+          queryCount(labelMap(labels)("type")) = v
+        case "clickhouse_query_errors" =>
+          val m = labelMap(labels)
+          queryErrors((m("type"), m("code").toLong)) = v
+        case "clickhouse_query_time_bucket" =>
+          timeBuckets.getOrElseUpdate(labelMap(labels)("type"),
+            mutable.Map.empty)(le) = v
+        case "clickhouse_query_time_sum" =>
+          timeSumUs(labelMap(labels)("type")) = v // stored as exact µs
+        case "clickhouse_query_time_count" => () // = the +Inf bucket, derived
+        case m if m.endsWith("_bucket") =>
+          statBuckets.getOrElseUpdate(m.stripSuffix("_bucket"),
+            mutable.Map.empty)(le) = v
+        case "clickhouse_select_query_rows_read_sum" => rowsSum = v
+        case "clickhouse_select_query_bytes_read_sum" => bytesSum = v
+        case "clickhouse_select_query_rows_per_second_sum" => rpsSum = v
+        case "clickhouse_select_query_bytes_per_second_sum" => bpsSum = v
+        case m if m.endsWith("_count") => () // = the family's +Inf bucket
+        case _ => () // unknown family: a later schema's row, ignore
+      }
+    }
+    timeBuckets.foreach { case (t, byLe) =>
+      timeHists.getOrElseUpdate(t, new Hist(PromMetrics.QueryTimeBuckets))
+        .seedCumulative(byLe.toMap)
+    }
+    Seq(("clickhouse_select_query_rows_read", rowsHist),
+      ("clickhouse_select_query_bytes_read", bytesHist),
+      ("clickhouse_select_query_rows_per_second", rpsHist),
+      ("clickhouse_select_query_bytes_per_second", bpsHist)).foreach {
+      case (m, h) => h.seedCumulative(statBuckets.getOrElse(m, mutable.Map.empty).toMap)
+    }
+    statsN = rowsHist.n
   }
 
   import MetricsSink.fmtDouble
@@ -224,6 +302,24 @@ final class FleetPromRegistry {
 
   def observe(o: MergeOut): Unit =
     regs.getOrElseUpdate(o.server.getOrElse(""), new PromRegistry).observe(o)
+
+  /** Registry resume, fleet form: table rows carry a leading `server=`
+    * label ([[MetricsJdbcUpsert.contributions]]); route each server's rows
+    * (label stripped) into that server's registry. Server-less rows are the
+    * observation-independent zero grid the sink seeds — every registry
+    * renders that grid by construction, so they carry no state. */
+  def seedFrom(rows: Seq[(String, String, String, Long)]): Unit = {
+    val byServer = rows.flatMap { case (m, labels, le, v) =>
+      if (!labels.startsWith("server=")) None
+      else labels.split(",", 2) match {
+        case Array(srv) => Some((srv.stripPrefix("server="), (m, "", le, v)))
+        case Array(srv, rest) => Some((srv.stripPrefix("server="), (m, rest, le, v)))
+      }
+    }.groupBy(_._1)
+    byServer.foreach { case (srv, rs) =>
+      regs.getOrElseUpdate(srv, new PromRegistry).seedFrom(rs.map(_._2))
+    }
+  }
 
   def render(): String = PromRegistry.renderMerged(regs.toSeq)
 }

@@ -1,0 +1,172 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.file.{Files, StandardOpenOption}
+
+import scala.io.Source
+
+import graft.streaming.{FleetPromRegistry, MetricsJdbcUpsert, PromRegistry}
+import graft.streaming.StreamingMerge.MergeOut
+
+/** Registry resume: an exporter restarted on the same checkpoint + JDBC
+  * table seeds its scrape registry from the table snapshot and skips folds
+  * for ledger-replayed batches, so the scrape surface CONTINUES monotone
+  * across restarts and agrees with the warehouse at every batch boundary. */
+class RegistryResumeSpec extends SparkSpec {
+
+  private def get(url: String): String = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val body = Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+    conn.disconnect()
+    body
+  }
+
+  /** The REAL emission space ([[graft.streaming.StreamingMerge]]'s observe
+    * sites) — "counter" never carries type=tail_line (delivery failures are
+    * their own pre-aggregated kind since the single-scan fold). */
+  private def randomEvents(rnd: scala.util.Random, n: Int,
+      server: Option[String]): Seq[MergeOut] = {
+    val counters = Seq("not_found_query", "dup_initial_query", "time_parse_error", "convert_error")
+    val stmts = Seq("select", "insert", "alter", "show")
+    (1 to n).map { _ =>
+      rnd.nextInt(8) match {
+        case 0 => MergeOut("counter", None, Some(counters(rnd.nextInt(counters.size))),
+          server = server)
+        case 1 => MergeOut("insert", None, None, stmtType = Some(stmts(rnd.nextInt(stmts.size))),
+          server = server)
+        case 2 => MergeOut("query_error", None, None,
+          stmtType = Some(stmts(rnd.nextInt(stmts.size))),
+          errorCode = Some(rnd.nextInt(500).toLong), server = server)
+        case 3 => MergeOut("time_obs", None, None,
+          stmtType = Some(stmts(rnd.nextInt(stmts.size))),
+          elapsedUs = Some(rnd.nextLong(600L * 1000000L)), server = server)
+        case 4 => MergeOut("stats_obs", None, None,
+          rowsRead = Some(rnd.nextLong(1000000L)), bytesRead = Some(rnd.nextLong(1L << 32)),
+          rps = Some(rnd.nextLong(100000L)), speed = Some(rnd.nextLong(1L << 24)),
+          server = server)
+        case 5 => MergeOut("read_line", None, None, n = 1L + rnd.nextInt(50), server = server)
+        case 6 => MergeOut("tail_line", None, None, n = 1L + rnd.nextInt(5), server = server)
+        case _ => MergeOut("record", None, None, server = server) // ignored by both sides
+      }
+    }
+  }
+
+  /** [[MetricsJdbcUpsert.deltaRows]] without Spark: contributions grouped
+    * and summed — exactly what the table accumulates. */
+  private def tableRows(evs: Seq[MergeOut]): Seq[(String, String, String, Long)] =
+    evs.flatMap(MetricsJdbcUpsert.contributions)
+      .groupBy(r => (r._1, r._2, r._3)).toSeq
+      .map { case ((m, l, le), rs) => (m, l, le, rs.map(_._4).sum) }
+
+  test("round-trip: a registry seeded from its own table rows renders byte-identically") {
+    val rnd = new scala.util.Random(20260814L)
+    for (case_ <- 1 to 50) {
+      val evs = randomEvents(rnd, 1 + rnd.nextInt(120), server = None)
+      val live = new PromRegistry
+      evs.foreach(live.observe)
+      val seeded = new PromRegistry
+      // include the observation-independent zero grid the sink seeds — it
+      // must be a no-op (every registry renders that grid by construction)
+      seeded.seedFrom(MetricsJdbcUpsert.staticGrid ++ tableRows(evs))
+      assert(seeded.render() == live.render(), s"case $case_ diverged")
+    }
+  }
+
+  test("round-trip, fleet form: server-labeled rows route into per-server registries") {
+    val rnd = new scala.util.Random(99L)
+    for (case_ <- 1 to 20) {
+      val evs = Seq("/a.log", "/b.log").flatMap(s =>
+        randomEvents(rnd, 1 + rnd.nextInt(60), server = Some(s)))
+      val live = new FleetPromRegistry
+      evs.foreach(live.observe)
+      val seeded = new FleetPromRegistry
+      seeded.seedFrom(MetricsJdbcUpsert.staticGrid ++ tableRows(evs))
+      assert(seeded.render() == live.render(), s"case $case_ diverged")
+    }
+  }
+
+  test("exporter restart with --resume-from-jdbc: counters continue; replayed batch folds exactly once") {
+    val f = Files.createTempFile("graft-resume", ".log")
+    val ckpt = Files.createTempDirectory("graft-resume-ckpt").toString
+    val db = s"memory:resume${java.util.UUID.randomUUID().toString.take(8)}"
+    val url = s"jdbc:derby:$db;create=true"
+    val dt = "2024.03.01 12:00:01.000000"
+    def append(s: String): Unit =
+      Files.write(f, (s + "\n").getBytes, StandardOpenOption.APPEND)
+    def metric(body: String, line: String): Boolean = body.contains(line)
+    def config = Exporter.Config(logs = Seq(f.toString), listen = "127.0.0.1:0",
+      fromStart = true, checkpoint = Some(ckpt), jdbcUrl = Some(url),
+      selfMetrics = false)
+
+    // run 1: two selects land in registry AND table
+    append(s"$dt [ 7 ] {r1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1")
+    append(s"$dt [ 7 ] {r2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2")
+    val (srv1, q1) = Exporter.run(spark, config)
+    def poll(srv: graft.streaming.MetricsHttpServer,
+        q: org.apache.spark.sql.streaming.StreamingQuery)(want: String): String = {
+      val deadline = System.nanoTime() + 90000L * 1000000L
+      var body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      while (!metric(body, want) && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100) // JDBC delta lands batch-synchronously; scrape swap too
+        body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      }
+      body
+    }
+    poll(srv1, q1)("""clickhouse_query_count{stmt_type="select"} 2""")
+    q1.stop(); srv1.stop(0)
+
+    val t = MetricsJdbcUpsert.Target(url, "metrics")
+    val src = MetricsJdbcUpsert.ledgerSource(ckpt)
+
+    // simulate the crash window: a batch whose delta COMMITTED to the sink
+    // but whose checkpoint commit was lost — on restart Spark re-delivers
+    // that batch id, the ledger skips the table write, and the RESUMED
+    // registry must skip the fold too (its seed already contains the +5)
+    val nextBatch = {
+      val conn = t.connect()
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT MAX(batch_id) FROM ${t.ledger} WHERE source = '$src'")
+        rs.next(); rs.getLong(1) + 1L
+      } finally conn.close()
+    }
+    assert(MetricsJdbcUpsert.applyDelta(t, src, nextBatch,
+      Seq(("clickhouse_query_count", "type=select", "", 5L),
+        ("chlogexporter_read_lines", "", "", 5L))))
+
+    // the line the "crashed" batch counted, re-delivered on restart
+    append(s"$dt [ 7 ] {r3} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 3")
+
+    val (srv2, q2) = Exporter.run(spark, config.copy(resumeFromJdbc = true))
+    try {
+      // drive the replayed batch to COMPLETION before asserting — the skip
+      // must hold after the batch ran, not just at seed time
+      q2.processAllAvailable()
+      val body = get(s"http://127.0.0.1:${srv2.boundPort}/metrics")
+      // seeded 2 + the pre-committed 5; the replayed batch's fold is SKIPPED
+      // (a double fold would read 8)
+      assert(metric(body, """clickhouse_query_count{stmt_type="select"} 7"""),
+        s"resume must seed 2, add the committed 5, and not re-fold the replay: $body")
+      assert(metric(body, "chlogexporter_read_lines 7"),
+        s"read_lines: 2 seeded + 5 committed, replay skipped: $body")
+      // the scrape surface equals a fresh registry over the table snapshot —
+      // scrape and warehouse agree at the batch boundary, byte for byte
+      val fromTable = new PromRegistry
+      fromTable.seedFrom(MetricsJdbcUpsert.snapshot(t))
+      assert(get(s"http://127.0.0.1:${srv2.boundPort}/metrics") == fromTable.render(),
+        "scrape and table must agree after the replayed batch")
+    } finally { q2.stop(); srv2.stop(0) }
+
+    // control: a restart WITHOUT resume keeps the reference's volatile
+    // registry — counters restart from the post-restart corpus only
+    append(s"$dt [ 7 ] {r4} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 4")
+    val (srv3, q3) = Exporter.run(spark, config)
+    try {
+      val body = poll(srv3, q3)("""clickhouse_query_count{stmt_type="select"} 1""")
+      assert(metric(body, """clickhouse_query_count{stmt_type="select"} 1"""),
+        s"without resume the registry is volatile, like the reference: $body")
+    } finally { q3.stop(); srv3.stop(0) }
+  }
+}
