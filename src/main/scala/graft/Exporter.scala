@@ -19,21 +19,31 @@ import graft.streaming.{MetricsHttpServer, MetricsServing}
   * (default 0.0.0.0:19901, main.go:20) exactly as before. SIGINT/SIGTERM
   * shut down the stream, then the HTTP server, mirroring main.go:130-142.
   *
-  * Beyond the reference, two deployment upgrades:
+  * Beyond the reference, the deployment upgrades:
   *
   *   - FLEET mode: `--log` repeated (or comma-separated) tails N server
   *     logs through ONE merge and one `/metrics` endpoint, every series
   *     labeled `server="<path>"` and query-id state keyed per server
-  *     ([[graft.streaming.MetricsServing.serveIncrementalFleet]]). One
+  *     ([[graft.streaming.MetricsServing.serveIncrementalFleet]]); glob
+  *     entries re-expand per poll (elastic membership). One literal
   *     `--log` keeps the reference's exact label-free exposition.
-  *   - `--jdbc <url> [--jdbc-table <name>]` additionally lands every
-  *     micro-batch's metric delta exactly-once in a warehouse table off
-  *     the SAME merge and checkpoint
-  *     ([[graft.streaming.MetricsJdbcUpsert]] — the BASELINE "Structured
-  *     Streaming + warehouse sink" shape). The upsert writer needs a
-  *     transactional JDBC backend (Derby is what the specs drive;
-  *     PostgreSQL/MySQL fit the same contract); ClickHouse itself uses
-  *     the append-only dialect ([[graft.streaming.MetricsJdbcAppend]]).
+  *   - `--jdbc <url> [--jdbc-table <name>] [--jdbc-dialect upsert|append]`
+  *     additionally lands every micro-batch's metric delta exactly-once in
+  *     a warehouse table off the SAME merge and checkpoint (the BASELINE
+  *     "Structured Streaming + warehouse sink" shape). `upsert`
+  *     ([[graft.streaming.MetricsJdbcUpsert]]) fits transactional backends
+  *     (Derby spec'd; PostgreSQL/MySQL same contract); `append`
+  *     ([[graft.streaming.MetricsJdbcAppend]]) is the ClickHouse
+  *     SummingMergeTree shape — tagged delta INSERTs, fold on read.
+  *   - `--resume-from-jdbc` seeds the scrape registry from the warehouse
+  *     snapshot at start, so counters CONTINUE across restarts instead of
+  *     resetting ([[graft.streaming.PromRegistry.seedFrom]]; replayed
+  *     batches fold exactly once).
+  *   - `--max-bytes-per-trigger <n>` bounds each micro-batch's admission
+  *     per tailed file (line-aligned; backlog drains incrementally instead
+  *     of one giant first batch), and the self-telemetry block (`graft_*`,
+  *     `--no-self-metrics` opts out) exposes the live backlog gauge plus
+  *     scrape/batch/state health ([[graft.streaming.ExporterTelemetry]]).
   */
 object Exporter {
 
@@ -46,6 +56,7 @@ object Exporter {
       checkpoint: Option[String] = None,
       jdbcUrl: Option[String] = None,
       jdbcTable: String = "metrics",
+      jdbcDialect: String = "upsert",
       maxBytesPerTrigger: Long = 0L,
       selfMetrics: Boolean = true,
       resumeFromJdbc: Boolean = false) {
@@ -67,6 +78,10 @@ object Exporter {
       // MetricsJdbcUpsert's scaladoc for the ClickHouse-native mapping)
       case "--jdbc" :: v :: t => loop(t, c.copy(jdbcUrl = Some(v)), logs)
       case "--jdbc-table" :: v :: t => loop(t, c.copy(jdbcTable = v), logs)
+      // upsert (transactional backends: Derby/PostgreSQL/MySQL) or append
+      // (the ClickHouse SummingMergeTree shape: tagged delta INSERTs,
+      // fold-on-read through <table>_folded)
+      case "--jdbc-dialect" :: v :: t => loop(t, c.copy(jdbcDialect = v), logs)
       // beyond-reference: admission control for the backlog case — with
       // `--from-start` on a big log (or a restart after downtime) each
       // micro-batch admits at most this many new bytes per tailed file,
@@ -86,8 +101,8 @@ object Exporter {
       case other :: _ => throw new IllegalArgumentException(
         s"unknown flag: $other (supported: --log <file>[,<file>…] (repeatable) " +
           "--listen <host:port> --from-start --checkpoint <dir> " +
-          "--jdbc <url> --jdbc-table <name> --max-bytes-per-trigger <n> " +
-          "--no-self-metrics --resume-from-jdbc)")
+          "--jdbc <url> --jdbc-table <name> --jdbc-dialect upsert|append " +
+          "--max-bytes-per-trigger <n> --no-self-metrics --resume-from-jdbc)")
     }
     loop(args.toList, Config(), Vector.empty)
   }
@@ -107,7 +122,7 @@ object Exporter {
     val ckpt = config.checkpoint.getOrElse(
       Files.createTempDirectory("graft-exporter-ckpt").toString)
     val jdbc = config.jdbcUrl.map(u =>
-      graft.streaming.MetricsJdbcUpsert.Target(u, config.jdbcTable))
+      graft.streaming.MetricsJdbcSink(config.jdbcDialect, u, config.jdbcTable))
     val singleLiteral = config.logs.size == 1 &&
       !graft.sources.TailFleetSource.isGlob(config.log)
     val telemetry =

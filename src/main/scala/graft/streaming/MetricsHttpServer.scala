@@ -140,7 +140,7 @@ object MetricsServing {
     * the warehouse sink share one merge, one checkpoint. */
   def serveIncrementalTail(spark: SparkSession, path: String, server: MetricsHttpServer,
       checkpointDir: String, fromStart: Boolean = false,
-      jdbc: Option[MetricsJdbcUpsert.Target] = None,
+      jdbc: Option[MetricsJdbcSink] = None,
       maxBytesPerTrigger: Long = 0L,
       telemetry: Option[ExporterTelemetry] = None,
       resumeFromJdbc: Boolean = false): StreamingQuery = {
@@ -168,11 +168,11 @@ object MetricsServing {
   def serveIncrementalFleet(spark: SparkSession, paths: Seq[String],
       server: MetricsHttpServer, checkpointDir: String,
       fromStart: Boolean = false,
-      jdbc: Option[MetricsJdbcUpsert.Target] = None,
+      jdbc: Option[MetricsJdbcSink] = None,
       maxBytesPerTrigger: Long = 0L,
       telemetry: Option[ExporterTelemetry] = None,
       resumeFromJdbc: Boolean = false): StreamingQuery = {
-    jdbc.foreach(MetricsJdbcUpsert.ensureTables)
+    jdbc.foreach(_.ensureTables())
     val resumed = resumeFromJdbc && jdbc.nonEmpty
     require(!resumeFromJdbc || jdbc.nonEmpty,
       "resumeFromJdbc needs a JDBC target to seed from")
@@ -190,7 +190,7 @@ object MetricsServing {
     // table so the scrape surface CONTINUES across the restart (and serve
     // the resumed values before the first micro-batch lands)
     if (resumed) {
-      jdbc.foreach(t => registry.seedFrom(MetricsJdbcUpsert.snapshot(t)))
+      jdbc.foreach(t => registry.seedFrom(t.snapshot()))
       server.update(registry.render())
     }
     val outs = StreamingMerge.fleetMergeWithDelivery(lines, timeoutMs = 0L)
@@ -199,7 +199,7 @@ object MetricsServing {
       .foreachBatch { (batch: Dataset[StreamingMerge.MergeOut], batchId: Long) =>
         val evs = batch.persist()
         try {
-          val applied = jdbc.forall(t => MetricsJdbcUpsert.writeDelta(t,
+          val applied = jdbc.forall(_.writeDelta(
             MetricsJdbcUpsert.ledgerSource(checkpointDir), evs, batchId))
           // a ledger-replayed batch is already IN the seeded snapshot: a
           // resumed registry must skip the fold or double-count it; a
@@ -221,16 +221,16 @@ object MetricsServing {
   private def serveIncrementalLines(spark: SparkSession, seqLines: DataFrame,
       server: MetricsHttpServer, checkpointDir: String,
       availableNow: Boolean,
-      jdbc: Option[MetricsJdbcUpsert.Target] = None,
+      jdbc: Option[MetricsJdbcSink] = None,
       telemetry: Option[ExporterTelemetry] = None,
       resumeFromJdbc: Boolean = false): StreamingQuery = {
-    jdbc.foreach(MetricsJdbcUpsert.ensureTables)
+    jdbc.foreach(_.ensureTables())
     val resumed = resumeFromJdbc && jdbc.nonEmpty
     require(!resumeFromJdbc || jdbc.nonEmpty,
       "resumeFromJdbc needs a JDBC target to seed from")
     val registry = new PromRegistry
     if (resumed) {
-      jdbc.foreach(t => registry.seedFrom(MetricsJdbcUpsert.snapshot(t)))
+      jdbc.foreach(t => registry.seedFrom(t.snapshot()))
       server.update(registry.render())
     }
 
@@ -252,7 +252,7 @@ object MetricsServing {
         // the source range / parse / state-store replay runs ONCE
         val evs = batch.persist()
         try {
-          val applied = jdbc.forall(t => MetricsJdbcUpsert.writeDelta(t,
+          val applied = jdbc.forall(_.writeDelta(
             MetricsJdbcUpsert.ledgerSource(checkpointDir), evs, batchId))
           // everything but "record" is bounded: observation events by the
           // reference's observe sites, delivery events pre-aggregated to

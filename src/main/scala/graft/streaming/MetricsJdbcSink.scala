@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+
+import graft.streaming.StreamingMerge.MergeOut
+
+/** The dialect seam between the serving pipeline and a JDBC metric
+  * backend: both dialects share the delta computation
+  * ([[MetricsJdbcUpsert.deltaRows]]) and the per-batch contract (land the
+  * delta exactly-once keyed by `(source, batchId)`, report a replay as
+  * `false` so a resumed registry skips its fold too) — they differ only in
+  * HOW a delta lands and where the cumulative rows are read back from.
+  *
+  *   - [[UpsertJdbcSink]]: transactional backends (Derby, PostgreSQL,
+  *     MySQL) — `UPDATE`-folded keyed table + batch-id ledger; resume
+  *     snapshot reads the table itself.
+  *   - [[AppendJdbcSink]]: the ClickHouse SummingMergeTree shape — tagged
+  *     delta INSERTs, fold on the read side; resume snapshot reads the
+  *     fold view (`<table>_folded`), which is exactly the surface a
+  *     ClickHouse deployment queries.
+  */
+sealed trait MetricsJdbcSink {
+  /** Create backing tables/views if absent; idempotent. */
+  def ensureTables(): Unit
+  /** Land one micro-batch's delta; false = replay, skipped whole. */
+  def writeDelta(source: String, batch: Dataset[MergeOut], batchId: Long): Boolean
+  /** Cumulative `(metric, labels, le, value)` rows — the registry-resume
+    * seed ([[PromRegistry.seedFrom]]). */
+  def snapshot(): Seq[(String, String, String, Long)]
+}
+
+object MetricsJdbcSink {
+  /** Resolve a CLI dialect name. */
+  def apply(dialect: String, url: String, table: String): MetricsJdbcSink =
+    dialect match {
+      case "upsert" => UpsertJdbcSink(MetricsJdbcUpsert.Target(url, table))
+      case "append" => AppendJdbcSink(MetricsJdbcAppend.Target(url, table))
+      case other => throw new IllegalArgumentException(
+        s"unknown jdbc dialect: $other (supported: upsert, append)")
+    }
+}
+
+final case class UpsertJdbcSink(t: MetricsJdbcUpsert.Target) extends MetricsJdbcSink {
+  override def ensureTables(): Unit = MetricsJdbcUpsert.ensureTables(t)
+  override def writeDelta(source: String, batch: Dataset[MergeOut],
+      batchId: Long): Boolean = MetricsJdbcUpsert.writeDelta(t, source, batch, batchId)
+  override def snapshot(): Seq[(String, String, String, Long)] =
+    MetricsJdbcUpsert.snapshot(t)
+}
+
+final case class AppendJdbcSink(t: MetricsJdbcAppend.Target) extends MetricsJdbcSink {
+  override def ensureTables(): Unit = MetricsJdbcAppend.ensureTables(t)
+  override def writeDelta(source: String, batch: Dataset[MergeOut],
+      batchId: Long): Boolean = {
+    val delta = MetricsJdbcUpsert.deltaRows(batch).collect().toSeq.map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    MetricsJdbcAppend.applyDelta(t, source, batchId, delta)
+  }
+  override def snapshot(): Seq[(String, String, String, Long)] = {
+    val conn = t.connect()
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT metric, labels, le, value FROM ${t.folded}")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
+      while (rs.next())
+        buf += ((rs.getString(1), rs.getString(2), rs.getString(3), rs.getLong(4)))
+      buf.toSeq
+    } finally conn.close()
+  }
+}

@@ -169,4 +169,58 @@ class RegistryResumeSpec extends SparkSpec {
         s"without resume the registry is volatile, like the reference: $body")
     } finally { q3.stop(); srv3.stop(0) }
   }
+
+  test("append dialect through the exporter: deltas land fold-on-read; resume seeds from the folded view") {
+    import graft.streaming.{AppendJdbcSink, MetricsJdbcAppend}
+    val f = Files.createTempFile("graft-resume-app", ".log")
+    val ckpt = Files.createTempDirectory("graft-resume-app-ckpt").toString
+    val db = s"memory:resumeapp${java.util.UUID.randomUUID().toString.take(8)}"
+    val url = s"jdbc:derby:$db;create=true"
+    val dt = "2024.03.01 12:00:01.000000"
+    def append(s: String): Unit =
+      Files.write(f, (s + "\n").getBytes, StandardOpenOption.APPEND)
+    def config = Exporter.Config(logs = Seq(f.toString), listen = "127.0.0.1:0",
+      fromStart = true, checkpoint = Some(ckpt), jdbcUrl = Some(url),
+      jdbcDialect = "append", selfMetrics = false)
+    assert(Exporter.parseArgs(Seq("--jdbc-dialect", "append")).jdbcDialect == "append")
+    intercept[IllegalArgumentException] {
+      graft.streaming.MetricsJdbcSink("bogus", url, "metrics")
+    }
+
+    append(s"$dt [ 7 ] {a1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1")
+    append(s"$dt [ 7 ] {a2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2")
+    val (srv1, q1) = Exporter.run(spark, config)
+    try {
+      val deadline = System.nanoTime() + 90000L * 1000000L
+      var body = get(s"http://127.0.0.1:${srv1.boundPort}/metrics")
+      while (!body.contains("""clickhouse_query_count{stmt_type="select"} 2""") &&
+          System.nanoTime() < deadline) {
+        q1.processAllAvailable(); Thread.sleep(100)
+        body = get(s"http://127.0.0.1:${srv1.boundPort}/metrics")
+      }
+      assert(body.contains("""clickhouse_query_count{stmt_type="select"} 2"""))
+    } finally { q1.stop(); srv1.stop(0) }
+
+    // the folded view (what a ClickHouse deployment queries) agrees with
+    // the registry, and is what resume seeds from
+    val sink = AppendJdbcSink(MetricsJdbcAppend.Target(url, "metrics"))
+    assert(sink.snapshot().exists {
+      case ("clickhouse_query_count", "type=select", "", 2L) => true
+      case _ => false
+    }, s"folded view must hold the summed deltas: ${sink.snapshot().take(10)}")
+
+    append(s"$dt [ 7 ] {a3} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 3")
+    val (srv2, q2) = Exporter.run(spark, config.copy(resumeFromJdbc = true))
+    try {
+      q2.processAllAvailable()
+      Thread.sleep(100)
+      val body = get(s"http://127.0.0.1:${srv2.boundPort}/metrics")
+      assert(body.contains("""clickhouse_query_count{stmt_type="select"} 3"""),
+        s"resume must seed 2 from the folded view and fold the new 1: $body")
+      // scrape ≡ the folded view at the batch boundary, byte for byte
+      val fromView = new PromRegistry
+      fromView.seedFrom(sink.snapshot())
+      assert(get(s"http://127.0.0.1:${srv2.boundPort}/metrics") == fromView.render())
+    } finally { q2.stop(); srv2.stop(0) }
+  }
 }
