@@ -132,6 +132,88 @@ object MetricsJdbcAppend {
     } finally conn.close()
   }
 
+  /** COMPACTION — the relational analog of ClickHouse's background merges
+    * the class doc leaves to the backend: fold all of `source`'s delta rows
+    * at or below its current max batch id into ONE summed batch (~150 N
+    * rows → ~150 + N), leaving the fold view's output bit-identical.
+    *
+    * The replay-safety wrinkle is WHY this isn't a plain `GROUP BY` rewrite:
+    * [[applyDelta]]'s idempotence is the presence of ANY row tagged
+    * `(source, batchId)`, so compaction must keep one `__batch_marker` row
+    * per compacted batch id (the summed rows themselves carry the max id) —
+    * naively summing away the tags would make every old batch's replay
+    * "unseen" and re-land it, silently double-counting after a crash.
+    * Safe concurrent with a live writer: the fold and the delete share one
+    * transaction capped at the max id read first, and a new batch's id is
+    * strictly greater. Returns the net row-count reduction. */
+  def compact(t: Target, source: String): Int = {
+    val conn = t.connect()
+    try {
+      conn.setAutoCommit(false)
+      try {
+        val ids = {
+          val st = conn.prepareStatement(
+            s"SELECT batch_id FROM ${t.deltas} WHERE source = ? GROUP BY batch_id")
+          try {
+            st.setString(1, source)
+            val rs = st.executeQuery()
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            try { while (rs.next()) buf += rs.getLong(1) } finally rs.close()
+            buf.toSeq
+          } finally st.close()
+        }
+        if (ids.size <= 1) { conn.rollback(); return 0 } // nothing to fold
+        val maxId = ids.max
+        // the view's own dedup-then-sum, capped at maxId (concurrent
+        // writers only ever append ids > maxId)
+        val summed = {
+          val st = conn.prepareStatement(
+            s"""SELECT metric, labels, le, SUM(value) FROM (
+               |  SELECT metric, labels, le, batch_id, MAX(value) AS value
+               |  FROM ${t.deltas}
+               |  WHERE source = ? AND batch_id <= ? AND metric <> '__batch_marker'
+               |  GROUP BY metric, labels, le, batch_id) d
+               |GROUP BY metric, labels, le""".stripMargin)
+          try {
+            st.setString(1, source); st.setLong(2, maxId)
+            val rs = st.executeQuery()
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
+            try {
+              while (rs.next())
+                buf += ((rs.getString(1), rs.getString(2), rs.getString(3), rs.getLong(4)))
+            } finally rs.close()
+            buf.toSeq
+          } finally st.close()
+        }
+        val deleted = {
+          val st = conn.prepareStatement(
+            s"DELETE FROM ${t.deltas} WHERE source = ? AND batch_id <= ?")
+          try { st.setString(1, source); st.setLong(2, maxId); st.executeUpdate() }
+          finally st.close()
+        }
+        // summed rows carry maxId; every OTHER compacted id keeps a marker
+        // (and maxId too when the sum is empty — all-marker batches must
+        // still probe as seen)
+        val markers = ids.filter(_ != maxId).map(id =>
+          ("__batch_marker", "", "", 0L, id)) ++
+          (if (summed.isEmpty) Seq(("__batch_marker", "", "", 0L, maxId)) else Nil)
+        val ins = conn.prepareStatement(
+          s"INSERT INTO ${t.deltas} (metric, labels, le, value, source, batch_id) " +
+            "VALUES (?, ?, ?, ?, ?, ?)")
+        try {
+          (summed.map { case (m, l, le, v) => (m, l, le, v, maxId) } ++ markers)
+            .foreach { case (m, l, le, v, id) =>
+              ins.setString(1, m); ins.setString(2, l); ins.setString(3, le)
+              ins.setLong(4, v); ins.setString(5, source); ins.setLong(6, id)
+              ins.executeUpdate()
+            }
+        } finally ins.close()
+        conn.commit()
+        deleted - summed.size - markers.size
+      } catch { case e: Throwable => conn.rollback(); throw e }
+    } finally conn.close()
+  }
+
   /** The `foreachBatch` function — same contract as
     * [[MetricsJdbcUpsert.writer]], append dialect. */
   def writer(t: Target, source: String): (Dataset[MergeOut], Long) => Unit = { (batch, batchId) =>

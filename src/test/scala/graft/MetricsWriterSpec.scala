@@ -222,4 +222,78 @@ class MetricsWriterSpec extends SparkSpec {
     assert(MetricsJdbcAppend.applyDelta(tA, "otherq", 0L, Seq.empty))
     assert(rowsOf(tA.folded) == a2, "an empty batch leaves the fold unchanged")
   }
+
+  test("append-table compaction: fold view bit-identical, replays still skipped, rows shrink") {
+    import graft.streaming.MetricsJdbcAppend
+    val db = s"memory:compact${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = MetricsJdbcAppend.Target(s"jdbc:derby:$db;create=true", "m")
+    MetricsJdbcAppend.ensureTables(t)
+
+    def view(): Set[(String, String, String, Long)] = {
+      val conn = t.connect()
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT metric, labels, le, value FROM ${t.folded}")
+        val buf = scala.collection.mutable.Set.empty[(String, String, String, Long)]
+        while (rs.next())
+          buf += ((rs.getString(1), rs.getString(2), rs.getString(3), rs.getLong(4)))
+        buf.toSet
+      } finally conn.close()
+    }
+    def deltaCount(): Int = {
+      val conn = t.connect()
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT COUNT(*) FROM ${t.deltas}")
+        rs.next(); rs.getInt(1)
+      } finally conn.close()
+    }
+
+    assert(MetricsJdbcAppend.applyDelta(t, "q1", 0L,
+      Seq(("clickhouse_query_count", "type=select", "", 2L),
+        ("chlogexporter_read_lines", "", "", 3L))))
+    assert(MetricsJdbcAppend.applyDelta(t, "q1", 1L,
+      Seq(("clickhouse_query_count", "type=select", "", 1L),
+        ("clickhouse_query_count", "type=insert", "", 4L),
+        ("chlogexporter_read_lines", "", "", 2L))))
+    assert(MetricsJdbcAppend.applyDelta(t, "q1", 2L, Seq.empty)) // marker-only batch
+
+    val before = view()
+    val countBefore = deltaCount()
+    assert(before.contains(("clickhouse_query_count", "type=select", "", 3L)))
+    assert(before.contains(("chlogexporter_read_lines", "", "", 5L)))
+
+    val shrunk = MetricsJdbcAppend.compact(t, "q1")
+    assert(shrunk > 0, "three batches must fold into fewer rows")
+    assert(deltaCount() == countBefore - shrunk)
+    assert(view() == before, "compaction must not move the fold view")
+
+    // replay-safety: every compacted batch id still probes as SEEN — a
+    // crash-replay of an old batch must not re-land and double-count
+    for (id <- 0L to 2L)
+      assert(!MetricsJdbcAppend.applyDelta(t, "q1", id,
+        Seq(("clickhouse_query_count", "type=select", "", 999L))),
+        s"compacted batch $id must still be skipped on replay")
+    assert(view() == before)
+
+    // new batches land past the compaction and fold in
+    assert(MetricsJdbcAppend.applyDelta(t, "q1", 3L,
+      Seq(("clickhouse_query_count", "type=select", "", 10L))))
+    assert(view().contains(("clickhouse_query_count", "type=select", "", 13L)))
+
+    // compacting again (single real batch + markers) keeps converging or
+    // no-ops, never corrupts
+    val v = view()
+    MetricsJdbcAppend.compact(t, "q1")
+    assert(view() == v)
+    // a single-batch source is a no-op
+    assert(MetricsJdbcAppend.compact(t, "seed") == 0)
+
+    // an ALL-MARKER source (only empty batches) keeps its ids probed-seen
+    assert(MetricsJdbcAppend.applyDelta(t, "q2", 0L, Seq.empty))
+    assert(MetricsJdbcAppend.applyDelta(t, "q2", 1L, Seq.empty))
+    MetricsJdbcAppend.compact(t, "q2")
+    assert(!MetricsJdbcAppend.applyDelta(t, "q2", 0L, Seq.empty))
+    assert(!MetricsJdbcAppend.applyDelta(t, "q2", 1L, Seq.empty))
+  }
 }
