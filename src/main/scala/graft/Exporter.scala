@@ -57,6 +57,7 @@ object Exporter {
       jdbcUrl: Option[String] = None,
       jdbcTable: String = "metrics",
       jdbcDialect: String = "upsert",
+      jdbcCompactEvery: Int = 0,
       maxBytesPerTrigger: Long = 0L,
       selfMetrics: Boolean = true,
       resumeFromJdbc: Boolean = false) {
@@ -82,6 +83,10 @@ object Exporter {
       // (the ClickHouse SummingMergeTree shape: tagged delta INSERTs,
       // fold-on-read through <table>_folded)
       case "--jdbc-dialect" :: v :: t => loop(t, c.copy(jdbcDialect = v), logs)
+      // append dialect: fold the delta table back to ~one batch per source
+      // every N applied batches (bounded table for a long-running exporter)
+      case "--jdbc-compact-every" :: v :: t =>
+        loop(t, c.copy(jdbcCompactEvery = v.toInt), logs)
       // beyond-reference: admission control for the backlog case — with
       // `--from-start` on a big log (or a restart after downtime) each
       // micro-batch admits at most this many new bytes per tailed file,
@@ -102,7 +107,8 @@ object Exporter {
         s"unknown flag: $other (supported: --log <file>[,<file>…] (repeatable) " +
           "--listen <host:port> --from-start --checkpoint <dir> " +
           "--jdbc <url> --jdbc-table <name> --jdbc-dialect upsert|append " +
-          "--max-bytes-per-trigger <n> --no-self-metrics --resume-from-jdbc)")
+          "--jdbc-compact-every <n> --max-bytes-per-trigger <n> " +
+          "--no-self-metrics --resume-from-jdbc)")
     }
     loop(args.toList, Config(), Vector.empty)
   }
@@ -122,7 +128,8 @@ object Exporter {
     val ckpt = config.checkpoint.getOrElse(
       Files.createTempDirectory("graft-exporter-ckpt").toString)
     val jdbc = config.jdbcUrl.map(u =>
-      graft.streaming.MetricsJdbcSink(config.jdbcDialect, u, config.jdbcTable))
+      graft.streaming.MetricsJdbcSink(config.jdbcDialect, u, config.jdbcTable,
+        config.jdbcCompactEvery))
     val singleLiteral = config.logs.size == 1 &&
       !graft.sources.TailFleetSource.isGlob(config.log)
     val telemetry =

@@ -31,10 +31,12 @@ sealed trait MetricsJdbcSink {
 
 object MetricsJdbcSink {
   /** Resolve a CLI dialect name. */
-  def apply(dialect: String, url: String, table: String): MetricsJdbcSink =
+  def apply(dialect: String, url: String, table: String,
+      compactEvery: Int = 0): MetricsJdbcSink =
     dialect match {
       case "upsert" => UpsertJdbcSink(MetricsJdbcUpsert.Target(url, table))
-      case "append" => AppendJdbcSink(MetricsJdbcAppend.Target(url, table))
+      case "append" =>
+        AppendJdbcSink(MetricsJdbcAppend.Target(url, table), compactEvery)
       case other => throw new IllegalArgumentException(
         s"unknown jdbc dialect: $other (supported: upsert, append)")
     }
@@ -48,13 +50,24 @@ final case class UpsertJdbcSink(t: MetricsJdbcUpsert.Target) extends MetricsJdbc
     MetricsJdbcUpsert.snapshot(t)
 }
 
-final case class AppendJdbcSink(t: MetricsJdbcAppend.Target) extends MetricsJdbcSink {
+/** @param compactEvery fold the append table back to ~one batch per
+  *   source every N APPLIED batches (0 = never): the operational form of
+  *   [[MetricsJdbcAppend.compact]], keeping a long-running exporter's delta
+  *   table bounded the way ClickHouse's background merges would. Replayed
+  *   batches don't count toward the cadence (their deltas never landed). */
+final case class AppendJdbcSink(t: MetricsJdbcAppend.Target,
+    compactEvery: Int = 0) extends MetricsJdbcSink {
+  private val applied = new java.util.concurrent.atomic.AtomicLong(0L)
   override def ensureTables(): Unit = MetricsJdbcAppend.ensureTables(t)
   override def writeDelta(source: String, batch: Dataset[MergeOut],
       batchId: Long): Boolean = {
     val delta = MetricsJdbcUpsert.deltaRows(batch).collect().toSeq.map(r =>
       (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
-    MetricsJdbcAppend.applyDelta(t, source, batchId, delta)
+    val landed = MetricsJdbcAppend.applyDelta(t, source, batchId, delta)
+    if (landed && compactEvery > 0 &&
+        applied.incrementAndGet() % compactEvery == 0)
+      MetricsJdbcAppend.compact(t, source)
+    landed
   }
   override def snapshot(): Seq[(String, String, String, Long)] = {
     val conn = t.connect()

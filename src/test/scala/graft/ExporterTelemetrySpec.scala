@@ -111,6 +111,37 @@ class ExporterTelemetrySpec extends SparkSpec {
     }
   }
 
+  test("fleet telemetry: one backlog series per server, labeled") {
+    val a = Files.createTempFile("graft-telemetry-fa", ".log")
+    val b = Files.createTempFile("graft-telemetry-fb", ".log")
+    val dt = "2024.03.01 12:00:01.000000"
+    Files.write(a,
+      s"$dt [ 7 ] {fa1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1\n".getBytes)
+    Files.write(b,
+      s"$dt [ 7 ] {fb1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2\n".getBytes)
+    val (server, query) = Exporter.run(spark, Exporter.Config(
+      logs = Seq(a.toString, b.toString), listen = "127.0.0.1:0", fromStart = true))
+    try {
+      val wantA = s"""graft_tail_backlog_bytes{server="$a"} 0"""
+      val wantB = s"""graft_tail_backlog_bytes{server="$b"} 0"""
+      val deadline = System.nanoTime() + 90000L * 1000000L
+      var body = get(s"http://127.0.0.1:${server.boundPort}/metrics")
+      while (!(body.contains(wantA) && body.contains(wantB)) &&
+          System.nanoTime() < deadline) {
+        query.processAllAvailable()
+        Thread.sleep(100) // listener bus is async
+        body = get(s"http://127.0.0.1:${server.boundPort}/metrics")
+      }
+      assert(body.contains(wantA) && body.contains(wantB),
+        s"per-server drained backlog gauges expected: $body")
+      // ... alongside the server-labeled data series from the fleet registry
+      assert(body.contains(s"""clickhouse_query_count{server="$a",stmt_type="select"} 1"""))
+    } finally {
+      query.stop()
+      server.stop(0)
+    }
+  }
+
   test("--no-self-metrics restores the reference's exact data-only exposition") {
     assert(!Exporter.parseArgs(Seq("--no-self-metrics")).selfMetrics)
     assert(Exporter.parseArgs(Nil).selfMetrics)

@@ -223,4 +223,57 @@ class RegistryResumeSpec extends SparkSpec {
       assert(get(s"http://127.0.0.1:${srv2.boundPort}/metrics") == fromView.render())
     } finally { q2.stop(); srv2.stop(0) }
   }
+
+  test("--jdbc-compact-every keeps the append table bounded while the scrape stays exact") {
+    import graft.streaming.MetricsJdbcAppend
+    val f = Files.createTempFile("graft-compact-cli", ".log")
+    val ckpt = Files.createTempDirectory("graft-compact-cli-ckpt").toString
+    val db = s"memory:compactcli${java.util.UUID.randomUUID().toString.take(8)}"
+    val url = s"jdbc:derby:$db;create=true"
+    val dt = "2024.03.01 12:00:01.000000"
+    assert(Exporter.parseArgs(Seq("--jdbc-compact-every", "2")).jdbcCompactEvery == 2)
+    val (srv, q) = Exporter.run(spark, Exporter.Config(
+      logs = Seq(f.toString), listen = "127.0.0.1:0", fromStart = true,
+      checkpoint = Some(ckpt), jdbcUrl = Some(url), jdbcDialect = "append",
+      jdbcCompactEvery = 2, selfMetrics = false))
+    try {
+      // six separate micro-batches (one appended line each, drained between)
+      for (i <- 1 to 6) {
+        Files.write(f,
+          s"$dt [ 7 ] {c$i} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT $i\n".getBytes,
+          StandardOpenOption.APPEND)
+        q.processAllAvailable()
+      }
+      val deadline = System.nanoTime() + 90000L * 1000000L
+      var body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      while (!body.contains("""clickhouse_query_count{stmt_type="select"} 6""") &&
+          System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+        body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      }
+      assert(body.contains("""clickhouse_query_count{stmt_type="select"} 6"""))
+
+      val t = MetricsJdbcAppend.Target(url, "metrics")
+      val src = graft.streaming.MetricsJdbcUpsert.ledgerSource(ckpt)
+      val conn = t.connect()
+      val (realBatches, totalBatches) = try {
+        def one(sql: String): Long = {
+          val rs = conn.createStatement().executeQuery(sql)
+          rs.next(); rs.getLong(1)
+        }
+        (one(s"SELECT COUNT(DISTINCT batch_id) FROM ${t.deltas} " +
+          s"WHERE source = '$src' AND metric <> '__batch_marker'"),
+         one(s"SELECT COUNT(DISTINCT batch_id) FROM ${t.deltas} WHERE source = '$src'"))
+      } finally conn.close()
+      // ≥6 applied batches compacted every 2: real delta rows live under at
+      // most compactEvery batch ids; every id keeps a presence row
+      assert(realBatches <= 2L,
+        s"compaction must bound the uncompacted tail: $realBatches real-batch ids")
+      assert(totalBatches >= 6L, "every batch id must stay probed-seen")
+      // and the folded view still equals what the registry serves
+      val fromView = new PromRegistry
+      fromView.seedFrom(graft.streaming.AppendJdbcSink(t).snapshot())
+      assert(get(s"http://127.0.0.1:${srv.boundPort}/metrics") == fromView.render())
+    } finally { q.stop(); srv.stop(0) }
+  }
 }
