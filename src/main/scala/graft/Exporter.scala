@@ -145,6 +145,7 @@ object Exporter {
           spark, config.logs, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
           maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
           resumeFromJdbc = config.resumeFromJdbc)
+    server.health(() => query.isActive) // /healthz: 503 once the stream dies
     (server, query)
   }
 

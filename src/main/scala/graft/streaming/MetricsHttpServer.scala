@@ -24,25 +24,67 @@ final class MetricsHttpServer(port: Int = 0, host: String = "0.0.0.0") {
 
   @volatile private var body: String = ""
   @volatile private var telemetry: Option[ExporterTelemetry] = None
+  @volatile private var healthProbe: () => Boolean = () => true
+
+  /** Respond on `x`: status + body, gzip-encoded when the client offered it
+    * (Prometheus scrapers send `Accept-Encoding: gzip`; at scrape rates the
+    * exposition compresses ~10×). */
+  private def respond(x: HttpExchange, status: Int, contentType: String,
+      text: String): Unit = {
+    val raw = text.getBytes(StandardCharsets.UTF_8)
+    val acceptsGzip = Option(x.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.split(",").map(_.trim.takeWhile(_ != ';'))
+        .contains("gzip"))
+    val bytes = if (acceptsGzip && status == 200) {
+      x.getResponseHeaders.set("Content-Encoding", "gzip")
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      try gz.write(raw) finally gz.close()
+      bos.toByteArray
+    } else raw
+    x.getResponseHeaders.set("Content-Type", contentType)
+    x.sendResponseHeaders(status, bytes.length)
+    val os = x.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private val Text = "text/plain; version=0.0.4; charset=utf-8"
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.createContext("/metrics", new HttpHandler {
-    override def handle(x: HttpExchange): Unit = {
-      val ok = x.getRequestMethod == "GET"
-      val t = telemetry
-      if (ok) t.foreach(_.onScrape())
-      val bytes = (if (ok) body + t.map(_.render()).getOrElse("")
-        else "method not allowed\n")
-        .getBytes(StandardCharsets.UTF_8)
-      x.getResponseHeaders.set("Content-Type",
-        "text/plain; version=0.0.4; charset=utf-8")
-      x.sendResponseHeaders(if (ok) 200 else 405, bytes.length)
-      val os = x.getResponseBody
-      try os.write(bytes) finally os.close()
-    }
+    override def handle(x: HttpExchange): Unit =
+      if (x.getRequestMethod != "GET") respond(x, 405, Text, "method not allowed\n")
+      else {
+        val t = telemetry
+        t.foreach(_.onScrape())
+        respond(x, 200, Text, body + t.map(_.render()).getOrElse(""))
+      }
+  })
+  // the ops surface every production exporter carries beside /metrics:
+  // readiness (is the streaming query alive?) and a human landing page
+  server.createContext("/healthz", new HttpHandler {
+    override def handle(x: HttpExchange): Unit =
+      if (x.getRequestMethod != "GET") respond(x, 405, Text, "method not allowed\n")
+      else if (healthProbe()) respond(x, 200, Text, "ok\n")
+      else respond(x, 503, Text, "unhealthy\n")
+  })
+  server.createContext("/", new HttpHandler {
+    override def handle(x: HttpExchange): Unit =
+      if (x.getRequestURI.getPath != "/") respond(x, 404, Text, "not found\n")
+      else respond(x, 200, "text/html; charset=utf-8",
+        "<html><head><title>prometheus-clickhouselog-exporter</title></head>" +
+          "<body><h1>prometheus-clickhouselog-exporter</h1>" +
+          """<p><a href="/metrics">/metrics</a> · <a href="/healthz">/healthz</a></p>""" +
+          "</body></html>\n")
   })
 
   def start(): this.type = { server.start(); this }
+
+  /** Wire the readiness probe (the exporter points it at
+    * `query.isActive`); `/healthz` turns 503 the moment the streaming
+    * query dies, so an orchestrator restarts the pod instead of scraping a
+    * frozen registry forever. */
+  def health(probe: () => Boolean): this.type = { healthProbe = probe; this }
 
   /** Append `t`'s `graft_*` self-telemetry block to every served scrape
     * (and count the scrapes). Without it the exposition stays the

@@ -27,6 +27,61 @@ class MetricsHttpSpec extends SparkSpec {
     "2024.03.01 12:00:03.623456 [ 123 ] {q1} <Debug> MemoryTracker: Peak memory usage (for query): 1.05 GiB.",
     "2024.03.01 12:00:04.000000 [ 124 ] {orphan} <Error> executeQuery: Code: 60, e.displayText() = DB::Exception: nope")
 
+  test("ops surface: /healthz probe, / index, gzip negotiation, 405s") {
+    import graft.streaming.MetricsHttpServer
+    val server = new MetricsHttpServer(0, "127.0.0.1").start()
+    try {
+      server.update("chlogexporter_read_lines 7\n")
+
+      // default probe: healthy; wired probe flips it
+      assert(get(s"http://127.0.0.1:${server.boundPort}/healthz") == (200, "ok\n"))
+      @volatile var alive = true
+      server.health(() => alive)
+      assert(get(s"http://127.0.0.1:${server.boundPort}/healthz")._1 == 200)
+      alive = false
+      val conn = java.net.URI.create(
+        s"http://127.0.0.1:${server.boundPort}/healthz").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 503,
+        "a dead streaming query must turn readiness 503")
+      conn.disconnect()
+
+      // landing page links the two endpoints; unknown paths 404
+      val (ic, index) = get(s"http://127.0.0.1:${server.boundPort}/")
+      assert(ic == 200 && index.contains("/metrics") && index.contains("/healthz"))
+      val c404 = java.net.URI.create(
+        s"http://127.0.0.1:${server.boundPort}/nope").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(c404.getResponseCode == 404)
+      c404.disconnect()
+
+      // gzip negotiation: Accept-Encoding gzip → gzipped bytes that inflate
+      // to the identity body (telemetry-free here, so exactly the update)
+      val plain = get(s"http://127.0.0.1:${server.boundPort}/metrics")._2
+      val gz = java.net.URI.create(
+        s"http://127.0.0.1:${server.boundPort}/metrics").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      gz.setRequestProperty("Accept-Encoding", "gzip")
+      assert(gz.getResponseCode == 200)
+      assert(gz.getHeaderField("Content-Encoding") == "gzip")
+      val inflated = scala.io.Source.fromInputStream(
+        new java.util.zip.GZIPInputStream(gz.getInputStream), "UTF-8").mkString
+      gz.disconnect()
+      assert(inflated == plain, "gzip body must inflate to the identity body")
+      assert(plain == "chlogexporter_read_lines 7\n")
+
+      // non-GETs are 405 on every endpoint
+      for (path <- Seq("/metrics", "/healthz")) {
+        val post = java.net.URI.create(
+          s"http://127.0.0.1:${server.boundPort}$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        post.setRequestMethod("POST")
+        assert(post.getResponseCode == 405, s"POST $path")
+        post.disconnect()
+      }
+    } finally server.stop(0)
+  }
+
   test("pipeline serves the Prometheus exposition over HTTP; graceful shutdown") {
     val logDir = Files.createTempDirectory("graft-http-logs")
     val ckpt = Files.createTempDirectory("graft-http-ckpt")
