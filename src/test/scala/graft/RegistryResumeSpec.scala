@@ -224,6 +224,59 @@ class RegistryResumeSpec extends SparkSpec {
     } finally { q2.stop(); srv2.stop(0) }
   }
 
+  test("fleet resume: per-server counters continue across a restart, routed from server-labeled rows") {
+    val a = Files.createTempFile("graft-fleet-resume-a", ".log")
+    val b = Files.createTempFile("graft-fleet-resume-b", ".log")
+    val ckpt = Files.createTempDirectory("graft-fleet-resume-ckpt").toString
+    val db = s"memory:fleetresume${java.util.UUID.randomUUID().toString.take(8)}"
+    val url = s"jdbc:derby:$db;create=true"
+    val dt = "2024.03.01 12:00:01.000000"
+    def config = Exporter.Config(logs = Seq(a.toString, b.toString),
+      listen = "127.0.0.1:0", fromStart = true, checkpoint = Some(ckpt),
+      jdbcUrl = Some(url), selfMetrics = false)
+    def append(f: java.nio.file.Path, s: String): Unit =
+      Files.write(f, (s + "\n").getBytes, StandardOpenOption.APPEND)
+    def poll(srv: graft.streaming.MetricsHttpServer,
+        q: org.apache.spark.sql.streaming.StreamingQuery)(want: String*): String = {
+      val deadline = System.nanoTime() + 90000L * 1000000L
+      var body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      while (!want.forall(body.contains) && System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+        body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      }
+      body
+    }
+
+    // run 1: two selects on a, one on b
+    append(a, s"$dt [ 7 ] {f1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1")
+    append(a, s"$dt [ 7 ] {f2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2")
+    append(b, s"$dt [ 7 ] {f1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 3")
+    val (srv1, q1) = Exporter.run(spark, config)
+    poll(srv1, q1)(
+      s"""clickhouse_query_count{server="$a",stmt_type="select"} 2""",
+      s"""clickhouse_query_count{server="$b",stmt_type="select"} 1""")
+    q1.stop(); srv1.stop(0)
+
+    // restart with resume: each server's counters seed from ITS rows and
+    // keep counting independently
+    append(b, s"$dt [ 7 ] {f9} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 9")
+    val (srv2, q2) = Exporter.run(spark, config.copy(resumeFromJdbc = true))
+    try {
+      // the seeded values are served before the first post-restart batch
+      val seeded = get(s"http://127.0.0.1:${srv2.boundPort}/metrics")
+      assert(seeded.contains(
+        s"""clickhouse_query_count{server="$a",stmt_type="select"} 2"""),
+        s"seed must serve per-server values at start: $seeded")
+      val body = poll(srv2, q2)(
+        s"""clickhouse_query_count{server="$b",stmt_type="select"} 2""")
+      assert(body.contains(
+        s"""clickhouse_query_count{server="$a",stmt_type="select"} 2"""),
+        s"an idle server's counters must persist, not reset: $body")
+      assert(body.contains(s"""chlogexporter_read_lines{server="$a"} 2"""))
+      assert(body.contains(s"""chlogexporter_read_lines{server="$b"} 2"""))
+    } finally { q2.stop(); srv2.stop(0) }
+  }
+
   test("--jdbc-compact-every keeps the append table bounded while the scrape stays exact") {
     import graft.streaming.MetricsJdbcAppend
     val f = Files.createTempFile("graft-compact-cli", ".log")
