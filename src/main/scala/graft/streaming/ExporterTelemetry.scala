@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicLong
 
-import scala.collection.concurrent.TrieMap
 import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
@@ -37,8 +36,10 @@ final class ExporterTelemetry {
   @volatile private var lastBatchDurationMs = 0L
   @volatile private var lastBatchInputRows = 0L
   @volatile private var stateRows = 0L
-  /** server path -> unadmitted bytes; "" = the single-file (label-free) form. */
-  private val backlog = TrieMap.empty[String, Long]
+  /** server path -> unadmitted bytes; "" = the single-file (label-free)
+    * form. Swapped whole per progress event — a scrape never sees a
+    * half-updated gauge set. */
+  @volatile private var backlog = Map.empty[String, Long]
 
   /** Count one `/metrics` request. Incremented before the body renders, so
     * the serving scrape sees itself — the gauge of choice for "is anything
@@ -58,7 +59,7 @@ final class ExporterTelemetry {
         end <- Option(s.endOffset)
         latest <- Option(s.latestOffset)
         m <- ExporterTelemetry.backlogOf(end, latest)
-      } { backlog.clear(); backlog ++= m }
+      } backlog = m
     }
   }
 

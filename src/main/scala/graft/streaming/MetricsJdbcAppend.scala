@@ -197,6 +197,11 @@ object MetricsJdbcAppend {
         val markers = ids.filter(_ != maxId).map(id =>
           ("__batch_marker", "", "", 0L, id)) ++
           (if (summed.isEmpty) Seq(("__batch_marker", "", "", 0L, maxId)) else Nil)
+        // batches with DISJOINT key sets can fold to MORE rows than they
+        // held (summed keys + one marker per id > the originals): folding
+        // would grow the table, so leave it alone until enough batches
+        // share keys for the sum to pay
+        if (summed.size + markers.size >= deleted) { conn.rollback(); return 0 }
         val ins = conn.prepareStatement(
           s"INSERT INTO ${t.deltas} (metric, labels, le, value, source, batch_id) " +
             "VALUES (?, ?, ?, ?, ?, ?)")

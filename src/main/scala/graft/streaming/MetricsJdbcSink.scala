@@ -34,7 +34,10 @@ object MetricsJdbcSink {
   def apply(dialect: String, url: String, table: String,
       compactEvery: Int = 0): MetricsJdbcSink =
     dialect match {
-      case "upsert" => UpsertJdbcSink(MetricsJdbcUpsert.Target(url, table))
+      case "upsert" =>
+        require(compactEvery == 0,
+          "--jdbc-compact-every is an append-dialect knob (the upsert table is always one row per key)")
+        UpsertJdbcSink(MetricsJdbcUpsert.Target(url, table))
       case "append" =>
         AppendJdbcSink(MetricsJdbcAppend.Target(url, table), compactEvery)
       case other => throw new IllegalArgumentException(
