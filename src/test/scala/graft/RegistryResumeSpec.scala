@@ -277,6 +277,63 @@ class RegistryResumeSpec extends SparkSpec {
     } finally { q2.stop(); srv2.stop(0) }
   }
 
+  test("capstone: capped drain + rotation while down + resume — counters exact, nothing re-read") {
+    val f = Files.createTempFile("graft-capstone", ".log")
+    val ckpt = Files.createTempDirectory("graft-capstone-ckpt").toString
+    val db = s"memory:capstone${java.util.UUID.randomUUID().toString.take(8)}"
+    val url = s"jdbc:derby:$db;create=true"
+    val dt = "2024.03.01 12:00:01.000000"
+    def line(i: Int) = s"$dt [ 7 ] {cs$i} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT $i"
+    def config = Exporter.Config(logs = Seq(f.toString), listen = "127.0.0.1:0",
+      fromStart = true, checkpoint = Some(ckpt), jdbcUrl = Some(url),
+      maxBytesPerTrigger = 100) // ~one 90-byte line admitted per poll
+    def poll(srv: graft.streaming.MetricsHttpServer,
+        q: org.apache.spark.sql.streaming.StreamingQuery)(want: String): String = {
+      val deadline = System.nanoTime() + 90000L * 1000000L
+      var body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      while (!body.contains(want) && System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+        body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      }
+      body
+    }
+
+    // phase 1: four lines drained through ~100-byte micro-batches
+    Files.write(f, (1 to 4).map(line).mkString("", "\n", "\n").getBytes)
+    val (srv1, q1) = Exporter.run(spark, config)
+    val b1 = poll(srv1, q1)("chlogexporter_read_lines 4")
+    assert(b1.contains("""clickhouse_query_count{stmt_type="select"} 4"""))
+    // the cap forced a multi-batch drain (self-telemetry rides along)
+    assert("(?m)^graft_batches_total (\\d+)$".r.findFirstMatchIn(b1)
+      .exists(_.group(1).toLong >= 3L), s"4 lines / 100B budget needs >2 batches: $b1")
+    q1.stop(); srv1.stop(0)
+
+    // phase 2, while the exporter is DOWN: classic logrotate move+recreate
+    val aside = f.resolveSibling(f.getFileName.toString + ".1")
+    Files.move(f, aside)
+    Files.createFile(f)
+    Files.write(f, (5 to 6).map(line).mkString("", "\n", "\n").getBytes)
+
+    // phase 3: restart with resume — the checkpointed fileKey identifies the
+    // rotation that happened offline (epoch bump, read the NEW file from 0),
+    // the seed restores the four counted lines, the capped drain adds two
+    val (srv2, q2) = Exporter.run(spark, config.copy(resumeFromJdbc = true))
+    try {
+      val b2 = poll(srv2, q2)("chlogexporter_read_lines 6")
+      assert(b2.contains("""clickhouse_query_count{stmt_type="select"} 6"""),
+        s"4 resumed + 2 new, archived lines never re-read: $b2")
+      // scrape ≡ warehouse after everything
+      val t = MetricsJdbcUpsert.Target(url, "metrics")
+      val fromTable = new PromRegistry
+      fromTable.seedFrom(MetricsJdbcUpsert.snapshot(t))
+      val served = get(s"http://127.0.0.1:${srv2.boundPort}/metrics")
+      assert(served.startsWith(fromTable.render()),
+        "data families must equal the table rendering (telemetry block follows)")
+      // backlog gauge drained on the NEW epoch
+      assert(served.contains("graft_tail_backlog_bytes 0"))
+    } finally { q2.stop(); srv2.stop(0) }
+  }
+
   test("--jdbc-compact-every keeps the append table bounded while the scrape stays exact") {
     import graft.streaming.MetricsJdbcAppend
     val f = Files.createTempFile("graft-compact-cli", ".log")
