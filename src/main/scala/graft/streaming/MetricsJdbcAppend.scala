@@ -35,10 +35,10 @@ import graft.streaming.StreamingMerge.MergeOut
   * 100 TB shape: identical to the upsert dialect — all per-line work is
   * distributed, only the label×bucket-bounded aggregated delta crosses to
   * the driver. The append table grows by one bounded delta per
-  * micro-batch (on ClickHouse, background merges collapse it; on a
-  * relational backend, periodic compaction into a single summed batch is
-  * the equivalent — out of scope here, the view stays correct either
-  * way).
+  * micro-batch; on ClickHouse background merges collapse it, and on a
+  * relational backend [[compact]] is the equivalent (the exporter runs it
+  * on a cadence via `--jdbc-compact-every`) — the view stays correct
+  * either way.
   */
 object MetricsJdbcAppend {
 

@@ -16,11 +16,13 @@ import graft.streaming.StreamingMerge.MergeOut
   * same corpus (asserted by spec) — the incremental and re-aggregating
   * paths are interchangeable scrape surfaces.
   *
-  * Like the reference's registry, state is in-memory and volatile: a
-  * restart starts from zero (durable counters would re-fold from the
-  * checkpointed merge state — out of scope, as in the reference).
-  * Thread-safety: all mutators and render synchronize on this (scrape
-  * handler vs micro-batch thread).
+  * Like the reference's registry, state is in-memory and BY DEFAULT
+  * volatile: a restart starts from zero. With a JDBC sink attached the
+  * warehouse table is the durable cumulative registry, and [[seedFrom]]
+  * restores this registry from its snapshot at start (the exporter's
+  * `--resume-from-jdbc`), making the scrape surface continue monotone
+  * across restarts. Thread-safety: all mutators and render synchronize on
+  * this (scrape handler vs micro-batch thread).
   */
 final class PromRegistry {
 
