@@ -277,6 +277,59 @@ class RegistryResumeSpec extends SparkSpec {
     } finally { q2.stop(); srv2.stop(0) }
   }
 
+  test("fleet x append dialect x resume: server-labeled deltas fold on read and seed per server") {
+    import graft.streaming.{AppendJdbcSink, MetricsJdbcAppend}
+    val a = Files.createTempFile("graft-fa-app", ".log")
+    val b = Files.createTempFile("graft-fb-app", ".log")
+    val ckpt = Files.createTempDirectory("graft-fapp-ckpt").toString
+    val db = s"memory:fleetapp${java.util.UUID.randomUUID().toString.take(8)}"
+    val url = s"jdbc:derby:$db;create=true"
+    val dt = "2024.03.01 12:00:01.000000"
+    def config = Exporter.Config(logs = Seq(a.toString, b.toString),
+      listen = "127.0.0.1:0", fromStart = true, checkpoint = Some(ckpt),
+      jdbcUrl = Some(url), jdbcDialect = "append", selfMetrics = false)
+
+    Files.write(a,
+      s"$dt [ 7 ] {ga1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1\n".getBytes)
+    Files.write(b,
+      s"$dt [ 7 ] {gb1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2\n".getBytes)
+    val (srv1, q1) = Exporter.run(spark, config)
+    val wantA = s"""clickhouse_query_count{server="$a",stmt_type="select"} 1"""
+    try {
+      val deadline = System.nanoTime() + 90000L * 1000000L
+      var body = get(s"http://127.0.0.1:${srv1.boundPort}/metrics")
+      while (!(body.contains(wantA) &&
+          body.contains(s"""clickhouse_query_count{server="$b",stmt_type="select"} 1""")) &&
+          System.nanoTime() < deadline) {
+        q1.processAllAvailable(); Thread.sleep(100)
+        body = get(s"http://127.0.0.1:${srv1.boundPort}/metrics")
+      }
+      assert(body.contains(wantA))
+    } finally { q1.stop(); srv1.stop(0) }
+
+    // the folded view carries per-server rows
+    val sink = AppendJdbcSink(MetricsJdbcAppend.Target(url, "metrics"))
+    assert(sink.snapshot().exists {
+      case ("clickhouse_query_count", l, "", 1L) => l == s"server=$a,type=select"
+      case _ => false
+    }, s"server-labeled folded rows expected: ${sink.snapshot().filter(_._4 != 0L).take(8)}")
+
+    // restart with resume: per-server seeds from the view, both continue
+    Files.write(b,
+      s"$dt [ 7 ] {gb2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 9\n".getBytes,
+      StandardOpenOption.APPEND)
+    val (srv2, q2) = Exporter.run(spark, config.copy(resumeFromJdbc = true))
+    try {
+      q2.processAllAvailable()
+      Thread.sleep(200)
+      val body = get(s"http://127.0.0.1:${srv2.boundPort}/metrics")
+      assert(body.contains(wantA), s"idle server seeded from the view: $body")
+      assert(body.contains(
+        s"""clickhouse_query_count{server="$b",stmt_type="select"} 2"""),
+        s"active server continues from its seeded value: $body")
+    } finally { q2.stop(); srv2.stop(0) }
+  }
+
   test("capstone: capped drain + rotation while down + resume — counters exact, nothing re-read") {
     val f = Files.createTempFile("graft-capstone", ".log")
     val ckpt = Files.createTempDirectory("graft-capstone-ckpt").toString
