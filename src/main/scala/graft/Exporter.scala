@@ -60,7 +60,8 @@ object Exporter {
       jdbcCompactEvery: Int = 0,
       maxBytesPerTrigger: Long = 0L,
       selfMetrics: Boolean = true,
-      resumeFromJdbc: Boolean = false) {
+      resumeFromJdbc: Boolean = false,
+      backfill: Seq[String] = Nil) {
     /** Single-file compatibility view (the reference's one-file shape). */
     def log: String = logs.head
   }
@@ -102,13 +103,18 @@ object Exporter {
       // instead of resetting (default keeps the reference's volatile
       // registry; requires --jdbc)
       case "--resume-from-jdbc" :: t => loop(t, c.copy(resumeFromJdbc = true), logs)
+      // backfill-then-follow: drain rotated-away archives IN ORDER before
+      // attaching to the live --log file (single-file mode only) — the
+      // "reprocess history, then follow" deployment ask
+      case "--backfill" :: v :: t => loop(t, c.copy(
+        backfill = c.backfill ++ v.split(",").map(_.trim).filter(_.nonEmpty)), logs)
       case Nil => if (logs.isEmpty) c else c.copy(logs = logs)
       case other :: _ => throw new IllegalArgumentException(
         s"unknown flag: $other (supported: --log <file>[,<file>…] (repeatable) " +
           "--listen <host:port> --from-start --checkpoint <dir> " +
           "--jdbc <url> --jdbc-table <name> --jdbc-dialect upsert|append " +
           "--jdbc-compact-every <n> --max-bytes-per-trigger <n> " +
-          "--no-self-metrics --resume-from-jdbc)")
+          "--no-self-metrics --resume-from-jdbc --backfill <file>[,<file>…])")
     }
     loop(args.toList, Config(), Vector.empty)
   }
@@ -132,6 +138,8 @@ object Exporter {
         config.jdbcCompactEvery))
     val singleLiteral = config.logs.size == 1 &&
       !graft.sources.TailFleetSource.isGlob(config.log)
+    require(config.backfill.isEmpty || singleLiteral,
+      "--backfill composes with exactly one literal --log file")
     val telemetry =
       if (config.selfMetrics) Some(new graft.streaming.ExporterTelemetry) else None
     val query =
@@ -139,7 +147,7 @@ object Exporter {
         MetricsServing.serveIncrementalTail(
           spark, config.log, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
           maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
-          resumeFromJdbc = config.resumeFromJdbc)
+          resumeFromJdbc = config.resumeFromJdbc, backfill = config.backfill)
       else
         MetricsServing.serveIncrementalFleet(
           spark, config.logs, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,

@@ -65,7 +65,9 @@ class TailFileSourceProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new TailFileTable(properties.get("path"),
       java.lang.Boolean.parseBoolean(properties.getOrDefault("fromStart", "false")),
-      java.lang.Long.parseLong(properties.getOrDefault("maxBytesPerTrigger", "0")))
+      java.lang.Long.parseLong(properties.getOrDefault("maxBytesPerTrigger", "0")),
+      properties.getOrDefault("backfill", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 }
 
 object TailFileSource {
@@ -168,7 +170,8 @@ object TailOffset {
 }
 
 class TailFileTable(path: String, fromStart: Boolean,
-    maxBytesPerTrigger: Long = 0L) extends Table with SupportsRead {
+    maxBytesPerTrigger: Long = 0L, backfill: Seq[String] = Nil)
+    extends Table with SupportsRead {
   require(path != null, "option 'path' is required")
   override def name(): String = s"tailf:$path"
   override def schema(): StructType = TailFileSource.Schema
@@ -179,19 +182,38 @@ class TailFileTable(path: String, fromStart: Boolean,
       override def build(): Scan = this
       override def readSchema(): StructType = TailFileSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new TailFileMicroBatchStream(path, fromStart, maxBytesPerTrigger)
+        new TailFileMicroBatchStream(path, fromStart, maxBytesPerTrigger, backfill)
       override def toBatch: Batch = throw new UnsupportedOperationException(
         "tailf is a streaming-only source; use LogSource.readText for batch")
     }
 }
 
+/** @param backfill BACKFILL-THEN-FOLLOW: rotated-away archive files to
+  *   drain IN ORDER before attaching to the live `path` — the "point the
+  *   exporter at history too" deployment ask (`--from-start` only covers
+  *   the live file; after a logrotate the history lives in `.1`, `.2`, …).
+  *   Each archive occupies one pre-live epoch (epochs `0 … n-1`; the live
+  *   file starts at epoch `n` and rotations keep incrementing), so `seq`
+  *   stays monotone across the whole chain and the order-sensitive keyed
+  *   merge sees archive lines strictly before live lines. Archives are
+  *   static complete files: an unterminated final line IS the last line
+  *   and is admitted whole; admission control (`maxBytesPerTrigger`)
+  *   bounds each poll within one file. With backfill the live file is
+  *   read from position 0 regardless of `fromStart` — archives + live are
+  *   one continuous history. Restart mid-backfill resumes from the
+  *   checkpointed (epoch, pos) like any other position. */
 class TailFileMicroBatchStream(path: String, fromStart: Boolean,
-    maxBytesPerTrigger: Long = 0L)
+    maxBytesPerTrigger: Long = 0L, backfill: Seq[String] = Nil)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // Pre-flight validation exactly where the reference runs it: before the
-  // tail attaches (main.go:81-85), with the is-directory fix.
+  // tail attaches (main.go:81-85), with the is-directory fix. Archives are
+  // literal paths and must exist too.
   LogSource.checkLogFile(path)
+  backfill.foreach(LogSource.checkLogFile)
+
+  /** First live epoch; epochs below it index [[backfill]]. */
+  private val liveEpoch: Long = backfill.size.toLong
 
   /** Highest (epoch, pos) this stream has observed — from initialOffset,
     * checkpoint-restored offsets, or commits — the tail position
@@ -209,10 +231,12 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     * a fleet grown across a restart, or a glob-discovered member); a
     * re-computed EOF between those two calls would plan an inverted empty
     * range and permanently skip the lines appended in between. */
-  private lazy val initial: TailOffset = TailOffset(0L,
-    if (fromStart) 0L
-    else TailFileSource.lastLineBoundary(path, 0L), // seek-to-EOF (main.go:95)
-    TailOffset.keyOf(path))
+  private lazy val initial: TailOffset =
+    if (backfill.nonEmpty) TailOffset(0L, 0L, "") // start of the archive chain
+    else TailOffset(0L,
+      if (fromStart) 0L
+      else TailFileSource.lastLineBoundary(path, 0L), // seek-to-EOF (main.go:95)
+      TailOffset.keyOf(path))
 
   override def initialOffset(): Offset = observe(initial)
 
@@ -242,7 +266,18 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     * flight. Never observe()d: it must not advance the admitted position. */
   override def reportLatestOffset(): Offset = {
     if (known.pos < 0) initialOffset()
-    computeNext(known, Long.MaxValue).getOrElse(known)
+    // walk the whole archive chain to the live EOF (bounded: one step per
+    // epoch + one live step) so the backlog gauge sees the true end even
+    // mid-backfill
+    var cur = known
+    var steps = 0
+    var next = computeNext(cur, Long.MaxValue)
+    while (steps <= backfill.size + 1 && next.exists(_ != cur)) {
+      cur = next.get
+      next = computeNext(cur, Long.MaxValue)
+      steps += 1
+    }
+    cur
   }
 
   /** Poll-and-advance under a byte budget (≤0 = unbounded). Package-visible
@@ -261,6 +296,7 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     * result advances the admitted position ([[admit]]) or is merely
     * reported ([[reportLatestOffset]]). */
   private def computeNext(k: TailOffset, cap: Long): Option[TailOffset] = {
+    if (k.epoch < liveEpoch) return Some(computeNextArchive(k, cap))
     // ReOpen semantics: the follow restarts at 0 in a NEW epoch when the
     // file was truncated in place (length shrank below our position) OR
     // replaced by a new file (dev/inode changed — catches move+recreate
@@ -292,6 +328,24 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     }
   }
 
+  /** One poll step while draining archive epoch `k.epoch`: advance within
+    * the (static, complete) archive under the byte budget; an archive tail
+    * without a newline is admitted whole (it IS the final line); a drained
+    * archive hands over to the next one — or to the live file from 0. */
+  private def computeNextArchive(k: TailOffset, cap: Long): TailOffset = {
+    val f = backfill(k.epoch.toInt)
+    val len = new java.io.File(f).length()
+    if (k.pos < len) {
+      val t = TailFileSource.boundedLineBoundary(f, k.pos, cap)
+      k.copy(pos = if (t > k.pos) t else len)
+    } else if (k.epoch + 1 < liveEpoch)
+      TailOffset(k.epoch + 1,
+        TailFileSource.boundedLineBoundary(backfill(k.epoch.toInt + 1), 0L, cap), "")
+    else
+      TailOffset(liveEpoch,
+        TailFileSource.boundedLineBoundary(path, 0L, cap), TailOffset.keyOf(path))
+  }
+
   override def deserializeOffset(json: String): Offset =
     observe(TailOffset.parse(json))
 
@@ -303,9 +357,29 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TailOffset]
     val e = observe(end.asInstanceOf[TailOffset])
-    if (e.epoch > s.epoch) Array(TailRange(path, e.epoch, 0L, e.pos)) // rotated
-    else if (e.pos == s.pos) Array.empty // empty batch
-    else Array(TailRange(path, e.epoch, s.pos, e.pos))
+    if (backfill.isEmpty) {
+      if (e.epoch > s.epoch) Array(TailRange(path, e.epoch, 0L, e.pos)) // rotated
+      else if (e.pos == s.pos) Array.empty // empty batch
+      else Array(TailRange(path, e.epoch, s.pos, e.pos))
+    } else {
+      // a batch may span several epochs (archive hand-overs); plan one
+      // range per crossed epoch. Archives crossed whole end at their file
+      // length (emitTrailing covers an unterminated final line); a LIVE
+      // generation rotated away mid-batch keeps the tail semantics — its
+      // unread bytes are lost with the old file.
+      (s.epoch to e.epoch).flatMap { ep =>
+        val isArchive = ep < liveEpoch
+        val p = if (isArchive) backfill(ep.toInt) else path
+        val startPos = if (ep == s.epoch) s.pos else 0L
+        val endPos =
+          if (ep == e.epoch) e.pos
+          else if (isArchive) new java.io.File(p).length()
+          else -1L // rotated-away live generation: bytes gone
+        if (endPos > startPos)
+          Some(TailRange(p, ep, startPos, endPos, emitTrailing = isArchive))
+        else None
+      }.toArray[InputPartition]
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -317,8 +391,8 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
   override def stop(): Unit = ()
 }
 
-final case class TailRange(path: String, epoch: Long, start: Long, end: Long)
-    extends InputPartition
+final case class TailRange(path: String, epoch: Long, start: Long, end: Long,
+    emitTrailing: Boolean = false) extends InputPartition
 
 /** Reads the newline-terminated lines in byte range [start, end). */
 class TailRangeReader(range: TailRange) extends PartitionReader[InternalRow] {
@@ -349,7 +423,12 @@ class TailRangeReader(range: TailRange) extends PartitionReader[InternalRow] {
           }
           i += 1
         }
-        // bytes after the last newline can't exist: `end` is a line boundary
+        // `end` is a line boundary — except for a fully-drained ARCHIVE
+        // whose final line has no terminating newline: that remainder IS
+        // the last line (the file is complete), emitted when flagged
+        if (range.emitTrailing && lineStart < n)
+          out += ((seqBase | (range.start + lineStart),
+            new String(buf, lineStart, n - lineStart, StandardCharsets.UTF_8)))
         out.iterator
       } finally raf.close()
     }

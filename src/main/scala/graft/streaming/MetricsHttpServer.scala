@@ -187,12 +187,14 @@ object MetricsServing {
       jdbc: Option[MetricsJdbcSink] = None,
       maxBytesPerTrigger: Long = 0L,
       telemetry: Option[ExporterTelemetry] = None,
-      resumeFromJdbc: Boolean = false): StreamingQuery = {
+      resumeFromJdbc: Boolean = false,
+      backfill: Seq[String] = Nil): StreamingQuery = {
     val lines = spark.readStream
       .format(classOf[graft.sources.TailFileSourceProvider].getName)
       .option("path", path)
       .option("fromStart", fromStart.toString)
       .option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
+      .option("backfill", backfill.mkString(","))
       .load()
     serveIncrementalLines(spark, lines, server, checkpointDir,
       availableNow = false, jdbc = jdbc, telemetry = telemetry,

@@ -32,6 +32,45 @@ class ExporterSpec extends SparkSpec {
     assert(f2.logs == Seq("/a.log", "/b.log", "/c.log"))
   }
 
+  test("--backfill: archives feed the merge before the live tail; fleet+backfill rejected") {
+    val arch = Files.createTempFile("graft-exporter-bf-arch", ".log")
+    val live = Files.createTempFile("graft-exporter-bf-live", ".log")
+    val dt = "2024.03.01 12:00:01.000000"
+    Files.write(arch, (
+      s"$dt [ 7 ] {b1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1\n" +
+      s"$dt [ 7 ] {b1} <Debug> MemoryTracker: Peak memory usage (for query): 3 MiB.\n" +
+      s"$dt [ 7 ] {b2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2\n").getBytes)
+    Files.write(live,
+      s"$dt [ 7 ] {b3} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 3\n".getBytes)
+
+    assert(Exporter.parseArgs(Seq("--backfill", s"$arch")).backfill == Seq(arch.toString))
+    intercept[IllegalArgumentException] { // backfill is a single-file composition
+      Exporter.run(spark, Exporter.Config(
+        logs = Seq(live.toString, arch.toString), backfill = Seq(arch.toString)))
+    }
+
+    val (server, query) = Exporter.run(spark, Exporter.Config(
+      logs = Seq(live.toString), listen = "127.0.0.1:0",
+      backfill = Seq(arch.toString)))
+    try {
+      val deadline = System.nanoTime() + 90000L * 1000000L
+      var body = get(s"http://127.0.0.1:${server.boundPort}/metrics")
+      while (!body.contains("""clickhouse_query_count{stmt_type="select"} 3""") &&
+          System.nanoTime() < deadline) {
+        query.processAllAvailable()
+        body = get(s"http://127.0.0.1:${server.boundPort}/metrics")
+      }
+      // history + live correlate in ONE merge: b1's archive lifecycle
+      // completed (memory line), all three initials counted, and the live
+      // line flowed after the backfill with no re-reads
+      assert(body.contains("""clickhouse_query_count{stmt_type="select"} 3"""), body)
+      assert(body.contains("chlogexporter_read_lines 4"), body)
+    } finally {
+      query.stop()
+      server.stop(0)
+    }
+  }
+
   test("missing log file fails pre-flight before anything starts") {
     intercept[IllegalArgumentException] {
       Exporter.run(spark, Exporter.Config(logs = Seq("/does/not/exist.log")))

@@ -270,6 +270,86 @@ class TailFileSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("backfill-then-follow: archives drain in order before the live tail, seq monotone") {
+    val a1 = Files.createTempFile("graft-bf-a1", ".log")
+    val a2 = Files.createTempFile("graft-bf-a2", ".log")
+    val empty = Files.createTempFile("graft-bf-empty", ".log")
+    val live = Files.createTempFile("graft-bf-live", ".log")
+    Files.write(a1, "old-1\nold-2\n".getBytes)
+    Files.write(a2, "old-3\nold-4-no-newline".getBytes) // unterminated final line
+    Files.write(live, "live-1\n".getBytes)
+    val ckpt = Files.createTempDirectory("graft-bf-ckpt").toString
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream
+      .format(classOf[graft.sources.TailFileSourceProvider].getName)
+      .option("path", live.toString)
+      .option("backfill", s"$a1,$a2,$empty")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => rows.add((r.getLong(0), r.getString(1)))); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the live file keeps appending AFTER the backfill drained
+      Files.write(live, "live-2\n".getBytes, StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = rows.asScala.toSeq.sortBy(_._1)
+      assert(got.map(_._2) ==
+        Seq("old-1", "old-2", "old-3", "old-4-no-newline", "live-1", "live-2"),
+        s"archive order then live, unterminated archive tail included: $got")
+      assert(got.map(_._1) == got.map(_._1).sorted, "seq monotone across the chain")
+    } finally q.stop()
+  }
+
+  test("backfill under admission control: bounded polls, restart mid-backfill resumes exactly") {
+    val a1 = Files.createTempFile("graft-bfc-a1", ".log")
+    val live = Files.createTempFile("graft-bfc-live", ".log")
+    // 10 archive lines + 2 live lines, 6 bytes each
+    Files.write(a1, (0 until 10).map(i => f"a$i%04d\n").mkString.getBytes)
+    Files.write(live, "l0000\nl0001\n".getBytes)
+    val ckpt = Files.createTempDirectory("graft-bfc-ckpt").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    def start() = spark.readStream
+      .format(classOf[graft.sources.TailFileSourceProvider].getName)
+      .option("path", live.toString)
+      .option("backfill", a1.toString)
+      .option("maxBytesPerTrigger", "14") // 2 lines per poll
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.collect().map(_.getString(1)).toSeq
+        if (vs.nonEmpty) { batches.add(vs); () }
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    import scala.jdk.CollectionConverters._
+    // run 1: drain PART of the backlog, then stop (a few capped batches)
+    val q1 = start()
+    try {
+      val deadline = System.nanoTime() + 60000L * 1000000L
+      while (batches.asScala.map(_.size).sum < 4 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally q1.stop()
+    val afterRun1 = batches.asScala.map(_.size).sum
+    assert(afterRun1 >= 4, "run 1 made progress")
+
+    // run 2: same checkpoint resumes mid-backfill; everything lands once
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val all = batches.asScala.toSeq.flatten
+      assert(all.size == 12, s"every line exactly once across the restart: $all")
+      assert(all.distinct.size == 12, s"no line twice: $all")
+      assert(batches.asScala.forall(_.size <= 2),
+        s"every batch within the 2-line budget: ${batches.asScala.map(_.size)}")
+    } finally q2.stop()
+  }
+
   test("single-scan delivery fold: one byte-range read per micro-batch, counts exact") {
     val f = Files.createTempFile("graft-tail-scan", ".log")
     val ckpt = Files.createTempDirectory("graft-tail-scan-ckpt").toString
