@@ -201,7 +201,12 @@ class TailFileTable(path: String, fromStart: Boolean,
   *   bounds each poll within one file. With backfill the live file is
   *   read from position 0 regardless of `fromStart` — archives + live are
   *   one continuous history. Restart mid-backfill resumes from the
-  *   checkpointed (epoch, pos) like any other position. */
+  *   checkpointed (epoch, pos) like any other position. Archives must
+  *   exist at start (fail-fast pre-flight, typo protection); once the
+  *   backfill has drained, restarting WITHOUT `--backfill` against the
+  *   same checkpoint is safe — the restored epoch is simply treated as a
+  *   live generation and keeps counting, so archives can be deleted after
+  *   they've been processed. */
 class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     maxBytesPerTrigger: Long = 0L, backfill: Seq[String] = Nil)
     extends MicroBatchStream with SupportsAdmissionControl {

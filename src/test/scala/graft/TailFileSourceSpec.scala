@@ -348,6 +348,29 @@ class TailFileSourceSpec extends SparkSpec {
       assert(batches.asScala.forall(_.size <= 2),
         s"every batch within the 2-line budget: ${batches.asScala.map(_.size)}")
     } finally q2.stop()
+
+    // run 3: backfill DRAINED and dropped from the options (archives may be
+    // deleted once processed) — the restored post-backfill epoch is just a
+    // live generation; the follow continues, nothing re-read
+    Files.delete(a1)
+    Files.write(live, "l0002\n".getBytes, StandardOpenOption.APPEND)
+    val q3 = spark.readStream
+      .format(classOf[graft.sources.TailFileSourceProvider].getName)
+      .option("path", live.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.collect().map(_.getString(1)).toSeq
+        if (vs.nonEmpty) { batches.add(vs); () }
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      val all = batches.asScala.toSeq.flatten
+      assert(all.size == 13 && all.count(_ == "l0002") == 1,
+        s"post-backfill restart without the option follows cleanly: $all")
+    } finally q3.stop()
   }
 
   test("single-scan delivery fold: one byte-range read per micro-batch, counts exact") {
