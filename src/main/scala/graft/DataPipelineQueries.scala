@@ -60,6 +60,7 @@ object DataPipelineQueries {
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "sim_knn_graph" -> ((s, dir) => Similarity.knnGraph(emb(s, dir))),
     "graph_quality_prop" -> ((s, dir) => Similarity.qualityPropagation(docs(s, dir), emb(s, dir))),
+    "sim_topk_sq8" -> ((s, dir) => Similarity.sq8TopK(emb(s, dir))),
     "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "sim_topk_pq_learned" -> ((s, dir) => Similarity.pqTopKLearned(emb(s, dir))),
     "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfpqTopK(emb(s, dir))),
@@ -79,6 +80,7 @@ object DataPipelineQueries {
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "text_surprisal" -> ((s, dir) => TextAnalysis.surprisal(docs(s, dir))),
     "text_tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir))),
+    "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(docs(s, dir))),
     "source_report" -> ((s, dir) => TextAnalysis.sourceReport(docs(s, dir))),
     "sample_shuffle" -> ((s, dir) => Sampling.shuffleShards(docs(s, dir))),
     "sample_temperature" -> ((s, dir) => Sampling.temperatureMix(docs(s, dir))),
@@ -137,6 +139,7 @@ object DataPipelineQueries {
     "sim_topk_ivf" -> Similarity.ivfTopKSql,
     "sim_knn_graph" -> Similarity.knnGraphSql,
     "graph_quality_prop" -> Similarity.qualityPropagationSql,
+    "sim_topk_sq8" -> Similarity.sq8TopKSql,
     "sim_topk_pq" -> Similarity.pqTopKSql,
     "sim_topk_pq_learned" -> Similarity.pqLearnedTopKSql,
     "sim_topk_ivfpq" -> Similarity.ivfpqTopKSql,
@@ -155,6 +158,7 @@ object DataPipelineQueries {
     "text_repetition" -> TextAnalysis.repetitionSql,
     "text_surprisal" -> TextAnalysis.surprisalSql,
     "text_tfidf_topk" -> TextAnalysis.tfidfTopKSql,
+    "text_bm25_topk" -> TextAnalysis.bm25TopKSql,
     "source_report" -> TextAnalysis.sourceReportSql,
     "sample_shuffle" -> Sampling.shuffleShardsSql,
     "sample_mix" -> Sampling.hashSampleStatsSql,

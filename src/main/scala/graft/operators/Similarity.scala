@@ -103,6 +103,86 @@ object Similarity {
       |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** Per-vector SQ8 codes: `m` = max |component| on the quantized grid
+    * (BIGINT, exact) and the int8 code `q8ᵢ = sign(qᵢ)·⌊|qᵢ|·127 / m⌋` —
+    * the absolute-value form keeps the integer division identical across
+    * engines (both truncate == floor on non-negative operands). PINNED:
+    * the encode is a per-corpus index build like [[pqCodes]]. */
+  private[graft] def sq8Codes(emb: DataFrame): DataFrame =
+    PinnedCaches.pin(
+      quantized(emb)
+        .withColumn("m", array_max(expr("transform(q, x -> abs(x))")))
+        .withColumn("q8", expr(
+          """transform(q, x -> CASE WHEN m = 0L THEN 0L
+            |  WHEN x < 0L THEN -((-x * 127L) div m)
+            |  ELSE (x * 127L) div m END)""".stripMargin))
+        .select(col("vec_id"), col("m"), col("nq"), col("q8")))
+
+  /** Scalar-quantized (SQ8) ANN — the third index family next to PQ and
+    * IVF: each vector compresses to 64 int8 codes + one scale (8× smaller
+    * than the float corpus, 1/16th of PQ's accuracy loss since every
+    * dimension keeps its own code), candidates are selected by the
+    * reconstructed-dot approximate cosine, and the `rerank` best per query
+    * pay the exact quantized-cosine rank ([[rankCandidates]], shared with
+    * every other index). The selection key `dot8 · m_b / √nq_b` drops the
+    * per-QUERY constants (`m_a`, √nq_a — they cannot reorder one query's
+    * candidates) so it stays one exact BIGINT product and one
+    * exactly-rounded division — bit-deterministic, hash-exact oracle.
+    *
+    * 100 TB shape: the encode is one map-side scan (pinned index build,
+    * no shuffle); queries broadcast (int8 codes — 8× more queries fit in
+    * the broadcast budget than with raw vectors); the scan-side work is an
+    * int8 dot per (query, vector) — SIMD-friendly and cache-resident where
+    * the float scan thrashes; only `rerank` candidates per query touch the
+    * full-precision vectors. This is exactly FAISS's SQ8 flat-scan trade. */
+  def sq8TopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+      rerank: Int = 32): DataFrame = {
+    val codes = sq8Codes(emb)
+    val queries = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q8").as("q8a"))
+    val corpus = codes.select(col("vec_id").as("neighbor_id"),
+      col("q8").as("q8b"), col("m").as("mb"), col("nq").as("nqb"))
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = broadcast(queries)
+      .join(corpus, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot8", long_dot(col("q8a"), col("q8b")))
+      .withColumn("approx", (col("dot8") * col("mb")).cast("double") /
+        sqrt(col("nqb").cast("double")))
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    rankCandidates(cand, quantized(emb), k)
+  }
+
+  /** DuckDB oracle for [[sq8TopK]] at the defaults: per-vector scale,
+    * int8 encode, approximate-cosine selection, exact-rank tail. (`lazy`:
+    * the shared prelude/tail vals are declared further down the file —
+    * eager init here would capture them uninitialized.) */
+  lazy val sq8TopKSql: String =
+    s"""WITH $evNormsSql,
+       |mx AS (SELECT vec_id, CAST(max(abs(q)) AS BIGINT) AS m FROM ev GROUP BY vec_id),
+       |q8 AS (
+       |  SELECT ev.vec_id, i,
+       |    CASE WHEN m = 0 THEN 0
+       |         WHEN q < 0 THEN -((-q * 127) // m)
+       |         ELSE (q * 127) // m END AS q8
+       |  FROM ev JOIN mx ON mx.vec_id = ev.vec_id),
+       |appr AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(sum(a.q8*b.q8) AS BIGINT) AS dot8
+       |  FROM q8 a JOIN q8 b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot8 * mb.m AS DOUBLE) / sqrt(CAST(nb.nq AS DOUBLE)) DESC,
+       |      neighbor_id) AS rn
+       |  FROM appr JOIN mx mb ON mb.vec_id = neighbor_id
+       |    JOIN norms nb ON nb.vec_id = neighbor_id),
+       |cand AS (SELECT query_id, neighbor_id FROM sel WHERE rn <= 32),
+       |$rankSql""".stripMargin
+
   private val NumTables = 4
   private val PlanesPerTable = 6
 
@@ -341,7 +421,9 @@ object Similarity {
       Future {
         stage("ivfpq_codes")(ivfpqCodes(emb).count())
         stage("ivfpq_learned")(ivfpqLearnedCodes(emb).count())
-      })
+      },
+      // SQ8 encode: one map-side scan over the pinned quantized frame
+      Future(stage("sq8_codes")(sq8Codes(emb).count())))
     // settle ALL branches before rethrowing (same discipline as
     // SparkEntry.warmCaches: no stray warm jobs after control returns)
     val settled = Await.result(

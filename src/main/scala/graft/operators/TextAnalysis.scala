@@ -785,4 +785,82 @@ object TextAnalysis {
       |  CAST(n_docs - n_distinct_texts AS DOUBLE) / n_docs AS dup_rate,
       |  CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens
       |FROM agg ORDER BY source""".stripMargin
+
+  /** BM25 retrieval: the top-`k` documents for a fixed query term set —
+    * the classic relevance ranking a curation pipeline uses to pull
+    * topic-targeted subsets out of a web corpus (and the scoring inside
+    * contamination/near-query filtering). Okapi BM25 with `k1`=1.2,
+    * `b`=0.75, and a RATIONAL idf — `(N − df + 0.5)/(df + 0.5)` without
+    * the log: per term the rational form is a monotone transform of the
+    * log idf (per-term ranking unchanged), and unlike `ln` — which neither
+    * engine's libm rounds correctly — it is built from exactly-rounded
+    * IEEE ops, so the multi-term sum is bit-identical cross-engine and the
+    * DuckDB oracle hash-checks. This is the operator's defined semantics
+    * ("rational-idf BM25"), same contract as Similarity's quantized cosine.
+    *
+    * 100 TB shape: per-document term frequencies come from `filter()` over
+    * the one bound token array — entirely map-side, no explode, no
+    * tokens-table shuffle; the corpus statistics (N, Σdl, per-term df)
+    * reduce to ONE row that broadcast-joins back; the top-k is
+    * TakeOrderedAndProject (per-partition heaps), never a global sort or a
+    * partitionless window. One scan + one scalar-row reduce per query. */
+  def bm25TopK(docs: DataFrame,
+      terms: Seq[String] = Seq("merge", "window", "hash"),
+      k: Int = 20): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val base = Tables.fanOut(docs)
+      .select(col("doc_id"), toks.as("ws"))
+      .select(col("doc_id") +: size(col("ws")).cast("long").as("dl") +:
+        terms.map(t =>
+          size(filter(col("ws"), w => w === lit(t))).cast("long").as(s"tf_$t")): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    // avgdl and the per-doc length norm: every step an exactly-rounded op
+    // in a FIXED order mirrored by the oracle
+    val scored = base.crossJoin(broadcast(stats))
+      .withColumn("norm", lit(1.0 - b) + lit(b) *
+        (col("dl").cast("double") /
+          (col("total_dl").cast("double") / col("n_docs").cast("double"))))
+    val termScores = terms.map { t =>
+      ((col("n_docs").cast("double") - col(s"df_$t").cast("double") + lit(0.5)) /
+        (col(s"df_$t").cast("double") + lit(0.5))) *
+        ((col(s"tf_$t").cast("double") * lit(k1 + 1.0)) /
+          (col(s"tf_$t").cast("double") + lit(k1) * col("norm")))
+    }
+    scored
+      .withColumn("score", termScores.reduceLeft(_ + _))
+      .select(col("doc_id") +: terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  val bm25TopKSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'merge')) AS BIGINT) AS tf_merge,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'window')) AS BIGINT) AS tf_window,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'hash')) AS BIGINT) AS tf_hash
+      |  FROM documents),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl,
+      |    CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+      |    CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
+      |    CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash
+      |  FROM d),
+      |n AS (
+      |  SELECT doc_id, tf_merge, tf_window, tf_hash, n_docs, df_merge, df_window, df_hash,
+      |    0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+      |      (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS norm
+      |  FROM d CROSS JOIN s)
+      |SELECT doc_id, tf_merge, tf_window, tf_hash,
+      |  ((CAST(n_docs AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5) / (CAST(df_merge AS DOUBLE) + 0.5))
+      |    * ((CAST(tf_merge AS DOUBLE) * 2.2) / (CAST(tf_merge AS DOUBLE) + 1.2 * norm))
+      |  + ((CAST(n_docs AS DOUBLE) - CAST(df_window AS DOUBLE) + 0.5) / (CAST(df_window AS DOUBLE) + 0.5))
+      |    * ((CAST(tf_window AS DOUBLE) * 2.2) / (CAST(tf_window AS DOUBLE) + 1.2 * norm))
+      |  + ((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
+      |    * ((CAST(tf_hash AS DOUBLE) * 2.2) / (CAST(tf_hash AS DOUBLE) + 1.2 * norm)) AS score
+      |FROM n ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 }

@@ -102,6 +102,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall > 0.2, s"default-rerank recall too low: $recall") // deterministic corpus
   }
 
+  test("SQ8 top-k: cosines agree with brute force; full re-rank equals brute force; recall beats PQ-grade floor") {
+    val brute = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def run(rerank: Int): Set[(Long, Long)] = {
+      val sq = Similarity.sq8TopK(emb, rerank = rerank).collect()
+      assert(sq.nonEmpty)
+      sq.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        brute.get(key).foreach(c => assert(c == r.getDouble(2), s"cos mismatch at $key"))
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)
+      }
+      sq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // rerank >= corpus: the int8 selection passes every vector through, so
+    // the exact tail IS brute force
+    assert(run(1000000) == brute.keySet, "full re-rank buffer must equal brute force")
+    val recall = brute.keySet.count(run(32)).toDouble / brute.size
+    // per-dimension int8 codes lose far less than PQ's 8-codes-per-vector:
+    // the default buffer should be near-exact on this corpus
+    assert(recall > 0.8, s"SQ8 recall unexpectedly low: $recall")
+    info(f"SQ8 recall@5 (rerank=32): $recall%.3f")
+  }
+
   test("learned-codebook PQ: cosines agree with brute force; training moved the centroids; recall bounded") {
     val brute = Similarity.bruteForceTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -648,6 +671,25 @@ class PipelineOpsSpec extends SparkSpec {
     out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
       assert(rs.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to rs.length))
     }
+  }
+
+  test("bm25 top-k: coverage beats tf, tf saturates, length norm penalizes, non-matches score zero") {
+    val crafted = Seq(
+      (1L, "merge window hash pad"),                          // all 3 terms, short
+      (2L, "merge merge merge merge merge merge merge merge"), // one term, tf 8
+      (3L, "merge pad pad pad pad pad pad pad"),               // one term, tf 1
+      (4L, "pad pad pad pad")).toDF("doc_id", "text")          // no query terms
+    val out = TextAnalysis.bm25TopK(crafted).collect()
+    val order = out.map(_.getAs[Long]("doc_id")).toSeq
+    // rare-term coverage (window+hash, df 1) dominates; tf 8 of the common
+    // term beats tf 1 of it (saturated, not 8x); zero matches rank last
+    assert(order == Seq(1L, 2L, 3L, 4L), s"ranking: $order")
+    val score = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(score(4L) == 0.0)
+    assert(score(2L) < 3.0 * score(3L), "tf term saturates well below linear")
+    // k bounds the result (TakeOrderedAndProject, not a global sort)
+    assert(TextAnalysis.bm25TopK(crafted, k = 3).collect().map(_.getAs[Long]("doc_id")).toSeq
+      == Seq(1L, 2L, 3L))
   }
 
   test("source report: dup rate, token totals, and repetition-keep counts per source") {
