@@ -61,7 +61,8 @@ object Exporter {
       maxBytesPerTrigger: Long = 0L,
       selfMetrics: Boolean = true,
       resumeFromJdbc: Boolean = false,
-      backfill: Seq[String] = Nil) {
+      backfill: Seq[String] = Nil,
+      drainAndExit: Boolean = false) {
     /** Single-file compatibility view (the reference's one-file shape). */
     def log: String = logs.head
   }
@@ -108,13 +109,20 @@ object Exporter {
       // "reprocess history, then follow" deployment ask
       case "--backfill" :: v :: t => loop(t, c.copy(
         backfill = c.backfill ++ v.split(",").map(_.trim).filter(_.nonEmpty)), logs)
+      // drain-and-exit (Trigger.AvailableNow): process everything present
+      // at start — archives, backlog, the current tails — in bounded
+      // micro-batches, then terminate cleanly. The batch-backfill run mode:
+      // with --jdbc + a durable --checkpoint, a cron-able catch-up job
+      // whose next run resumes where this one ended.
+      case "--drain-and-exit" :: t => loop(t, c.copy(drainAndExit = true), logs)
       case Nil => if (logs.isEmpty) c else c.copy(logs = logs)
       case other :: _ => throw new IllegalArgumentException(
         s"unknown flag: $other (supported: --log <file>[,<file>…] (repeatable) " +
           "--listen <host:port> --from-start --checkpoint <dir> " +
           "--jdbc <url> --jdbc-table <name> --jdbc-dialect upsert|append " +
           "--jdbc-compact-every <n> --max-bytes-per-trigger <n> " +
-          "--no-self-metrics --resume-from-jdbc --backfill <file>[,<file>…])")
+          "--no-self-metrics --resume-from-jdbc --backfill <file>[,<file>…] " +
+          "--drain-and-exit)")
     }
     loop(args.toList, Config(), Vector.empty)
   }
@@ -147,12 +155,14 @@ object Exporter {
         MetricsServing.serveIncrementalTail(
           spark, config.log, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
           maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
-          resumeFromJdbc = config.resumeFromJdbc, backfill = config.backfill)
+          resumeFromJdbc = config.resumeFromJdbc, backfill = config.backfill,
+          availableNow = config.drainAndExit)
       else
         MetricsServing.serveIncrementalFleet(
           spark, config.logs, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
           maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
-          resumeFromJdbc = config.resumeFromJdbc)
+          resumeFromJdbc = config.resumeFromJdbc,
+          availableNow = config.drainAndExit)
     server.health(() => query.isActive) // /healthz: 503 once the stream dies
     (server, query)
   }
@@ -169,5 +179,9 @@ object Exporter {
       try query.stop() finally server.stop(2)
     }
     query.awaitTermination()
+    // drain-and-exit: the query ends on its own once everything available
+    // at start is processed; leave by the front door instead of waiting
+    // for a signal (the shutdown hook then finds both already stopped)
+    if (config.drainAndExit) server.stop(0)
   }
 }

@@ -7,7 +7,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -209,7 +209,8 @@ class TailFileTable(path: String, fromStart: Boolean,
   *   they've been processed. */
 class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     maxBytesPerTrigger: Long = 0L, backfill: Seq[String] = Nil)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   // Pre-flight validation exactly where the reference runs it: before the
   // tail attaches (main.go:81-85), with the is-directory fix. Archives are
@@ -263,6 +264,28 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     admit(TailFileSource.byteCapOf(limit, maxBytesPerTrigger))
   }
 
+  /** `Trigger.AvailableNow` ("drain and exit" — the batch-backfill run
+    * mode): the engine announces it before the first poll; the DRAIN GOAL —
+    * the true tail (across the whole backfill chain) at that moment — is
+    * captured lazily on the first [[admit]] instead of here, because this
+    * call can precede the checkpoint-restore replay (`latestOffset(start,
+    * limit)` observes the restored position first): a goal computed from
+    * the fresh initial position would number rotation epochs relative to
+    * the wrong generation and a restored higher epoch would read as
+    * already-past-goal, ending the drain before it started — the same
+    * restart race [[latestOffset]]'s scaladoc records, one call earlier. */
+  @volatile private var drainMode: Boolean = false
+  @volatile private var drainGoal: Option[TailOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit = { drainMode = true }
+
+  /** The drain goal, captured at first need from the settled known
+    * position. Lines appended after capture wait for the next run. */
+  private def goal(): TailOffset = drainGoal.getOrElse {
+    val g = reportLatestOffset().asInstanceOf[TailOffset]
+    drainGoal = Some(g)
+    g
+  }
+
   override def latestOffset(): Offset = admit(maxBytesPerTrigger)
 
   /** The TRUE tail position regardless of the byte budget — Spark surfaces
@@ -287,12 +310,33 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
 
   /** Poll-and-advance under a byte budget (≤0 = unbounded). Package-visible
     * so the fleet composition drives every member with ONE budget per
-    * poll instead of constructing members cap-aware. */
+    * poll instead of constructing members cap-aware.
+    *
+    * In drain mode ([[prepareForTriggerAvailableNow]]) polls additionally
+    * stop at the captured goal: within the goal's epoch the byte budget
+    * shrinks to the remaining gap (the goal is itself a line boundary, so
+    * the bounded scan lands exactly on it); a poll that would cross PAST
+    * the goal's epoch (a rotation racing the drain) holds position —
+    * the rotated-away remainder is lost exactly as in follow mode, and
+    * the no-progress poll is what ends the run. */
   private[sources] def admit(cap: Long): Offset = {
     if (known.pos < 0) initialOffset()
     val k = known
-    computeNext(k, if (cap > 0) cap else Long.MaxValue)
-      .map(observe).getOrElse(k)
+    val unbounded = if (cap > 0) cap else Long.MaxValue
+    if (!drainMode) return computeNext(k, unbounded).map(observe).getOrElse(k)
+    val g = goal()
+    if (k.epoch > g.epoch || (k.epoch == g.epoch && k.pos >= g.pos)) return k
+    val eff =
+      if (k.epoch == g.epoch) math.min(unbounded, g.pos - k.pos) else unbounded
+    computeNext(k, eff).map {
+      case n if n.epoch > g.epoch => k // rotation overtook the goal
+      case n if n.epoch == g.epoch && n.pos > g.pos =>
+        // an epoch hand-over (archive -> live) can land past a goal set
+        // before the live file grew; the goal position is a boundary of
+        // the same generation, so clamping is safe
+        TailOffset(g.epoch, g.pos, n.fileKey)
+      case n => n
+    }.map(observe).getOrElse(k)
   }
 
   /** One tail poll from position `k` under byte budget `cap`; None when an

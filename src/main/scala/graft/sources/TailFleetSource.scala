@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -148,7 +148,8 @@ class TailFleetTable(paths: Seq[String], globs: Seq[String], fromStart: Boolean,
 
 class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
     globs: Seq[String] = Nil, maxBytesPerTrigger: Long = 0L)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   /** Mutable membership: literal paths are fixed (and fail fast if
     * invalid, like the reference's pre-flight); glob matches join at
@@ -158,13 +159,28 @@ class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
   paths.foreach(p => streams.put(p, new TailFileMicroBatchStream(p, fromStart)))
   globs.flatMap(TailFleetSource.expandGlob).foreach(register(_, fromStart))
 
+  /** `Trigger.AvailableNow`: every member drains to its own goal (captured
+    * lazily after the checkpoint replay — see the member's scaladoc) and
+    * the run ends when ALL members report no progress. A member discovered
+    * mid-drain joins in drain mode too: it drains the content it was
+    * discovered with, then parks. */
+  @volatile private var drainMode: Boolean = false
+  override def prepareForTriggerAvailableNow(): Unit = {
+    drainMode = true
+    streams.values.foreach(_.prepareForTriggerAvailableNow())
+  }
+
   /** Register a discovered member, SKIPPING files that fail pre-flight
     * (e.g. a .gz rotation artifact matching the glob) — a bad discovered
     * file must not kill the whole fleet, unlike a bad literal path. */
   private def register(p: String, memberFromStart: Boolean): Unit =
     if (!streams.contains(p)) {
-      try { streams.putIfAbsent(p, new TailFileMicroBatchStream(p, memberFromStart)); () }
-      catch { case _: IllegalArgumentException => () }
+      try {
+        val m = new TailFileMicroBatchStream(p, memberFromStart)
+        if (streams.putIfAbsent(p, m).isEmpty && drainMode)
+          m.prepareForTriggerAvailableNow()
+        ()
+      } catch { case _: IllegalArgumentException => () }
     }
 
   /** Re-evaluate the globs: a file that appeared mid-stream joins with

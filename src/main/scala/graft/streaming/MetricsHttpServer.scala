@@ -188,7 +188,8 @@ object MetricsServing {
       maxBytesPerTrigger: Long = 0L,
       telemetry: Option[ExporterTelemetry] = None,
       resumeFromJdbc: Boolean = false,
-      backfill: Seq[String] = Nil): StreamingQuery = {
+      backfill: Seq[String] = Nil,
+      availableNow: Boolean = false): StreamingQuery = {
     val lines = spark.readStream
       .format(classOf[graft.sources.TailFileSourceProvider].getName)
       .option("path", path)
@@ -197,7 +198,7 @@ object MetricsServing {
       .option("backfill", backfill.mkString(","))
       .load()
     serveIncrementalLines(spark, lines, server, checkpointDir,
-      availableNow = false, jdbc = jdbc, telemetry = telemetry,
+      availableNow = availableNow, jdbc = jdbc, telemetry = telemetry,
       resumeFromJdbc = resumeFromJdbc)
   }
 
@@ -217,7 +218,8 @@ object MetricsServing {
       jdbc: Option[MetricsJdbcSink] = None,
       maxBytesPerTrigger: Long = 0L,
       telemetry: Option[ExporterTelemetry] = None,
-      resumeFromJdbc: Boolean = false): StreamingQuery = {
+      resumeFromJdbc: Boolean = false,
+      availableNow: Boolean = false): StreamingQuery = {
     jdbc.foreach(_.ensureTables())
     val resumed = resumeFromJdbc && jdbc.nonEmpty
     require(!resumeFromJdbc || jdbc.nonEmpty,
@@ -257,7 +259,8 @@ object MetricsServing {
           }
         } finally { evs.unpersist(); () }
       }
-    val query = writer.start()
+    val query =
+      (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
     telemetry.foreach { t => server.attachTelemetry(t); t.observeQuery(spark, query) }
     query
   }

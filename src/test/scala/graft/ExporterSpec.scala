@@ -71,6 +71,35 @@ class ExporterSpec extends SparkSpec {
     }
   }
 
+  test("--drain-and-exit: processes what's present, terminates on its own, healthz flips to 503") {
+    val f = Files.createTempFile("graft-exporter-drain", ".log")
+    val dt = "2024.03.01 12:00:01.000000"
+    Files.write(f, (
+      s"$dt [ 7 ] {d1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1\n" +
+      s"$dt [ 7 ] {d1} <Debug> MemoryTracker: Peak memory usage (for query): 3 MiB.\n" +
+      s"$dt [ 7 ] {d2} <Debug> executeQuery: (from 10.0.0.9:9000) INSERT INTO t VALUES (1)\n").getBytes)
+    assert(Exporter.parseArgs(Seq("--drain-and-exit")).drainAndExit)
+    val (server, query) = Exporter.run(spark, Exporter.Config(
+      logs = Seq(f.toString), listen = "127.0.0.1:0",
+      fromStart = true, drainAndExit = true))
+    try {
+      assert(query.awaitTermination(90000), "drain run must terminate by itself")
+      val body = get(s"http://127.0.0.1:${server.boundPort}/metrics")
+      assert(body.contains("""clickhouse_query_count{stmt_type="select"} 1"""), body)
+      assert(body.contains("""clickhouse_query_count{stmt_type="insert"} 1"""), body)
+      assert(body.contains("chlogexporter_read_lines 3"), body)
+      // the stream is done -> readiness goes 503 (an orchestrator would
+      // collect the pod instead of scraping a frozen registry)
+      val health = new java.net.URL(s"http://127.0.0.1:${server.boundPort}/healthz")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(health.getResponseCode == 503, "terminated drain is not ready")
+      health.disconnect()
+    } finally {
+      query.stop()
+      server.stop(0)
+    }
+  }
+
   test("missing log file fails pre-flight before anything starts") {
     intercept[IllegalArgumentException] {
       Exporter.run(spark, Exporter.Config(logs = Seq("/does/not/exist.log")))

@@ -373,6 +373,74 @@ class TailFileSourceSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("AvailableNow: drains present content in bounded batches, terminates; next run picks up appends") {
+    import org.apache.spark.sql.streaming.Trigger
+    val f = Files.createTempFile("graft-an", ".log")
+    Files.write(f, (0 until 10).map(i => f"l$i%04d\n").mkString.getBytes) // 6 B each
+    val ckpt = Files.createTempDirectory("graft-an-ckpt").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.TailFileSourceProvider].getName)
+        .option("path", f.toString)
+        .option("fromStart", "true")
+        .option("maxBytesPerTrigger", "14") // 2 lines per poll
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vs = b.collect().map(_.getString(1)).toSeq
+          if (vs.nonEmpty) { batches.add(vs); () }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append").start()
+      try assert(q.awaitTermination(60000), "drain must terminate on its own")
+      finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    run()
+    val firstRun = batches.asScala.toSeq
+    assert(firstRun.flatten == (0 until 10).map(i => f"l$i%04d"),
+      s"everything present at start drained exactly once: $firstRun")
+    assert(firstRun.forall(_.size <= 2),
+      s"admission control bounds every drain batch: ${firstRun.map(_.size)}")
+
+    // appends after the first drain belong to the NEXT run
+    Files.write(f, "l0010\nl0011\n".getBytes, StandardOpenOption.APPEND)
+    run()
+    val all = batches.asScala.toSeq.flatten
+    assert(all == (0 until 12).map(i => f"l$i%04d"),
+      s"second drain continues from the checkpoint, no re-reads: $all")
+  }
+
+  test("AvailableNow x backfill: archives + live drain in order, then the run exits") {
+    import org.apache.spark.sql.streaming.Trigger
+    val a1 = Files.createTempFile("graft-anb-a1", ".log")
+    val live = Files.createTempFile("graft-anb-live", ".log")
+    Files.write(a1, "old-1\nold-2\n".getBytes)
+    Files.write(live, "live-1\n".getBytes)
+    val ckpt = Files.createTempDirectory("graft-anb-ckpt").toString
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream
+      .format(classOf[graft.sources.TailFileSourceProvider].getName)
+      .option("path", live.toString)
+      .option("backfill", a1.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => rows.add((r.getLong(0), r.getString(1)))); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append").start()
+    try assert(q.awaitTermination(60000), "backfill drain must terminate")
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = rows.asScala.toSeq.sortBy(_._1)
+    assert(got.map(_._2) == Seq("old-1", "old-2", "live-1"),
+      s"history then live, then exit: $got")
+  }
+
   test("single-scan delivery fold: one byte-range read per micro-batch, counts exact") {
     val f = Files.createTempFile("graft-tail-scan", ".log")
     val ckpt = Files.createTempDirectory("graft-tail-scan-ckpt").toString

@@ -254,6 +254,46 @@ class TailFleetSpec extends SparkSpec {
     assert(polls == 20, s"240 bytes / (2 lines × 6B per poll) = 20 polls: $polls")
   }
 
+  test("AvailableNow fleet: every member drains to its start-time tail, run terminates, restart continues") {
+    import org.apache.spark.sql.streaming.Trigger
+    val a = Files.createTempFile("graft-fleet-an-a", ".log")
+    val b = Files.createTempFile("graft-fleet-an-b", ".log")
+    Files.write(a, (0 until 6).map(i => f"a$i%04d\n").mkString.getBytes)
+    Files.write(b, "b0000\nb0001\n".getBytes)
+    val ckpt = Files.createTempDirectory("graft-fleet-an-ckpt").toString
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.TailFleetSourceProvider].getName)
+        .option("paths", s"$a,$b")
+        .option("fromStart", "true")
+        .option("maxBytesPerTrigger", "14") // per-member: 2 lines per poll
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => rows.add((r.getString(0), r.getString(2)))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append").start()
+      try assert(q.awaitTermination(60000), "fleet drain must terminate on its own")
+      finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    run()
+    def linesOf(p: Path) = rows.asScala.toSeq.filter(_._1 == p.toString).map(_._2)
+    assert(linesOf(a) == (0 until 6).map(i => f"a$i%04d"), s"member a drained: ${linesOf(a)}")
+    assert(linesOf(b) == Seq("b0000", "b0001"), s"member b drained: ${linesOf(b)}")
+
+    append(a, "a0006\n")
+    append(b, "b0002\n")
+    run()
+    assert(linesOf(a) == (0 until 7).map(i => f"a$i%04d"),
+      s"second drain resumes member a from its checkpoint: ${linesOf(a)}")
+    assert(linesOf(b) == Seq("b0000", "b0001", "b0002"),
+      s"second drain resumes member b: ${linesOf(b)}")
+  }
+
   test("same fleet recovery under the RocksDB state store provider (the 100x-scale store)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
