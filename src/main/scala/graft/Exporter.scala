@@ -62,6 +62,7 @@ object Exporter {
       selfMetrics: Boolean = true,
       resumeFromJdbc: Boolean = false,
       backfill: Seq[String] = Nil,
+      backfillFor: Map[String, Seq[String]] = Map.empty,
       drainAndExit: Boolean = false) {
     /** Single-file compatibility view (the reference's one-file shape). */
     def log: String = logs.head
@@ -105,8 +106,16 @@ object Exporter {
       // registry; requires --jdbc)
       case "--resume-from-jdbc" :: t => loop(t, c.copy(resumeFromJdbc = true), logs)
       // backfill-then-follow: drain rotated-away archives IN ORDER before
-      // attaching to the live --log file (single-file mode only) — the
-      // "reprocess history, then follow" deployment ask
+      // attaching to the live --log file — the "reprocess history, then
+      // follow" deployment ask. Bare `--backfill a.1,a.2` is the
+      // single-file shorthand; `--backfill live.log=a.1,a.2` (repeatable)
+      // names the member and composes with fleet mode.
+      case "--backfill" :: v :: t if v.contains('=') =>
+        val merged = graft.sources.TailFleetSource.parseBackfill(v)
+          .foldLeft(c.backfillFor) { case (acc, (live, archs)) =>
+            acc.updated(live, acc.getOrElse(live, Nil) ++ archs)
+          }
+        loop(t, c.copy(backfillFor = merged), logs)
       case "--backfill" :: v :: t => loop(t, c.copy(
         backfill = c.backfill ++ v.split(",").map(_.trim).filter(_.nonEmpty)), logs)
       // drain-and-exit (Trigger.AvailableNow): process everything present
@@ -121,8 +130,8 @@ object Exporter {
           "--listen <host:port> --from-start --checkpoint <dir> " +
           "--jdbc <url> --jdbc-table <name> --jdbc-dialect upsert|append " +
           "--jdbc-compact-every <n> --max-bytes-per-trigger <n> " +
-          "--no-self-metrics --resume-from-jdbc --backfill <file>[,<file>…] " +
-          "--drain-and-exit)")
+          "--no-self-metrics --resume-from-jdbc " +
+          "--backfill [<live>=]<file>[,<file>…] --drain-and-exit)")
     }
     loop(args.toList, Config(), Vector.empty)
   }
@@ -131,9 +140,25 @@ object Exporter {
     * (tests drive this directly; [[main]] blocks on the query). */
   def run(spark: SparkSession, config: Config): (MetricsHttpServer, StreamingQuery) = {
     // pre-flight, main.go:81-85 — literal paths must exist; glob entries
-    // (dynamic fleet membership) may legitimately match nothing yet
+    // (dynamic fleet membership) may legitimately match nothing yet.
+    // Backfill archives are literal by definition (typo protection). All
+    // validation runs BEFORE the HTTP server binds, so a bad flag set
+    // never leaves an orphaned listener behind the thrown require.
     config.logs.filterNot(graft.sources.TailFleetSource.isGlob)
       .foreach(graft.sources.LogSource.checkLogFile)
+    (config.backfill ++ config.backfillFor.values.flatten)
+      .foreach(graft.sources.LogSource.checkLogFile)
+    val singleLiteral = config.logs.size == 1 &&
+      !graft.sources.TailFleetSource.isGlob(config.log)
+    require(config.backfill.isEmpty || singleLiteral,
+      "bare --backfill composes with exactly one literal --log file; " +
+        "in fleet mode name the member: --backfill <live>=<arch>[,<arch>…]")
+    require(config.backfill.isEmpty || config.backfillFor.isEmpty,
+      "use either the bare or the live= form of --backfill, not both")
+    val literals = config.logs.filterNot(graft.sources.TailFleetSource.isGlob).toSet
+    require(config.backfillFor.keySet.subsetOf(literals),
+      "every --backfill live= key must be a literal --log entry: " +
+        config.backfillFor.keySet.diff(literals).mkString(", "))
     val (host, port) = config.listen.split(":", 2) match {
       case Array(h, p) => (h, p.toInt)
       case _ => throw new IllegalArgumentException(s"bad --listen: ${config.listen}")
@@ -144,10 +169,6 @@ object Exporter {
     val jdbc = config.jdbcUrl.map(u =>
       graft.streaming.MetricsJdbcSink(config.jdbcDialect, u, config.jdbcTable,
         config.jdbcCompactEvery))
-    val singleLiteral = config.logs.size == 1 &&
-      !graft.sources.TailFleetSource.isGlob(config.log)
-    require(config.backfill.isEmpty || singleLiteral,
-      "--backfill composes with exactly one literal --log file")
     val telemetry =
       if (config.selfMetrics) Some(new graft.streaming.ExporterTelemetry) else None
     val query =
@@ -155,14 +176,15 @@ object Exporter {
         MetricsServing.serveIncrementalTail(
           spark, config.log, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
           maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
-          resumeFromJdbc = config.resumeFromJdbc, backfill = config.backfill,
+          resumeFromJdbc = config.resumeFromJdbc,
+          backfill = config.backfill ++ config.backfillFor.getOrElse(config.log, Nil),
           availableNow = config.drainAndExit)
       else
         MetricsServing.serveIncrementalFleet(
           spark, config.logs, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
           maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
           resumeFromJdbc = config.resumeFromJdbc,
-          availableNow = config.drainAndExit)
+          availableNow = config.drainAndExit, backfill = config.backfillFor)
     server.health(() => query.isActive) // /healthz: 503 once the stream dies
     (server, query)
   }

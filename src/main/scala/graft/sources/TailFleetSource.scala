@@ -61,7 +61,8 @@ class TailFleetSourceProvider extends TableProvider {
     val (globs, literals) = specs.partition(TailFleetSource.isGlob)
     new TailFleetTable(literals, globs,
       java.lang.Boolean.parseBoolean(properties.getOrDefault("fromStart", "false")),
-      java.lang.Long.parseLong(properties.getOrDefault("maxBytesPerTrigger", "0")))
+      java.lang.Long.parseLong(properties.getOrDefault("maxBytesPerTrigger", "0")),
+      TailFleetSource.parseBackfill(properties.getOrDefault("backfill", "")))
   }
 }
 
@@ -107,6 +108,29 @@ object TailFleetSource {
     val (globs, literals) = specs.partition(isGlob)
     (literals ++ globs.flatMap(expandGlob)).distinct
   }
+
+  /** Per-member backfill chains, `live=arch1,arch2` entries joined by `;`
+    * (so backfill-mapped paths must not contain `,`, `;`, or `=` — the
+    * single-file source keeps its bare comma-list form). Duplicate keys
+    * concatenate in option order, matching a repeated CLI flag. */
+  def parseBackfill(spec: String): Map[String, Seq[String]] =
+    spec.split(";").map(_.trim).filter(_.nonEmpty).foldLeft(
+      Map.empty[String, Seq[String]]) { (acc, entry) =>
+      entry.split("=", 2) match {
+        case Array(live, archs) if live.trim.nonEmpty =>
+          val k = live.trim
+          acc.updated(k, acc.getOrElse(k, Nil) ++
+            archs.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case _ => throw new IllegalArgumentException(
+          s"bad fleet backfill entry '$entry' (want live=arch1,arch2)")
+      }
+    }
+
+  /** [[parseBackfill]]'s inverse — the option wire form. */
+  def renderBackfill(backfill: Map[String, Seq[String]]): String =
+    backfill.toSeq.sortBy(_._1)
+      .map { case (live, archs) => live + "=" + archs.mkString(",") }
+      .mkString(";")
 }
 
 /** Fleet position: one [[TailOffset]] per path. The wire form must stay a
@@ -127,10 +151,15 @@ object TailFleetOffset {
 }
 
 class TailFleetTable(paths: Seq[String], globs: Seq[String], fromStart: Boolean,
-    maxBytesPerTrigger: Long = 0L)
+    maxBytesPerTrigger: Long = 0L,
+    backfillFor: Map[String, Seq[String]] = Map.empty)
     extends Table with SupportsRead {
   require(paths.nonEmpty || globs.nonEmpty,
     "option 'paths' must list at least one file or glob")
+  require(backfillFor.keySet.subsetOf(paths.toSet),
+    "every backfill key must be a LITERAL fleet path (a glob-discovered " +
+      s"member postdates the attach, its history is its own content): " +
+      s"${backfillFor.keySet.diff(paths.toSet).mkString(", ")}")
   override def name(): String = s"tailfleet:${(paths ++ globs).mkString(",")}"
   override def schema(): StructType = TailFleetSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -140,14 +169,25 @@ class TailFleetTable(paths: Seq[String], globs: Seq[String], fromStart: Boolean,
       override def build(): Scan = this
       override def readSchema(): StructType = TailFleetSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new TailFleetMicroBatchStream(paths, fromStart, globs, maxBytesPerTrigger)
+        new TailFleetMicroBatchStream(paths, fromStart, globs, maxBytesPerTrigger,
+          backfillFor)
       override def toBatch: Batch = throw new UnsupportedOperationException(
         "tailfleet is a streaming-only source; use LogSource.readText per file for batch")
     }
 }
 
+/** @param backfillFor per-member BACKFILL-THEN-FOLLOW chains (see
+  *   [[TailFileMicroBatchStream]]'s backfill scaladoc — the semantics are
+  *   the member's, unchanged): each mapped member drains its rotated-away
+  *   archives as pre-live epochs before attaching to its live tail, while
+  *   unmapped members tail normally. Archive lines carry the LIVE path as
+  *   their `src` tag — history and tail are one per-server stream, so the
+  *   keyed merge correlates a query lifecycle spanning the archive
+  *   boundary and the fleet's `server` labels stay per live file. Keys
+  *   must be literal fleet paths. */
 class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
-    globs: Seq[String] = Nil, maxBytesPerTrigger: Long = 0L)
+    globs: Seq[String] = Nil, maxBytesPerTrigger: Long = 0L,
+    backfillFor: Map[String, Seq[String]] = Map.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -156,7 +196,9 @@ class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
     * construction AND at every [[latestOffset]] poll. */
   private val streams =
     scala.collection.concurrent.TrieMap.empty[String, TailFileMicroBatchStream]
-  paths.foreach(p => streams.put(p, new TailFileMicroBatchStream(p, fromStart)))
+  paths.foreach(p => streams.put(p,
+    new TailFileMicroBatchStream(p, fromStart,
+      backfill = backfillFor.getOrElse(p, Nil))))
   globs.flatMap(TailFleetSource.expandGlob).foreach(register(_, fromStart))
 
   /** `Trigger.AvailableNow`: every member drains to its own goal (captured

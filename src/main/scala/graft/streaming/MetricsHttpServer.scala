@@ -219,7 +219,8 @@ object MetricsServing {
       maxBytesPerTrigger: Long = 0L,
       telemetry: Option[ExporterTelemetry] = None,
       resumeFromJdbc: Boolean = false,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      backfill: Map[String, Seq[String]] = Map.empty): StreamingQuery = {
     jdbc.foreach(_.ensureTables())
     val resumed = resumeFromJdbc && jdbc.nonEmpty
     require(!resumeFromJdbc || jdbc.nonEmpty,
@@ -233,6 +234,7 @@ object MetricsServing {
       .option("paths", paths.mkString(","))
       .option("fromStart", fromStart.toString)
       .option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
+      .option("backfill", graft.sources.TailFleetSource.renderBackfill(backfill))
       .load()
     // registry resume: seed every server's counters from the warehouse
     // table so the scrape surface CONTINUES across the restart (and serve

@@ -44,9 +44,25 @@ class ExporterSpec extends SparkSpec {
       s"$dt [ 7 ] {b3} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 3\n".getBytes)
 
     assert(Exporter.parseArgs(Seq("--backfill", s"$arch")).backfill == Seq(arch.toString))
-    intercept[IllegalArgumentException] { // backfill is a single-file composition
+    // the bare form is the single-file shorthand; a fleet must NAME the member
+    intercept[IllegalArgumentException] {
       Exporter.run(spark, Exporter.Config(
         logs = Seq(live.toString, arch.toString), backfill = Seq(arch.toString)))
+    }
+    // the live= form parses and merges across repeated flags
+    val bf = Exporter.parseArgs(Seq(
+      "--backfill", "live.log=a.1,a.2", "--backfill", "live.log=a.3",
+      "--backfill", "other.log=b.1")).backfillFor
+    assert(bf == Map("live.log" -> Seq("a.1", "a.2", "a.3"),
+      "other.log" -> Seq("b.1")))
+    intercept[IllegalArgumentException] { // mixing the two forms is ambiguous
+      Exporter.run(spark, Exporter.Config(logs = Seq(live.toString),
+        backfill = Seq(arch.toString),
+        backfillFor = Map(live.toString -> Seq(arch.toString))))
+    }
+    intercept[IllegalArgumentException] { // a live= key must be a --log entry
+      Exporter.run(spark, Exporter.Config(logs = Seq(live.toString),
+        backfillFor = Map("/not/a/member.log" -> Seq(arch.toString))))
     }
 
     val (server, query) = Exporter.run(spark, Exporter.Config(
@@ -68,6 +84,89 @@ class ExporterSpec extends SparkSpec {
     } finally {
       query.stop()
       server.stop(0)
+    }
+  }
+
+  /** Fleet × backfill: each mapped member drains its own rotated-away
+    * archives before its live tail, inside ONE merge with per-server
+    * labels — a query lifecycle spanning a member's archive boundary
+    * correlates, unmapped members keep the seek-to-EOF default, and a
+    * restart re-reads nothing. */
+  test("fleet + per-member backfill: --backfill live=arch chains through the fleet merge") {
+    val fa = Files.createTempFile("graft-fbf-a", ".log")
+    val fb = Files.createTempFile("graft-fbf-b", ".log")
+    val fa1 = Files.createTempFile("graft-fbf-a1", ".log")
+    val ckpt = Files.createTempDirectory("graft-fbf-ckpt").toString
+    val dt = "2024.03.01 12:00:01.000000"
+    // a's history: query g1 starts and reports stats in the ARCHIVE…
+    Files.write(fa1, (
+      s"$dt [ 7 ] {g1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1\n" +
+      s"$dt [ 7 ] {g1} <Information> executeQuery: Read 500 rows, 2 KiB in 0.100 sec., 5000 rows/sec., 20 KiB/sec.\n").getBytes)
+    // …and completes in the LIVE file, which with backfill is continuous
+    // history (read from 0 despite the EOF default)
+    Files.write(fa,
+      s"2024.03.01 12:00:03.500000 [ 7 ] {g1} <Debug> MemoryTracker: Peak memory usage (for query): 3 MiB.\n".getBytes)
+    // the UNMAPPED member keeps the reference's seek-to-EOF default: this
+    // pre-existing line must never be counted
+    Files.write(fb,
+      s"$dt [ 9 ] {skip} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 0\n".getBytes)
+
+    val cfg = Exporter.Config(logs = Seq(fa.toString, fb.toString),
+      listen = "127.0.0.1:0", checkpoint = Some(ckpt),
+      backfillFor = Map(fa.toString -> Seq(fa1.toString)))
+    def srv(p: java.nio.file.Path): String = s"""server="${p.toString}""""
+    def append(p: java.nio.file.Path, s: String): Unit =
+      Files.write(p, (s + "\n").getBytes, StandardOpenOption.APPEND)
+    def poll(q: org.apache.spark.sql.streaming.StreamingQuery,
+        port: Int)(pred: String => Boolean): String = {
+      val deadline = System.nanoTime() + 90000L * 1000000L
+      var body = get(s"http://127.0.0.1:$port/metrics")
+      while (!pred(body) && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        body = get(s"http://127.0.0.1:$port/metrics")
+      }
+      body
+    }
+
+    val (server, query) = Exporter.run(spark, cfg)
+    try {
+      // the archive-spanning lifecycle completed: stats from the archive +
+      // memory line from the live file correlated under server=fa
+      val b1 = poll(query, server.boundPort)(
+        _.contains(s"""clickhouse_query_time_count{${srv(fa)},stmt_type="select"} 1"""))
+      assert(b1.contains(s"clickhouse_select_query_rows_read_sum{${srv(fa)}} 500"), b1)
+      assert(b1.contains(s"chlogexporter_read_lines{${srv(fa)}} 3"), b1)
+      // b's pre-existing line stayed unread (EOF default for unmapped members)
+      assert(b1.contains(s"chlogexporter_read_lines{${srv(fb)}} 0"), b1)
+
+      // both live tails progress normally after the backfill
+      append(fa, s"$dt [ 7 ] {g2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2")
+      append(fb, s"$dt [ 9 ] {g2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 3")
+      val b2 = poll(query, server.boundPort)(b =>
+        b.contains(s"""clickhouse_query_count{${srv(fa)},stmt_type="select"} 2""") &&
+          b.contains(s"""clickhouse_query_count{${srv(fb)},stmt_type="select"} 1"""))
+      assert(b2.contains(s"chlogexporter_read_lines{${srv(fa)}} 4"), b2)
+      assert(b2.contains(s"chlogexporter_read_lines{${srv(fb)}} 1"), b2)
+    } finally {
+      query.stop()
+      server.stop(0)
+    }
+
+    // restart on the same checkpoint (same flags): the drained archive is
+    // NOT re-read; both members resume from their live offsets
+    val (server2, query2) = Exporter.run(spark, cfg)
+    try {
+      append(fa, s"$dt [ 7 ] {g3} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 4")
+      append(fb, s"$dt [ 9 ] {g3} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 5")
+      val b3 = poll(query2, server2.boundPort)(b =>
+        b.contains(s"""clickhouse_query_count{${srv(fa)},stmt_type="select"} 1""") &&
+          b.contains(s"""clickhouse_query_count{${srv(fb)},stmt_type="select"} 1"""))
+      assert(b3.contains(s"chlogexporter_read_lines{${srv(fa)}} 1"),
+        "restart must resume past the backfilled archive, not re-read it")
+      assert(b3.contains(s"chlogexporter_read_lines{${srv(fb)}} 1"), b3)
+    } finally {
+      query2.stop()
+      server2.stop(0)
     }
   }
 

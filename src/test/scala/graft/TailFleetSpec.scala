@@ -222,6 +222,81 @@ class TailFleetSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("backfill wire form: parse/render round-trip, malformed entries and non-literal keys rejected") {
+    import graft.sources.{TailFleetSource, TailFleetTable}
+    val m = Map("/l/a.log" -> Seq("/l/a.1", "/l/a.2"), "/l/b.log" -> Seq("/l/b.1"))
+    assert(TailFleetSource.parseBackfill(TailFleetSource.renderBackfill(m)) == m)
+    assert(TailFleetSource.parseBackfill("") == Map.empty)
+    assert(TailFleetSource.renderBackfill(Map.empty) == "")
+    // duplicate keys concatenate in option order (a repeated CLI flag)
+    assert(TailFleetSource.parseBackfill("a=x;a=y") == Map("a" -> Seq("x", "y")))
+    intercept[IllegalArgumentException](TailFleetSource.parseBackfill("noequals"))
+    intercept[IllegalArgumentException](TailFleetSource.parseBackfill("=orphan"))
+    // a backfill key must be a LITERAL fleet member, not a glob or stranger
+    intercept[IllegalArgumentException] {
+      new TailFleetTable(Seq("/x.log"), Nil, fromStart = false, 0L,
+        Map("/y.log" -> Seq("/y.1")))
+    }
+  }
+
+  test("per-member backfill: archives drain as pre-live epochs, seq monotone, restart clean") {
+    import org.apache.spark.sql.streaming.Trigger
+    // member a carries a two-archive history chain; member b is unmapped
+    val a1 = Files.createTempFile("graft-fleet-bf-a1", ".log")
+    val a2 = Files.createTempFile("graft-fleet-bf-a2", ".log")
+    val a = Files.createTempFile("graft-fleet-bf-a", ".log")
+    val b = Files.createTempFile("graft-fleet-bf-b", ".log")
+    Files.write(a1, "h1\nh2\n".getBytes)
+    Files.write(a2, "h3".getBytes) // unterminated final line admitted whole
+    Files.write(b, "b-pre\n".getBytes) // unmapped + fromStart=false -> skipped
+    val ckpt = Files.createTempDirectory("graft-fleet-bf-ckpt").toString
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+    val backfill = graft.sources.TailFleetSource.renderBackfill(
+      Map(a.toString -> Seq(a1.toString, a2.toString)))
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.TailFleetSourceProvider].getName)
+        .option("paths", s"$a,$b")
+        .option("fromStart", "false")
+        .option("backfill", backfill)
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            rows.add((r.getString(0), r.getLong(1), r.getString(2)))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append").start()
+      try assert(q.awaitTermination(60000), "backfill drain must terminate")
+      finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    def memberOf(p: Path) = rows.asScala.toSeq.filter(_._1 == p.toString)
+
+    run()
+    // a's history drained in order even in EOF-default mode, tagged with
+    // the LIVE path (history and tail are one per-server stream); seq is
+    // strictly monotone across the archive boundary so the order-sensitive
+    // keyed merge sees archive lines strictly before live ones
+    assert(memberOf(a).map(_._3) == Seq("h1", "h2", "h3"), memberOf(a).toString)
+    assert(memberOf(a).map(_._2) == memberOf(a).map(_._2).sorted)
+    assert(memberOf(a).map(_._2).distinct.size == 3, "seq strictly monotone")
+    // the unmapped member kept its seek-to-EOF default: b-pre was skipped
+    assert(memberOf(b).isEmpty, memberOf(b).toString)
+
+    // the live tails now append; a second drain picks up ONLY the new lines
+    val backfillSeq = memberOf(a).map(_._2).max
+    append(a, "l1\n")
+    append(b, "bl1\n")
+    run()
+    assert(memberOf(a).map(_._3) == Seq("h1", "h2", "h3", "l1"),
+      s"live line after the drained history, no re-read: ${memberOf(a)}")
+    assert(memberOf(a).map(_._2).max > backfillSeq,
+      "live seq continues past the backfilled history")
+    assert(memberOf(b).map(_._3) == Seq("bl1"), memberOf(b).toString)
+  }
+
   test("maxBytesPerTrigger is a PER-MEMBER budget: each file drains bounded, none starves") {
     import graft.sources.{TailFleetMicroBatchStream, TailFleetOffset}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
