@@ -81,6 +81,8 @@ object DataPipelineQueries {
     "text_surprisal" -> ((s, dir) => TextAnalysis.surprisal(docs(s, dir))),
     "text_tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir))),
     "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(docs(s, dir))),
+    "retrieval_hybrid_rrf" -> ((s, dir) =>
+      CurationPipeline.hybridRetrievalRrf(docs(s, dir), emb(s, dir))),
     "source_report" -> ((s, dir) => TextAnalysis.sourceReport(docs(s, dir))),
     "sample_shuffle" -> ((s, dir) => Sampling.shuffleShards(docs(s, dir))),
     "sample_temperature" -> ((s, dir) => Sampling.temperatureMix(docs(s, dir))),
@@ -159,6 +161,7 @@ object DataPipelineQueries {
     "text_surprisal" -> TextAnalysis.surprisalSql,
     "text_tfidf_topk" -> TextAnalysis.tfidfTopKSql,
     "text_bm25_topk" -> TextAnalysis.bm25TopKSql,
+    "retrieval_hybrid_rrf" -> CurationPipeline.hybridRetrievalRrfSql,
     "source_report" -> TextAnalysis.sourceReportSql,
     "sample_shuffle" -> Sampling.shuffleShardsSql,
     "sample_mix" -> Sampling.hashSampleStatsSql,

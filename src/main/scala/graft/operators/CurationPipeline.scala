@@ -175,6 +175,108 @@ object CurationPipeline {
     * no window, no text through the shuffle. Score arithmetic is the
     * hash-exact text_quality chain, so [[qualityExemplarsSql]] replays
     * the selection deterministically, ties included. */
+  /** HYBRID RETRIEVAL — Reciprocal Rank Fusion of the two ranking
+    * modalities the library already retrieves with: the BM25 keyword list
+    * ([[TextAnalysis.bm25TopK]], fixed term set) and the embedding cosine
+    * list ([[Similarity.bruteForceTopK]], query vector 0; `vec_id ≡
+    * doc_id` in the corpus). RRF: `score(d) = Σ_lists 1/(K + rank_d)`
+    * with the standard K=60 — rank fusion is robust to the two lists'
+    * incomparable score scales, which is why curation/RAG pipelines fuse
+    * ranks rather than scores when pulling topic-targeted subsets.
+    *
+    * Exactness contract (the rational-idf / quantized-cosine idiom): ranks
+    * are integers 1..10, so each contribution is `L div (60 + r)` with
+    * `L = lcm(61..70) = 142813628717760` — an exact BIGINT both engines
+    * compute identically; the fused sum ≤ 2·L/61 ≈ 4.7e12, no overflow.
+    *
+    * 100 TB shape: the only corpus-proportional work is inside the two
+    * top-k producers (one scan + scalar reduce each); everything here runs
+    * on two ≤10-row frames. The BM25 rank comes from ONE bounded
+    * collect_list → array_sort → posexplode (10 structs in one row), not a
+    * partitionless window and not a rank-by-better self-join that would
+    * re-run the corpus scan — the registry-wide single-task-sort ban stays
+    * meaningful and the corpus is read once per modality. The fusion is a
+    * union of the two 10-row lists + one tiny groupBy. */
+  def hybridRetrievalRrf(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val L = 142813628717760L // lcm(61..70): L div (60+r) exact for r in 1..10
+    val bm = TextAnalysis.bm25TopK(docs, k = 10).select(col("doc_id"), col("score"))
+    val bmRank = bm
+      .agg(collect_list(struct(negate(col("score")).as("ns"), col("doc_id"))).as("l"))
+      .select(posexplode(array_sort(col("l")))) // (-score, doc_id) asc = score desc, id asc
+      .select(col("col.doc_id").as("doc_id"), (col("pos") + 1L).cast("long").as("r"))
+    val vecRank = Similarity.bruteForceTopK(emb, k = 10, nQueries = 1)
+      .select(col("neighbor_id").as("doc_id"), col("rnk").as("r"))
+    bmRank.select(col("doc_id"), col("r"), lit("bm25").as("side"))
+      .unionByName(vecRank.select(col("doc_id"), col("r"), lit("vec").as("side")))
+      .groupBy("doc_id")
+      .agg(
+        sum(expr(s"${L}L div (60L + r)")).as("rrf_scaled"),
+        max(when(col("side") === "bm25", col("r")).otherwise(0L)).as("bm25_rank"),
+        max(when(col("side") === "vec", col("r")).otherwise(0L)).as("vec_rank"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val hybridRetrievalRrfSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'merge')) AS BIGINT) AS tf_merge,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'window')) AS BIGINT) AS tf_window,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'hash')) AS BIGINT) AS tf_hash
+      |  FROM documents),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl,
+      |    CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+      |    CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
+      |    CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash
+      |  FROM d),
+      |n AS (
+      |  SELECT doc_id, tf_merge, tf_window, tf_hash, n_docs, df_merge, df_window, df_hash,
+      |    0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+      |      (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS norm
+      |  FROM d CROSS JOIN s),
+      |bmscore AS (
+      |  SELECT doc_id,
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5) / (CAST(df_merge AS DOUBLE) + 0.5))
+      |      * ((CAST(tf_merge AS DOUBLE) * 2.2) / (CAST(tf_merge AS DOUBLE) + 1.2 * norm))
+      |    + ((CAST(n_docs AS DOUBLE) - CAST(df_window AS DOUBLE) + 0.5) / (CAST(df_window AS DOUBLE) + 0.5))
+      |      * ((CAST(tf_window AS DOUBLE) * 2.2) / (CAST(tf_window AS DOUBLE) + 1.2 * norm))
+      |    + ((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
+      |      * ((CAST(tf_hash AS DOUBLE) * 2.2) / (CAST(tf_hash AS DOUBLE) + 1.2 * norm)) AS score
+      |  FROM n),
+      |bm AS (
+      |  SELECT doc_id, r FROM (
+      |    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+      |    FROM bmscore) WHERE r <= 10),
+      |ev AS (
+      |  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      |norms AS (SELECT vec_id, CAST(sum(q*q) AS BIGINT) AS nq FROM ev GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(sum(a.q*b.q) AS BIGINT) AS dot
+      |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id = 0 AND a.vec_id <> b.vec_id
+      |  GROUP BY 1, 2),
+      |sims AS (
+      |  SELECT neighbor_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+      |  FROM dots JOIN norms na ON na.vec_id = query_id JOIN norms nb ON nb.vec_id = neighbor_id),
+      |vec AS (
+      |  SELECT doc_id, r FROM (
+      |    SELECT neighbor_id AS doc_id,
+      |      CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, neighbor_id) AS BIGINT) AS r
+      |    FROM sims) WHERE r <= 10),
+      |contrib AS (
+      |  SELECT doc_id, r, 'bm25' AS side FROM bm
+      |  UNION ALL SELECT doc_id, r, 'vec' AS side FROM vec)
+      |SELECT doc_id,
+      |  CAST(sum(142813628717760 // (60 + r)) AS BIGINT) AS rrf_scaled,
+      |  CAST(max(CASE WHEN side = 'bm25' THEN r ELSE 0 END) AS BIGINT) AS bm25_rank,
+      |  CAST(max(CASE WHEN side = 'vec' THEN r ELSE 0 END) AS BIGINT) AS vec_rank
+      |FROM contrib GROUP BY doc_id
+      |ORDER BY rrf_scaled DESC, doc_id LIMIT 10""".stripMargin
+
   def qualityExemplars(docs: DataFrame): DataFrame =
     exemplarsOf(Dedup.clusters(docs).select("doc_id", "cluster_id"), docs)
 

@@ -1097,6 +1097,48 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF retrieval: exact-integer fusion of the BM25 and cosine rankings") {
+    val L = 142813628717760L // lcm(61..70)
+    val out = CurationPipeline.hybridRetrievalRrf(docs, emb).collect()
+    assert(out.length == 10)
+    // member ranks are 0 (absent from that list) or 1..10
+    out.foreach { r =>
+      val (b, v) = (r.getAs[Long]("bm25_rank"), r.getAs[Long]("vec_rank"))
+      assert(b >= 0 && b <= 10 && v >= 0 && v <= 10, r.toString)
+      assert(b > 0 || v > 0, "a fused doc must come from at least one list")
+      // the fused score IS the exact scaled RRF sum — recomputable per row
+      val expected = (if (b > 0) L / (60 + b) else 0L) + (if (v > 0) L / (60 + v) else 0L)
+      assert(r.getAs[Long]("rrf_scaled") == expected, r.toString)
+    }
+    // the source rankings re-derive: every top-10 member of each list that
+    // made the fused cut carries its original rank
+    val bmTop = CurationPipeline.hybridRetrievalRrf(docs, emb) // plan identical; reuse out
+    val bm = TextAnalysis.bm25TopK(docs, k = 10).collect()
+      .sortBy(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("doc_id")).zipWithIndex.toMap
+    out.filter(_.getAs[Long]("bm25_rank") > 0).foreach { r =>
+      assert(bm(r.getAs[Long]("doc_id")) + 1 == r.getAs[Long]("bm25_rank"), r.toString)
+    }
+    // fusion beats either single list for a doc present in both: any
+    // both-lists doc outranks a doc whose single rank is no better
+    val both = out.filter(r => r.getAs[Long]("bm25_rank") > 0 && r.getAs[Long]("vec_rank") > 0)
+    both.foreach { r =>
+      val single = out.filter(s => (s.getAs[Long]("bm25_rank") == 0) ^ (s.getAs[Long]("vec_rank") == 0))
+        .filter { s =>
+          val sr = math.max(s.getAs[Long]("bm25_rank"), s.getAs[Long]("vec_rank"))
+          sr >= math.min(r.getAs[Long]("bm25_rank"), r.getAs[Long]("vec_rank"))
+        }
+      single.foreach(s =>
+        assert(s.getAs[Long]("rrf_scaled") < r.getAs[Long]("rrf_scaled"), s"$r vs $s"))
+    }
+    // scale shape: no partitionless window anywhere in the optimized plan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = bmTop.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(offenders.isEmpty, "RRF must not rank with a partitionless window")
+  }
+
   test("quality classifier on testdata: keep splits the corpus, score bounded by the weight envelope") {
     val out = TextAnalysis.qualityClassifier(docs).collect()
     assert(out.length == docs.count())
