@@ -109,7 +109,10 @@ object Exporter {
       // attaching to the live --log file — the "reprocess history, then
       // follow" deployment ask. Bare `--backfill a.1,a.2` is the
       // single-file shorthand; `--backfill live.log=a.1,a.2` (repeatable)
-      // names the member and composes with fleet mode.
+      // names the member and composes with fleet mode. The first '=' in
+      // the value selects the live= form, so backfill-ed paths must not
+      // contain '=' (nor ',' or ';', the list separators) — a rename is
+      // the escape hatch.
       case "--backfill" :: v :: t if v.contains('=') =>
         val merged = graft.sources.TailFleetSource.parseBackfill(v)
           .foldLeft(c.backfillFor) { case (acc, (live, archs)) =>

@@ -217,56 +217,21 @@ object CurationPipeline {
       .limit(10)
   }
 
-  val hybridRetrievalRrfSql: String =
-    """WITH d AS (
-      |  SELECT doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-      |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'merge')) AS BIGINT) AS tf_merge,
-      |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'window')) AS BIGINT) AS tf_window,
-      |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'hash')) AS BIGINT) AS tf_hash
-      |  FROM documents),
-      |s AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl,
-      |    CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
-      |    CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
-      |    CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash
-      |  FROM d),
-      |n AS (
-      |  SELECT doc_id, tf_merge, tf_window, tf_hash, n_docs, df_merge, df_window, df_hash,
-      |    0.25 + 0.75 * (CAST(dl AS DOUBLE) /
-      |      (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS norm
-      |  FROM d CROSS JOIN s),
-      |bmscore AS (
-      |  SELECT doc_id,
-      |    ((CAST(n_docs AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5) / (CAST(df_merge AS DOUBLE) + 0.5))
-      |      * ((CAST(tf_merge AS DOUBLE) * 2.2) / (CAST(tf_merge AS DOUBLE) + 1.2 * norm))
-      |    + ((CAST(n_docs AS DOUBLE) - CAST(df_window AS DOUBLE) + 0.5) / (CAST(df_window AS DOUBLE) + 0.5))
-      |      * ((CAST(tf_window AS DOUBLE) * 2.2) / (CAST(tf_window AS DOUBLE) + 1.2 * norm))
-      |    + ((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
-      |      * ((CAST(tf_hash AS DOUBLE) * 2.2) / (CAST(tf_hash AS DOUBLE) + 1.2 * norm)) AS score
-      |  FROM n),
+  /** Composed from the SAME oracle CTE chains its two source rankings
+    * check against ([[TextAnalysis.bm25ScoreCtesSql]],
+    * [[Similarity.bruteForceRankedSql]]) — a constant change there reaches
+    * this oracle automatically. Lazy: both referenced vals live in objects
+    * this object must not force mid-init. */
+  lazy val hybridRetrievalRrfSql: String =
+    s"""WITH ${TextAnalysis.bm25ScoreCtesSql},
       |bm AS (
       |  SELECT doc_id, r FROM (
       |    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
       |    FROM bmscore) WHERE r <= 10),
-      |ev AS (
-      |  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
-      |  FROM (SELECT vec_id, unnest(embedding) AS x,
-      |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
-      |norms AS (SELECT vec_id, CAST(sum(q*q) AS BIGINT) AS nq FROM ev GROUP BY vec_id),
-      |dots AS (
-      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(sum(a.q*b.q) AS BIGINT) AS dot
-      |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id = 0 AND a.vec_id <> b.vec_id
-      |  GROUP BY 1, 2),
-      |sims AS (
-      |  SELECT neighbor_id,
-      |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
-      |  FROM dots JOIN norms na ON na.vec_id = query_id JOIN norms nb ON nb.vec_id = neighbor_id),
+      |${Similarity.bruteForceRankedSql(1)},
       |vec AS (
-      |  SELECT doc_id, r FROM (
-      |    SELECT neighbor_id AS doc_id,
-      |      CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, neighbor_id) AS BIGINT) AS r
-      |    FROM sims) WHERE r <= 10),
+      |  SELECT neighbor_id AS doc_id, CAST(rnk AS BIGINT) AS r
+      |  FROM bfranked WHERE rnk <= 10),
       |contrib AS (
       |  SELECT doc_id, r, 'bm25' AS side FROM bm
       |  UNION ALL SELECT doc_id, r, 'vec' AS side FROM vec)

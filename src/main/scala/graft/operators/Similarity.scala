@@ -82,25 +82,30 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  val bruteForceTopKSql: String =
-    """WITH ev AS (
-      |  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
-      |  FROM (SELECT vec_id, unnest(embedding) AS x,
-      |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
-      |norms AS (SELECT vec_id, CAST(sum(q*q) AS BIGINT) AS nq FROM ev GROUP BY vec_id),
-      |dots AS (
+  /** Shared oracle CTE chain (ev/norms/bfdots/bfsims/bfranked): exact
+    * brute-force cosine ranks for queries `vec_id < nQueries` — ONE
+    * definition composed by [[bruteForceTopKSql]] and the hybrid-RRF
+    * oracle ([[CurationPipeline.hybridRetrievalRrfSql]]), so a grid or
+    * tie-break change cannot desynchronize the two. A def (and lazy
+    * composition sites) because [[evNormsSql]] is defined further down. */
+  private[operators] def bruteForceRankedSql(nQueries: Int): String =
+    s"""$evNormsSql,
+      |bfdots AS (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(sum(a.q*b.q) AS BIGINT) AS dot
-      |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+      |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < $nQueries AND a.vec_id <> b.vec_id
       |  GROUP BY 1, 2),
-      |sims AS (
+      |bfsims AS (
       |  SELECT query_id, neighbor_id,
       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
-      |  FROM dots JOIN norms na ON na.vec_id = query_id JOIN norms nb ON nb.vec_id = neighbor_id),
-      |ranked AS (
+      |  FROM bfdots JOIN norms na ON na.vec_id = query_id JOIN norms nb ON nb.vec_id = neighbor_id),
+      |bfranked AS (
       |  SELECT query_id, neighbor_id, cos,
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-      |  FROM sims)
-      |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+      |  FROM bfsims)""".stripMargin
+
+  lazy val bruteForceTopKSql: String =
+    s"""WITH ${bruteForceRankedSql(10)}
+      |SELECT query_id, neighbor_id, cos, rnk FROM bfranked WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
   /** Per-vector SQ8 codes: `m` = max |component| on the quantized grid

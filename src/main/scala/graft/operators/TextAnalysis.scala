@@ -836,8 +836,12 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
-  val bm25TopKSql: String =
-    """WITH d AS (
+  /** Shared oracle CTE chain (d/s/n/bmscore): per-doc BM25 scores for the
+    * fixed term set — ONE definition composed by [[bm25TopKSql]] and the
+    * hybrid-RRF oracle ([[CurationPipeline.hybridRetrievalRrfSql]]), so a
+    * constant/term change cannot desynchronize the two. */
+  private[operators] val bm25ScoreCtesSql: String =
+    """d AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
       |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'merge')) AS BIGINT) AS tf_merge,
@@ -854,13 +858,19 @@ object TextAnalysis {
       |  SELECT doc_id, tf_merge, tf_window, tf_hash, n_docs, df_merge, df_window, df_hash,
       |    0.25 + 0.75 * (CAST(dl AS DOUBLE) /
       |      (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS norm
-      |  FROM d CROSS JOIN s)
-      |SELECT doc_id, tf_merge, tf_window, tf_hash,
-      |  ((CAST(n_docs AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5) / (CAST(df_merge AS DOUBLE) + 0.5))
-      |    * ((CAST(tf_merge AS DOUBLE) * 2.2) / (CAST(tf_merge AS DOUBLE) + 1.2 * norm))
-      |  + ((CAST(n_docs AS DOUBLE) - CAST(df_window AS DOUBLE) + 0.5) / (CAST(df_window AS DOUBLE) + 0.5))
-      |    * ((CAST(tf_window AS DOUBLE) * 2.2) / (CAST(tf_window AS DOUBLE) + 1.2 * norm))
-      |  + ((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
-      |    * ((CAST(tf_hash AS DOUBLE) * 2.2) / (CAST(tf_hash AS DOUBLE) + 1.2 * norm)) AS score
-      |FROM n ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      |  FROM d CROSS JOIN s),
+      |bmscore AS (
+      |  SELECT doc_id, tf_merge, tf_window, tf_hash,
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5) / (CAST(df_merge AS DOUBLE) + 0.5))
+      |      * ((CAST(tf_merge AS DOUBLE) * 2.2) / (CAST(tf_merge AS DOUBLE) + 1.2 * norm))
+      |    + ((CAST(n_docs AS DOUBLE) - CAST(df_window AS DOUBLE) + 0.5) / (CAST(df_window AS DOUBLE) + 0.5))
+      |      * ((CAST(tf_window AS DOUBLE) * 2.2) / (CAST(tf_window AS DOUBLE) + 1.2 * norm))
+      |    + ((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
+      |      * ((CAST(tf_hash AS DOUBLE) * 2.2) / (CAST(tf_hash AS DOUBLE) + 1.2 * norm)) AS score
+      |  FROM n)""".stripMargin
+
+  val bm25TopKSql: String =
+    s"""WITH $bm25ScoreCtesSql
+      |SELECT doc_id, tf_merge, tf_window, tf_hash, score
+      |FROM bmscore ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 }

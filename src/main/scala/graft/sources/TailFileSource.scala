@@ -206,7 +206,11 @@ class TailFileTable(path: String, fromStart: Boolean,
   *   backfill has drained, restarting WITHOUT `--backfill` against the
   *   same checkpoint is safe — the restored epoch is simply treated as a
   *   live generation and keeps counting, so archives can be deleted after
-  *   they've been processed. */
+  *   they've been processed. Across restarts the chain may only SHRINK
+  *   (drop drained archives): epochs are positional indices into the
+  *   chain, so GROWING it would remap a restored offset — rejected fail-
+  *   fast where detectable (a live-keyed offset below the new liveEpoch;
+  *   see `observe`); reprocessing more history needs a fresh checkpoint. */
 class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     maxBytesPerTrigger: Long = 0L, backfill: Seq[String] = Nil)
     extends MicroBatchStream with SupportsAdmissionControl
@@ -226,6 +230,22 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     * latestOffset() advances from. */
   @volatile private var known: TailOffset = TailOffset(0L, -1L)
   private def observe(o: TailOffset): TailOffset = {
+    // Epochs are POSITIONAL indices into the current backfill chain
+    // (liveEpoch = backfill.size), and the checkpoint records positions,
+    // not the chain — so growing the chain across a restart would silently
+    // remap a restored offset (a live position re-read as mid-archive:
+    // skipped history + a full live re-read double-counting every metric).
+    // Detectable exactly when it is dangerous: archive positions always
+    // carry an EMPTY fileKey (set only at the live hand-over), so a keyed
+    // offset below the current liveEpoch can only be a live checkpoint
+    // from a run with FEWER archives. Shrinking stays legal: drained
+    // archives may be dropped (restored epoch >= liveEpoch is just a live
+    // generation), per the class scaladoc.
+    require(o.epoch >= liveEpoch || o.fileKey.isEmpty,
+      s"checkpointed offset (epoch=${o.epoch}, pos=${o.pos}) is a LIVE position " +
+        s"but the current --backfill chain has ${backfill.size} archives — the " +
+        "chain grew across a restart, which remaps epochs; restart with the " +
+        "original chain or reprocess from a fresh checkpoint")
     val k = known
     if (o.epoch > k.epoch || (o.epoch == k.epoch && o.pos > k.pos)) known = o
     o
@@ -294,13 +314,20 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     * flight. Never observe()d: it must not advance the admitted position. */
   override def reportLatestOffset(): Offset = {
     if (known.pos < 0) initialOffset()
-    // walk the whole archive chain to the live EOF (bounded: one step per
-    // epoch + one live step) so the backlog gauge sees the true end even
-    // mid-backfill
-    var cur = known
+    // Archives are STATIC and the gauge/drain-goal only needs the TRUE
+    // LIVE tail: from a mid-archive position jump straight to the first
+    // live epoch instead of stepping the chain. (The former walk re-scanned
+    // every remaining archive's bytes on each progress event — O(total²/cap)
+    // I/O over a capped drain — and its step bound undercounted
+    // unterminated archives, which cost two transitions each, so with ≥2
+    // of them the reported tail — and an AvailableNow drain goal — stopped
+    // inside the chain and the live file never drained.) From a live
+    // position the walk only chases rotations, one epoch per step.
+    var cur =
+      if (known.epoch < liveEpoch) TailOffset(liveEpoch, 0L, "") else known
     var steps = 0
     var next = computeNext(cur, Long.MaxValue)
-    while (steps <= backfill.size + 1 && next.exists(_ != cur)) {
+    while (steps <= 2 && next.exists(_ != cur)) {
       cur = next.get
       next = computeNext(cur, Long.MaxValue)
       steps += 1
@@ -330,10 +357,20 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
       if (k.epoch == g.epoch) math.min(unbounded, g.pos - k.pos) else unbounded
     computeNext(k, eff).map {
       case n if n.epoch > g.epoch => k // rotation overtook the goal
+      case n if n.epoch == g.epoch && n.pos > g.pos &&
+          g.fileKey.nonEmpty && n.fileKey.nonEmpty && n.fileKey != g.fileKey =>
+        // the goal's GENERATION rotated away while the archives drained
+        // (same epoch number, different file identity): g.pos is a line
+        // boundary of the old file, NOT of the one n was scanned from —
+        // clamping would checkpoint a mid-line offset into the new file.
+        // Like the epoch-overtake case above: the old generation's
+        // remaining bytes are gone, report no progress and let the drain
+        // end.
+        k
       case n if n.epoch == g.epoch && n.pos > g.pos =>
         // an epoch hand-over (archive -> live) can land past a goal set
         // before the live file grew; the goal position is a boundary of
-        // the same generation, so clamping is safe
+        // the same generation (identity checked above), so clamping is safe
         TailOffset(g.epoch, g.pos, n.fileKey)
       case n => n
     }.map(observe).getOrElse(k)

@@ -441,6 +441,97 @@ class TailFileSourceSpec extends SparkSpec {
       s"history then live, then exit: $got")
   }
 
+  test("AvailableNow x backfill: TWO unterminated archives still drain through to the live file") {
+    // regression pin: each unterminated archive costs two walk transitions
+    // ((ep,0)→(ep,boundary)→(ep,len)); the old reportLatestOffset step
+    // bound undercounted them, so with ≥2 such archives the drain goal
+    // stopped inside the chain and the live lines present at start never
+    // drained. The fix jumps the static chain straight to the live tail.
+    import org.apache.spark.sql.streaming.Trigger
+    val a1 = Files.createTempFile("graft-anb2-a1", ".log")
+    val a2 = Files.createTempFile("graft-anb2-a2", ".log")
+    val live = Files.createTempFile("graft-anb2-live", ".log")
+    Files.write(a1, "old-1\nold-2".getBytes) // no trailing newline
+    Files.write(a2, "old-3".getBytes)        // no trailing newline
+    Files.write(live, "live-1\n".getBytes)
+    val ckpt = Files.createTempDirectory("graft-anb2-ckpt").toString
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream
+      .format(classOf[graft.sources.TailFileSourceProvider].getName)
+      .option("path", live.toString)
+      .option("backfill", s"$a1,$a2")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => rows.add((r.getLong(0), r.getString(1)))); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append").start()
+    try assert(q.awaitTermination(60000), "backfill drain must terminate")
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = rows.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(got == Seq("old-1", "old-2", "old-3", "live-1"),
+      s"both unterminated archives AND the live line must drain: $got")
+  }
+
+  test("growing the backfill chain across a restart is rejected, not silently remapped") {
+    import graft.sources.{TailFileMicroBatchStream, TailOffset}
+    val live = Files.createTempFile("graft-grow-live", ".log")
+    val arch = Files.createTempFile("graft-grow-arch", ".log")
+    Files.write(live, "l1\n".getBytes)
+    Files.write(arch, "a1\n".getBytes)
+    // a checkpoint written WITHOUT backfill holds a live-keyed offset;
+    // restoring it into a stream configured WITH backfill would reinterpret
+    // the epoch as an archive index (skipped history + live re-read) — the
+    // stream must fail fast instead
+    val plain = new TailFileMicroBatchStream(live.toString, fromStart = true)
+    val liveOffset = plain.latestOffset().asInstanceOf[TailOffset]
+    assert(liveOffset.fileKey.nonEmpty, "live offsets carry the file identity")
+    val grown = new TailFileMicroBatchStream(live.toString, fromStart = true,
+      backfill = Seq(arch.toString))
+    intercept[IllegalArgumentException] {
+      grown.deserializeOffset(liveOffset.json())
+    }
+    // the legal directions still restore: mid-archive under the SAME chain,
+    // and post-drain with the chain REMOVED (live generation continues)
+    val same = new TailFileMicroBatchStream(live.toString, fromStart = true,
+      backfill = Seq(arch.toString))
+    same.deserializeOffset(TailOffset(0L, 0L, "").json()) // mid-archive: ok
+    val shrunk = new TailFileMicroBatchStream(live.toString, fromStart = true)
+    shrunk.deserializeOffset(TailOffset(1L, 0L, "(dev=1;ino=2)").json()) // post-drain: ok
+  }
+
+  test("drain clamp: a live generation rotated away mid-backfill ends the drain, no mid-line clamp") {
+    import graft.sources.{TailFileMicroBatchStream, TailOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("graft-clamp")
+    val live = dir.resolve("live.log")
+    val arch = dir.resolve("arch.log")
+    Files.write(arch, "a-one\n".getBytes)
+    Files.write(live, "l-one\n".getBytes)
+    val s = new TailFileMicroBatchStream(live.toString, fromStart = true,
+      backfill = Seq(arch.toString))
+    s.prepareForTriggerAvailableNow()
+    // first poll captures the goal (live EOF of THIS generation) and admits
+    // the archive
+    val o1 = s.latestOffset(s.initialOffset(), ReadLimit.allAvailable())
+      .asInstanceOf[TailOffset]
+    assert(o1.epoch == 0L && o1.pos == 6L, s"archive admitted first: $o1")
+    // the live file is REPLACED while the archive drains (move-aside keeps
+    // the old inode alive so the replacement is a genuinely new identity),
+    // and the new generation grows PAST the goal position
+    Files.move(live, dir.resolve("live.log.1"))
+    Files.write(live, "other-gen-long-line\nx\n".getBytes)
+    // the hand-over lands in the new generation past the goal: the old
+    // clamp would checkpoint the goal position MID-LINE in the new file;
+    // the fix reports no progress (the goal's generation is gone) and the
+    // drain ends exactly like the epoch-overtake case
+    val o2 = s.latestOffset(o1, ReadLimit.allAvailable()).asInstanceOf[TailOffset]
+    assert(o2 == o1, s"rotated-away goal generation must end the drain: $o2")
+  }
+
   test("single-scan delivery fold: one byte-range read per micro-batch, counts exact") {
     val f = Files.createTempFile("graft-tail-scan", ".log")
     val ckpt = Files.createTempDirectory("graft-tail-scan-ckpt").toString
