@@ -150,7 +150,7 @@ object Exporter {
     config.logs.filterNot(graft.sources.TailFleetSource.isGlob)
       .foreach(graft.sources.LogSource.checkLogFile)
     (config.backfill ++ config.backfillFor.values.flatten)
-      .foreach(graft.sources.LogSource.checkLogFile)
+      .foreach(graft.sources.LogSource.checkBackfillFile) // gz archives ok
     val singleLiteral = config.logs.size == 1 &&
       !graft.sources.TailFleetSource.isGlob(config.log)
     require(config.backfill.isEmpty || singleLiteral,

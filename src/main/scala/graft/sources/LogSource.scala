@@ -38,6 +38,29 @@ object LogSource {
     require(!isArchive, s"File is an archive: $path")
   }
 
+  /** True when the file starts with the gzip magic (1f 8b). */
+  def isGzip(path: String): Boolean = {
+    val in = new FileInputStream(path)
+    val head = new Array[Byte](2)
+    val n = try in.read(head) finally in.close()
+    n >= 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b
+  }
+
+  /** Pre-flight for BACKFILL archives: exists / not-a-directory like the
+    * live check, but gzip is ACCEPTED — `logrotate compress` (the distro
+    * default) means real rotated history is `.1.gz`/`.2.gz`, and an
+    * archive is static, so it can decompress as one drained epoch
+    * (TailFileMicroBatchStream's backfill scaladoc). The other rotation
+    * codecs the reference's magic table names (zip/bzip2/xz) are still
+    * rejected — only gzip decode is implemented, and a typo'd path must
+    * keep failing fast. */
+  def checkBackfillFile(path: String): Unit = {
+    val f = new File(path)
+    require(f.exists(), s"Can't stat path: $path")
+    require(!f.isDirectory, s"It's a directory: $path")
+    if (!isGzip(path)) checkLogFile(path)
+  }
+
   /** Max line length the delivery path accepts — the analog of a tail
     * library's line buffer: a "line" longer than this is a corrupt record
     * (missing newline / binary garbage), not a log line. */

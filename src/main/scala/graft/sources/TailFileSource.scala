@@ -198,7 +198,11 @@ class TailFileTable(path: String, fromStart: Boolean,
   *   merge sees archive lines strictly before live lines. Archives are
   *   static complete files: an unterminated final line IS the last line
   *   and is admitted whole; admission control (`maxBytesPerTrigger`)
-  *   bounds each poll within one file. With backfill the live file is
+  *   bounds each poll within one file. Archives may be GZIPPED
+  *   (`logrotate compress`, the distro default): a gz archive drains as
+  *   one whole epoch — compressed bytes have no line boundaries, so the
+  *   byte budget degrades to per-archive granularity there — and its
+  *   decompressed content is one task's working set. With backfill the live file is
   *   read from position 0 regardless of `fromStart` — archives + live are
   *   one continuous history. Restart mid-backfill resumes from the
   *   checkpointed (epoch, pos) like any other position. Archives must
@@ -218,12 +222,18 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
 
   // Pre-flight validation exactly where the reference runs it: before the
   // tail attaches (main.go:81-85), with the is-directory fix. Archives are
-  // literal paths and must exist too.
+  // literal paths and must exist too — and may be GZIPPED (`logrotate
+  // compress` is the distro default); the live file keeps the reference's
+  // archive rejection.
   LogSource.checkLogFile(path)
-  backfill.foreach(LogSource.checkLogFile)
+  backfill.foreach(LogSource.checkBackfillFile)
 
   /** First live epoch; epochs below it index [[backfill]]. */
   private val liveEpoch: Long = backfill.size.toLong
+
+  /** Which archives are gzip (magic sniffed ONCE — archives are static). */
+  private val gzArchive: IndexedSeq[Boolean] =
+    backfill.map(LogSource.isGzip).toIndexedSeq
 
   /** Highest (epoch, pos) this stream has observed — from initialOffset,
     * checkpoint-restored offsets, or commits — the tail position
@@ -421,15 +431,29 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
   private def computeNextArchive(k: TailOffset, cap: Long): TailOffset = {
     val f = backfill(k.epoch.toInt)
     val len = new java.io.File(f).length()
-    if (k.pos < len) {
-      val t = TailFileSource.boundedLineBoundary(f, k.pos, cap)
-      k.copy(pos = if (t > k.pos) t else len)
-    } else if (k.epoch + 1 < liveEpoch)
-      TailOffset(k.epoch + 1,
-        TailFileSource.boundedLineBoundary(backfill(k.epoch.toInt + 1), 0L, cap), "")
+    if (k.pos < len)
+      k.copy(pos = archiveAdvance(k.epoch.toInt, k.pos, cap))
+    else if (k.epoch + 1 < liveEpoch)
+      TailOffset(k.epoch + 1, archiveAdvance(k.epoch.toInt + 1, 0L, cap), "")
     else
       TailOffset(liveEpoch,
         TailFileSource.boundedLineBoundary(path, 0L, cap), TailOffset.keyOf(path))
+  }
+
+  /** One admission step within archive `i` from `from`: plain archives cut
+    * to a bounded line boundary (an unterminated tail IS the last line —
+    * advance to len); GZIPPED archives are admitted WHOLE — compressed
+    * bytes have no line boundaries to cut at, so the per-poll byte budget
+    * degrades to a per-archive progress guarantee, the same rule as the
+    * oversized single line. Positions in a gz epoch are therefore only
+    * ever 0 or the compressed length. */
+  private def archiveAdvance(i: Int, from: Long, cap: Long): Long = {
+    val f = backfill(i)
+    if (gzArchive(i)) new java.io.File(f).length()
+    else {
+      val t = TailFileSource.boundedLineBoundary(f, from, cap)
+      if (t > from) t else new java.io.File(f).length()
+    }
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -462,7 +486,8 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
           else if (isArchive) new java.io.File(p).length()
           else -1L // rotated-away live generation: bytes gone
         if (endPos > startPos)
-          Some(TailRange(p, ep, startPos, endPos, emitTrailing = isArchive))
+          Some(TailRange(p, ep, startPos, endPos, emitTrailing = isArchive,
+            gz = isArchive && gzArchive(ep.toInt)))
         else None
       }.toArray[InputPartition]
     }
@@ -477,8 +502,13 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
   override def stop(): Unit = ()
 }
 
+/** @param gz the range is a whole GZIPPED archive ([start, end) are
+  *   compressed bytes, always the full file): the reader decompresses and
+  *   line-splits the decompressed stream. The decompressed content is one
+  *   task's working set — logrotate archives are bounded by the rotation
+  *   size; for giant histories use uncompressed backfill. */
 final case class TailRange(path: String, epoch: Long, start: Long, end: Long,
-    emitTrailing: Boolean = false) extends InputPartition
+    emitTrailing: Boolean = false, gz: Boolean = false) extends InputPartition
 
 /** Reads the newline-terminated lines in byte range [start, end). */
 class TailRangeReader(range: TailRange) extends PartitionReader[InternalRow] {
@@ -491,32 +521,44 @@ class TailRangeReader(range: TailRange) extends PartitionReader[InternalRow] {
         new java.io.File(range.path).length() < range.end) Iterator.empty
     else {
       TailFileSource.rangesOpened.incrementAndGet()
-      val raf = new RandomAccessFile(range.path, "r")
-      try {
-        val n = (range.end - range.start).toInt
-        val buf = new Array[Byte](n)
-        raf.seek(range.start)
-        raf.readFully(buf)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-        val seqBase = range.epoch << 44 // monotone across rotations
-        var lineStart = 0
-        var i = 0
-        while (i < n) {
-          if (buf(i) == '\n') {
-            out += ((seqBase | (range.start + lineStart),
-              new String(buf, lineStart, i - lineStart, StandardCharsets.UTF_8)))
-            lineStart = i + 1
-          }
-          i += 1
+      val buf: Array[Byte] =
+        if (range.gz) {
+          // a gz range is always the whole archive (archiveAdvance admits
+          // it 0 -> len); seq offsets below are DECOMPRESSED positions —
+          // monotone within the epoch exactly like plain byte offsets
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.FileInputStream(range.path), 64 * 1024)
+          try in.readAllBytes() finally in.close()
+        } else {
+          val raf = new RandomAccessFile(range.path, "r")
+          try {
+            val b = new Array[Byte]((range.end - range.start).toInt)
+            raf.seek(range.start)
+            raf.readFully(b)
+            b
+          } finally raf.close()
         }
-        // `end` is a line boundary — except for a fully-drained ARCHIVE
-        // whose final line has no terminating newline: that remainder IS
-        // the last line (the file is complete), emitted when flagged
-        if (range.emitTrailing && lineStart < n)
-          out += ((seqBase | (range.start + lineStart),
-            new String(buf, lineStart, n - lineStart, StandardCharsets.UTF_8)))
-        out.iterator
-      } finally raf.close()
+      val n = buf.length
+      val base = if (range.gz) 0L else range.start
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val seqBase = range.epoch << 44 // monotone across rotations
+      var lineStart = 0
+      var i = 0
+      while (i < n) {
+        if (buf(i) == '\n') {
+          out += ((seqBase | (base + lineStart),
+            new String(buf, lineStart, i - lineStart, StandardCharsets.UTF_8)))
+          lineStart = i + 1
+        }
+        i += 1
+      }
+      // `end` is a line boundary — except for a fully-drained ARCHIVE
+      // whose final line has no terminating newline: that remainder IS
+      // the last line (the file is complete), emitted when flagged
+      if (range.emitTrailing && lineStart < n)
+        out += ((seqBase | (base + lineStart),
+          new String(buf, lineStart, n - lineStart, StandardCharsets.UTF_8)))
+      out.iterator
     }
   }
 

@@ -476,6 +476,79 @@ class TailFileSourceSpec extends SparkSpec {
       s"both unterminated archives AND the live line must drain: $got")
   }
 
+  test("gzip backfill archives: logrotate-compressed history drains as pre-live epochs") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-gzbf")
+    val a1gz = dir.resolve("app.log.2.gz")
+    val a2 = dir.resolve("app.log.1") // mixed chain: gz then plain
+    val live = dir.resolve("app.log")
+    val gz = new java.util.zip.GZIPOutputStream(Files.newOutputStream(a1gz))
+    gz.write("old-1\nold-2".getBytes) // unterminated final line
+    gz.close()
+    Files.write(a2, "old-3\n".getBytes)
+    Files.write(live, "live-1\n".getBytes)
+    val ckpt = Files.createTempDirectory("graft-gzbf-ckpt").toString
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.TailFileSourceProvider].getName)
+        .option("path", live.toString)
+        .option("backfill", s"$a1gz,$a2")
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => rows.add((r.getLong(0), r.getString(1)))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append").start()
+      try assert(q.awaitTermination(60000), "gz backfill drain must terminate")
+      finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    run()
+    val got = rows.asScala.toSeq.sortBy(_._1)
+    assert(got.map(_._2) == Seq("old-1", "old-2", "old-3", "live-1"),
+      s"decompressed history in order, then live: $got")
+    assert(got.map(_._1) == got.map(_._1).sorted &&
+      got.map(_._1).distinct.size == 4, "seq monotone across the mixed chain")
+
+    // restart: the drained gz epoch is checkpointed at its compressed
+    // length — only new live lines arrive, no re-decompression re-read
+    Files.write(live, "live-2\n".getBytes, StandardOpenOption.APPEND)
+    run()
+    assert(rows.asScala.toSeq.sortBy(_._1).map(_._2) ==
+      Seq("old-1", "old-2", "old-3", "live-1", "live-2"),
+      s"no gz re-read on restart: ${rows.asScala.toSeq.sortBy(_._1)}")
+  }
+
+  test("gz archive admitted whole under a tiny byte budget; unsupported codecs still fail pre-flight") {
+    import graft.sources.{TailFileMicroBatchStream, TailOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("graft-gzcap")
+    val agz = dir.resolve("a.log.1.gz")
+    val live = dir.resolve("a.log")
+    val gz = new java.util.zip.GZIPOutputStream(Files.newOutputStream(agz))
+    gz.write(("x" * 200 + "\n" + "y" * 200 + "\n").getBytes)
+    gz.close()
+    Files.createFile(live)
+    val s = new TailFileMicroBatchStream(live.toString, fromStart = true,
+      backfill = Seq(agz.toString))
+    // compressed bytes have no line boundaries: one poll admits the whole
+    // archive even under a 4-byte budget (per-archive progress guarantee)
+    val o1 = s.latestOffset(s.initialOffset(), ReadLimit.maxBytes(4))
+      .asInstanceOf[TailOffset]
+    assert(o1.epoch == 0L && o1.pos == Files.size(agz), s"whole gz admitted: $o1")
+
+    // the other rotation codecs stay rejected (only gzip is implemented)
+    val xz = dir.resolve("a.log.2.xz")
+    Files.write(xz, Array[Byte](0xfd.toByte, 0x37, 0x7a, 0x58, 0x5a, 0x00))
+    intercept[IllegalArgumentException] {
+      new TailFileMicroBatchStream(live.toString, fromStart = true,
+        backfill = Seq(xz.toString))
+    }
+  }
+
   test("growing the backfill chain across a restart is rejected, not silently remapped") {
     import graft.sources.{TailFileMicroBatchStream, TailOffset}
     val live = Files.createTempFile("graft-grow-live", ".log")
