@@ -172,11 +172,14 @@ object Multimodal {
   type FrameCodec = Array[Byte] => Seq[Array[Double]]
 
   /** REAL multi-frame decoder through the frame seam: animated GIF via the
-    * JDK's ImageIO GIF reader (the one multi-frame container the JDK
-    * decodes without external codecs) — one `[w, h, meanR, meanG, meanB]`
-    * vector per frame, shared stats with [[imageDecode]]. The reader is
-    * instantiated per payload and disposed; heavyweight video codecs would
-    * hold JNI state in the per-partition factory instead. This makes the
+    * JDK's ImageIO readers — one `[w, h, meanR, meanG, meanB]` vector per
+    * frame, shared stats with [[imageDecode]]. Container-GENERIC in
+    * practice: `getImageReaders` sniffs the payload's magic, so any
+    * multi-image format with a JDK reader decodes through this same codec
+    * (spec'd for animated GIF and multi-page TIFF — the JDK's two
+    * multi-image containers). The reader is instantiated per payload and
+    * disposed; heavyweight video codecs would hold JNI state in the
+    * per-partition factory instead. This makes the
     * frame ops' claim real for one container: [[frameSample]]'s byte
     * slicing is the oracle-checkable stand-in, and a true container
     * decoder drops into [[frameFeaturesOf]] without touching the

@@ -161,6 +161,45 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(!out.keys.exists(_._1 == 2L), "undecodable payload must emit no rows")
   }
 
+  test("the SAME frame codec decodes a multi-page TIFF: ImageIO picks the reader by magic") {
+    // the codec never names GIF: getImageReaders() sniffs the container, so
+    // any multi-image format with a JDK reader flows through the unchanged
+    // seam — this pins that generality claim with the JDK's second
+    // multi-image container (multi-page TIFF, lossless, exact asserts;
+    // pages may differ in dims, unlike GIF frames sharing a screen)
+    import spark.implicits._
+    def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      img
+    }
+    def multiPageTiff(pages: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      pages.foreach(p =>
+        writer.writeToSequence(new javax.imageio.IIOImage(p, null, null), null))
+      writer.endWriteSequence()
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val tiff = multiPageTiff(Seq(
+      solid(4, 3, 0xff0000), solid(6, 5, 0x0a141e), solid(2, 2, 0xffffff)))
+    val media = Seq((7L, tiff)).toDF("doc_id", "payload")
+    val out = Multimodal.frameFeaturesOf(media, Multimodal.gifFrameFactory).collect()
+      .map(r => (r.getLong(2), r.getLong(3)) -> r.getDouble(4)).toMap
+    assert(out.keys.map(_._1).toSet == Set(0L, 1L, 2L), s"3 pages: ${out.keys}")
+    // page 0: 4x3 red; page 1: 6x5 rgb(10,20,30); page 2: 2x2 white
+    assert(out((0L, 0L)) == 4.0 && out((0L, 1L)) == 3.0 && out((0L, 2L)) == 255.0)
+    assert(out((1L, 0L)) == 6.0 && out((1L, 1L)) == 5.0 &&
+      out((1L, 2L)) == 10.0 && out((1L, 3L)) == 20.0 && out((1L, 4L)) == 30.0)
+    assert(out((2L, 0L)) == 2.0 && out((2L, 1L)) == 2.0 &&
+      out((2L, 2L)) == 255.0 && out((2L, 3L)) == 255.0 && out((2L, 4L)) == 255.0)
+  }
+
   test("composited FrameCodec: delta-rect GIF frames yield full logical-screen stats") {
     import spark.implicits._
     import javax.imageio.metadata.IIOMetadataNode
