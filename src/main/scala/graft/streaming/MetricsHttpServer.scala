@@ -163,11 +163,12 @@ object MetricsServing {
     * ([[StreamingMerge.mergeWithDelivery]]), folded batch-synchronously —
     * no listener side channel. Serving cost per batch is O(batch events),
     * corpus size never re-enters. Registry counters are volatile across
-    * restarts by default, exactly like the reference's in-process
-    * registry; with a JDBC sink + `resumeFromJdbc` they seed from the
-    * warehouse snapshot and continue instead ([[PromRegistry.seedFrom]]).
-    * At scale the "record" outputs would additionally feed a table sink;
-    * here they are simply not collected. */
+    * restarts, exactly like the reference's in-process registry (the
+    * JDBC-seeded continuation lives on the overloads that take a sink:
+    * [[serveIncrementalTail]]/[[serveIncrementalFleet]] with
+    * `resumeFromJdbc` — this directory-mode overload has no warehouse to
+    * seed from). At scale the "record" outputs would additionally feed a
+    * table sink; here they are simply not collected. */
   def serveIncremental(spark: SparkSession, dir: String, server: MetricsHttpServer,
       checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
     import spark.implicits._

@@ -22,6 +22,28 @@ class RegistryResumeSpec extends SparkSpec {
     body
   }
 
+  /** Drive `q` until the scrape body satisfies `pred` (or 90 s). The sleep
+    * gives the ASYNC consumers a beat: the JDBC delta lands
+    * batch-synchronously, but the listener-fed `graft_*` gauges arrive on
+    * the listener bus a moment after processAllAvailable returns — any
+    * assertion on those must be part of `pred`, never a bare assert after
+    * a registry-only poll. ONE definition for every end-to-end test here. */
+  private def pollBody(srv: graft.streaming.MetricsHttpServer,
+      q: org.apache.spark.sql.streaming.StreamingQuery)(
+      pred: String => Boolean): String = {
+    val deadline = System.nanoTime() + 90000L * 1000000L
+    var body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
+    while (!pred(body) && System.nanoTime() < deadline) {
+      q.processAllAvailable(); Thread.sleep(100)
+      body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
+    }
+    body
+  }
+
+  private def poll(srv: graft.streaming.MetricsHttpServer,
+      q: org.apache.spark.sql.streaming.StreamingQuery)(want: String*): String =
+    pollBody(srv, q)(b => want.forall(b.contains))
+
   /** The REAL emission space ([[graft.streaming.StreamingMerge]]'s observe
     * sites) — "counter" never carries type=tail_line (delivery failures are
     * their own pre-aggregated kind since the single-scan fold). */
@@ -103,19 +125,8 @@ class RegistryResumeSpec extends SparkSpec {
     append(s"$dt [ 7 ] {r1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1")
     append(s"$dt [ 7 ] {r2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2")
     val (srv1, q1) = Exporter.run(spark, config)
-    def poll(srv: graft.streaming.MetricsHttpServer,
-        q: org.apache.spark.sql.streaming.StreamingQuery)(want: String): String = {
-      val deadline = System.nanoTime() + 90000L * 1000000L
-      var body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
-      while (!metric(body, want) && System.nanoTime() < deadline) {
-        q.processAllAvailable()
-        Thread.sleep(100) // JDBC delta lands batch-synchronously; scrape swap too
-        body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
-      }
-      body
-    }
-    poll(srv1, q1)("""clickhouse_query_count{stmt_type="select"} 2""")
-    q1.stop(); srv1.stop(0)
+    try poll(srv1, q1)("""clickhouse_query_count{stmt_type="select"} 2""")
+    finally { q1.stop(); srv1.stop(0) }
 
     val t = MetricsJdbcUpsert.Target(url, "metrics")
     val src = MetricsJdbcUpsert.ledgerSource(ckpt)
@@ -236,26 +247,16 @@ class RegistryResumeSpec extends SparkSpec {
       jdbcUrl = Some(url), selfMetrics = false)
     def append(f: java.nio.file.Path, s: String): Unit =
       Files.write(f, (s + "\n").getBytes, StandardOpenOption.APPEND)
-    def poll(srv: graft.streaming.MetricsHttpServer,
-        q: org.apache.spark.sql.streaming.StreamingQuery)(want: String*): String = {
-      val deadline = System.nanoTime() + 90000L * 1000000L
-      var body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
-      while (!want.forall(body.contains) && System.nanoTime() < deadline) {
-        q.processAllAvailable(); Thread.sleep(100)
-        body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
-      }
-      body
-    }
 
     // run 1: two selects on a, one on b
     append(a, s"$dt [ 7 ] {f1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1")
     append(a, s"$dt [ 7 ] {f2} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2")
     append(b, s"$dt [ 7 ] {f1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 3")
     val (srv1, q1) = Exporter.run(spark, config)
-    poll(srv1, q1)(
+    try poll(srv1, q1)(
       s"""clickhouse_query_count{server="$a",stmt_type="select"} 2""",
       s"""clickhouse_query_count{server="$b",stmt_type="select"} 1""")
-    q1.stop(); srv1.stop(0)
+    finally { q1.stop(); srv1.stop(0) }
 
     // restart with resume: each server's counters seed from ITS rows and
     // keep counting independently
@@ -295,16 +296,13 @@ class RegistryResumeSpec extends SparkSpec {
       s"$dt [ 7 ] {gb1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 2\n".getBytes)
     val (srv1, q1) = Exporter.run(spark, config)
     val wantA = s"""clickhouse_query_count{server="$a",stmt_type="select"} 1"""
+    val wantB = s"""clickhouse_query_count{server="$b",stmt_type="select"} 1"""
     try {
-      val deadline = System.nanoTime() + 90000L * 1000000L
-      var body = get(s"http://127.0.0.1:${srv1.boundPort}/metrics")
-      while (!(body.contains(wantA) &&
-          body.contains(s"""clickhouse_query_count{server="$b",stmt_type="select"} 1""")) &&
-          System.nanoTime() < deadline) {
-        q1.processAllAvailable(); Thread.sleep(100)
-        body = get(s"http://127.0.0.1:${srv1.boundPort}/metrics")
-      }
-      assert(body.contains(wantA))
+      // assert BOTH after the poll: a server-b ingestion failure must fail
+      // HERE, not surface later as a misleading resume-path assert
+      val body = poll(srv1, q1)(wantA, wantB)
+      assert(body.contains(wantA), s"server a's line must land in run 1: $body")
+      assert(body.contains(wantB), s"server b's line must land in run 1: $body")
     } finally { q1.stop(); srv1.stop(0) }
 
     // the folded view carries per-server rows
@@ -340,26 +338,22 @@ class RegistryResumeSpec extends SparkSpec {
     def config = Exporter.Config(logs = Seq(f.toString), listen = "127.0.0.1:0",
       fromStart = true, checkpoint = Some(ckpt), jdbcUrl = Some(url),
       maxBytesPerTrigger = 100) // ~one 90-byte line admitted per poll
-    def poll(srv: graft.streaming.MetricsHttpServer,
-        q: org.apache.spark.sql.streaming.StreamingQuery)(want: String): String = {
-      val deadline = System.nanoTime() + 90000L * 1000000L
-      var body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
-      while (!body.contains(want) && System.nanoTime() < deadline) {
-        q.processAllAvailable(); Thread.sleep(100)
-        body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
-      }
-      body
-    }
+    // the multi-batch proof reads a LISTENER-fed gauge: poll on it (the
+    // listener bus lags processAllAvailable), never bare-assert it
+    def multiBatch(b: String): Boolean =
+      "(?m)^graft_batches_total (\\d+)$".r.findFirstMatchIn(b)
+        .exists(_.group(1).toLong >= 3L)
 
     // phase 1: four lines drained through ~100-byte micro-batches
     Files.write(f, (1 to 4).map(line).mkString("", "\n", "\n").getBytes)
     val (srv1, q1) = Exporter.run(spark, config)
-    val b1 = poll(srv1, q1)("chlogexporter_read_lines 4")
-    assert(b1.contains("""clickhouse_query_count{stmt_type="select"} 4"""))
-    // the cap forced a multi-batch drain (self-telemetry rides along)
-    assert("(?m)^graft_batches_total (\\d+)$".r.findFirstMatchIn(b1)
-      .exists(_.group(1).toLong >= 3L), s"4 lines / 100B budget needs >2 batches: $b1")
-    q1.stop(); srv1.stop(0)
+    try {
+      val b1 = pollBody(srv1, q1)(b =>
+        b.contains("chlogexporter_read_lines 4") && multiBatch(b))
+      assert(b1.contains("""clickhouse_query_count{stmt_type="select"} 4"""))
+      // the cap forced a multi-batch drain (self-telemetry rides along)
+      assert(multiBatch(b1), s"4 lines / 100B budget needs >2 batches: $b1")
+    } finally { q1.stop(); srv1.stop(0) }
 
     // phase 2, while the exporter is DOWN: classic logrotate move+recreate
     val aside = f.resolveSibling(f.getFileName.toString + ".1")
@@ -372,9 +366,14 @@ class RegistryResumeSpec extends SparkSpec {
     // the seed restores the four counted lines, the capped drain adds two
     val (srv2, q2) = Exporter.run(spark, config.copy(resumeFromJdbc = true))
     try {
-      val b2 = poll(srv2, q2)("chlogexporter_read_lines 6")
+      // the backlog gauge is listener-fed too: part of the poll predicate
+      val b2 = pollBody(srv2, q2)(b =>
+        b.contains("chlogexporter_read_lines 6") &&
+          b.contains("graft_tail_backlog_bytes 0"))
       assert(b2.contains("""clickhouse_query_count{stmt_type="select"} 6"""),
         s"4 resumed + 2 new, archived lines never re-read: $b2")
+      // backlog gauge drained on the NEW epoch
+      assert(b2.contains("graft_tail_backlog_bytes 0"), b2)
       // scrape ≡ warehouse after everything
       val t = MetricsJdbcUpsert.Target(url, "metrics")
       val fromTable = new PromRegistry
@@ -382,8 +381,6 @@ class RegistryResumeSpec extends SparkSpec {
       val served = get(s"http://127.0.0.1:${srv2.boundPort}/metrics")
       assert(served.startsWith(fromTable.render()),
         "data families must equal the table rendering (telemetry block follows)")
-      // backlog gauge drained on the NEW epoch
-      assert(served.contains("graft_tail_backlog_bytes 0"))
     } finally { q2.stop(); srv2.stop(0) }
   }
 
