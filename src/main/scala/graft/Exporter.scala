@@ -147,6 +147,7 @@ object Exporter {
     // Backfill archives are literal by definition (typo protection). All
     // validation runs BEFORE the HTTP server binds, so a bad flag set
     // never leaves an orphaned listener behind the thrown require.
+    config.logs.foreach(graft.sources.TailFleetSource.rejectBraces)
     config.logs.filterNot(graft.sources.TailFleetSource.isGlob)
       .foreach(graft.sources.LogSource.checkLogFile)
     (config.backfill ++ config.backfillFor.values.flatten)

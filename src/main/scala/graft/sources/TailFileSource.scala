@@ -309,11 +309,26 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
   override def prepareForTriggerAvailableNow(): Unit = { drainMode = true }
 
   /** The drain goal, captured at first need from the settled known
-    * position. Lines appended after capture wait for the next run. */
+    * position. Lines appended after capture wait for the next run.
+    * BOUNDARY-PRECISE, unlike the O(1) gauge tail ([[reportLatestOffset]]):
+    * the drain clamps admission to `g.pos`, which must be a LINE BOUNDARY
+    * of the goal generation (see [[admit]]'s clamp cases) — so this walk
+    * pays the full newline scan, ONCE per drain. Archives are static, so
+    * the walk jumps the chain straight to the live epoch; from a live
+    * position it only chases rotations, one epoch per step. */
   private def goal(): TailOffset = drainGoal.getOrElse {
-    val g = reportLatestOffset().asInstanceOf[TailOffset]
-    drainGoal = Some(g)
-    g
+    if (known.pos < 0) initialOffset()
+    var cur =
+      if (known.epoch < liveEpoch) TailOffset(liveEpoch, 0L, "") else known
+    var steps = 0
+    var next = computeNext(cur, Long.MaxValue)
+    while (steps <= 2 && next.exists(_ != cur)) {
+      cur = next.get
+      next = computeNext(cur, Long.MaxValue)
+      steps += 1
+    }
+    drainGoal = Some(cur)
+    cur
   }
 
   override def latestOffset(): Offset = admit(maxBytesPerTrigger)
@@ -324,25 +339,23 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     * flight. Never observe()d: it must not advance the admitted position. */
   override def reportLatestOffset(): Offset = {
     if (known.pos < 0) initialOffset()
-    // Archives are STATIC and the gauge/drain-goal only needs the TRUE
-    // LIVE tail: from a mid-archive position jump straight to the first
-    // live epoch instead of stepping the chain. (The former walk re-scanned
-    // every remaining archive's bytes on each progress event — O(total²/cap)
-    // I/O over a capped drain — and its step bound undercounted
-    // unterminated archives, which cost two transitions each, so with ≥2
-    // of them the reported tail — and an AvailableNow drain goal — stopped
-    // inside the chain and the live file never drained.) From a live
-    // position the walk only chases rotations, one epoch per step.
-    var cur =
-      if (known.epoch < liveEpoch) TailOffset(liveEpoch, 0L, "") else known
-    var steps = 0
-    var next = computeNext(cur, Long.MaxValue)
-    while (steps <= 2 && next.exists(_ != cur)) {
-      cur = next.get
-      next = computeNext(cur, Long.MaxValue)
-      steps += 1
-    }
-    cur
+    // O(1): the gauge never plans ranges, so the reported tail needn't be
+    // a line boundary — the raw live EOF is the honest backlog end (an
+    // unterminated trailing line IS pending bytes). A newline-scanning
+    // report here cost O(backlog²/cap) file reads over a capped drain:
+    // every progress event re-scanned all unadmitted bytes. The
+    // boundary-precise form lives in [[goal]], paid once per drain.
+    // Archives are STATIC: mid-backfill, jump straight to the live epoch
+    // (the former chain walk also re-scanned every remaining archive per
+    // event, and its step bound undercounted unterminated archives — with
+    // ≥2 of them the reported tail stopped inside the chain).
+    val k = known
+    val len = new java.io.File(path).length()
+    if (k.epoch < liveEpoch) TailOffset(liveEpoch, len, "")
+    // a shrunken file means an undetected rotation: hold the known
+    // position (monotone gauge); the next admit() bumps the epoch
+    else if (len >= k.pos) k.copy(pos = len)
+    else k
   }
 
   /** Poll-and-advance under a byte budget (≤0 = unbounded). Package-visible
@@ -510,8 +523,20 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
 final case class TailRange(path: String, epoch: Long, start: Long, end: Long,
     emitTrailing: Boolean = false, gz: Boolean = false) extends InputPartition
 
-/** Reads the newline-terminated lines in byte range [start, end). */
-class TailRangeReader(range: TailRange) extends PartitionReader[InternalRow] {
+/** Reads the newline-terminated lines in byte range [start, end).
+  *
+  * Plain ranges are STREAMED in bounded chunks, never buffered whole: with
+  * the unbounded default (`allAvailable`), a `--from-start` attach to a big
+  * backlog plans ONE range covering the entire file — a whole-range buffer
+  * would overflow `Array[Byte]`'s Int length past 2 GiB and blow task
+  * memory long before. Memory here is one chunk + the current line. (gz
+  * archive ranges still decompress whole — bounded by the rotation size,
+  * documented on [[TailRange]].) */
+class TailRangeReader(range: TailRange,
+    private[sources] val chunkSize: Int = 1 << 20)
+    extends PartitionReader[InternalRow] {
+  private var raf: RandomAccessFile = null
+
   private val lines: Iterator[(Long, String)] = {
     // The file may have been truncated between offset planning and this
     // read (the planned end offset is already committed to the offset log).
@@ -519,46 +544,99 @@ class TailRangeReader(range: TailRange) extends PartitionReader[InternalRow] {
     // the next latestOffset() detects the rotation and bumps the epoch.
     if (range.end <= range.start ||
         new java.io.File(range.path).length() < range.end) Iterator.empty
-    else {
+    else if (range.gz) {
       TailFileSource.rangesOpened.incrementAndGet()
-      val buf: Array[Byte] =
-        if (range.gz) {
-          // a gz range is always the whole archive (archiveAdvance admits
-          // it 0 -> len); seq offsets below are DECOMPRESSED positions —
-          // monotone within the epoch exactly like plain byte offsets
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.FileInputStream(range.path), 64 * 1024)
-          try in.readAllBytes() finally in.close()
-        } else {
-          val raf = new RandomAccessFile(range.path, "r")
-          try {
-            val b = new Array[Byte]((range.end - range.start).toInt)
-            raf.seek(range.start)
-            raf.readFully(b)
-            b
-          } finally raf.close()
-        }
-      val n = buf.length
-      val base = if (range.gz) 0L else range.start
+      // a gz range is always the whole archive (archiveAdvance admits it
+      // 0 -> len); seq offsets are DECOMPRESSED positions — monotone
+      // within the epoch exactly like plain byte offsets
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(range.path), 64 * 1024)
+      val buf = try in.readAllBytes() finally in.close()
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-      val seqBase = range.epoch << 44 // monotone across rotations
+      val seqBase = range.epoch << 44
       var lineStart = 0
       var i = 0
-      while (i < n) {
+      while (i < buf.length) {
         if (buf(i) == '\n') {
-          out += ((seqBase | (base + lineStart),
+          out += ((seqBase | lineStart,
             new String(buf, lineStart, i - lineStart, StandardCharsets.UTF_8)))
           lineStart = i + 1
         }
         i += 1
       }
-      // `end` is a line boundary — except for a fully-drained ARCHIVE
-      // whose final line has no terminating newline: that remainder IS
-      // the last line (the file is complete), emitted when flagged
-      if (range.emitTrailing && lineStart < n)
-        out += ((seqBase | (base + lineStart),
-          new String(buf, lineStart, n - lineStart, StandardCharsets.UTF_8)))
+      if (range.emitTrailing && lineStart < buf.length)
+        out += ((seqBase | lineStart,
+          new String(buf, lineStart, buf.length - lineStart, StandardCharsets.UTF_8)))
       out.iterator
+    } else new Iterator[(Long, String)] {
+      TailFileSource.rangesOpened.incrementAndGet()
+      raf = new RandomAccessFile(range.path, "r")
+      raf.seek(range.start)
+      private val seqBase = range.epoch << 44 // monotone across rotations
+      private val buf = new Array[Byte](chunkSize)
+      private var readPos = range.start // next byte to read from the file
+      private var bufAbs = range.start  // absolute position of buf(0)
+      private var bufLen = 0
+      private var bufIdx = 0
+      private var lineStartAbs = range.start
+      // bytes of the current line accumulated across chunk boundaries
+      private val carry = new java.io.ByteArrayOutputStream()
+      private var done = false
+      private var pending: (Long, String) = null
+
+      private def refill(): Boolean = {
+        if (readPos >= range.end) return false
+        val n = math.min(buf.length.toLong, range.end - readPos).toInt
+        raf.readFully(buf, 0, n)
+        bufAbs = readPos
+        readPos += n
+        bufLen = n
+        bufIdx = 0
+        true
+      }
+
+      private def advance(): Unit = {
+        pending = null
+        while (pending == null && !done) {
+          if (bufIdx >= bufLen && !refill()) {
+            done = true
+            raf.close(); raf = null
+            // `end` is a line boundary — except for a fully-drained
+            // ARCHIVE whose final line has no terminating newline: that
+            // remainder IS the last line (the file is complete)
+            if (range.emitTrailing && carry.size() > 0) {
+              pending = ((seqBase | lineStartAbs,
+                new String(carry.toByteArray, StandardCharsets.UTF_8)))
+              carry.reset()
+            }
+            return
+          }
+          var nl = -1
+          var i = bufIdx
+          while (i < bufLen && nl < 0) {
+            if (buf(i) == '\n') nl = i else i += 1
+          }
+          if (nl >= 0) {
+            carry.write(buf, bufIdx, nl - bufIdx)
+            pending = ((seqBase | lineStartAbs,
+              new String(carry.toByteArray, StandardCharsets.UTF_8)))
+            carry.reset()
+            bufIdx = nl + 1
+            lineStartAbs = bufAbs + bufIdx
+          } else {
+            carry.write(buf, bufIdx, bufLen - bufIdx)
+            bufIdx = bufLen
+          }
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = pending != null
+      override def next(): (Long, String) = {
+        val r = pending
+        advance()
+        r
+      }
     }
   }
 
@@ -567,5 +645,9 @@ class TailRangeReader(range: TailRange) extends PartitionReader[InternalRow] {
     if (lines.hasNext) { cur = lines.next(); true } else false
   override def get(): InternalRow =
     new GenericInternalRow(Array[Any](cur._1, UTF8String.fromString(cur._2)))
-  override def close(): Unit = ()
+  override def close(): Unit = {
+    // the streaming iterator closes its handle at exhaustion; this covers
+    // a task that stops consuming early (e.g. a LIMIT)
+    if (raf != null) { raf.close(); raf = null }
+  }
 }

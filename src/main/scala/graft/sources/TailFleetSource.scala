@@ -80,6 +80,18 @@ object TailFleetSource {
     * grafted onto per-file tail offsets. */
   def isGlob(spec: String): Boolean = spec.exists("*?[{".contains(_))
 
+  /** Brace alternations (`{a,b}.log`) are UNSUPPORTED and rejected with
+    * this message: ',' is the path-LIST separator in both the CLI and the
+    * `paths` option wire form, so a brace glob is shredded into nonsense
+    * specs before glob parsing ever sees it — and would otherwise surface
+    * as a cryptic PatternSyntaxException ("unclosed group") from the path
+    * matcher at stream start. */
+  def rejectBraces(spec: String): Unit =
+    require(!spec.exists("{}".contains(_)),
+      s"brace globs are not supported in '$spec': ',' is the path-list " +
+        "separator, so '{a,b}' alternations are split apart before glob " +
+        "parsing — use ?, * or [...] patterns, or list the files")
+
   /** Expand one glob spec against the CURRENT directory contents: regular
     * files whose name matches the pattern, sorted for determinism. The
     * directory component must be literal. */
@@ -107,6 +119,21 @@ object TailFleetSource {
   def expandMembers(specs: Seq[String]): Seq[String] = {
     val (globs, literals) = specs.partition(isGlob)
     (literals ++ globs.flatMap(expandGlob)).distinct
+  }
+
+  /** Does `path` belong to glob spec `spec`? Same directory (literal by
+    * [[expandGlob]]'s contract) and a filename match — the membership test
+    * checkpoint-replay uses so a path dropped from the config is not
+    * resurrected by its checkpoint entry. */
+  def matchesGlob(spec: String, path: String): Boolean = {
+    val sp = java.nio.file.Paths.get(spec)
+    val pp = java.nio.file.Paths.get(path)
+    val dirOf = (p: java.nio.file.Path) =>
+      Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
+    dirOf(sp) == dirOf(pp) &&
+      java.nio.file.FileSystems.getDefault
+        .getPathMatcher("glob:" + sp.getFileName.toString)
+        .matches(pp.getFileName)
   }
 
   /** Per-member backfill chains, `live=arch1,arch2` entries joined by `;`
@@ -156,6 +183,7 @@ class TailFleetTable(paths: Seq[String], globs: Seq[String], fromStart: Boolean,
     extends Table with SupportsRead {
   require(paths.nonEmpty || globs.nonEmpty,
     "option 'paths' must list at least one file or glob")
+  (paths ++ globs).foreach(TailFleetSource.rejectBraces)
   require(backfillFor.keySet.subsetOf(paths.toSet),
     "every backfill key must be a LITERAL fleet path (a glob-discovered " +
       s"member postdates the attach, its history is its own content): " +
@@ -214,7 +242,13 @@ class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
 
   /** Register a discovered member, SKIPPING files that fail pre-flight
     * (e.g. a .gz rotation artifact matching the glob) — a bad discovered
-    * file must not kill the whole fleet, unlike a bad literal path. */
+    * file must not kill the whole fleet, unlike a bad literal path. The
+    * catch is NonFatal, not just the pre-flight's IllegalArgumentException:
+    * a matched file can be deleted between the directory listing and the
+    * open (FileNotFoundException) or be unreadable (IOException/
+    * SecurityException), and any of those escaping latestOffset() would
+    * kill the whole query — permanently, for a persistently unreadable
+    * file, since every restart rediscovers it. */
   private def register(p: String, memberFromStart: Boolean): Unit =
     if (!streams.contains(p)) {
       try {
@@ -222,7 +256,7 @@ class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
         if (streams.putIfAbsent(p, m).isEmpty && drainMode)
           m.prepareForTriggerAvailableNow()
         ()
-      } catch { case _: IllegalArgumentException => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
 
   /** Re-evaluate the globs: a file that appeared mid-stream joins with
@@ -275,11 +309,15 @@ class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
       p -> s.reportLatestOffset().asInstanceOf[TailOffset] })
 
   /** Feed known per-file positions into the member streams, registering
-    * members for checkpointed paths that still exist (restart-before-
-    * discovery on the glob path). */
+    * members for checkpointed paths that still exist AND still match a
+    * CURRENT glob (restart-before-discovery on the glob path). The match
+    * check is what lets membership shrink by config change: a path removed
+    * from the specs — a literal dropped, or a glob narrowed — must NOT be
+    * resurrected just because its offset is in the checkpoint. */
   private def replayInto(offsets: Map[String, TailOffset]): Unit = {
     offsets.foreach { case (p, _) =>
-      if (!streams.contains(p) && globs.nonEmpty &&
+      if (!streams.contains(p) &&
+          globs.exists(TailFleetSource.matchesGlob(_, p)) &&
           new java.io.File(p).isFile) register(p, memberFromStart = false)
     }
     offsets.foreach { case (p, o) =>

@@ -32,9 +32,18 @@ final class MetricsHttpServer(port: Int = 0, host: String = "0.0.0.0") {
   private def respond(x: HttpExchange, status: Int, contentType: String,
       text: String): Unit = {
     val raw = text.getBytes(StandardCharsets.UTF_8)
+    // q-values honored: RFC 9110 makes `gzip;q=0` an explicit REFUSAL, so
+    // stripping parameters before matching would gzip a body the client
+    // declared it cannot decode
     val acceptsGzip = Option(x.getRequestHeaders.getFirst("Accept-Encoding"))
-      .exists(_.toLowerCase.split(",").map(_.trim.takeWhile(_ != ';'))
-        .contains("gzip"))
+      .exists(_.toLowerCase.split(",").map(_.trim).exists { entry =>
+        val parts = entry.split(";").map(_.trim)
+        parts.headOption.contains("gzip") && !parts.tail.exists(p =>
+          p.replace(" ", "") match {
+            case "q=0" | "q=0.0" | "q=0.00" | "q=0.000" => true
+            case _ => false
+          })
+      })
     val bytes = if (acceptsGzip && status == 200) {
       x.getResponseHeaders.set("Content-Encoding", "gzip")
       val bos = new java.io.ByteArrayOutputStream()

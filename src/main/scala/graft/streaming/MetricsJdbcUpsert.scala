@@ -198,6 +198,21 @@ object MetricsJdbcUpsert {
       batchId: Long, rows: Seq[(String, String, String, Long)]): Boolean = {
     conn.setAutoCommit(false)
     try {
+      // LEGACY-token fallback: ledger rows written before sources derived
+      // from the checkpoint ([[ledgerSource]]) all used the hardcoded
+      // "merge" token (the pre-upgrade world was one-query-per-table, so
+      // any ("merge", N) row means batch N committed). Without this probe,
+      // a batch replayed ACROSS the upgrade would miss its legacy row and
+      // re-apply — inflating every counter by one crashed batch.
+      if (source != "merge") {
+        val legacy = conn.prepareStatement(
+          s"SELECT 1 FROM ${t.ledger} WHERE source = 'merge' AND batch_id = ?")
+        try {
+          legacy.setLong(1, batchId)
+          val rs = legacy.executeQuery()
+          if (rs.next()) { conn.rollback(); return false }
+        } finally legacy.close()
+      }
       val ledger = conn.prepareStatement(
         s"INSERT INTO ${t.ledger} (source, batch_id) VALUES (?, ?)")
       try {

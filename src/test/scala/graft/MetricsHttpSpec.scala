@@ -70,6 +70,26 @@ class MetricsHttpSpec extends SparkSpec {
       assert(inflated == plain, "gzip body must inflate to the identity body")
       assert(plain == "chlogexporter_read_lines 7\n")
 
+      // RFC 9110 q-values: `gzip;q=0` is an explicit REFUSAL of gzip —
+      // the response must be identity despite the token being present
+      val refuse = java.net.URI.create(
+        s"http://127.0.0.1:${server.boundPort}/metrics").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      refuse.setRequestProperty("Accept-Encoding", "gzip;q=0, identity")
+      assert(refuse.getResponseCode == 200)
+      assert(refuse.getHeaderField("Content-Encoding") == null,
+        "gzip;q=0 must NOT be gzip-encoded")
+      assert(scala.io.Source.fromInputStream(refuse.getInputStream, "UTF-8")
+        .mkString == plain)
+      refuse.disconnect()
+      // and a q > 0 parameter still accepts
+      val weighted = java.net.URI.create(
+        s"http://127.0.0.1:${server.boundPort}/metrics").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      weighted.setRequestProperty("Accept-Encoding", "gzip;q=0.5")
+      assert(weighted.getHeaderField("Content-Encoding") == "gzip")
+      weighted.disconnect()
+
       // non-GETs are 405 on every endpoint
       for (path <- Seq("/metrics", "/healthz")) {
         val post = java.net.URI.create(

@@ -296,4 +296,37 @@ class MetricsWriterSpec extends SparkSpec {
     assert(!MetricsJdbcAppend.applyDelta(t, "q2", 0L, Seq.empty))
     assert(!MetricsJdbcAppend.applyDelta(t, "q2", 1L, Seq.empty))
   }
+
+  test("ledger upgrade: a legacy ('merge', N) row still skips batch N under the derived source") {
+    import graft.streaming.MetricsJdbcUpsert
+    val db = s"memory:legacy${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = MetricsJdbcUpsert.Target(s"jdbc:derby:$db;create=true", "metrics")
+    MetricsJdbcUpsert.ensureTables(t)
+    // a pre-upgrade exporter crashed between sink commit and checkpoint
+    // commit: its ledger row carries the old hardcoded "merge" token
+    val conn = t.connect()
+    try conn.createStatement().executeUpdate(
+      s"INSERT INTO ${t.ledger} (source, batch_id) VALUES ('merge', 3)")
+    finally conn.close()
+    val src = MetricsJdbcUpsert.ledgerSource("/some/ckpt")
+    def count(): Long = {
+      val c = t.connect()
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT value FROM metrics WHERE metric = 'm' AND labels = '' AND le = ''")
+        if (rs.next()) rs.getLong(1) else 0L
+      } finally c.close()
+    }
+    // the replayed-across-the-upgrade batch must SKIP (its delta is already
+    // in the table), not double-apply under the new source token
+    assert(!MetricsJdbcUpsert.applyDelta(t, src, 3L, Seq(("m", "", "", 5L))),
+      "legacy ('merge', 3) must make batch 3 a replay under the new token")
+    assert(count() == 0L, "the skipped replay must not touch the table")
+    // later batches apply normally under the derived token
+    assert(MetricsJdbcUpsert.applyDelta(t, src, 4L, Seq(("m", "", "", 5L))))
+    assert(count() == 5L)
+    assert(!MetricsJdbcUpsert.applyDelta(t, src, 4L, Seq(("m", "", "", 5L))),
+      "normal same-token replay still skips")
+    assert(count() == 5L)
+  }
 }

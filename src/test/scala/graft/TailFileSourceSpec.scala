@@ -605,6 +605,62 @@ class TailFileSourceSpec extends SparkSpec {
     assert(o2 == o1, s"rotated-away goal generation must end the drain: $o2")
   }
 
+  test("range reader streams in bounded chunks: a >chunk-size range never buffers whole") {
+    // regression pin for the Int-overflow/whole-range-buffer class: with
+    // the unbounded default, --from-start plans ONE range over the entire
+    // backlog — the reader must stream it (the old whole-range
+    // readFully overflowed Array[Byte]'s Int length past 2 GiB). A tiny
+    // chunk size forces every line to span refills; output must equal the
+    // trivial split, seq = absolute line-start byte offsets under the
+    // epoch base.
+    import graft.sources.{TailRange, TailRangeReader}
+    val f = Files.createTempFile("graft-chunked", ".log")
+    val content = "alpha\n" + ("b" * 23) + "\n\n" + ("c" * 7) + "\ntail-no-newline"
+    Files.write(f, content.getBytes)
+    def readAll(range: TailRange, chunk: Int): Seq[(Long, String)] = {
+      val r = new TailRangeReader(range, chunkSize = chunk)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      while (r.next()) {
+        val row = r.get()
+        out += ((row.getLong(0), row.getUTF8String(1).toString))
+      }
+      r.close()
+      out.toSeq
+    }
+    val epoch = 3L
+    val base = epoch << 44
+    val expectedLines = Seq(
+      (base | 0L, "alpha"),
+      (base | 6L, "b" * 23),
+      (base | 30L, ""),
+      (base | 31L, "c" * 7),
+      (base | 39L, "tail-no-newline"))
+    val arch = TailRange(f.toString, epoch, 0L, content.length.toLong,
+      emitTrailing = true)
+    for (chunk <- Seq(1, 4, 7, 64 * 1024))
+      assert(readAll(arch, chunk) == expectedLines, s"chunkSize=$chunk")
+    // live form: end is a line boundary, the trailing partial stays unread
+    val live = TailRange(f.toString, epoch, 0L, 39L)
+    assert(readAll(live, 4) == expectedLines.init)
+    // mid-range start: seq offsets stay absolute
+    val mid = TailRange(f.toString, epoch, 6L, 39L)
+    assert(readAll(mid, 4) == expectedLines.slice(1, 4))
+  }
+
+  test("reportLatestOffset is O(1) raw tail: pending partial bytes count; admission stays line-aligned") {
+    import graft.sources.{TailFileMicroBatchStream, TailOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val f = Files.createTempFile("graft-rawtail", ".log")
+    Files.write(f, "a\nbb".getBytes) // 2-byte boundary + 2 pending bytes
+    val s = new TailFileMicroBatchStream(f.toString, fromStart = true)
+    val admitted = s.latestOffset(s.initialOffset(), ReadLimit.allAvailable())
+      .asInstanceOf[TailOffset]
+    assert(admitted.pos == 2L, "admission cuts to the line boundary")
+    val reported = s.reportLatestOffset().asInstanceOf[TailOffset]
+    assert(reported.pos == 4L,
+      "the gauge tail is the raw EOF — an unterminated line IS pending backlog")
+  }
+
   test("single-scan delivery fold: one byte-range read per micro-batch, counts exact") {
     val f = Files.createTempFile("graft-tail-scan", ".log")
     val ckpt = Files.createTempDirectory("graft-tail-scan-ckpt").toString

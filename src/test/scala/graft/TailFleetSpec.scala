@@ -222,6 +222,43 @@ class TailFleetSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("a member dropped from the config is not resurrected by its checkpoint entry") {
+    import graft.sources.{TailFleetMicroBatchStream, TailFleetOffset, TailOffset}
+    val dir = Files.createTempDirectory("graft-fleet-narrow")
+    val a = dir.resolve("app-a.log")
+    val b = dir.resolve("other-b.log")
+    Files.write(a, "a1\n".getBytes)
+    Files.write(b, "b1\n".getBytes)
+    // run 2's NARROWED config matches only app-*; the checkpoint (written
+    // under a wider config) still carries other-b's offset. b exists on
+    // disk — existence alone must NOT re-register it, or a decommissioned
+    // server's log keeps flowing forever.
+    val s = new TailFleetMicroBatchStream(Nil, fromStart = true,
+      globs = Seq(s"$dir/app-*.log"))
+    val restored = s.deserializeOffset(TailFleetOffset(Map(
+      a.toString -> TailOffset(0L, 3L, "k"),
+      b.toString -> TailOffset(0L, 3L, "k"))).json()).asInstanceOf[TailFleetOffset]
+    assert(restored.offsets.keySet == Set(a.toString),
+      s"the non-matching member must drop, the matching one resume: $restored")
+    // glob membership helper: same dir + pattern match required
+    import graft.sources.TailFleetSource.matchesGlob
+    assert(matchesGlob(s"$dir/app-*.log", a.toString))
+    assert(!matchesGlob(s"$dir/app-*.log", b.toString))
+    assert(!matchesGlob("/elsewhere/app-*.log", a.toString))
+  }
+
+  test("brace globs rejected with a clear message (',' is the list separator)") {
+    import graft.sources.TailFleetTable
+    val e = intercept[IllegalArgumentException] {
+      new TailFleetTable(Nil, Seq("/logs/{a,b}.log"), fromStart = false)
+    }
+    assert(e.getMessage.contains("brace"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Exporter.run(spark, Exporter.Config(logs = Seq("/logs/{a,b}.log")))
+    }
+    assert(e2.getMessage.contains("brace"), e2.getMessage)
+  }
+
   test("backfill wire form: parse/render round-trip, malformed entries and non-literal keys rejected") {
     import graft.sources.{TailFleetSource, TailFleetTable}
     val m = Map("/l/a.log" -> Seq("/l/a.1", "/l/a.2"), "/l/b.log" -> Seq("/l/b.1"))
