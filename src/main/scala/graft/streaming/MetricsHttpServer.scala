@@ -231,10 +231,6 @@ object MetricsServing {
       resumeFromJdbc: Boolean = false,
       availableNow: Boolean = false,
       backfill: Map[String, Seq[String]] = Map.empty): StreamingQuery = {
-    jdbc.foreach(_.ensureTables())
-    val resumed = resumeFromJdbc && jdbc.nonEmpty
-    require(!resumeFromJdbc || jdbc.nonEmpty,
-      "resumeFromJdbc needs a JDBC target to seed from")
     val registry = new FleetPromRegistry
     // seed the CURRENT membership (glob specs expand; a server discovered
     // later gets its series on first observation)
@@ -246,14 +242,38 @@ object MetricsServing {
       .option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
       .option("backfill", graft.sources.TailFleetSource.renderBackfill(backfill))
       .load()
-    // registry resume: seed every server's counters from the warehouse
-    // table so the scrape surface CONTINUES across the restart (and serve
-    // the resumed values before the first micro-batch lands)
+    serveMerged(spark, StreamingMerge.fleetMergeWithDelivery(lines, timeoutMs = 0L),
+      registry, server, checkpointDir, availableNow, jdbc, telemetry, resumeFromJdbc)
+  }
+
+  /** The shared incremental serving TAIL — one definition for the
+    * single-file ([[PromRegistry]]) and fleet ([[FleetPromRegistry]])
+    * forms, so the exactly-once rules are encoded once:
+    *
+    *   - registry resume: seed from the warehouse snapshot and serve the
+    *     resumed values BEFORE the first micro-batch lands;
+    *   - every batch feeds two sinks and up to three actions — persist so
+    *     the source range / parse / state-store replay runs once;
+    *   - a ledger-replayed batch is already IN the seeded snapshot: a
+    *     RESUMED registry must skip the fold or double-count it, while a
+    *     volatile (zeroed) registry must fold it — it lost it at restart
+    *     (`applied || !resumed`);
+    *   - everything but "record" is bounded: observation events by the
+    *     reference's observe sites, delivery events pre-aggregated to one
+    *     n-valued row per source partition by the single-scan fold. */
+  private def serveMerged(spark: SparkSession,
+      outs: Dataset[StreamingMerge.MergeOut], registry: MergeRegistry,
+      server: MetricsHttpServer, checkpointDir: String, availableNow: Boolean,
+      jdbc: Option[MetricsJdbcSink], telemetry: Option[ExporterTelemetry],
+      resumeFromJdbc: Boolean): StreamingQuery = {
+    jdbc.foreach(_.ensureTables())
+    val resumed = resumeFromJdbc && jdbc.nonEmpty
+    require(!resumeFromJdbc || jdbc.nonEmpty,
+      "resumeFromJdbc needs a JDBC target to seed from")
     if (resumed) {
       jdbc.foreach(t => registry.seedFrom(t.snapshot()))
       server.update(registry.render())
     }
-    val outs = StreamingMerge.fleetMergeWithDelivery(lines, timeoutMs = 0L)
     val writer = outs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[StreamingMerge.MergeOut], batchId: Long) =>
@@ -261,9 +281,6 @@ object MetricsServing {
         try {
           val applied = jdbc.forall(_.writeDelta(
             MetricsJdbcUpsert.ledgerSource(checkpointDir), evs, batchId))
-          // a ledger-replayed batch is already IN the seeded snapshot: a
-          // resumed registry must skip the fold or double-count it; a
-          // volatile (zeroed) registry must fold it — it lost it at restart
           if (applied || !resumed) {
             evs.filter(o => o.out != "record")
               .collect().foreach(registry.observe)
@@ -285,16 +302,6 @@ object MetricsServing {
       jdbc: Option[MetricsJdbcSink] = None,
       telemetry: Option[ExporterTelemetry] = None,
       resumeFromJdbc: Boolean = false): StreamingQuery = {
-    jdbc.foreach(_.ensureTables())
-    val resumed = resumeFromJdbc && jdbc.nonEmpty
-    require(!resumeFromJdbc || jdbc.nonEmpty,
-      "resumeFromJdbc needs a JDBC target to seed from")
-    val registry = new PromRegistry
-    if (resumed) {
-      jdbc.foreach(t => registry.seedFrom(t.snapshot()))
-      server.update(registry.render())
-    }
-
     // ONE stream carries everything — merge metrics AND the per-line
     // delivery events (read_line / tail_line): the former observe() +
     // StreamingQueryListener side channel was at-most-once (a crash after
@@ -303,34 +310,9 @@ object MetricsServing {
     // bus), and its JDBC writes raced the batch ledger. In-stream, the
     // delivery counts commit under the SAME foreachBatch (and, with jdbc
     // configured, the same ledger row) as the merge metrics.
-    val outs = StreamingMerge.mergeWithDelivery(seqLines, timeoutMs = 0L)
-
-    val writer = outs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[StreamingMerge.MergeOut], batchId: Long) =>
-        import batch.sparkSession.implicits._
-        // the batch feeds two sinks and up to three actions — persist so
-        // the source range / parse / state-store replay runs ONCE
-        val evs = batch.persist()
-        try {
-          val applied = jdbc.forall(_.writeDelta(
-            MetricsJdbcUpsert.ledgerSource(checkpointDir), evs, batchId))
-          // everything but "record" is bounded: observation events by the
-          // reference's observe sites, delivery events pre-aggregated to
-          // one n-valued row per source partition by the single-scan fold.
-          // A ledger-replayed batch folds only into a VOLATILE registry
-          // (which lost it at restart); a resumed one already has it.
-          if (applied || !resumed) {
-            evs.filter(o => o.out != "record")
-              .collect().foreach(registry.observe)
-            server.update(registry.render())
-          }
-        } finally { evs.unpersist(); () }
-      }
-    val query =
-      (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
-    telemetry.foreach { t => server.attachTelemetry(t); t.observeQuery(spark, query) }
-    query
+    serveMerged(spark, StreamingMerge.mergeWithDelivery(seqLines, timeoutMs = 0L),
+      new PromRegistry, server, checkpointDir, availableNow, jdbc, telemetry,
+      resumeFromJdbc)
   }
 
   /** Table-sink form (BASELINE north star: metrics land in a queryable

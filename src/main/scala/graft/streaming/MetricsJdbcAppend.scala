@@ -58,14 +58,8 @@ object MetricsJdbcAppend {
     val conn = t.connect()
     try {
       conn.setAutoCommit(true)
-      def exists(name: String, types: Array[String]): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, null, types)
-        try {
-          var found = false
-          while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(name)
-          found
-        } finally rs.close()
-      }
+      def exists(name: String, types: Array[String]): Boolean =
+        MetricsJdbcUpsert.relationExists(conn, name, types)
       def ddl(sql: String): Unit = {
         val st = conn.createStatement()
         try { st.executeUpdate(sql); () } finally st.close()

@@ -64,23 +64,13 @@ final case class AppendJdbcSink(t: MetricsJdbcAppend.Target,
   override def ensureTables(): Unit = MetricsJdbcAppend.ensureTables(t)
   override def writeDelta(source: String, batch: Dataset[MergeOut],
       batchId: Long): Boolean = {
-    val delta = MetricsJdbcUpsert.deltaRows(batch).collect().toSeq.map(r =>
-      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
-    val landed = MetricsJdbcAppend.applyDelta(t, source, batchId, delta)
+    val landed = MetricsJdbcAppend.applyDelta(t, source, batchId,
+      MetricsJdbcUpsert.collectDelta(batch))
     if (landed && compactEvery > 0 &&
         applied.incrementAndGet() % compactEvery == 0)
       MetricsJdbcAppend.compact(t, source)
     landed
   }
-  override def snapshot(): Seq[(String, String, String, Long)] = {
-    val conn = t.connect()
-    try {
-      val rs = conn.createStatement().executeQuery(
-        s"SELECT metric, labels, le, value FROM ${t.folded}")
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
-      while (rs.next())
-        buf += ((rs.getString(1), rs.getString(2), rs.getString(3), rs.getLong(4)))
-      buf.toSeq
-    } finally conn.close()
-  }
+  override def snapshot(): Seq[(String, String, String, Long)] =
+    MetricsJdbcUpsert.readRows(() => t.connect(), t.folded)
 }

@@ -84,25 +84,28 @@ object MetricsJdbcUpsert {
     * observation-independent zero-filled stats bucket grid (the same
     * 35-row static grid [[MetricsSink.metricsTable]] unions in, so the
     * grid is present before any stats line arrives). Idempotent. */
+  /** Portable relation-existence probe through JDBC metadata, shared by
+    * both dialects' DDL guards — catching Derby's X0Y32 SQLState instead
+    * would make every OTHER backend's restart throw "already exists". */
+  private[streaming] def relationExists(conn: Connection, name: String,
+      types: Array[String]): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, null, types)
+    try {
+      var found = false
+      while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(name)
+      found
+    } finally rs.close()
+  }
+
   def ensureTables(t: Target): Unit = {
     val conn = t.connect()
     try {
       conn.setAutoCommit(true)
-      // portable existence probe through JDBC metadata — catching Derby's
-      // X0Y32 SQLState here would make every OTHER backend's restart throw
-      // "table already exists"
-      def tableExists(name: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-        try {
-          var found = false
-          while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(name)
-          found
-        } finally rs.close()
-      }
-      def ddl(table: String, sql: String): Unit = if (!tableExists(table)) {
-        val st = conn.createStatement()
-        try st.executeUpdate(sql) finally st.close()
-      }
+      def ddl(table: String, sql: String): Unit =
+        if (!relationExists(conn, table, Array("TABLE"))) {
+          val st = conn.createStatement()
+          try st.executeUpdate(sql) finally st.close()
+        }
       ddl(t.table,
         s"""CREATE TABLE ${t.table} (
            |  metric VARCHAR(128) NOT NULL,
@@ -265,11 +268,15 @@ object MetricsJdbcUpsert {
     * registry ([[PromRegistry.seedFrom]]) must skip its fold too, since the
     * snapshot it seeded from already contains that batch. */
   def writeDelta(t: Target, source: String, batch: Dataset[MergeOut],
-      batchId: Long): Boolean = {
-    val delta = deltaRows(batch).collect().toSeq.map(r =>
+      batchId: Long): Boolean =
+    applyDelta(t, source, batchId, collectDelta(batch))
+
+  /** Aggregate one micro-batch's delta (distributed) and collect the
+    * KB-scale result — the batch-to-rows step both dialects share. */
+  private[streaming] def collectDelta(
+      batch: Dataset[MergeOut]): Seq[(String, String, String, Long)] =
+    deltaRows(batch).collect().toSeq.map(r =>
       (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
-    applyDelta(t, source, batchId, delta)
-  }
 
   /** The `foreachBatch` function: [[writeDelta]] curried for
     * `foreachBatch`. `source` must be unique per streaming query writing to
@@ -283,11 +290,18 @@ object MetricsJdbcUpsert {
   /** The table's current cumulative rows — the registry-resume seed
     * ([[PromRegistry.seedFrom]]). KB-scale by the same label-cardinality
     * argument as the scrape exposition; read once at query start. */
-  def snapshot(t: Target): Seq[(String, String, String, Long)] = {
-    val conn = t.connect()
+  def snapshot(t: Target): Seq[(String, String, String, Long)] =
+    readRows(() => t.connect(), t.table)
+
+  /** Cumulative `(metric, labels, le, value)` rows from any relation —
+    * shared by both dialects' resume snapshots (the upsert table itself,
+    * the append dialect's fold view). */
+  private[streaming] def readRows(connect: () => Connection,
+      relation: String): Seq[(String, String, String, Long)] = {
+    val conn = connect()
     try {
       val rs = conn.createStatement().executeQuery(
-        s"SELECT metric, labels, le, value FROM ${t.table}")
+        s"SELECT metric, labels, le, value FROM $relation")
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
       while (rs.next())
         buf += ((rs.getString(1), rs.getString(2), rs.getString(3), rs.getLong(4)))

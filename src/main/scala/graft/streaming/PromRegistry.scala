@@ -24,7 +24,7 @@ import graft.streaming.StreamingMerge.MergeOut
   * across restarts. Thread-safety: all mutators and render synchronize on
   * this (scrape handler vs micro-batch thread).
   */
-final class PromRegistry {
+final class PromRegistry extends MergeRegistry {
 
   private var readLines: Long = 0L
   private var tailLineErrors: Long = 0L
@@ -292,12 +292,23 @@ object PromRegistry {
   }
 }
 
+/** The surface the incremental serving loop needs from either registry
+  * form — single-file [[PromRegistry]] or per-server [[FleetPromRegistry]]:
+  * fold one merge emission, seed from a warehouse snapshot, render the
+  * exposition. One trait so the serving tail (and its replay-skip rule)
+  * exists ONCE (`MetricsServing.serveMerged`). */
+trait MergeRegistry {
+  def observe(o: MergeOut): Unit
+  def seedFrom(rows: Seq[(String, String, String, Long)]): Unit
+  def render(): String
+}
+
 /** Per-server scrape registry for the FLEET exporter: one [[PromRegistry]]
   * per tailed log, folded from the fleet merge's server-tagged emissions,
   * rendered as one merged exposition with a `server` label on every
   * series. [[seed]] the configured paths up front so every server's
   * zero-state series are scrapeable before its first line arrives. */
-final class FleetPromRegistry {
+final class FleetPromRegistry extends MergeRegistry {
   private val regs = scala.collection.concurrent.TrieMap.empty[String, PromRegistry]
 
   def seed(server: String): Unit = { regs.getOrElseUpdate(server, new PromRegistry); () }
