@@ -201,8 +201,9 @@ class TailFileTable(path: String, fromStart: Boolean,
   *   bounds each poll within one file. Archives may be GZIPPED
   *   (`logrotate compress`, the distro default): a gz archive drains as
   *   one whole epoch — compressed bytes have no line boundaries, so the
-  *   byte budget degrades to per-archive granularity there — and its
-  *   decompressed content is one task's working set. With backfill the live file is
+  *   byte budget degrades to per-archive granularity there — decompressed
+  *   through the reader's chunked line splitter (memory stays one chunk +
+  *   one line, same as plain ranges). With backfill the live file is
   *   read from position 0 regardless of `fromStart` — archives + live are
   *   one continuous history. Restart mid-backfill resumes from the
   *   checkpointed (epoch, pos) like any other position. Archives must
@@ -516,26 +517,25 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
 }
 
 /** @param gz the range is a whole GZIPPED archive ([start, end) are
-  *   compressed bytes, always the full file): the reader decompresses and
-  *   line-splits the decompressed stream. The decompressed content is one
-  *   task's working set — logrotate archives are bounded by the rotation
-  *   size; for giant histories use uncompressed backfill. */
+  *   compressed bytes, always the full file): the reader decompresses the
+  *   stream and line-splits it. `seq` offsets are DECOMPRESSED positions —
+  *   monotone within the epoch exactly like plain byte offsets. */
 final case class TailRange(path: String, epoch: Long, start: Long, end: Long,
     emitTrailing: Boolean = false, gz: Boolean = false) extends InputPartition
 
 /** Reads the newline-terminated lines in byte range [start, end).
   *
-  * Plain ranges are STREAMED in bounded chunks, never buffered whole: with
-  * the unbounded default (`allAvailable`), a `--from-start` attach to a big
+  * Ranges are STREAMED in bounded chunks, never buffered whole: with the
+  * unbounded default (`allAvailable`), a `--from-start` attach to a big
   * backlog plans ONE range covering the entire file — a whole-range buffer
   * would overflow `Array[Byte]`'s Int length past 2 GiB and blow task
-  * memory long before. Memory here is one chunk + the current line. (gz
-  * archive ranges still decompress whole — bounded by the rotation size,
-  * documented on [[TailRange]].) */
+  * memory long before. Memory here is one chunk + the current line, for
+  * plain AND gz ranges (the gz stream decompresses through the same
+  * chunked line splitter). */
 class TailRangeReader(range: TailRange,
     private[sources] val chunkSize: Int = 1 << 20)
     extends PartitionReader[InternalRow] {
-  private var raf: RandomAccessFile = null
+  private var in: java.io.InputStream = null
 
   private val lines: Iterator[(Long, String)] = {
     // The file may have been truncated between offset planning and this
@@ -544,52 +544,48 @@ class TailRangeReader(range: TailRange,
     // the next latestOffset() detects the rotation and bumps the epoch.
     if (range.end <= range.start ||
         new java.io.File(range.path).length() < range.end) Iterator.empty
-    else if (range.gz) {
+    else new Iterator[(Long, String)] {
       TailFileSource.rangesOpened.incrementAndGet()
-      // a gz range is always the whole archive (archiveAdvance admits it
-      // 0 -> len); seq offsets are DECOMPRESSED positions — monotone
-      // within the epoch exactly like plain byte offsets
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.FileInputStream(range.path), 64 * 1024)
-      val buf = try in.readAllBytes() finally in.close()
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-      val seqBase = range.epoch << 44
-      var lineStart = 0
-      var i = 0
-      while (i < buf.length) {
-        if (buf(i) == '\n') {
-          out += ((seqBase | lineStart,
-            new String(buf, lineStart, i - lineStart, StandardCharsets.UTF_8)))
-          lineStart = i + 1
+      // base/limit are in the LINE-OFFSET space: file positions for plain
+      // ranges, decompressed positions (base 0, read to stream end) for gz
+      private val (baseAbs, toRead) =
+        if (range.gz) {
+          in = new java.util.zip.GZIPInputStream(
+            new java.io.FileInputStream(range.path), 64 * 1024)
+          (0L, Long.MaxValue)
+        } else {
+          val fis = new java.io.FileInputStream(range.path)
+          var toSkip = range.start
+          while (toSkip > 0) {
+            val s = fis.skip(toSkip)
+            if (s <= 0) throw new java.io.IOException(
+              s"cannot seek to ${range.start} in ${range.path}")
+            toSkip -= s
+          }
+          in = fis
+          (range.start, range.end - range.start)
         }
-        i += 1
-      }
-      if (range.emitTrailing && lineStart < buf.length)
-        out += ((seqBase | lineStart,
-          new String(buf, lineStart, buf.length - lineStart, StandardCharsets.UTF_8)))
-      out.iterator
-    } else new Iterator[(Long, String)] {
-      TailFileSource.rangesOpened.incrementAndGet()
-      raf = new RandomAccessFile(range.path, "r")
-      raf.seek(range.start)
       private val seqBase = range.epoch << 44 // monotone across rotations
       private val buf = new Array[Byte](chunkSize)
-      private var readPos = range.start // next byte to read from the file
-      private var bufAbs = range.start  // absolute position of buf(0)
+      private var consumed = 0L // bytes delivered from the stream so far
+      private var bufAbs = baseAbs // absolute position of buf(0)
       private var bufLen = 0
       private var bufIdx = 0
-      private var lineStartAbs = range.start
+      private var lineStartAbs = baseAbs
       // bytes of the current line accumulated across chunk boundaries
       private val carry = new java.io.ByteArrayOutputStream()
       private var done = false
       private var pending: (Long, String) = null
 
       private def refill(): Boolean = {
-        if (readPos >= range.end) return false
-        val n = math.min(buf.length.toLong, range.end - readPos).toInt
-        raf.readFully(buf, 0, n)
-        bufAbs = readPos
-        readPos += n
+        if (consumed >= toRead) return false
+        val want = math.min(buf.length.toLong, toRead - consumed).toInt
+        // a truncation racing the read surfaces as a short read/EOF: end
+        // gracefully with what arrived (the next poll sees the rotation)
+        val n = in.read(buf, 0, want)
+        if (n <= 0) return false
+        bufAbs = baseAbs + consumed
+        consumed += n
         bufLen = n
         bufIdx = 0
         true
@@ -600,7 +596,7 @@ class TailRangeReader(range: TailRange,
         while (pending == null && !done) {
           if (bufIdx >= bufLen && !refill()) {
             done = true
-            raf.close(); raf = null
+            in.close(); in = null
             // `end` is a line boundary — except for a fully-drained
             // ARCHIVE whose final line has no terminating newline: that
             // remainder IS the last line (the file is complete)
@@ -648,6 +644,6 @@ class TailRangeReader(range: TailRange,
   override def close(): Unit = {
     // the streaming iterator closes its handle at exhaustion; this covers
     // a task that stops consuming early (e.g. a LIMIT)
-    if (raf != null) { raf.close(); raf = null }
+    if (in != null) { in.close(); in = null }
   }
 }
