@@ -340,22 +340,29 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     * flight. Never observe()d: it must not advance the admitted position. */
   override def reportLatestOffset(): Offset = {
     if (known.pos < 0) initialOffset()
-    // O(1): the gauge never plans ranges, so the reported tail needn't be
-    // a line boundary — the raw live EOF is the honest backlog end (an
+    // O(stat): the gauge never plans ranges, so the reported tail needn't
+    // be a line boundary — the raw live EOF is the honest backlog end (an
     // unterminated trailing line IS pending bytes). A newline-scanning
     // report here cost O(backlog²/cap) file reads over a capped drain:
     // every progress event re-scanned all unadmitted bytes. The
     // boundary-precise form lives in [[goal]], paid once per drain.
-    // Archives are STATIC: mid-backfill, jump straight to the live epoch
-    // (the former chain walk also re-scanned every remaining archive per
-    // event, and its step bound undercounted unterminated archives — with
-    // ≥2 of them the reported tail stopped inside the chain).
+    // Archives are STATIC: mid-backfill the reported position is the
+    // remaining archive bytes PLUS the live length — a BACKLOG measure
+    // (reportLatestOffset is informational; admission plans from [[admit]]
+    // and the drain goal from [[goal]]), so the telemetry gauge counts
+    // everything still to process, not just the live file.
     val k = known
-    val len = new java.io.File(path).length()
-    if (k.epoch < liveEpoch) TailOffset(liveEpoch, len, "")
+    val liveLen = new java.io.File(path).length()
+    if (k.epoch < liveEpoch) {
+      val remainingArchives = (k.epoch.toInt until liveEpoch.toInt).map { i =>
+        val len = new java.io.File(backfill(i)).length()
+        if (i == k.epoch.toInt) math.max(0L, len - k.pos) else len
+      }.sum
+      TailOffset(liveEpoch, liveLen + remainingArchives, "")
+    }
     // a shrunken file means an undetected rotation: hold the known
     // position (monotone gauge); the next admit() bumps the epoch
-    else if (len >= k.pos) k.copy(pos = len)
+    else if (liveLen >= k.pos) k.copy(pos = liveLen)
     else k
   }
 

@@ -56,4 +56,64 @@ class BoundedDrainPropertySpec extends AnyFunSuite {
       } finally Files.delete(f)
     }
   }
+
+  /** Property pin for the CHUNKED range reader (the scan every delivered
+    * line passes through): over random content (multibyte UTF-8, empty
+    * lines, partial trailers), random [start, end) sub-ranges on line
+    * boundaries, and chunk sizes down to 1 byte, the streamed output is
+    * byte-identical to the trivial whole-buffer split — lines spanning
+    * refills reassemble exactly, seq = absolute line-start offsets. */
+  test("chunked range reader equals the trivial split over random content, ranges, chunk sizes") {
+    import graft.sources.{TailRange, TailRangeReader}
+    val palette = Seq("x", "yz", "é", "日", "")
+    val rnd = new scala.util.Random(20260815L)
+    for (case_ <- 1 to 300) {
+      val nLines = rnd.nextInt(10)
+      val body = (0 until nLines).map(_ =>
+        (0 until rnd.nextInt(8)).map(_ =>
+          palette(rnd.nextInt(palette.size))).mkString + "\n").mkString +
+        (if (rnd.nextBoolean()) "partial-é" else "")
+      val bytes = body.getBytes("UTF-8")
+      val f = Files.createTempFile(s"graft-reader-$case_", ".log")
+      try {
+        Files.write(f, bytes)
+        val boundaries =
+          0L +: bytes.zipWithIndex.collect { case (b, i) if b == '\n' => (i + 1).toLong }.toSeq
+        val start = boundaries(rnd.nextInt(boundaries.size))
+        val end = // a later boundary, or (archive form) the raw file end
+          if (rnd.nextBoolean()) bytes.length.toLong
+          else boundaries.filter(_ >= start).maxBy(_ => rnd.nextInt(1000))
+        val emitTrailing = rnd.nextBoolean()
+        val epoch = rnd.nextInt(4).toLong
+        // the trivial split of bytes[start, end) at '\n'
+        val expected = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+          var ls = start.toInt
+          var i = start.toInt
+          while (i < end) {
+            if (bytes(i) == '\n') {
+              out += (((epoch << 44) | ls, new String(bytes, ls, i - ls, "UTF-8")))
+              ls = i + 1
+            }
+            i += 1
+          }
+          if (emitTrailing && ls < end)
+            out += (((epoch << 44) | ls, new String(bytes, ls, end.toInt - ls, "UTF-8")))
+          out.toSeq
+        }
+        val chunk = 1 + rnd.nextInt(24)
+        val r = new TailRangeReader(
+          TailRange(f.toString, epoch, start, end, emitTrailing), chunk)
+        val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        while (r.next()) {
+          val row = r.get()
+          got += ((row.getLong(0), row.getUTF8String(1).toString))
+        }
+        r.close()
+        assert(got.toSeq == expected,
+          s"case $case_ (start=$start end=$end chunk=$chunk trailing=$emitTrailing):\n" +
+            s"got $got\nexpected $expected")
+      } finally Files.delete(f)
+    }
+  }
 }

@@ -659,6 +659,25 @@ class TailFileSourceSpec extends SparkSpec {
     val reported = s.reportLatestOffset().asInstanceOf[TailOffset]
     assert(reported.pos == 4L,
       "the gauge tail is the raw EOF — an unterminated line IS pending backlog")
+
+    // mid-backfill the gauge counts EVERYTHING still to process: remaining
+    // archive bytes (stat, not scan) + the live length
+    val a1 = Files.createTempFile("graft-rawtail-a1", ".log")
+    val a2 = Files.createTempFile("graft-rawtail-a2", ".log")
+    Files.write(a1, "12345\n".getBytes) // 6 bytes
+    Files.write(a2, "123\n".getBytes) // 4 bytes
+    val bf = new TailFileMicroBatchStream(f.toString, fromStart = true,
+      backfill = Seq(a1.toString, a2.toString))
+    bf.initialOffset()
+    val r0 = bf.reportLatestOffset().asInstanceOf[TailOffset]
+    assert(r0.pos == 6L + 4L + 4L, s"archives + live backlog: $r0")
+    // admit past the first archive: its bytes leave the gauge
+    val o1 = bf.latestOffset(bf.initialOffset(),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[TailOffset]
+    assert(o1 == TailOffset(0L, 6L, ""), o1.toString)
+    assert(bf.reportLatestOffset().asInstanceOf[TailOffset].pos == 4L + 4L,
+      "a drained archive's bytes leave the backlog gauge")
   }
 
   test("single-scan delivery fold: one byte-range read per micro-batch, counts exact") {
