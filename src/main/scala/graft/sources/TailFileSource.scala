@@ -359,11 +359,18 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
         if (i == k.epoch.toInt) math.max(0L, len - k.pos) else len
       }.sum
       TailOffset(liveEpoch, liveLen + remainingArchives, "")
+    } else {
+      val curKey = TailOffset.keyOf(path)
+      if (curKey.isEmpty && liveLen == 0L) k // mid-rotation gap: hold
+      else if (liveLen < k.pos ||
+          (k.fileKey.nonEmpty && curKey.nonEmpty && curKey != k.fileKey))
+        // an as-yet-unadmitted rotation (shrink or identity change): the
+        // whole NEW generation is the backlog — reporting the new length
+        // under the OLD epoch would subtract positions of two different
+        // files in the gauge
+        TailOffset(k.epoch + 1, liveLen, curKey)
+      else k.copy(pos = liveLen)
     }
-    // a shrunken file means an undetected rotation: hold the known
-    // position (monotone gauge); the next admit() bumps the epoch
-    else if (liveLen >= k.pos) k.copy(pos = liveLen)
-    else k
   }
 
   /** Poll-and-advance under a byte budget (≤0 = unbounded). Package-visible
@@ -557,8 +564,32 @@ class TailRangeReader(range: TailRange,
       // ranges, decompressed positions (base 0, read to stream end) for gz
       private val (baseAbs, toRead) =
         if (range.gz) {
-          in = new java.util.zip.GZIPInputStream(
-            new java.io.FileInputStream(range.path), 64 * 1024)
+          // REPLAY DETERMINISM: bound the COMPRESSED input at range.end —
+          // a task retry after the archive grew (logrotate still writing
+          // it) must deliver exactly the planned bytes' content, not
+          // whatever the file holds at read time. A gz range planned with
+          // start > 0 means the archive grew AFTER it drained whole:
+          // gzip cannot resume mid-stream, so the growth is ignored
+          // (delivering from 0 would double-count every line) — archives
+          // are static complete files by contract.
+          if (range.start > 0) in = java.io.InputStream.nullInputStream()
+          else {
+            val fis = new java.io.FileInputStream(range.path)
+            val bounded = new java.io.FilterInputStream(fis) {
+              private var left = range.end
+              override def read(): Int =
+                if (left <= 0) -1
+                else { val b = super.read(); if (b >= 0) left -= 1; b }
+              override def read(b: Array[Byte], off: Int, len: Int): Int = {
+                if (left <= 0) return -1
+                val n = super.read(b, off, math.min(len.toLong, left).toInt)
+                if (n > 0) left -= n
+                n
+              }
+            }
+            try in = new java.util.zip.GZIPInputStream(bounded, 64 * 1024)
+            catch { case e: Throwable => fis.close(); throw e }
+          }
           (0L, Long.MaxValue)
         } else {
           val fis = new java.io.FileInputStream(range.path)
@@ -587,9 +618,19 @@ class TailRangeReader(range: TailRange,
       private def refill(): Boolean = {
         if (consumed >= toRead) return false
         val want = math.min(buf.length.toLong, toRead - consumed).toInt
-        // a truncation racing the read surfaces as a short read/EOF: end
-        // gracefully with what arrived (the next poll sees the rotation)
-        val n = in.read(buf, 0, want)
+        // a plain-file truncation racing the read surfaces as a short
+        // read/EOF; a TRUNCATED/CORRUPT gz stream (crash during logrotate
+        // compression — the 2-byte magic pre-flight can't see it) throws
+        // EOFException/ZipException mid-read. Both end gracefully with
+        // the lines that decoded cleanly: the archive is static, nothing
+        // more is coming, and failing the task would crash-loop the query
+        // against the same planned range forever.
+        val n =
+          try in.read(buf, 0, want)
+          catch {
+            case _: java.io.EOFException | _: java.util.zip.ZipException
+                if range.gz => -1
+          }
         if (n <= 0) return false
         bufAbs = baseAbs + consumed
         consumed += n

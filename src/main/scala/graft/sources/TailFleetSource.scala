@@ -240,23 +240,28 @@ class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
     streams.values.foreach(_.prepareForTriggerAvailableNow())
   }
 
-  /** Register a discovered member, SKIPPING files that fail pre-flight
-    * (e.g. a .gz rotation artifact matching the glob) — a bad discovered
-    * file must not kill the whole fleet, unlike a bad literal path. The
-    * catch is NonFatal, not just the pre-flight's IllegalArgumentException:
-    * a matched file can be deleted between the directory listing and the
-    * open (FileNotFoundException) or be unreadable (IOException/
-    * SecurityException), and any of those escaping latestOffset() would
-    * kill the whole query — permanently, for a persistently unreadable
-    * file, since every restart rediscovers it. */
-  private def register(p: String, memberFromStart: Boolean): Unit =
+  /** Register a member. For DISCOVERY (`swallowFailure = true`) a file
+    * that fails pre-flight or open is SKIPPED — a .gz rotation artifact
+    * matching the glob, a file deleted between the directory listing and
+    * the open (FileNotFoundException), or an unreadable one must not kill
+    * the whole fleet (a persistently unreadable file would otherwise
+    * crash-loop the query: every restart rediscovers it). For CHECKPOINT
+    * REPLAY (`swallowFailure = false`) failures PROPAGATE: swallowing
+    * there would drop the member's restored offset, and the next
+    * discovery poll would re-register it `fromStart = true` — a silent
+    * full re-read double-counting all its metrics. Failing the query
+    * retries the replay deterministically instead. */
+  private def register(p: String, memberFromStart: Boolean,
+      swallowFailure: Boolean = true): Unit =
     if (!streams.contains(p)) {
       try {
         val m = new TailFileMicroBatchStream(p, memberFromStart)
         if (streams.putIfAbsent(p, m).isEmpty && drainMode)
           m.prepareForTriggerAvailableNow()
         ()
-      } catch { case scala.util.control.NonFatal(_) => () }
+      } catch {
+        case scala.util.control.NonFatal(_) if swallowFailure => ()
+      }
     }
 
   /** Re-evaluate the globs: a file that appeared mid-stream joins with
@@ -318,7 +323,8 @@ class TailFleetMicroBatchStream(paths: Seq[String], fromStart: Boolean,
     offsets.foreach { case (p, _) =>
       if (!streams.contains(p) &&
           globs.exists(TailFleetSource.matchesGlob(_, p)) &&
-          new java.io.File(p).isFile) register(p, memberFromStart = false)
+          new java.io.File(p).isFile)
+        register(p, memberFromStart = false, swallowFailure = false)
     }
     offsets.foreach { case (p, o) =>
       streams.get(p).foreach(_.deserializeOffset(o.json()))

@@ -38,11 +38,13 @@ final class MetricsHttpServer(port: Int = 0, host: String = "0.0.0.0") {
     val acceptsGzip = Option(x.getRequestHeaders.getFirst("Accept-Encoding"))
       .exists(_.toLowerCase.split(",").map(_.trim).exists { entry =>
         val parts = entry.split(";").map(_.trim)
-        parts.headOption.contains("gzip") && !parts.tail.exists(p =>
-          p.replace(" ", "") match {
-            case "q=0" | "q=0.0" | "q=0.00" | "q=0.000" => true
-            case _ => false
-          })
+        // qvalue grammar is ("0" ["." 0*3DIGIT]) — parse numerically so
+        // every refusal spelling ("q=0", "q=0.", "q=0.00") is honored
+        parts.headOption.contains("gzip") && !parts.tail.exists { p =>
+          val np = p.replace(" ", "")
+          np.startsWith("q=") &&
+            np.stripPrefix("q=").toDoubleOption.exists(_ == 0.0)
+        }
       })
     val bytes = if (acceptsGzip && status == 200) {
       x.getResponseHeaders.set("Content-Encoding", "gzip")

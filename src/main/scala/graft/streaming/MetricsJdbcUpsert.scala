@@ -201,20 +201,23 @@ object MetricsJdbcUpsert {
       batchId: Long, rows: Seq[(String, String, String, Long)]): Boolean = {
     conn.setAutoCommit(false)
     try {
-      // LEGACY-token fallback: ledger rows written before sources derived
+      // LEGACY-token migration: ledger rows written before sources derived
       // from the checkpoint ([[ledgerSource]]) all used the hardcoded
       // "merge" token (the pre-upgrade world was one-query-per-table, so
-      // any ("merge", N) row means batch N committed). Without this probe,
-      // a batch replayed ACROSS the upgrade would miss its legacy row and
-      // re-apply — inflating every counter by one crashed batch.
-      if (source != "merge") {
-        val legacy = conn.prepareStatement(
-          s"SELECT 1 FROM ${t.ledger} WHERE source = 'merge' AND batch_id = ?")
-        try {
-          legacy.setLong(1, batchId)
-          val rs = legacy.executeQuery()
-          if (rs.next()) { conn.rollback(); return false }
-        } finally legacy.close()
+      // any ("merge", N) row means batch N committed — by THIS pipeline).
+      // The first post-upgrade batch claims them under its own token, in
+      // the same transaction as its delta: a batch replayed across the
+      // upgrade then hits its (migrated) ledger row like any replay, and
+      // the keyspaces stay DISJOINT for every other query — a per-batch
+      // "merge" probe would instead skip any same-id batch of a DIFFERENT
+      // query sharing a legacy table, silently dropping its deltas.
+      // (Reprocessing history into an existing cumulative table requires a
+      // fresh/truncated table regardless — the values would double.)
+      if (source != "merge" && source != "seed") {
+        val migrate = conn.prepareStatement(
+          s"UPDATE ${t.ledger} SET source = ? WHERE source = 'merge'")
+        try { migrate.setString(1, source); migrate.executeUpdate(); () }
+        finally migrate.close()
       }
       val ledger = conn.prepareStatement(
         s"INSERT INTO ${t.ledger} (source, batch_id) VALUES (?, ?)")

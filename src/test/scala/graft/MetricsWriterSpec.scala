@@ -318,15 +318,30 @@ class MetricsWriterSpec extends SparkSpec {
       } finally c.close()
     }
     // the replayed-across-the-upgrade batch must SKIP (its delta is already
-    // in the table), not double-apply under the new source token
+    // in the table), not double-apply under the new source token: the
+    // migration claims the legacy row, whose id then collides like any replay
     assert(!MetricsJdbcUpsert.applyDelta(t, src, 3L, Seq(("m", "", "", 5L))),
       "legacy ('merge', 3) must make batch 3 a replay under the new token")
     assert(count() == 0L, "the skipped replay must not touch the table")
-    // later batches apply normally under the derived token
+    // later batches apply normally under the derived token — and COMMIT the
+    // migration: no 'merge' rows remain afterward
     assert(MetricsJdbcUpsert.applyDelta(t, src, 4L, Seq(("m", "", "", 5L))))
     assert(count() == 5L)
+    val conn2 = t.connect()
+    try {
+      val rs = conn2.createStatement().executeQuery(
+        s"SELECT COUNT(*) FROM ${t.ledger} WHERE source = 'merge'")
+      rs.next()
+      assert(rs.getLong(1) == 0L, "legacy rows migrate to the claiming token")
+    } finally conn2.close()
     assert(!MetricsJdbcUpsert.applyDelta(t, src, 4L, Seq(("m", "", "", 5L))),
       "normal same-token replay still skips")
     assert(count() == 5L)
+    // keyspaces stay DISJOINT post-migration: a DIFFERENT query's batch 3
+    // lands — the legacy row belongs to the claiming pipeline, not to
+    // every future query sharing the table
+    assert(MetricsJdbcUpsert.applyDelta(t,
+      MetricsJdbcUpsert.ledgerSource("/other/ckpt"), 3L, Seq(("m2", "", "", 7L))),
+      "another query's same-id batch must not be skipped by legacy rows")
   }
 }

@@ -549,6 +549,64 @@ class TailFileSourceSpec extends SparkSpec {
     }
   }
 
+  test("gz ranges: replay-deterministic bounds, truncated stream ends gracefully, growth never re-delivers") {
+    import graft.sources.{TailRange, TailRangeReader}
+    def gzBytes(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes); gz.close()
+      bos.toByteArray
+    }
+    def readAll(range: TailRange): Seq[String] = {
+      val r = new TailRangeReader(range)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (r.next()) out += r.get().getUTF8String(1).toString
+      r.close()
+      out.toSeq
+    }
+    val full = gzBytes("l1\nl2\nl3\n")
+    val f = Files.createTempFile("graft-gz-grow", ".log.gz")
+
+    // REPLAY DETERMINISM: the compressed input is bounded at range.end —
+    // a task retry after the archive grew (junk appended here) must
+    // deliver exactly the planned bytes' content, not the grown file's
+    Files.write(f, full ++ Array.fill[Byte](64)(0x7f))
+    assert(readAll(TailRange(f.toString, 0L, 0L, full.length.toLong,
+      emitTrailing = true, gz = true)) == Seq("l1", "l2", "l3"))
+    // a grown-archive follow-up range (start > 0) re-delivers NOTHING:
+    // gzip cannot resume mid-stream, and from-0 would double-count
+    assert(readAll(TailRange(f.toString, 0L, full.length.toLong,
+      full.length.toLong + 64L, emitTrailing = true, gz = true)).isEmpty)
+
+    // a TRUNCATED gz (crash during logrotate compression; magic passes
+    // pre-flight) delivers the decoded prefix instead of crash-looping
+    val g = Files.createTempFile("graft-gz-trunc", ".log.gz")
+    Files.write(g, full.dropRight(9))
+    val prefix = readAll(TailRange(g.toString, 0L, 0L,
+      (full.length - 9).toLong, emitTrailing = true, gz = true))
+    assert(Seq("l1", "l2", "l3").startsWith(prefix),
+      s"decoded prefix only, no exception: $prefix")
+  }
+
+  test("backlog gauge across an unadmitted rotation: new generation reported under a bumped epoch") {
+    import graft.sources.{TailFileMicroBatchStream, TailOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("graft-gauge-rot")
+    val f = dir.resolve("x.log")
+    Files.write(f, "aaaa\n".getBytes)
+    val s = new TailFileMicroBatchStream(f.toString, fromStart = true)
+    val o = s.latestOffset(s.initialOffset(), ReadLimit.allAvailable())
+      .asInstanceOf[TailOffset]
+    assert(o.pos == 5L)
+    // move+recreate with a LONGER replacement, before any admit sees it:
+    // the gauge must not subtract positions of two different files
+    Files.move(f, dir.resolve("x.log.1"))
+    Files.write(f, "bbbbbbbbbb\n".getBytes)
+    val r = s.reportLatestOffset().asInstanceOf[TailOffset]
+    assert(r.epoch == o.epoch + 1 && r.pos == 11L,
+      s"new generation under a bumped epoch (whole file = backlog): $r")
+  }
+
   test("growing the backfill chain across a restart is rejected, not silently remapped") {
     import graft.sources.{TailFileMicroBatchStream, TailOffset}
     val live = Files.createTempFile("graft-grow-live", ".log")
