@@ -60,6 +60,7 @@ object DataPipelineQueries {
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "sim_knn_graph" -> ((s, dir) => Similarity.knnGraph(emb(s, dir))),
     "graph_quality_prop" -> ((s, dir) => Similarity.qualityPropagation(docs(s, dir), emb(s, dir))),
+    "graph_pagerank" -> ((s, dir) => Similarity.pageRank(emb(s, dir))),
     "sim_topk_sq8" -> ((s, dir) => Similarity.sq8TopK(emb(s, dir))),
     "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "sim_topk_pq_learned" -> ((s, dir) => Similarity.pqTopKLearned(emb(s, dir))),
@@ -83,6 +84,7 @@ object DataPipelineQueries {
     "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(docs(s, dir))),
     "retrieval_hybrid_rrf" -> ((s, dir) =>
       CurationPipeline.hybridRetrievalRrf(docs(s, dir), emb(s, dir))),
+    "retrieval_mmr" -> ((s, dir) => Similarity.mmrTopK(emb(s, dir))),
     "source_report" -> ((s, dir) => TextAnalysis.sourceReport(docs(s, dir))),
     "sample_shuffle" -> ((s, dir) => Sampling.shuffleShards(docs(s, dir))),
     "sample_temperature" -> ((s, dir) => Sampling.temperatureMix(docs(s, dir))),
@@ -141,6 +143,8 @@ object DataPipelineQueries {
     "sim_topk_ivf" -> Similarity.ivfTopKSql,
     "sim_knn_graph" -> Similarity.knnGraphSql,
     "graph_quality_prop" -> Similarity.qualityPropagationSql,
+    "graph_pagerank" -> Similarity.pageRankSql,
+    "retrieval_mmr" -> Similarity.mmrTopKSql,
     "sim_topk_sq8" -> Similarity.sq8TopKSql,
     "sim_topk_pq" -> Similarity.pqTopKSql,
     "sim_topk_pq_learned" -> Similarity.pqLearnedTopKSql,

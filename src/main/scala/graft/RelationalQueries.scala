@@ -787,8 +787,63 @@ object RelationalQueries {
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** KEYLESS time-interval join: per purchase, the count and value-sum of
+    * ALL click events (any user — platform-load attribution) in the trailing
+    * hour, both endpoints inclusive like [[eventsRateWindow]]'s frame.
+    *
+    * There is no equi key, so the naive formulation (`ON c.ts BETWEEN
+    * p.ts - 1h AND p.ts`) plans as BroadcastNestedLoopJoin — a quadratic
+    * scan that is the canonical 100 TB killer, and a global-time window
+    * would be a partitionless sort (banned registry-wide). The bucketed
+    * form MANUFACTURES the equi key: hour-width buckets (`us div H`, integer
+    * floor-div — width = interval length), each probe interval `[t−H, t]`
+    * covers exactly the two consecutive buckets `{t div H − 1, t div H}`
+    * (its endpoints' buckets differ by exactly 1 because `(t−H) div H =
+    * t div H − 1` identically), so the purchase side explodes 2× and the
+    * join is ONE shuffle on `bucket` with the precise range predicate as a
+    * residual filter. A (purchase, click) pair can only meet in the click's
+    * own bucket, so the 2× explode never duplicates a match and no dedup
+    * pass is needed. Left semantics (zero-click purchases kept, n = 0) ride
+    * the join condition itself; `count(c_us)` ignores the unmatched-side
+    * nulls, and the null rows from a purchase's OTHER exploded bucket
+    * likewise vanish into the null-ignoring aggregates. At 100 TB: both
+    * sides shuffle once on a high-cardinality key (one bucket per wall-clock
+    * hour of corpus), hot hours are AQE skew-split, and the per-bucket match
+    * work is bounded by the true selectivity instead of |P|×|C|. */
+  def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val H = 3600000000L // interval (and bucket) width, microseconds
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket", explode(array(
+        expr(s"p_us div ${H}L - 1L"), expr(s"p_us div ${H}L"))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("c_us"), cents(col("value")).as("c_v"))
+      .withColumn("bucket", expr(s"c_us div ${H}L"))
+    purchases.join(clicks,
+        purchases("bucket") === clicks("bucket") &&
+          col("c_us") >= col("p_us") - H && col("c_us") <= col("p_us"),
+        "left")
+      .groupBy("event_id")
+      .agg(count(col("c_us")).as("n_clicks"),
+        (coalesce(sum(col("c_v")), lit(0L)).cast("double") / 100.0).as("click_value"))
+      .orderBy("event_id")
+  }
+
+  val eventsIntervalJoinSql: String =
+    """WITH p AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, count(c.c_us) AS n_clicks,
+      |  CAST(coalesce(sum(c.v), 0) AS DOUBLE)/100.0 AS click_value
+      |FROM p LEFT JOIN c ON c.c_us BETWEEN p.p_us - 3600000000 AND p.p_us
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rate_window" -> eventsRateWindow _,
+    "events_interval_join" -> eventsIntervalJoin _,
     "agg_approx" -> approxAgg _,
     "agg_exact" -> exactAgg _,
     "events_asof_orders" -> eventsAsofOrders _,
@@ -818,6 +873,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "events_rate_window" -> eventsRateWindowSql,
+    "events_interval_join" -> eventsIntervalJoinSql,
     "agg_approx" -> approxAggSql,
     "agg_exact" -> exactAggSql,
     "events_asof_orders" -> eventsAsofOrdersSql,

@@ -952,6 +952,168 @@ object Similarity {
        |FROM s LEFT JOIN c ON c.doc_id = s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** Bounded-iteration PageRank over the [[knnGraph]] edge list — the
+    * centrality signal semantic-curation pipelines use to pick exemplar
+    * documents (a vector many neighborhoods point AT is a hub of its
+    * semantic region; complements [[qualityPropagation]]'s one-hop smoothing
+    * with a global, iterated notion of importance).
+    *
+    * Determinism discipline (hash-exact vs [[pageRankSql]]): rank mass is
+    * INTEGER throughout — `S = 10¹²` scaled units seeded as `S div N`, each
+    * iteration redistributes `(r·85) div (100·deg)` per out-edge plus the
+    * `(S·15) div (100·N)` teleport. Every operand is non-negative, so
+    * Spark's `div` and DuckDB's `//` agree (trunc == floor), and the
+    * per-node sums are order-free BIGINT adds. Mass lost to floor-division
+    * remainders (and through the rare out-edge-less vector) is NOT
+    * redistributed — both engines drop it identically, and ranking is
+    * unaffected at the 10¹² scale. `iters` is fixed, small, and unrolled:
+    * the oracle mirrors each round as a CTE.
+    *
+    * Scale shape: the edge list is built ONCE ([[PinnedCaches.memo]] — the
+    * graph is a per-corpus index artifact like the PQ codes; the fixpoint
+    * loop must not rebuild the IVF probe machinery per round) and each
+    * round is one shuffle — join ranks⋈edges on `src` (both sides hash-
+    * partitioned on the same key) then a map-side-combinable sum keyed on
+    * `dst`. Rank state is 2 longs per node; the loop never collects, and
+    * lineage stays `iters`-bounded so no checkpointing is needed. */
+  def pageRank(emb: DataFrame, k: Int = 3, iters: Int = 3): DataFrame = {
+    val S = 1000000000000L
+    val edges = PinnedCaches.memo(emb, s"pagerank_edges_$k") {
+      knnGraph(emb, k).select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    }
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val n = emb.agg(count(lit(1)).as("n"))
+    val nodes = emb.select("vec_id").crossJoin(broadcast(n))
+    val r0 = nodes.withColumn("r", expr(s"${S}L div n"))
+    val ranks = (1 to iters).foldLeft(r0) { (r, _) =>
+      val contrib = edges.join(deg, Seq("src"))
+        .join(r.select(col("vec_id").as("src"), col("r")), Seq("src"))
+        .groupBy(col("dst").as("vec_id"))
+        .agg(sum(expr("(r * 85L) div (100L * d)")).as("m"))
+      nodes.join(contrib, Seq("vec_id"), "left")
+        .withColumn("r", expr(s"(${S}L * 15L) div (100L * n)") +
+          coalesce(col("m"), lit(0L)))
+        .select("vec_id", "n", "r")
+    }
+    ranks.select(col("vec_id"), col("r").as("pr_scaled"),
+        (col("r").cast("double") / 1e12).as("pr"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[pageRank]] at the defaults: the [[knnGraphSql]]
+    * edge list, then each round unrolled as a CTE with the identical
+    * integer redistribution. */
+  lazy val pageRankSql: String = {
+    val rounds = (1 to 3).map { t =>
+      s"""c$t AS (
+         |  SELECT e.dst AS vec_id,
+         |    CAST(sum((r.r * 85) // (100 * deg.d)) AS BIGINT) AS m
+         |  FROM edges e JOIN r${t - 1} r ON r.vec_id = e.src
+         |    JOIN deg ON deg.src = e.src GROUP BY 1),
+         |r$t AS (
+         |  SELECT nodes.vec_id,
+         |    (1000000000000 * 15) // (100 * nn.n) + coalesce(c$t.m, 0) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$t ON c$t.vec_id = nodes.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS ($knnGraphSql),
+       |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM g),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+       |nodes AS (SELECT vec_id FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT vec_id, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT vec_id, CAST(r AS BIGINT) AS pr_scaled, CAST(r AS DOUBLE) / 1e12 AS pr
+       |FROM r3 ORDER BY vec_id""".stripMargin
+  }
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR 1998) — the selection rule curation pipelines use when the
+    * plain cosine top-k is pathologically redundant (near-duplicate
+    * passages crowding out coverage): greedily pick
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` with λ = 0.5, ties to
+    * the lower id, starting from the most relevant candidate (empty-set
+    * max-sim = 0, so step 1's score is λ·rel).
+    *
+    * Scale shape — the standard two-phase ANN re-rank split: the only
+    * corpus-proportional work is the candidate generation (exact top-`pool`
+    * for query 0 via [[bruteForceTopK]]; any index family drops in), and
+    * the greedy runs entirely on the pool — `pool²` pairwise sims and `k`
+    * bounded TakeOrdered steps over ≤`pool` rows. Pool and pair frames are
+    * memo-pinned (per-corpus artifacts); the selected set is
+    * `localCheckpoint`ed each step so plan depth stays O(1) per step
+    * instead of compounding (the star-contraction discipline). Nothing
+    * collects to the driver.
+    *
+    * Exactness: rel/sim are the engine-portable quantized cosines; the MMR
+    * score is two IEEE multiplies and a subtract in fixed order, so
+    * [[mmrTopKSql]] (the same greedy unrolled as CTEs) is hash-exact. */
+  def mmrTopK(emb: DataFrame, k: Int = 5, pool: Int = 20): DataFrame = {
+    val cand = PinnedCaches.memo(emb, s"mmr_cand_$pool") {
+      bruteForceTopK(emb, k = pool, nQueries = 1)
+        .select(col("neighbor_id").as("vec_id"), col("cos").as("rel"))
+    }
+    val q = quantized(emb)
+    val poolVecs = q.join(cand.select("vec_id"), Seq("vec_id"))
+    val psims = PinnedCaches.memo(emb, s"mmr_psims_$pool") {
+      val a = poolVecs.select(col("vec_id").as("ida"), col("q").as("qa"), col("nq").as("nqa"))
+      val b = poolVecs.select(col("vec_id").as("idb"), col("q").as("qb"), col("nq").as("nqb"))
+      a.join(broadcast(b), col("ida") =!= col("idb"))
+        .withColumn("sim", dotCol.cast("double") /
+          (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
+        .select("ida", "idb", "sim")
+    }
+    val first = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"),
+        (col("rel") * 0.5).as("mmr"), lit(1L).as("step"))
+    (2 to k).foldLeft(first.localCheckpoint(true)) { (sel, t) =>
+      val ms = psims.join(sel.select(col("vec_id").as("idb")), Seq("idb"))
+        .groupBy(col("ida").as("vec_id")).agg(max(col("sim")).as("maxsim"))
+      val next = cand.join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(ms, Seq("vec_id"))
+        .select(col("vec_id"), col("rel"),
+          (col("rel") * 0.5 - col("maxsim") * 0.5).as("mmr"))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .withColumn("step", lit(t.toLong))
+      sel.unionByName(next).localCheckpoint(true)
+    }.orderBy("step")
+  }
+
+  /** DuckDB oracle for [[mmrTopK]] at the defaults: the shared brute-force
+    * ranking chain for the pool, the pool-internal pairwise sims, then the
+    * greedy unrolled — one (step, selected-set) CTE pair per round with
+    * the identical score expression and tie-break. */
+  lazy val mmrTopKSql: String = {
+    val steps = (2 to 5).map { t =>
+      s"""s$t AS (
+         |  SELECT c.id, c.rel, 0.5*c.rel - 0.5*max(p.sim) AS mmr,
+         |    CAST($t AS BIGINT) AS step
+         |  FROM cand c JOIN psims p ON p.ida = c.id
+         |    JOIN sel${t - 1} s ON s.id = p.idb
+         |  WHERE c.id NOT IN (SELECT id FROM sel${t - 1})
+         |  GROUP BY c.id, c.rel
+         |  ORDER BY mmr DESC, c.id LIMIT 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bruteForceRankedSql(1)},
+       |cand AS (SELECT neighbor_id AS id, cos AS rel FROM bfranked WHERE rnk <= 20),
+       |pdots AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb, CAST(sum(a.q*b.q) AS BIGINT) AS dot
+       |  FROM ev a JOIN cand ca ON ca.id = a.vec_id
+       |    JOIN ev b ON b.i = a.i AND b.vec_id <> a.vec_id
+       |    JOIN cand cb ON cb.id = b.vec_id
+       |  GROUP BY 1, 2),
+       |psims AS (
+       |  SELECT d.ida, d.idb,
+       |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS sim
+       |  FROM pdots d JOIN norms na ON na.vec_id = d.ida
+       |    JOIN norms nb ON nb.vec_id = d.idb),
+       |sel1 AS (
+       |  SELECT id, rel, 0.5*rel AS mmr, CAST(1 AS BIGINT) AS step
+       |  FROM cand ORDER BY rel DESC, id LIMIT 1),
+       |$steps
+       |SELECT id AS vec_id, rel, mmr, step FROM sel5 ORDER BY step""".stripMargin
+  }
+
   /** Product-quantization approximate NN (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011) — the third
     * 100 TB scale path next to [[lshTopK]] and [[ivfTopK]], and the one a

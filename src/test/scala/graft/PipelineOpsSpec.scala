@@ -413,6 +413,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.exists(!_.isNullAt(3)), "the corpus graph must have edges")
   }
 
+  test("pagerank: integer mass conserved within floor loss; sink-free teleport floor exact") {
+    val S = 1000000000000L
+    val n = emb.count()
+    val rows = Similarity.pageRank(emb).collect()
+    assert(rows.length == n)
+    val teleport = (S * 15L) / (100L * n)
+    val prs = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every node holds at least the teleport share; total mass never exceeds
+    // the seeded S and loses only floor-division remainders + sink leakage
+    prs.values.foreach(p => assert(p >= teleport))
+    val total = prs.values.sum
+    assert(total <= S && total > (S * 90L) / 100L, s"mass $total of $S")
+    // a node nothing points at holds EXACTLY the teleport share — the
+    // iteration adds only in-edge contributions on top of it
+    val dsts = Similarity.knnGraph(emb).select("neighbor_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val noIn = prs.keySet -- dsts
+    noIn.foreach(v => assert(prs(v) == teleport, s"vec $v: ${prs(v)} != $teleport"))
+    // non-degenerate: the kNN graph concentrates mass on hubs
+    assert(prs.values.max > teleport * 2, "expected at least one hub above 2x teleport")
+    // the double projection is exactly the one scaled division
+    rows.foreach(r => assert(r.getDouble(2) == r.getLong(1).toDouble / 1e12))
+  }
+
+  test("mmr: each step is the exact greedy argmax over the candidate pool") {
+    val rows = Similarity.mmrTopK(emb).collect()
+    assert(rows.map(_.getLong(3)).toSeq == (1L to 5L))
+    // independent greedy replay from the raw ingredients
+    val cand = Similarity.bruteForceTopK(emb, k = 20, nQueries = 1).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    def cos(a: Long, b: Long): Double = {
+      val v = emb.filter(col("vec_id").isin(a, b)).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000)).toArray).toMap
+      val (qa, qb) = (v(a), v(b))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(qa.map(x => x * x).sum.toDouble) *
+        math.sqrt(qb.map(x => x * x).sum.toDouble))
+    }
+    var sel = Vector.empty[Long]
+    rows.foreach { r =>
+      val remaining = cand.keySet -- sel
+      val scored = remaining.toSeq.map { c =>
+        val maxsim = if (sel.isEmpty) 0.0 else sel.map(s => cos(c, s)).max
+        (c, cand(c) * 0.5 - maxsim * 0.5)
+      }
+      val best = scored.minBy { case (id, s) => (-s, id) }
+      assert(r.getLong(0) == best._1,
+        s"step ${r.getLong(3)}: picked ${r.getLong(0)}, greedy argmax is ${best._1}")
+      if (sel.nonEmpty)
+        assert(math.abs(r.getDouble(2) - best._2) < 1e-12)
+      sel :+= best._1
+    }
+    // diversity is real on this corpus: MMR's picks differ from plain top-5
+    val plain = Similarity.bruteForceTopK(emb, k = 5, nQueries = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(rows.map(_.getLong(0)).toSet != plain,
+      "pool must contain redundancy for MMR to reorder (fixture too clean?)")
+  }
+
   test("brute-force top-k: k neighbors per query, descending cosine, |cos| <= 1") {
     val rows = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5).collect()
     val byQuery = rows.groupBy(_.getLong(0))

@@ -379,6 +379,43 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"boundary consumers must share the sample scan, got $textScans text scans:\n${fin.take(1500)}")
   }
 
+  test("keyless interval join buckets to an equi join: one shuffle, no nested-loop scan") {
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    // force the shuffle-join path (the 100 TB case: neither event side fits
+    // in a broadcast) — the manufactured bucket key is what must carry it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = RelationalQueries.eventsIntervalJoin(spark, sf())
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"the bucketed form must not scan quadratically:\n${plan.take(1500)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi join on the bucket key:\n${plan.take(1500)}")
+
+      // ground truth: the naive theta join this operator replaces (which
+      // Catalyst, keyless, CAN only plan as a nested-loop — the contrast)
+      val ev = Tables.events(spark, sf())
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("c_us"),
+          round(col("value") * 100).cast("long").as("v"))
+      val naive = p.join(c,
+          col("c_us") >= col("p_us") - 3600000000L && col("c_us") <= col("p_us"), "left")
+        .groupBy("event_id")
+        .agg(count(col("c_us")).as("n_clicks"),
+          (coalesce(sum(col("v")), lit(0L)).cast("double") / 100.0).as("click_value"))
+      assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "control: the keyless formulation should be the nested-loop shape")
+      assert(df.orderBy("event_id").collect().toSeq ==
+        naive.orderBy("event_id").collect().toSeq)
+      // non-degenerate fixture: some purchases must actually match clicks
+      assert(df.filter(col("n_clicks") > 0).count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("registry-wide: NO partitionless window in any query's plan (single-task global sort ban)") {
     // the class of defect sample_curriculum used to have (an unpartitioned
     // row_number/count over a constant fraction of the corpus — one task
