@@ -428,7 +428,10 @@ object Similarity {
         stage("ivfpq_learned")(ivfpqLearnedCodes(emb).count())
       },
       // SQ8 encode: one map-side scan over the pinned quantized frame
-      Future(stage("sq8_codes")(sq8Codes(emb).count())))
+      Future(stage("sq8_codes")(sq8Codes(emb).count())),
+      // the default kNN graph — the index artifact graph_quality_prop and
+      // graph_pagerank traverse; warmed so their rows measure traversal
+      Future(stage("knn_graph")(knnGraphPinned(emb).count())))
     // settle ALL branches before rethrowing (same discipline as
     // SparkEntry.warmCaches: no stray warm jobs after control returns)
     val settled = Await.result(
@@ -896,6 +899,16 @@ object Similarity {
     rankCandidates(cand, q, k)
   }
 
+  /** Memo-pinned default-parameter [[knnGraph]] — the graph is a per-corpus
+    * INDEX ARTIFACT like the PQ codes, and two registry consumers
+    * ([[qualityPropagation]], [[pageRank]]) traverse it without wanting to
+    * re-run the IVF probe machinery: they share one pinned build (warmed in
+    * `warmPins`, charged to cache_build), while `sim_knn_graph` itself keeps
+    * calling [[knnGraph]] directly so the registry still carries an honest
+    * graph-CONSTRUCTION cost row. */
+  private[graft] def knnGraphPinned(emb: DataFrame, k: Int = 3): DataFrame =
+    PinnedCaches.memo(emb, s"knn_graph_$k")(knnGraph(emb, k))
+
   /** One round of quality-score propagation over the [[knnGraph]] — the
     * graph-curation step that smooths a noisy per-document quality signal
     * with its semantic neighborhood (label-propagation/SSL shape: a doc
@@ -915,7 +928,7 @@ object Similarity {
   def qualityPropagation(docs: DataFrame, emb: DataFrame, k: Int = 3): DataFrame = {
     val s = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), round(col("quality_score") * 100).cast("long").as("s100"))
-    val contrib = knnGraph(emb, k)
+    val contrib = knnGraphPinned(emb, k)
       .join(s.select(col("doc_id").as("neighbor_id"), col("s100")), Seq("neighbor_id"))
       .withColumn("w", round((lit(1.0) + col("cos")) * 1000000).cast("long"))
       .groupBy(col("query_id").as("doc_id"))
@@ -969,7 +982,7 @@ object Similarity {
     * unaffected at the 10¹² scale. `iters` is fixed, small, and unrolled:
     * the oracle mirrors each round as a CTE.
     *
-    * Scale shape: the edge list is built ONCE ([[PinnedCaches.memo]] — the
+    * Scale shape: the edge list is built ONCE ([[knnGraphPinned]] — the
     * graph is a per-corpus index artifact like the PQ codes; the fixpoint
     * loop must not rebuild the IVF probe machinery per round) and each
     * round is one shuffle — join ranks⋈edges on `src` (both sides hash-
@@ -978,9 +991,8 @@ object Similarity {
     * lineage stays `iters`-bounded so no checkpointing is needed. */
   def pageRank(emb: DataFrame, k: Int = 3, iters: Int = 3): DataFrame = {
     val S = 1000000000000L
-    val edges = PinnedCaches.memo(emb, s"pagerank_edges_$k") {
-      knnGraph(emb, k).select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-    }
+    val edges = knnGraphPinned(emb, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val n = emb.agg(count(lit(1)).as("n"))
     val nodes = emb.select("vec_id").crossJoin(broadcast(n))
