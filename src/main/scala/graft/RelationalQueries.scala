@@ -811,17 +811,26 @@ object RelationalQueries {
     * hour of corpus), hot hours are AQE skew-split, and the per-bucket match
     * work is bounded by the true selectivity instead of |P|×|C|. */
   def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val H = 3600000000L // interval (and bucket) width, microseconds
     val ev = Tables.events(s, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
-      .withColumn("bucket", explode(array(
-        expr(s"p_us div ${H}L - 1L"), expr(s"p_us div ${H}L"))))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(unix_micros(col("ts")).as("c_us"), cents(col("value")).as("c_v"))
-      .withColumn("bucket", expr(s"c_us div ${H}L"))
-    purchases.join(clicks,
-        purchases("bucket") === clicks("bucket") &&
+    intervalJoinCore(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("p_us")),
+      ev.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("c_us"), cents(col("value")).as("c_v")))
+  }
+
+  /** The bucketed-join core of [[eventsIntervalJoin]], over already-
+    * projected `(event_id, p_us)` probes and `(c_us, c_v)` matches —
+    * factored out so the boundary spec can drive crafted epoch-micros
+    * (inclusive endpoints, bucket-aligned timestamps) through the REAL
+    * operator rather than a re-implementation. */
+  private[graft] def intervalJoinCore(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val H = 3600000000L // interval (and bucket) width, microseconds
+    val probes = purchases.withColumn("bucket", explode(array(
+      expr(s"p_us div ${H}L - 1L"), expr(s"p_us div ${H}L"))))
+    val matches = clicks.withColumn("bucket", expr(s"c_us div ${H}L"))
+    probes.join(matches,
+        probes("bucket") === matches("bucket") &&
           col("c_us") >= col("p_us") - H && col("c_us") <= col("p_us"),
         "left")
       .groupBy("event_id")

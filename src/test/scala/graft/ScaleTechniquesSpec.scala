@@ -416,6 +416,41 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("interval join boundary sweep: bucketed core == brute force on bucket-aligned micros") {
+    import spark.implicits._
+    val H = 3600000000L
+    val base = 400000L * H // a positive epoch, far from 0
+    // crafted endpoints: every inclusive/exclusive edge of [p-H, p] and
+    // every bucket-boundary alignment (p exactly on a bucket edge is the
+    // case where the probe's two covering buckets are {p/H - 1, p/H} with
+    // p-H itself on the PREVIOUS edge)
+    val crafted = Seq(
+      base,          // purchase exactly on a bucket boundary
+      base + 1,      // just past it
+      base + H - 1,  // just before the next
+      base + H / 2)  // mid-bucket
+    val rnd = new scala.util.Random(42)
+    val purchases = (crafted ++ Seq.fill(60) {
+      val t = base + (rnd.nextLong() % (4 * H)).abs
+      if (rnd.nextInt(3) == 0) (t / H) * H + rnd.nextInt(2) else t // snap near edges
+    }).zipWithIndex.map { case (us, i) => (i.toLong, us) }
+    val clicks = purchases.flatMap { case (_, p) =>
+      Seq(p, p - H, p - H - 1, p + 1, p - H + 1, (p / H) * H, (p / H) * H - 1)
+    }.distinct.zipWithIndex.map { case (us, i) => (us, (i % 97).toLong + 1L) }
+
+    val got = RelationalQueries.intervalJoinCore(
+        purchases.toDF("event_id", "p_us"), clicks.toDF("c_us", "c_v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = purchases.map { case (id, p) =>
+      val in = clicks.filter { case (c, _) => c >= p - H && c <= p }
+      id -> ((in.size.toLong, in.map(_._2).sum.toDouble / 100.0))
+    }.toMap
+    assert(got == want, s"diff: ${(got.toSet -- want.toSet).take(3)} vs ${
+      (want.toSet -- got.toSet).take(3)}")
+    // non-degenerate: the crafted set exercises both-inclusive endpoints
+    assert(want.values.exists(_._1 > 0) && clicks.size > purchases.size)
+  }
+
   test("registry-wide: NO partitionless window in any query's plan (single-task global sort ban)") {
     // the class of defect sample_curriculum used to have (an unpartitioned
     // row_number/count over a constant fraction of the corpus — one task
