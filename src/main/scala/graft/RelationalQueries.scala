@@ -809,7 +809,12 @@ object RelationalQueries {
     * likewise vanish into the null-ignoring aggregates. At 100 TB: both
     * sides shuffle once on a high-cardinality key (one bucket per wall-clock
     * hour of corpus), hot hours are AQE skew-split, and the per-bucket match
-    * work is bounded by the true selectivity instead of |P|×|C|. */
+    * work is bounded by the true selectivity instead of |P|×|C|. Skew
+    * honesty (spec-pinned live): under LEFT-OUTER semantics AQE may only
+    * split the PROBE side (splitting the match side would duplicate
+    * unmatched probe rows), so a flash-sale hour of purchases splits at
+    * runtime, while a hot CLICK hour needs salting (replicate the probe
+    * row per salt shard) or an inner-join + anti-join decomposition. */
   def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     intervalJoinCore(

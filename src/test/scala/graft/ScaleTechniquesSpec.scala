@@ -451,6 +451,53 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(want.values.exists(_._1 > 0) && clicks.size > purchases.size)
   }
 
+  test("interval join skew: AQE splits a hot probe-side bucket at runtime") {
+    import spark.implicits._
+    val H = 3600000000L
+    val base = 500000L * H
+    // flash-sale shape: one hour holds 20k purchases, the rest a trickle.
+    // The hot bucket is the LEFT side of the left join — the side AQE's
+    // OptimizeSkewedJoin is allowed to split under left-outer semantics
+    // (splitting the match side would duplicate unmatched probe rows).
+    val rnd = new scala.util.Random(7)
+    val purchases = (0 until 20000).map { i =>
+      (i.toLong, base + (rnd.nextLong() % H).abs)
+    } ++ (20000 until 20200).map { i =>
+      (i.toLong, base + H * (1 + (i % 40)) + (rnd.nextLong() % H).abs)
+    }
+    val clicks = (0 until 2000).map { i =>
+      (base + H * (i % 41) + (rnd.nextLong() % H).abs, 1L)
+    }
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // the 100 TB case: no broadcast escape
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = RelationalQueries.intervalJoinCore(
+        purchases.toDF("event_id", "p_us"), clicks.toDF("c_us", "c_v"))
+      // run THIS frame's own QueryExecution (an action builds a new one,
+      // leaving df's adaptive plan isFinalPlan=false)
+      df.queryExecution.toRdd.foreach(_ => ())
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE must finalize:\n${plan.take(800)}")
+      assert(plan.contains("skew=true"),
+        s"the hot bucket must be skew-split:\n${plan.take(2000)}")
+      // and the split join still computes the exact answer
+      val hot = df.filter(col("event_id") < 20000).agg(sum("n_clicks")).collect()(0).getLong(0)
+      val want = purchases.filter(_._1 < 20000).map { case (_, p) =>
+        clicks.count { case (c, _) => c >= p - H && c <= p }.toLong
+      }.sum
+      assert(hot == want)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("registry-wide: NO partitionless window in any query's plan (single-task global sort ban)") {
     // the class of defect sample_curriculum used to have (an unpartitioned
     // row_number/count over a constant fraction of the corpus — one task
