@@ -702,6 +702,76 @@ object RelationalQueries {
       |  count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Histogram-sketch quantiles — the FIXED-MEMORY mergeable path next to
+    * [[exactAgg]]'s full percentile sort and [[approxAgg]]'s KMV + sampled
+    * ranks: per group, a power-of-two histogram of integer cents (≤64 cells,
+    * the HDR-histogram/Prometheus shape the reference's own bucket envelope
+    * uses) and rank-interpolated p50/p95 estimates read off the cumulative
+    * counts. At 100 TB this is THE production quantile: the histogram is a
+    * map-side-combinable aggregate whose shuffle carries ≤64×|groups| rows
+    * (exact percentiles sort the table; the KMV sample still shuffles a
+    * fixed fraction), and two histograms MERGE by cell-wise add — the
+    * property that lets per-partition, per-day, or per-cluster sketches
+    * roll up without re-scanning.
+    *
+    * Exactness contract: the cell index is `length(bin(cents))` — the
+    * integer bit length, identical in both engines (no float log2) — and
+    * the estimate `lo + ((r − cumBefore − 1)·(hi − lo + 1)) div cnt` is
+    * all non-negative integer arithmetic (rank convention
+    * `(n·q + 99) div 100` shared with [[approxAgg]]), so
+    * [[histQuantileSql]] is hash-exact; the ≤64-row-per-group cumulative
+    * walk rides a KEYED window (never a partitionless sort). The estimate
+    * lands inside the true rank's power-of-two bucket, so it is within 2×
+    * of the exact percentile by construction (spec-bounded vs the exact
+    * sort). */
+  def histQuantile(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        length(bin(cents(col("l_extendedprice")))).cast("long").as("b"))
+      .groupBy("l_returnflag", "b").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag").orderBy("b")
+    val cum = h
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("l_returnflag")))
+    def estC(q: Int): Column = {
+      val r = expr(s"(n * ${q}L + 99L) div 100L")
+      // lo = 2^(b-1); the bucket [2^(b-1), 2^b - 1] spans exactly lo values,
+      // so the in-bucket interpolation width IS lo — all integer `div`
+      // (Column./ would be double division)
+      val est = expr(s"""shiftleft(1L, cast(b as int) - 1) +
+        |(((n * ${q}L + 99L) div 100L - (cum - cnt) - 1L) *
+        |  shiftleft(1L, cast(b as int) - 1)) div cnt""".stripMargin)
+      max(when(col("cum") - col("cnt") < r && r <= col("cum"), est))
+    }
+    cum.groupBy("l_returnflag")
+      .agg(max("n").as("n_rows"),
+        (estC(50).cast("double") / 100.0).as("p50_est"),
+        (estC(95).cast("double") / 100.0).as("p95_est"))
+      .orderBy("l_returnflag")
+  }
+
+  val histQuantileSql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |    CAST(length(bin(CAST(round(l_extendedprice*100) AS BIGINT))) AS BIGINT) AS b,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, b, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      |  FROM h)
+      |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+      |  CAST(max(CASE WHEN cum - cnt < (n*50+99)//100 AND (n*50+99)//100 <= cum THEN
+      |    (1::BIGINT << CAST(b-1 AS INT)) +
+      |      (((n*50+99)//100 - (cum - cnt) - 1) * (1::BIGINT << CAST(b-1 AS INT))) // cnt
+      |    END) AS DOUBLE)/100.0 AS p50_est,
+      |  CAST(max(CASE WHEN cum - cnt < (n*95+99)//100 AND (n*95+99)//100 <= cum THEN
+      |    (1::BIGINT << CAST(b-1 AS INT)) +
+      |      (((n*95+99)//100 - (cum - cnt) - 1) * (1::BIGINT << CAST(b-1 AS INT))) // cnt
+      |    END) AS DOUBLE)/100.0 AS p95_est
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Pivot (wide aggregation): per-user event counts, one column per event
     * type. Explicit value list keeps the schema static (required at scale —
     * an implicit pivot would scan twice to discover values). */
@@ -795,11 +865,13 @@ object RelationalQueries {
     * p.ts - 1h AND p.ts`) plans as BroadcastNestedLoopJoin — a quadratic
     * scan that is the canonical 100 TB killer, and a global-time window
     * would be a partitionless sort (banned registry-wide). The bucketed
-    * form MANUFACTURES the equi key: hour-width buckets (`us div H`, integer
-    * floor-div — width = interval length), each probe interval `[t−H, t]`
-    * covers exactly the two consecutive buckets `{t div H − 1, t div H}`
-    * (its endpoints' buckets differ by exactly 1 because `(t−H) div H =
-    * t div H − 1` identically), so the purchase side explodes 2× and the
+    * form MANUFACTURES the equi key: hour-width buckets (`us div H` —
+    * width = interval length), each probe interval `[t−H, t]` covered by
+    * the two consecutive buckets `{t div H − 1, t div H}`: `(t−H) div H =
+    * t div H − 1` identically for `t ≥ H` (every epoch-micros timestamp),
+    * and for the degenerate `0 ≤ t < H` truncating division still keeps
+    * `bucket(t−H) ∈ {bucket(t)−1, bucket(t)}`, so monotonicity bounds every
+    * member's bucket inside the probe set. The purchase side explodes 2× and the
     * join is ONE shuffle on `bucket` with the precise range predicate as a
     * residual filter. A (purchase, click) pair can only meet in the click's
     * own bucket, so the 2× explode never duplicates a match and no dedup
@@ -860,6 +932,7 @@ object RelationalQueries {
     "events_interval_join" -> eventsIntervalJoin _,
     "agg_approx" -> approxAgg _,
     "agg_exact" -> exactAgg _,
+    "agg_quantile_hist" -> histQuantile _,
     "events_asof_orders" -> eventsAsofOrders _,
     "events_pivot" -> eventsPivot _,
     "events_user_stats_salted" -> saltedUserStats _,
@@ -890,6 +963,7 @@ object RelationalQueries {
     "events_interval_join" -> eventsIntervalJoinSql,
     "agg_approx" -> approxAggSql,
     "agg_exact" -> exactAggSql,
+    "agg_quantile_hist" -> histQuantileSql,
     "events_asof_orders" -> eventsAsofOrdersSql,
     "events_pivot" -> eventsPivotSql,
     "events_user_stats_salted" -> saltedUserStatsSql,

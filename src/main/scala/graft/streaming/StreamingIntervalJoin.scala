@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * StreamingSymmetricHashJoin PARTITIONED on the bucket (state and matching
   * shard across executors exactly like the batch shuffle — a keyless
   * stream-stream join would compare every buffered row pair per trigger),
-  * and the two-consecutive-buckets covering argument (`(t−H) div H =
-  * t div H − 1`) again guarantees a pair can only meet in the click's own
-  * bucket, so the 2× exploded purchase side never duplicates a match.
+  * and the two-consecutive-buckets covering argument (see
+  * [[graft.RelationalQueries.eventsIntervalJoin]]) again guarantees a pair
+  * can only meet in the click's own bucket, so the 2× exploded purchase
+  * side never duplicates a match.
   *
   * State bounding is the WATERMARK's job, not a timeout's: both sides carry
   * `withWatermark(ts, delay)`, and the range predicate on the two

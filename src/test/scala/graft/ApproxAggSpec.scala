@@ -98,4 +98,35 @@ class ApproxAggSpec extends SparkSpec {
       assert(confirmed == trulyFrequent.contains(u))
     }
   }
+
+  test("histogram-sketch quantiles land inside the true rank's power-of-two bucket") {
+    val est = RelationalQueries.histQuantile(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val li = Tables.load(spark, sf("sf0.01"), "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+    est.foreach { case (flag, r) =>
+      val cs = li.filter(col("l_returnflag") === flag)
+        .collect().map(_.getLong(1)).sorted
+      assert(r.getAs[Long]("n_rows") == cs.length)
+      Seq(50 -> r.getAs[Double]("p50_est"), 95 -> r.getAs[Double]("p95_est"))
+        .foreach { case (q, e) =>
+          // the discrete-rank exact value (the estimate's own convention)
+          val exact = cs((cs.length * q + 99) / 100 - 1).toDouble / 100.0
+          // the estimate interpolates INSIDE the exact value's bucket
+          // [2^(b-1), 2^b - 1], so it can never be off by more than the
+          // bucket span: ratio within [1/2, 2) by construction
+          assert(e >= exact / 2.0 && e < exact * 2.0,
+            s"$flag p$q: est $e vs exact $exact outside the bucket envelope")
+          val bucket = java.lang.Long.toBinaryString(math.round(exact * 100)).length
+          val lo = 1L << (bucket - 1)
+          val estC = math.round(e * 100)
+          assert(estC >= lo && estC < 2 * lo,
+            s"$flag p$q: est cents $estC outside bucket [$lo, ${2 * lo})")
+        }
+    }
+    // monotone: p95 >= p50 per group
+    est.values.foreach(r =>
+      assert(r.getAs[Double]("p95_est") >= r.getAs[Double]("p50_est")))
+  }
 }
