@@ -26,6 +26,7 @@ object DataPipelineQueries {
     "corpus_report" -> ((s, dir) => Dedup.corpusReport(docs(s, dir))),
     "source_overlap" -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     "dedup_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
+    "dedup_prefix_join" -> ((s, dir) => Dedup.prefixJoinPairs(docs(s, dir))),
     "dedup_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir))),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(docs(s, dir))),
@@ -124,6 +125,7 @@ object DataPipelineQueries {
     "corpus_report" -> Dedup.corpusReportSql,
     "source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_jaccard_pairs" -> Dedup.jaccardPairsSql,
+    "dedup_prefix_join" -> Dedup.prefixJoinPairsSql,
     "dedup_containment_pairs" -> Dedup.containmentPairsSql,
     "dedup_minhash_pairs" -> Dedup.minhashPairsSql,
     "dedup_clusters" -> Dedup.clustersSql,

@@ -305,6 +305,102 @@ object Dedup {
       |  FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** CORPUS-WIDE exact Jaccard pairs via PREFIX FILTERING (the All-Pairs /
+    * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): the exact
+    * complement to this file's other two set-similarity paths.
+    * [[jaccardPairs]] is exact but `source`-BLOCKED (cross-block dups are
+    * invisible by construction); [[minhashPairs]] is corpus-wide but
+    * probabilistic (banding can miss true pairs). This operator is BOTH
+    * corpus-wide AND exact, with no quadratic scan: under a global total
+    * token order, a pair with `J ≥ τ` MUST share a token inside each side's
+    * first `|x| − ⌈τ·|x|⌉ + 1` tokens (the Jaccard prefix), so candidates
+    * come from ONE equi-join on prefix tokens and only they pay the exact
+    * verify. τ = 0.9 fixed (inlined in the oracle like every sketch
+    * constant; the integer-exact prefix length is `n − (9n+9) div 10 + 1`
+    * ≈ n/10 + 1 — the higher threshold buys BOTH a sparser true-pair set
+    * on this deliberately near-dup-saturated corpus and 10× shorter
+    * prefix postings driving the candidate join).
+    *
+    * The global order is RARE-FIRST — (document frequency, token) — the
+    * classic candidate-minimizing heuristic: a doc's prefix holds its
+    * rarest tokens, so postings lists driving the join are the shortest
+    * ones. Correctness needs only SOME total order; df ties break on the
+    * token string, so the order (and the output) is deterministic.
+    *
+    * The ORACLE is deliberately the naive quadratic all-pairs join: the
+    * hash-exact compare therefore VALIDATES the no-false-negative prefix
+    * theorem on the real corpus rather than assuming it — a filter bug
+    * that dropped one true pair would fail the gate, not hide inside a
+    * replicated filter. 100 TB shape: token df is one map-side-combinable
+    * aggregate; per-doc ordering is a bounded in-array sort (collect_list
+    * over the doc's own tokens, never a window); the candidate join
+    * shuffles prefix postings (rare tokens → short lists; a stop-word can
+    * never enter a prefix unless a doc is almost all stop-words); the
+    * verify joins token arrays only for surviving candidate pairs.
+    *
+    * Pairs are emitted between TOKEN-SET REPRESENTATIVES (identical
+    * distinct-token sets collapse to their min-id member first — the
+    * analog of [[exact]]'s md5(text) collapse one level up): this corpus
+    * deliberately contains word-reshuffled variants whose token sets are
+    * IDENTICAL, and their pairwise Jaccard is definitionally 1.0 — a
+    * family of k variants would emit k(k−1)/2 content-free rows (the
+    * quadratic clique blowup that makes all-pairs outputs explode at
+    * scale) while the real information is just the family itself, which
+    * [[canonical]]/[[clusters]] already report. The collapse is exact set
+    * equality, orthogonal to the prefix filter being validated. */
+  def prefixJoinPairs(docs: DataFrame): DataFrame = {
+    val threshold = 0.9
+    val t = Tables.fanOut(docs)
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      .groupBy("toks").agg(min("doc_id").as("doc_id"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val dfreq = t.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefix = t.select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
+      .join(dfreq, Seq("tok"))
+      .groupBy("doc_id", "n")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+      // Jaccard prefix length at tau = 0.9: n - ceil(0.9 n) + 1, integer-exact
+      .withColumn("p", expr("n - (9L * n + 9L) div 10L + 1L"))
+      .select(col("doc_id"), col("n"),
+        explode(expr("transform(slice(ordered, 1, cast(p as int)), s -> s.tok)")).as("tok"))
+    val a = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = prefix.select(col("tok"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    val cand = a.join(b, Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("n_a"), col("n_b")).cast("double") /
+          greatest(col("n_a"), col("n_b")).cast("double") >= threshold)
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("inter", sorted_intersect_count(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[prefixJoinPairs]]: the same min-id token-set
+    * collapse, then the NAIVE corpus-wide quadratic join — see the
+    * operator scaladoc for why replicating the prefix filter here would
+    * weaken the check. */
+  val prefixJoinPairsSql: String =
+    """WITH tok AS (
+      |  SELECT list_sort(list_distinct(string_split(text, ' '))) AS t,
+      |    min(doc_id) AS doc_id
+      |  FROM documents GROUP BY 1),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
+      |    CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) AS jaccard
+      |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Asymmetric CONTAINMENT near-dup pairs — the doc-embedded-in-doc case
     * symmetric Jaccard structurally misses: a paragraph quoted inside a
     * much larger page has tiny Jaccard (union is the page) but containment

@@ -198,4 +198,31 @@ class DedupScaleSpec extends SparkSpec {
     assert(capped.length < uncapped.length,
       s"cap must remove hot-fingerprint-only pairs (${capped.length} vs ${uncapped.length})")
   }
+
+  test("prefix join: tau boundary inclusive, just-below excluded, shuffled sets collapse, no cartesian") {
+    // tokens chosen so every set is distinct and sizes are exact
+    val t = (1 to 11).map(i => s"tok$i")
+    val docs = Seq(
+      (0L, t.take(10).mkString(" ")),                  // A: {t1..t10}
+      (1L, t.take(9).mkString(" ")),                   // B: {t1..t9}, J(A,B) = 9/10 = 0.9 EXACTLY
+      (2L, (t.take(9) :+ t(10)).mkString(" ")),        // C: {t1..t9, t11}, J(A,C) = 9/11 < 0.9
+      (3L, t.take(10).reverse.mkString(" ")),          // D: same SET as A, shuffled -> collapses
+      (4L, "entirely unrelated words about gpu kernels and memory"))
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixJoinPairs(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must not scan quadratically:\n${plan.take(1200)}")
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the INCLUSIVE boundary pair survives; note B's Jaccard prefix is a
+    // SINGLE token (n=9 -> p=1), so this also pins the tight prefix bound
+    assert(pairs.get((0L, 1L)).contains(0.9), s"boundary pair missing: $pairs")
+    // J(B,C) = 9/10 = 0.9 too (C = B + one extra token)
+    assert(pairs.get((1L, 2L)).contains(0.9))
+    // just-below-tau excluded: J(A,C) = 9/11
+    assert(!pairs.contains((0L, 2L)))
+    // D collapsed into A's representative: no (A, D) or (D, *) rows
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+    assert(pairs.size == 2, s"exactly the two boundary pairs: $pairs")
+  }
 }
