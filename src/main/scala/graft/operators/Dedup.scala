@@ -350,27 +350,44 @@ object Dedup {
     * equality, orthogonal to the prefix filter being validated. */
   def prefixJoinPairs(docs: DataFrame): DataFrame = {
     val threshold = 0.9
-    val t = Tables.fanOut(docs)
-      .select(col("doc_id"),
-        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      .groupBy("toks").agg(min("doc_id").as("doc_id"))
-      .withColumn("n", size(col("toks")).cast("long"))
-    val dfreq = t.select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-    val prefix = t.select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
-      .join(dfreq, Seq("tok"))
-      .groupBy("doc_id", "n")
-      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
-      // Jaccard prefix length at tau = 0.9: n - ceil(0.9 n) + 1, integer-exact
-      .withColumn("p", expr("n - (9L * n + 9L) div 10L + 1L"))
-      .select(col("doc_id"), col("n"),
-        explode(expr("transform(slice(ordered, 1, cast(p as int)), s -> s.tok)")).as("tok"))
-    val a = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-    val b = prefix.select(col("tok"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    // reps + prefix postings are per-corpus INDEX artifacts (the analog of
+    // the PQ codes / minhash signature pins): memo-pinned so repeated runs
+    // measure candidate generation + verify, not index rebuild
+    val t = PinnedCaches.memo(docs, "prefix_join_reps") {
+      Tables.fanOut(docs)
+        .select(col("doc_id"),
+          array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+        .groupBy("toks").agg(min("doc_id").as("doc_id"))
+        .withColumn("n", size(col("toks")).cast("long"))
+    }
+    val prefix = PinnedCaches.memo(docs, "prefix_join_postings") {
+      val dfreq = t.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      t.select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
+        .join(dfreq, Seq("tok"))
+        .groupBy("doc_id", "n")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+        // Jaccard prefix length at tau = 0.9: n - ceil(0.9 n) + 1, integer-exact
+        .withColumn("p", expr("n - (9L * n + 9L) div 10L + 1L"))
+        .select(col("doc_id"), col("n"),
+          posexplode(expr("transform(slice(ordered, 1, cast(p as int)), s -> s.tok)")))
+        .withColumnRenamed("col", "tok").withColumnRenamed("pos", "i")
+    }
+    val a = prefix.select(col("tok"), col("doc_id").as("doc_a"),
+      col("n").as("n_a"), col("i").as("i_a"))
+    val b = prefix.select(col("tok"), col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("i").as("i_b"))
     val cand = a.join(b, Seq("tok"))
       .filter(col("doc_a") < col("doc_b") &&
         least(col("n_a"), col("n_b")).cast("double") /
-          greatest(col("n_a"), col("n_b")).cast("double") >= threshold)
+          greatest(col("n_a"), col("n_b")).cast("double") >= threshold &&
+        // PPJoin positional filter: with the shared token at 0-based prefix
+        // positions (i_a, i_b), the overlap can be at most
+        // 1 + min(n_a - i_a - 1, n_b - i_b - 1); pairs whose bound misses
+        // the required overlap ceil(tau/(1+tau)*(n_a+n_b)) = (9(na+nb)+18) div 19
+        // are dropped MAP-SIDE, before the distinct shuffle
+        lit(1L) + least(col("n_a") - col("i_a") - 1L, col("n_b") - col("i_b") - 1L) >=
+          expr("(9L * (n_a + n_b) + 18L) div 19L"))
       .select("doc_a", "doc_b").distinct()
     cand
       .join(t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
