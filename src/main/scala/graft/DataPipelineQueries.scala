@@ -71,6 +71,8 @@ object DataPipelineQueries {
     "embed_cluster_sample" -> ((s, dir) => Similarity.clusterBalancedSample(emb(s, dir))),
     "text_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_subword_tokens" -> ((s, dir) => TextAnalysis.subwordTokens(docs(s, dir))),
+    "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(docs(s, dir))),
+    "text_bpe_tokens" -> ((s, dir) => TextAnalysis.bpeTokens(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_quality_classifier" -> ((s, dir) => TextAnalysis.qualityClassifier(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -126,6 +128,8 @@ object DataPipelineQueries {
     "source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_jaccard_pairs" -> Dedup.jaccardPairsSql,
     "dedup_prefix_join" -> Dedup.prefixJoinPairsSql,
+    "text_bpe_merges" -> TextAnalysis.bpeMergesSql,
+    "text_bpe_tokens" -> TextAnalysis.bpeTokensSql,
     "dedup_containment_pairs" -> Dedup.containmentPairsSql,
     "dedup_minhash_pairs" -> Dedup.minhashPairsSql,
     "dedup_clusters" -> Dedup.clustersSql,

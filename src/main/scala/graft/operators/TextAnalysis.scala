@@ -63,6 +63,169 @@ object TextAnalysis {
        |    len(string_split(text, ' ')) AS subword_per_ws
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** How many merges the learned-BPE model trains — small and FIXED so the
+    * oracle can unroll one CTE pair per round. */
+  val BpeRounds: Int = 8
+
+  /** The distinct-word frequency table BPE trains on: whitespace words
+    * (consistent with [[tokenStats]]' tokenizer lens), empty strings from
+    * leading/trailing/double spaces dropped. */
+  private def bpeWords(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Left-greedy single-merge application: fold the symbol array, joining
+    * an adjacent `(pa, pb)` into `pa||pb` (`aaa` + (a,a) → `[aa, a]`, the
+    * standard BPE scan order). The zero is the FIRST symbol so the fold
+    * shape is identical to DuckDB's `list_reduce` (first element =
+    * initial accumulator); single-symbol words pass through untouched. */
+  private val bpeMergeLambda: String =
+    """aggregate(slice(syms, 2, size(syms) - 1), slice(syms, 1, 1),
+      |  (acc, s) -> CASE WHEN element_at(acc, -1) = pa AND s = pb
+      |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(pa, pb)))
+      |    ELSE concat(acc, array(s)) END)""".stripMargin
+
+  /** TRAINED byte-pair-encoding merge table (Sennrich et al., ACL 2016) —
+    * the real learned tokenizer next to [[subwordTokens]]' fixed
+    * pre-tokenizer regex: [[BpeRounds]] rounds of "count adjacent symbol
+    * pairs weighted by word frequency, merge the most frequent pair
+    * everywhere" over the corpus's distinct-word table. Ties break
+    * (count DESC, pair ASC) so training is fully deterministic, and every
+    * count is an exact BIGINT — the oracle replays all rounds CTE by CTE.
+    *
+    * Scale shape: training touches only the DISTINCT-WORD table (vocabulary
+    * grows ~log with corpus size, not linearly — the same collapse
+    * [[graft.operators.Dedup.dupGroups]] exploits), each round is one
+    * map-side pair explode + one partial-aggregated count + a LIMIT-1
+    * TakeOrdered + one broadcast-crossJoin'd lambda map; the winning pair
+    * rides a one-row broadcast instead of a driver collect, and each
+    * round's vocab is localCheckpointed so plan depth stays O(1) per round
+    * (the star-contraction discipline — without it the top-1 subtree would
+    * compound 2^rounds). The trained table is memo-pinned: an index
+    * artifact like the PQ codebooks, trained once per corpus. */
+  def bpeMerges(docs: DataFrame): DataFrame =
+    PinnedCaches.memo(docs, s"bpe_merges_$BpeRounds") {
+      var vocab = bpeWords(docs)
+        .withColumn("syms",
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .localCheckpoint(true)
+      var merges: DataFrame = null
+      for (r <- 1 to BpeRounds) {
+        val pairs = vocab.select(col("freq"), explode(expr(
+            """zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1),
+              |  (x, y) -> named_struct('a', x, 'b', y))""".stripMargin)).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .withColumn("rnk", lit(r.toLong)).localCheckpoint(true)
+        merges = if (merges == null) top else merges.unionByName(top).localCheckpoint(true)
+        vocab = vocab
+          .crossJoin(broadcast(top.select(col("a").as("pa"), col("b").as("pb"))))
+          .withColumn("syms", expr(bpeMergeLambda))
+          .select("word", "freq", "syms")
+          .localCheckpoint(true)
+      }
+      merges.select("rnk", "a", "b", "cnt").orderBy("rnk")
+    }
+
+  /** The corpus vocabulary ENCODED under the trained merges — re-derived
+    * from the pinned [[bpeMerges]] table by applying each merge in rank
+    * order (cheap: no pair counting, just [[BpeRounds]] broadcast-joined
+    * lambda maps over the distinct-word table), memo-pinned as the second
+    * index artifact. */
+  private def bpeVocab(docs: DataFrame): DataFrame =
+    PinnedCaches.memo(docs, s"bpe_vocab_$BpeRounds") {
+      val merges = bpeMerges(docs)
+      val spark = docs.sparkSession
+      (1 to BpeRounds).foldLeft(
+        bpeWords(docs).withColumn("syms",
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
+        (v, r) =>
+          // a round may not exist (pair-exhausted vocabulary, spec-pinned):
+          // a NULL sentinel row keeps the crossJoin 1-row and the lambda's
+          // `= pa` comparison NULL → pass-through instead of emptying the
+          // vocabulary
+          val round = merges.filter(col("rnk") === r)
+            .select(col("a").as("pa"), col("b").as("pb"))
+            .unionByName(spark.range(1).select(
+              lit(null).cast("string").as("pa"), lit(null).cast("string").as("pb")))
+            .orderBy(col("pa").asc_nulls_last).limit(1)
+          v.crossJoin(broadcast(round))
+            .withColumn("syms", expr(bpeMergeLambda))
+            .select("word", "freq", "syms")
+      }
+    }
+
+  /** Per-document token counts under the TRAINED tokenizer: whitespace
+    * words, learned-BPE subwords, and their ratio — the number an LLM data
+    * pipeline actually budgets with (context-window packing, per-source
+    * token accounting). One exploded-word join against the pinned encoded
+    * vocabulary; nothing re-tokenizes raw text per document. */
+  def bpeTokens(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(bpeVocab(docs).select(col("word"), size(col("syms")).cast("long").as("n_sub")),
+        Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
+      .withColumn("bpe_per_word",
+        col("n_bpe_tokens").cast("double") / col("n_words"))
+      .orderBy("doc_id")
+
+  /** Shared oracle CTE chain: word table, char-split v0, then one
+    * (pairs, top-1, re-encoded vocab) CTE triple per training round —
+    * the exact unrolled replay of [[bpeMerges]]' loop. */
+  private def bpeCoreSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      i -> {'a': syms[i], 'b': syms[i+1]})) AS u
+         |    FROM v${r - 1}) GROUP BY 1, 2),
+         |t$r AS (SELECT a, b, cnt, CAST($r AS BIGINT) AS rnk FROM p$r
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS (
+         |  SELECT word, freq, list_reduce(list_transform(syms, s -> [s]),
+         |    (acc, x) -> CASE WHEN acc[-1] = t$r.a AND x[1] = t$r.b
+         |      THEN list_concat(acc[:-2], [t$r.a || t$r.b])
+         |      ELSE list_concat(acc, x) END) AS syms
+         |  -- LEFT JOIN ON true: an exhausted round's empty t yields one
+         |  -- NULL row and the lambda's `= a` comparison passes through,
+         |  -- mirroring the operator's sentinel degradation
+         |  FROM v${r - 1} LEFT JOIN t$r ON true)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY 1),
+       |v0 AS (SELECT word, freq,
+       |  list_transform(range(1, length(word) + 1), i -> word[i]) AS syms FROM w),
+       |$rounds""".stripMargin
+  }
+
+  lazy val bpeMergesSql: String = {
+    val union = (1 to BpeRounds)
+      .map(r => s"SELECT rnk, a, b, cnt FROM t$r").mkString(" UNION ALL ")
+    s"""WITH $bpeCoreSql
+       |$union ORDER BY rnk""".stripMargin
+  }
+
+  lazy val bpeTokensSql: String =
+    s"""WITH $bpeCoreSql,
+       |docwords AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |j AS (
+       |  SELECT d.doc_id, CAST(len(v.syms) AS BIGINT) AS n_sub
+       |  FROM docwords d JOIN v$BpeRounds v ON v.word = d.word
+       |  WHERE length(d.word) > 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(n_sub) AS DOUBLE) / count(*) AS bpe_per_word
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** The three integer counts the quality score derives from, as named
