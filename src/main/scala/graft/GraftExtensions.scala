@@ -12,6 +12,12 @@ import graft.functions.{LogLineParseExpr, LongDotExpr, ParseBytes, RegexGroupsEx
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // the keyless trailing-window theta-join escape hatch
+    // (graft.plans.BucketedIntervalJoinRule): any inner join shaped
+    // `r >= l - K AND r <= l` plans as a bucketed equi join instead of a
+    // BroadcastNestedLoopJoin
+    e.injectOptimizerRule(_ => graft.plans.BucketedIntervalJoinRule)
+
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("parse_bytes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite a KEYLESS trailing-window theta join into the
+  * bucketed equi join [[graft.RelationalQueries.eventsIntervalJoin]] builds
+  * by hand — the SparkSessionExtensions form of the same 100 TB lever, so
+  * ANY inner join shaped `r >= l - K AND r <= l` (epoch-micros windows,
+  * sequence-number windows) escapes BroadcastNestedLoopJoin without the
+  * query author knowing the trick.
+  *
+  * Match conditions (deliberately narrow — a rewrite rule must never fire
+  * on a plan it cannot prove safe):
+  *   - INNER join. A left-outer cannot ride the exploded probe side: both
+  *     exploded rows of an unmatched probe would emit, and even a matched
+  *     probe's OTHER bucket row would emit a spurious null row.
+  *   - the condition contains `r ≥ l − K` (or the strict form) and
+  *     `r ≤ l` (or strict) on the SAME integral attributes, `l` from one
+  *     side and `r` from the other, `K` a positive integral literal.
+  *   - NO equi predicate between the sides already exists (if one does,
+  *     Spark already plans a hash/sort-merge join and bucketing would only
+  *     add work).
+  *
+  * Rewrite: the probe side gains `explode(array(l div K − 1, l div K))`
+  * (trunc division — the two buckets cover `[l−K, l]` for every `l`,
+  * including the degenerate `0 ≤ l < K` corner, because bucket(l−K) ∈
+  * {bucket(l)−1, bucket(l)} by monotonicity), the match side gains
+  * `r div K`, the join gains the manufactured equi key with the ORIGINAL
+  * condition kept as residual, and a Project restores the original output.
+  * A pair can only meet in the match row's own bucket, so the 2× explode
+  * never duplicates an inner match. The rule is idempotent: the rewritten
+  * join HAS an equi predicate, so it can never match again (safe in a
+  * fixed-point batch). */
+object BucketedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def integralAttr(e: Expression): Option[Attribute] = e match {
+    case a: AttributeReference if a.dataType == LongType || a.dataType == IntegerType =>
+      Some(a)
+    case _ => None
+  }
+
+  private def positiveLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType) if v > 0 => Some(v)
+    case Literal(v: Int, IntegerType) if v > 0 => Some(v.toLong)
+    case _ => None
+  }
+
+  /** `r >= l - K` / `r > l - K` (either operand order) → (l, r, K). */
+  private def lowerBound(e: Expression): Option[(Attribute, Attribute, Long)] = {
+    def sub(x: Expression): Option[(Attribute, Long)] = x match {
+      case Subtract(l, k, _) =>
+        for (la <- integralAttr(l); kv <- positiveLit(k)) yield (la, kv)
+      case _ => None
+    }
+    e match {
+      case GreaterThanOrEqual(r, x) =>
+        for (ra <- integralAttr(r); (la, k) <- sub(x)) yield (la, ra, k)
+      case GreaterThan(r, x) =>
+        for (ra <- integralAttr(r); (la, k) <- sub(x)) yield (la, ra, k)
+      case LessThanOrEqual(x, r) =>
+        for (ra <- integralAttr(r); (la, k) <- sub(x)) yield (la, ra, k)
+      case LessThan(x, r) =>
+        for (ra <- integralAttr(r); (la, k) <- sub(x)) yield (la, ra, k)
+      case _ => None
+    }
+  }
+
+  /** `r <= l` / `r < l` (either operand order) → (l, r). */
+  private def upperBound(e: Expression): Option[(Attribute, Attribute)] = e match {
+    case LessThanOrEqual(r, l) =>
+      for (ra <- integralAttr(r); la <- integralAttr(l)) yield (la, ra)
+    case LessThan(r, l) =>
+      for (ra <- integralAttr(r); la <- integralAttr(l)) yield (la, ra)
+    case GreaterThanOrEqual(l, r) =>
+      for (ra <- integralAttr(r); la <- integralAttr(l)) yield (la, ra)
+    case GreaterThan(l, r) =>
+      for (ra <- integralAttr(r); la <- integralAttr(l)) yield (la, ra)
+    case _ => None
+  }
+
+  private def sidesOf(a: Attribute, b: Attribute,
+      left: LogicalPlan, right: LogicalPlan): Boolean =
+    (left.outputSet.contains(a) && right.outputSet.contains(b)) ||
+      (left.outputSet.contains(b) && right.outputSet.contains(a))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hasEqui = conjuncts.exists {
+        case EqualTo(a: Attribute, b: Attribute) => sidesOf(a, b, left, right)
+        case EqualNullSafe(a: Attribute, b: Attribute) => sidesOf(a, b, left, right)
+        case _ => false
+      }
+      val window = if (hasEqui) None else {
+        val lowers = conjuncts.flatMap(lowerBound)
+        val uppers = conjuncts.flatMap(upperBound)
+        lowers.flatMap { case (l, r, k) =>
+          uppers.collect {
+            case (lu, ru) if lu.semanticEquals(l) && ru.semanticEquals(r) &&
+                sidesOf(l, r, left, right) => (l, r, k)
+          }
+        }.headOption
+      }
+      window match {
+        case Some((l, r, k)) =>
+          // which side holds the probe (l)?
+          val (probe, matchSide, lOnLeft) =
+            if (left.outputSet.contains(l)) (left, right, true)
+            else (right, left, false)
+          val kLit = Literal(k, LongType)
+          def div(x: Expression): Expression =
+            IntegralDivide(Cast(x, LongType), kLit)
+          val bucketP = AttributeReference("graft_bucket_p", LongType)()
+          val gen = Generate(
+            Explode(CreateArray(Seq(
+              Subtract(div(l), Literal(1L, LongType)), div(l)))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(bucketP), child = probe)
+          val bucketM = Alias(div(r), "graft_bucket_m")()
+          val proj = Project(matchSide.output :+ bucketM, matchSide)
+          val newCond = And(EqualTo(bucketP, bucketM.toAttribute), cond)
+          val newJoin =
+            if (lOnLeft) Join(gen, proj, Inner, Some(newCond), hint)
+            else Join(proj, gen, Inner, Some(newCond), hint)
+          Project(j.output, newJoin)
+        case None => j
+      }
+  }
+}

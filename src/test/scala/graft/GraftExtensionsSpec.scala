@@ -30,4 +30,65 @@ class GraftExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("optimizer rule: a keyless trailing-window theta join rewrites to a bucketed equi join") {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-rule-test")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", 2)
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val H = 100L
+      val probes = (0 until 400).map(i => (i.toLong, (i * 37 % 1000).toLong))
+      val events = (0 until 400).map(i => ((i * 53 % 1000).toLong, i.toLong))
+      val p = probes.toDF("pid", "p_t")
+      val c = events.toDF("c_t", "cid")
+      val joined = p.join(c, $"c_t" >= $"p_t" - H && $"c_t" <= $"p_t")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"the rule must manufacture the equi key:\n${plan.take(1500)}")
+      assert(plan.contains("graft_bucket"),
+        s"expected the manufactured bucket columns in the join:\n${plan.take(1500)}")
+      // values: identical to the quadratic ground truth
+      val got = joined.select("pid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pid, pt) <- probes
+        (ct, cid) <- events
+        if ct >= pt - H && ct <= pt
+      } yield (pid, cid)).toSet
+      assert(got == want && want.nonEmpty)
+      // output schema untouched (the restoring Project)
+      assert(joined.columns.toSeq == Seq("pid", "p_t", "c_t", "cid"))
+
+      // negative 1: an equi-keyed join must NOT be rewritten (bucketing
+      // would only add work on top of the existing hash key)
+      val equi = p.join(c, $"p_t" === $"c_t" && $"c_t" >= $"p_t" - H)
+      assert(!equi.queryExecution.executedPlan.toString.contains("graft_bucket"))
+
+      // negative 2: left outer keeps its semantics (the exploded probe
+      // side would emit spurious null rows) — the rule must not fire
+      val outer = p.join(c, $"c_t" >= $"p_t" - H && $"c_t" <= $"p_t", "left")
+      assert(!outer.queryExecution.executedPlan.toString.contains("graft_bucket"))
+      val outerGot = outer.select("pid", "cid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val outerWant = probes.flatMap { case (pid, pt) =>
+        val ms = events.filter { case (ct, _) => ct >= pt - H && ct <= pt }
+        if (ms.isEmpty) Seq((pid, -1L)) else ms.map { case (_, cid) => (pid, cid) }
+      }.toSet
+      assert(outerGot == outerWant)
+
+      // negative 3: a non-literal window width cannot bucket
+      val dyn = p.join(c, $"c_t" >= $"p_t" - $"pid" && $"c_t" <= $"p_t")
+      assert(!dyn.queryExecution.executedPlan.toString.contains("graft_bucket"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }

@@ -312,7 +312,14 @@ class TailFileSourceSpec extends SparkSpec {
     Files.write(a1, (0 until 10).map(i => f"a$i%04d\n").mkString.getBytes)
     Files.write(live, "l0000\nl0001\n".getBytes)
     val ckpt = Files.createTempDirectory("graft-bfc-ckpt").toString
-    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    // keyed by BATCH ID: q1 stops mid-drain, so the stop can land between
+    // the sink write and the commit-log write, and run 2 legitimately
+    // REPLAYS that batch (foreachBatch is at-least-once for non-idempotent
+    // sinks — Spark's documented contract, and the discipline the real
+    // JDBC sink implements with its ledger). The replay must carry the
+    // SAME content (the batch's offsets are WAL'd before execution) — the
+    // put asserts that instead of silently overwriting.
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Seq[String]]()
     def start() = spark.readStream
       .format(classOf[graft.sources.TailFileSourceProvider].getName)
       .option("path", live.toString)
@@ -320,33 +327,39 @@ class TailFileSourceSpec extends SparkSpec {
       .option("maxBytesPerTrigger", "14") // 2 lines per poll
       .load()
       .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         val vs = b.collect().map(_.getString(1)).toSeq
-        if (vs.nonEmpty) { batches.add(vs); () }
+        if (vs.nonEmpty) {
+          val prev = batches.put(id, vs)
+          assert(prev == null || prev == vs,
+            s"replayed batch $id changed content: $prev vs $vs")
+          ()
+        }
       }
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
 
     import scala.jdk.CollectionConverters._
+    def delivered: Seq[String] =
+      batches.asScala.toSeq.sortBy(_._1).flatMap(_._2)
     // run 1: drain PART of the backlog, then stop (a few capped batches)
     val q1 = start()
     try {
       val deadline = System.nanoTime() + 60000L * 1000000L
-      while (batches.asScala.map(_.size).sum < 4 && System.nanoTime() < deadline)
+      while (delivered.size < 4 && System.nanoTime() < deadline)
         Thread.sleep(50)
     } finally q1.stop()
-    val afterRun1 = batches.asScala.map(_.size).sum
-    assert(afterRun1 >= 4, "run 1 made progress")
+    assert(delivered.size >= 4, "run 1 made progress")
 
     // run 2: same checkpoint resumes mid-backfill; everything lands once
     val q2 = start()
     try {
       q2.processAllAvailable()
-      val all = batches.asScala.toSeq.flatten
+      val all = delivered
       assert(all.size == 12, s"every line exactly once across the restart: $all")
       assert(all.distinct.size == 12, s"no line twice: $all")
-      assert(batches.asScala.forall(_.size <= 2),
-        s"every batch within the 2-line budget: ${batches.asScala.map(_.size)}")
+      assert(batches.asScala.values.forall(_.size <= 2),
+        s"every batch within the 2-line budget: ${batches.asScala.values.map(_.size)}")
     } finally q2.stop()
 
     // run 3: backfill DRAINED and dropped from the options (archives may be
@@ -359,15 +372,15 @@ class TailFileSourceSpec extends SparkSpec {
       .option("path", live.toString)
       .load()
       .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         val vs = b.collect().map(_.getString(1)).toSeq
-        if (vs.nonEmpty) { batches.add(vs); () }
+        if (vs.nonEmpty) { batches.put(id, vs); () }
       }
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
     try {
       q3.processAllAvailable()
-      val all = batches.asScala.toSeq.flatten
+      val all = delivered
       assert(all.size == 13 && all.count(_ == "l0002") == 1,
         s"post-backfill restart without the option follows cleanly: $all")
     } finally q3.stop()
