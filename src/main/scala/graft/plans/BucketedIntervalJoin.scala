@@ -90,9 +90,16 @@ object BucketedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
+      // Spark extracts EXPRESSION equi keys too (`a = b + 1` hash-joins on
+      // (a, b+1)), so the guard must recognize any equality whose sides
+      // reference opposite children — not just bare attribute pairs
+      def oppositeSides(a: Expression, b: Expression): Boolean =
+        a.references.nonEmpty && b.references.nonEmpty &&
+          ((a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+            (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet)))
       val hasEqui = conjuncts.exists {
-        case EqualTo(a: Attribute, b: Attribute) => sidesOf(a, b, left, right)
-        case EqualNullSafe(a: Attribute, b: Attribute) => sidesOf(a, b, left, right)
+        case EqualTo(a, b) => oppositeSides(a, b)
+        case EqualNullSafe(a, b) => oppositeSides(a, b)
         case _ => false
       }
       val window = if (hasEqui) None else {
