@@ -724,15 +724,31 @@ object RelationalQueries {
     * lands inside the true rank's power-of-two bucket, so it is within 2×
     * of the exact percentile by construction (spec-bounded vs the exact
     * sort). */
-  def histQuantile(s: SparkSession, dir: String): DataFrame = {
-    val h = t(s, dir, "lineitem")
-      .select(col("l_returnflag"),
-        length(bin(cents(col("l_extendedprice")))).cast("long").as("b"))
-      .groupBy("l_returnflag", "b").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("l_returnflag").orderBy("b")
+  def histQuantile(s: SparkSession, dir: String): DataFrame =
+    histQuantileOver(t(s, dir, "lineitem"), "l_returnflag",
+      cents(col("l_extendedprice")))
+
+  /** The generic form of [[histQuantile]]: sketch `centsCol` per
+    * `groupCol` group of `df` — shared with the event-time-window variant
+    * ([[eventsHourlyQuantile]]) and, through [[histQuantileFromCells]],
+    * with the streaming twin that receives its cells from a watermarked
+    * windowed aggregation. */
+  private[graft] def histQuantileOver(df: DataFrame, groupCol: String,
+      centsCol: Column): DataFrame =
+    histQuantileFromCells(
+      df.select(col(groupCol), length(bin(centsCol)).cast("long").as("b"))
+        .groupBy(groupCol, "b").agg(count(lit(1)).as("cnt")),
+      groupCol)
+
+  /** Quantile read-off from already-aggregated histogram cells
+    * `(groupCol, b, cnt)` — the MERGE-side of the sketch: cells from any
+    * partitioning of the data (per-partition, per-day, per-micro-batch)
+    * sum into the same table, and this read-off is identical on top. */
+  private[graft] def histQuantileFromCells(h: DataFrame, groupCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy("b")
     val cum = h
       .withColumn("cum", sum("cnt").over(w))
-      .withColumn("n", sum("cnt").over(Window.partitionBy("l_returnflag")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(groupCol)))
     def estC(q: Int): Column = {
       val r = expr(s"(n * ${q}L + 99L) div 100L")
       // lo = 2^(b-1); the bucket [2^(b-1), 2^b - 1] spans exactly lo values,
@@ -743,12 +759,48 @@ object RelationalQueries {
         |  shiftleft(1L, cast(b as int) - 1)) div cnt""".stripMargin)
       max(when(col("cum") - col("cnt") < r && r <= col("cum"), est))
     }
-    cum.groupBy("l_returnflag")
+    cum.groupBy(groupCol)
       .agg(max("n").as("n_rows"),
         (estC(50).cast("double") / 100.0).as("p50_est"),
         (estC(95).cast("double") / 100.0).as("p95_est"))
-      .orderBy("l_returnflag")
+      .orderBy(groupCol)
   }
+
+  /** [[histQuantile]] over EVENT-TIME hours: per wall-clock hour, the
+    * sketched p50/p95 of event value — the latency/size-percentile
+    * dashboard panel shape, and the batch twin of the STREAMING windowed
+    * sketch (`streaming.StreamingHistQuantile`): a watermarked
+    * `groupBy(window, b).count` emits exactly these cells per finalized
+    * window, and [[histQuantileFromCells]] reads the same quantiles off
+    * them — the sketch's cell-wise mergeability is what makes the
+    * incremental windowed form EQUAL the batch form. */
+  def eventsHourlyQuantile(s: SparkSession, dir: String): DataFrame =
+    histQuantileOver(
+      Tables.events(s, dir).withColumn("hour", date_trunc("hour", col("ts"))),
+      "hour", cents(col("value")))
+      .withColumn("hour", col("hour").cast("timestamp_ntz"))
+
+  val eventsHourlyQuantileSql: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    CAST(length(bin(CAST(round(value*100) AS BIGINT))) AS BIGINT) AS b,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT hour, b, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY hour ORDER BY b) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY hour) AS BIGINT) AS n
+      |  FROM h)
+      |SELECT hour, CAST(max(n) AS BIGINT) AS n_rows,
+      |  CAST(max(CASE WHEN cum - cnt < (n*50+99)//100 AND (n*50+99)//100 <= cum THEN
+      |    (1::BIGINT << CAST(b-1 AS INT)) +
+      |      (((n*50+99)//100 - (cum - cnt) - 1) * (1::BIGINT << CAST(b-1 AS INT))) // cnt
+      |    END) AS DOUBLE)/100.0 AS p50_est,
+      |  CAST(max(CASE WHEN cum - cnt < (n*95+99)//100 AND (n*95+99)//100 <= cum THEN
+      |    (1::BIGINT << CAST(b-1 AS INT)) +
+      |      (((n*95+99)//100 - (cum - cnt) - 1) * (1::BIGINT << CAST(b-1 AS INT))) // cnt
+      |    END) AS DOUBLE)/100.0 AS p95_est
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
   val histQuantileSql: String =
     """WITH h AS (
@@ -933,6 +985,7 @@ object RelationalQueries {
     "agg_approx" -> approxAgg _,
     "agg_exact" -> exactAgg _,
     "agg_quantile_hist" -> histQuantile _,
+    "events_hourly_quantile" -> eventsHourlyQuantile _,
     "events_asof_orders" -> eventsAsofOrders _,
     "events_pivot" -> eventsPivot _,
     "events_user_stats_salted" -> saltedUserStats _,
@@ -964,6 +1017,7 @@ object RelationalQueries {
     "agg_approx" -> approxAggSql,
     "agg_exact" -> exactAggSql,
     "agg_quantile_hist" -> histQuantileSql,
+    "events_hourly_quantile" -> eventsHourlyQuantileSql,
     "events_asof_orders" -> eventsAsofOrdersSql,
     "events_pivot" -> eventsPivotSql,
     "events_user_stats_salted" -> saltedUserStatsSql,
