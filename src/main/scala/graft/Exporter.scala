@@ -167,28 +167,39 @@ object Exporter {
       case Array(h, p) => (h, p.toInt)
       case _ => throw new IllegalArgumentException(s"bad --listen: ${config.listen}")
     }
-    val server = new MetricsHttpServer(port, host).start() // before the tail attaches, main.go:78
-    val ckpt = config.checkpoint.getOrElse(
-      Files.createTempDirectory("graft-exporter-ckpt").toString)
+    // JDBC flag combos validate BEFORE the bind too: dialect resolution
+    // throws on an unknown --jdbc-dialect / compact-on-upsert, and
+    // --resume-from-jdbc without --jdbc throws in serveIncremental* — both
+    // used to fire after server.start() and leave an orphaned listener
     val jdbc = config.jdbcUrl.map(u =>
       graft.streaming.MetricsJdbcSink(config.jdbcDialect, u, config.jdbcTable,
         config.jdbcCompactEvery))
+    require(!config.resumeFromJdbc || jdbc.nonEmpty,
+      "--resume-from-jdbc needs --jdbc to seed from")
+    val server = new MetricsHttpServer(port, host).start() // before the tail attaches, main.go:78
+    val ckpt = config.checkpoint.getOrElse(
+      Files.createTempDirectory("graft-exporter-ckpt").toString)
     val telemetry =
       if (config.selfMetrics) Some(new graft.streaming.ExporterTelemetry) else None
+    // anything after the bind can still fail at runtime (DDL against a dead
+    // backend, a non-resumable shared table) — release the listener instead
+    // of orphaning it behind the propagated exception
     val query =
-      if (singleLiteral) // the reference's exact one-file, label-free shape
-        MetricsServing.serveIncrementalTail(
-          spark, config.log, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
-          maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
-          resumeFromJdbc = config.resumeFromJdbc,
-          backfill = config.backfill ++ config.backfillFor.getOrElse(config.log, Nil),
-          availableNow = config.drainAndExit)
-      else
-        MetricsServing.serveIncrementalFleet(
-          spark, config.logs, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
-          maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
-          resumeFromJdbc = config.resumeFromJdbc,
-          availableNow = config.drainAndExit, backfill = config.backfillFor)
+      try {
+        if (singleLiteral) // the reference's exact one-file, label-free shape
+          MetricsServing.serveIncrementalTail(
+            spark, config.log, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
+            maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
+            resumeFromJdbc = config.resumeFromJdbc,
+            backfill = config.backfill ++ config.backfillFor.getOrElse(config.log, Nil),
+            availableNow = config.drainAndExit)
+        else
+          MetricsServing.serveIncrementalFleet(
+            spark, config.logs, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
+            maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
+            resumeFromJdbc = config.resumeFromJdbc,
+            availableNow = config.drainAndExit, backfill = config.backfillFor)
+      } catch { case e: Throwable => server.stop(0); throw e }
     server.health(() => query.isActive) // /healthz: 503 once the stream dies
     (server, query)
   }

@@ -88,7 +88,14 @@ object BucketedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       (left.outputSet.contains(b) && right.outputSet.contains(a))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    // BATCH-ONLY: a stream-stream join derives its state watermark bounds
+    // from the range predicate on the watermarked columns; replacing that
+    // condition's role with a manufactured equi key + residual could
+    // silently change state cleanup. The streaming form of this rewrite is
+    // deliberate and explicit — [[graft.streaming.StreamingIntervalJoin]]
+    // buckets + watermarks by hand with proven horizons.
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !left.isStreaming && !right.isStreaming =>
       val conjuncts = splitConjunctivePredicates(cond)
       // Spark extracts EXPRESSION equi keys too (`a = b + 1` hash-joins on
       // (a, b+1)), so the guard must recognize any equality whose sides

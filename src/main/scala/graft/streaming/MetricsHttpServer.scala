@@ -273,7 +273,12 @@ object MetricsServing {
     require(!resumeFromJdbc || jdbc.nonEmpty,
       "resumeFromJdbc needs a JDBC target to seed from")
     if (resumed) {
-      jdbc.foreach(t => registry.seedFrom(t.snapshot()))
+      jdbc.foreach { t =>
+        // refuse a shared table: the snapshot is the WHOLE fold, so another
+        // query's ledger-scoped contributions would resume as ours
+        t.verifyResumable(MetricsJdbcUpsert.ledgerSource(checkpointDir))
+        registry.seedFrom(t.snapshot())
+      }
       server.update(registry.render())
     }
     val writer = outs.writeStream

@@ -96,13 +96,15 @@ object MetricsJdbcAppend {
     try {
       conn.setAutoCommit(false)
       try {
+        // dialect-neutral presence probe: COUNT over the (source, batch_id)
+        // sliver — bounded per key, and avoids row-limit syntax the backends
+        // disagree on (`FETCH FIRST` is absent in MySQL, `LIMIT` in Derby)
         val probe = conn.prepareStatement(
-          s"SELECT 1 FROM ${t.deltas} WHERE source = ? AND batch_id = ? " +
-            "FETCH FIRST 1 ROWS ONLY")
+          s"SELECT COUNT(*) FROM ${t.deltas} WHERE source = ? AND batch_id = ?")
         val seen = try {
           probe.setString(1, source); probe.setLong(2, batchId)
           val rs = probe.executeQuery()
-          try rs.next() finally rs.close()
+          try { rs.next() && rs.getLong(1) > 0L } finally rs.close()
         } finally probe.close()
         if (seen) { conn.rollback(); return false }
         // an EMPTY batch still needs a presence marker, or its replay

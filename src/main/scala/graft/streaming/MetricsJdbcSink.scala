@@ -27,6 +27,26 @@ sealed trait MetricsJdbcSink {
   /** Cumulative `(metric, labels, le, value)` rows — the registry-resume
     * seed ([[PromRegistry.seedFrom]]). */
   def snapshot(): Seq[(String, String, String, Long)]
+  /** The distinct ledger sources whose deltas the cumulative surface
+    * contains (excluding the zero-grid `seed`). */
+  def ledgerSources(): Seq[String]
+
+  /** Refuse a registry resume when the cumulative surface contains ANOTHER
+    * query's contributions: [[ledgerSources]] supports N queries writing
+    * one table with disjoint tokens for the WAREHOUSE, but the resume
+    * snapshot is the whole fold — seeding from a shared table would serve
+    * the SUM of every query's counters as this exporter's own. The legacy
+    * `merge` token counts as ours (the first post-upgrade batch claims it
+    * — [[MetricsJdbcUpsert.applyDelta]]'s migration). */
+  def verifyResumable(source: String): Unit = {
+    val foreign = ledgerSources().filterNot(s =>
+      s == source || s == "seed" || s == "merge")
+    if (foreign.nonEmpty) throw new IllegalArgumentException(
+      s"--resume-from-jdbc: the table also holds contributions from other " +
+        s"pipelines (ledger sources: ${foreign.mkString(", ")}); resuming " +
+        "would serve their sum as this exporter's counters. Use a dedicated " +
+        "--jdbc-table per exporter when resuming.")
+  }
 }
 
 object MetricsJdbcSink {
@@ -43,6 +63,20 @@ object MetricsJdbcSink {
       case other => throw new IllegalArgumentException(
         s"unknown jdbc dialect: $other (supported: upsert, append)")
     }
+
+  /** Distinct `source` tokens of any relation carrying one — the upsert
+    * dialect's ledger or the append dialect's delta table. */
+  private[streaming] def distinctSources(
+      connect: () => java.sql.Connection, relation: String): Seq[String] = {
+    val conn = connect()
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT source FROM $relation GROUP BY source")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      try { while (rs.next()) buf += rs.getString(1) } finally rs.close()
+      buf.toSeq
+    } finally conn.close()
+  }
 }
 
 final case class UpsertJdbcSink(t: MetricsJdbcUpsert.Target) extends MetricsJdbcSink {
@@ -51,6 +85,8 @@ final case class UpsertJdbcSink(t: MetricsJdbcUpsert.Target) extends MetricsJdbc
       batchId: Long): Boolean = MetricsJdbcUpsert.writeDelta(t, source, batch, batchId)
   override def snapshot(): Seq[(String, String, String, Long)] =
     MetricsJdbcUpsert.snapshot(t)
+  override def ledgerSources(): Seq[String] =
+    MetricsJdbcSink.distinctSources(() => t.connect(), t.ledger)
 }
 
 /** @param compactEvery fold the append table back to ~one batch per
@@ -73,4 +109,6 @@ final case class AppendJdbcSink(t: MetricsJdbcAppend.Target,
   }
   override def snapshot(): Seq[(String, String, String, Long)] =
     MetricsJdbcUpsert.readRows(() => t.connect(), t.folded)
+  override def ledgerSources(): Seq[String] =
+    MetricsJdbcSink.distinctSources(() => t.connect(), t.deltas)
 }

@@ -125,8 +125,31 @@ final class PromRegistry extends MergeRegistry {
     def labelMap(s: String): Map[String, String] =
       if (s.isEmpty) Map.empty
       else s.split(",").map { kv =>
-        val Array(k, v) = kv.split("=", 2); k -> v
+        kv.split("=", 2) match {
+          case Array(k, v) => k -> v
+          // fail with the row in hand instead of a bare MatchError at
+          // startup: a malformed cell means the table isn't a metrics
+          // table this exporter wrote (or a later schema's rows)
+          case _ => throw new IllegalArgumentException(
+            s"--resume-from-jdbc: unparseable label cell '$kv' in labels '$s' — " +
+              "the table does not hold this exporter's metric rows")
+        }
       }.toMap
+    // A `server=` label means the table was written by a FLEET exporter
+    // (MetricsJdbcUpsert.contributions prefixes every fleet row): seeding a
+    // single-file registry from it would last-row-wins-collapse N servers'
+    // scalar rows into one counter. Route through FleetPromRegistry.seedFrom
+    // instead (MetricsServing picks the registry form from the --log count).
+    rows.find { case (_, labels, _, _) =>
+      labels == "server" || labels.startsWith("server=") ||
+        labels.contains(",server=")
+    }.foreach { case (m, labels, _, _) =>
+      throw new IllegalArgumentException(
+        s"--resume-from-jdbc: row ($m, $labels) carries a server label — the " +
+          "table was written by a FLEET exporter; resuming a single-file " +
+          "exporter from it would collapse per-server series. Run with the " +
+          "same --log fleet, or point --jdbc-table at this exporter's own table.")
+    }
     readLines = 0L; tailLineErrors = 0L
     errors.clear(); queryCount.clear(); queryErrors.clear()
     timeHists.clear(); timeSumUs.clear()
@@ -283,7 +306,15 @@ object PromRegistry {
     val perServer = regs.sortBy(_._1).map { case (srv, reg) =>
       reg.families(serverWrap(srv))
     }
-    if (perServer.isEmpty) return assemble(new PromRegistry().families(plainWrap))
+    // zero members (a fleet whose globs match nothing yet): headers-only
+    // exposition. The old fallback rendered the label-free single-registry
+    // form, so series first appeared WITHOUT a server label and later
+    // re-appeared WITH one — an identity flip Prometheus treats as a new
+    // series. Headers with no samples keep the schema stable until the
+    // first member joins.
+    if (perServer.isEmpty)
+      return assemble(new PromRegistry().families(plainWrap)
+        .map(f => f.copy(segments = f.segments.map(_ => Seq.empty[String]))))
     val merged = perServer.transpose.map { fams =>
       Family(fams.head.name, fams.head.help, fams.head.typ,
         fams.head.segments.indices.map(i => fams.flatMap(_.segments(i))))
@@ -322,6 +353,20 @@ final class FleetPromRegistry extends MergeRegistry {
     * observation-independent zero grid the sink seeds — every registry
     * renders that grid by construction, so they carry no state. */
   def seedFrom(rows: Seq[(String, String, String, Long)]): Unit = {
+    // a LABELED row without the leading server= prefix was written by a
+    // single-file exporter: routing it nowhere would silently drop that
+    // state from the resumed scrape — refuse instead (the label-less rows
+    // are the observation-independent zero grid both forms seed)
+    rows.find { case (_, labels, _, v) =>
+      (labels.nonEmpty && !labels.startsWith("server=")) ||
+        (labels.isEmpty && v != 0L) // the server-less zero grid is all-zero
+    }.foreach { case (m, labels, _, _) =>
+      throw new IllegalArgumentException(
+        s"--resume-from-jdbc: row ($m, $labels) has no server label — the " +
+          "table was written by a single-file exporter; resuming a fleet " +
+          "from it would drop that state. Run with one literal --log, or " +
+          "point --jdbc-table at this fleet's own table.")
+    }
     val byServer = rows.flatMap { case (m, labels, le, v) =>
       if (!labels.startsWith("server=")) None
       else labels.split(",", 2) match {

@@ -86,6 +86,20 @@ class GraftExtensionsSpec extends SparkSpec {
       // negative 3: a non-literal window width cannot bucket
       val dyn = p.join(c, $"c_t" >= $"p_t" - $"pid" && $"c_t" <= $"p_t")
       assert(!dyn.queryExecution.executedPlan.toString.contains("graft_bucket"))
+
+      // negative 4: the rule is BATCH-ONLY — a stream-stream join's range
+      // condition feeds state-watermark derivation, and the rewrite would
+      // silently change cleanup; applied directly to the analyzed streaming
+      // plan, the rule must be the identity
+      val ms1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)](s2)
+      val ms2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)](s2)
+      val sj = ms1.toDF().toDF("pid", "p_t")
+        .join(ms2.toDF().toDF("c_t", "cid"), $"c_t" >= $"p_t" - H && $"c_t" <= $"p_t")
+      val analyzed = sj.queryExecution.analyzed
+      assert(analyzed.isStreaming)
+      val applied = graft.plans.BucketedIntervalJoinRule(analyzed)
+      assert(applied.fastEquals(analyzed),
+        "the interval-join rewrite must not fire on streaming plans")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

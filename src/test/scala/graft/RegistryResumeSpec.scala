@@ -436,4 +436,87 @@ class RegistryResumeSpec extends SparkSpec {
       assert(get(s"http://127.0.0.1:${srv.boundPort}/metrics") == fromView.render())
     } finally { q.stop(); srv.stop(0) }
   }
+
+  // ---- resume guards (r9 ADVICE): a resume must fail loudly instead of
+  // serving another pipeline's (or another topology's) counters ----
+
+  test("seedFrom rejects fleet-written rows in a single-file registry") {
+    val reg = new PromRegistry
+    val e = intercept[IllegalArgumentException] {
+      reg.seedFrom(Seq(("chlogexporter_read_lines", "server=/a.log", "", 42L)))
+    }
+    assert(e.getMessage.contains("FLEET"))
+    // ...including a server label that is not the leading one
+    val e2 = intercept[IllegalArgumentException] {
+      reg.seedFrom(Seq(("clickhouse_query_count", "type=select,server=/a.log", "", 1L)))
+    }
+    assert(e2.getMessage.contains("FLEET"))
+  }
+
+  test("seedFrom rejects malformed label cells with a clear error") {
+    val reg = new PromRegistry
+    val e = intercept[IllegalArgumentException] {
+      reg.seedFrom(Seq(("chlogexporter_errors", "not-a-label-cell", "", 3L)))
+    }
+    assert(e.getMessage.contains("unparseable label cell"))
+  }
+
+  test("fleet seedFrom rejects single-exporter-written rows") {
+    val fleet = new FleetPromRegistry
+    // labeled row without server= prefix
+    intercept[IllegalArgumentException] {
+      fleet.seedFrom(Seq(("clickhouse_query_count", "type=select", "", 5L)))
+    }
+    // unlabeled NONZERO row (single exporter's read_lines; the zero grid
+    // is the only legitimate server-less content)
+    intercept[IllegalArgumentException] {
+      fleet.seedFrom(Seq(("chlogexporter_read_lines", "", "", 7L)))
+    }
+    // the zero grid itself stays a no-op
+    fleet.seedFrom(MetricsJdbcUpsert.staticGrid)
+  }
+
+  test("verifyResumable refuses a table shared by another pipeline's ledger source") {
+    val db = s"memory:shared${java.util.UUID.randomUUID().toString.take(8)}"
+    for (dialect <- Seq("upsert", "append")) {
+      val url = s"jdbc:derby:${db}$dialect;create=true"
+      val sink = graft.streaming.MetricsJdbcSink(dialect, url, "metrics")
+      sink.ensureTables()
+      val mine = "q1234567890abcd"
+      val rows = Seq(("clickhouse_query_count", "type=select", "", 1L))
+      assert(dialect match {
+        case "upsert" => MetricsJdbcUpsert.applyDelta(
+          MetricsJdbcUpsert.Target(url, "metrics"), mine, 0L, rows)
+        case _ => graft.streaming.MetricsJdbcAppend.applyDelta(
+          graft.streaming.MetricsJdbcAppend.Target(url, "metrics"), mine, 0L, rows)
+      })
+      // own source (+ the zero-grid seed) is resumable
+      sink.verifyResumable(mine)
+      // a second pipeline's contribution poisons the whole-table snapshot
+      val other = "qfedcba098765432"
+      dialect match {
+        case "upsert" => MetricsJdbcUpsert.applyDelta(
+          MetricsJdbcUpsert.Target(url, "metrics"), other, 0L, rows)
+        case _ => graft.streaming.MetricsJdbcAppend.applyDelta(
+          graft.streaming.MetricsJdbcAppend.Target(url, "metrics"), other, 0L, rows)
+      }
+      val e = intercept[IllegalArgumentException](sink.verifyResumable(mine))
+      assert(e.getMessage.contains(other))
+    }
+  }
+
+  test("zero-member fleet renders headers-only (no label-free series identity flip)") {
+    val empty = new FleetPromRegistry
+    val body = empty.render()
+    assert(body.contains("# HELP chlogexporter_read_lines"))
+    assert(body.contains("# TYPE clickhouse_select_query_rows_read histogram"))
+    // no sample lines at all: every non-comment line would be a label-free
+    // series that later re-appears server-labeled (a new-series flip)
+    assert(body.linesIterator.forall(l => l.isEmpty || l.startsWith("#")),
+      s"unexpected sample line in zero-member exposition:\n$body")
+    // the first member joining brings the server-labeled zero grid
+    empty.seed("/a.log")
+    val one = empty.render()
+    assert(one.contains("""chlogexporter_read_lines{server="/a.log"} 0"""))
+  }
 }
