@@ -43,6 +43,18 @@ object DataPipelineQueries {
       Dedup.bestMatchAgainst(d.filter(pmod(col("doc_id"), lit(2)) === 1), idx)
         .orderBy("doc_id")
     }),
+    // INDEX LIFECYCLE: corpus %3==0 indexed from scratch, %3==1 folded in
+    // via the incremental refresh, %3==2 gated through the REFRESHED index
+    // — the oracle knows only the union corpus, so the hash gate proves
+    // refreshed ≡ from-scratch on the real corpus
+    "dedup_index_refresh" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val d = docs(s, dir)
+      val idx0 = Dedup.corpusIndex(d.filter(pmod(col("doc_id"), lit(3)) === 0))
+      val idx1 = Dedup.refreshIndex(idx0, d.filter(pmod(col("doc_id"), lit(3)) === 1))
+      Dedup.bestMatchAgainst(d.filter(pmod(col("doc_id"), lit(3)) === 2), idx1)
+        .orderBy("doc_id")
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "embed_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(emb(s, dir))),
@@ -55,6 +67,14 @@ object DataPipelineQueries {
       val e = emb(s, dir)
       Similarity.embedNovelty(e.filter(pmod(col("vec_id"), lit(2)) === 1),
         e.filter(pmod(col("vec_id"), lit(2)) === 0))
+    }),
+    // the vector-side index lifecycle on the same 3-way split
+    "embed_index_refresh" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val e = emb(s, dir)
+      val idx0 = Similarity.embedIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0))
+      val idx1 = Similarity.refreshEmbedIndex(idx0, e.filter(pmod(col("vec_id"), lit(3)) === 1))
+      Similarity.embedNoveltyAgainst(e.filter(pmod(col("vec_id"), lit(3)) === 2), idx1)
     }),
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
@@ -137,6 +157,8 @@ object DataPipelineQueries {
     "dedup_spans_clean" -> Dedup.spansCleanSql,
     "dedup_incremental" -> Dedup.incrementalSql,
     "dedup_novelty_gate" -> Dedup.incrementalSql,
+    "dedup_index_refresh" -> Dedup.indexRefreshSql,
+    "embed_index_refresh" -> Similarity.embedIndexRefreshSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql,
     "text_winnowing_pairs" -> TextAnalysis.winnowingPairsSql,

@@ -1104,6 +1104,33 @@ object Dedup {
        |FROM documents d LEFT JOIN best USING (doc_id)
        |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin
 
+  /** DuckDB oracle for the `dedup_index_refresh` registry row — the
+    * INDEX-LIFECYCLE gate on a 3-way split: corpus = doc_id%3==0 (indexed
+    * from scratch), fold batch = %3==1 ([[refreshIndex]]ed in), gate batch
+    * = %3==2 (matched through the REFRESHED index). The oracle knows
+    * nothing about the refresh: it orients the same member-level pair
+    * chain batch(2)→existing(0∪1), so the hash gate validates that the
+    * incrementally-folded index answers exactly like a from-scratch build
+    * over the union corpus. */
+  val indexRefreshSql: String =
+    s"""WITH $minhashPairsCoreSql,
+       |pairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM crossp
+       |  UNION ALL SELECT doc_a, doc_b, jaccard FROM intra),
+       |bcand AS (
+       |  SELECT doc_a AS doc_id, doc_b AS m, jaccard FROM pairs
+       |  WHERE doc_a % 3 = 2 AND doc_b % 3 < 2
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_a AS m, jaccard FROM pairs
+       |  WHERE doc_b % 3 = 2 AND doc_a % 3 < 2),
+       |best AS (SELECT doc_id, m AS best_match, jaccard AS best_jaccard FROM (
+       |  SELECT doc_id, m, jaccard,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, m) AS rn
+       |  FROM bcand) WHERE rn = 1)
+       |SELECT d.doc_id, best_match, best_jaccard, best_jaccard IS NULL AS novel
+       |FROM documents d LEFT JOIN best USING (doc_id)
+       |WHERE d.doc_id % 3 = 2 ORDER BY d.doc_id""".stripMargin
+
   /** Precomputed EXISTING-corpus side of the stream-vs-corpus NEAR-dup
     * novelty gate ([[bestMatchAgainst]] /
     * [[graft.streaming.StreamingDedup.novelNearCorpus]]): the exact-tier
@@ -1115,7 +1142,23 @@ object Dedup {
     * proportional to the BATCH, never the corpus. */
   final case class CorpusIndex private[operators] (
       fps: DataFrame, sets: DataFrame, buckets: DataFrame,
-      fpBloom: DataFrame, bucketBloom: DataFrame, logBloomBits: Int)
+      fpBloom: DataFrame, bucketBloom: DataFrame, logBloomBits: Int,
+      oversized: DataFrame, bucketCap: Int) {
+
+    /** Every frame the index owns — materialization / release order. */
+    private[operators] def frames: Seq[DataFrame] =
+      Seq(fps, sets, buckets, fpBloom, bucketBloom, oversized)
+
+    /** Force-materialize all pinned components (an atomic swap must never
+      * publish a half-built index to a concurrent micro-batch). */
+    def materialize(): this.type = { frames.foreach(_.count()); this }
+
+    /** Unpin this index's frames (executor-storage hygiene after a swap).
+      * A pin whose plan is shared with another live operator (e.g. the
+      * full-corpus shingle sets) just re-caches on that operator's next
+      * call — correctness is unaffected. */
+    def release(): Unit = frames.foreach(PinnedCaches.unpin)
+  }
 
   private val BloomHashes = 4
 
@@ -1175,7 +1218,97 @@ object Dedup {
     val fpBloom = PinnedCaches.pin(bloomWords(fps, Seq(col("fp")), logBloomBits))
     val bucketBloom = PinnedCaches.pin(
       bloomWords(buckets, Seq(col("band"), col("sig")), logBloomBits))
-    CorpusIndex(fps, sets, buckets, fpBloom, bucketBloom, logBloomBits)
+    // sizes of the buckets the cap DROPPED — [[refreshIndex]]'s bookkeeping:
+    // a refresh landing new docs in a dropped bucket must know the true
+    // size (old + new still exceeds the cap), or the refreshed index would
+    // resurrect the bucket with only its new members and diverge from a
+    // from-scratch build. Bounded: only degenerate buckets appear here.
+    val oversized = PinnedCaches.pin(minhashBuckets(sets)
+      .groupBy("band", "sig").agg(count(lit(1)).as("n"))
+      .filter(col("n") > bucketCap))
+    CorpusIndex(fps, sets, buckets, fpBloom, bucketBloom, logBloomBits,
+      oversized, bucketCap)
+  }
+
+  /** INDEX LIFECYCLE — fold a batch of new documents into an existing
+    * [[CorpusIndex]], producing the index a from-scratch
+    * [[corpusIndex]](old corpus ∪ new docs) build would produce (same fps /
+    * sets / buckets contents; Bloom filters may carry extra stale bits for
+    * buckets the refresh dropped, which is false-positive-only and
+    * result-neutral by [[bloomFiltered]]'s construction — the gate
+    * DECISIONS are identical, spec-pinned).
+    *
+    * Cost is proportional to the NEW batch (shingle/minhash only the
+    * genuinely-new texts; joins against the index are key-partitioned),
+    * never the corpus — the property that makes a 100 TB index a living
+    * artifact instead of a one-shot build:
+    *
+    *   - exact-dup fold: new docs whose fingerprint already exists join
+    *     their group; a new member id SMALLER than the group's current rep
+    *     re-keys the rep everywhere (fps/sets/buckets) — the min-member
+    *     contract survives out-of-order ingest;
+    *   - genuinely-new texts group among themselves (first arrival in the
+    *     batch wins by min id, exactly [[dupGroups]]), then add their
+    *     shingle sets and band buckets;
+    *   - the bucket cap re-applies on TRUE combined sizes: a previously
+    *     present bucket pushed over the cap by the batch is dropped whole,
+    *     and a previously-dropped bucket stays dropped (its true size only
+    *     grew) — both exactly as from-scratch.
+    */
+  def refreshIndex(idx: CorpusIndex, newDocs: DataFrame): CorpusIndex = {
+    val newGroups = PinnedCaches.pin(dupGroups(newDocs))
+    val newFps = newGroups.select(md5(col("text")).as("fp"),
+      col("doc_id").as("new_id"), col("text"))
+
+    // split arrivals: texts already indexed (fold into their group) vs new
+    val collide = newFps.join(idx.fps, Seq("fp"))
+      .select(col("fp"), col("match_id"), col("new_id"))
+    // rep re-key: a smaller member id becomes the group's reported match
+    // (and the rep id carried by sets/buckets) — empty under monotone ids
+    val remap = PinnedCaches.pin(collide.filter(col("new_id") < col("match_id"))
+      .select(col("match_id").as("old_id"), col("new_id")))
+    def rekey(df: DataFrame, idCol: String): DataFrame =
+      df.join(remap.withColumnRenamed("old_id", idCol), Seq(idCol), "left")
+        .withColumn(idCol, coalesce(col("new_id"), col(idCol)))
+        .drop("new_id")
+
+    val freshGroups = newFps.join(idx.fps, Seq("fp"), "left_anti")
+      .select(col("new_id").as("doc_id"), col("text"))
+    val freshSets = PinnedCaches.pin(shingleArrays(freshGroups))
+    val freshBuckets = PinnedCaches.pin(minhashBuckets(freshSets))
+
+    // unionByName throughout: rekey's key join moves the key column first,
+    // so a positional union would zip fp/match_id crosswise
+    val fps2 = PinnedCaches.pin(
+      rekey(idx.fps, "match_id").unionByName(
+        freshGroups.select(md5(col("text")).as("fp"), col("doc_id").as("match_id"))))
+    val sets2 = PinnedCaches.pin(rekey(idx.sets, "doc_id").unionByName(freshSets))
+
+    // re-cap on TRUE combined sizes (present + dropped + fresh)
+    val oldPresent = idx.buckets.groupBy("band", "sig").agg(count(lit(1)).as("n"))
+    val freshSizes = freshBuckets.groupBy("band", "sig").agg(count(lit(1)).as("n"))
+    val totals = PinnedCaches.pin(
+      oldPresent.unionAll(idx.oversized).unionAll(freshSizes)
+        .groupBy("band", "sig").agg(sum("n").as("n")))
+    val keep = totals.filter(col("n") <= idx.bucketCap).select("band", "sig")
+    val buckets2 = PinnedCaches.pin(
+      rekey(idx.buckets, "doc_id").unionByName(freshBuckets)
+        .join(keep, Seq("band", "sig")))
+    val oversized2 = PinnedCaches.pin(totals.filter(col("n") > idx.bucketCap))
+
+    // Blooms fold incrementally: OR the fresh keys' word tables in. Keys
+    // never need removal — a dropped bucket's stale bits are FP-only.
+    val fpBloom2 = PinnedCaches.pin(
+      idx.fpBloom.unionAll(bloomWords(
+        freshGroups.select(md5(col("text")).as("fp")), Seq(col("fp")), idx.logBloomBits))
+        .groupBy("w").agg(bit_or(col("bits")).as("bits")))
+    val bucketBloom2 = PinnedCaches.pin(
+      idx.bucketBloom.unionAll(bloomWords(
+        freshBuckets, Seq(col("band"), col("sig")), idx.logBloomBits))
+        .groupBy("w").agg(bit_or(col("bits")).as("bits")))
+
+    CorpusIndex(fps2, sets2, buckets2, fpBloom2, bucketBloom2,
+      idx.logBloomBits, oversized2, idx.bucketCap)
   }
 
   /** Best corpus match per incoming document — the shared core of the

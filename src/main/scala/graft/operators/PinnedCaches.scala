@@ -45,6 +45,14 @@ object PinnedCaches {
     memos.getOrElseUpdate(key, pin(build))
   }
 
+  /** Unpersist and forget ONE pin by its frame (index-lifecycle swaps drop
+    * a superseded index's frames without sweeping the whole session). A
+    * plan another operator still uses simply re-caches on its next call. */
+  def unpin(df: DataFrame): Unit = {
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    pinned.remove(key).foreach(_.unpersist())
+  }
+
   /** Unpersist and forget every pin registered for `s` (called by
     * `SparkEntry.clearCaches`; safe to call between corpora). */
   def release(s: SparkSession): Unit = {

@@ -322,15 +322,53 @@ object Similarity {
     * buckets (candidate side) — the vector-store index a 100 TB ingest
     * pipeline materializes ONCE; every batch/micro-batch joins against it
     * ([[graft.operators.Dedup.CorpusIndex]]'s discipline). */
-  final case class EmbedIndex private[operators] (qc: DataFrame, cb: DataFrame)
+  final case class EmbedIndex private[operators] (qc: DataFrame, cb: DataFrame,
+      oversized: DataFrame, bucketCap: Int) {
+    private[operators] def frames: Seq[DataFrame] = Seq(qc, cb, oversized)
+    /** Force-materialize all pinned components (atomic-swap discipline —
+      * see [[Dedup.CorpusIndex.materialize]]). */
+    def materialize(): this.type = { frames.foreach(_.count()); this }
+    /** Unpin this index's frames after a swap. */
+    def release(): Unit = frames.foreach(PinnedCaches.unpin)
+  }
 
   def embedIndex(corpus: DataFrame,
       bucketCap: Int = Dedup.DefaultBucketCap): EmbedIndex = {
     val qc = PinnedCaches.pin(quantized(corpus).select("vec_id", "q", "nq"))
-    val cb = PinnedCaches.pin(Dedup.capBuckets(
-      lshBuckets(qc).select("vec_id", "table", "bucket"),
+    val buckets = lshBuckets(qc).select("vec_id", "table", "bucket")
+    val cb = PinnedCaches.pin(Dedup.capBuckets(buckets,
       Seq("table", "bucket"), bucketCap))
-    EmbedIndex(qc, cb)
+    // dropped-bucket sizes — refresh bookkeeping, same contract as
+    // [[Dedup.CorpusIndex]]'s oversized table
+    val oversized = PinnedCaches.pin(buckets
+      .groupBy("table", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > bucketCap))
+    EmbedIndex(qc, cb, oversized, bucketCap)
+  }
+
+  /** INDEX LIFECYCLE, vector side — fold a batch of new embeddings into an
+    * existing [[EmbedIndex]]: quantize ONLY the batch, append its LSH
+    * bucket rows, and re-apply the bucket cap on true combined sizes (a
+    * bucket the batch pushes over the cap drops whole; a previously-dropped
+    * bucket stays dropped) — contents identical to a from-scratch
+    * [[embedIndex]](old ∪ new), cost proportional to the batch. Unlike the
+    * text index there is no dup-group collapse to fold: every vec_id keys
+    * its own row. */
+  def refreshEmbedIndex(idx: EmbedIndex, newVecs: DataFrame): EmbedIndex = {
+    val qNew = PinnedCaches.pin(quantized(newVecs).select("vec_id", "q", "nq"))
+    val freshBuckets = PinnedCaches.pin(
+      lshBuckets(qNew).select("vec_id", "table", "bucket"))
+    val qc2 = PinnedCaches.pin(idx.qc.unionAll(qNew))
+    val oldPresent = idx.cb.groupBy("table", "bucket").agg(count(lit(1)).as("n"))
+    val freshSizes = freshBuckets.groupBy("table", "bucket").agg(count(lit(1)).as("n"))
+    val totals = PinnedCaches.pin(
+      oldPresent.unionAll(idx.oversized).unionAll(freshSizes)
+        .groupBy("table", "bucket").agg(sum("n").as("n")))
+    val keep = totals.filter(col("n") <= idx.bucketCap).select("table", "bucket")
+    val cb2 = PinnedCaches.pin(
+      idx.cb.unionAll(freshBuckets).join(keep, Seq("table", "bucket")))
+    val oversized2 = PinnedCaches.pin(totals.filter(col("n") > idx.bucketCap))
+    EmbedIndex(qc2, cb2, oversized2, idx.bucketCap)
   }
 
   /** [[embedNovelty]] against an already-built [[EmbedIndex]] — the form
@@ -391,6 +429,40 @@ object Similarity {
        |SELECT e.vec_id, best_match, best_cos, best_cos IS NULL AS novel
        |FROM embeddings e LEFT JOIN best USING (vec_id)
        |WHERE e.vec_id % 2 = 1 ORDER BY e.vec_id""".stripMargin
+
+  /** DuckDB oracle for the `embed_index_refresh` registry row — the
+    * vector INDEX-LIFECYCLE gate on a 3-way split: vec_id%3==0 indexed
+    * from scratch, %3==1 [[refreshEmbedIndex]]ed in, %3==2 gated through
+    * the refreshed index. The oracle builds one flat existing side
+    * (%3 < 2) with the bucket cap over it, so the hash gate validates
+    * incrementally-folded ≡ from-scratch over the union corpus. */
+  def embedIndexRefreshSql: String =
+    s"""WITH $evNormsSql,
+       |$sigsSql,
+       |csig AS (SELECT vec_id, tbl, bucket FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bn
+       |  FROM sigs WHERE vec_id % 3 < 2) WHERE bn <= ${Dedup.DefaultBucketCap}),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id, c.vec_id AS m
+       |  FROM sigs b JOIN csig c ON c.tbl = b.tbl AND c.bucket = b.bucket
+       |  WHERE b.vec_id % 3 = 2),
+       |dots AS (
+       |  SELECT cd.vec_id, cd.m, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM cand cd JOIN ev a ON a.vec_id = cd.vec_id
+       |    JOIN ev b ON b.vec_id = cd.m AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT dots.vec_id, dots.m,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+       |  FROM dots JOIN norms na ON na.vec_id = dots.vec_id
+       |    JOIN norms nb ON nb.vec_id = dots.m),
+       |best AS (SELECT vec_id, m AS best_match, cos AS best_cos FROM (
+       |  SELECT vec_id, m, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, m) AS rn
+       |  FROM sims WHERE cos >= 0.35) WHERE rn = 1)
+       |SELECT e.vec_id, best_match, best_cos, best_cos IS NULL AS novel
+       |FROM embeddings e LEFT JOIN best USING (vec_id)
+       |WHERE e.vec_id % 3 = 2 ORDER BY e.vec_id""".stripMargin
 
   /** Materialize this family's pinned working sets (quantized vectors, the
     * default k-means assignment) — bench warm-up hook, so per-query numbers

@@ -93,4 +93,18 @@ object StreamingDedup {
     val idx = graft.operators.Dedup.corpusIndex(corpus, bucketCap)
     batch => graft.operators.Dedup.bestMatchAgainst(batch, idx, threshold)
   }
+
+  /** [[novelNearCorpus]] against a LIVING index: each micro-batch gates
+    * against whatever index version `ref` publishes at that moment, so an
+    * index-refresh loop (fold admitted docs back in —
+    * [[graft.operators.RefreshableCorpusIndex.fold]]) can run beside the
+    * stream and the gate picks the new index up at the next micro-batch —
+    * no stream restart. The batch body reads [[RefreshableCorpusIndex
+    * .current]] ONCE and uses that complete index value throughout (swap
+    * atomicity is the holder's contract); spec'd mid-stream in
+    * IndexLifecycleSpec: batch 2's decisions equal a from-scratch index
+    * over corpus ∪ batch 1. */
+  def novelNearCorpusRefreshable(ref: graft.operators.RefreshableCorpusIndex,
+      threshold: Double = 0.8): DataFrame => DataFrame =
+    batch => graft.operators.Dedup.bestMatchAgainst(batch, ref.current, threshold)
 }

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, RefreshableCorpusIndex, Similarity}
+import graft.streaming.StreamingDedup
+
+/** INDEX LIFECYCLE: an incrementally-refreshed corpus index must equal a
+  * from-scratch build over the union corpus — component contents AND gate
+  * decisions — and a streaming novelty gate must pick a swapped index up
+  * mid-stream. (The `dedup_index_refresh` / `embed_index_refresh` registry
+  * rows additionally pin the gate output against the DuckDB oracle on the
+  * real corpus; this spec drives the paths the corpus doesn't: rep re-key
+  * by a smaller late id, bucket-cap crossings in both directions, and the
+  * mid-stream swap.) */
+class IndexLifecycleSpec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def gateRows(out: DataFrame): Seq[(Long, Option[Long], Option[Double], Boolean)] =
+    out.collect().map(r => (r.getAs[Long]("doc_id"),
+      Option(r.get(r.fieldIndex("best_match"))).map(_.asInstanceOf[Long]),
+      Option(r.get(r.fieldIndex("best_jaccard"))).map(_.asInstanceOf[Double]),
+      r.getAs[Boolean]("novel"))).toSeq.sortBy(_._1)
+
+  private def fpsSet(idx: Dedup.CorpusIndex): Set[(String, Long)] =
+    idx.fps.collect().map(r => (r.getAs[String]("fp"), r.getAs[Long]("match_id"))).toSet
+  private def setsSet(idx: Dedup.CorpusIndex): Set[(Long, Seq[Long])] =
+    idx.sets.collect().map(r => (r.getAs[Long]("doc_id"), r.getSeq[Long](1))).toSet
+  private def bucketsSet(idx: Dedup.CorpusIndex): Set[(Long, Int, String)] =
+    idx.buckets.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Int]("band"), r.getAs[String]("sig"))).toSet
+
+  // near-identical long texts: ~30 shared words, one varying token — they
+  // share most band signatures, which is what drives buckets toward the cap
+  private def variant(tag: String): String =
+    s"the quick brown fox jumps over the lazy dog while seventeen green " +
+      s"turtles carry heavy stones across the wide river valley under a " +
+      s"pale winter sky token $tag ends the story here"
+
+  test("refreshed text index equals from-scratch: contents, re-key, cap crossings") {
+    val cap = 2
+    // corpus0: u/v/w are a near-identical family (three DISTINCT texts →
+    // their fully-shared band buckets hold 3 reps > cap and are DROPPED
+    // at build); x alone; plus an exact-dup pair (10, 11)
+    val corpus0 = docsDf(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      11L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      12L -> variant("u"),
+      13L -> variant("v"),
+      14L -> variant("w"),
+      15L -> "completely different content about winter mountain hiking gear and maps")
+    // fold batch: id 5 = exact copy of group(10,11) with a SMALLER id (rep
+    // re-keys 10 → 5 everywhere); id 20 = a fourth family variant (its
+    // shared buckets stay dropped — the oversized table must remember the
+    // true size); ids 21/22 = an in-batch exact-dup pair of a new text;
+    // id 23 = near-dup of 15 (buckets with 15 go 1 → 2 = cap, still kept)
+    val fold = docsDf(
+      5L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      20L -> variant("z"),
+      21L -> "fresh unique sentence with enough words to shingle comfortably today",
+      22L -> "fresh unique sentence with enough words to shingle comfortably today",
+      23L -> "completely different content about winter mountain hiking gear and compasses")
+    val union = corpus0.unionAll(fold)
+
+    val idx0 = Dedup.corpusIndex(corpus0, bucketCap = cap)
+    val refreshed = Dedup.refreshIndex(idx0, fold)
+    val scratch = Dedup.corpusIndex(union, bucketCap = cap)
+
+    // the cap edges are really exercised: the family's shared buckets are
+    // dropped (oversized nonempty), and idx0 had buckets the union keeps
+    assert(scratch.oversized.count() > 0, "crafted family must overflow the cap")
+    assert(bucketsSet(scratch).nonEmpty)
+
+    assert(fpsSet(refreshed) == fpsSet(scratch))
+    assert(setsSet(refreshed) == setsSet(scratch))
+    assert(bucketsSet(refreshed) == bucketsSet(scratch))
+    // oversized bookkeeping carries the TRUE sizes forward
+    val ovR = refreshed.oversized.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val ovS = scratch.oversized.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(ovR == ovS)
+
+    // rep re-key reached the exact tier: a gate copy of the group reports 5
+    val gate = docsDf(
+      30L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      31L -> "completely different content about winter mountain hiking gear and sticks",
+      32L -> "wholly novel gate document text that matches nothing in any corpus batch")
+    val got = gateRows(Dedup.bestMatchAgainst(gate, refreshed))
+    val want = gateRows(Dedup.bestMatchAgainst(gate, scratch))
+    assert(got == want)
+    assert(got.head == ((30L, Some(5L), Some(1.0), false)), s"re-keyed rep must answer: $got")
+    assert(got.last._4, "the novel gate doc must pass")
+  }
+
+  test("refresh folds a second batch on top of a refresh (chained ≡ from-scratch; present bucket pushed over the cap drops)") {
+    val cap = 2
+    val a = docsDf(
+      1L -> "one two three four five six seven eight nine ten eleven twelve",
+      2L -> variant("a"),
+      3L -> variant("b")) // family size 2 ≤ cap: shared buckets PRESENT
+    val b = docsDf(4L -> variant("c"), // family → 3 > cap: those buckets DROP
+      5L -> "one two three four five six seven eight nine ten eleven twelve")
+    val c = docsDf(6L -> variant("d"), // stays dropped through a second fold
+      7L -> "entirely new third batch text with plenty of distinct words inside")
+    val idx0 = Dedup.corpusIndex(a, bucketCap = cap)
+    val chained = Dedup.refreshIndex(Dedup.refreshIndex(idx0, b), c)
+    val scratch = Dedup.corpusIndex(a.unionAll(b).unionAll(c), bucketCap = cap)
+    // the crossing is real: some bucket present in idx0 is gone from scratch
+    val dropped = bucketsSet(idx0).map(t => (t._2, t._3)) --
+      bucketsSet(scratch).map(t => (t._2, t._3))
+    assert(dropped.nonEmpty, "fold must push a previously-present bucket over the cap")
+    assert(fpsSet(chained) == fpsSet(scratch))
+    assert(setsSet(chained) == setsSet(scratch))
+    assert(bucketsSet(chained) == bucketsSet(scratch))
+  }
+
+  test("streaming novelty gate picks up a swapped index mid-stream") {
+    val corpus0 = docsDf(
+      100L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      101L -> variant("u"))
+    val batch1 = Seq(
+      200L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa", // vs corpus0: exact
+      201L -> "first ingest batch brand new text with many agreeable words") // novel
+    val batch2 = Seq(
+      300L -> "first ingest batch brand new text with many agreeable words", // dup of 201 — only novel if the swap DIDN'T happen
+      301L -> variant("v"), // near-dup of 101
+      302L -> "second batch completely novel text nothing shares these words")
+
+    val ref = new RefreshableCorpusIndex(Dedup.corpusIndex(corpus0))
+    val gate = StreamingDedup.novelNearCorpusRefreshable(ref)
+
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long], Option[Double], Boolean)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        results.addAll(scala.jdk.CollectionConverters.SeqHasAsJava(
+          gateRows(gate(b))).asJava)
+        ()
+      }.start()
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      // fold the admitted batch into the index and SWAP — no stream restart
+      ref.fold(docsDf(batch1: _*))
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = scala.jdk.CollectionConverters.IteratorHasAsScala(results.iterator())
+      .asScala.toSeq.sortBy(_._1)
+    // expectations from FROM-SCRATCH indexes: batch 1 vs corpus0, batch 2
+    // vs corpus0 ∪ batch1 — decisions must continue correctly across the swap
+    val want1 = gateRows(Dedup.bestMatchAgainst(docsDf(batch1: _*),
+      Dedup.corpusIndex(corpus0)))
+    val want2 = gateRows(Dedup.bestMatchAgainst(docsDf(batch2: _*),
+      Dedup.corpusIndex(corpus0.unionAll(docsDf(batch1: _*)))))
+    assert(got == (want1 ++ want2).sortBy(_._1))
+    // and the swap was load-bearing: 300 matches 201 (post-swap index only)
+    val r300 = got.find(_._1 == 300L).get
+    assert(r300._2 == Some(201L) && !r300._4,
+      s"doc 300 must match the batch-1 doc folded in by the swap: $r300")
+  }
+
+  test("refreshed embed index equals from-scratch on the testdata corpus") {
+    val e = operators.Tables.load(spark, sf(), "embeddings")
+    val idx0 = Similarity.embedIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0))
+    val refreshed = Similarity.refreshEmbedIndex(idx0,
+      e.filter(pmod(col("vec_id"), lit(3)) === 1))
+    val scratch = Similarity.embedIndex(e.filter(pmod(col("vec_id"), lit(3)) < 2))
+    def qcSet(i: Similarity.EmbedIndex) =
+      i.qc.collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Long](1), r.getAs[Long]("nq"))).toSet
+    def cbSet(i: Similarity.EmbedIndex) =
+      i.cb.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("table"),
+        r.getAs[Long]("bucket"))).toSet
+    assert(qcSet(refreshed) == qcSet(scratch))
+    assert(cbSet(refreshed) == cbSet(scratch))
+    val gate = e.filter(pmod(col("vec_id"), lit(3)) === 2)
+    val got = Similarity.embedNoveltyAgainst(gate, refreshed).collect().toSeq
+    val want = Similarity.embedNoveltyAgainst(gate, scratch).collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+}
