@@ -63,7 +63,8 @@ object Exporter {
       resumeFromJdbc: Boolean = false,
       backfill: Seq[String] = Nil,
       backfillFor: Map[String, Seq[String]] = Map.empty,
-      drainAndExit: Boolean = false) {
+      drainAndExit: Boolean = false,
+      trigger: Option[String] = None) {
     /** Single-file compatibility view (the reference's one-file shape). */
     def log: String = logs.head
   }
@@ -127,6 +128,12 @@ object Exporter {
       // with --jdbc + a durable --checkpoint, a cron-able catch-up job
       // whose next run resumes where this one ended.
       case "--drain-and-exit" :: t => loop(t, c.copy(drainAndExit = true), logs)
+      // freshness-vs-CPU knob: micro-batches fire on a ProcessingTime
+      // cadence (e.g. "5 seconds") instead of the default ASAP trigger —
+      // a quiet log then costs a few offset polls per interval instead of
+      // a busy-loop (the reference's inotify tail costs ~nothing idle;
+      // this is the Spark-side equivalent)
+      case "--trigger" :: v :: t => loop(t, c.copy(trigger = Some(v)), logs)
       case Nil => if (logs.isEmpty) c else c.copy(logs = logs)
       case other :: _ => throw new IllegalArgumentException(
         s"unknown flag: $other (supported: --log <file>[,<file>…] (repeatable) " +
@@ -134,7 +141,8 @@ object Exporter {
           "--jdbc <url> --jdbc-table <name> --jdbc-dialect upsert|append " +
           "--jdbc-compact-every <n> --max-bytes-per-trigger <n> " +
           "--no-self-metrics --resume-from-jdbc " +
-          "--backfill [<live>=]<file>[,<file>…] --drain-and-exit)")
+          "--backfill [<live>=]<file>[,<file>…] --drain-and-exit " +
+          "--trigger <interval>)")
     }
     loop(args.toList, Config(), Vector.empty)
   }
@@ -176,6 +184,12 @@ object Exporter {
         config.jdbcCompactEvery))
     require(!config.resumeFromJdbc || jdbc.nonEmpty,
       "--resume-from-jdbc needs --jdbc to seed from")
+    require(!(config.drainAndExit && config.trigger.nonEmpty),
+      "--trigger sets a ProcessingTime cadence; --drain-and-exit runs " +
+        "AvailableNow - pick one")
+    // fail fast on a malformed interval BEFORE the server binds (Spark
+    // would otherwise throw at .trigger() after it)
+    config.trigger.foreach(org.apache.spark.sql.streaming.Trigger.ProcessingTime(_))
     val server = new MetricsHttpServer(port, host).start() // before the tail attaches, main.go:78
     val ckpt = config.checkpoint.getOrElse(
       Files.createTempDirectory("graft-exporter-ckpt").toString)
@@ -192,13 +206,14 @@ object Exporter {
             maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
             resumeFromJdbc = config.resumeFromJdbc,
             backfill = config.backfill ++ config.backfillFor.getOrElse(config.log, Nil),
-            availableNow = config.drainAndExit)
+            availableNow = config.drainAndExit, trigger = config.trigger)
         else
           MetricsServing.serveIncrementalFleet(
             spark, config.logs, server, ckpt, fromStart = config.fromStart, jdbc = jdbc,
             maxBytesPerTrigger = config.maxBytesPerTrigger, telemetry = telemetry,
             resumeFromJdbc = config.resumeFromJdbc,
-            availableNow = config.drainAndExit, backfill = config.backfillFor)
+            availableNow = config.drainAndExit, backfill = config.backfillFor,
+            trigger = config.trigger)
       } catch { case e: Throwable => server.stop(0); throw e }
     server.health(() => query.isActive) // /healthz: 503 once the stream dies
     (server, query)

@@ -81,6 +81,12 @@ object TailFileSource {
     * range ONCE — the former two-branch delivery union read it twice. */
   val rangesOpened = new java.util.concurrent.atomic.AtomicLong
 
+  /** Poll accounting: admission-control `latestOffset(start, limit)` calls
+    * (one per trigger iteration). The `--trigger <interval>` spec asserts a
+    * quiet log under ProcessingTime polls a few times per interval instead
+    * of the default ASAP busy-loop. */
+  val pollsObserved = new java.util.concurrent.atomic.AtomicLong
+
   /** Last position p in [from, len) such that byte p-1 (the byte before p)
     * is '\n'; `from` if no newline arrived yet. Scanned over the new bytes
     * only — O(appended data), not O(file). */
@@ -291,6 +297,7 @@ class TailFileMicroBatchStream(path: String, fromStart: Boolean,
     * checkpoint and emitted a regressed epoch-0 offset (which the next
     * poll then mistook for a rotation and re-read the whole file). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    TailFileSource.pollsObserved.incrementAndGet()
     observe(start.asInstanceOf[TailOffset])
     admit(TailFileSource.byteCapOf(limit, maxBytesPerTrigger))
   }

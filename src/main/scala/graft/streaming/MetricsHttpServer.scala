@@ -201,7 +201,8 @@ object MetricsServing {
       telemetry: Option[ExporterTelemetry] = None,
       resumeFromJdbc: Boolean = false,
       backfill: Seq[String] = Nil,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      trigger: Option[String] = None): StreamingQuery = {
     val lines = spark.readStream
       .format(classOf[graft.sources.TailFileSourceProvider].getName)
       .option("path", path)
@@ -211,7 +212,7 @@ object MetricsServing {
       .load()
     serveIncrementalLines(spark, lines, server, checkpointDir,
       availableNow = availableNow, jdbc = jdbc, telemetry = telemetry,
-      resumeFromJdbc = resumeFromJdbc)
+      resumeFromJdbc = resumeFromJdbc, trigger = trigger)
   }
 
   /** [[serveIncrementalTail]] for a FLEET of tailed server logs through ONE
@@ -232,7 +233,8 @@ object MetricsServing {
       telemetry: Option[ExporterTelemetry] = None,
       resumeFromJdbc: Boolean = false,
       availableNow: Boolean = false,
-      backfill: Map[String, Seq[String]] = Map.empty): StreamingQuery = {
+      backfill: Map[String, Seq[String]] = Map.empty,
+      trigger: Option[String] = None): StreamingQuery = {
     val registry = new FleetPromRegistry
     // seed the CURRENT membership (glob specs expand; a server discovered
     // later gets its series on first observation)
@@ -245,7 +247,8 @@ object MetricsServing {
       .option("backfill", graft.sources.TailFleetSource.renderBackfill(backfill))
       .load()
     serveMerged(spark, StreamingMerge.fleetMergeWithDelivery(lines, timeoutMs = 0L),
-      registry, server, checkpointDir, availableNow, jdbc, telemetry, resumeFromJdbc)
+      registry, server, checkpointDir, availableNow, jdbc, telemetry,
+      resumeFromJdbc, trigger)
   }
 
   /** The shared incremental serving TAIL — one definition for the
@@ -267,7 +270,7 @@ object MetricsServing {
       outs: Dataset[StreamingMerge.MergeOut], registry: MergeRegistry,
       server: MetricsHttpServer, checkpointDir: String, availableNow: Boolean,
       jdbc: Option[MetricsJdbcSink], telemetry: Option[ExporterTelemetry],
-      resumeFromJdbc: Boolean): StreamingQuery = {
+      resumeFromJdbc: Boolean, trigger: Option[String] = None): StreamingQuery = {
     jdbc.foreach(_.ensureTables())
     val resumed = resumeFromJdbc && jdbc.nonEmpty
     require(!resumeFromJdbc || jdbc.nonEmpty,
@@ -295,8 +298,14 @@ object MetricsServing {
           }
         } finally { evs.unpersist(); () }
       }
+    // the freshness-vs-CPU knob (`--trigger <interval>`): a quiet tail under
+    // the default ASAP trigger busy-polls latestOffset() per trigger
+    // iteration; ProcessingTime spaces the polls (the reference's inotify
+    // tail costs ~nothing idle — this is the Spark-side equivalent)
     val query =
-      (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+      (if (availableNow) writer.trigger(Trigger.AvailableNow())
+       else trigger.map(t => writer.trigger(Trigger.ProcessingTime(t)))
+         .getOrElse(writer)).start()
     telemetry.foreach { t => server.attachTelemetry(t); t.observeQuery(spark, query) }
     query
   }
@@ -308,7 +317,8 @@ object MetricsServing {
       availableNow: Boolean,
       jdbc: Option[MetricsJdbcSink] = None,
       telemetry: Option[ExporterTelemetry] = None,
-      resumeFromJdbc: Boolean = false): StreamingQuery = {
+      resumeFromJdbc: Boolean = false,
+      trigger: Option[String] = None): StreamingQuery = {
     // ONE stream carries everything — merge metrics AND the per-line
     // delivery events (read_line / tail_line): the former observe() +
     // StreamingQueryListener side channel was at-most-once (a crash after
@@ -319,7 +329,7 @@ object MetricsServing {
     // configured, the same ledger row) as the merge metrics.
     serveMerged(spark, StreamingMerge.mergeWithDelivery(seqLines, timeoutMs = 0L),
       new PromRegistry, server, checkpointDir, availableNow, jdbc, telemetry,
-      resumeFromJdbc)
+      resumeFromJdbc, trigger)
   }
 
   /** Table-sink form (BASELINE north star: metrics land in a queryable

@@ -457,4 +457,60 @@ class ExporterSpec extends SparkSpec {
       server.stop(0)
     }
   }
+
+  test("--trigger: ProcessingTime cadence stops the quiet-log busy-poll; data still flows") {
+    val f = Files.createTempFile("graft-trigger", ".log")
+    val dt = "2024.03.01 12:00:01.000000"
+    Files.write(f, s"$dt [ 7 ] {t0} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 0\n".getBytes)
+
+    // parse + validation
+    assert(Exporter.parseArgs(Seq("--trigger", "5 seconds")).trigger == Some("5 seconds"))
+    intercept[IllegalArgumentException] {
+      Exporter.run(spark, Exporter.Config(logs = Seq(f.toString),
+        trigger = Some("1 second"), drainAndExit = true))
+    }
+    intercept[IllegalArgumentException] { // malformed interval fails pre-bind
+      Exporter.run(spark, Exporter.Config(logs = Seq(f.toString),
+        trigger = Some("not an interval")))
+    }
+
+    def quietPolls(trigger: Option[String]): Long = {
+      val (srv, q) = Exporter.run(spark, Exporter.Config(logs = Seq(f.toString),
+        listen = "127.0.0.1:0", fromStart = true, trigger = trigger,
+        selfMetrics = false))
+      try {
+        // let the stream settle on the existing line, then measure a
+        // QUIET window: no appends, only trigger-driven offset polls
+        q.processAllAvailable()
+        Thread.sleep(300)
+        val before = graft.sources.TailFileSource.pollsObserved.get()
+        Thread.sleep(2400)
+        graft.sources.TailFileSource.pollsObserved.get() - before
+      } finally { q.stop(); srv.stop(0) }
+    }
+
+    val paced = quietPolls(Some("1 second"))
+    // 2.4 s at a 1 s cadence: ~2-3 polls; generous bound for CI jitter
+    assert(paced <= 8, s"ProcessingTime must pace the quiet poll: $paced polls in 2.4 s")
+    val asap = quietPolls(None)
+    assert(asap >= 3 * paced.max(1L),
+      s"default ASAP busy-polls ($asap) vs paced ($paced) - the knob must matter")
+
+    // and a paced exporter still serves appended data
+    val (srv, q) = Exporter.run(spark, Exporter.Config(logs = Seq(f.toString),
+      listen = "127.0.0.1:0", fromStart = true, trigger = Some("1 second"),
+      selfMetrics = false))
+    try {
+      Files.write(f, s"$dt [ 7 ] {t1} <Debug> executeQuery: (from 10.0.0.9:9000) SELECT 1\n".getBytes,
+        StandardOpenOption.APPEND)
+      val deadline = System.nanoTime() + 60000L * 1000000L
+      var body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      while (!body.contains("""clickhouse_query_count{stmt_type="select"} 2""") &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        body = get(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      }
+      assert(body.contains("""clickhouse_query_count{stmt_type="select"} 2"""))
+    } finally { q.stop(); srv.stop(0) }
+  }
 }
