@@ -42,10 +42,10 @@ object StreamingIntervalJoin {
 
   private val HourUs = 3600L * 1000000L
 
-  /** All (purchase event_id, click event_id, click cents) pairs with the
-    * click inside the purchase's trailing hour. `events` is a streaming
-    * frame with at least (event_id, ts, event_type, value). */
-  def purchaseClickPairs(events: DataFrame, delay: String = "30 minutes"): DataFrame = {
+  /** The watermarked bucketed join itself, all columns kept —
+    * [[purchaseClickPairs]] projects the pair view, [[purchaseClickStats]]
+    * aggregates on top. */
+  private def joined(events: DataFrame, delay: String): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", delay)
@@ -58,8 +58,38 @@ object StreamingIntervalJoin {
       .withWatermark("c_ts", delay)
       .withColumn("bucket", expr(s"unix_micros(c_ts) div ${HourUs}L"))
     p.join(c, p("bucket") === c("bucket") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("c_ts") <= col("p_ts"))
-      .select(col("p_id").as("event_id"), col("click_id"), col("click_cents"))
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("c_ts") <= col("p_ts"))
   }
+
+  /** All (purchase event_id, click event_id, click cents) pairs with the
+    * click inside the purchase's trailing hour. `events` is a streaming
+    * frame with at least (event_id, ts, event_type, value). */
+  def purchaseClickPairs(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    joined(events, delay)
+      .select(col("p_id").as("event_id"), col("click_id"), col("click_cents"))
+
+  /** The BATCH output shape in-stream: per-purchase click count and value
+    * ([[graft.RelationalQueries.eventsIntervalJoin]]'s aggregate), as a
+    * second stateful operator CHAINED after the stream-stream join — a
+    * watermarked event-time-window aggregation over the join's output
+    * (Spark propagates the joined watermark through, so each purchase's
+    * group finalizes and emits EXACTLY ONCE in append mode when the
+    * watermark passes its hour window).
+    *
+    * Two deliberate deltas vs the batch aggregate, both inherent to the
+    * streaming shape: (a) inner-only — zero-click purchases never enter
+    * the join output, so they have no group to finalize (the batch LEFT
+    * join reports them as 0; in-stream that set is a downstream anti-join
+    * concern, same argument as [[purchaseClickPairs]]); (b) a purchase
+    * emits only once its window CLOSES under the watermark — the
+    * exactly-once-per-purchase contract a replayed/restarted stream keeps,
+    * spec-proven ≡ the batch aggregate for every closed purchase across a
+    * kill/restart under both state-store providers. */
+  def purchaseClickStats(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    joined(events, delay)
+      .groupBy(col("p_id"), window(col("p_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_clicks"),
+        (sum(col("click_cents")).cast("double") / 100.0).as("click_value"))
+      .select(col("p_id").as("event_id"), col("n_clicks"), col("click_value"))
 }

@@ -109,6 +109,94 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     }
   }
 
+  /** Chained stateful operators: join → windowed aggregate. Three
+    * AvailableNow runs over one checkpoint: the restart cut of
+    * [[scenario]], then a watermark-pusher run (one far-future purchase
+    * and one far-future click >1h apart, so they match nothing) that
+    * closes every real purchase's window — after which the emitted rows
+    * must equal the batch inner aggregate EXACTLY, each purchase once. */
+  private def statsScenario(buf: java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]): Unit = {
+    val srcDir = Files.createTempDirectory("graft_ssa_src").toString
+    val ckpt = Files.createTempDirectory("graft_ssa_ckpt").toString
+    buf.clear()
+
+    val ev = Tables.events(spark, sf())
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 22:00:00")
+
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+      val q = StreamingIntervalJoin.purchaseClickStats(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            buf.add((r.getLong(0), r.getLong(1), r.getDouble(2)))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(240000L), "streaming stats run timed out")
+    }
+
+    ev.filter(col("ts") < cut).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    ev.filter(col("ts") >= cut).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    // watermark pusher: close every real window (72h and 74h past the
+    // corpus, >1h apart so they never pair)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+    import spark.implicits._
+    Seq((900001L, java.sql.Timestamp.from(maxTs.plusSeconds(72L * 3600)), "purchase", 0.0),
+        (900002L, java.sql.Timestamp.from(maxTs.plusSeconds(74L * 3600)), "click", 0.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val got = buf.asScala.toSeq
+    assert(got.map(_._1).distinct.size == got.size,
+      "each purchase must finalize exactly once across the restarts")
+
+    // ground truth: the batch INNER aggregate (clicked purchases only) —
+    // same cents arithmetic as the operator
+    val pfr = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+    val cfr = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("c_us"),
+        round(col("value") * 100).cast("long").as("v"))
+    val want = pfr.join(cfr,
+        col("c_us") >= col("p_us") - 3600000000L && col("c_us") <= col("p_us"))
+      .groupBy("p_id")
+      .agg(count(lit(1)).as("n"), (sum(col("v")).cast("double") / 100.0).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty)
+    assert(got.toSet == want,
+      s"stream-only: ${(got.toSet -- want).take(3)}; batch-only: ${(want -- got.toSet).take(3)}")
+
+    // the restart was load-bearing: at least one finalized purchase is
+    // post-cut with a pre-cut click contributing
+    val tsMs = ev.select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).toInstant.toEpochMilli).toMap
+    assert(got.exists { case (pid, _, _) => tsMs(pid) >= cut.toInstant.toEpochMilli },
+      "expected post-restart purchases among the finalized groups")
+  }
+
+  test("chained join + windowed aggregate: batch output shape in-stream, exactly once across restarts") {
+    statsScenario(StreamingIntervalJoinSpec.statsEmitted)
+  }
+
+  test("chained aggregate recovery under the RocksDB state store provider") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try statsScenario(StreamingIntervalJoinSpec.rocksStatsEmitted)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("the plan is a bucket-partitioned symmetric hash join with derived state watermarks") {
     val srcDir = Files.createTempDirectory("graft_ssj_plan_src").toString
     Tables.events(spark, sf())
@@ -147,4 +235,8 @@ object StreamingIntervalJoinSpec {
     new java.util.concurrent.ConcurrentLinkedQueue[Pair]()
   val rocksEmitted: java.util.concurrent.ConcurrentLinkedQueue[Pair] =
     new java.util.concurrent.ConcurrentLinkedQueue[Pair]()
+  val statsEmitted: java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)] =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+  val rocksStatsEmitted: java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)] =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
 }
