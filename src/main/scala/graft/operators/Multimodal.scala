@@ -121,8 +121,24 @@ object Multimodal {
     * [[imageDecode]]. */
   val audioDecode: MediaCodec = { payload =>
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
+      // COMPRESSED encodings ride the JDK's own codec SPI: G.711 µ-law and
+      // A-law payloads (AU's native encoding; also legal in WAV) transcode
+      // to linear PCM16 through AudioSystem's format-conversion providers,
+      // then flow through the SAME stats loop — the seam's drop-in claim
+      // for a second, companded audio codec (MultimodalCodecSpec pins the
+      // decode against an independent pure-Scala G.711 expansion).
+      val in = {
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        import javax.sound.sampled.AudioFormat.Encoding
+        val f = src.getFormat
+        if (f.getEncoding == Encoding.ULAW || f.getEncoding == Encoding.ALAW)
+          AudioSystem.getAudioInputStream(new AudioFormat(
+            Encoding.PCM_SIGNED, f.getSampleRate, 16, f.getChannels,
+            2 * f.getChannels, f.getSampleRate, false), src)
+        else src
+      }
       try {
         import javax.sound.sampled.AudioFormat.Encoding
         val fmt = in.getFormat

@@ -119,6 +119,80 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(!out.keys.exists(_._1 == 3L), "undecodable payload must emit no rows")
   }
 
+  test("compressed audio (G.711 u-law AU) rides the same seam via the JDK codec SPI") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.AudioFormat.Encoding
+    // fixture: a deterministic 16-bit PCM ramp, transcoded to 8-bit u-law
+    // by the JDK's OWN encoder and containerized as AU (u-law's native
+    // container). The EXPECTED stats come from an INDEPENDENT pure-Scala
+    // G.711 expansion of the u-law payload bytes — so the test pins the
+    // JDK decode path against the published standard, not against itself.
+    val rate = 8000f
+    val frames = 4000
+    val pcm = new Array[Byte](frames * 2)
+    for (f <- 0 until frames) {
+      val v = (((f * 17) % 16384) - 8192).toShort // deterministic ramp
+      pcm(2 * f) = (v & 0xff).toByte
+      pcm(2 * f + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val pcmFmt = new AudioFormat(Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+    val ulawFmt = new AudioFormat(Encoding.ULAW, rate, 8, 1, 1, rate, false)
+    val ulawStream = AudioSystem.getAudioInputStream(ulawFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), pcmFmt, frames.toLong))
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulawStream, AudioFileFormat.Type.AU, bos)
+    val au = bos.toByteArray
+
+    // independent G.711 u-law expansion (CCITT standard formula) over the
+    // AU payload (data offset = big-endian int at bytes 4..7)
+    def ulaw2linear(u0: Byte): Int = {
+      val u = ~u0 & 0xff
+      val sign = u & 0x80
+      val exp = (u >> 4) & 0x07
+      val mant = u & 0x0f
+      val mag = (((mant << 3) + 0x84) << exp) - 0x84
+      if (sign != 0) -mag else mag
+    }
+    val dataOff = java.nio.ByteBuffer.wrap(au, 4, 4).getInt
+    val samples = au.drop(dataOff).map(ulaw2linear)
+    assert(samples.length == frames)
+    val expectedRms = math.sqrt(
+      samples.map(v => v.toLong * v).sum.toDouble / frames)
+
+    val media = Seq((1L, au)).toDF("doc_id", "payload")
+    val out = Multimodal.featuresOf(media, Multimodal.audioFactory).collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(out(0L) == 1.0 && out(1L) == 8000.0, out.toString)
+    assert(out(2L) == frames.toDouble && out(3L) == 0.5)
+    assert(out(4L) == expectedRms,
+      s"JDK u-law expansion must equal the G.711 standard: got ${out(4L)}, want $expectedRms")
+  }
+
+  test("a third PCM container (AIFF, big-endian) decodes through the unchanged stats loop") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.AudioFormat.Encoding
+    val rate = 11025f
+    val frames = 2205
+    val amp = 700.toShort
+    val fmt = new AudioFormat(Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, true) // big-endian
+    val data = new Array[Byte](frames * 2)
+    for (f <- 0 until frames) {
+      data(2 * f) = ((amp >> 8) & 0xff).toByte
+      data(2 * f + 1) = (amp & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+    val media = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val out = Multimodal.featuresOf(media, Multimodal.audioFactory).collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(out(0L) == 1.0 && out(1L) == 11025.0 && out(2L) == frames.toDouble)
+    assert(out(3L) == 0.2 && out(4L) == 700.0,
+      "constant-amplitude AIFF must yield exact duration and RMS")
+  }
+
   test("the frame seam decodes a REAL animated GIF: one feature vector per frame") {
     import spark.implicits._
     // a true multi-frame container written by the JDK's own GIF sequence
