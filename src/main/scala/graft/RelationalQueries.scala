@@ -939,6 +939,59 @@ object RelationalQueries {
     * unmatched probe rows), so a flash-sale hour of purchases splits at
     * runtime, while a hot CLICK hour needs salting (replicate the probe
     * row per salt shard) or an inner-join + anti-join decomposition. */
+  /** AS-OF JOIN — the other canonical time-correlation operator Spark has
+    * no native form of (the trades⋈quotes shape): for every purchase, the
+    * MOST RECENT click by the SAME user at or before the purchase (ties on
+    * timestamp break to the highest event id; purchases with no prior
+    * click report nulls — the LEFT as-of form).
+    *
+    * Spark-first and 100 TB-shaped: NOT a per-pair range join (quadratic
+    * per user) but the union-and-fold plan — tag both event kinds, union,
+    * and take `last(click struct, ignoreNulls)` over a window PARTITIONED
+    * BY user and ordered by (time, kind, id) with clicks sorting before
+    * purchases at equal timestamps (`c_us <= p_us` inclusive). One shuffle
+    * on user_id, one sort within user partitions, zero candidate
+    * explosion — per-user history length bounds the frame walk, and the
+    * keyed partitioning passes the registry's partitionless-window ban.
+    * The oracle is the naive per-pair join + ROW_NUMBER, so the hash gate
+    * validates the fold against first principles. */
+  def eventsAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), unix_micros(col("ts")).as("us"), lit(0).as("k"),
+      col("event_id").as("id"), cents(col("value")).as("cents"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), unix_micros(col("ts")).as("us"), lit(1).as("k"),
+      col("event_id").as("id"), lit(null).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("lastc", last(when(col("k") === 0,
+        struct(col("us").as("c_us"), col("id").as("c_id"),
+          col("cents").as("c_cents"))), ignoreNulls = true).over(w))
+      .filter(col("k") === 1)
+      .select(col("id").as("event_id"), col("lastc.c_id").as("click_id"),
+        col("lastc.c_us").as("click_us"), col("lastc.c_cents").as("click_cents"))
+      .orderBy("event_id")
+  }
+
+  val eventsAsofJoinSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+      |    CAST(round(value*100) AS BIGINT) AS c_cents
+      |  FROM events WHERE event_type = 'click'),
+      |best AS (SELECT event_id, c_id, c_us, c_cents FROM (
+      |  SELECT p.event_id, c.c_id, c.c_us, c.c_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.c_us DESC, c.c_id DESC) AS rn
+      |  FROM p JOIN c ON c.user_id = p.user_id AND c.c_us <= p.p_us)
+      |  WHERE rn = 1)
+      |SELECT p.event_id, b.c_id AS click_id, b.c_us AS click_us,
+      |  b.c_cents AS click_cents
+      |FROM p LEFT JOIN best b USING (event_id) ORDER BY p.event_id""".stripMargin
+
   def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     intervalJoinCore(
@@ -982,6 +1035,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rate_window" -> eventsRateWindow _,
     "events_interval_join" -> eventsIntervalJoin _,
+    "events_asof_join" -> eventsAsofJoin _,
     "agg_approx" -> approxAgg _,
     "agg_exact" -> exactAgg _,
     "agg_quantile_hist" -> histQuantile _,
@@ -1014,6 +1068,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "events_rate_window" -> eventsRateWindowSql,
     "events_interval_join" -> eventsIntervalJoinSql,
+    "events_asof_join" -> eventsAsofJoinSql,
     "agg_approx" -> approxAggSql,
     "agg_exact" -> exactAggSql,
     "agg_quantile_hist" -> histQuantileSql,

@@ -1311,6 +1311,41 @@ object Dedup {
       idx.logBloomBits, oversized2, idx.bucketCap)
   }
 
+  /** PERSIST a [[CorpusIndex]] — the artifact form a 100 TB pipeline
+    * actually operates on: build (or refresh) once, write to the
+    * warehouse, and every ingest job [[loadIndex]]es it instead of
+    * re-deriving signatures from the corpus. Components land as parquet
+    * under `path` (any Hadoop-FS scheme Spark writes), plus a one-row
+    * `meta` table carrying the knobs a refresh must reuse. Overwrites
+    * atomically per component (Spark's overwrite semantics); for a fully
+    * atomic publish, write to a fresh path and flip a pointer — the same
+    * swap discipline as [[graft.operators.RefreshableCorpusIndex]]. */
+  def saveIndex(idx: CorpusIndex, path: String): Unit = {
+    val spark = idx.fps.sparkSession
+    import spark.implicits._
+    idx.fps.write.mode("overwrite").parquet(s"$path/fps")
+    idx.sets.write.mode("overwrite").parquet(s"$path/sets")
+    idx.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    idx.fpBloom.write.mode("overwrite").parquet(s"$path/fp_bloom")
+    idx.bucketBloom.write.mode("overwrite").parquet(s"$path/bucket_bloom")
+    idx.oversized.write.mode("overwrite").parquet(s"$path/oversized")
+    Seq((idx.bucketCap, idx.logBloomBits)).toDF("bucket_cap", "log_bloom_bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveIndex]]ed corpus index (components pinned, knobs
+    * restored) — gate decisions and subsequent [[refreshIndex]]es equal
+    * the in-memory original's (spec-pinned round trip). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): CorpusIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    def pinned(name: String): DataFrame =
+      PinnedCaches.pin(spark.read.parquet(s"$path/$name"))
+    CorpusIndex(pinned("fps"), pinned("sets"), pinned("buckets"),
+      pinned("fp_bloom"), pinned("bucket_bloom"),
+      meta.getAs[Int]("log_bloom_bits"), pinned("oversized"),
+      meta.getAs[Int]("bucket_cap"))
+  }
+
   /** Best corpus match per incoming document — the shared core of the
     * batch and streaming novelty gates: for each doc in `docs`, its best
     * match in the indexed corpus as `(doc_id, best_match, best_jaccard,

@@ -168,6 +168,38 @@ class IndexLifecycleSpec extends SparkSpec {
       s"doc 300 must match the batch-1 doc folded in by the swap: $r300")
   }
 
+  test("save/load round trip: a loaded index gates and refreshes like the original") {
+    val corpus0 = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> variant("u"),
+      3L -> variant("v"))
+    val fold = docsDf(4L -> variant("w"),
+      5L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val gate = docsDf(
+      6L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      7L -> variant("x"),
+      8L -> "entirely novel gate text sharing nothing with the indexed corpus")
+
+    val idx = Dedup.corpusIndex(corpus0, bucketCap = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    Dedup.saveIndex(idx, path)
+    val loaded = Dedup.loadIndex(spark, path)
+
+    assert(loaded.bucketCap == 2 && loaded.logBloomBits == idx.logBloomBits)
+    assert(fpsSet(loaded) == fpsSet(idx))
+    assert(gateRows(Dedup.bestMatchAgainst(gate, loaded)) ==
+      gateRows(Dedup.bestMatchAgainst(gate, idx)))
+    // refresh bookkeeping (incl. the oversized table) survives the round
+    // trip: refreshing the LOADED index equals from-scratch over the union
+    val refreshed = Dedup.refreshIndex(loaded, fold)
+    val scratch = Dedup.corpusIndex(corpus0.unionAll(fold), bucketCap = 2)
+    assert(fpsSet(refreshed) == fpsSet(scratch))
+    assert(setsSet(refreshed) == setsSet(scratch))
+    assert(bucketsSet(refreshed) == bucketsSet(scratch))
+    assert(gateRows(Dedup.bestMatchAgainst(gate, refreshed)) ==
+      gateRows(Dedup.bestMatchAgainst(gate, scratch)))
+  }
+
   test("refreshed embed index equals from-scratch on the testdata corpus") {
     val e = operators.Tables.load(spark, sf(), "embeddings")
     val idx0 = Similarity.embedIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0))
