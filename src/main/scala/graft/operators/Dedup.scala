@@ -1153,6 +1153,18 @@ object Dedup {
       * publish a half-built index to a concurrent micro-batch). */
     def materialize(): this.type = { frames.foreach(_.count()); this }
 
+    /** Materialize AND truncate lineage (eager `localCheckpoint` per
+      * component): a refreshed index's frames otherwise embed the previous
+      * index's plans plus the fold batch's, and a per-batch refresh loop
+      * (the closed ingest gate) grows plan depth without bound — the same
+      * localCheckpoint-bounded-depth discipline the MMR/BPE loops use.
+      * [[graft.operators.RefreshableCorpusIndex.fold]] publishes THIS. */
+    private[graft] def truncated(): CorpusIndex =
+      CorpusIndex(fps.localCheckpoint(true), sets.localCheckpoint(true),
+        buckets.localCheckpoint(true), fpBloom.localCheckpoint(true),
+        bucketBloom.localCheckpoint(true), logBloomBits,
+        oversized.localCheckpoint(true), bucketCap)
+
     /** Unpin this index's frames (executor-storage hygiene after a swap).
       * A pin whose plan is shared with another live operator (e.g. the
       * full-corpus shingle sets) just re-caches on that operator's next

@@ -40,7 +40,10 @@ final class RefreshableCorpusIndex(initial: Dedup.CorpusIndex) {
     * base and lose one batch. Returns the published index. */
   def fold(newDocs: DataFrame, releaseOld: Boolean = true): Dedup.CorpusIndex =
     synchronized {
-      val next = Dedup.refreshIndex(idx, newDocs).materialize()
+      // truncated(): materializes eagerly AND bounds plan depth — without
+      // it a per-batch fold loop nests each index's plans inside the next
+      // (the closed ingest gate OOM'd on plan strings by batch 2)
+      val next = Dedup.refreshIndex(idx, newDocs).truncated()
       val prev = idx
       idx = next
       if (releaseOld) prev.release()
@@ -57,7 +60,7 @@ final class RefreshableEmbedIndex(initial: Similarity.EmbedIndex) {
 
   def fold(newVecs: DataFrame, releaseOld: Boolean = true): Similarity.EmbedIndex =
     synchronized {
-      val next = Similarity.refreshEmbedIndex(idx, newVecs).materialize()
+      val next = Similarity.refreshEmbedIndex(idx, newVecs).truncated()
       val prev = idx
       idx = next
       if (releaseOld) prev.release()

@@ -328,6 +328,13 @@ object Similarity {
     /** Force-materialize all pinned components (atomic-swap discipline —
       * see [[Dedup.CorpusIndex.materialize]]). */
     def materialize(): this.type = { frames.foreach(_.count()); this }
+
+    /** Materialize and truncate lineage (see
+      * [[Dedup.CorpusIndex.truncated]] — bounds plan depth under a
+      * per-batch refresh loop). */
+    private[graft] def truncated(): EmbedIndex =
+      EmbedIndex(qc.localCheckpoint(true), cb.localCheckpoint(true),
+        oversized.localCheckpoint(true), bucketCap)
     /** Unpin this index's frames after a swap. */
     def release(): Unit = frames.foreach(PinnedCaches.unpin)
   }

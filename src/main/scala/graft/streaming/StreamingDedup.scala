@@ -107,4 +107,50 @@ object StreamingDedup {
   def novelNearCorpusRefreshable(ref: graft.operators.RefreshableCorpusIndex,
       threshold: Double = 0.8): DataFrame => DataFrame =
     batch => graft.operators.Dedup.bestMatchAgainst(batch, ref.current, threshold)
+
+  /** The CLOSED ingest loop: gate each micro-batch against the living
+    * index AND fold the admitted (novel) documents back in, so batch N+1's
+    * copies of batch N's admissions are rejected — the full
+    * crawl-admission shape ([[novelNearCorpusRefreshable]] gates against
+    * whatever someone else folds; this one folds for itself).
+    *
+    * The fold is LAGGED one batch by design: batch N's admissions are
+    * staged and folded at the START of batch N+1, never during N's own
+    * processing. That makes replay DETERMINISTIC — a `foreachBatch`
+    * re-delivery of batch N gates against exactly the index N saw the
+    * first time (folding inside N would poison its own replay: the
+    * re-gated docs would match themselves in the index and flip to
+    * non-novel). [[graft.operators.Dedup.refreshIndex]] is content-
+    * idempotent, so the one ambiguous crash window (fold done, checkpoint
+    * not) re-folds to the identical index.
+    *
+    * Crash honesty: the staged batch lives in driver memory, so a crash
+    * AFTER batch N commits but BEFORE N+1 starts loses N's fold — copies
+    * of N's admissions arriving post-restart are re-admitted (at-least-
+    * once on novelty, never lost data). A deployment closing that window
+    * persists the index each fold ([[graft.operators.Dedup.saveIndex]])
+    * and reloads at start. Same in-batch contract as the other gates:
+    * compose [[firstOccurrences]] upstream so a batch never carries its
+    * own copies. */
+  def novelNearCorpusIngest(ref: graft.operators.RefreshableCorpusIndex,
+      threshold: Double = 0.8): DataFrame => DataFrame = {
+    val pending = new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+    batch => {
+      pending.getAndSet(None).foreach { p =>
+        ref.fold(p)
+        p.unpersist()
+      }
+      val decisions = graft.operators.Dedup.bestMatchAgainst(batch, ref.current, threshold)
+      // stage THIS batch's admissions MATERIALIZED (persist + count): a
+      // foreachBatch frame's backing data is only guaranteed during its
+      // own batch, so the staged plan must not re-read it next batch
+      val admitted = batch.join(
+        decisions.filter(org.apache.spark.sql.functions.col("novel"))
+          .select("doc_id"), Seq("doc_id"))
+        .persist()
+      if (admitted.count() > 0) pending.set(Some(admitted))
+      else admitted.unpersist()
+      decisions
+    }
+  }
 }

@@ -168,6 +168,49 @@ class IndexLifecycleSpec extends SparkSpec {
       s"doc 300 must match the batch-1 doc folded in by the swap: $r300")
   }
 
+  test("closed ingest loop: admissions fold back lagged; later copies are rejected") {
+    val corpus0 = docsDf(100L -> variant("u"))
+    val b1 = Seq(
+      201L -> "first wave document text with a healthy number of distinct words",
+      202L -> variant("u")) // near-dup of corpus -> rejected
+    val b2 = Seq(
+      301L -> "first wave document text with a healthy number of distinct words", // copy of 201: rejected ONLY via the fold
+      302L -> "second wave fresh document that shares no words with anything yet")
+    val b3 = Seq(
+      401L -> "second wave fresh document that shares no words with anything yet", // copy of 302
+      402L -> "first wave document text with a healthy number of distinct words") // copy of 201 again
+
+    val ref = new RefreshableCorpusIndex(Dedup.corpusIndex(corpus0))
+    val gate = StreamingDedup.novelNearCorpusIngest(ref)
+
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long], Option[Double], Boolean)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        results.addAll(scala.jdk.CollectionConverters.SeqHasAsJava(
+          gateRows(gate(b))).asJava)
+        ()
+      }.start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      ms.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = scala.jdk.CollectionConverters.IteratorHasAsScala(results.iterator())
+      .asScala.toSeq.map(r => r._1 -> r).toMap
+    assert(got(201L)._4, "201 is novel vs corpus0")
+    assert(!got(202L)._4 && got(202L)._2 == Some(100L), "202 near-dups the corpus")
+    // 301 can only be rejected because 201's admission folded in
+    assert(!got(301L)._4 && got(301L)._2 == Some(201L),
+      s"copy of a batch-1 admission must reject via the fold: ${got(301L)}")
+    assert(got(302L)._4)
+    assert(!got(401L)._4 && got(401L)._2 == Some(302L))
+    assert(!got(402L)._4 && got(402L)._2 == Some(201L))
+  }
+
   test("save/load round trip: a loaded index gates and refreshes like the original") {
     val corpus0 = docsDf(
       1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
