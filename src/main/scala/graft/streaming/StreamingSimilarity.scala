@@ -34,4 +34,32 @@ object StreamingSimilarity {
     val idx = Similarity.embedIndex(corpus, bucketCap)
     batch => Similarity.embedNoveltyAgainst(batch, idx, threshold)
   }
+
+  /** The vector side of the CLOSED ingest loop
+    * ([[StreamingDedup.novelNearCorpusIngest]]'s twin): gate each
+    * micro-batch against the living embed index and fold the admitted
+    * (novel) vectors back in, LAGGED one batch — batch N's admissions fold
+    * at the start of batch N+1, so a replay of N gates against exactly the
+    * index N saw first. Same crash honesty as the text form: the staged
+    * batch is driver-memory, so a crash between N's commit and N+1 loses
+    * N's fold (copies re-admit, at-least-once on novelty; persist the
+    * index per fold to close the window). */
+  def novelAgainstIndexIngest(ref: graft.operators.RefreshableEmbedIndex,
+      threshold: Double = 0.35): DataFrame => DataFrame = {
+    val pending = new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+    batch => {
+      pending.getAndSet(None).foreach { p =>
+        ref.fold(p)
+        p.unpersist()
+      }
+      val decisions = Similarity.embedNoveltyAgainst(batch, ref.current, threshold)
+      val admitted = batch.join(
+        decisions.filter(org.apache.spark.sql.functions.col("novel"))
+          .select("vec_id"), Seq("vec_id"))
+        .persist()
+      if (admitted.count() > 0) pending.set(Some(admitted))
+      else admitted.unpersist()
+      decisions
+    }
+  }
 }

@@ -243,6 +243,97 @@ class IndexLifecycleSpec extends SparkSpec {
       gateRows(Dedup.bestMatchAgainst(gate, scratch)))
   }
 
+  test("planned restart mid-loop: saveIndex/loadIndex resumes the closed loop identically") {
+    val corpus0 = docsDf(100L -> variant("u"))
+    val b1 = Seq(201L -> "restart loop wave one text with plenty of distinct words inside")
+    val b2 = Seq(301L -> "restart loop wave two text sharing nothing with wave one either")
+    val b3 = Seq(
+      401L -> "restart loop wave one text with plenty of distinct words inside", // copy of 201
+      402L -> "restart loop wave two text sharing nothing with wave one either", // copy of 301
+      403L -> "wave three novel text after the planned restart of the loop")
+
+    def drive(gate: DataFrame => DataFrame,
+        batches: Seq[Seq[(Long, String)]]): Seq[(Long, Option[Long], Option[Double], Boolean)] = {
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Option[Double], Boolean)]
+      val q = ms.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: DataFrame, _: Long) => out ++= gateRows(gate(b)); () }
+        .start()
+      try batches.foreach { batch => ms.addData(batch: _*); q.processAllAvailable() }
+      finally q.stop()
+      out.toSeq
+    }
+
+    // uninterrupted control: all three batches through one holder
+    val refA = new RefreshableCorpusIndex(Dedup.corpusIndex(corpus0))
+    val control = drive(StreamingDedup.novelNearCorpusIngest(refA), Seq(b1, b2, b3))
+
+    // planned restart: run b1+b2, then an EMPTY flush batch so b2's staged
+    // admissions fold (the lag — a planned shutdown drains the stage),
+    // save, "restart" into a NEW holder loaded from disk, run b3
+    val refB = new RefreshableCorpusIndex(Dedup.corpusIndex(corpus0))
+    val firstHalf = drive(StreamingDedup.novelNearCorpusIngest(refB), Seq(b1, b2, Seq.empty))
+    val path = java.nio.file.Files.createTempDirectory("graft-loop-idx").toString
+    Dedup.saveIndex(refB.current, path)
+    val refC = new RefreshableCorpusIndex(Dedup.loadIndex(spark, path))
+    val secondHalf = drive(StreamingDedup.novelNearCorpusIngest(refC), Seq(b3))
+
+    assert((firstHalf ++ secondHalf) == control,
+      s"resumed loop must decide like the uninterrupted one:\n  resumed: ${firstHalf ++ secondHalf}\n  control: $control")
+    // and the copies really rejected via the folded admissions
+    val byId = secondHalf.map(r => r._1 -> r).toMap
+    assert(!byId(401L)._4 && byId(401L)._2 == Some(201L))
+    assert(!byId(402L)._4 && byId(402L)._2 == Some(301L))
+    assert(byId(403L)._4)
+  }
+
+  test("closed ingest loop, vector side: admitted embeddings fold back lagged") {
+    import spark.implicits._
+    val e = operators.Tables.load(spark, sf(), "embeddings")
+    val corpus0 = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val b1 = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    // batch 2 = exact copies (new ids) of three b1 vectors that b1 ADMITS —
+    // they can only reject through the fold
+    val idx0 = Similarity.embedIndex(corpus0)
+    val admitted1 = Similarity.embedNoveltyAgainst(b1, idx0)
+      .filter(col("novel")).select("vec_id").limit(3)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted1.size == 3, s"need 3 admitted b1 vectors, got $admitted1")
+    val b2 = b1.filter(col("vec_id").isin(admitted1.toSeq: _*))
+      .withColumn("vec_id", col("vec_id") + 100000L)
+
+    val ref = new graft.operators.RefreshableEmbedIndex(idx0)
+    val gate = graft.streaming.StreamingSimilarity.novelAgainstIndexIngest(ref)
+
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float], Int)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Boolean)]
+    val q = ms.toDF().toDF("vec_id", "embedding", "label").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        results ++= gate(b).collect().map(r => (r.getAs[Long]("vec_id"),
+          Option(r.get(r.fieldIndex("best_match"))).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("novel")))
+        ()
+      }.start()
+    def rows(df: DataFrame): Seq[(Long, Seq[Float], Int)] =
+      df.select("vec_id", "embedding", "label").collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+    try {
+      ms.addData(rows(b1): _*); q.processAllAvailable()
+      ms.addData(rows(b2): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val byId = results.map(r => r._1 -> r).toMap
+    admitted1.foreach { id =>
+      assert(byId(id)._3, s"vector $id must be admitted in batch 1")
+      val copy = byId(id + 100000L)
+      assert(!copy._3 && copy._2 == Some(id),
+        s"exact copy of admitted $id must reject via the fold: $copy")
+    }
+  }
+
   test("refreshed embed index equals from-scratch on the testdata corpus") {
     val e = operators.Tables.load(spark, sf(), "embeddings")
     val idx0 = Similarity.embedIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0))
