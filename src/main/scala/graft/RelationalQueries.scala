@@ -939,6 +939,49 @@ object RelationalQueries {
     * unmatched probe rows), so a flash-sale hour of purchases splits at
     * runtime, while a hot CLICK hour needs salting (replicate the probe
     * row per salt shard) or an inner-join + anti-join decomposition. */
+  /** Two-sided BAND join — the symmetric sibling of
+    * [[eventsIntervalJoin]]: per ERROR event, the count/value of clicks
+    * within ±30 minutes (both endpoints inclusive) across all users — the
+    * "activity around an incident" correlation. Same manufactured-equi-key
+    * escape from the nested-loop plan, band form: bucket width = the full
+    * window span 2B, the error side explodes to its (≤ 2, deduplicated)
+    * covering buckets, clicks join once on their own bucket, and the exact
+    * band predicate stays as residual — a pair meets only in the click's
+    * bucket, so no dedup pass. [[graft.plans.BucketedIntervalJoinRule]]
+    * performs this same rewrite automatically for ad-hoc band joins; this
+    * operator is the explicit form the oracle checks. */
+  def eventsBandJoin(s: SparkSession, dir: String): DataFrame = {
+    val B = 1800000000L // half-width: 30 minutes in microseconds
+    val W = 2 * B // bucket width = window span
+    val ev = Tables.events(s, dir)
+    val probes = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("e_us"))
+      .withColumn("bucket", explode(array_distinct(array(
+        expr(s"(e_us - ${B}L) div ${W}L"), expr(s"(e_us + ${B}L) div ${W}L")))))
+    val matches = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("c_us"), cents(col("value")).as("c_v"))
+      .withColumn("bucket", expr(s"c_us div ${W}L"))
+    probes.join(matches,
+        probes("bucket") === matches("bucket") &&
+          col("c_us") >= col("e_us") - B && col("c_us") <= col("e_us") + B,
+        "left")
+      .groupBy("event_id")
+      .agg(count(col("c_us")).as("n_clicks"),
+        (coalesce(sum(col("c_v")), lit(0L)).cast("double") / 100.0).as("click_value"))
+      .orderBy("event_id")
+  }
+
+  val eventsBandJoinSql: String =
+    """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+      |  FROM events WHERE event_type = 'error'),
+      |c AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'click')
+      |SELECT e.event_id, count(c.c_us) AS n_clicks,
+      |  CAST(coalesce(sum(c.v), 0) AS DOUBLE)/100.0 AS click_value
+      |FROM e LEFT JOIN c ON c.c_us BETWEEN e.e_us - 1800000000 AND e.e_us + 1800000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** AS-OF JOIN — the other canonical time-correlation operator Spark has
     * no native form of (the trades⋈quotes shape): for every purchase, the
     * MOST RECENT click by the SAME user at or before the purchase (ties on
@@ -1036,6 +1079,7 @@ object RelationalQueries {
     "events_rate_window" -> eventsRateWindow _,
     "events_interval_join" -> eventsIntervalJoin _,
     "events_asof_join" -> eventsAsofJoin _,
+    "events_band_join" -> eventsBandJoin _,
     "agg_approx" -> approxAgg _,
     "agg_exact" -> exactAgg _,
     "agg_quantile_hist" -> histQuantile _,
@@ -1069,6 +1113,7 @@ object RelationalQueries {
     "events_rate_window" -> eventsRateWindowSql,
     "events_interval_join" -> eventsIntervalJoinSql,
     "events_asof_join" -> eventsAsofJoinSql,
+    "events_band_join" -> eventsBandJoinSql,
     "agg_approx" -> approxAggSql,
     "agg_exact" -> exactAggSql,
     "agg_quantile_hist" -> histQuantileSql,

@@ -6,12 +6,15 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-/** Optimizer rule: rewrite a KEYLESS trailing-window theta join into the
-  * bucketed equi join [[graft.RelationalQueries.eventsIntervalJoin]] builds
-  * by hand — the SparkSessionExtensions form of the same 100 TB lever, so
-  * ANY inner join shaped `r >= l - K AND r <= l` (epoch-micros windows,
-  * sequence-number windows) escapes BroadcastNestedLoopJoin without the
-  * query author knowing the trick.
+/** Optimizer rule: rewrite a KEYLESS trailing-window or BAND theta join
+  * into the bucketed equi join [[graft.RelationalQueries.eventsIntervalJoin]]
+  * builds by hand — the SparkSessionExtensions form of the same 100 TB
+  * lever, so ANY inner join shaped `r >= l − K1 AND r <= l [+ K2]`
+  * (trailing windows, symmetric bands `|a − b| ≤ K`, sequence-number
+  * windows) escapes BroadcastNestedLoopJoin without the query author
+  * knowing the trick. Bucket width = the window span K1 + K2; buckets are
+  * exact FLOOR divisions (sign-safe), and the probe side explodes to the
+  * (≤ 2, deduplicated) covering buckets.
   *
   * Match conditions (deliberately narrow — a rewrite rule must never fire
   * on a plan it cannot prove safe):
@@ -69,17 +72,27 @@ object BucketedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** `r <= l` / `r < l` (either operand order) → (l, r). */
-  private def upperBound(e: Expression): Option[(Attribute, Attribute)] = e match {
-    case LessThanOrEqual(r, l) =>
-      for (ra <- integralAttr(r); la <- integralAttr(l)) yield (la, ra)
-    case LessThan(r, l) =>
-      for (ra <- integralAttr(r); la <- integralAttr(l)) yield (la, ra)
-    case GreaterThanOrEqual(l, r) =>
-      for (ra <- integralAttr(r); la <- integralAttr(l)) yield (la, ra)
-    case GreaterThan(l, r) =>
-      for (ra <- integralAttr(r); la <- integralAttr(l)) yield (la, ra)
-    case _ => None
+  /** `r <= l + K2` / `r < l + K2` (either operand order; the bare
+    * `r <= l` form is K2 = 0) → (l, r, K2). Generalizes the trailing
+    * window to the two-sided BAND join `l − K1 ≤ r ≤ l + K2`
+    * (|a − b| ≤ K when K1 = K2). */
+  private def upperBound(e: Expression): Option[(Attribute, Attribute, Long)] = {
+    def shifted(x: Expression): Option[(Attribute, Long)] = x match {
+      case Add(l, k, _) =>
+        for (la <- integralAttr(l); kv <- positiveLit(k)) yield (la, kv)
+      case _ => integralAttr(x).map(la => (la, 0L))
+    }
+    e match {
+      case LessThanOrEqual(r, x) =>
+        for (ra <- integralAttr(r); (la, k2) <- shifted(x)) yield (la, ra, k2)
+      case LessThan(r, x) =>
+        for (ra <- integralAttr(r); (la, k2) <- shifted(x)) yield (la, ra, k2)
+      case GreaterThanOrEqual(x, r) =>
+        for (ra <- integralAttr(r); (la, k2) <- shifted(x)) yield (la, ra, k2)
+      case GreaterThan(x, r) =>
+        for (ra <- integralAttr(r); (la, k2) <- shifted(x)) yield (la, ra, k2)
+      case _ => None
+    }
   }
 
   private def sidesOf(a: Attribute, b: Attribute,
@@ -112,29 +125,40 @@ object BucketedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val window = if (hasEqui) None else {
         val lowers = conjuncts.flatMap(lowerBound)
         val uppers = conjuncts.flatMap(upperBound)
-        lowers.flatMap { case (l, r, k) =>
+        lowers.flatMap { case (l, r, k1) =>
           uppers.collect {
-            case (lu, ru) if lu.semanticEquals(l) && ru.semanticEquals(r) &&
-                sidesOf(l, r, left, right) => (l, r, k)
+            case (lu, ru, k2) if lu.semanticEquals(l) && ru.semanticEquals(r) &&
+                sidesOf(l, r, left, right) => (l, r, k1, k2)
           }
         }.headOption
       }
       window match {
-        case Some((l, r, k)) =>
+        case Some((l, r, k1, k2)) =>
           // which side holds the probe (l)?
           val (probe, matchSide, lOnLeft) =
             if (left.outputSet.contains(l)) (left, right, true)
             else (right, left, false)
-          val kLit = Literal(k, LongType)
-          def div(x: Expression): Expression =
-            IntegralDivide(Cast(x, LongType), kLit)
+          // bucket width = the full window span K1 + K2, so the interval
+          // [l − K1, l + K2] covers at most two consecutive buckets
+          val wLit = Literal(k1 + k2, LongType)
+          // exact FLOOR division for any sign (IntegralDivide truncates
+          // toward zero, which under-covers when l − K1 goes negative):
+          // fd(x) = (x − pmod(x, W)) div W
+          def fd(x: Expression): Expression = {
+            val cx = Cast(x, LongType)
+            IntegralDivide(Subtract(cx, Pmod(cx, wLit)), wLit)
+          }
           val bucketP = AttributeReference("graft_bucket_p", LongType)()
+          // the two covering buckets coincide when the interval sits inside
+          // one bucket — ArrayDistinct keeps the explode from emitting the
+          // same bucket twice (which would duplicate inner matches)
           val gen = Generate(
-            Explode(CreateArray(Seq(
-              Subtract(div(l), Literal(1L, LongType)), div(l)))),
+            Explode(ArrayDistinct(CreateArray(Seq(
+              fd(Subtract(Cast(l, LongType), Literal(k1, LongType))),
+              fd(Add(Cast(l, LongType), Literal(k2, LongType))))))),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(bucketP), child = probe)
-          val bucketM = Alias(div(r), "graft_bucket_m")()
+          val bucketM = Alias(fd(r), "graft_bucket_m")()
           val proj = Project(matchSide.output :+ bucketM, matchSide)
           val newCond = And(EqualTo(bucketP, bucketM.toAttribute), cond)
           val newJoin =

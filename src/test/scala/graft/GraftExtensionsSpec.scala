@@ -87,6 +87,28 @@ class GraftExtensionsSpec extends SparkSpec {
       val dyn = p.join(c, $"c_t" >= $"p_t" - $"pid" && $"c_t" <= $"p_t")
       assert(!dyn.queryExecution.executedPlan.toString.contains("graft_bucket"))
 
+      // positive 2: the two-sided BAND form `|a-b| <= K` rewrites too, and
+      // the floor-division buckets stay exact for NEGATIVE values (truncating
+      // division under-covers below zero — the crafted ids straddle 0)
+      val bp = (-200 until 200).map(i => (i.toLong, (i * 31 % 500 - 250).toLong))
+        .toDF("pid", "p_t")
+      val bc = (-200 until 200).map(i => ((i * 43 % 500 - 250).toLong, i.toLong))
+        .toDF("c_t", "cid")
+      val B = 60L
+      val band = bp.join(bc, $"c_t" >= $"p_t" - B && $"c_t" <= $"p_t" + B)
+      val bandPlan = band.queryExecution.executedPlan.toString
+      assert(!bandPlan.contains("BroadcastNestedLoopJoin") && bandPlan.contains("graft_bucket"),
+        s"band join must rewrite:\n${bandPlan.take(1200)}")
+      val bandGot = band.select("pid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bandWant = (for {
+        (pid, pt) <- (-200 until 200).map(i => (i.toLong, (i * 31 % 500 - 250).toLong))
+        (ct, cid) <- (-200 until 200).map(i => ((i * 43 % 500 - 250).toLong, i.toLong))
+        if ct >= pt - B && ct <= pt + B
+      } yield (pid, cid)).toSet
+      assert(bandGot == bandWant && bandWant.nonEmpty,
+        s"missing: ${(bandWant -- bandGot).take(5)}; extra: ${(bandGot -- bandWant).take(5)}")
+
       // negative 4: the rule is BATCH-ONLY — a stream-stream join's range
       // condition feeds state-watermark derivation, and the rewrite would
       // silently change cleanup; applied directly to the analyzed streaming
