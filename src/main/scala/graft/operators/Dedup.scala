@@ -1168,7 +1168,11 @@ object Dedup {
     /** Unpin this index's frames (executor-storage hygiene after a swap).
       * A pin whose plan is shared with another live operator (e.g. the
       * full-corpus shingle sets) just re-caches on that operator's next
-      * call — correctness is unaffected. */
+      * call — correctness is unaffected. A [[truncated]] index's frames
+      * are checkpoint RDDs rather than pins; their storage frees via the
+      * ContextCleaner once the index value is unreferenced, and a reader
+      * mid-query over a released frame recomputes from lineage — staleness
+      * costs speed, never correctness. */
     def release(): Unit = frames.foreach(PinnedCaches.unpin)
   }
 

@@ -21,22 +21,24 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *   - INNER join. A left-outer cannot ride the exploded probe side: both
   *     exploded rows of an unmatched probe would emit, and even a matched
   *     probe's OTHER bucket row would emit a spurious null row.
-  *   - the condition contains `r ≥ l − K` (or the strict form) and
-  *     `r ≤ l` (or strict) on the SAME integral attributes, `l` from one
-  *     side and `r` from the other, `K` a positive integral literal.
+  *   - the condition contains `r ≥ l − K1` (or the strict form) and
+  *     `r ≤ l` or `r ≤ l + K2` (or strict) on the SAME integral
+  *     attributes, `l` from one side and `r` from the other, K1/K2
+  *     positive integral literals (K2 absent = 0).
   *   - NO equi predicate between the sides already exists (if one does,
   *     Spark already plans a hash/sort-merge join and bucketing would only
   *     add work).
   *
-  * Rewrite: the probe side gains `explode(array(l div K − 1, l div K))`
-  * (trunc division — the two buckets cover `[l−K, l]` for every `l`,
-  * including the degenerate `0 ≤ l < K` corner, because bucket(l−K) ∈
-  * {bucket(l)−1, bucket(l)} by monotonicity), the match side gains
-  * `r div K`, the join gains the manufactured equi key with the ORIGINAL
-  * condition kept as residual, and a Project restores the original output.
-  * A pair can only meet in the match row's own bucket, so the 2× explode
-  * never duplicates an inner match. The rule is idempotent: the rewritten
-  * join HAS an equi predicate, so it can never match again (safe in a
+  * Rewrite: with W = K1 + K2 and fd the exact floor division, the probe
+  * side gains `explode(array_distinct(array(fd(l − K1), fd(l + K2))))` —
+  * the interval `[l − K1, l + K2]` has width W, so it covers at most two
+  * consecutive W-buckets, and array_distinct keeps a one-bucket interval
+  * from emitting the same probe row twice. The match side gains `fd(r)`,
+  * the join gains the manufactured equi key with the ORIGINAL condition
+  * kept as residual, and a Project restores the original output. A pair
+  * can only meet in the match row's own bucket, so the explode never
+  * duplicates an inner match. The rule is idempotent: the rewritten join
+  * HAS an equi predicate, so it can never match again (safe in a
   * fixed-point batch). */
 object BucketedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -78,7 +80,9 @@ object BucketedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * (|a − b| ≤ K when K1 = K2). */
   private def upperBound(e: Expression): Option[(Attribute, Attribute, Long)] = {
     def shifted(x: Expression): Option[(Attribute, Long)] = x match {
-      case Add(l, k, _) =>
+      case Add(l, k, _) if positiveLit(k).nonEmpty =>
+        for (la <- integralAttr(l); kv <- positiveLit(k)) yield (la, kv)
+      case Add(k, l, _) if positiveLit(k).nonEmpty => // literal-first spelling
         for (la <- integralAttr(l); kv <- positiveLit(k)) yield (la, kv)
       case _ => integralAttr(x).map(la => (la, 0L))
     }
