@@ -36,7 +36,9 @@ object Ingest {
       budget: Long = 512L,
       rates: Map[String, Double] = Sampling.DefaultRates,
       defaultRate: Double = Sampling.DefaultRate,
-      once: Boolean = false)
+      once: Boolean = false,
+      nearIndex: Option[String] = None,
+      nearThreshold: Double = 0.8)
 
   def parseArgs(args: Seq[String]): Config = {
     def loop(rest: List[String], c: Config): Config = rest match {
@@ -50,19 +52,50 @@ object Ingest {
         case _ => throw new IllegalArgumentException(s"bad --rate-for (want source=rate): $v")
       }
       case "--once" :: t => loop(t, c.copy(once = true))
+      // NEAR-dup admission against a LIVING corpus index persisted at this
+      // path: loaded at start if present (else the run starts from an
+      // empty index), each batch's admissions fold back lagged one batch,
+      // and every fold re-persists — restarts resume the index instead of
+      // re-admitting history (StreamingDedup.novelNearCorpusIngest +
+      // Dedup.saveIndex/loadIndex)
+      case "--near-index" :: v :: t => loop(t, c.copy(nearIndex = Some(v)))
+      case "--near-threshold" :: v :: t =>
+        loop(t, c.copy(nearThreshold = v.toDouble))
       case Nil =>
         require(c.src.nonEmpty && c.out.nonEmpty && c.checkpoint.nonEmpty,
           "--src, --out, and --checkpoint are required")
         c
       case other :: _ => throw new IllegalArgumentException(
         s"unknown flag: $other (supported: --src <dir> --out <path> --checkpoint <dir> " +
-          "--budget <tokens> --rate <r> --rate-for <source=r> --once)")
+          "--budget <tokens> --rate <r> --rate-for <source=r> --once " +
+          "--near-index <path> --near-threshold <t>)")
     }
     loop(args.toList, Config())
   }
 
   private val srcSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT")
+
+  /** Build the near-dup admission gate from `--near-index`: load the
+    * persisted index when one exists at the path, else start from an
+    * empty-corpus index (an empty Bloom word table makes every probe a
+    * definite miss, so everything is novel until folds accumulate). */
+  private[graft] def nearGate(spark: SparkSession,
+      config: Config): Option[graft.streaming.StreamingDedup.IngestGate] =
+    config.nearIndex.map { path =>
+      import graft.operators.{Dedup, RefreshableCorpusIndex}
+      val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
+      val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val idx0 =
+        if (fs.exists(meta)) Dedup.loadIndex(spark, path)
+        else {
+          import spark.implicits._
+          Dedup.corpusIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+        }
+      graft.streaming.StreamingDedup.novelNearCorpusIngest(
+        new RefreshableCorpusIndex(idx0), config.nearThreshold,
+        saveEachFold = Some(path))
+    }
 
   def main(args: Array[String]): Unit = {
     val config = parseArgs(args.toSeq)
@@ -71,10 +104,15 @@ object Ingest {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     val in = spark.readStream.schema(srcSchema).parquet(config.src)
+    val gate = nearGate(spark, config)
     val query = StreamingCuration.ingestTo(spark, in, config.out, config.checkpoint,
       budget = config.budget, rates = config.rates, defaultRate = config.defaultRate,
-      availableNow = config.once)
+      availableNow = config.once, nearGate = gate)
     sys.addShutdownHook { query.stop() }
     query.awaitTermination()
+    // clean shutdown: fold + persist the final batch's staged admissions
+    // (the lag defers every fold to the next batch; a terminated --once
+    // run has none, so the flush IS that next step)
+    gate.foreach(_.flush())
   }
 }

@@ -54,10 +54,32 @@ object SketchHashes {
     sig
   }
 
+  /** `(a * s) mod (2^61 - 1)` with FULL 128-bit intermediate — the
+    * multipliers are 61-bit, so `a * s` overflows a Long and a bare `%`
+    * would silently compute garbage. Mersenne reduction: with
+    * x = hi·2^64 + lo and 2^61 ≡ 1 (mod p), x ≡ hi·8 + (lo >>> 61) +
+    * (lo & p); hi < 2^58 for 61-bit operands so hi·8 never overflows. */
+  def mulModM61(a: Long, s: Long): Long = {
+    val p = 2305843009213693951L // 2^61 - 1
+    val hi = Math.multiplyHigh(a, s)
+    val lo = a * s // low 64 bits (operands nonneg, hi carries the rest)
+    var r = (hi << 3) + (lo >>> 61) + (lo & p)
+    while (r >= p) r -= p
+    r
+  }
+
   /** All `k` affine minhashes `min_s (a_j * s + b_j) mod p` of a NON-EMPTY
     * bigint array in one traversal (each element read once, all seeds
     * updated in registers) — replacing k interpreted
-    * `array_min(transform(...))` lambda passes. */
+    * `array_min(transform(...))` lambda passes.
+    *
+    * `p` must be 2^61 − 1 (the multiply runs through [[mulModM61]]); the
+    * multipliers are full 61-bit values — the r10 gate leak exposed that
+    * small multipliers make the "permutation" ORDER-PRESERVING (`a·s + b`
+    * never wraps when `a·s < p`, so every seed's argmin is the global
+    * minimum shingle and all 32 minhashes collapse to one order
+    * statistic; a near-dup differing in its minimum shingle then shares
+    * ZERO bands at any similarity). */
   def affineMinHashes(shs: ArrayData, as: Array[Long], bs: Array[Long],
       p: Long): ArrayData = {
     val n = shs.numElements()
@@ -68,7 +90,8 @@ object SketchHashes {
       val s = shs.getLong(i)
       var j = 0
       while (j < k) {
-        val h = (as(j) * s + bs(j)) % p
+        var h = mulModM61(as(j), s) + bs(j) // both < p; sum < 2p
+        if (h >= p) h -= p
         if (h < mins(j)) mins(j) = h
         j += 1
       }

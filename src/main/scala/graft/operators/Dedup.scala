@@ -486,8 +486,17 @@ object Dedup {
     * hash supplies the uniformity); they are interpolated verbatim into the
     * oracle SQL, so operator and oracle share one source of truth. */
   private[operators] val MinHashP: Long = 2305843009213693951L // 2^61 - 1
-  private[operators] def hashA(i: Int): Long = 4097L + 257L * i // < 2^14
-  private[operators] def hashB(i: Int): Long = 1000003L * (i + 1)
+  // FULL 61-bit multipliers (golden/mix constants spread by seed index,
+  // reduced mod p at init): a small multiplier never wraps `a*s + b` past
+  // p for 48-bit shingle hashes, which makes the map ORDER-PRESERVING and
+  // collapses every minhash to the global-min shingle (zero bands shared
+  // by near-dups that differ in their minimum — the r10 gate leak). Both
+  // engines consume the INTERPOLATED LITERAL values, with the multiply in
+  // 128 bits (SketchHashes.mulModM61 / DuckDB HUGEINT).
+  private[operators] def hashA(i: Int): Long =
+    ((BigInt("9E3779B97F4A7C15", 16) * (i + 1)) mod BigInt(MinHashP - 1)).toLong + 1L
+  private[operators] def hashB(i: Int): Long =
+    ((BigInt("C2B2AE3D27D4EB4F", 16) * (i + 1)) mod BigInt(MinHashP)).toLong
 
   /** Per-doc distinct 3-word shingle set as a SORTED BIGINT array: shingles
     * are hashed to 48-bit ints at build time (map-side, no explode/shuffle),
@@ -727,7 +736,10 @@ object Dedup {
     * [[clustersSql]]. */
   private[operators] val minhashPairsCoreSql: String = {
     val hashDefs = (0 until NumHashes).map(i =>
-      s"    list_min(list_transform(shs, s -> (${hashA(i)} * s + ${hashB(i)}) % $MinHashP)) AS h$i")
+      // HUGEINT: the 61-bit multiplier times a 48-bit shingle hash
+      // overflows BIGINT; the 128-bit product reduces exactly like
+      // SketchHashes.mulModM61
+      s"    list_min(list_transform(shs, s -> CAST((${hashA(i)}::HUGEINT * s + ${hashB(i)}) % $MinHashP AS BIGINT))) AS h$i")
       .mkString(",\n")
     val bandSelects = (0 until NumHashes / BandRows).map { b =>
       val cs = (b * BandRows until (b + 1) * BandRows)

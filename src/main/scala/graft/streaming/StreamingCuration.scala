@@ -209,13 +209,22 @@ object StreamingCuration {
       checkpointDir: String, budget: Long = 512,
       rates: Map[String, Double] = Sampling.DefaultRates,
       defaultRate: Double = Sampling.DefaultRate,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      nearGate: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val bases = new AtomicReference[Map[String, Long]](null)
     val w = curated(stream, rates, defaultRate).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (bases.get == null) bases.set(basesFromSink(spark, outPath, batchId))
-        val packed = packBatch(batch, bases.get, budget).persist()
+        // optional NEAR-dup admission against the living corpus index
+        // (StreamingDedup.novelNearCorpusIngest): non-novel docs drop here,
+        // before packing; the gate folds admissions back lagged one batch,
+        // so a replayed batch re-gates identically
+        val admitted = nearGate.map { g =>
+          batch.join(g(batch).filter(org.apache.spark.sql.functions.col("novel"))
+            .select("doc_id"), Seq("doc_id"))
+        }.getOrElse(batch)
+        val packed = packBatch(admitted, bases.get, budget).persist()
         try {
           packed.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
           val deltas = packed.groupBy("source").agg(sum("n_tokens").as("t"))

@@ -133,13 +133,36 @@ object StreamingDedup {
     * compose [[firstOccurrences]] upstream so a batch never carries its
     * own copies. */
   def novelNearCorpusIngest(ref: graft.operators.RefreshableCorpusIndex,
-      threshold: Double = 0.8): DataFrame => DataFrame = {
-    val pending = new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
-    batch => {
-      pending.getAndSet(None).foreach { p =>
-        ref.fold(p)
-        p.unpersist()
-      }
+      threshold: Double = 0.8,
+      saveEachFold: Option[String] = None): IngestGate =
+    new IngestGate(ref, threshold, saveEachFold)
+
+  /** The closed-loop gate as a value ([[novelNearCorpusIngest]] builds
+    * one): apply() is the per-micro-batch transform; [[flush]] folds the
+    * still-staged final batch at clean shutdown — without it a one-batch
+    * `Trigger.AvailableNow` run would never fold at all (the lag defers
+    * every fold to the NEXT batch, and a terminated query has none). */
+  final class IngestGate(ref: graft.operators.RefreshableCorpusIndex,
+      threshold: Double, saveEachFold: Option[String])
+      extends (DataFrame => DataFrame) {
+    private val pending =
+      new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+
+    /** Fold whatever is staged (and persist, when configured). Safe to
+      * call at any quiet point; the next batch then gates against the
+      * folded index. */
+    def flush(): Unit = pending.getAndSet(None).foreach { p =>
+      ref.fold(p)
+      // the persistence recipe inline: each fold lands on disk, so a
+      // restarted loop loads the index instead of rebuilding (closes
+      // most of the staged-batch crash window; IndexLifecycleSpec's
+      // planned-restart test proves the load path)
+      saveEachFold.foreach(path => graft.operators.Dedup.saveIndex(ref.current, path))
+      p.unpersist()
+    }
+
+    override def apply(batch: DataFrame): DataFrame = {
+      flush()
       val decisions = graft.operators.Dedup.bestMatchAgainst(batch, ref.current, threshold)
       // stage THIS batch's admissions MATERIALIZED (persist + count): a
       // foreachBatch frame's backing data is only guaranteed during its

@@ -172,6 +172,78 @@ class StreamingCurationSpec extends SparkSpec {
       s"an evicted fingerprint must re-admit: ${sunk.asScala.toSet}")
   }
 
+  test("--near-index admission across --once runs: variants of persisted admissions drop before packing") {
+    val docs = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text", "source", "n_chars")
+    val runA = docs.filter(col("doc_id") < 60)
+    val idxPath = Files.createTempDirectory("graft_near_idx").toString + "/idx"
+
+    def gateFor(): graft.streaming.StreamingDedup.IngestGate =
+      Ingest.nearGate(spark, Ingest.Config(src = "s", out = "o", checkpoint = "c",
+        nearIndex = Some(idxPath))).get
+
+    def drive(srcDir: String, outPath: String, ckpt: String,
+        gate: Option[graft.streaming.StreamingDedup.IngestGate]): Unit = {
+      val in = spark.readStream.schema(docs.schema).parquet(srcDir)
+      val q = StreamingCuration.ingestTo(spark, in, outPath, ckpt,
+        availableNow = true, nearGate = gate)
+      assert(q.awaitTermination(180000L))
+      gate.foreach(_.flush()) // the --once clean-shutdown fold + persist
+    }
+
+    // gated pipeline and ungated CONTROL consume identical file sequences
+    val (srcG, outG, ckptG) = (Files.createTempDirectory("graft_ni_src").toString,
+      Files.createTempDirectory("graft_ni_out").toString + "/packed",
+      Files.createTempDirectory("graft_ni_ck").toString)
+    val (srcC, outC, ckptC) = (Files.createTempDirectory("graft_nic_src").toString,
+      Files.createTempDirectory("graft_nic_out").toString + "/packed",
+      Files.createTempDirectory("graft_nic_ck").toString)
+
+    addFile(runA, srcG, "a.parquet"); addFile(runA, srcC, "a.parquet")
+    drive(srcG, outG, ckptG, Some(gateFor())) // run 1: fresh (empty) index
+    val packed1 = spark.read.parquet(outG).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(packed1.nonEmpty)
+
+    // run 2 input: one-word variants of three run-1 PACKED docs (near-dups
+    // at the shingle level, not exact — the in-stream exact dedup cannot
+    // catch them) plus untouched later docs
+    // many candidates: the curation pipeline's content-hash mixture
+    // sampling legitimately drops some variants (new text => new hash), so
+    // the assertion calibrates on the ones the CONTROL run keeps
+    val variantBase = docs.filter(col("doc_id").isin(packed1.take(15).toSeq: _*))
+    val variants = variantBase.select(
+      (col("doc_id") + 10000L).as("doc_id"),
+      concat(col("text"), lit(" extravariantword")).as("text"),
+      col("source"), (col("n_chars") + 17L).as("n_chars"))
+    val runB = variants.unionByName(
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 90))
+    addFile(runB, srcG, "b.parquet"); addFile(runB, srcC, "b.parquet")
+
+    // gated run 2 resumes from the PERSISTED index (a fresh gate instance
+    // — the daemon restarted); control runs ungated
+    drive(srcG, outG, ckptG, Some(gateFor()))
+    drive(srcC, outC, ckptC, None)
+
+    val gated = spark.read.parquet(outG).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val control = spark.read.parquet(outC).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val variantIds = packed1.take(15).map(_ + 10000L)
+    // the surviving variants clear every curation filter (control keeps
+    // them)…
+    val survivors = variantIds.intersect(control)
+    assert(survivors.size >= 3,
+      s"need >= 3 variants surviving the control filters, got $survivors")
+    // …so their absence from the gated run is the near-index admission
+    assert(survivors.forall(!gated.contains(_)),
+      s"near variants must be rejected by the persisted index: ${survivors.intersect(gated)}")
+    // and genuinely new docs still flow through the gated pipeline
+    val freshKept = control.filter(id => id >= 60 && id < 90)
+    assert(freshKept.nonEmpty && freshKept.subsetOf(gated),
+      "fresh docs must pack identically with the gate on")
+  }
+
   test("dedup TTL variant: evicted fingerprints re-admit past the horizon") {
     ttlScenario()
   }
