@@ -967,20 +967,52 @@ object TextAnalysis {
     * reduce to ONE row that broadcast-joins back; the top-k is
     * TakeOrderedAndProject (per-partition heaps), never a global sort or a
     * partitionless window. One scan + one scalar-row reduce per query. */
-  def bm25TopK(docs: DataFrame,
-      terms: Seq[String] = Seq("merge", "window", "hash"),
-      k: Int = 20): DataFrame = {
-    val (k1, b) = (1.2, 0.75)
-    val base = Tables.fanOut(docs)
+  /** Per-doc BM25 term frequencies + length (map-side). */
+  private def bm25Base(docs: DataFrame, terms: Seq[String]): DataFrame =
+    Tables.fanOut(docs)
       .select(col("doc_id"), toks.as("ws"))
       .select(col("doc_id") +: size(col("ws")).cast("long").as("dl") +:
         terms.map(t =>
           size(filter(col("ws"), w => w === lit(t))).cast("long").as(s"tf_$t")): _*)
-    val stats = base.agg(
+
+  /** The BM25 corpus-statistics row `(n_docs, total_dl, df_<term>…)` — the
+    * retrieval artifact a deployment materializes once and every query
+    * broadcasts. All additive BIGINTs, which is what makes
+    * [[refreshBm25Stats]] exact. */
+  def bm25Stats(docs: DataFrame,
+      terms: Seq[String] = Seq("merge", "window", "hash")): DataFrame =
+    bm25Base(docs, terms).agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_dl") +:
         terms.map(t =>
           sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+
+  /** INDEX LIFECYCLE, retrieval-stats side: fold a batch of new documents
+    * into an existing [[bm25Stats]] row. Every component is an additive
+    * BIGINT (doc count, token count, per-term doc frequencies), so the
+    * refreshed row EQUALS a from-scratch build over the union corpus
+    * bit-for-bit — no approximation clause needed, unlike sketch
+    * refreshes. Cost: one aggregation over the BATCH. (The PQ/IVF
+    * codebooks deliberately do NOT refresh this way: codebooks train once
+    * and new vectors encode against the FROZEN codebooks — the standard
+    * vector-index practice; their encode tables append per-vector exactly
+    * like [[graft.operators.Similarity.refreshEmbedIndex]]'s quantized
+    * rows.) */
+  def refreshBm25Stats(stats: DataFrame, newDocs: DataFrame,
+      terms: Seq[String] = Seq("merge", "window", "hash")): DataFrame = {
+    val cols = "n_docs" +: "total_dl" +: terms.map(t => s"df_$t")
+    stats.unionByName(bm25Stats(newDocs, terms))
+      .agg(sum(col(cols.head)).as(cols.head),
+        cols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** [[bm25TopK]] scoring against a PROVIDED stats row — the form a
+    * refreshed-stats deployment queries ([[refreshBm25Stats]]). */
+  def bm25TopKWith(docs: DataFrame, stats: DataFrame,
+      terms: Seq[String] = Seq("merge", "window", "hash"),
+      k: Int = 20): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val base = bm25Base(docs, terms)
     // avgdl and the per-doc length norm: every step an exactly-rounded op
     // in a FIXED order mirrored by the oracle
     val scored = base.crossJoin(broadcast(stats))
@@ -998,6 +1030,11 @@ object TextAnalysis {
       .select(col("doc_id") +: terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  def bm25TopK(docs: DataFrame,
+      terms: Seq[String] = Seq("merge", "window", "hash"),
+      k: Int = 20): DataFrame =
+    bm25TopKWith(docs, bm25Stats(docs, terms), terms, k)
 
   /** Shared oracle CTE chain (d/s/n/bmscore): per-doc BM25 scores for the
     * fixed term set — ONE definition composed by [[bm25TopKSql]] and the

@@ -352,4 +352,19 @@ class IndexLifecycleSpec extends SparkSpec {
     val want = Similarity.embedNoveltyAgainst(gate, scratch).collect().toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("BM25 corpus stats refresh is bit-exact (additive BIGINT fold)") {
+    val docs = operators.Tables.load(spark, sf(), "documents")
+    val a = docs.filter(pmod(col("doc_id"), lit(3)) < 2)
+    val b = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val refreshed = operators.TextAnalysis.refreshBm25Stats(
+      operators.TextAnalysis.bm25Stats(a), b)
+    val scratch = operators.TextAnalysis.bm25Stats(docs)
+    assert(refreshed.collect().toSeq == scratch.collect().toSeq)
+    // and scoring through the refreshed row equals the one-shot operator
+    val viaRefreshed = operators.TextAnalysis.bm25TopKWith(docs, refreshed)
+      .collect().toSeq
+    val oneShot = operators.TextAnalysis.bm25TopK(docs).collect().toSeq
+    assert(viaRefreshed == oneShot && oneShot.nonEmpty)
+  }
 }
