@@ -104,6 +104,27 @@ object BucketedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     (left.outputSet.contains(a) && right.outputSet.contains(b)) ||
       (left.outputSet.contains(b) && right.outputSet.contains(a))
 
+  /** The single-conjunct band spelling `abs(l − r) <= K` / `abs(l − r) < K`
+    * (either subtraction order; abs is symmetric) → (l, r, K, K). */
+  private def absBand(e: Expression): Option[(Attribute, Attribute, Long, Long)] = {
+    def diff(x: Expression): Option[(Attribute, Attribute)] = x match {
+      case Abs(Subtract(a, b, _), _) =>
+        for (aa <- integralAttr(a); bb <- integralAttr(b)) yield (aa, bb)
+      case _ => None
+    }
+    e match {
+      case LessThanOrEqual(x, k) =>
+        for ((a, b) <- diff(x); kv <- positiveLit(k)) yield (a, b, kv, kv)
+      case LessThan(x, k) =>
+        for ((a, b) <- diff(x); kv <- positiveLit(k)) yield (a, b, kv, kv)
+      case GreaterThanOrEqual(k, x) =>
+        for ((a, b) <- diff(x); kv <- positiveLit(k)) yield (a, b, kv, kv)
+      case GreaterThan(k, x) =>
+        for ((a, b) <- diff(x); kv <- positiveLit(k)) yield (a, b, kv, kv)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // BATCH-ONLY: a stream-stream join derives its state watermark bounds
     // from the range predicate on the watermarked columns; replacing that
@@ -135,6 +156,10 @@ object BucketedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                 sidesOf(l, r, left, right) => (l, r, k1, k2)
           }
         }.headOption
+          // the one-conjunct abs spelling of the symmetric band
+          .orElse(conjuncts.flatMap(absBand).collectFirst {
+            case (a, b, k1, k2) if sidesOf(a, b, left, right) => (a, b, k1, k2)
+          })
       }
       window match {
         case Some((l, r, k1, k2)) =>

@@ -109,6 +109,17 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(bandGot == bandWant && bandWant.nonEmpty,
         s"missing: ${(bandWant -- bandGot).take(5)}; extra: ${(bandGot -- bandWant).take(5)}")
 
+      // positive 3: the one-conjunct `abs(a - b) <= K` spelling rewrites to
+      // the same symmetric band and matches the quadratic ground truth
+      val absBand = bp.join(bc, org.apache.spark.sql.functions.abs($"p_t" - $"c_t") <= B)
+      val absPlan = absBand.queryExecution.executedPlan.toString
+      assert(!absPlan.contains("BroadcastNestedLoopJoin") && absPlan.contains("graft_bucket"),
+        s"abs band join must rewrite:\n${absPlan.take(1200)}")
+      val absGot = absBand.select("pid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(absGot == bandWant,
+        s"abs missing: ${(bandWant -- absGot).take(5)}; extra: ${(absGot -- bandWant).take(5)}")
+
       // negative 4: the rule is BATCH-ONLY — a stream-stream join's range
       // condition feeds state-watermark derivation, and the rewrite would
       // silently change cleanup; applied directly to the analyzed streaming
