@@ -353,6 +353,27 @@ object Similarity {
     EmbedIndex(qc, cb, oversized, bucketCap)
   }
 
+  /** Persist an [[EmbedIndex]] (components + refresh bookkeeping + knobs)
+    * — [[graft.operators.Dedup.saveIndex]]'s vector twin. */
+  def saveEmbedIndex(idx: EmbedIndex, path: String): Unit = {
+    val spark = idx.qc.sparkSession
+    import spark.implicits._
+    idx.qc.write.mode("overwrite").parquet(s"$path/qc")
+    idx.cb.write.mode("overwrite").parquet(s"$path/cb")
+    idx.oversized.write.mode("overwrite").parquet(s"$path/oversized")
+    Seq(idx.bucketCap).toDF("bucket_cap")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveEmbedIndex]]ed index (components pinned, cap restored). */
+  def loadEmbedIndex(spark: org.apache.spark.sql.SparkSession, path: String): EmbedIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    def pinned(name: String): DataFrame =
+      PinnedCaches.pin(spark.read.parquet(s"$path/$name"))
+    EmbedIndex(pinned("qc"), pinned("cb"), pinned("oversized"),
+      meta.getAs[Int]("bucket_cap"))
+  }
+
   /** INDEX LIFECYCLE, vector side — fold a batch of new embeddings into an
     * existing [[EmbedIndex]]: quantize ONLY the batch, append its LSH
     * bucket rows, and re-apply the bucket cap on true combined sizes (a

@@ -351,6 +351,16 @@ class IndexLifecycleSpec extends SparkSpec {
     val got = Similarity.embedNoveltyAgainst(gate, refreshed).collect().toSeq
     val want = Similarity.embedNoveltyAgainst(gate, scratch).collect().toSeq
     assert(got == want && got.nonEmpty)
+    // save/load round trip, vector side: a loaded index gates and
+    // refreshes identically (bookkeeping survives)
+    val path = java.nio.file.Files.createTempDirectory("graft-eidx").toString
+    Similarity.saveEmbedIndex(idx0, path)
+    val loaded = Similarity.loadEmbedIndex(spark, path)
+    assert(loaded.bucketCap == idx0.bucketCap)
+    val refreshed2 = Similarity.refreshEmbedIndex(loaded,
+      e.filter(pmod(col("vec_id"), lit(3)) === 1))
+    assert(qcSet(refreshed2) == qcSet(scratch) && cbSet(refreshed2) == cbSet(scratch))
+    assert(Similarity.embedNoveltyAgainst(gate, refreshed2).collect().toSeq == want)
   }
 
   test("BM25 corpus stats refresh is bit-exact (additive BIGINT fold)") {
