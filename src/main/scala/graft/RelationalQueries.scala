@@ -917,13 +917,13 @@ object RelationalQueries {
     * p.ts - 1h AND p.ts`) plans as BroadcastNestedLoopJoin — a quadratic
     * scan that is the canonical 100 TB killer, and a global-time window
     * would be a partitionless sort (banned registry-wide). The bucketed
-    * form MANUFACTURES the equi key: hour-width buckets (`us div H` —
-    * width = interval length), each probe interval `[t−H, t]` covered by
-    * the two consecutive buckets `{t div H − 1, t div H}`: `(t−H) div H =
-    * t div H − 1` identically for `t ≥ H` (every epoch-micros timestamp),
-    * and for the degenerate `0 ≤ t < H` truncating division still keeps
-    * `bucket(t−H) ∈ {bucket(t)−1, bucket(t)}`, so monotonicity bounds every
-    * member's bucket inside the probe set. The purchase side explodes 2× and the
+    * form MANUFACTURES the equi key: hour-width buckets (exact floor
+    * division `fd(us) = (us − pmod(us, H)) div H` — width = interval
+    * length), each probe interval `[t−H, t]` covered by the two consecutive
+    * buckets `{fd(t) − 1, fd(t)}`: with TRUE floor, `fd(t−H) = fd(t) − 1`
+    * identically for every integer timestamp, negative epoch-micros
+    * included (truncating `div` would round toward zero below 0 and
+    * under-cover — spec-pinned). The purchase side explodes 2× and the
     * join is ONE shuffle on `bucket` with the precise range predicate as a
     * residual filter. A (purchase, click) pair can only meet in the click's
     * own bucket, so the 2× explode never duplicates a match and no dedup
@@ -952,15 +952,31 @@ object RelationalQueries {
     * operator is the explicit form the oracle checks. */
   def eventsBandJoin(s: SparkSession, dir: String): DataFrame = {
     val B = 1800000000L // half-width: 30 minutes in microseconds
-    val W = 2 * B // bucket width = window span
     val ev = Tables.events(s, dir)
-    val probes = ev.filter(col("event_type") === "error")
-      .select(col("event_id"), unix_micros(col("ts")).as("e_us"))
-      .withColumn("bucket", explode(array_distinct(array(
-        expr(s"(e_us - ${B}L) div ${W}L"), expr(s"(e_us + ${B}L) div ${W}L")))))
-    val matches = ev.filter(col("event_type") === "click")
-      .select(unix_micros(col("ts")).as("c_us"), cents(col("value")).as("c_v"))
-      .withColumn("bucket", expr(s"c_us div ${W}L"))
+    bandJoinCore(
+      ev.filter(col("event_type") === "error")
+        .select(col("event_id"), unix_micros(col("ts")).as("e_us")),
+      ev.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("c_us"), cents(col("value")).as("c_v")),
+      B)
+  }
+
+  /** The bucketed-join core of [[eventsBandJoin]] over already-projected
+    * `(event_id, e_us)` probes and `(c_us, c_v)` matches — factored out
+    * (like [[intervalJoinCore]]) so the boundary spec can drive crafted
+    * epoch-micros through the REAL operator. Buckets use EXACT floor
+    * division (`(x − pmod(x, W)) div W` — the same spelling as
+    * [[graft.plans.BucketedIntervalJoinRule]]): Spark's `div` truncates
+    * toward zero, which under-covers below zero, so pre-1970 / negative
+    * timestamps would silently drop pairs the BETWEEN oracle keeps
+    * (spec-pinned on a domain straddling 0). */
+  private[graft] def bandJoinCore(errors: DataFrame, clicks: DataFrame,
+      B: Long): DataFrame = {
+    val W = 2 * B // bucket width = window span
+    def fd(x: String) = s"(($x) - pmod(($x), ${W}L)) div ${W}L"
+    val probes = errors.withColumn("bucket", explode(array_distinct(array(
+      expr(fd(s"e_us - ${B}L")), expr(fd(s"e_us + ${B}L"))))))
+    val matches = clicks.withColumn("bucket", expr(fd("c_us")))
     probes.join(matches,
         probes("bucket") === matches("bucket") &&
           col("c_us") >= col("e_us") - B && col("c_us") <= col("e_us") + B,
@@ -1051,9 +1067,14 @@ object RelationalQueries {
     * operator rather than a re-implementation. */
   private[graft] def intervalJoinCore(purchases: DataFrame, clicks: DataFrame): DataFrame = {
     val H = 3600000000L // interval (and bucket) width, microseconds
+    // EXACT floor division for the bucket key (the BucketedIntervalJoinRule
+    // spelling): with true floor, fd(t − H) = fd(t) − 1 identically for ALL
+    // integers — including negative epoch-micros, where truncating `div`
+    // rounds toward zero and under-covers (spec-pinned straddling 0)
+    def fd(x: String) = s"(($x) - pmod(($x), ${H}L)) div ${H}L"
     val probes = purchases.withColumn("bucket", explode(array(
-      expr(s"p_us div ${H}L - 1L"), expr(s"p_us div ${H}L"))))
-    val matches = clicks.withColumn("bucket", expr(s"c_us div ${H}L"))
+      expr(s"${fd("p_us")} - 1L"), expr(fd("p_us")))))
+    val matches = clicks.withColumn("bucket", expr(fd("c_us")))
     probes.join(matches,
         probes("bucket") === matches("bucket") &&
           col("c_us") >= col("p_us") - H && col("c_us") <= col("p_us"),

@@ -20,10 +20,12 @@ package graft.streaming
   *     arbitrary representative tag (audit breadcrumb, not a key).
   *   - replay idempotence: a replayed `foreachBatch` re-sends a
   *     byte-identical insert block, and ClickHouse's insert-block
-  *     deduplication (`replicated_deduplication_window` /
-  *     `non_replicated_deduplication_window`) drops it whole — the
-  *     ClickHouse-native form of the Derby dialect's probe-then-insert
-  *     transaction. Determinism of the block is guaranteed upstream: delta
+  *     deduplication drops it whole — the ClickHouse-native form of the
+  *     Derby dialect's probe-then-insert transaction. The DDL ENABLES this
+  *     explicitly (`SETTINGS non_replicated_deduplication_window = 1000`):
+  *     on a plain non-replicated MergeTree the window defaults to 0 (dedup
+  *     OFF), so the guarantee would otherwise hold only on Replicated*
+  *     tables. Determinism of the block is guaranteed upstream: delta
   *     rows replay identically from the versioned state store, and
   *     [[insert]] renders them in a canonical sort.
   *   - reads always re-aggregate (`sum(value) GROUP BY key`): merges are
@@ -39,7 +41,16 @@ object ClickHouseSql {
 
   /** The metric table DDL. `value` is the only summed column; the
     * `(source, batch_id)` tag survives as an any-representative audit
-    * column after merges. */
+    * column after merges.
+    *
+    * The explicit `non_replicated_deduplication_window` SETTING is
+    * load-bearing for the replay contract: on a plain (non-replicated)
+    * MergeTree the setting defaults to 0 — dedup OFF — so without it the
+    * very deployments this DDL creates would double-count every replayed
+    * foreachBatch block. Replicated tables get the equivalent window from
+    * `replicated_deduplication_window` (default 1000) and ignore this
+    * setting. 1000 blocks comfortably covers any realistic replay horizon
+    * (a replay re-sends only the LAST uncommitted batch). */
   def createTable(table: String): String =
     s"""CREATE TABLE IF NOT EXISTS $table (
        |  metric LowCardinality(String),
@@ -50,7 +61,8 @@ object ClickHouseSql {
        |  batch_id Int64
        |)
        |ENGINE = SummingMergeTree((value))
-       |ORDER BY (metric, labels, le)""".stripMargin
+       |ORDER BY (metric, labels, le)
+       |SETTINGS non_replicated_deduplication_window = 1000""".stripMargin
 
   /** One micro-batch's delta as ONE insert statement (one block — the
     * unit ClickHouse deduplicates on replay). Rows render in canonical

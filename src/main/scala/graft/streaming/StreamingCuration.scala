@@ -216,14 +216,20 @@ object StreamingCuration {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (bases.get == null) bases.set(basesFromSink(spark, outPath, batchId))
+        // gate exactly the frame the packer can LAND: packBatch drops
+        // null-source docs, so gating the raw batch would fold such a doc
+        // into the index as "seen" while it never reaches the curated
+        // output — later legitimate copies would then be rejected forever.
+        // Admission and packing must agree on the population.
+        val packable = batch.filter(col("source").isNotNull)
         // optional NEAR-dup admission against the living corpus index
         // (StreamingDedup.novelNearCorpusIngest): non-novel docs drop here,
         // before packing; the gate folds admissions back lagged one batch,
         // so a replayed batch re-gates identically
         val admitted = nearGate.map { g =>
-          batch.join(g(batch).filter(org.apache.spark.sql.functions.col("novel"))
+          packable.join(g(packable).filter(col("novel"))
             .select("doc_id"), Seq("doc_id"))
-        }.getOrElse(batch)
+        }.getOrElse(packable)
         val packed = packBatch(admitted, bases.get, budget).persist()
         try {
           packed.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")

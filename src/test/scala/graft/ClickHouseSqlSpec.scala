@@ -21,7 +21,16 @@ class ClickHouseSqlSpec extends AnyFunSuite {
         |  batch_id Int64
         |)
         |ENGINE = SummingMergeTree((value))
-        |ORDER BY (metric, labels, le)""".stripMargin)
+        |ORDER BY (metric, labels, le)
+        |SETTINGS non_replicated_deduplication_window = 1000""".stripMargin)
+  }
+
+  test("DDL enables insert-block dedup on non-replicated tables") {
+    // the replay-idempotence contract leans on insert-block deduplication,
+    // which is OFF by default (window = 0) on a plain MergeTree — the DDL
+    // itself must turn it on or replayed blocks double-count
+    assert(ClickHouseSql.createTable("m")
+      .contains("SETTINGS non_replicated_deduplication_window = 1000"))
   }
 
   test("golden: tagged delta insert, canonical row order, escaping") {

@@ -451,6 +451,50 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(want.values.exists(_._1 > 0) && clicks.size > purchases.size)
   }
 
+  test("interval + band join cores: exact floor-div buckets on a domain straddling 0") {
+    // truncating `div` rounds toward zero, so below 0 it UNDER-covers: a
+    // probe at t < 0 would miss the bucket its interval's lower edge lives
+    // in and silently drop pairs the BETWEEN oracle keeps. The cores use
+    // exact floor division ((x − pmod(x, W)) div W) — prove it on crafted
+    // pre-1970 / negative epoch-micros including every edge alignment.
+    import spark.implicits._
+    val H = 3600000000L
+    val rnd = new scala.util.Random(11)
+    // timestamps straddle 0: exact multiples of ±H, ±1 offsets, random fill
+    val crafted = Seq(-2 * H, -H, -1L, 0L, 1L, H - 1, H, -H - 1, -H + 1, -3 * H / 2)
+    val probesT = (crafted ++ Seq.fill(50)(rnd.nextLong() % (3 * H)))
+      .distinct.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+    val matchesT = probesT.flatMap { case (_, t) =>
+      Seq(t, t - H, t - H - 1, t + 1, t - H + 1, t + H, t + H + 1, -t)
+    }.distinct.zipWithIndex.map { case (us, i) => (us, (i % 89).toLong + 1L) }
+
+    // interval core: [t − H, t]
+    val gotI = RelationalQueries.intervalJoinCore(
+        probesT.toDF("event_id", "p_us"), matchesT.toDF("c_us", "c_v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val wantI = probesT.map { case (id, p) =>
+      val in = matchesT.filter { case (c, _) => c >= p - H && c <= p }
+      id -> ((in.size.toLong, in.map(_._2).sum.toDouble / 100.0))
+    }.toMap
+    assert(gotI == wantI, s"interval diff: ${(gotI.toSet -- wantI.toSet).take(3)} vs ${
+      (wantI.toSet -- gotI.toSet).take(3)}")
+
+    // band core: [t − B, t + B]
+    val B = H / 2
+    val gotB = RelationalQueries.bandJoinCore(
+        probesT.toDF("event_id", "e_us"), matchesT.toDF("c_us", "c_v"), B)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val wantB = probesT.map { case (id, p) =>
+      val in = matchesT.filter { case (c, _) => c >= p - B && c <= p + B }
+      id -> ((in.size.toLong, in.map(_._2).sum.toDouble / 100.0))
+    }.toMap
+    assert(gotB == wantB, s"band diff: ${(gotB.toSet -- wantB.toSet).take(3)} vs ${
+      (wantB.toSet -- gotB.toSet).take(3)}")
+    // non-degenerate: negative-timestamp probes must actually match
+    assert(probesT.filter(_._2 < 0).map(_._1).exists(id => wantI(id)._1 > 0))
+    assert(probesT.filter(_._2 < 0).map(_._1).exists(id => wantB(id)._1 > 0))
+  }
+
   test("interval join skew: AQE splits a hot probe-side bucket at runtime") {
     import spark.implicits._
     val H = 3600000000L
