@@ -55,6 +55,28 @@ object DataPipelineQueries {
       Dedup.bestMatchAgainst(d.filter(pmod(col("doc_id"), lit(3)) === 2), idx1)
         .orderBy("doc_id")
     }),
+    // DELTA-STRUCTURED PERSISTENCE: the same 3-way lifecycle split as
+    // dedup_index_refresh, but routed THROUGH the persisted artifact — base
+    // snapshot saved, reloaded, folded with an O(batch) delta write,
+    // reloaded again (base + delta replay), then %3==2 gated through the
+    // RELOADED index. Shares the refresh oracle: the DuckDB side knows only
+    // the union corpus, so the hash gate proves base+delta load ≡
+    // from-scratch. The gate output is checkpoint-materialized before the
+    // scratch files are deleted.
+    "dedup_index_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-didx").toString
+      Dedup.saveIndex(Dedup.corpusIndex(d.filter(pmod(col("doc_id"), lit(3)) === 0)), path)
+      val ref = new RefreshableCorpusIndex(Dedup.loadIndex(s, path))
+      ref.fold(d.filter(pmod(col("doc_id"), lit(3)) === 1), deltaPath = Some(path))
+      val reloaded = Dedup.loadIndex(s, path)
+      val pinned = reloaded.truncated()
+      reloaded.release()
+      IndexFiles.delete(s, path)
+      Dedup.bestMatchAgainst(d.filter(pmod(col("doc_id"), lit(3)) === 2), pinned)
+        .orderBy("doc_id")
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "embed_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(emb(s, dir))),
@@ -75,6 +97,21 @@ object DataPipelineQueries {
       val idx0 = Similarity.embedIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0))
       val idx1 = Similarity.refreshEmbedIndex(idx0, e.filter(pmod(col("vec_id"), lit(3)) === 1))
       Similarity.embedNoveltyAgainst(e.filter(pmod(col("vec_id"), lit(3)) === 2), idx1)
+    }),
+    // the vector-side delta persistence round trip (dedup_index_delta's twin)
+    "embed_index_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val e = emb(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-eidx").toString
+      Similarity.saveEmbedIndex(
+        Similarity.embedIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0)), path)
+      val ref = new RefreshableEmbedIndex(Similarity.loadEmbedIndex(s, path))
+      ref.fold(e.filter(pmod(col("vec_id"), lit(3)) === 1), deltaPath = Some(path))
+      val reloaded = Similarity.loadEmbedIndex(s, path)
+      val pinned = reloaded.truncated()
+      reloaded.release()
+      IndexFiles.delete(s, path)
+      Similarity.embedNoveltyAgainst(e.filter(pmod(col("vec_id"), lit(3)) === 2), pinned)
     }),
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
@@ -158,6 +195,11 @@ object DataPipelineQueries {
     "dedup_incremental" -> Dedup.incrementalSql,
     "dedup_novelty_gate" -> Dedup.incrementalSql,
     "dedup_index_refresh" -> Dedup.indexRefreshSql,
+    // the delta rows share the refresh oracles: the oracle knows only the
+    // union corpus, so the hash gate proves the PERSISTED base+delta replay
+    // answers exactly like a from-scratch build
+    "dedup_index_delta" -> Dedup.indexRefreshSql,
+    "embed_index_delta" -> Similarity.embedIndexRefreshSql,
     "embed_index_refresh" -> Similarity.embedIndexRefreshSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql,

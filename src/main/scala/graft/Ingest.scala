@@ -54,10 +54,11 @@ object Ingest {
       case "--once" :: t => loop(t, c.copy(once = true))
       // NEAR-dup admission against a LIVING corpus index persisted at this
       // path: loaded at start if present (else the run starts from an
-      // empty index), each batch's admissions fold back lagged one batch,
-      // and every fold re-persists — restarts resume the index instead of
+      // empty index), each batch's admissions stage durably and fold back
+      // lagged one batch, and every fold appends an O(batch) DELTA — never
+      // an O(index) rewrite — so restarts resume the index instead of
       // re-admitting history (StreamingDedup.novelNearCorpusIngest +
-      // Dedup.saveIndex/loadIndex)
+      // Dedup.saveIndexDelta/loadIndex; compact with Dedup.compactIndex)
       case "--near-index" :: v :: t => loop(t, c.copy(nearIndex = Some(v)))
       case "--near-threshold" :: v :: t =>
         loop(t, c.copy(nearThreshold = v.toDouble))
@@ -77,24 +78,28 @@ object Ingest {
     "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT")
 
   /** Build the near-dup admission gate from `--near-index`: load the
-    * persisted index when one exists at the path, else start from an
-    * empty-corpus index (an empty Bloom word table makes every probe a
-    * definite miss, so everything is novel until folds accumulate). */
+    * persisted base+deltas when an index exists at the path, else bootstrap
+    * an empty-corpus BASE there (an empty Bloom word table makes every
+    * probe a definite miss, so everything is novel until folds accumulate;
+    * the base must exist before the first O(batch) delta lands on it).
+    * The gate runs in DURABLE mode: staged admissions and per-fold deltas
+    * live under the index path, so a crash at any point resumes without
+    * re-admitting history ([[graft.streaming.StreamingDedup.IngestGate]]). */
   private[graft] def nearGate(spark: SparkSession,
       config: Config): Option[graft.streaming.StreamingDedup.IngestGate] =
     config.nearIndex.map { path =>
       import graft.operators.{Dedup, RefreshableCorpusIndex}
-      val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
-      val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val idx0 =
-        if (fs.exists(meta)) Dedup.loadIndex(spark, path)
+        if (Dedup.indexExists(spark, path)) Dedup.loadIndex(spark, path)
         else {
           import spark.implicits._
-          Dedup.corpusIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+          val empty = Dedup.corpusIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+          Dedup.saveIndex(empty, path)
+          empty
         }
       graft.streaming.StreamingDedup.novelNearCorpusIngest(
         new RefreshableCorpusIndex(idx0), config.nearThreshold,
-        saveEachFold = Some(path))
+        indexPath = Some(path))
     }
 
   def main(args: Array[String]): Unit = {

@@ -1283,8 +1283,48 @@ object Dedup {
     *     and a previously-dropped bucket stays dropped (its true size only
     *     grew) — both exactly as from-scratch.
     */
-  def refreshIndex(idx: CorpusIndex, newDocs: DataFrame): CorpusIndex = {
-    val newGroups = PinnedCaches.pin(dupGroups(newDocs))
+  def refreshIndex(idx: CorpusIndex, newDocs: DataFrame): CorpusIndex =
+    refreshIndexCore(idx, newDocs, PinnedCaches.pin)._1
+
+  /** One fold's O(batch)-sized persistence payload — everything
+    * [[refreshIndex]] derives from the NEW batch, sufficient (with the
+    * previous persisted state) to reconstruct the refreshed index at load:
+    * the genuinely-new texts' fingerprints / shingle sets / UNFILTERED band
+    * buckets, their Bloom word tables (Blooms fold by OR, so the delta is
+    * pure append), the rep re-key map (collision-sized), and the refreshed
+    * dropped-bucket size table (tiny — degenerate buckets only; the one
+    * non-append component, so each delta carries the whole refreshed
+    * table and the latest wins at load). [[saveIndexDelta]] writes exactly
+    * this, which is what makes per-fold persistence O(batch) instead of
+    * the O(index) full-snapshot rewrite. */
+  final case class IndexDelta private[operators] (
+      freshFps: DataFrame, freshSets: DataFrame, freshBuckets: DataFrame,
+      fpBloomWords: DataFrame, bucketBloomWords: DataFrame,
+      remap: DataFrame, oversized: DataFrame) {
+    private[operators] def frames: Seq[DataFrame] =
+      Seq(freshFps, freshSets, freshBuckets, fpBloomWords, bucketBloomWords,
+        remap, oversized)
+  }
+
+  /** Re-key `idCol` through the `(old_id, new_id)` rep re-key map — the
+    * shared spelling of the fold and the base+delta load. The remap holds
+    * only cross-batch collisions with a smaller arriving id, so it always
+    * broadcasts. */
+  private def rekeyWith(remap: DataFrame)(df: DataFrame, idCol: String): DataFrame =
+    df.join(broadcast(remap.withColumnRenamed("old_id", idCol)), Seq(idCol), "left")
+      .withColumn(idCol, coalesce(col("new_id"), col(idCol)))
+      .drop("new_id")
+
+  /** The fold body, parameterized over the caching discipline: [[refreshIndex]]
+    * passes `PinnedCaches.pin` (cross-call reuse for one-shot/registry use);
+    * [[refreshIndexTracked]] passes a fold-local `persist` tracker so the
+    * lifecycle loop can DROP every intermediate after the published frames
+    * are checkpointed — pinning them would leak one index of executor
+    * storage per fold (the TrieMap strongly references each pin, so the
+    * ContextCleaner can never free them). */
+  private def refreshIndexCore(idx: CorpusIndex, newDocs: DataFrame,
+      cache: DataFrame => DataFrame): (CorpusIndex, IndexDelta) = {
+    val newGroups = cache(dupGroups(newDocs))
     val newFps = newGroups.select(md5(col("text")).as("fp"),
       col("doc_id").as("new_id"), col("text"))
 
@@ -1293,85 +1333,219 @@ object Dedup {
       .select(col("fp"), col("match_id"), col("new_id"))
     // rep re-key: a smaller member id becomes the group's reported match
     // (and the rep id carried by sets/buckets) — empty under monotone ids
-    val remap = PinnedCaches.pin(collide.filter(col("new_id") < col("match_id"))
+    val remap = cache(collide.filter(col("new_id") < col("match_id"))
       .select(col("match_id").as("old_id"), col("new_id")))
-    def rekey(df: DataFrame, idCol: String): DataFrame =
-      df.join(remap.withColumnRenamed("old_id", idCol), Seq(idCol), "left")
-        .withColumn(idCol, coalesce(col("new_id"), col(idCol)))
-        .drop("new_id")
+    val rekey = rekeyWith(remap) _
 
     val freshGroups = newFps.join(idx.fps, Seq("fp"), "left_anti")
       .select(col("new_id").as("doc_id"), col("text"))
-    val freshSets = PinnedCaches.pin(shingleArrays(freshGroups))
-    val freshBuckets = PinnedCaches.pin(minhashBuckets(freshSets))
+    val freshFps = cache(freshGroups.select(md5(col("text")).as("fp"),
+      col("doc_id").as("match_id")))
+    val freshSets = cache(shingleArrays(freshGroups))
+    val freshBuckets = cache(minhashBuckets(freshSets))
 
     // unionByName throughout: rekey's key join moves the key column first,
     // so a positional union would zip fp/match_id crosswise
-    val fps2 = PinnedCaches.pin(
-      rekey(idx.fps, "match_id").unionByName(
-        freshGroups.select(md5(col("text")).as("fp"), col("doc_id").as("match_id"))))
-    val sets2 = PinnedCaches.pin(rekey(idx.sets, "doc_id").unionByName(freshSets))
+    val fps2 = cache(rekey(idx.fps, "match_id").unionByName(freshFps))
+    val sets2 = cache(rekey(idx.sets, "doc_id").unionByName(freshSets))
 
     // re-cap on TRUE combined sizes (present + dropped + fresh)
     val oldPresent = idx.buckets.groupBy("band", "sig").agg(count(lit(1)).as("n"))
     val freshSizes = freshBuckets.groupBy("band", "sig").agg(count(lit(1)).as("n"))
-    val totals = PinnedCaches.pin(
+    val totals = cache(
       oldPresent.unionAll(idx.oversized).unionAll(freshSizes)
         .groupBy("band", "sig").agg(sum("n").as("n")))
     val keep = totals.filter(col("n") <= idx.bucketCap).select("band", "sig")
-    val buckets2 = PinnedCaches.pin(
+    val buckets2 = cache(
       rekey(idx.buckets, "doc_id").unionByName(freshBuckets)
         .join(keep, Seq("band", "sig")))
-    val oversized2 = PinnedCaches.pin(totals.filter(col("n") > idx.bucketCap))
+    val oversized2 = cache(totals.filter(col("n") > idx.bucketCap))
 
     // Blooms fold incrementally: OR the fresh keys' word tables in. Keys
     // never need removal — a dropped bucket's stale bits are FP-only.
-    val fpBloom2 = PinnedCaches.pin(
-      idx.fpBloom.unionAll(bloomWords(
-        freshGroups.select(md5(col("text")).as("fp")), Seq(col("fp")), idx.logBloomBits))
-        .groupBy("w").agg(bit_or(col("bits")).as("bits")))
-    val bucketBloom2 = PinnedCaches.pin(
-      idx.bucketBloom.unionAll(bloomWords(
-        freshBuckets, Seq(col("band"), col("sig")), idx.logBloomBits))
-        .groupBy("w").agg(bit_or(col("bits")).as("bits")))
+    val fpWords = cache(bloomWords(freshFps, Seq(col("fp")), idx.logBloomBits))
+    val bucketWords = cache(
+      bloomWords(freshBuckets, Seq(col("band"), col("sig")), idx.logBloomBits))
+    val fpBloom2 = cache(idx.fpBloom.unionAll(fpWords)
+      .groupBy("w").agg(bit_or(col("bits")).as("bits")))
+    val bucketBloom2 = cache(idx.bucketBloom.unionAll(bucketWords)
+      .groupBy("w").agg(bit_or(col("bits")).as("bits")))
 
-    CorpusIndex(fps2, sets2, buckets2, fpBloom2, bucketBloom2,
-      idx.logBloomBits, oversized2, idx.bucketCap)
+    (CorpusIndex(fps2, sets2, buckets2, fpBloom2, bucketBloom2,
+      idx.logBloomBits, oversized2, idx.bucketCap),
+      IndexDelta(freshFps, freshSets, freshBuckets, fpWords, bucketWords,
+        remap, oversized2))
   }
 
-  /** PERSIST a [[CorpusIndex]] — the artifact form a 100 TB pipeline
-    * actually operates on: build (or refresh) once, write to the
-    * warehouse, and every ingest job [[loadIndex]]es it instead of
-    * re-deriving signatures from the corpus. Components land as parquet
-    * under `path` (any Hadoop-FS scheme Spark writes), plus a one-row
-    * `meta` table carrying the knobs a refresh must reuse. Overwrites
-    * atomically per component (Spark's overwrite semantics); for a fully
-    * atomic publish, write to a fresh path and flip a pointer — the same
-    * swap discipline as [[graft.operators.RefreshableCorpusIndex]]. */
+  /** [[refreshIndex]] for the LIFECYCLE LOOP ([[graft.operators
+    * .RefreshableCorpusIndex.fold]]): every frame the fold builds —
+    * intermediates AND the published components — is a fold-local
+    * `persist`, and the returned thunk unpersists all of them once the
+    * caller has checkpointed ([[CorpusIndex.truncated]]) what it publishes
+    * and written the delta. Storage after a fold is exactly the
+    * checkpointed index, never one-index-per-refresh. */
+  private[graft] def refreshIndexTracked(idx: CorpusIndex,
+      newDocs: DataFrame): (CorpusIndex, IndexDelta, () => Unit) = {
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val (next, delta) = refreshIndexCore(idx, newDocs,
+      df => { val c = df.persist(); tracked += c; c })
+    (next, delta, () => tracked.foreach(_.unpersist()))
+  }
+
+  // ──────────────────── DELTA-STRUCTURED PERSISTENCE ────────────────────
+  // The persisted index is LSM-shaped so a fold loop writes O(batch) bytes
+  // per fold, never O(index) — the reference's tail-follow is incremental-
+  // by-construction (main.go:100-106); this is its index-side analog, and
+  // the same base+append+compact discipline MetricsJdbcAppend proves for
+  // the metric sink. Layout under `path` (any Hadoop-FS scheme):
+  //
+  //   base_v<V>/{fps,sets,buckets,fp_bloom,bucket_bloom,oversized,meta}
+  //   delta_<N>/{fresh_fps,fresh_sets,fresh_buckets,fp_bloom_words,
+  //              bucket_bloom_words,remap,oversized}
+  //
+  // meta carries the knobs plus `last_delta` — the highest delta id that
+  // base already incorporates. loadIndex reads the HIGHEST base version and
+  // folds only deltas with id > last_delta, so a compaction crash between
+  // "new base published" and "dead files swept" is ignored-by-construction,
+  // never double-applied. Every numbered directory publishes by atomic
+  // rename from a `.tmp` sibling; `.tmp` leftovers are invisible to loads
+  // and overwritten by the next writer. Single-writer contract (one ingest
+  // loop owns a path); readers are safe at any moment.
+
+  private val BaseComponents =
+    Seq("fps", "sets", "buckets", "fp_bloom", "bucket_bloom", "oversized")
+  private val DeltaComponents =
+    Seq("fresh_fps", "fresh_sets", "fresh_buckets", "fp_bloom_words",
+      "bucket_bloom_words", "remap", "oversized")
+
+  /** True when `path` holds a persisted index (some published base). */
+  def indexExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    IndexFiles.numbered(spark, path, "base_v").nonEmpty
+
+  /** The delta-id HIGH-WATER MARK: the max over deltas on disk AND the
+    * latest base's `last_delta` stamp. New deltas must number ABOVE both —
+    * compaction sweeps the folded delta files but its base remembers them
+    * via the stamp, and a post-compaction fold numbered from the (now
+    * empty) disk listing alone would land BELOW the stamp and be invisible
+    * to every load. */
+  private[graft] def deltaHighWater(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val onDisk =
+      IndexFiles.numbered(spark, path, "delta_").map(_._1).maxOption.getOrElse(0L)
+    val stamped = IndexFiles.numbered(spark, path, "base_v").lastOption
+      .map { case (_, p) => spark.read.parquet(s"$p/meta").head().getAs[Long]("last_delta") }
+      .getOrElse(0L)
+    math.max(onDisk, stamped)
+  }
+
+  /** PERSIST a full [[CorpusIndex]] snapshot as a new base version — the
+    * bootstrap write (and [[compactIndex]]'s internals). The snapshot is
+    * stamped `last_delta` = the highest delta currently at `path`, i.e. it
+    * asserts "this index value already incorporates every persisted fold"
+    * — true for a fresh path (no deltas), for a [[RefreshableCorpusIndex]]
+    * that folded-and-[[saveIndexDelta]]ed in lockstep, and for a compaction
+    * load. Superseded base versions are pruned after the atomic publish. */
   def saveIndex(idx: CorpusIndex, path: String): Unit = {
     val spark = idx.fps.sparkSession
     import spark.implicits._
-    idx.fps.write.mode("overwrite").parquet(s"$path/fps")
-    idx.sets.write.mode("overwrite").parquet(s"$path/sets")
-    idx.buckets.write.mode("overwrite").parquet(s"$path/buckets")
-    idx.fpBloom.write.mode("overwrite").parquet(s"$path/fp_bloom")
-    idx.bucketBloom.write.mode("overwrite").parquet(s"$path/bucket_bloom")
-    idx.oversized.write.mode("overwrite").parquet(s"$path/oversized")
-    Seq((idx.bucketCap, idx.logBloomBits)).toDF("bucket_cap", "log_bloom_bits")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val lastDelta = deltaHighWater(spark, path)
+    val v = IndexFiles.numbered(spark, path, "base_v")
+      .map(_._1).maxOption.getOrElse(0L) + 1
+    val tmp = s"$path/base_v$v.tmp"
+    IndexFiles.delete(spark, tmp)
+    idx.frames.zip(BaseComponents).foreach { case (df, name) =>
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+    }
+    Seq((idx.bucketCap, idx.logBloomBits, lastDelta))
+      .toDF("bucket_cap", "log_bloom_bits", "last_delta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexFiles.publish(spark, tmp, s"$path/base_v$v")
+    IndexFiles.numbered(spark, path, "base_v").filter(_._1 < v)
+      .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
   }
 
-  /** Load a [[saveIndex]]ed corpus index (components pinned, knobs
-    * restored) — gate decisions and subsequent [[refreshIndex]]es equal
-    * the in-memory original's (spec-pinned round trip). */
+  /** PERSIST one fold's [[IndexDelta]] as the next numbered delta — the
+    * O(batch) per-fold write. Returns the assigned delta id. */
+  def saveIndexDelta(delta: IndexDelta, path: String): Long = {
+    val spark = delta.freshFps.sparkSession
+    val n = deltaHighWater(spark, path) + 1
+    val tmp = s"$path/delta_$n.tmp"
+    IndexFiles.delete(spark, tmp)
+    delta.frames.zip(DeltaComponents).foreach { case (df, name) =>
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+    }
+    IndexFiles.publish(spark, tmp, s"$path/delta_$n")
+    n
+  }
+
+  /** Load the persisted index: the highest base version REPLAYED through
+    * every newer delta, in id order — re-key by each delta's remap, append
+    * its fresh fps/sets/bucket rows, OR its Bloom words in, and apply the
+    * final dropped-bucket filter ONCE at the end (a bucket's true size only
+    * grows, so the latest `oversized` table subsumes every earlier drop;
+    * filter-then-rekey commutes with rekey-then-filter because re-keying
+    * never touches the bucket key). Gate decisions and subsequent
+    * [[refreshIndex]]es equal the in-memory original's — spec-pinned
+    * contents-identical across fold/save/load/compact, and the
+    * `dedup_index_delta` registry row pins the gate output against the
+    * DuckDB oracle through a full base+delta round trip. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): CorpusIndex = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    def pinned(name: String): DataFrame =
-      PinnedCaches.pin(spark.read.parquet(s"$path/$name"))
-    CorpusIndex(pinned("fps"), pinned("sets"), pinned("buckets"),
-      pinned("fp_bloom"), pinned("bucket_bloom"),
-      meta.getAs[Int]("log_bloom_bits"), pinned("oversized"),
+    val bases = IndexFiles.numbered(spark, path, "base_v")
+    require(bases.nonEmpty, s"no persisted corpus index at $path")
+    val base = bases.last._2.toString
+    val meta = spark.read.parquet(s"$base/meta").head()
+    val lastDelta = meta.getAs[Long]("last_delta")
+    val deltas = IndexFiles.numbered(spark, path, "delta_").filter(_._1 > lastDelta)
+    def rd(dir: String, name: String) = spark.read.parquet(s"$dir/$name")
+
+    var fps = rd(base, "fps")
+    var sets = rd(base, "sets")
+    var bucketRows = rd(base, "buckets")
+    var fpW = rd(base, "fp_bloom")
+    var bW = rd(base, "bucket_bloom")
+    var oversized = rd(base, "oversized")
+    deltas.foreach { case (_, p) =>
+      val d = p.toString
+      val rekey = rekeyWith(rd(d, "remap")) _
+      fps = rekey(fps, "match_id").unionByName(rd(d, "fresh_fps"))
+      sets = rekey(sets, "doc_id").unionByName(rd(d, "fresh_sets"))
+      bucketRows = rekey(bucketRows, "doc_id").unionByName(rd(d, "fresh_buckets"))
+      fpW = fpW.unionAll(rd(d, "fp_bloom_words"))
+      bW = bW.unionAll(rd(d, "bucket_bloom_words"))
+      oversized = rd(d, "oversized")
+    }
+    val pin = PinnedCaches.pin _
+    val oversizedP = pin(oversized)
+    val buckets =
+      if (deltas.isEmpty) pin(bucketRows) // base buckets are already capped
+      else pin(bucketRows.join(
+        broadcast(oversizedP.select("band", "sig")), Seq("band", "sig"), "left_anti"))
+    def orWords(df: DataFrame): DataFrame =
+      if (deltas.isEmpty) df
+      else df.groupBy("w").agg(bit_or(col("bits")).as("bits"))
+    CorpusIndex(pin(fps), pin(sets), buckets, pin(orWords(fpW)), pin(orWords(bW)),
+      meta.getAs[Int]("log_bloom_bits"), oversizedP,
       meta.getAs[Int]("bucket_cap"))
+  }
+
+  /** COMPACT the persisted base+deltas into one new base snapshot — the
+    * LSM compaction step that bounds load-time delta replay (run it every
+    * K folds or on a size trigger, like [[graft.streaming.MetricsJdbcAppend]]'s
+    * `compact`). Loads, materializes OFF the source files
+    * ([[CorpusIndex.truncated]] — the new snapshot must not lazily read
+    * directories the sweep is about to delete), publishes the snapshot, and
+    * sweeps the folded deltas. Contents-identical to the uncompacted load
+    * (spec-pinned); crash-safe at every boundary — the base publishes by
+    * atomic rename, and an interrupted sweep leaves only dead files that
+    * the `last_delta` rule skips. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val folded = deltaHighWater(spark, path)
+    val loaded = loadIndex(spark, path)
+    val snap = loaded.truncated()
+    loaded.release()
+    saveIndex(snap, path) // stamps last_delta = folded (single-writer)
+    IndexFiles.numbered(spark, path, "delta_").filter(_._1 <= folded)
+      .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
   }
 
   /** Best corpus match per incoming document — the shared core of the

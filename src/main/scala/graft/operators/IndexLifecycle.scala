@@ -8,19 +8,29 @@ import org.apache.spark.sql.DataFrame
   * keep current:
   *
   *   - `fold(batch)` builds the refreshed index INCREMENTALLY (cost
-  *     proportional to the batch — [[Dedup.refreshIndex]] /
-  *     [[Similarity.refreshEmbedIndex]]), force-materializes every pinned
-  *     component, and only then publishes it through one volatile write —
-  *     a concurrent reader (a streaming micro-batch gating against
+  *     proportional to the batch — [[Dedup.refreshIndexTracked]] /
+  *     [[Similarity.refreshEmbedIndexTracked]]), optionally persists the
+  *     fold's O(batch) [[Dedup.IndexDelta]] (`deltaPath` —
+  *     [[Dedup.saveIndexDelta]]; a restart [[Dedup.loadIndex]]es base +
+  *     deltas instead of rebuilding), checkpoint-materializes the published
+  *     components, and only then publishes through one volatile write — a
+  *     concurrent reader (a streaming micro-batch gating against
   *     [[current]]) either sees the complete old index or the complete new
   *     one, never a half-built frame set;
-  *   - the superseded index's pins are released AFTER the swap (executor
-  *     storage stays bounded at ~one index, not one per refresh);
+  *   - every fold-local frame (intermediates AND the pre-checkpoint
+  *     published components) is a tracked `persist` dropped right after the
+  *     checkpoint, and the superseded index releases after the swap —
+  *     executor storage AND driver references stay bounded at ~one index,
+  *     not one per refresh (pinning the intermediates would root them in
+  *     the PinnedCaches TrieMap forever; spec-pinned by the storage-bound
+  *     lifecycle test);
   *   - refreshed ≡ from-scratch is the spec'd contract: the folded index's
   *     fps/sets/buckets (resp. qc/cb) contents and the gate decisions equal
   *     a from-scratch build over the union corpus (IndexLifecycleSpec; the
   *     `dedup_index_refresh` / `embed_index_refresh` registry rows pin the
-  *     gate output against the DuckDB oracle on a 3-way corpus split).
+  *     gate output against the DuckDB oracle on a 3-way corpus split, and
+  *     `dedup_index_delta` / `embed_index_delta` pin it through the
+  *     persisted base+delta round trip).
   *
   * Readers hold the index VALUE they read, not the holder: a micro-batch
   * that read the old index mid-swap finishes against a consistent (merely
@@ -37,13 +47,20 @@ final class RefreshableCorpusIndex(initial: Dedup.CorpusIndex) {
 
   /** Fold `newDocs` in and atomically publish the refreshed index.
     * Synchronized: concurrent folders would otherwise both refresh the same
-    * base and lose one batch. Returns the published index. */
-  def fold(newDocs: DataFrame, releaseOld: Boolean = true): Dedup.CorpusIndex =
+    * base and lose one batch. When `deltaPath` is set, the fold's O(batch)
+    * delta lands there BEFORE the swap ([[Dedup.saveIndexDelta]] is
+    * content-idempotent under replay: re-folding already-indexed docs
+    * yields an empty-fresh delta). Returns the published index. */
+  def fold(newDocs: DataFrame, releaseOld: Boolean = true,
+      deltaPath: Option[String] = None): Dedup.CorpusIndex =
     synchronized {
+      val (refreshed, delta, dropFoldCaches) = Dedup.refreshIndexTracked(idx, newDocs)
+      deltaPath.foreach(p => Dedup.saveIndexDelta(delta, p))
       // truncated(): materializes eagerly AND bounds plan depth — without
       // it a per-batch fold loop nests each index's plans inside the next
       // (the closed ingest gate OOM'd on plan strings by batch 2)
-      val next = Dedup.refreshIndex(idx, newDocs).truncated()
+      val next = refreshed.truncated()
+      dropFoldCaches()
       val prev = idx
       idx = next
       if (releaseOld) prev.release()
@@ -58,9 +75,13 @@ final class RefreshableEmbedIndex(initial: Similarity.EmbedIndex) {
 
   def current: Similarity.EmbedIndex = idx
 
-  def fold(newVecs: DataFrame, releaseOld: Boolean = true): Similarity.EmbedIndex =
+  def fold(newVecs: DataFrame, releaseOld: Boolean = true,
+      deltaPath: Option[String] = None): Similarity.EmbedIndex =
     synchronized {
-      val next = Similarity.refreshEmbedIndex(idx, newVecs).truncated()
+      val (refreshed, delta, dropFoldCaches) = Similarity.refreshEmbedIndexTracked(idx, newVecs)
+      deltaPath.foreach(p => Similarity.saveEmbedIndexDelta(delta, p))
+      val next = refreshed.truncated()
+      dropFoldCaches()
       val prev = idx
       idx = next
       if (releaseOld) prev.release()

@@ -353,25 +353,115 @@ object Similarity {
     EmbedIndex(qc, cb, oversized, bucketCap)
   }
 
-  /** Persist an [[EmbedIndex]] (components + refresh bookkeeping + knobs)
-    * — [[graft.operators.Dedup.saveIndex]]'s vector twin. */
+  /** One fold's O(batch) persistence payload — [[Dedup.IndexDelta]]'s
+    * vector twin: the batch's quantized vectors, their UNFILTERED LSH
+    * bucket rows (pure append — no dup-group collapse and no re-key on the
+    * vector side), and the refreshed dropped-bucket size table (tiny,
+    * latest-wins at load). */
+  final case class EmbedDelta private[operators] (
+      qNew: DataFrame, freshBuckets: DataFrame, oversized: DataFrame) {
+    private[operators] def frames: Seq[DataFrame] =
+      Seq(qNew, freshBuckets, oversized)
+  }
+
+  private val EmbedBaseComponents = Seq("qc", "cb", "oversized")
+  private val EmbedDeltaComponents = Seq("q_new", "fresh_buckets", "oversized")
+
+  /** True when `path` holds a persisted embed index. */
+  def embedIndexExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    IndexFiles.numbered(spark, path, "base_v").nonEmpty
+
+  /** Delta-id high-water mark over deltas on disk AND the latest base's
+    * `last_delta` stamp — see [[graft.operators.Dedup]]'s `deltaHighWater`
+    * for why a post-compaction fold must number above the stamp. */
+  private[graft] def embedDeltaHighWater(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val onDisk =
+      IndexFiles.numbered(spark, path, "delta_").map(_._1).maxOption.getOrElse(0L)
+    val stamped = IndexFiles.numbered(spark, path, "base_v").lastOption
+      .map { case (_, p) => spark.read.parquet(s"$p/meta").head().getAs[Long]("last_delta") }
+      .getOrElse(0L)
+    math.max(onDisk, stamped)
+  }
+
+  /** Persist a full [[EmbedIndex]] snapshot as a new base version —
+    * [[graft.operators.Dedup.saveIndex]]'s vector twin (same LSM layout,
+    * same `last_delta` stamp and crash-safety argument — see the
+    * delta-structured-persistence block there). */
   def saveEmbedIndex(idx: EmbedIndex, path: String): Unit = {
     val spark = idx.qc.sparkSession
     import spark.implicits._
-    idx.qc.write.mode("overwrite").parquet(s"$path/qc")
-    idx.cb.write.mode("overwrite").parquet(s"$path/cb")
-    idx.oversized.write.mode("overwrite").parquet(s"$path/oversized")
-    Seq(idx.bucketCap).toDF("bucket_cap")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val lastDelta = embedDeltaHighWater(spark, path)
+    val v = IndexFiles.numbered(spark, path, "base_v")
+      .map(_._1).maxOption.getOrElse(0L) + 1
+    val tmp = s"$path/base_v$v.tmp"
+    IndexFiles.delete(spark, tmp)
+    idx.frames.zip(EmbedBaseComponents).foreach { case (df, name) =>
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+    }
+    Seq((idx.bucketCap, lastDelta)).toDF("bucket_cap", "last_delta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexFiles.publish(spark, tmp, s"$path/base_v$v")
+    IndexFiles.numbered(spark, path, "base_v").filter(_._1 < v)
+      .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
   }
 
-  /** Load a [[saveEmbedIndex]]ed index (components pinned, cap restored). */
+  /** Persist one fold's [[EmbedDelta]] — the O(batch) per-fold write. */
+  def saveEmbedIndexDelta(delta: EmbedDelta, path: String): Long = {
+    val spark = delta.qNew.sparkSession
+    val n = embedDeltaHighWater(spark, path) + 1
+    val tmp = s"$path/delta_$n.tmp"
+    IndexFiles.delete(spark, tmp)
+    delta.frames.zip(EmbedDeltaComponents).foreach { case (df, name) =>
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+    }
+    IndexFiles.publish(spark, tmp, s"$path/delta_$n")
+    n
+  }
+
+  /** Load the persisted embed index: highest base + every newer delta —
+    * append quantized vectors and bucket rows, apply the latest
+    * dropped-bucket filter once at the end (sizes only grow, so the latest
+    * `oversized` subsumes every earlier drop). Contents-identical to the
+    * in-memory folded index (spec-pinned; `embed_index_delta` pins the gate
+    * output through the round trip). */
   def loadEmbedIndex(spark: org.apache.spark.sql.SparkSession, path: String): EmbedIndex = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    def pinned(name: String): DataFrame =
-      PinnedCaches.pin(spark.read.parquet(s"$path/$name"))
-    EmbedIndex(pinned("qc"), pinned("cb"), pinned("oversized"),
-      meta.getAs[Int]("bucket_cap"))
+    val bases = IndexFiles.numbered(spark, path, "base_v")
+    require(bases.nonEmpty, s"no persisted embed index at $path")
+    val base = bases.last._2.toString
+    val meta = spark.read.parquet(s"$base/meta").head()
+    val lastDelta = meta.getAs[Long]("last_delta")
+    val deltas = IndexFiles.numbered(spark, path, "delta_").filter(_._1 > lastDelta)
+    def rd(dir: String, name: String) = spark.read.parquet(s"$dir/$name")
+
+    var qc = rd(base, "qc")
+    var cbRows = rd(base, "cb")
+    var oversized = rd(base, "oversized")
+    deltas.foreach { case (_, p) =>
+      val d = p.toString
+      qc = qc.unionByName(rd(d, "q_new"))
+      cbRows = cbRows.unionByName(rd(d, "fresh_buckets"))
+      oversized = rd(d, "oversized")
+    }
+    val pin = PinnedCaches.pin _
+    val oversizedP = pin(oversized)
+    val cb =
+      if (deltas.isEmpty) pin(cbRows)
+      else pin(cbRows.join(
+        broadcast(oversizedP.select("table", "bucket")), Seq("table", "bucket"), "left_anti"))
+    EmbedIndex(pin(qc), cb, oversizedP, meta.getAs[Int]("bucket_cap"))
+  }
+
+  /** Compact the persisted base+deltas into one new base —
+    * [[graft.operators.Dedup.compactIndex]]'s vector twin. */
+  def compactEmbedIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val folded = embedDeltaHighWater(spark, path)
+    val loaded = loadEmbedIndex(spark, path)
+    val snap = loaded.truncated()
+    loaded.release()
+    saveEmbedIndex(snap, path)
+    IndexFiles.numbered(spark, path, "delta_").filter(_._1 <= folded)
+      .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
   }
 
   /** INDEX LIFECYCLE, vector side — fold a batch of new embeddings into an
@@ -382,21 +472,39 @@ object Similarity {
     * [[embedIndex]](old ∪ new), cost proportional to the batch. Unlike the
     * text index there is no dup-group collapse to fold: every vec_id keys
     * its own row. */
-  def refreshEmbedIndex(idx: EmbedIndex, newVecs: DataFrame): EmbedIndex = {
-    val qNew = PinnedCaches.pin(quantized(newVecs).select("vec_id", "q", "nq"))
-    val freshBuckets = PinnedCaches.pin(
-      lshBuckets(qNew).select("vec_id", "table", "bucket"))
-    val qc2 = PinnedCaches.pin(idx.qc.unionAll(qNew))
+  def refreshEmbedIndex(idx: EmbedIndex, newVecs: DataFrame): EmbedIndex =
+    refreshEmbedIndexCore(idx, newVecs, PinnedCaches.pin)._1
+
+  /** The fold body, parameterized over the caching discipline — see
+    * [[graft.operators.Dedup]]'s `refreshIndexCore` for why the lifecycle
+    * loop must NOT pin fold intermediates. */
+  private def refreshEmbedIndexCore(idx: EmbedIndex, newVecs: DataFrame,
+      cache: DataFrame => DataFrame): (EmbedIndex, EmbedDelta) = {
+    val qNew = cache(quantized(newVecs).select("vec_id", "q", "nq"))
+    val freshBuckets = cache(lshBuckets(qNew).select("vec_id", "table", "bucket"))
+    val qc2 = cache(idx.qc.unionAll(qNew))
     val oldPresent = idx.cb.groupBy("table", "bucket").agg(count(lit(1)).as("n"))
     val freshSizes = freshBuckets.groupBy("table", "bucket").agg(count(lit(1)).as("n"))
-    val totals = PinnedCaches.pin(
+    val totals = cache(
       oldPresent.unionAll(idx.oversized).unionAll(freshSizes)
         .groupBy("table", "bucket").agg(sum("n").as("n")))
     val keep = totals.filter(col("n") <= idx.bucketCap).select("table", "bucket")
-    val cb2 = PinnedCaches.pin(
+    val cb2 = cache(
       idx.cb.unionAll(freshBuckets).join(keep, Seq("table", "bucket")))
-    val oversized2 = PinnedCaches.pin(totals.filter(col("n") > idx.bucketCap))
-    EmbedIndex(qc2, cb2, oversized2, idx.bucketCap)
+    val oversized2 = cache(totals.filter(col("n") > idx.bucketCap))
+    (EmbedIndex(qc2, cb2, oversized2, idx.bucketCap),
+      EmbedDelta(qNew, freshBuckets, oversized2))
+  }
+
+  /** [[refreshEmbedIndex]] for the lifecycle loop: fold-local tracked
+    * persists, dropped by the returned thunk after the published frames are
+    * checkpointed ([[graft.operators.Dedup.refreshIndexTracked]]'s twin). */
+  private[graft] def refreshEmbedIndexTracked(idx: EmbedIndex,
+      newVecs: DataFrame): (EmbedIndex, EmbedDelta, () => Unit) = {
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val (next, delta) = refreshEmbedIndexCore(idx, newVecs,
+      df => { val c = df.persist(); tracked += c; c })
+    (next, delta, () => tracked.foreach(_.unpersist()))
   }
 
   /** [[embedNovelty]] against an already-built [[EmbedIndex]] — the form

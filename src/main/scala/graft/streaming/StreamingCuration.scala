@@ -225,9 +225,16 @@ object StreamingCuration {
         // optional NEAR-dup admission against the living corpus index
         // (StreamingDedup.novelNearCorpusIngest): non-novel docs drop here,
         // before packing; the gate folds admissions back lagged one batch,
-        // so a replayed batch re-gates identically
+        // so a replayed batch re-gates identically. An IngestGate gets the
+        // REAL foreachBatch id so its durable staging keys on the engine's
+        // replay-stable ids (a restart must distinguish "this batch's own
+        // re-staged admissions" from leftovers of earlier batches).
         val admitted = nearGate.map { g =>
-          packable.join(g(packable).filter(col("novel"))
+          val decisions = g match {
+            case ig: StreamingDedup.IngestGate => ig(packable, batchId)
+            case f => f(packable)
+          }
+          packable.join(decisions.filter(col("novel"))
             .select("doc_id"), Seq("doc_id"))
         }.getOrElse(packable)
         val packed = packBatch(admitted, bases.get, budget).persist()

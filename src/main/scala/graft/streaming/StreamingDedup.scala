@@ -124,56 +124,90 @@ object StreamingDedup {
     * idempotent, so the one ambiguous crash window (fold done, checkpoint
     * not) re-folds to the identical index.
     *
-    * Crash honesty: the staged batch lives in driver memory, so a crash
-    * AFTER batch N commits but BEFORE N+1 starts loses N's fold — copies
-    * of N's admissions arriving post-restart are re-admitted (at-least-
-    * once on novelty, never lost data). A deployment closing that window
-    * persists the index each fold ([[graft.operators.Dedup.saveIndex]])
-    * and reloads at start. Same in-batch contract as the other gates:
-    * compose [[firstOccurrences]] upstream so a batch never carries its
-    * own copies. */
+    * With `indexPath` set the loop is DURABLE end to end: staged
+    * admissions land as parquet under `indexPath/staged/batch=<id>`
+    * (overwritten idempotently on replay), each fold persists its O(batch)
+    * delta ([[graft.operators.Dedup.saveIndexDelta]]), and a restarted
+    * loop [[graft.operators.Dedup.loadIndex]]es base+deltas then folds the
+    * leftover staged batches before gating — the crash between batch N's
+    * commit and N+1's start no longer loses N's fold (exactly-once on
+    * novelty up to refreshIndex's content-idempotence). Without it the
+    * staged batch lives in driver memory — at-least-once on novelty,
+    * never lost data. Same in-batch contract as the other gates: compose
+    * [[firstOccurrences]] upstream so a batch never carries its own
+    * copies. */
   def novelNearCorpusIngest(ref: graft.operators.RefreshableCorpusIndex,
       threshold: Double = 0.8,
-      saveEachFold: Option[String] = None): IngestGate =
-    new IngestGate(ref, threshold, saveEachFold)
+      indexPath: Option[String] = None): IngestGate =
+    new IngestGate(ref, threshold, indexPath)
 
   /** The closed-loop gate as a value ([[novelNearCorpusIngest]] builds
-    * one): apply() is the per-micro-batch transform; [[flush]] folds the
-    * still-staged final batch at clean shutdown — without it a one-batch
+    * one): apply() is the per-micro-batch transform; [[flush]] folds
+    * everything still staged at clean shutdown — without it a one-batch
     * `Trigger.AvailableNow` run would never fold at all (the lag defers
     * every fold to the NEXT batch, and a terminated query has none). */
   final class IngestGate(ref: graft.operators.RefreshableCorpusIndex,
-      threshold: Double, saveEachFold: Option[String])
+      threshold: Double, indexPath: Option[String])
       extends (DataFrame => DataFrame) {
+    import org.apache.spark.sql.SparkSession
+    import graft.operators.{Dedup, IndexFiles}
+
     private val pending =
       new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+    private val nextSyntheticId = new java.util.concurrent.atomic.AtomicLong(0L)
 
-    /** Fold whatever is staged (and persist, when configured). Safe to
-      * call at any quiet point; the next batch then gates against the
-      * folded index. */
-    def flush(): Unit = pending.getAndSet(None).foreach { p =>
-      ref.fold(p)
-      // the persistence recipe inline: each fold lands on disk, so a
-      // restarted loop loads the index instead of rebuilding (closes
-      // most of the staged-batch crash window; IndexLifecycleSpec's
-      // planned-restart test proves the load path)
-      saveEachFold.foreach(path => graft.operators.Dedup.saveIndex(ref.current, path))
-      p.unpersist()
-    }
+    /** Fold every staged batch with id strictly below `before` (ALL staged
+      * when None — the clean-shutdown flush), ascending. Durable mode:
+      * each fold persists its delta and only THEN deletes the staged
+      * files, so a crash at any boundary re-folds idempotently on restart
+      * (a re-fold of already-indexed docs is an empty-fresh delta). The
+      * `before` guard is what keeps replays deterministic: a re-delivered
+      * batch N finds its own staged dir but does NOT fold it. */
+    private def foldStaged(spark: SparkSession, before: Option[Long]): Unit =
+      indexPath match {
+        case Some(p) =>
+          IndexFiles.numbered(spark, s"$p/staged", "batch=")
+            .filter { case (id, _) => before.forall(id < _) }
+            .foreach { case (_, dir) =>
+              val staged = spark.read.parquet(dir.toString)
+              if (!staged.isEmpty) ref.fold(staged, deltaPath = Some(p))
+              IndexFiles.delete(spark, dir.toString)
+            }
+        case None =>
+          pending.getAndSet(None).foreach { st => ref.fold(st); st.unpersist() }
+      }
 
-    override def apply(batch: DataFrame): DataFrame = {
-      flush()
-      val decisions = graft.operators.Dedup.bestMatchAgainst(batch, ref.current, threshold)
-      // stage THIS batch's admissions MATERIALIZED (persist + count): a
-      // foreachBatch frame's backing data is only guaranteed during its
-      // own batch, so the staged plan must not re-read it next batch
+    /** Fold whatever is staged. Safe to call at any quiet point; the next
+      * batch then gates against the folded index. */
+    def flush(): Unit =
+      foldStaged(ref.current.fps.sparkSession, None)
+
+    /** The per-micro-batch transform with the REAL foreachBatch id —
+      * `StreamingCuration.ingestTo` calls this form so durable staging
+      * keys on the engine's replay-stable batch ids. */
+    def apply(batch: DataFrame, batchId: Long): DataFrame = {
+      foldStaged(batch.sparkSession, Some(batchId))
+      val decisions = Dedup.bestMatchAgainst(batch, ref.current, threshold)
       val admitted = batch.join(
         decisions.filter(org.apache.spark.sql.functions.col("novel"))
           .select("doc_id"), Seq("doc_id"))
-        .persist()
-      if (admitted.count() > 0) pending.set(Some(admitted))
-      else admitted.unpersist()
+      indexPath match {
+        case Some(p) =>
+          // durable staging: (doc_id, text) is all a fold consumes, and
+          // overwrite makes a replayed batch's re-stage byte-idempotent
+          admitted.select("doc_id", "text").write.mode("overwrite")
+            .parquet(s"$p/staged/batch=$batchId")
+        case None =>
+          // stage MATERIALIZED (persist + count): a foreachBatch frame's
+          // backing data is only guaranteed during its own batch, so the
+          // staged plan must not re-read it next batch
+          val a = admitted.persist()
+          if (a.count() > 0) pending.set(Some(a)) else a.unpersist()
+      }
       decisions
     }
+
+    override def apply(batch: DataFrame): DataFrame =
+      apply(batch, nextSyntheticId.getAndIncrement())
   }
 }

@@ -40,26 +40,73 @@ object StreamingSimilarity {
     * micro-batch against the living embed index and fold the admitted
     * (novel) vectors back in, LAGGED one batch — batch N's admissions fold
     * at the start of batch N+1, so a replay of N gates against exactly the
-    * index N saw first. Same crash honesty as the text form: the staged
-    * batch is driver-memory, so a crash between N's commit and N+1 loses
-    * N's fold (copies re-admit, at-least-once on novelty; persist the
-    * index per fold to close the window). */
+    * index N saw first. Returns an [[EmbedIngestGate]] (a value, not a
+    * bare closure): [[EmbedIngestGate.flush]] folds whatever is still
+    * staged at clean shutdown — without it a one-batch
+    * `Trigger.AvailableNow` run would never fold at all (the lag defers
+    * every fold to a next batch that never comes) and the staged persisted
+    * frame would leak. With `indexPath` set the loop is durable end to
+    * end, exactly like the text gate: staged admissions land under
+    * `indexPath/staged/batch=<id>`, folds persist O(batch) deltas
+    * ([[Similarity.saveEmbedIndexDelta]]), restarts load base+deltas and
+    * fold the leftovers. Without it the staged batch is driver-memory —
+    * at-least-once on novelty. */
   def novelAgainstIndexIngest(ref: graft.operators.RefreshableEmbedIndex,
-      threshold: Double = 0.35): DataFrame => DataFrame = {
-    val pending = new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
-    batch => {
-      pending.getAndSet(None).foreach { p =>
-        ref.fold(p)
-        p.unpersist()
+      threshold: Double = 0.35,
+      indexPath: Option[String] = None): EmbedIngestGate =
+    new EmbedIngestGate(ref, threshold, indexPath)
+
+  /** [[StreamingDedup.IngestGate]]'s vector twin. Staged batches carry the
+    * batch's full rows (the fold re-quantizes from the raw `embedding`
+    * column). */
+  final class EmbedIngestGate(ref: graft.operators.RefreshableEmbedIndex,
+      threshold: Double, indexPath: Option[String])
+      extends (DataFrame => DataFrame) {
+    import org.apache.spark.sql.SparkSession
+    import graft.operators.IndexFiles
+
+    private val pending =
+      new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+    private val nextSyntheticId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    private def foldStaged(spark: SparkSession, before: Option[Long]): Unit =
+      indexPath match {
+        case Some(p) =>
+          IndexFiles.numbered(spark, s"$p/staged", "batch=")
+            .filter { case (id, _) => before.forall(id < _) }
+            .foreach { case (_, dir) =>
+              val staged = spark.read.parquet(dir.toString)
+              if (!staged.isEmpty) ref.fold(staged, deltaPath = Some(p))
+              IndexFiles.delete(spark, dir.toString)
+            }
+        case None =>
+          pending.getAndSet(None).foreach { st => ref.fold(st); st.unpersist() }
       }
+
+    /** Fold whatever is staged (clean-shutdown flush / quiet point). */
+    def flush(): Unit =
+      foldStaged(ref.current.qc.sparkSession, None)
+
+    /** The per-micro-batch transform with the REAL foreachBatch id (use
+      * this form from foreachBatch so durable staging keys on the engine's
+      * replay-stable ids). */
+    def apply(batch: DataFrame, batchId: Long): DataFrame = {
+      foldStaged(batch.sparkSession, Some(batchId))
       val decisions = Similarity.embedNoveltyAgainst(batch, ref.current, threshold)
       val admitted = batch.join(
         decisions.filter(org.apache.spark.sql.functions.col("novel"))
           .select("vec_id"), Seq("vec_id"))
-        .persist()
-      if (admitted.count() > 0) pending.set(Some(admitted))
-      else admitted.unpersist()
+      indexPath match {
+        case Some(p) =>
+          admitted.write.mode("overwrite").parquet(s"$p/staged/batch=$batchId")
+        case None =>
+          val a = admitted.persist()
+          if (a.count() > 0) pending.set(Some(a)) else a.unpersist()
+      }
       decisions
     }
+
+    override def apply(batch: DataFrame): DataFrame =
+      apply(batch, nextSyntheticId.getAndIncrement())
   }
 }
