@@ -117,6 +117,17 @@ object DataPipelineQueries {
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "sim_knn_graph" -> ((s, dir) => Similarity.knnGraph(emb(s, dir))),
+    // GRAPH LIFECYCLE: corpus %3==0's graph built from scratch (centroids
+    // frozen from that base), %3==1 folded in incrementally — the oracle
+    // builds the whole graph over the union under the same frozen
+    // centroids, so the hash gate proves folded ≡ from-scratch
+    "knn_graph_refresh" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val e = emb(s, dir)
+      val g0 = Similarity.knnGraphIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0))
+      Similarity.refreshKnnGraph(g0, e.filter(pmod(col("vec_id"), lit(3)) === 1))
+        .edges.orderBy("query_id", "rnk")
+    }),
     "graph_quality_prop" -> ((s, dir) => Similarity.qualityPropagation(docs(s, dir), emb(s, dir))),
     "graph_pagerank" -> ((s, dir) => Similarity.pageRank(emb(s, dir))),
     "sim_topk_sq8" -> ((s, dir) => Similarity.sq8TopK(emb(s, dir))),
@@ -200,6 +211,7 @@ object DataPipelineQueries {
     // answers exactly like a from-scratch build
     "dedup_index_delta" -> Dedup.indexRefreshSql,
     "embed_index_delta" -> Similarity.embedIndexRefreshSql,
+    "knn_graph_refresh" -> Similarity.knnGraphRefreshSql,
     "embed_index_refresh" -> Similarity.embedIndexRefreshSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql,

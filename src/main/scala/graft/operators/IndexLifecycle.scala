@@ -68,6 +68,45 @@ final class RefreshableCorpusIndex(initial: Dedup.CorpusIndex) {
     }
 }
 
+/** The kNN GRAPH under the same refresh-and-swap discipline — the graph is
+  * a per-corpus index artifact ([[Similarity.knnGraphIndex]]), and its
+  * consumers ([[Similarity.pageRankOver]],
+  * [[Similarity.qualityPropagationOver]]) must never traverse a stale graph
+  * after the corpus they rank refreshed. `fold` is the INCREMENTAL path
+  * ([[Similarity.refreshKnnGraph]] — frozen centroids, new-node edges plus
+  * affected-node re-rank, ≡ from-scratch under the same codebook,
+  * spec-pinned); rebuild-and-swap for codebook retraining is
+  * [[rebuildWith]]. */
+final class RefreshableKnnGraph(initial: Similarity.KnnGraphIndex) {
+  @volatile private var g: Similarity.KnnGraphIndex = initial.materialize()
+
+  def current: Similarity.KnnGraphIndex = g
+
+  /** Fold `newVecs` in under the frozen centroids and atomically publish. */
+  def fold(newVecs: DataFrame, releaseOld: Boolean = true): Similarity.KnnGraphIndex =
+    synchronized {
+      val (refreshed, dropFoldCaches) = Similarity.refreshKnnGraphTracked(g, newVecs)
+      val next = refreshed.truncated()
+      dropFoldCaches()
+      val prev = g
+      g = next
+      if (releaseOld) prev.release()
+      next
+    }
+
+  /** Swap in a from-scratch rebuild (new codebook — the retrain escape
+    * when the frozen centroids have drifted from the corpus). */
+  def rebuildWith(rebuilt: Similarity.KnnGraphIndex,
+      releaseOld: Boolean = true): Similarity.KnnGraphIndex =
+    synchronized {
+      val next = rebuilt.truncated()
+      val prev = g
+      g = next
+      if (releaseOld) prev.release()
+      next
+    }
+}
+
 /** [[RefreshableCorpusIndex]]'s vector-side twin over
   * [[Similarity.EmbedIndex]]. */
 final class RefreshableEmbedIndex(initial: Similarity.EmbedIndex) {

@@ -1113,9 +1113,199 @@ object Similarity {
     * re-run the IVF probe machinery: they share one pinned build (warmed in
     * `warmPins`, charged to cache_build), while `sim_knn_graph` itself keeps
     * calling [[knnGraph]] directly so the registry still carries an honest
-    * graph-CONSTRUCTION cost row. */
+    * graph-CONSTRUCTION cost row. A LIVING corpus should hold the graph in
+    * a [[graft.operators.RefreshableKnnGraph]] instead — the memo key is
+    * the corpus plan, so a refreshed corpus never serves a stale memo, but
+    * the memo rebuilds from scratch where the holder folds incrementally. */
   private[graft] def knnGraphPinned(emb: DataFrame, k: Int = 3): DataFrame =
     PinnedCaches.memo(emb, s"knn_graph_$k")(knnGraph(emb, k))
+
+  // ───────────────────────── kNN-GRAPH LIFECYCLE ─────────────────────────
+
+  /** The kNN graph as a refreshable INDEX artifact — what a living corpus
+    * holds so [[pageRank]]/[[qualityPropagation]]-class consumers never
+    * traverse a stale graph after a corpus refresh:
+    *
+    *   - `cents` is the FROZEN coarse quantizer (the base corpus's modular
+    *     sample — the same frozen-codebook policy as the PQ paths; retrain
+    *     with [[knnGraphIndex]] over the refreshed corpus and swap when
+    *     drift warrants, exactly the [[retrainPqIndex]] discipline);
+    *   - `qn` carries every vector's quantized form AND its cell; `probes`
+    *     its `nProbe` probe cells — the state a fold needs to find which
+    *     OLD queries a new batch affects;
+    *   - `edges` is the [[knnGraph]] edge list `(query_id, neighbor_id,
+    *     cos, rnk)`.
+    *
+    * [[refreshKnnGraph]] folds a batch in with cost proportional to the
+    * batch's candidate volume, provably ≡ a from-scratch build over the
+    * union corpus UNDER THE SAME centroids (spec-pinned; the
+    * `knn_graph_refresh` registry row pins the folded edges against the
+    * DuckDB oracle replaying frozen base centroids). */
+  final case class KnnGraphIndex private[operators] (
+      cents: DataFrame, qn: DataFrame, probes: DataFrame, edges: DataFrame,
+      k: Int, nProbe: Int) {
+    private[operators] def frames: Seq[DataFrame] =
+      Seq(cents, qn, probes, edges)
+    def materialize(): this.type = { frames.foreach(_.count()); this }
+    private[graft] def truncated(): KnnGraphIndex =
+      KnnGraphIndex(cents.localCheckpoint(true), qn.localCheckpoint(true),
+        probes.localCheckpoint(true), edges.localCheckpoint(true), k, nProbe)
+    def release(): Unit = frames.foreach(PinnedCaches.unpin)
+  }
+
+  /** Build the [[KnnGraphIndex]] for a static corpus — [[knnGraph]]'s
+    * machinery, retaining the assignment/probe state a refresh needs.
+    * `index.edges` contents equal [[knnGraph]]'s output (spec-pinned). */
+  def knnGraphIndex(emb: DataFrame, k: Int = 3, nProbe: Int = 2,
+      centroidMod: Int = 127): KnnGraphIndex = {
+    val q = quantized(emb).select("vec_id", "q", "nq")
+    val cents = PinnedCaches.pin(
+      q.filter(pmod(col("vec_id"), lit(centroidMod)) === 1)
+        .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("nq").as("nqc")))
+    knnGraphIndexWith(q, cents, k, nProbe, PinnedCaches.pin)
+  }
+
+  /** Graph construction against an EXPLICIT (frozen) codebook over an
+    * already-quantized `(vec_id, q, nq)` frame — shared by the from-scratch
+    * build and the refresh-equivalence spec. */
+  private def knnGraphIndexWith(q: DataFrame, cents: DataFrame, k: Int,
+      nProbe: Int, cache: DataFrame => DataFrame): KnnGraphIndex = {
+    val scored = q.crossJoin(broadcast(cents))
+      .withColumn("score", long_dot(col("q"), col("qc")).cast("double") /
+        sqrt(col("nqc").cast("double")))
+    val assigned = scored.groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("score"), col("cent_id"))).as("cell"))
+    val qn = cache(q.join(assigned, Seq("vec_id")))
+    val probes = cache(scored.groupBy("vec_id")
+      .agg(slice(reverse(array_sort(collect_list(struct(col("score"), col("cent_id"))))),
+        1, nProbe).as("cells"))
+      .select(col("vec_id").as("query_id"), explode(col("cells.cent_id")).as("cell")))
+    val cand = probes
+      .join(qn.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val edges = cache(rankCandidates(cand, q, k))
+    KnnGraphIndex(cents, qn, probes, edges, k, nProbe)
+  }
+
+  /** [[knnGraphIndexWith]] for spec use: the edge list over `emb` under an
+    * explicit frozen codebook (no caching — one-shot comparison builds). */
+  private[graft] def knnGraphEdgesWith(emb: DataFrame, cents: DataFrame,
+      k: Int = 3, nProbe: Int = 2): DataFrame =
+    knnGraphIndexWith(quantized(emb).select("vec_id", "q", "nq"), cents,
+      k, nProbe, identity).edges
+
+  /** GRAPH LIFECYCLE — fold a batch of new vectors into an existing
+    * [[KnnGraphIndex]] under its frozen centroids, producing exactly the
+    * graph a from-scratch build over the union corpus (same centroids)
+    * would produce:
+    *
+    *   - the batch assigns/probes against the broadcast codebook
+    *     (map-side);
+    *   - NEW-as-query edges rank the members of each new vector's probed
+    *     cells — the same candidate rule as from-scratch;
+    *   - OLD queries are affected iff a new vector landed in one of their
+    *     probed cells (cells are frozen, so nothing else can change);
+    *     their new top-k re-ranks their EXISTING top-k edges ∪ the new
+    *     in-cell candidates — sound because top-k(old ∪ new) =
+    *     top-k(top-k(old) ∪ new): a candidate outside the old top-k is
+    *     already beaten by k others, and new candidates only add
+    *     competition (ties break to the lower neighbor_id on both paths);
+    *   - unaffected queries keep their edge rows verbatim.
+    *
+    * Cost is the batch's candidate volume (batch·nProbe·cellSize) plus the
+    * affected queries' bounded re-rank (≤ k + new-in-cell candidates each)
+    * — never a corpus-wide rebuild. */
+  def refreshKnnGraph(idx: KnnGraphIndex, newVecs: DataFrame): KnnGraphIndex =
+    refreshKnnGraphCore(idx, newVecs, PinnedCaches.pin)
+
+  private def refreshKnnGraphCore(idx: KnnGraphIndex, newVecs: DataFrame,
+      cache: DataFrame => DataFrame): KnnGraphIndex = {
+    val qNew = cache(quantized(newVecs).select("vec_id", "q", "nq"))
+    val scoredNew = qNew.crossJoin(broadcast(idx.cents))
+      .withColumn("score", long_dot(col("q"), col("qc")).cast("double") /
+        sqrt(col("nqc").cast("double")))
+    val assignedNew = scoredNew.groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("score"), col("cent_id"))).as("cell"))
+    val qnNew = cache(qNew.join(assignedNew, Seq("vec_id")))
+    val probesNew = cache(scoredNew.groupBy("vec_id")
+      .agg(slice(reverse(array_sort(collect_list(struct(col("score"), col("cent_id"))))),
+        1, idx.nProbe).as("cells"))
+      .select(col("vec_id").as("query_id"), explode(col("cells.cent_id")).as("cell")))
+
+    val qnAll = cache(idx.qn.unionByName(qnNew))
+    val qAll = qnAll.select("vec_id", "q", "nq")
+
+    // new-as-query: probe cells' members among old ∪ new
+    val candNew = probesNew
+      .join(qnAll.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val edgesNew = rankCandidates(candNew, qAll, idx.k)
+
+    // affected old queries: a new vector landed in a probed cell
+    val newInCell = assignedNew.select(col("cell"), col("vec_id").as("neighbor_id"))
+    val affCand = idx.probes.join(newInCell, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val affected = cache(affCand.select("query_id").distinct())
+    val mergedCand = idx.edges.join(affected, Seq("query_id"))
+      .select("query_id", "neighbor_id")
+      .unionByName(affCand)
+    val edgesUpd = rankCandidates(mergedCand, qAll, idx.k)
+
+    val edges2 = cache(
+      idx.edges.join(affected, Seq("query_id"), "left_anti")
+        .unionByName(edgesUpd).unionByName(edgesNew))
+    KnnGraphIndex(idx.cents, qnAll,
+      cache(idx.probes.unionByName(probesNew)), edges2, idx.k, idx.nProbe)
+  }
+
+  /** [[refreshKnnGraph]] for the lifecycle holder: fold-local tracked
+    * persists, dropped after the published frames checkpoint (the same
+    * no-pin discipline as the corpus/embed index folds). */
+  private[graft] def refreshKnnGraphTracked(idx: KnnGraphIndex,
+      newVecs: DataFrame): (KnnGraphIndex, () => Unit) = {
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val next = refreshKnnGraphCore(idx, newVecs,
+      df => { val c = df.persist(); tracked += c; c })
+    (next, () => tracked.foreach(_.unpersist()))
+  }
+
+  /** DuckDB oracle for the `knn_graph_refresh` registry row — the graph
+    * lifecycle on the 3-way split: corpus %3==0 built from scratch (its
+    * centroids FROZEN), %3==1 folded in via [[refreshKnnGraph]], output =
+    * the refreshed edge list. The oracle knows nothing about the refresh:
+    * it builds the whole graph over the union population under the base
+    * corpus's centroid set, so the hash gate proves folded ≡ from-scratch
+    * (same codebook). */
+  val knnGraphRefreshSql: String =
+    s"""WITH $evNormsSql,
+       |cents AS (SELECT vec_id AS cent_id FROM norms
+       |  WHERE vec_id % 127 = 1 AND vec_id % 3 = 0),
+       |cdots AS (
+       |  SELECT a.vec_id, c.cent_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM ev a JOIN cents c ON true JOIN ev b ON b.vec_id = c.cent_id AND b.i = a.i
+       |  WHERE a.vec_id % 3 < 2
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.vec_id, d.cent_id,
+       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nc.nq AS DOUBLE)) AS score
+       |  FROM cdots d JOIN norms nc ON nc.vec_id = d.cent_id),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cent_id DESC) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cent_id DESC) AS pr
+       |    FROM scored) WHERE pr <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |${rankSqlK(3)}""".stripMargin
 
   /** One round of quality-score propagation over the [[knnGraph]] — the
     * graph-curation step that smooths a noisy per-document quality signal
@@ -1133,10 +1323,18 @@ object Similarity {
     * projection — never text — and the propagation is one map-side-
     * combinable aggregate keyed by doc; isolated vectors keep NULL
     * neighbor/blended scores on both engines. */
-  def qualityPropagation(docs: DataFrame, emb: DataFrame, k: Int = 3): DataFrame = {
+  def qualityPropagation(docs: DataFrame, emb: DataFrame, k: Int = 3): DataFrame =
+    qualityPropagationOver(docs, knnGraphPinned(emb, k))
+
+  /** [[qualityPropagation]] over an EXPLICIT edge list — the form a
+    * [[graft.operators.RefreshableKnnGraph]] consumer calls
+    * (`qualityPropagationOver(docs, holder.current.edges)`), so a corpus
+    * refresh propagates through the folded graph instead of a stale memo.
+    * Spec-pinned: over a refreshed graph it equals the from-scratch result. */
+  def qualityPropagationOver(docs: DataFrame, graphEdges: DataFrame): DataFrame = {
     val s = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), round(col("quality_score") * 100).cast("long").as("s100"))
-    val contrib = knnGraphPinned(emb, k)
+    val contrib = graphEdges
       .join(s.select(col("doc_id").as("neighbor_id"), col("s100")), Seq("neighbor_id"))
       .withColumn("w", round((lit(1.0) + col("cos")) * 1000000).cast("long"))
       .groupBy(col("query_id").as("doc_id"))
@@ -1197,13 +1395,21 @@ object Similarity {
     * partitioned on the same key) then a map-side-combinable sum keyed on
     * `dst`. Rank state is 2 longs per node; the loop never collects, and
     * lineage stays `iters`-bounded so no checkpointing is needed. */
-  def pageRank(emb: DataFrame, k: Int = 3, iters: Int = 3): DataFrame = {
+  def pageRank(emb: DataFrame, k: Int = 3, iters: Int = 3): DataFrame =
+    pageRankOver(knnGraphPinned(emb, k), emb.select("vec_id"), iters)
+
+  /** [[pageRank]] over an EXPLICIT edge list and node set — the
+    * [[graft.operators.RefreshableKnnGraph]] consumer form
+    * (`pageRankOver(holder.current.edges, nodes)`); spec-pinned equal to
+    * from-scratch over a refreshed graph. */
+  def pageRankOver(graphEdges: DataFrame, nodeIds: DataFrame,
+      iters: Int = 3): DataFrame = {
     val S = 1000000000000L
-    val edges = knnGraphPinned(emb, k)
+    val edges = graphEdges
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val n = emb.agg(count(lit(1)).as("n"))
-    val nodes = emb.select("vec_id").crossJoin(broadcast(n))
+    val n = nodeIds.agg(count(lit(1)).as("n"))
+    val nodes = nodeIds.crossJoin(broadcast(n))
     val r0 = nodes.withColumn("r", expr(s"${S}L div n"))
     val ranks = (1 to iters).foldLeft(r0) { (r, _) =>
       val contrib = edges.join(deg, Seq("src"))

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RefreshableKnnGraph, Similarity}
+
+/** kNN-GRAPH LIFECYCLE: the incrementally-folded graph must equal a
+  * from-scratch build over the union corpus UNDER THE SAME (frozen)
+  * centroids — new-node edges, affected-node re-rank, untouched rows — and
+  * the graph consumers (pagerank, quality propagation) must produce
+  * from-scratch results when driven off the refreshed holder. (The
+  * `knn_graph_refresh` registry row additionally pins the folded edges
+  * hash-exact against the DuckDB oracle.) */
+class KnnGraphLifecycleSpec extends SparkSpec {
+
+  private def edgeSet(edges: DataFrame): Set[(Long, Long, Double, Long)] =
+    edges.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Double]("cos"), r.getAs[Long]("rnk"))).toSet
+
+  test("knnGraphIndex edges equal the knnGraph operator's") {
+    val e = operators.Tables.load(spark, sf(), "embeddings")
+    assert(edgeSet(Similarity.knnGraphIndex(e).edges) ==
+      edgeSet(Similarity.knnGraph(e)))
+  }
+
+  test("chained folds equal from-scratch under the frozen centroids; affected nodes really re-rank") {
+    val e = operators.Tables.load(spark, sf(), "embeddings")
+    val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val b1 = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val b2 = e.filter(pmod(col("vec_id"), lit(4)) === 2)
+
+    val g0 = Similarity.knnGraphIndex(base)
+    val g1 = Similarity.refreshKnnGraph(g0, b1)
+    val g2 = Similarity.refreshKnnGraph(g1, b2)
+
+    val union = e.filter(pmod(col("vec_id"), lit(4)) < 3)
+    val scratch = Similarity.knnGraphEdgesWith(union, g0.cents)
+    assert(edgeSet(g2.edges) == edgeSet(scratch))
+
+    // non-degenerate: the fold displaced some OLD query's neighbor — the
+    // affected-node merge path did real work, not just appended new nodes
+    val baseIds = base.select("vec_id").collect().map(_.getLong(0)).toSet
+    val before = edgeSet(g0.edges).filter(t => baseIds(t._1))
+    val after = edgeSet(g2.edges).filter(t => baseIds(t._1))
+    assert(before != after, "a new vector must displace at least one old top-k edge")
+    // and some old rows survived verbatim (unaffected path exercised too)
+    assert(before.intersect(after).nonEmpty)
+  }
+
+  test("holder: consumers over the refreshed graph equal from-scratch (no stale graph)") {
+    val e = operators.Tables.load(spark, sf(), "embeddings")
+    val d = operators.Tables.load(spark, sf(), "documents")
+    val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val fold = e.filter(pmod(col("vec_id"), lit(3)) === 1)
+    val union = e.filter(pmod(col("vec_id"), lit(3)) < 2)
+
+    val holder = new RefreshableKnnGraph(Similarity.knnGraphIndex(base))
+    holder.fold(fold)
+    val scratchEdges = Similarity.knnGraphEdgesWith(union, holder.current.cents)
+
+    // pagerank over the folded graph == pagerank over the from-scratch graph
+    val prGot = Similarity.pageRankOver(holder.current.edges, union.select("vec_id"))
+      .collect().toSeq
+    val prWant = Similarity.pageRankOver(scratchEdges, union.select("vec_id"))
+      .collect().toSeq
+    assert(prGot == prWant && prGot.nonEmpty)
+
+    // quality propagation likewise (docs restricted to the union ids so
+    // the join population matches)
+    val docsU = d.join(union.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+    val qpGot = Similarity.qualityPropagationOver(docsU, holder.current.edges)
+      .collect().toSeq
+    val qpWant = Similarity.qualityPropagationOver(docsU, scratchEdges)
+      .collect().toSeq
+    assert(qpGot == qpWant && qpGot.nonEmpty)
+
+    // rebuild-and-swap (the codebook-retrain escape): a from-scratch index
+    // over the union replaces the folded one atomically
+    val rebuilt = Similarity.knnGraphIndex(union)
+    holder.rebuildWith(rebuilt)
+    assert(edgeSet(holder.current.edges) == edgeSet(Similarity.knnGraph(union)))
+  }
+}
