@@ -107,6 +107,45 @@ final class RefreshableKnnGraph(initial: Similarity.KnnGraphIndex) {
     }
 }
 
+/** The learned-PQ index under the swap discipline — the codebook-drift
+  * lifecycle ([[Similarity.PqIndex]]'s scaladoc documents the policy):
+  * [[append]] is the routine frozen-codebook ingest; [[retrain]] trains a
+  * fresh codebook over the given (refreshed) corpus, re-encodes, bumps the
+  * version, and swaps. Drift is observed through
+  * [[Similarity.pqRecall]](current) on a monitoring cadence — PqDriftSpec
+  * pins the whole story: a shifted batch degrades recall@k under the
+  * frozen codebook and retrain-and-swap recovers it. */
+final class RefreshablePqIndex(initial: Similarity.PqIndex) {
+  @volatile private var idx: Similarity.PqIndex = initial.materialize()
+
+  def current: Similarity.PqIndex = idx
+
+  /** Frozen-codebook append-encode of a new batch (O(batch)). */
+  def append(newVecs: DataFrame, releaseOld: Boolean = true): Similarity.PqIndex =
+    synchronized {
+      val (refreshed, dropFoldCaches) = Similarity.appendEncodePqTracked(idx, newVecs)
+      val next = refreshed.truncated()
+      dropFoldCaches()
+      val prev = idx
+      idx = next
+      if (releaseOld) prev.release()
+      next
+    }
+
+  /** Retrain over `corpus` (the full refreshed population), re-encode,
+    * version-bump, swap. */
+  def retrain(corpus: DataFrame, releaseOld: Boolean = true): Similarity.PqIndex =
+    synchronized {
+      val rebuilt = Similarity.retrainPqIndex(corpus, idx)
+      val next = rebuilt.truncated()
+      rebuilt.release()
+      val prev = idx
+      idx = next
+      if (releaseOld) prev.release()
+      next
+    }
+}
+
 /** [[RefreshableCorpusIndex]]'s vector-side twin over
   * [[Similarity.EmbedIndex]]. */
 final class RefreshableEmbedIndex(initial: Similarity.EmbedIndex) {

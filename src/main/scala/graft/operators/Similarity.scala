@@ -65,8 +65,12 @@ object Similarity {
 
   /** Brute-force cosine top-k: query vectors (vec_id < nQueries) against the
     * whole corpus. Query side is broadcast; ranking via per-query window. */
-  def bruteForceTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val q = quantized(emb)
+  def bruteForceTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
+    bruteForceTopKQ(quantized(emb), k, nQueries)
+
+  /** [[bruteForceTopK]] over an already-quantized frame — the exact ground
+    * truth the PQ-index recall measurement compares against. */
+  private def bruteForceTopKQ(q: DataFrame, k: Int, nQueries: Int): DataFrame = {
     val queries = q.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("nqa"))
     val corpus = q.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nqb"))
@@ -1597,7 +1601,14 @@ object Similarity {
     * `(m, cent_id, qc, nqc)`: d = nqc − 2·dot(sub, centroid) per
     * (vector, subspace, centroid) — broadcast codebook, map-side. */
   private def pqScoredWith(emb: DataFrame, cents: DataFrame, subspaces: Int): DataFrame =
-    sliceSubs(quantized(emb).select(col("vec_id"), col("q")),
+    pqScoredWithQ(quantized(emb), cents, subspaces)
+
+  /** [[pqScoredWith]] over an ALREADY-quantized `(vec_id, q, …)` frame —
+    * the form the PQ-index lifecycle uses (its components carry quantized
+    * vectors; re-quantizing raw embeddings per call would rescan the
+    * corpus). */
+  private def pqScoredWithQ(qf: DataFrame, cents: DataFrame, subspaces: Int): DataFrame =
+    sliceSubs(qf.select(col("vec_id"), col("q")),
       Seq("vec_id"), "q", "qs", subspaces)
       .join(broadcast(cents), Seq("m"))
       .withColumn("d", col("nqc") - lit(2L) * long_dot(col("qs"), col("qc")))
@@ -1737,6 +1748,110 @@ object Similarity {
       pqScoredWith(emb, pqLearnedCents(emb, subspaces, codes, iters), subspaces)
         .groupBy("vec_id", "m")
         .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("code")))
+
+  // ──────────────── LEARNED-PQ CODEBOOK LIFECYCLE ────────────────
+
+  /** The learned-PQ index as a VERSIONED artifact — the codebook-drift
+    * story for a 100 TB ingest (append-encode with frozen codebooks decays
+    * recall under distribution shift, and without measurement it decays
+    * UNOBSERVED). The documented policy, spec-pinned end to end
+    * (PqDriftSpec):
+    *
+    *   - routine ingest APPEND-ENCODES against the frozen codebook
+    *     ([[appendEncodePq]] — O(batch): slice, broadcast-codebook argmin,
+    *     append);
+    *   - drift is MEASURED, not assumed: [[pqRecall]] computes recall@k of
+    *     the index's ADC chain against the exact quantized-cosine top-k
+    *     over the same corpus — run on a monitoring cadence; a drop below
+    *     the deployment's floor is the retrain signal;
+    *   - [[retrainPqIndex]] trains a NEW Lloyd codebook over the refreshed
+    *     corpus, re-encodes everything, bumps `version`, and swaps through
+    *     [[graft.operators.RefreshablePqIndex]] — readers mid-query keep
+    *     the complete old version (the standard swap monotonicity).
+    */
+  final case class PqIndex private[operators] (
+      cents: DataFrame, codes: DataFrame, qn: DataFrame,
+      version: Int, subspaces: Int, nCodes: Int, iters: Int) {
+    private[operators] def frames: Seq[DataFrame] = Seq(cents, codes, qn)
+    def materialize(): this.type = { frames.foreach(_.count()); this }
+    private[graft] def truncated(): PqIndex =
+      PqIndex(cents.localCheckpoint(true), codes.localCheckpoint(true),
+        qn.localCheckpoint(true), version, subspaces, nCodes, iters)
+    def release(): Unit = frames.foreach(PinnedCaches.unpin)
+  }
+
+  /** Train the version-1 [[PqIndex]] over a corpus: Lloyd codebook
+    * ([[pqLearnedCents]]'s machinery), full encode, quantized corpus kept
+    * for the exact re-rank tail. */
+  def pqIndexBuild(emb: DataFrame, subspaces: Int = 8, nCodes: Int = 32,
+      iters: Int = 2, version: Int = 1): PqIndex = {
+    val qn = PinnedCaches.pin(quantized(emb).select("vec_id", "q", "nq"))
+    val cents = pqLearnedCents(emb, subspaces, nCodes, iters)
+    val codes = PinnedCaches.pin(
+      pqScoredWithQ(qn, cents, subspaces).groupBy("vec_id", "m")
+        .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("code")))
+    PqIndex(cents, codes, qn, version, subspaces, nCodes, iters)
+  }
+
+  /** FROZEN-codebook append: encode only the batch against the existing
+    * codebook and append its codes/vectors — same version (the codebook
+    * did not change; recall under drift is [[pqRecall]]'s to observe). */
+  def appendEncodePq(idx: PqIndex, newVecs: DataFrame): PqIndex =
+    appendEncodePqCore(idx, newVecs, PinnedCaches.pin)
+
+  private def appendEncodePqCore(idx: PqIndex, newVecs: DataFrame,
+      cache: DataFrame => DataFrame): PqIndex = {
+    val qNew = cache(quantized(newVecs).select("vec_id", "q", "nq"))
+    val codesNew = pqScoredWithQ(qNew, idx.cents, idx.subspaces)
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("code"))
+    PqIndex(idx.cents, cache(idx.codes.unionByName(codesNew)),
+      cache(idx.qn.unionByName(qNew)),
+      idx.version, idx.subspaces, idx.nCodes, idx.iters)
+  }
+
+  /** [[appendEncodePq]] for the lifecycle holder (tracked fold-local
+    * persists — the shared no-pin-in-loops discipline). */
+  private[graft] def appendEncodePqTracked(idx: PqIndex,
+      newVecs: DataFrame): (PqIndex, () => Unit) = {
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val next = appendEncodePqCore(idx, newVecs,
+      df => { val c = df.persist(); tracked += c; c })
+    (next, () => tracked.foreach(_.unpersist()))
+  }
+
+  /** RETRAIN-AND-SWAP: a fresh Lloyd codebook over the (refreshed) corpus,
+    * full re-encode, version bump — the escape when [[pqRecall]] shows the
+    * frozen codebook has drifted from the data. */
+  def retrainPqIndex(emb: DataFrame, prev: PqIndex): PqIndex =
+    pqIndexBuild(emb, prev.subspaces, prev.nCodes, prev.iters, prev.version + 1)
+
+  /** The [[pqTopKLearned]] ADC/re-rank chain against an explicit
+    * [[PqIndex]] — what queries run between lifecycle events. */
+  def pqTopKOver(idx: PqIndex, k: Int = 5, nQueries: Int = 10,
+      rerank: Int = 32): DataFrame = {
+    val qtab = pqScoredWithQ(idx.qn.filter(col("vec_id") < nQueries),
+        idx.cents, idx.subspaces)
+      .select(col("vec_id").as("query_id"), col("m"), col("cent_id"), col("d"))
+    adcRerank(idx.qn, idx.codes, qtab, k, rerank)
+  }
+
+  /** MEASURED recall@k of the index's ADC chain vs the exact
+    * quantized-cosine top-k over the same corpus — the drift monitor
+    * (one row: `(version, k, n_queries, hits, possible, recall)`). The
+    * exact side is the `nQueries·N` brute-force row — monitoring cost, run
+    * on a sampled query set at scale, never per-query. */
+  def pqRecall(idx: PqIndex, k: Int = 5, nQueries: Int = 10,
+      rerank: Int = 32): DataFrame = {
+    val got = pqTopKOver(idx, k, nQueries, rerank).select("query_id", "neighbor_id")
+    val want = bruteForceTopKQ(idx.qn, k, nQueries).select("query_id", "neighbor_id")
+    want.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(want.agg(count(lit(1)).as("possible")))
+      .select(lit(idx.version).as("version"), lit(k).as("k"),
+        lit(nQueries).as("n_queries"), col("hits"), col("possible"),
+        (col("hits").cast("double") / col("possible").cast("double")).as("recall"))
+  }
 
   /** [[pqTopK]] with the LEARNED codebook: same encode/ADC/re-rank chain,
     * only the code words change. 32 codes/subspace trained by Lloyd rounds
