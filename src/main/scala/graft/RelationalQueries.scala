@@ -937,8 +937,9 @@ object RelationalQueries {
     * honesty (spec-pinned live): under LEFT-OUTER semantics AQE may only
     * split the PROBE side (splitting the match side would duplicate
     * unmatched probe rows), so a flash-sale hour of purchases splits at
-    * runtime, while a hot CLICK hour needs salting (replicate the probe
-    * row per salt shard) or an inner-join + anti-join decomposition. */
+    * runtime, while a hot CLICK hour takes the IMPLEMENTED salted escape —
+    * [[intervalJoinCore]]'s `salt` knob / [[eventsIntervalJoinSalted]]
+    * (oracle-pinned identical answer; skew-spread spec-pinned live). */
   /** Two-sided BAND join — the symmetric sibling of
     * [[eventsIntervalJoin]]: per ERROR event, the count/value of clicks
     * within ±30 minutes (both endpoints inclusive) across all users — the
@@ -1065,24 +1066,57 @@ object RelationalQueries {
     * factored out so the boundary spec can drive crafted epoch-micros
     * (inclusive endpoints, bucket-aligned timestamps) through the REAL
     * operator rather than a re-implementation. */
-  private[graft] def intervalJoinCore(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+  private[graft] def intervalJoinCore(purchases: DataFrame, clicks: DataFrame,
+      salt: Int = 1): DataFrame = {
     val H = 3600000000L // interval (and bucket) width, microseconds
     // EXACT floor division for the bucket key (the BucketedIntervalJoinRule
     // spelling): with true floor, fd(t − H) = fd(t) − 1 identically for ALL
     // integers — including negative epoch-micros, where truncating `div`
     // rounds toward zero and under-covers (spec-pinned straddling 0)
     def fd(x: String) = s"(($x) - pmod(($x), ${H}L)) div ${H}L"
-    val probes = purchases.withColumn("bucket", explode(array(
+    val probes0 = purchases.withColumn("bucket", explode(array(
       expr(s"${fd("p_us")} - 1L"), expr(fd("p_us")))))
-    val matches = clicks.withColumn("bucket", expr(fd("c_us")))
+    // HOT-MATCH-SIDE salting (salt > 1): under left-outer semantics AQE can
+    // only split the PROBE side (splitting the match side would duplicate
+    // unmatched probe rows), so a hot CLICK hour — one bucket holding a
+    // disproportionate match population — pins a single task. The salted
+    // form shards the hot side deterministically (pmod(xxhash64(row), salt))
+    // and REPLICATES each probe row across all shards: the join key becomes
+    // (bucket, shard), the hot bucket's matches spread over `salt` tasks,
+    // and correctness is untouched — every (probe, match) pair still meets
+    // exactly once (in the match's own shard), and a zero-match purchase's
+    // 2·salt null rows collapse in the same null-ignoring aggregate. Probe
+    // replication costs salt× probe rows — the standard trade; pick salt ≈
+    // the hot bucket's size over the target per-task row count.
+    val probes =
+      if (salt == 1) probes0
+      else probes0.withColumn("shard", explode(array((0 until salt).map(lit): _*)))
+    val matches0 = clicks.withColumn("bucket", expr(fd("c_us")))
+    val matches =
+      if (salt == 1) matches0
+      else matches0.withColumn("shard", pmod(xxhash64(col("c_us"), col("c_v")), lit(salt)))
+    val joinKeys = probes("bucket") === matches("bucket") &&
+      (if (salt == 1) lit(true) else probes("shard") === matches("shard"))
     probes.join(matches,
-        probes("bucket") === matches("bucket") &&
-          col("c_us") >= col("p_us") - H && col("c_us") <= col("p_us"),
+        joinKeys && col("c_us") >= col("p_us") - H && col("c_us") <= col("p_us"),
         "left")
       .groupBy("event_id")
       .agg(count(col("c_us")).as("n_clicks"),
         (coalesce(sum(col("c_v")), lit(0L)).cast("double") / 100.0).as("click_value"))
       .orderBy("event_id")
+  }
+
+  /** [[eventsIntervalJoin]] with the hot-MATCH-side skew escape engaged
+    * (the salted form — same answer, spec- and oracle-pinned; see the
+    * salting note in [[intervalJoinCore]]). */
+  def eventsIntervalJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    intervalJoinCore(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("p_us")),
+      ev.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("c_us"), cents(col("value")).as("c_v")),
+      salt = 8)
   }
 
   val eventsIntervalJoinSql: String =
@@ -1099,6 +1133,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rate_window" -> eventsRateWindow _,
     "events_interval_join" -> eventsIntervalJoin _,
+    "events_interval_join_salted" -> eventsIntervalJoinSalted _,
     "events_asof_join" -> eventsAsofJoin _,
     "events_band_join" -> eventsBandJoin _,
     "agg_approx" -> approxAgg _,
@@ -1133,6 +1168,8 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "events_rate_window" -> eventsRateWindowSql,
     "events_interval_join" -> eventsIntervalJoinSql,
+    // the salted variant answers IDENTICALLY — same oracle
+    "events_interval_join_salted" -> eventsIntervalJoinSql,
     "events_asof_join" -> eventsAsofJoinSql,
     "events_band_join" -> eventsBandJoinSql,
     "agg_approx" -> approxAggSql,

@@ -542,6 +542,54 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("interval join hot-MATCH-side skew: salting spreads the hot click hour, answer unchanged") {
+    import spark.implicits._
+    val H = 3600000000L
+    val base = 600000L * H
+    val rnd = new scala.util.Random(13)
+    // inverted shape vs the probe-skew test: ONE hour holds 20k CLICKS (the
+    // match side — the side AQE cannot split under left-outer), purchases
+    // are a trickle across 40 hours plus a handful inside the hot hour
+    val clicks = (0 until 20000).map { i =>
+      (base + (rnd.nextLong() % H).abs, (i % 97).toLong + 1L)
+    } ++ (0 until 400).map { i =>
+      (base + H * (1 + (i % 40)) + (rnd.nextLong() % H).abs, 1L)
+    }
+    val purchases = (0 until 200).map { i =>
+      (i.toLong, base + H * (i % 41) + (rnd.nextLong() % H).abs)
+    } ++ (200 until 205).map { i => // far from every click: the n = 0 path
+      (i.toLong, base + H * 100 + (rnd.nextLong() % H).abs)
+    }
+    val salt = 8
+
+    // (a) the salted shard key really spreads the hot bucket: no (bucket,
+    // shard) group keeps more than ~2/salt of the hot hour's matches
+    val fd = (x: String) => s"(($x) - pmod(($x), ${H}L)) div ${H}L"
+    val shardSizes = clicks.toDF("c_us", "c_v")
+      .withColumn("bucket", expr(fd("c_us")))
+      .withColumn("shard", pmod(xxhash64(col("c_us"), col("c_v")), lit(salt)))
+      .groupBy("bucket", "shard").count()
+      .filter(col("bucket") === base / H)
+      .collect().map(_.getLong(2))
+    assert(shardSizes.length == salt, s"hot bucket must populate all $salt shards")
+    assert(shardSizes.max <= 2L * 20000 / salt,
+      s"hot-hour matches must spread across shards: ${shardSizes.toSeq}")
+
+    // (b) the salted operator computes the exact naive answer (the
+    // events_interval_join_salted registry row additionally hash-pins this
+    // against DuckDB on the real corpus)
+    val got = RelationalQueries.intervalJoinCore(
+        purchases.toDF("event_id", "p_us"), clicks.toDF("c_us", "c_v"), salt = salt)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = purchases.map { case (id, p) =>
+      val in = clicks.filter { case (c, _) => c >= p - H && c <= p }
+      id -> ((in.size.toLong, in.map(_._2).sum.toDouble / 100.0))
+    }.toMap
+    assert(got == want)
+    // non-degenerate: zero-click purchases survive the 2·salt null explode
+    assert(want.values.exists(_._1 == 0L) && want.values.exists(_._1 > 1000L))
+  }
+
   test("registry-wide: NO partitionless window in any query's plan (single-task global sort ban)") {
     // the class of defect sample_curriculum used to have (an unpartitioned
     // row_number/count over a constant fraction of the corpus — one task
