@@ -107,28 +107,57 @@ object TextAnalysis {
     * artifact like the PQ codebooks, trained once per corpus. */
   def bpeMerges(docs: DataFrame): DataFrame =
     PinnedCaches.memo(docs, s"bpe_merges_$BpeRounds") {
-      var vocab = bpeWords(docs)
-        .withColumn("syms",
-          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-        .localCheckpoint(true)
-      var merges: DataFrame = null
-      for (r <- 1 to BpeRounds) {
-        val pairs = vocab.select(col("freq"), explode(expr(
-            """zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1),
-              |  (x, y) -> named_struct('a', x, 'b', y))""".stripMargin)).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("freq").as("cnt"))
-        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-          .withColumn("rnk", lit(r.toLong)).localCheckpoint(true)
-        merges = if (merges == null) top else merges.unionByName(top).localCheckpoint(true)
-        vocab = vocab
-          .crossJoin(broadcast(top.select(col("a").as("pa"), col("b").as("pb"))))
-          .withColumn("syms", expr(bpeMergeLambda))
-          .select("word", "freq", "syms")
-          .localCheckpoint(true)
-      }
-      merges.select("rnk", "a", "b", "cnt").orderBy("rnk")
+      bpeMergesFrom(bpeWords(docs))
     }
+
+  // ───────────────────── BPE VOCAB LIFECYCLE ─────────────────────
+  // Training depends on the corpus ONLY through the distinct-word frequency
+  // table, and word counts fold additively — so the lifecycle mirrors
+  // [[bm25Stats]]/[[refreshBm25Stats]]: maintain the word table with
+  // O(batch) folds, RETRAIN the (vocab-proportional, never
+  // corpus-proportional) merge rounds over the folded table, and the result
+  // is bit-identical to from-scratch training over the union corpus
+  // (spec-pinned). Between retrains the FROZEN vocab applies through
+  // [[bpeTokensWith]], whose documented OOV policy is char-level fallback.
+
+  /** The BPE training input as a refreshable corpus artifact: the
+    * `(word, freq)` distinct-word table. */
+  def bpeWordStats(docs: DataFrame): DataFrame = bpeWords(docs)
+
+  /** Fold a new batch into the word table — additive BIGINT counts, cost
+    * proportional to the batch's vocabulary. `refreshed ≡ from-scratch`
+    * bit-exact, so retraining over the folded table equals retraining over
+    * the union corpus. */
+  def refreshBpeWordStats(stats: DataFrame, newDocs: DataFrame): DataFrame =
+    stats.unionByName(bpeWords(newDocs))
+      .groupBy("word").agg(sum("freq").as("freq"))
+
+  /** The [[bpeMerges]] training loop over an EXPLICIT word table — the
+    * retrain path of the lifecycle (train over the FOLDED word stats; the
+    * corpus never re-enters). */
+  def bpeMergesFrom(words: DataFrame): DataFrame = {
+    var vocab = words
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(true)
+    var merges: DataFrame = null
+    for (r <- 1 to BpeRounds) {
+      val pairs = vocab.select(col("freq"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1),
+            |  (x, y) -> named_struct('a', x, 'b', y))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .withColumn("rnk", lit(r.toLong)).localCheckpoint(true)
+      merges = if (merges == null) top else merges.unionByName(top).localCheckpoint(true)
+      vocab = vocab
+        .crossJoin(broadcast(top.select(col("a").as("pa"), col("b").as("pb"))))
+        .withColumn("syms", expr(bpeMergeLambda))
+        .select("word", "freq", "syms")
+        .localCheckpoint(true)
+    }
+    merges.select("rnk", "a", "b", "cnt").orderBy("rnk")
+  }
 
   /** The corpus vocabulary ENCODED under the trained merges — re-derived
     * from the pinned [[bpeMerges]] table by applying each merge in rank
@@ -137,26 +166,33 @@ object TextAnalysis {
     * index artifact. */
   private def bpeVocab(docs: DataFrame): DataFrame =
     PinnedCaches.memo(docs, s"bpe_vocab_$BpeRounds") {
-      val merges = bpeMerges(docs)
-      val spark = docs.sparkSession
-      (1 to BpeRounds).foldLeft(
-        bpeWords(docs).withColumn("syms",
-          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
-        (v, r) =>
-          // a round may not exist (pair-exhausted vocabulary, spec-pinned):
-          // a NULL sentinel row keeps the crossJoin 1-row and the lambda's
-          // `= pa` comparison NULL → pass-through instead of emptying the
-          // vocabulary
-          val round = merges.filter(col("rnk") === r)
-            .select(col("a").as("pa"), col("b").as("pb"))
-            .unionByName(spark.range(1).select(
-              lit(null).cast("string").as("pa"), lit(null).cast("string").as("pb")))
-            .orderBy(col("pa").asc_nulls_last).limit(1)
-          v.crossJoin(broadcast(round))
-            .withColumn("syms", expr(bpeMergeLambda))
-            .select("word", "freq", "syms")
-      }
+      bpeVocabFrom(bpeWords(docs), bpeMerges(docs))
     }
+
+  /** Encode a word table under an EXPLICIT trained merge table — the
+    * frozen-vocab application path of the BPE lifecycle (encode a refreshed
+    * corpus's words under yesterday's merges, or a retrained table's under
+    * today's). */
+  def bpeVocabFrom(words: DataFrame, merges: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    (1 to BpeRounds).foldLeft(
+      words.withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
+      (v, r) =>
+        // a round may not exist (pair-exhausted vocabulary, spec-pinned):
+        // a NULL sentinel row keeps the crossJoin 1-row and the lambda's
+        // `= pa` comparison NULL → pass-through instead of emptying the
+        // vocabulary
+        val round = merges.filter(col("rnk") === r)
+          .select(col("a").as("pa"), col("b").as("pb"))
+          .unionByName(spark.range(1).select(
+            lit(null).cast("string").as("pa"), lit(null).cast("string").as("pb")))
+          .orderBy(col("pa").asc_nulls_last).limit(1)
+        v.crossJoin(broadcast(round))
+          .withColumn("syms", expr(bpeMergeLambda))
+          .select("word", "freq", "syms")
+    }
+  }
 
   /** Per-document token counts under the TRAINED tokenizer: whitespace
     * words, learned-BPE subwords, and their ratio — the number an LLM data
@@ -169,6 +205,31 @@ object TextAnalysis {
       .filter(length(col("word")) > 0)
       .join(bpeVocab(docs).select(col("word"), size(col("syms")).cast("long").as("n_sub")),
         Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
+      .withColumn("bpe_per_word",
+        col("n_bpe_tokens").cast("double") / col("n_words"))
+      .orderBy("doc_id")
+
+  /** [[bpeTokens]] under an EXPLICIT encoded vocabulary — the FROZEN-vocab
+    * form a refreshed corpus tokenizes through between retrains. OOV
+    * policy, documented and spec-pinned: a word absent from the vocabulary
+    * (it arrived after training) counts at CHAR level (`length(word)`
+    * symbols) — an UPPER BOUND on what the frozen merges would produce
+    * (they may still merge pairs inside an unseen word), so token budgets
+    * under a frozen vocab OVERESTIMATE on drifted text rather than
+    * silently dropping it — the safe direction for packing. For exact
+    * frozen-MERGE semantics, encode the new words first
+    * (`bpeVocabFrom(newWordStats, frozenMerges)`) and pass the extended
+    * vocab here; retrain via [[bpeMergesFrom]] over the folded
+    * [[refreshBpeWordStats]] table when drift makes either gap matter. */
+  def bpeTokensWith(docs: DataFrame, vocab: DataFrame): DataFrame =
+    Tables.fanOut(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(vocab.select(col("word"), size(col("syms")).cast("long").as("n_sub")),
+        Seq("word"), "left")
+      .withColumn("n_sub", coalesce(col("n_sub"), length(col("word")).cast("long")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
       .withColumn("bpe_per_word",

@@ -363,6 +363,72 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(Similarity.embedNoveltyAgainst(gate, refreshed2).collect().toSeq == want)
   }
 
+  test("BPE vocab lifecycle: folded word stats retrain ≡ from-scratch; frozen vocab bounds OOV") {
+    val docs = operators.Tables.load(spark, sf(), "documents")
+    val a = docs.filter(pmod(col("doc_id"), lit(3)) < 2)
+    val b = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+
+    // the training input folds additively and bit-exact, like BM25's stats
+    val folded = operators.TextAnalysis.refreshBpeWordStats(
+      operators.TextAnalysis.bpeWordStats(a), b)
+    val scratchWords = operators.TextAnalysis.bpeWordStats(docs)
+    assert(folded.orderBy("word").collect().toSeq ==
+      scratchWords.orderBy("word").collect().toSeq)
+
+    // retraining over the FOLDED table equals from-scratch training over
+    // the union corpus — the corpus never re-enters the retrain
+    val retrained = operators.TextAnalysis.bpeMergesFrom(folded).collect().toSeq
+    val scratch = operators.TextAnalysis.bpeMerges(docs).collect().toSeq
+    assert(retrained == scratch && scratch.size == operators.TextAnalysis.BpeRounds)
+
+    // frozen-vocab OOV policy: tokenize the UNION under the vocab trained
+    // on A only — every A-word counts identically, every genuinely-new
+    // B-word counts at char level (an upper bound on the frozen merges)
+    import spark.implicits._
+    val mergesA = operators.TextAnalysis.bpeMergesFrom(
+      operators.TextAnalysis.bpeWordStats(a))
+    val vocabA = operators.TextAnalysis.bpeVocabFrom(
+      operators.TextAnalysis.bpeWordStats(a), mergesA)
+    val crafted = Seq(
+      (1L, "zzqx zzqx wvvk"), // all OOV vs any real corpus: 4 + 4 + 4 chars
+      (2L, "zzqx")).toDF("doc_id", "text")
+    val frozen = operators.TextAnalysis.bpeTokensWith(crafted, vocabA)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(frozen == Seq((1L, 3L, 12L), (2L, 1L, 4L)),
+      s"OOV words must count at char level: $frozen")
+    // and the frozen count never UNDERestimates the retrained tokenizer
+    val vocabU = operators.TextAnalysis.bpeVocabFrom(folded,
+      operators.TextAnalysis.bpeMergesFrom(folded))
+    val frozenU = operators.TextAnalysis.bpeTokensWith(docs, vocabA)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactU = operators.TextAnalysis.bpeTokensWith(docs, vocabU)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exactU.forall { case (id, n) => frozenU(id) >= n },
+      "frozen-vocab budgets must overestimate, never drop")
+
+    // crafted GENUINE drift (the testdata splits share one word pool, so
+    // the bound above is tight there): a corpus of repeated-'ab' words
+    // trains merges that compress them; an unseen longer repeat counts
+    // char-level under the frozen vocab but compresses after retrain
+    val a2 = Seq((1L, "abab abab abab"), (2L, "abab cdcd")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "ababab ababab")).toDF("doc_id", "text")
+    val wordsA2 = operators.TextAnalysis.bpeWordStats(a2)
+    val vocabA2 = operators.TextAnalysis.bpeVocabFrom(wordsA2,
+      operators.TextAnalysis.bpeMergesFrom(wordsA2))
+    val foldedW = operators.TextAnalysis.refreshBpeWordStats(wordsA2, b2)
+    val vocabU2 = operators.TextAnalysis.bpeVocabFrom(foldedW,
+      operators.TextAnalysis.bpeMergesFrom(foldedW))
+    val frozenB = operators.TextAnalysis.bpeTokensWith(b2, vocabA2)
+      .collect().head.getLong(2)
+    val exactB = operators.TextAnalysis.bpeTokensWith(b2, vocabU2)
+      .collect().head.getLong(2)
+    assert(frozenB == 12L, s"OOV 'ababab' ×2 must count 6 chars each: $frozenB")
+    assert(exactB < frozenB,
+      s"retraining over the folded words must compress the drifted word: $exactB")
+  }
+
   test("BM25 corpus stats refresh is bit-exact (additive BIGINT fold)") {
     val docs = operators.Tables.load(spark, sf(), "documents")
     val a = docs.filter(pmod(col("doc_id"), lit(3)) < 2)
