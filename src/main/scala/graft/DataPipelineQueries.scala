@@ -176,6 +176,10 @@ object DataPipelineQueries {
       CurationPipeline.semanticExemplars(docs(s, dir), emb(s, dir))),
     "pipeline_exemplars" -> ((s, dir) => CurationPipeline.qualityExemplars(docs(s, dir))),
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(docs(s, dir))),
+    // real ISO-BMFF (MP4) container round trip: per-doc synthetic MP4 bytes
+    // parsed back through the pure-JDK moov/mvhd/tkhd box parser; the
+    // oracle replays the generation rule
+    "mm_video_metadata" -> ((s, dir) => Multimodal.videoMetadata(docs(s, dir))),
     "mm_dup_frames" -> ((s, dir) => Multimodal.dupFrames(docs(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.features(docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir))),
@@ -264,6 +268,7 @@ object DataPipelineQueries {
     "pipeline_exemplars_semantic" -> CurationPipeline.semanticExemplarsSql,
     "pipeline_exemplars" -> CurationPipeline.qualityExemplarsSql,
     "mm_metadata" -> Multimodal.metadataSql,
+    "mm_video_metadata" -> Multimodal.videoMetadataSql,
     "mm_dup_frames" -> Multimodal.dupFramesSql,
     "mm_features" -> Multimodal.featuresSql,
     "mm_frame_sample" -> frameSampleSql,

@@ -510,6 +510,164 @@ object Multimodal {
       |SELECT g.frame_md5, n_occurrences, n_docs, keep_doc, keep_idx
       |FROM g JOIN k USING (frame_md5) ORDER BY frame_md5""".stripMargin
 
+  // ───────────────────── MP4 CONTAINER METADATA ─────────────────────
+  // The dominant real-world video container through the codec seam,
+  // metadata tier: pure-JDK ISO-BMFF (MP4) box parsing — no codec, no
+  // external dependency — reading what a curation pipeline needs before it
+  // ever decodes a frame: track count, movie timescale/duration, and the
+  // video track's presentation dimensions from the moov/mvhd/trak/tkhd
+  // boxes. Frame DECODE stays out of scope by design (H.264 entropy
+  // decoding has no JDK codec); the metadata tier is the real, drop-in
+  // part, and the parser handles both 32-bit (version 0) and 64-bit
+  // (version 1) headers plus `largesize`/to-end-of-file box sizes and
+  // mdat-before-moov ordering (spec-pinned).
+
+  /** Parsed MP4 movie metadata: track count, mvhd timescale/duration, and
+    * the first visual track's 16.16-fixed presentation dimensions. */
+  final case class Mp4Meta(nTracks: Int, timescale: Long, duration: Long,
+      width: Double, height: Double)
+
+  /** Parse the moov metadata out of an MP4/ISO-BMFF payload. Undecodable,
+    * truncated, or moov-less bytes → None — the droppable-row convention of
+    * every codec in this file. */
+  def mp4Metadata(payload: Array[Byte]): Option[Mp4Meta] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload) // ISO-BMFF is big-endian
+      def u32(off: Long): Long = bb.getInt(off.toInt) & 0xffffffffL
+      def u64(off: Long): Long = bb.getLong(off.toInt)
+      def boxType(off: Long): String =
+        new String(payload, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // children of [start, end) as (type, payloadStart, payloadEnd);
+      // malformed sizes throw → the outer catch returns None
+      def boxes(start: Long, end: Long): Seq[(String, Long, Long)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        var p = start
+        while (p + 8 <= end) {
+          val sz0 = u32(p)
+          val tpe = boxType(p + 4)
+          val (hdr, sz) =
+            if (sz0 == 1L) (16L, u64(p + 8)) // largesize
+            else if (sz0 == 0L) (8L, end - p) // box extends to end
+            else (8L, sz0)
+          require(sz >= hdr && p + sz <= end, s"malformed box $tpe")
+          out += ((tpe, p + hdr, p + sz))
+          p += sz
+        }
+        out.toSeq
+      }
+      val inMoov = boxes(0, payload.length).find(_._1 == "moov")
+        .map { case (_, s, e) => boxes(s, e) }
+      inMoov.flatMap { children =>
+        children.find(_._1 == "mvhd").map { case (_, m, _) =>
+          val v = payload(m.toInt) & 0xff
+          // v0: ver/flags(4) ctime(4) mtime(4) ts(4) dur(4)
+          // v1: ver/flags(4) ctime(8) mtime(8) ts(4) dur(8)
+          val (ts, dur) =
+            if (v == 1) (u32(m + 20), u64(m + 24)) else (u32(m + 12), u32(m + 16))
+          val traks = children.filter(_._1 == "trak")
+          // the video track = first trak whose tkhd carries nonzero
+          // presentation dims (audio/hint tracks store 0×0)
+          val dims = traks.iterator.flatMap { case (_, s, e) =>
+            boxes(s, e).find(_._1 == "tkhd").flatMap { case (_, k, _) =>
+              val kv = payload(k.toInt) & 0xff
+              // ver/flags + times/id/reserved/duration, then
+              // reserved(8) layer(2) alt(2) volume(2) reserved(2) matrix(36)
+              val base = k + 4 + (if (kv == 1) 32L else 20L) + 8 + 2 + 2 + 2 + 2 + 36
+              val w = u32(base) / 65536.0
+              val h = u32(base + 4) / 65536.0
+              if (w > 0 && h > 0) Some((w, h)) else None
+            }
+          }.nextOption().getOrElse((0.0, 0.0))
+          Mp4Meta(traks.size, ts, dur, dims._1, dims._2)
+        }
+      }
+    } catch { case _: Throwable => None }
+
+  /** Build a minimal VALID MP4 (ftyp + mdat + moov[mvhd, traks]) — the
+    * synthetic-fixture writer the oracle row and the spec drive the REAL
+    * parser with. Track 1 carries the video dims; extra tracks are 0×0
+    * (audio/hint shape). `version` selects 32- vs 64-bit mvhd/tkhd
+    * headers. mdat deliberately precedes moov (the common
+    * progressive-upload layout parsers must not assume away). */
+  private[graft] def buildMp4(timescale: Long, duration: Long, width: Double,
+      height: Double, nTracks: Int, version: Int = 0): Array[Byte] = {
+    def be(n: Int, v: Long): Array[Byte] =
+      (1 to n).map(i => ((v >>> (8 * (n - i))) & 0xff).toByte).toArray
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be(4, 8L + payload.length) ++
+        tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload
+    val unityMatrix = be(4, 0x00010000L) ++ be(4, 0) ++ be(4, 0) ++
+      be(4, 0) ++ be(4, 0x00010000L) ++ be(4, 0) ++
+      be(4, 0) ++ be(4, 0) ++ be(4, 0x40000000L)
+    val timeW = if (version == 1) 8 else 4
+    val mvhd = box("mvhd", be(1, version) ++ be(3, 0) ++ // version + flags
+      be(timeW, 0) ++ be(timeW, 0) ++ // ctime, mtime
+      be(4, timescale) ++ be(timeW, duration) ++
+      be(4, 0x00010000L) ++ be(2, 0x0100) ++ be(10, 0) ++ // rate, volume, reserved
+      unityMatrix ++ Array.fill(24)(0.toByte) ++ be(4, nTracks + 1L))
+    def fixed(v: Double): Long = Math.round(v * 65536.0)
+    def trak(id: Int, w: Double, h: Double): Array[Byte] =
+      box("trak", box("tkhd", be(1, version) ++ be(3, 7) ++
+        be(timeW, 0) ++ be(timeW, 0) ++ be(4, id.toLong) ++ be(4, 0) ++
+        be(timeW, duration) ++ be(8, 0) ++ be(2, 0) ++ be(2, 0) ++
+        be(2, 0) ++ be(2, 0) ++ unityMatrix ++ be(4, fixed(w)) ++ be(4, fixed(h))))
+    // the dimensioned (video) track goes LAST: leading 0×0 audio/hint
+    // tracks force the parser's skip-nonvisual path on every multi-track
+    // fixture, not just in a dedicated spec case
+    val traks = (1 to nTracks).map(i =>
+      if (i == nTracks) trak(i, width, height) else trak(i, 0.0, 0.0))
+    box("ftyp", "isom".getBytes ++ be(4, 0x200) ++ "isomiso2".getBytes) ++
+      box("mdat", Array.fill(16)(0x55.toByte)) ++
+      box("moov", mvhd ++ traks.flatten.toArray)
+  }
+
+  /** The `mm_video_metadata` operator: synthesize a real MP4 per document
+    * from a deterministic rule of `(doc_id, byte_size)`, parse it back
+    * through [[mp4Metadata]], and emit the PARSED values. The oracle
+    * recomputes the same rule directly, so the hash gate proves the
+    * container writer+parser round-trip bit-exactly — the same
+    * synthesize-then-really-process discipline as the fake decoders, but
+    * with genuine ISO-BMFF bytes in the middle. mapPartitions batch shape,
+    * like every codec path here. */
+  def videoMetadata(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Tables.fanOut(docs)
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("nb"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nb) =>
+          val ts = 600 + (id % 5) * 100
+          val dur = nb * 25
+          val w = 16.0 * (1 + id % 40)
+          val h = 16.0 * (1 + id % 23)
+          val nT = (1 + id % 3).toInt
+          val m = mp4Metadata(buildMp4(ts, dur, w, h, nT, version = (id % 2).toInt))
+            .getOrElse(sys.error(s"synthetic mp4 failed to parse for doc $id"))
+          (id, m.nTracks.toLong, m.timescale, m.duration,
+            m.duration.toDouble / m.timescale, m.width, m.height)
+        }
+      }
+      .toDF("doc_id", "n_tracks", "timescale", "duration", "duration_sec",
+        "width", "height")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[videoMetadata]]: the generation rule replayed
+    * directly (the oracle never parses MP4 — equality proves the Spark
+    * side's writer+parser round-trip). */
+  val videoMetadataSql: String =
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+      |  CAST(600 + (doc_id % 5) * 100 AS BIGINT) AS timescale,
+      |  CAST(octet_length(encode(text)) * 25 AS BIGINT) AS duration,
+      |  CAST(octet_length(encode(text)) * 25 AS DOUBLE)
+      |    / (600 + (doc_id % 5) * 100) AS duration_sec,
+      |  CAST(16 * (1 + doc_id % 40) AS DOUBLE) AS width,
+      |  CAST(16 * (1 + doc_id % 23) AS DOUBLE) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Frame sampling stub: every k-th 16-byte "frame" of the payload —
     * the partition-parallel slicing pattern for video columns. */
   def frameSample(docs: DataFrame, everyK: Int = 4): DataFrame =

@@ -367,6 +367,41 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(inits.value == expected,
       s"codec must instantiate once per partition ($expected), got ${inits.value}")
   }
+
+  test("MP4 box parser: v0/v1 headers, largesize, to-EOF boxes, mdat-first, garbage") {
+    import graft.operators.Multimodal.{buildMp4, mp4Metadata, Mp4Meta}
+    // round trip at both header versions (the builder writes mdat BEFORE
+    // moov — the progressive-upload layout — so ordering is covered too)
+    assert(mp4Metadata(buildMp4(1000L, 90000L, 1920.0, 1080.0, 3, version = 0))
+      .contains(Mp4Meta(3, 1000L, 90000L, 1920.0, 1080.0)))
+    // v1 = 64-bit times: a duration past 2^32 must survive
+    assert(mp4Metadata(buildMp4(600L, 5000000000L, 640.0, 480.0, 1, version = 1))
+      .contains(Mp4Meta(1, 600L, 5000000000L, 640.0, 480.0)))
+    // the video track is found by nonzero dims even when audio-shaped 0×0
+    // tracks PRECEDE it (the builder deliberately puts the dimensioned
+    // track last on multi-track fixtures)
+    val bytes = buildMp4(1000L, 1L, 320.0, 240.0, 2)
+    assert(mp4Metadata(bytes).exists(m => m.width == 320.0 && m.height == 240.0))
+
+    // a LARGESIZE (size==1 + 64-bit size) top-level box before moov must
+    // be skipped correctly; a trailing size==0 box extends to EOF
+    def be(n: Int, v: Long): Array[Byte] =
+      (1 to n).map(i => ((v >>> (8 * (n - i))) & 0xff).toByte).toArray
+    val pad = Array.fill(24)(0x77.toByte)
+    val largeFree = be(4, 1L) ++ "free".getBytes ++ be(8, 16L + pad.length) ++ pad
+    val base = buildMp4(48000L, 96000L, 128.0, 72.0, 1)
+    val toEof = be(4, 0L) ++ "skip".getBytes ++ Array.fill(7)(0x11.toByte)
+    assert(mp4Metadata(largeFree ++ base ++ toEof)
+      .contains(Mp4Meta(1, 48000L, 96000L, 128.0, 72.0)))
+
+    // undecodable conventions: garbage, empty, truncated mid-box → None
+    assert(mp4Metadata("not an mp4 at all".getBytes).isEmpty)
+    assert(mp4Metadata(Array.empty[Byte]).isEmpty)
+    assert(mp4Metadata(base.dropRight(10)).isEmpty,
+      "a truncated moov must refuse to parse, not misread")
+    // a file with boxes but no moov → None
+    assert(mp4Metadata(be(4, 16L) ++ "ftyp".getBytes ++ "isomisom".getBytes).isEmpty)
+  }
 }
 
 /** Codec factories live on the companion OBJECT: a factory closing over the
