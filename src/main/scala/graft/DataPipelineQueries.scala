@@ -68,8 +68,16 @@ object DataPipelineQueries {
       val d = docs(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft-didx").toString
       Dedup.saveIndex(Dedup.corpusIndex(d.filter(pmod(col("doc_id"), lit(3)) === 0)), path)
-      val ref = new RefreshableCorpusIndex(Dedup.loadIndex(s, path))
-      ref.fold(d.filter(pmod(col("doc_id"), lit(3)) === 1), deltaPath = Some(path))
+      // fold the batch and persist ONLY its O(batch) delta — the in-memory
+      // refreshed index is deliberately discarded: the RELOAD over
+      // base+delta is the artifact this row gates through (the in-memory
+      // swap path is dedup_index_refresh's row and IndexDeltaSpec)
+      val loaded = Dedup.loadIndex(s, path)
+      val (_, delta, dropFoldCaches) =
+        Dedup.refreshIndexTracked(loaded, d.filter(pmod(col("doc_id"), lit(3)) === 1))
+      Dedup.saveIndexDelta(delta, path)
+      dropFoldCaches()
+      loaded.release()
       val reloaded = Dedup.loadIndex(s, path)
       val pinned = reloaded.truncated()
       reloaded.release()
@@ -105,8 +113,12 @@ object DataPipelineQueries {
       val path = java.nio.file.Files.createTempDirectory("graft-eidx").toString
       Similarity.saveEmbedIndex(
         Similarity.embedIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0)), path)
-      val ref = new RefreshableEmbedIndex(Similarity.loadEmbedIndex(s, path))
-      ref.fold(e.filter(pmod(col("vec_id"), lit(3)) === 1), deltaPath = Some(path))
+      val loaded = Similarity.loadEmbedIndex(s, path)
+      val (_, delta, dropFoldCaches) = Similarity.refreshEmbedIndexTracked(
+        loaded, e.filter(pmod(col("vec_id"), lit(3)) === 1))
+      Similarity.saveEmbedIndexDelta(delta, path)
+      dropFoldCaches()
+      loaded.release()
       val reloaded = Similarity.loadEmbedIndex(s, path)
       val pinned = reloaded.truncated()
       reloaded.release()

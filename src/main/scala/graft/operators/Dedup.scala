@@ -1163,19 +1163,21 @@ object Dedup {
 
     /** Force-materialize all pinned components (an atomic swap must never
       * publish a half-built index to a concurrent micro-batch). */
-    def materialize(): this.type = { frames.foreach(_.count()); this }
+    def materialize(): this.type = {
+      IndexFiles.inParallel(frames.map(f => () => f.count())); this
+    }
 
     /** Materialize AND truncate lineage (eager `localCheckpoint` per
-      * component): a refreshed index's frames otherwise embed the previous
-      * index's plans plus the fold batch's, and a per-batch refresh loop
-      * (the closed ingest gate) grows plan depth without bound — the same
-      * localCheckpoint-bounded-depth discipline the MMR/BPE loops use.
+      * component, the six jobs submitted concurrently): a refreshed
+      * index's frames otherwise embed the previous index's plans plus the
+      * fold batch's, and a per-batch refresh loop (the closed ingest gate)
+      * grows plan depth without bound — the same localCheckpoint-bounded-
+      * depth discipline the MMR/BPE loops use.
       * [[graft.operators.RefreshableCorpusIndex.fold]] publishes THIS. */
-    private[graft] def truncated(): CorpusIndex =
-      CorpusIndex(fps.localCheckpoint(true), sets.localCheckpoint(true),
-        buckets.localCheckpoint(true), fpBloom.localCheckpoint(true),
-        bucketBloom.localCheckpoint(true), logBloomBits,
-        oversized.localCheckpoint(true), bucketCap)
+    private[graft] def truncated(): CorpusIndex = {
+      val t = IndexFiles.inParallel(frames.map(f => () => f.localCheckpoint(true)))
+      CorpusIndex(t(0), t(1), t(2), t(3), t(4), logBloomBits, t(5), bucketCap)
+    }
 
     /** Unpin this index's frames (executor-storage hygiene after a swap).
       * A pin whose plan is shared with another live operator (e.g. the
@@ -1453,9 +1455,9 @@ object Dedup {
       .map(_._1).maxOption.getOrElse(0L) + 1
     val tmp = s"$path/base_v$v.tmp"
     IndexFiles.delete(spark, tmp)
-    idx.frames.zip(BaseComponents).foreach { case (df, name) =>
-      df.write.mode("overwrite").parquet(s"$tmp/$name")
-    }
+    IndexFiles.inParallel(idx.frames.zip(BaseComponents).map { case (df, name) =>
+      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+    })
     Seq((idx.bucketCap, idx.logBloomBits, lastDelta))
       .toDF("bucket_cap", "log_bloom_bits", "last_delta")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
@@ -1471,9 +1473,9 @@ object Dedup {
     val n = deltaHighWater(spark, path) + 1
     val tmp = s"$path/delta_$n.tmp"
     IndexFiles.delete(spark, tmp)
-    delta.frames.zip(DeltaComponents).foreach { case (df, name) =>
-      df.write.mode("overwrite").parquet(s"$tmp/$name")
-    }
+    IndexFiles.inParallel(delta.frames.zip(DeltaComponents).map { case (df, name) =>
+      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+    })
     IndexFiles.publish(spark, tmp, s"$path/delta_$n")
     n
   }

@@ -49,4 +49,18 @@ private[graft] object IndexFiles {
     val p = new Path(path)
     if (f.exists(p)) { f.delete(p, true); () }
   }
+
+  /** Run independent Spark actions concurrently and return their results
+    * in order — the index save/materialize paths are 3–7 embarrassingly-
+    * parallel component jobs (distinct output dirs / distinct cached
+    * frames), and running them sequentially serializes each job's fixed
+    * scheduling overhead (the dominant cost of a small-component write).
+    * Spark's scheduler is designed for multi-threaded job submission; the
+    * first failure propagates. */
+  def inParallel[A](work: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(work)(w => Future(w())), Duration.Inf)
+  }
 }

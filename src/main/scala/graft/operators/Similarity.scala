@@ -331,14 +331,17 @@ object Similarity {
     private[operators] def frames: Seq[DataFrame] = Seq(qc, cb, oversized)
     /** Force-materialize all pinned components (atomic-swap discipline —
       * see [[Dedup.CorpusIndex.materialize]]). */
-    def materialize(): this.type = { frames.foreach(_.count()); this }
+    def materialize(): this.type = {
+      IndexFiles.inParallel(frames.map(f => () => f.count())); this
+    }
 
     /** Materialize and truncate lineage (see
       * [[Dedup.CorpusIndex.truncated]] — bounds plan depth under a
-      * per-batch refresh loop). */
-    private[graft] def truncated(): EmbedIndex =
-      EmbedIndex(qc.localCheckpoint(true), cb.localCheckpoint(true),
-        oversized.localCheckpoint(true), bucketCap)
+      * per-batch refresh loop; jobs submitted concurrently). */
+    private[graft] def truncated(): EmbedIndex = {
+      val t = IndexFiles.inParallel(frames.map(f => () => f.localCheckpoint(true)))
+      EmbedIndex(t(0), t(1), t(2), bucketCap)
+    }
     /** Unpin this index's frames after a swap. */
     def release(): Unit = frames.foreach(PinnedCaches.unpin)
   }
@@ -400,9 +403,9 @@ object Similarity {
       .map(_._1).maxOption.getOrElse(0L) + 1
     val tmp = s"$path/base_v$v.tmp"
     IndexFiles.delete(spark, tmp)
-    idx.frames.zip(EmbedBaseComponents).foreach { case (df, name) =>
-      df.write.mode("overwrite").parquet(s"$tmp/$name")
-    }
+    IndexFiles.inParallel(idx.frames.zip(EmbedBaseComponents).map { case (df, name) =>
+      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+    })
     Seq((idx.bucketCap, lastDelta)).toDF("bucket_cap", "last_delta")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
     IndexFiles.publish(spark, tmp, s"$path/base_v$v")
@@ -416,9 +419,9 @@ object Similarity {
     val n = embedDeltaHighWater(spark, path) + 1
     val tmp = s"$path/delta_$n.tmp"
     IndexFiles.delete(spark, tmp)
-    delta.frames.zip(EmbedDeltaComponents).foreach { case (df, name) =>
-      df.write.mode("overwrite").parquet(s"$tmp/$name")
-    }
+    IndexFiles.inParallel(delta.frames.zip(EmbedDeltaComponents).map { case (df, name) =>
+      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+    })
     IndexFiles.publish(spark, tmp, s"$path/delta_$n")
     n
   }
@@ -1150,10 +1153,13 @@ object Similarity {
       k: Int, nProbe: Int) {
     private[operators] def frames: Seq[DataFrame] =
       Seq(cents, qn, probes, edges)
-    def materialize(): this.type = { frames.foreach(_.count()); this }
-    private[graft] def truncated(): KnnGraphIndex =
-      KnnGraphIndex(cents.localCheckpoint(true), qn.localCheckpoint(true),
-        probes.localCheckpoint(true), edges.localCheckpoint(true), k, nProbe)
+    def materialize(): this.type = {
+      IndexFiles.inParallel(frames.map(f => () => f.count())); this
+    }
+    private[graft] def truncated(): KnnGraphIndex = {
+      val t = IndexFiles.inParallel(frames.map(f => () => f.localCheckpoint(true)))
+      KnnGraphIndex(t(0), t(1), t(2), t(3), k, nProbe)
+    }
     def release(): Unit = frames.foreach(PinnedCaches.unpin)
   }
 
@@ -1773,10 +1779,13 @@ object Similarity {
       cents: DataFrame, codes: DataFrame, qn: DataFrame,
       version: Int, subspaces: Int, nCodes: Int, iters: Int) {
     private[operators] def frames: Seq[DataFrame] = Seq(cents, codes, qn)
-    def materialize(): this.type = { frames.foreach(_.count()); this }
-    private[graft] def truncated(): PqIndex =
-      PqIndex(cents.localCheckpoint(true), codes.localCheckpoint(true),
-        qn.localCheckpoint(true), version, subspaces, nCodes, iters)
+    def materialize(): this.type = {
+      IndexFiles.inParallel(frames.map(f => () => f.count())); this
+    }
+    private[graft] def truncated(): PqIndex = {
+      val t = IndexFiles.inParallel(frames.map(f => () => f.localCheckpoint(true)))
+      PqIndex(t(0), t(1), t(2), version, subspaces, nCodes, iters)
+    }
     def release(): Unit = frames.foreach(PinnedCaches.unpin)
   }
 
