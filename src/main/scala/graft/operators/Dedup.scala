@@ -1394,6 +1394,103 @@ object Dedup {
     (next, delta, () => tracked.foreach(_.unpersist()))
   }
 
+  // ───────────────── SEGMENTED IN-MEMORY FOLDS ─────────────────
+  // The in-memory twin of the on-disk delta structure: the refreshable
+  // holders keep the index as CHECKPOINTED SEGMENTS (one per fold) plus
+  // tiny folded tables (composed rep re-key map, Bloom words, per-segment
+  // bucket sizes), and the published CorpusIndex is a LAZY VIEW — union
+  // the segments, one broadcast re-key, one final dropped-bucket
+  // anti-join. A fold then checkpoints ONLY its O(batch) fresh segment and
+  // the tiny tables, where the monolithic [[CorpusIndex.truncated]] path
+  // re-materialized every component (O(index) memory writes per batch —
+  // the same cost class the persisted deltas removed from disk). Plan
+  // depth is bounded by periodic in-memory compaction (materialize the
+  // view into one segment), exactly the on-disk `compactIndex` discipline.
+
+  /** One fold's fresh, batch-sized pieces, computed against the current
+    * VIEW (same arithmetic as [[refreshIndexCore]] — the collide split,
+    * rep re-key, shingle/minhash of genuinely-new texts, Bloom words,
+    * fresh bucket sizes). */
+  private[operators] final case class SegmentParts(
+      freshFps: DataFrame, freshSets: DataFrame, freshBuckets: DataFrame,
+      freshSizes: DataFrame, fpWords: DataFrame, bucketWords: DataFrame,
+      remap: DataFrame)
+
+  private[operators] def segmentFold(viewFps: DataFrame, logBloomBits: Int,
+      newDocs: DataFrame, cache: DataFrame => DataFrame): SegmentParts = {
+    val newGroups = cache(dupGroups(newDocs))
+    val newFps = newGroups.select(md5(col("text")).as("fp"),
+      col("doc_id").as("new_id"), col("text"))
+    val collide = newFps.join(viewFps, Seq("fp"))
+      .select(col("fp"), col("match_id"), col("new_id"))
+    val remapN = cache(collide.filter(col("new_id") < col("match_id"))
+      .select(col("match_id").as("old_id"), col("new_id")))
+    val freshGroups = newFps.join(viewFps, Seq("fp"), "left_anti")
+      .select(col("new_id").as("doc_id"), col("text"))
+    val freshFps = cache(freshGroups.select(md5(col("text")).as("fp"),
+      col("doc_id").as("match_id")))
+    val freshSets = cache(shingleArrays(freshGroups))
+    val freshBuckets = cache(minhashBuckets(freshSets))
+    val freshSizes = cache(
+      freshBuckets.groupBy("band", "sig").agg(count(lit(1)).as("n")))
+    val fpWords = cache(bloomWords(freshFps, Seq(col("fp")), logBloomBits))
+    val bucketWords = cache(
+      bloomWords(freshBuckets, Seq(col("band"), col("sig")), logBloomBits))
+    SegmentParts(freshFps, freshSets, freshBuckets, freshSizes,
+      fpWords, bucketWords, remapN)
+  }
+
+  /** An empty `(old_id, new_id)` re-key map. */
+  private[operators] def emptyRemap(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("old_id"), col("id").as("new_id"))
+
+  /** Compose the accumulated re-key map with one fold's: the result maps
+    * every old id DIRECTLY to its final rep, so ONE broadcast re-key at
+    * view time equals the fold-by-fold chain. Sound because domains are
+    * disjoint by construction (an id in `r`'s domain was re-keyed away and
+    * can never reappear as a current rep for `rn` to re-key), and a chain
+    * only ever extends through `r`'s RANGE. Both inputs are
+    * collision-sized; the compose is two broadcast joins. */
+  private[operators] def composeRemaps(r: DataFrame, rn: DataFrame): DataFrame = {
+    val rn2 = rn.select(col("old_id").as("mid"), col("new_id").as("nn"))
+    val chained = r.join(broadcast(rn2), col("new_id") === col("mid"), "left")
+      .select(col("old_id"), coalesce(col("nn"), col("new_id")).as("new_id"))
+    val fresh = rn.join(broadcast(r.select(col("new_id").as("mid"))),
+      col("old_id") === col("mid"), "left_anti")
+    chained.unionByName(fresh.select("old_id", "new_id"))
+  }
+
+  /** Assemble the LAZY [[CorpusIndex]] view over checkpointed segments:
+    * union per component, one broadcast re-key by the composed map, bucket
+    * rows filtered once by the CURRENT oversized set (sizes only grow, so
+    * the latest drop set subsumes every earlier one — the same argument as
+    * [[loadIndex]]'s replay). `oversized` itself stays a lazy aggregate of
+    * the per-segment size tables. */
+  private[operators] def segmentedView(
+      fps: Seq[DataFrame], sets: Seq[DataFrame], buckets: Seq[DataFrame],
+      sizes: Seq[DataFrame], remap: DataFrame,
+      fpBloom: DataFrame, bucketBloom: DataFrame,
+      logBloomBits: Int, bucketCap: Int): CorpusIndex = {
+    def u(fs: Seq[DataFrame]): DataFrame = fs.reduce(_ unionByName _)
+    val rk = rekeyWith(remap) _
+    val totals = u(sizes).groupBy("band", "sig").agg(sum("n").as("n"))
+    val oversized = totals.filter(col("n") > bucketCap)
+    CorpusIndex(
+      rk(u(fps), "match_id"),
+      rk(u(sets), "doc_id"),
+      rk(u(buckets), "doc_id").join(
+        broadcast(oversized.select("band", "sig")), Seq("band", "sig"), "left_anti"),
+      fpBloom, bucketBloom, logBloomBits, oversized, bucketCap)
+  }
+
+  /** The initial segment's TRUE size table (present counts ∪ the dropped
+    * sizes the index carries) — totals at time zero. */
+  private[operators] def initialSizes(idx: CorpusIndex): DataFrame =
+    idx.buckets.groupBy("band", "sig").agg(count(lit(1)).as("n"))
+      .unionByName(idx.oversized)
+      .groupBy("band", "sig").agg(sum("n").as("n"))
+
   // ──────────────────── DELTA-STRUCTURED PERSISTENCE ────────────────────
   // The persisted index is LSM-shaped so a fold loop writes O(batch) bytes
   // per fold, never O(index) — the reference's tail-follow is incremental-

@@ -7,45 +7,92 @@ import org.apache.spark.sql.DataFrame
   * [[Similarity.embedIndex]]) into LIVING indexes a 100 TB ingest loop can
   * keep current:
   *
-  *   - `fold(batch)` builds the refreshed index INCREMENTALLY (cost
-  *     proportional to the batch — [[Dedup.refreshIndexTracked]] /
-  *     [[Similarity.refreshEmbedIndexTracked]]), optionally persists the
-  *     fold's O(batch) [[Dedup.IndexDelta]] (`deltaPath` —
-  *     [[Dedup.saveIndexDelta]]; a restart [[Dedup.loadIndex]]es base +
-  *     deltas instead of rebuilding), checkpoint-materializes the published
-  *     components, and only then publishes through one volatile write — a
-  *     concurrent reader (a streaming micro-batch gating against
-  *     [[current]]) either sees the complete old index or the complete new
-  *     one, never a half-built frame set;
-  *   - every fold-local frame (intermediates AND the pre-checkpoint
-  *     published components) is a tracked `persist` dropped right after the
-  *     checkpoint, and the superseded index releases after the swap —
-  *     executor storage AND driver references stay bounded at ~one index,
-  *     not one per refresh (pinning the intermediates would root them in
-  *     the PinnedCaches TrieMap forever; spec-pinned by the storage-bound
-  *     lifecycle test);
-  *   - refreshed ≡ from-scratch is the spec'd contract: the folded index's
+  *   - `fold(batch)` is O(batch) END TO END: the holders keep the index as
+  *     CHECKPOINTED SEGMENTS (the in-memory twin of the persisted
+  *     base+delta layout), so a fold computes the batch's fresh pieces
+  *     ([[Dedup.segmentFold]] — collide split, rep re-key, shingle/minhash
+  *     of genuinely-new texts), checkpoints ONLY that fresh segment plus
+  *     the tiny folded tables (the composed re-key map; the Bloom word
+  *     tables, whose size is capacity-bounded by `logBloomBits`, a
+  *     build-time knob constant in corpus growth), optionally persists the
+  *     same pieces as the fold's O(batch) [[Dedup.IndexDelta]]
+  *     (`deltaPath`; a restart [[Dedup.loadIndex]]es base+deltas instead
+  *     of rebuilding), and publishes a LAZY VIEW over the segments
+  *     ([[Dedup.segmentedView]]: union per component, one broadcast
+  *     re-key, one dropped-bucket anti-join) through one volatile write —
+  *     a concurrent reader (a streaming micro-batch gating against
+  *     [[current]]) sees only complete, checkpointed inputs;
+  *   - every `maxSegments` folds the holder COMPACTS in memory
+  *     (materialize the view into one segment — the same discipline as the
+  *     on-disk [[Dedup.compactIndex]]), bounding both view plan depth (the
+  *     OOM the old checkpoint-everything fold existed to prevent) and the
+  *     segment count, and amortizing the one O(index) re-materialization
+  *     across that many O(batch) folds;
+  *   - every fold-local frame is a tracked `persist` dropped right after
+  *     the segment checkpoints (pinning them would root one index per fold
+  *     in the PinnedCaches TrieMap — the r10-advice leak); the
+  *     storage-bound and checkpoint-flatness specs in IndexDeltaSpec pin
+  *     both properties;
+  *   - refreshed ≡ from-scratch is the spec'd contract: the folded view's
   *     fps/sets/buckets (resp. qc/cb) contents and the gate decisions equal
-  *     a from-scratch build over the union corpus (IndexLifecycleSpec; the
-  *     `dedup_index_refresh` / `embed_index_refresh` registry rows pin the
-  *     gate output against the DuckDB oracle on a 3-way corpus split, and
-  *     `dedup_index_delta` / `embed_index_delta` pin it through the
-  *     persisted base+delta round trip).
+  *     a from-scratch build over the union corpus — including across
+  *     in-memory compactions and re-keys arriving after one
+  *     (IndexLifecycleSpec, IndexDeltaSpec; the `dedup_index_refresh` /
+  *     `embed_index_refresh` registry rows pin the gate output against the
+  *     DuckDB oracle on a 3-way corpus split, and `dedup_index_delta` /
+  *     `embed_index_delta` pin it through the persisted base+delta round
+  *     trip).
   *
   * Readers hold the index VALUE they read, not the holder: a micro-batch
-  * that read the old index mid-swap finishes against a consistent (merely
+  * that read the old view mid-swap finishes against a consistent (merely
   * stale) index — the same monotonicity contract as any snapshot-isolated
-  * index server. Released pins only unpersist cached frames; a reader still
+  * index server; its inputs are checkpointed segments that stay valid until
+  * unreferenced. Released pins only unpersist cached frames; a reader still
   * executing against them recomputes from lineage, so staleness costs
   * speed, never correctness.
   */
-final class RefreshableCorpusIndex(initial: Dedup.CorpusIndex) {
-  @volatile private var idx: Dedup.CorpusIndex = initial.materialize()
+final class RefreshableCorpusIndex(initial: Dedup.CorpusIndex,
+    maxSegments: Int = RefreshableCorpusIndex.DefaultMaxSegments) {
+  import RefreshableCorpusIndex.Seg
 
-  /** The currently-published index (complete by construction). */
-  def current: Dedup.CorpusIndex = idx
+  // SEGMENTED state: one checkpointed segment per fold (plus the base) and
+  // tiny folded tables. The published index is a LAZY VIEW over them
+  // (Dedup.segmentedView), so a fold checkpoints only its O(batch) fresh
+  // segment + the collision-sized composed re-key map + the bounded Bloom
+  // word tables — never the whole index (the monolithic truncated() path
+  // re-materialized every component per fold: O(index) memory writes per
+  // batch, the in-memory sibling of the per-fold full-rewrite the on-disk
+  // deltas removed). Segment count is bounded by in-memory compaction
+  // (materialize the view into one segment every `maxSegments` folds — the
+  // same base+deltas+compact discipline as the persisted layout), which
+  // also bounds view plan depth, the OOM the old truncated()-per-fold
+  // existed to prevent.
+  private final case class State(segs: Vector[Seg], remap: DataFrame,
+      fpBloom: DataFrame, bucketBloom: DataFrame, view: Dedup.CorpusIndex)
 
-  /** Fold `newDocs` in and atomically publish the refreshed index.
+  @volatile private var state: State = {
+    val t = initial.truncated() // segment 0: checkpointed off the caller's pins
+    val sizes = Dedup.initialSizes(initial).localCheckpoint(true)
+    val seg0 = Seg(t.fps, t.sets, t.buckets, sizes)
+    val remap0 = Dedup.emptyRemap(initial.fps.sparkSession)
+    State(Vector(seg0), remap0, t.fpBloom, t.bucketBloom,
+      view(Vector(seg0), remap0, t.fpBloom, t.bucketBloom))
+  }
+  // the caller's initial pins are released on the first fold (releaseOld),
+  // matching the pre-segmented contract
+  private var initialToRelease: Option[Dedup.CorpusIndex] = Some(initial)
+
+  private def view(segs: Vector[Seg], remap: DataFrame,
+      fpBloom: DataFrame, bucketBloom: DataFrame): Dedup.CorpusIndex =
+    Dedup.segmentedView(segs.map(_.fps), segs.map(_.sets), segs.map(_.buckets),
+      segs.map(_.sizes), remap, fpBloom, bucketBloom,
+      initial.logBloomBits, initial.bucketCap)
+
+  /** The currently-published index (a lazy view whose inputs are all
+    * checkpointed — complete by construction for any concurrent reader). */
+  def current: Dedup.CorpusIndex = state.view
+
+  /** Fold `newDocs` in and atomically publish the refreshed view.
     * Synchronized: concurrent folders would otherwise both refresh the same
     * base and lose one batch. When `deltaPath` is set, the fold's O(batch)
     * delta lands there BEFORE the swap ([[Dedup.saveIndexDelta]] is
@@ -54,18 +101,66 @@ final class RefreshableCorpusIndex(initial: Dedup.CorpusIndex) {
   def fold(newDocs: DataFrame, releaseOld: Boolean = true,
       deltaPath: Option[String] = None): Dedup.CorpusIndex =
     synchronized {
-      val (refreshed, delta, dropFoldCaches) = Dedup.refreshIndexTracked(idx, newDocs)
-      deltaPath.foreach(p => Dedup.saveIndexDelta(delta, p))
-      // truncated(): materializes eagerly AND bounds plan depth — without
-      // it a per-batch fold loop nests each index's plans inside the next
-      // (the closed ingest gate OOM'd on plan strings by batch 2)
-      val next = refreshed.truncated()
-      dropFoldCaches()
-      val prev = idx
-      idx = next
-      if (releaseOld) prev.release()
+      val s = state
+      val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def track(df: DataFrame): DataFrame = { val c = df.persist(); tracked += c; c }
+      val parts = Dedup.segmentFold(s.view.fps, initial.logBloomBits, newDocs, track)
+
+      // checkpoint exactly the batch-sized fresh pieces + the tiny tables
+      val ck = IndexFiles.inParallel(Seq(
+        () => parts.freshFps.localCheckpoint(true),
+        () => parts.freshSets.localCheckpoint(true),
+        () => parts.freshBuckets.localCheckpoint(true),
+        () => parts.freshSizes.localCheckpoint(true),
+        () => parts.remap.localCheckpoint(true),
+        () => s.fpBloom.unionAll(parts.fpWords)
+          .groupBy("w").agg(org.apache.spark.sql.functions.bit_or(
+            org.apache.spark.sql.functions.col("bits")).as("bits"))
+          .localCheckpoint(true),
+        () => s.bucketBloom.unionAll(parts.bucketWords)
+          .groupBy("w").agg(org.apache.spark.sql.functions.bit_or(
+            org.apache.spark.sql.functions.col("bits")).as("bits"))
+          .localCheckpoint(true)))
+      val seg = Seg(ck(0), ck(1), ck(2), ck(3))
+      val remap2 = Dedup.composeRemaps(s.remap, ck(4)).localCheckpoint(true)
+
+      var segs2 = s.segs :+ seg
+      var next = view(segs2, remap2, ck(5), ck(6))
+      // the persisted delta carries THIS fold's pieces + the refreshed
+      // dropped-bucket table (lazy here; writing materializes it — tiny)
+      deltaPath.foreach { p =>
+        Dedup.saveIndexDelta(Dedup.IndexDelta(seg.fps, seg.sets, seg.buckets,
+          parts.fpWords, parts.bucketWords, ck(4), next.oversized), p)
+      }
+      tracked.foreach(_.unpersist())
+
+      // in-memory compaction: bound segment count (and view plan depth)
+      if (segs2.size > maxSegments) {
+        val totalsCk = segs2.map(_.sizes).reduce(_ unionByName _)
+          .groupBy("band", "sig")
+          .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+          .localCheckpoint(true)
+        val t = next.truncated()
+        segs2 = Vector(Seg(t.fps, t.sets, t.buckets, totalsCk))
+        next = view(segs2, Dedup.emptyRemap(initial.fps.sparkSession),
+          t.fpBloom, t.bucketBloom)
+        state = State(segs2, Dedup.emptyRemap(initial.fps.sparkSession),
+          t.fpBloom, t.bucketBloom, next)
+      } else {
+        state = State(segs2, remap2, ck(5), ck(6), next)
+      }
+      if (releaseOld) { initialToRelease.foreach(_.release()); initialToRelease = None }
       next
     }
+}
+
+object RefreshableCorpusIndex {
+  /** Segments folded between in-memory compactions — bounds the view's
+    * plan depth and amortizes the one O(index) re-materialization across
+    * that many O(batch) folds. */
+  val DefaultMaxSegments: Int = 8
+  private[operators] final case class Seg(fps: DataFrame, sets: DataFrame,
+      buckets: DataFrame, sizes: DataFrame)
 }
 
 /** The kNN GRAPH under the same refresh-and-swap discipline — the graph is
@@ -147,22 +242,57 @@ final class RefreshablePqIndex(initial: Similarity.PqIndex) {
 }
 
 /** [[RefreshableCorpusIndex]]'s vector-side twin over
-  * [[Similarity.EmbedIndex]]. */
-final class RefreshableEmbedIndex(initial: Similarity.EmbedIndex) {
-  @volatile private var idx: Similarity.EmbedIndex = initial.materialize()
+  * [[Similarity.EmbedIndex]] — the same segmented O(batch)-checkpoint
+  * fold (simpler: no re-key map, no Blooms). */
+final class RefreshableEmbedIndex(initial: Similarity.EmbedIndex,
+    maxSegments: Int = RefreshableCorpusIndex.DefaultMaxSegments) {
+  private final case class ESeg(qc: DataFrame, cb: DataFrame, sizes: DataFrame)
+  private final case class State(segs: Vector[ESeg], view: Similarity.EmbedIndex)
 
-  def current: Similarity.EmbedIndex = idx
+  @volatile private var state: State = {
+    val t = initial.truncated()
+    val sizes = Similarity.embedInitialSizes(initial).localCheckpoint(true)
+    val seg0 = ESeg(t.qc, t.cb, sizes)
+    State(Vector(seg0), view(Vector(seg0)))
+  }
+  private var initialToRelease: Option[Similarity.EmbedIndex] = Some(initial)
+
+  private def view(segs: Vector[ESeg]): Similarity.EmbedIndex =
+    Similarity.embedSegmentedView(segs.map(_.qc), segs.map(_.cb),
+      segs.map(_.sizes), initial.bucketCap)
+
+  def current: Similarity.EmbedIndex = state.view
 
   def fold(newVecs: DataFrame, releaseOld: Boolean = true,
       deltaPath: Option[String] = None): Similarity.EmbedIndex =
     synchronized {
-      val (refreshed, delta, dropFoldCaches) = Similarity.refreshEmbedIndexTracked(idx, newVecs)
-      deltaPath.foreach(p => Similarity.saveEmbedIndexDelta(delta, p))
-      val next = refreshed.truncated()
-      dropFoldCaches()
-      val prev = idx
-      idx = next
-      if (releaseOld) prev.release()
+      val s = state
+      val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def track(df: DataFrame): DataFrame = { val c = df.persist(); tracked += c; c }
+      val parts = Similarity.embedSegmentFold(newVecs, track)
+      val ck = IndexFiles.inParallel(Seq(
+        () => parts.qNew.localCheckpoint(true),
+        () => parts.freshBuckets.localCheckpoint(true),
+        () => parts.freshSizes.localCheckpoint(true)))
+      val seg = ESeg(ck(0), ck(1), ck(2))
+      var segs2 = s.segs :+ seg
+      var next = view(segs2)
+      deltaPath.foreach { p =>
+        Similarity.saveEmbedIndexDelta(
+          Similarity.EmbedDelta(seg.qc, seg.cb, next.oversized), p)
+      }
+      tracked.foreach(_.unpersist())
+      if (segs2.size > maxSegments) {
+        val totalsCk = segs2.map(_.sizes).reduce(_ unionByName _)
+          .groupBy("table", "bucket")
+          .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+          .localCheckpoint(true)
+        val t = next.truncated()
+        segs2 = Vector(ESeg(t.qc, t.cb, totalsCk))
+        next = view(segs2)
+      }
+      state = State(segs2, next)
+      if (releaseOld) { initialToRelease.foreach(_.release()); initialToRelease = None }
       next
     }
 }

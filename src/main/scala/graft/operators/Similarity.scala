@@ -514,6 +514,39 @@ object Similarity {
     (next, delta, () => tracked.foreach(_.unpersist()))
   }
 
+  // ───────────── SEGMENTED IN-MEMORY FOLDS, vector side ─────────────
+  // [[graft.operators.Dedup]]'s segmented-fold primitives mirrored for the
+  // embed index (simpler: no dup-group collapse, no re-key map).
+
+  private[operators] final case class EmbedSegmentParts(
+      qNew: DataFrame, freshBuckets: DataFrame, freshSizes: DataFrame)
+
+  private[operators] def embedSegmentFold(newVecs: DataFrame,
+      cache: DataFrame => DataFrame): EmbedSegmentParts = {
+    val qNew = cache(quantized(newVecs).select("vec_id", "q", "nq"))
+    val freshBuckets = cache(lshBuckets(qNew).select("vec_id", "table", "bucket"))
+    val freshSizes = cache(
+      freshBuckets.groupBy("table", "bucket").agg(count(lit(1)).as("n")))
+    EmbedSegmentParts(qNew, freshBuckets, freshSizes)
+  }
+
+  private[operators] def embedSegmentedView(qcs: Seq[DataFrame],
+      cbs: Seq[DataFrame], sizes: Seq[DataFrame], bucketCap: Int): EmbedIndex = {
+    def u(fs: Seq[DataFrame]): DataFrame = fs.reduce(_ unionByName _)
+    val totals = u(sizes).groupBy("table", "bucket").agg(sum("n").as("n"))
+    val oversized = totals.filter(col("n") > bucketCap)
+    EmbedIndex(u(qcs),
+      u(cbs).join(broadcast(oversized.select("table", "bucket")),
+        Seq("table", "bucket"), "left_anti"),
+      oversized, bucketCap)
+  }
+
+  /** The initial embed segment's TRUE size table (present ∪ dropped). */
+  private[operators] def embedInitialSizes(idx: EmbedIndex): DataFrame =
+    idx.cb.groupBy("table", "bucket").agg(count(lit(1)).as("n"))
+      .unionByName(idx.oversized)
+      .groupBy("table", "bucket").agg(sum("n").as("n"))
+
   /** [[embedNovelty]] against an already-built [[EmbedIndex]] — the form
     * the streaming gate applies per micro-batch. */
   def embedNoveltyAgainst(batch: DataFrame, idx: EmbedIndex,

@@ -257,6 +257,70 @@ class IndexDeltaSpec extends SparkSpec {
       s"persistent-RDD growth after 3 folds must stay bounded, got $growth")
   }
 
+  test("segmented folds checkpoint O(batch), not O(index): new storage stays flat at 10x the index") {
+    // the in-memory twin of the delta-bytes test: a fold must CHECKPOINT
+    // only its fresh segment + tiny tables. Fold the SAME batch into a 1x
+    // and a 10x index and compare the newly-persisted storage — the old
+    // monolithic truncated()-per-fold re-materialized every component, so
+    // its delta tracked the INDEX size.
+    // logBloomBits = 12: the folded Bloom word tables are CAPACITY-bounded
+    // (≤ 2^logBits/64 rows — a build-time knob, constant w.r.t. corpus
+    // growth), and at the default 2^20 they would not yet have saturated
+    // at this test's scale, masking the batch-proportional term this test
+    // pins. Saturate them so the per-fold delta isolates the segment.
+    def doc(i: Long) = i -> (s"segmented storage doc $i with its own tail " +
+      s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e")
+    val batch = docsDf((9000L until 9012L).map(doc): _*)
+    def foldStorageDelta(corpusSize: Long): Long = {
+      val ref = new RefreshableCorpusIndex(
+        Dedup.corpusIndex(docsDf((0L until corpusSize).map(doc): _*), logBloomBits = 12))
+      ref.current.materialize() // settle the view inputs
+      val before = spark.sparkContext.getRDDStorageInfo
+        .filter(_.isCached).map(i => i.id -> i.memSize).toMap
+      ref.fold(batch)
+      spark.sparkContext.getRDDStorageInfo.filter(_.isCached)
+        .filterNot(i => before.contains(i.id)).map(_.memSize).sum
+    }
+    val small = foldStorageDelta(30L)
+    val big = foldStorageDelta(300L)
+    assert(small > 0 && big > 0)
+    assert(big <= 3 * small,
+      s"fold checkpoint bytes must be batch-proportional: 30-doc index -> $small B, " +
+        s"300-doc index -> $big B")
+  }
+
+  test("segmented folds across in-memory compactions equal from-scratch (re-key after compaction too)") {
+    val cap = 2
+    val corpus0 = docsDf(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      12L -> variant("u"), 13L -> variant("v"),
+      15L -> "completely different content about winter mountain hiking gear and maps")
+    // 5 folds through maxSegments = 3 → at least one compaction mid-chain;
+    // the LAST fold re-keys (5 < 10) AFTER a compaction reset the composed
+    // remap, and family variants keep crossing the bucket cap
+    val folds = Seq(
+      docsDf(20L -> variant("w"),
+        21L -> "fresh unique sentence with enough words to shingle comfortably today"),
+      docsDf(30L -> variant("z"),
+        31L -> "entirely new second fold text with plenty of distinct words inside"),
+      docsDf(40L -> "third fold document with an unmistakably distinct vocabulary set"),
+      docsDf(50L -> variant("q")),
+      docsDf(5L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        51L -> "fifth fold brand new text keeping the chain honest and growing"))
+
+    val ref = new RefreshableCorpusIndex(
+      Dedup.corpusIndex(corpus0, bucketCap = cap), maxSegments = 3)
+    folds.foreach(b => ref.fold(b))
+    val union = folds.foldLeft(corpus0)(_ unionAll _)
+    val scratch = Dedup.corpusIndex(union, bucketCap = cap)
+    sameContents(ref.current, scratch)
+    // the late re-key is live: a gate copy of the group reports rep 5
+    val gate = docsDf(90L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val got = gateRows(Dedup.bestMatchAgainst(gate, ref.current))
+    assert(got == gateRows(Dedup.bestMatchAgainst(gate, scratch)))
+    assert(got.head._2 == Some(5L), s"post-compaction re-key must reach the gate: $got")
+  }
+
   test("embed index: base + delta replay, compaction, and the flushable vector gate") {
     val e = operators.Tables.load(spark, sf(), "embeddings")
     val corpus0 = e.filter(pmod(col("vec_id"), lit(4)) === 0)
