@@ -192,6 +192,9 @@ object DataPipelineQueries {
     // parsed back through the pure-JDK moov/mvhd/tkhd box parser; the
     // oracle replays the generation rule
     "mm_video_metadata" -> ((s, dir) => Multimodal.videoMetadata(docs(s, dir))),
+    // keyframe tier: sync samples + decode times parsed out of real
+    // stts/stss sample tables
+    "mm_video_keyframes" -> ((s, dir) => Multimodal.videoKeyframes(docs(s, dir))),
     "mm_dup_frames" -> ((s, dir) => Multimodal.dupFrames(docs(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.features(docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(docs(s, dir))),
@@ -281,6 +284,7 @@ object DataPipelineQueries {
     "pipeline_exemplars" -> CurationPipeline.qualityExemplarsSql,
     "mm_metadata" -> Multimodal.metadataSql,
     "mm_video_metadata" -> Multimodal.videoMetadataSql,
+    "mm_video_keyframes" -> Multimodal.videoKeyframesSql,
     "mm_dup_frames" -> Multimodal.dupFramesSql,
     "mm_features" -> Multimodal.featuresSql,
     "mm_frame_sample" -> frameSampleSql,

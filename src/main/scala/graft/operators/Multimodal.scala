@@ -584,13 +584,19 @@ object Multimodal {
     } catch { case _: Throwable => None }
 
   /** Build a minimal VALID MP4 (ftyp + mdat + moov[mvhd, traks]) — the
-    * synthetic-fixture writer the oracle row and the spec drive the REAL
-    * parser with. Track 1 carries the video dims; extra tracks are 0×0
-    * (audio/hint shape). `version` selects 32- vs 64-bit mvhd/tkhd
-    * headers. mdat deliberately precedes moov (the common
-    * progressive-upload layout parsers must not assume away). */
+    * synthetic-fixture writer the oracle rows and the spec drive the REAL
+    * parser with. The LAST track carries the video dims (leading 0×0
+    * audio/hint tracks force the parser's skip-nonvisual path on every
+    * multi-track fixture); `version` selects 32- vs 64-bit mvhd/tkhd
+    * headers; mdat deliberately precedes moov (the common
+    * progressive-upload layout parsers must not assume away). With
+    * `sampleDeltas` nonempty the video track also gains a real sample
+    * table (`mdia/mdhd` media timescale + `stbl/stts` time-to-sample runs
+    * + `stbl/stss` sync samples) for the keyframe parser. */
   private[graft] def buildMp4(timescale: Long, duration: Long, width: Double,
-      height: Double, nTracks: Int, version: Int = 0): Array[Byte] = {
+      height: Double, nTracks: Int, version: Int = 0,
+      mediaTimescale: Long = 0L, sampleDeltas: Seq[(Long, Long)] = Seq.empty,
+      syncSamples: Seq[Long] = Seq.empty): Array[Byte] = {
     def be(n: Int, v: Long): Array[Byte] =
       (1 to n).map(i => ((v >>> (8 * (n - i))) & 0xff).toByte).toArray
     def box(tpe: String, payload: Array[Byte]): Array[Byte] =
@@ -606,20 +612,160 @@ object Multimodal {
       be(4, 0x00010000L) ++ be(2, 0x0100) ++ be(10, 0) ++ // rate, volume, reserved
       unityMatrix ++ Array.fill(24)(0.toByte) ++ be(4, nTracks + 1L))
     def fixed(v: Double): Long = Math.round(v * 65536.0)
-    def trak(id: Int, w: Double, h: Double): Array[Byte] =
+    // the video track's media hierarchy: mdia[mdhd, minf[stbl[stts, stss]]]
+    val mdia: Array[Byte] =
+      if (sampleDeltas.isEmpty) Array.empty[Byte]
+      else {
+        val mdhd = box("mdhd", be(1, version) ++ be(3, 0) ++
+          be(timeW, 0) ++ be(timeW, 0) ++
+          be(4, mediaTimescale) ++ be(timeW, duration) ++ be(2, 0x55c4) ++ be(2, 0))
+        val stts = box("stts", be(4, 0) ++ be(4, sampleDeltas.size.toLong) ++
+          sampleDeltas.flatMap { case (cnt, d) => be(4, cnt) ++ be(4, d) }.toArray)
+        val stss = box("stss", be(4, 0) ++ be(4, syncSamples.size.toLong) ++
+          syncSamples.flatMap(be(4, _)).toArray)
+        box("mdia", mdhd ++ box("minf", box("stbl", stts ++ stss)))
+      }
+    def trak(id: Int, w: Double, h: Double, media: Array[Byte]): Array[Byte] =
       box("trak", box("tkhd", be(1, version) ++ be(3, 7) ++
         be(timeW, 0) ++ be(timeW, 0) ++ be(4, id.toLong) ++ be(4, 0) ++
         be(timeW, duration) ++ be(8, 0) ++ be(2, 0) ++ be(2, 0) ++
-        be(2, 0) ++ be(2, 0) ++ unityMatrix ++ be(4, fixed(w)) ++ be(4, fixed(h))))
-    // the dimensioned (video) track goes LAST: leading 0×0 audio/hint
-    // tracks force the parser's skip-nonvisual path on every multi-track
-    // fixture, not just in a dedicated spec case
+        be(2, 0) ++ be(2, 0) ++ unityMatrix ++
+        be(4, fixed(w)) ++ be(4, fixed(h))) ++ media)
     val traks = (1 to nTracks).map(i =>
-      if (i == nTracks) trak(i, width, height) else trak(i, 0.0, 0.0))
+      if (i == nTracks) trak(i, width, height, mdia)
+      else trak(i, 0.0, 0.0, Array.empty[Byte]))
     box("ftyp", "isom".getBytes ++ be(4, 0x200) ++ "isomiso2".getBytes) ++
       box("mdat", Array.fill(16)(0x55.toByte)) ++
       box("moov", mvhd ++ traks.flatten.toArray)
   }
+
+  /** KEYFRAME extraction from the MP4 sample tables — the second tier of
+    * the container story (what a frame-sampling pipeline seeks to before
+    * decoding anything): the VIDEO track's sync samples (`stbl/stss`) with
+    * their decode times from the time-to-sample runs (`stbl/stts`) on the
+    * media timescale (`mdia/mdhd`). Returns `(sample_no, time_sec)` per
+    * keyframe, empty when the payload is undecodable or the video track
+    * carries no stss (per ISO-BMFF an ABSENT stss means every sample is a
+    * sync sample — a degenerate answer a caller should not mistake for a
+    * keyframe list, so it is reported as empty rather than materialized).
+    * Handles multi-run stts (the cumulative walk) and v0/v1 mdhd. */
+  def mp4Keyframes(payload: Array[Byte]): Seq[(Long, Double)] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      def u32(off: Long): Long = bb.getInt(off.toInt) & 0xffffffffL
+      def u64(off: Long): Long = bb.getLong(off.toInt)
+      def boxType(off: Long): String =
+        new String(payload, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def boxes(start: Long, end: Long): Seq[(String, Long, Long)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        var p = start
+        while (p + 8 <= end) {
+          val sz0 = u32(p)
+          val tpe = boxType(p + 4)
+          val (hdr, sz) =
+            if (sz0 == 1L) (16L, u64(p + 8))
+            else if (sz0 == 0L) (8L, end - p)
+            else (8L, sz0)
+          require(sz >= hdr && p + sz <= end, s"malformed box $tpe")
+          out += ((tpe, p + hdr, p + sz))
+          p += sz
+        }
+        out.toSeq
+      }
+      def child(parent: (String, Long, Long), tpe: String): Option[(String, Long, Long)] =
+        boxes(parent._2, parent._3).find(_._1 == tpe)
+
+      val result = for {
+        moov <- boxes(0, payload.length).find(_._1 == "moov")
+        trak <- boxes(moov._2, moov._3).filter(_._1 == "trak").find { t =>
+          // the video track: nonzero tkhd dims (same rule as mp4Metadata)
+          child(t, "tkhd").exists { case (_, k, _) =>
+            val kv = payload(k.toInt) & 0xff
+            val base = k + 4 + (if (kv == 1) 32L else 20L) + 8 + 2 + 2 + 2 + 2 + 36
+            u32(base) > 0 && u32(base + 4) > 0
+          }
+        }
+        mdia <- child(trak, "mdia")
+        mdhd <- child(mdia, "mdhd")
+        stbl <- child(mdia, "minf").flatMap(child(_, "stbl"))
+        stts <- child(stbl, "stts")
+        stss <- child(stbl, "stss")
+      } yield {
+        val mv = payload(mdhd._2.toInt) & 0xff
+        val mts = if (mv == 1) u32(mdhd._2 + 20) else u32(mdhd._2 + 12)
+        // stts runs: (sample_count, sample_delta)*
+        val nRuns = u32(stts._2 + 4)
+        val runs = (0L until nRuns).map(i =>
+          (u32(stts._2 + 8 + i * 8), u32(stts._2 + 12 + i * 8)))
+        // decode-time ticks at the START of 1-based sample n
+        def ticksOf(n: Long): Long = {
+          var remaining = n - 1
+          var ticks = 0L
+          runs.foreach { case (cnt, delta) =>
+            val take = math.min(remaining, cnt)
+            ticks += take * delta
+            remaining -= take
+          }
+          ticks
+        }
+        val nSync = u32(stss._2 + 4)
+        (0L until nSync).map { i =>
+          val sample = u32(stss._2 + 8 + i * 4)
+          (sample, ticksOf(sample).toDouble / mts)
+        }
+      }
+      result.getOrElse(Seq.empty)
+    } catch { case _: Throwable => Seq.empty }
+
+  /** The `mm_video_keyframes` operator — [[videoMetadata]]'s second tier:
+    * per document, synthesize an MP4 whose video track carries a real
+    * sample table from a deterministic rule, extract keyframes through
+    * [[mp4Keyframes]], emit the PARSED `(kf_idx, sample_no, time_sec)`
+    * rows. The oracle replays the rule, so the hash gate proves the
+    * stts/stss writer+parser round-trip (single-run stts here; the
+    * multi-run cumulative walk is spec-pinned on hand-built tables). */
+  def videoKeyframes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Tables.fanOut(docs)
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("nb"))
+      .as[(Long, Long)]
+      .flatMap { case (id, nb) =>
+        val mts = 600L * (1 + id % 4)
+        val nSamples = 10 + (nb % 41)
+        val delta = 400L + (id % 7) * 25
+        val keyEvery = 1 + (id % 5)
+        val sync = 1L.to(nSamples, keyEvery)
+        val m = buildMp4(1000L, nSamples * delta, 320.0, 240.0,
+          nTracks = (1 + id % 2).toInt, version = (id % 2).toInt,
+          mediaTimescale = mts, sampleDeltas = Seq((nSamples, delta)),
+          syncSamples = sync)
+        mp4Keyframes(m).zipWithIndex.map { case ((sample, t), i) =>
+          (id, i.toLong, sample, t)
+        }
+      }
+      .toDF("doc_id", "kf_idx", "sample_no", "time_sec")
+      .orderBy("doc_id", "kf_idx")
+  }
+
+  /** DuckDB oracle for [[videoKeyframes]] — the generation rule replayed
+    * (sample `1 + i·ke` starts at `i·ke·delta` ticks on the media
+    * timescale). */
+  val videoKeyframesSql: String =
+    """WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |  FROM documents),
+      |p AS (SELECT doc_id,
+      |        600 * (1 + doc_id % 4) AS mts,
+      |        10 + (nb % 41) AS ns,
+      |        400 + (doc_id % 7) * 25 AS delta,
+      |        1 + (doc_id % 5) AS ke FROM d),
+      |k AS (SELECT doc_id, mts, delta, ke,
+      |        unnest(range(0, (ns - 1) // ke + 1)) AS i FROM p)
+      |SELECT doc_id, CAST(i AS BIGINT) AS kf_idx,
+      |  CAST(1 + i * ke AS BIGINT) AS sample_no,
+      |  CAST(i * ke * delta AS DOUBLE) / mts AS time_sec
+      |FROM k ORDER BY doc_id, kf_idx""".stripMargin
 
   /** The `mm_video_metadata` operator: synthesize a real MP4 per document
     * from a deterministic rule of `(doc_id, byte_size)`, parse it back

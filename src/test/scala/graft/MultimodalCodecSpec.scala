@@ -402,6 +402,32 @@ class MultimodalCodecSpec extends SparkSpec {
     // a file with boxes but no moov → None
     assert(mp4Metadata(be(4, 16L) ++ "ftyp".getBytes ++ "isomisom".getBytes).isEmpty)
   }
+
+  test("MP4 keyframes: multi-run stts cumulative walk, v1 mdhd, stss-absent convention") {
+    import graft.operators.Multimodal.{buildMp4, mp4Keyframes, mp4Metadata}
+    // three stts runs: 4 samples @100 ticks, 2 @250, 5 @40 — keyframes at
+    // samples straddling all three runs; media timescale 600
+    val m = buildMp4(1000L, 1100L, 640.0, 480.0, nTracks = 2, version = 0,
+      mediaTimescale = 600L,
+      sampleDeltas = Seq((4L, 100L), (2L, 250L), (5L, 40L)),
+      syncSamples = Seq(1L, 5L, 7L, 11L))
+    val kf = mp4Keyframes(m)
+    // decode-time ticks: s1=0, s5=4·100=400, s7=400+2·250=900,
+    // s11=900+4·40=1060 — each divided by mts 600
+    assert(kf == Seq((1L, 0.0), (5L, 400.0 / 600), (7L, 900.0 / 600),
+      (11L, 1060.0 / 600)), s"cumulative stts walk: $kf")
+    // v1 (64-bit) mdhd parses the timescale from the shifted offset
+    val m1 = buildMp4(1000L, 300L, 320.0, 240.0, nTracks = 1, version = 1,
+      mediaTimescale = 90000L, sampleDeltas = Seq((3L, 3000L)),
+      syncSamples = Seq(1L, 3L))
+    assert(mp4Keyframes(m1) == Seq((1L, 0.0), (3L, 6000.0 / 90000)))
+    // a sample-table-less video track (the metadata-only fixtures) and an
+    // stss-less one both report NO keyframes — never a fabricated list
+    val noTables = buildMp4(1000L, 1L, 128.0, 72.0, 1)
+    assert(mp4Keyframes(noTables).isEmpty)
+    assert(mp4Metadata(noTables).nonEmpty, "metadata still parses without sample tables")
+    assert(mp4Keyframes("garbage".getBytes).isEmpty)
+  }
 }
 
 /** Codec factories live on the companion OBJECT: a factory closing over the
