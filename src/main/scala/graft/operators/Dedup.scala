@@ -1461,21 +1461,29 @@ object Dedup {
     chained.unionByName(fresh.select("old_id", "new_id"))
   }
 
+  /** The CURRENT dropped-bucket table over per-segment size tables —
+    * computed (and checkpointed) ONCE PER FOLD by the holder, never at
+    * gate time: leaving it lazy in the view would re-shuffle every
+    * distinct bucket's count on EVERY micro-batch gate, an O(index)
+    * per-gate cost the monolithic index never paid (its oversized table
+    * was always materialized). */
+  private[operators] def segmentOversized(sizes: Seq[DataFrame],
+      bucketCap: Int): DataFrame =
+    sizes.reduce(_ unionByName _).groupBy("band", "sig")
+      .agg(sum("n").as("n")).filter(col("n") > bucketCap)
+
   /** Assemble the LAZY [[CorpusIndex]] view over checkpointed segments:
     * union per component, one broadcast re-key by the composed map, bucket
-    * rows filtered once by the CURRENT oversized set (sizes only grow, so
-    * the latest drop set subsumes every earlier one — the same argument as
-    * [[loadIndex]]'s replay). `oversized` itself stays a lazy aggregate of
-    * the per-segment size tables. */
+    * rows filtered once by the CURRENT (checkpointed, tiny) oversized set
+    * — sizes only grow, so the latest drop set subsumes every earlier one,
+    * the same argument as [[loadIndex]]'s replay. */
   private[operators] def segmentedView(
       fps: Seq[DataFrame], sets: Seq[DataFrame], buckets: Seq[DataFrame],
-      sizes: Seq[DataFrame], remap: DataFrame,
+      oversized: DataFrame, remap: DataFrame,
       fpBloom: DataFrame, bucketBloom: DataFrame,
       logBloomBits: Int, bucketCap: Int): CorpusIndex = {
     def u(fs: Seq[DataFrame]): DataFrame = fs.reduce(_ unionByName _)
     val rk = rekeyWith(remap) _
-    val totals = u(sizes).groupBy("band", "sig").agg(sum("n").as("n"))
-    val oversized = totals.filter(col("n") > bucketCap)
     CorpusIndex(
       rk(u(fps), "match_id"),
       rk(u(sets), "doc_id"),

@@ -68,24 +68,26 @@ final class RefreshableCorpusIndex(initial: Dedup.CorpusIndex,
   // also bounds view plan depth, the OOM the old truncated()-per-fold
   // existed to prevent.
   private final case class State(segs: Vector[Seg], remap: DataFrame,
-      fpBloom: DataFrame, bucketBloom: DataFrame, view: Dedup.CorpusIndex)
+      fpBloom: DataFrame, bucketBloom: DataFrame, oversized: DataFrame,
+      view: Dedup.CorpusIndex)
 
   @volatile private var state: State = {
     val t = initial.truncated() // segment 0: checkpointed off the caller's pins
     val sizes = Dedup.initialSizes(initial).localCheckpoint(true)
     val seg0 = Seg(t.fps, t.sets, t.buckets, sizes)
     val remap0 = Dedup.emptyRemap(initial.fps.sparkSession)
-    State(Vector(seg0), remap0, t.fpBloom, t.bucketBloom,
-      view(Vector(seg0), remap0, t.fpBloom, t.bucketBloom))
+    State(Vector(seg0), remap0, t.fpBloom, t.bucketBloom, t.oversized,
+      view(Vector(seg0), remap0, t.fpBloom, t.bucketBloom, t.oversized))
   }
   // the caller's initial pins are released on the first fold (releaseOld),
   // matching the pre-segmented contract
   private var initialToRelease: Option[Dedup.CorpusIndex] = Some(initial)
 
   private def view(segs: Vector[Seg], remap: DataFrame,
-      fpBloom: DataFrame, bucketBloom: DataFrame): Dedup.CorpusIndex =
+      fpBloom: DataFrame, bucketBloom: DataFrame,
+      oversized: DataFrame): Dedup.CorpusIndex =
     Dedup.segmentedView(segs.map(_.fps), segs.map(_.sets), segs.map(_.buckets),
-      segs.map(_.sizes), remap, fpBloom, bucketBloom,
+      oversized, remap, fpBloom, bucketBloom,
       initial.logBloomBits, initial.bucketCap)
 
   /** The currently-published index (a lazy view whose inputs are all
@@ -107,6 +109,12 @@ final class RefreshableCorpusIndex(initial: Dedup.CorpusIndex,
       val parts = Dedup.segmentFold(s.view.fps, initial.logBloomBits, newDocs, track)
 
       // checkpoint exactly the batch-sized fresh pieces + the tiny tables
+      // (incl. the refreshed dropped-bucket table: computing it here — one
+      // partial-aggregated pass over the per-segment size tables, the same
+      // per-fold totals cost the monolithic fold always paid — keeps every
+      // GATE execution free of it; leaving it lazy in the view would
+      // re-shuffle all distinct buckets' counts per micro-batch)
+      val allSizes = s.segs.map(_.sizes) :+ parts.freshSizes
       val ck = IndexFiles.inParallel(Seq(
         () => parts.freshFps.localCheckpoint(true),
         () => parts.freshSets.localCheckpoint(true),
@@ -120,17 +128,19 @@ final class RefreshableCorpusIndex(initial: Dedup.CorpusIndex,
         () => s.bucketBloom.unionAll(parts.bucketWords)
           .groupBy("w").agg(org.apache.spark.sql.functions.bit_or(
             org.apache.spark.sql.functions.col("bits")).as("bits"))
+          .localCheckpoint(true),
+        () => Dedup.segmentOversized(allSizes, initial.bucketCap)
           .localCheckpoint(true)))
       val seg = Seg(ck(0), ck(1), ck(2), ck(3))
       val remap2 = Dedup.composeRemaps(s.remap, ck(4)).localCheckpoint(true)
 
       var segs2 = s.segs :+ seg
-      var next = view(segs2, remap2, ck(5), ck(6))
+      var next = view(segs2, remap2, ck(5), ck(6), ck(7))
       // the persisted delta carries THIS fold's pieces + the refreshed
-      // dropped-bucket table (lazy here; writing materializes it — tiny)
+      // dropped-bucket table
       deltaPath.foreach { p =>
         Dedup.saveIndexDelta(Dedup.IndexDelta(seg.fps, seg.sets, seg.buckets,
-          parts.fpWords, parts.bucketWords, ck(4), next.oversized), p)
+          parts.fpWords, parts.bucketWords, ck(4), ck(7)), p)
       }
       tracked.foreach(_.unpersist())
 
@@ -142,12 +152,11 @@ final class RefreshableCorpusIndex(initial: Dedup.CorpusIndex,
           .localCheckpoint(true)
         val t = next.truncated()
         segs2 = Vector(Seg(t.fps, t.sets, t.buckets, totalsCk))
-        next = view(segs2, Dedup.emptyRemap(initial.fps.sparkSession),
-          t.fpBloom, t.bucketBloom)
-        state = State(segs2, Dedup.emptyRemap(initial.fps.sparkSession),
-          t.fpBloom, t.bucketBloom, next)
+        val remap0 = Dedup.emptyRemap(initial.fps.sparkSession)
+        next = view(segs2, remap0, t.fpBloom, t.bucketBloom, t.oversized)
+        state = State(segs2, remap0, t.fpBloom, t.bucketBloom, t.oversized, next)
       } else {
-        state = State(segs2, remap2, ck(5), ck(6), next)
+        state = State(segs2, remap2, ck(5), ck(6), ck(7), next)
       }
       if (releaseOld) { initialToRelease.foreach(_.release()); initialToRelease = None }
       next
@@ -247,19 +256,20 @@ final class RefreshablePqIndex(initial: Similarity.PqIndex) {
 final class RefreshableEmbedIndex(initial: Similarity.EmbedIndex,
     maxSegments: Int = RefreshableCorpusIndex.DefaultMaxSegments) {
   private final case class ESeg(qc: DataFrame, cb: DataFrame, sizes: DataFrame)
-  private final case class State(segs: Vector[ESeg], view: Similarity.EmbedIndex)
+  private final case class State(segs: Vector[ESeg], oversized: DataFrame,
+      view: Similarity.EmbedIndex)
 
   @volatile private var state: State = {
     val t = initial.truncated()
     val sizes = Similarity.embedInitialSizes(initial).localCheckpoint(true)
     val seg0 = ESeg(t.qc, t.cb, sizes)
-    State(Vector(seg0), view(Vector(seg0)))
+    State(Vector(seg0), t.oversized, view(Vector(seg0), t.oversized))
   }
   private var initialToRelease: Option[Similarity.EmbedIndex] = Some(initial)
 
-  private def view(segs: Vector[ESeg]): Similarity.EmbedIndex =
+  private def view(segs: Vector[ESeg], oversized: DataFrame): Similarity.EmbedIndex =
     Similarity.embedSegmentedView(segs.map(_.qc), segs.map(_.cb),
-      segs.map(_.sizes), initial.bucketCap)
+      oversized, initial.bucketCap)
 
   def current: Similarity.EmbedIndex = state.view
 
@@ -270,16 +280,19 @@ final class RefreshableEmbedIndex(initial: Similarity.EmbedIndex,
       val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       def track(df: DataFrame): DataFrame = { val c = df.persist(); tracked += c; c }
       val parts = Similarity.embedSegmentFold(newVecs, track)
+      val allSizes = s.segs.map(_.sizes) :+ parts.freshSizes
       val ck = IndexFiles.inParallel(Seq(
         () => parts.qNew.localCheckpoint(true),
         () => parts.freshBuckets.localCheckpoint(true),
-        () => parts.freshSizes.localCheckpoint(true)))
+        () => parts.freshSizes.localCheckpoint(true),
+        () => Similarity.embedSegmentOversized(allSizes, initial.bucketCap)
+          .localCheckpoint(true)))
       val seg = ESeg(ck(0), ck(1), ck(2))
       var segs2 = s.segs :+ seg
-      var next = view(segs2)
+      var next = view(segs2, ck(3))
       deltaPath.foreach { p =>
         Similarity.saveEmbedIndexDelta(
-          Similarity.EmbedDelta(seg.qc, seg.cb, next.oversized), p)
+          Similarity.EmbedDelta(seg.qc, seg.cb, ck(3)), p)
       }
       tracked.foreach(_.unpersist())
       if (segs2.size > maxSegments) {
@@ -289,10 +302,11 @@ final class RefreshableEmbedIndex(initial: Similarity.EmbedIndex,
           .localCheckpoint(true)
         val t = next.truncated()
         segs2 = Vector(ESeg(t.qc, t.cb, totalsCk))
-        next = view(segs2)
+        state = State(segs2, t.oversized, view(segs2, t.oversized))
+      } else {
+        state = State(segs2, ck(3), next)
       }
-      state = State(segs2, next)
       if (releaseOld) { initialToRelease.foreach(_.release()); initialToRelease = None }
-      next
+      state.view
     }
 }

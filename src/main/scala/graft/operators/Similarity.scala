@@ -530,11 +530,17 @@ object Similarity {
     EmbedSegmentParts(qNew, freshBuckets, freshSizes)
   }
 
+  /** The current dropped-bucket table over per-segment size tables —
+    * checkpointed per fold by the holder, never recomputed at gate time
+    * (see [[graft.operators.Dedup]]'s `segmentOversized`). */
+  private[operators] def embedSegmentOversized(sizes: Seq[DataFrame],
+      bucketCap: Int): DataFrame =
+    sizes.reduce(_ unionByName _).groupBy("table", "bucket")
+      .agg(sum("n").as("n")).filter(col("n") > bucketCap)
+
   private[operators] def embedSegmentedView(qcs: Seq[DataFrame],
-      cbs: Seq[DataFrame], sizes: Seq[DataFrame], bucketCap: Int): EmbedIndex = {
+      cbs: Seq[DataFrame], oversized: DataFrame, bucketCap: Int): EmbedIndex = {
     def u(fs: Seq[DataFrame]): DataFrame = fs.reduce(_ unionByName _)
-    val totals = u(sizes).groupBy("table", "bucket").agg(sum("n").as("n"))
-    val oversized = totals.filter(col("n") > bucketCap)
     EmbedIndex(u(qcs),
       u(cbs).join(broadcast(oversized.select("table", "bucket")),
         Seq("table", "bucket"), "left_anti"),

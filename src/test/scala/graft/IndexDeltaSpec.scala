@@ -289,6 +289,27 @@ class IndexDeltaSpec extends SparkSpec {
         s"300-doc index -> $big B")
   }
 
+  test("the segmented view recomputes NOTHING per gate: no aggregate anywhere in its component plans") {
+    // the dropped-bucket table must be checkpointed at FOLD time — leaving
+    // it lazy in the view would re-shuffle every distinct bucket's count on
+    // every micro-batch gate (an O(index) per-gate cost the monolithic
+    // index never paid). Sweep all published components for Aggregates.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val ref = new RefreshableCorpusIndex(Dedup.corpusIndex(docsDf(
+      1L -> variant("u"), 2L -> variant("v"),
+      3L -> "a plainly distinct document with its own words entirely")))
+    ref.fold(docsDf(10L -> variant("w"),
+      11L -> "another distinct fold document with fresh vocabulary inside"))
+    val v = ref.current
+    Seq("fps" -> v.fps, "sets" -> v.sets, "buckets" -> v.buckets,
+      "fp_bloom" -> v.fpBloom, "bucket_bloom" -> v.bucketBloom,
+      "oversized" -> v.oversized).foreach { case (name, df) =>
+      val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+      assert(aggs.isEmpty,
+        s"view component '$name' must read checkpointed inputs, not re-aggregate: $aggs")
+    }
+  }
+
   test("segmented folds across in-memory compactions equal from-scratch (re-key after compaction too)") {
     val cap = 2
     val corpus0 = docsDf(
