@@ -1895,7 +1895,7 @@ object Similarity {
     val want = bruteForceTopKQ(idx.qn, k, nQueries).select("query_id", "neighbor_id")
     want.join(got, Seq("query_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).as("hits"))
-      .crossJoin(want.agg(count(lit(1)).as("possible")))
+      .crossJoin(broadcast(want.agg(count(lit(1)).as("possible"))))
       .select(lit(idx.version).as("version"), lit(k).as("k"),
         lit(nQueries).as("n_queries"), col("hits"), col("possible"),
         (col("hits").cast("double") / col("possible").cast("double")).as("recall"))
