@@ -38,7 +38,8 @@ object Ingest {
       defaultRate: Double = Sampling.DefaultRate,
       once: Boolean = false,
       nearIndex: Option[String] = None,
-      nearThreshold: Double = 0.8)
+      nearThreshold: Double = 0.8,
+      nearCompactEvery: Int = 16)
 
   def parseArgs(args: Seq[String]): Config = {
     def loop(rest: List[String], c: Config): Config = rest match {
@@ -62,6 +63,11 @@ object Ingest {
       case "--near-index" :: v :: t => loop(t, c.copy(nearIndex = Some(v)))
       case "--near-threshold" :: v :: t =>
         loop(t, c.copy(nearThreshold = v.toDouble))
+      // compact the persisted index's delta chain every N folds (0 = never)
+      // — bounds what a restart replays; default 16 keeps maintenance cheap
+      // relative to the folds it amortizes over
+      case "--near-compact-every" :: v :: t =>
+        loop(t, c.copy(nearCompactEvery = v.toInt))
       case Nil =>
         require(c.src.nonEmpty && c.out.nonEmpty && c.checkpoint.nonEmpty,
           "--src, --out, and --checkpoint are required")
@@ -69,7 +75,7 @@ object Ingest {
       case other :: _ => throw new IllegalArgumentException(
         s"unknown flag: $other (supported: --src <dir> --out <path> --checkpoint <dir> " +
           "--budget <tokens> --rate <r> --rate-for <source=r> --once " +
-          "--near-index <path> --near-threshold <t>)")
+          "--near-index <path> --near-threshold <t> --near-compact-every <n>)")
     }
     loop(args.toList, Config())
   }
@@ -99,7 +105,7 @@ object Ingest {
         }
       graft.streaming.StreamingDedup.novelNearCorpusIngest(
         new RefreshableCorpusIndex(idx0), config.nearThreshold,
-        indexPath = Some(path))
+        indexPath = Some(path), compactEvery = config.nearCompactEvery)
     }
 
   def main(args: Array[String]): Unit = {

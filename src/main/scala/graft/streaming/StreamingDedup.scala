@@ -138,8 +138,9 @@ object StreamingDedup {
     * copies. */
   def novelNearCorpusIngest(ref: graft.operators.RefreshableCorpusIndex,
       threshold: Double = 0.8,
-      indexPath: Option[String] = None): IngestGate =
-    new IngestGate(ref, threshold, indexPath)
+      indexPath: Option[String] = None,
+      compactEvery: Int = 0): IngestGate =
+    new IngestGate(ref, threshold, indexPath, compactEvery)
 
   /** The closed-loop gate as a value ([[novelNearCorpusIngest]] builds
     * one): apply() is the per-micro-batch transform; [[flush]] folds
@@ -147,7 +148,7 @@ object StreamingDedup {
     * `Trigger.AvailableNow` run would never fold at all (the lag defers
     * every fold to the NEXT batch, and a terminated query has none). */
   final class IngestGate(ref: graft.operators.RefreshableCorpusIndex,
-      threshold: Double, indexPath: Option[String])
+      threshold: Double, indexPath: Option[String], compactEvery: Int = 0)
       extends (DataFrame => DataFrame) {
     import org.apache.spark.sql.SparkSession
     import graft.operators.{Dedup, IndexFiles}
@@ -155,6 +156,7 @@ object StreamingDedup {
     private val pending =
       new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
     private val nextSyntheticId = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val foldsSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
 
     /** Fold every staged batch with id strictly below `before` (ALL staged
       * when None — the clean-shutdown flush), ascending. Durable mode:
@@ -170,7 +172,20 @@ object StreamingDedup {
             .filter { case (id, _) => before.forall(id < _) }
             .foreach { case (_, dir) =>
               val staged = spark.read.parquet(dir.toString)
-              if (!staged.isEmpty) ref.fold(staged, deltaPath = Some(p))
+              if (!staged.isEmpty) {
+                ref.fold(staged, deltaPath = Some(p))
+                // LSM maintenance: without periodic compaction the durable
+                // loop appends delta_N forever and every RESTART replays an
+                // unbounded delta chain — the disk twin of the in-memory
+                // maxSegments bound. Runs AFTER the fold's delta landed and
+                // before the staged dir deletes, so a crash mid-compaction
+                // is the already-proven ignored-by-construction case.
+                if (compactEvery > 0 &&
+                    foldsSinceCompact.incrementAndGet() >= compactEvery) {
+                  Dedup.compactIndex(spark, p)
+                  foldsSinceCompact.set(0L)
+                }
+              }
               IndexFiles.delete(spark, dir.toString)
             }
         case None =>

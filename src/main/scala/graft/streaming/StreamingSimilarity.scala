@@ -53,14 +53,15 @@ object StreamingSimilarity {
     * at-least-once on novelty. */
   def novelAgainstIndexIngest(ref: graft.operators.RefreshableEmbedIndex,
       threshold: Double = 0.35,
-      indexPath: Option[String] = None): EmbedIngestGate =
-    new EmbedIngestGate(ref, threshold, indexPath)
+      indexPath: Option[String] = None,
+      compactEvery: Int = 0): EmbedIngestGate =
+    new EmbedIngestGate(ref, threshold, indexPath, compactEvery)
 
   /** [[StreamingDedup.IngestGate]]'s vector twin. Staged batches carry the
     * batch's full rows (the fold re-quantizes from the raw `embedding`
     * column). */
   final class EmbedIngestGate(ref: graft.operators.RefreshableEmbedIndex,
-      threshold: Double, indexPath: Option[String])
+      threshold: Double, indexPath: Option[String], compactEvery: Int = 0)
       extends (DataFrame => DataFrame) {
     import org.apache.spark.sql.SparkSession
     import graft.operators.IndexFiles
@@ -68,6 +69,7 @@ object StreamingSimilarity {
     private val pending =
       new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
     private val nextSyntheticId = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val foldsSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
 
     private def foldStaged(spark: SparkSession, before: Option[Long]): Unit =
       indexPath match {
@@ -76,7 +78,15 @@ object StreamingSimilarity {
             .filter { case (id, _) => before.forall(id < _) }
             .foreach { case (_, dir) =>
               val staged = spark.read.parquet(dir.toString)
-              if (!staged.isEmpty) ref.fold(staged, deltaPath = Some(p))
+              if (!staged.isEmpty) {
+                ref.fold(staged, deltaPath = Some(p))
+                // periodic LSM compaction — see IngestGate.foldStaged
+                if (compactEvery > 0 &&
+                    foldsSinceCompact.incrementAndGet() >= compactEvery) {
+                  Similarity.compactEmbedIndex(spark, p)
+                  foldsSinceCompact.set(0L)
+                }
+              }
               IndexFiles.delete(spark, dir.toString)
             }
         case None =>

@@ -203,6 +203,44 @@ class IndexDeltaSpec extends SparkSpec {
     IndexFiles.delete(spark, p); IndexFiles.delete(spark, pc)
   }
 
+  test("durable closed loop: --near-compact-every bounds the delta chain, decisions unchanged") {
+    // without periodic compaction the loop appends delta_N forever and a
+    // restart replays an unbounded chain; with compactEvery = 2 the chain
+    // stays ≤ 2 and bases advance, while every decision (and the final
+    // persisted index) equals the never-compacting control's
+    val corpus0 = docsDf(100L -> variant("u"))
+    val batches = (0 until 5).map(k => docsDf(
+      (200L + 10 * k) -> s"compaction wave $k doc one with its own words w${k}a w${k}b",
+      (201L + 10 * k) -> variant("u"), // rejected near-dup each wave
+      (202L + 10 * k) -> s"compaction wave $k doc two carrying tokens t${k}x t${k}y"))
+
+    def run(path: String, every: Int): Seq[Seq[(Long, Option[Long], Option[Double], Boolean)]] = {
+      val idx0 = Dedup.corpusIndex(corpus0); Dedup.saveIndex(idx0, path)
+      val g = StreamingDedup.novelNearCorpusIngest(
+        new RefreshableCorpusIndex(Dedup.loadIndex(spark, path)),
+        indexPath = Some(path), compactEvery = every)
+      val out = batches.zipWithIndex.map { case (b, i) => gateRows(g(b, i.toLong)) }
+      g.flush()
+      out
+    }
+    val pc = tmpDir("compact-ctl"); val pm = tmpDir("compact-on")
+    val control = run(pc, 0)
+    val maintained = run(pm, 2)
+    assert(maintained == control, "compaction must never change a decision")
+    // the chain is bounded and the base advanced past v1
+    assert(IndexFiles.numbered(spark, pm, "delta_").size <= 2,
+      s"delta chain must stay bounded: ${IndexFiles.numbered(spark, pm, "delta_")}")
+    assert(IndexFiles.numbered(spark, pm, "base_v").head._1 > 1L,
+      "compaction must have published a new base")
+    assert(IndexFiles.numbered(spark, pc, "delta_").size == 5,
+      "control: one delta per non-empty fold, never compacted")
+    // the persisted artifacts agree
+    val a = Dedup.loadIndex(spark, pm); val b = Dedup.loadIndex(spark, pc)
+    assert(fpsSet(a) == fpsSet(b) && bucketsSet(a) == bucketsSet(b))
+    a.release(); b.release()
+    IndexFiles.delete(spark, pm); IndexFiles.delete(spark, pc)
+  }
+
   test("durable closed loop: a re-delivered batch re-gates identically (replay determinism)") {
     val corpus0 = docsDf(100L -> variant("u"))
     val b1 = docsDf(201L -> "replay wave one text with plenty of distinct words inside")
