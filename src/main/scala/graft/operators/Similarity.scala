@@ -1321,6 +1321,56 @@ object Similarity {
     (next, () => tracked.foreach(_.unpersist()))
   }
 
+  // ─────────────── kNN-GRAPH PERSISTENCE (snapshot form) ───────────────
+  // Unlike the corpus/embed indexes the graph gets NO delta layer: its
+  // edge component is not pure-append (a fold REPLACES affected old
+  // queries' rows), so an on-disk delta would need per-segment tombstone
+  // replay at load — and the graph is fully derivable from the embed
+  // corpus anyway. The deployment shape is snapshot-at-maintenance-points:
+  // save after a fold burst or retrain, reload at restart, resume folding.
+  // Same versioned-base atomic-publish layout as the other indexes.
+
+  private val GraphComponents = Seq("cents", "qn", "probes", "edges")
+
+  /** True when `path` holds a persisted graph index. */
+  def knnGraphExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    IndexFiles.numbered(spark, path, "base_v").nonEmpty
+
+  /** Persist a [[KnnGraphIndex]] snapshot as a new base version
+    * (components in parallel, knobs in `meta`, superseded bases pruned
+    * after the atomic publish). */
+  def saveKnnGraph(idx: KnnGraphIndex, path: String): Unit = {
+    val spark = idx.cents.sparkSession
+    import spark.implicits._
+    val v = IndexFiles.numbered(spark, path, "base_v")
+      .map(_._1).maxOption.getOrElse(0L) + 1
+    val tmp = s"$path/base_v$v.tmp"
+    IndexFiles.delete(spark, tmp)
+    IndexFiles.inParallel(idx.frames.zip(GraphComponents).map { case (df, name) =>
+      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+    })
+    Seq((idx.k, idx.nProbe)).toDF("k", "n_probe")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexFiles.publish(spark, tmp, s"$path/base_v$v")
+    IndexFiles.numbered(spark, path, "base_v").filter(_._1 < v)
+      .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
+  }
+
+  /** Load a persisted graph snapshot (components pinned, knobs restored).
+    * Folding the loaded index equals folding the original (spec-pinned) —
+    * a restarted graph lifecycle resumes instead of rebuilding. */
+  def loadKnnGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String): KnnGraphIndex = {
+    val bases = IndexFiles.numbered(spark, path, "base_v")
+    require(bases.nonEmpty, s"no persisted knn graph at $path")
+    val base = bases.last._2.toString
+    val meta = spark.read.parquet(s"$base/meta").head()
+    def pinned(name: String): DataFrame =
+      PinnedCaches.pin(spark.read.parquet(s"$base/$name"))
+    KnnGraphIndex(pinned("cents"), pinned("qn"), pinned("probes"),
+      pinned("edges"), meta.getAs[Int]("k"), meta.getAs[Int]("n_probe"))
+  }
+
   /** DuckDB oracle for the `knn_graph_refresh` registry row — the graph
     * lifecycle on the 3-way split: corpus %3==0 built from scratch (its
     * centroids FROZEN), %3==1 folded in via [[refreshKnnGraph]], output =

@@ -48,6 +48,31 @@ class KnnGraphLifecycleSpec extends SparkSpec {
     assert(before.intersect(after).nonEmpty)
   }
 
+  test("save/load snapshot: a restarted graph lifecycle resumes instead of rebuilding") {
+    val e = operators.Tables.load(spark, sf(), "embeddings")
+    val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val b1 = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val b2 = e.filter(pmod(col("vec_id"), lit(4)) === 2)
+
+    // fold b1, snapshot, "restart" (load), fold b2 on the LOADED index —
+    // must equal folding b2 on the in-memory original
+    val g1 = Similarity.refreshKnnGraph(Similarity.knnGraphIndex(base), b1)
+    val path = java.nio.file.Files.createTempDirectory("graft-kg").toString
+    Similarity.saveKnnGraph(g1, path)
+    assert(Similarity.knnGraphExists(spark, path))
+    val loaded = Similarity.loadKnnGraph(spark, path)
+    assert(loaded.k == g1.k && loaded.nProbe == g1.nProbe)
+    assert(edgeSet(loaded.edges) == edgeSet(g1.edges))
+    val resumed = Similarity.refreshKnnGraph(loaded, b2)
+    val continued = Similarity.refreshKnnGraph(g1, b2)
+    assert(edgeSet(resumed.edges) == edgeSet(continued.edges))
+    // a second save supersedes the first base (versioned publish + prune)
+    Similarity.saveKnnGraph(resumed, path)
+    assert(edgeSet(Similarity.loadKnnGraph(spark, path).edges) ==
+      edgeSet(continued.edges))
+    graft.operators.IndexFiles.delete(spark, path)
+  }
+
   test("holder: consumers over the refreshed graph equal from-scratch (no stale graph)") {
     val e = operators.Tables.load(spark, sf(), "embeddings")
     val d = operators.Tables.load(spark, sf(), "documents")
