@@ -1321,6 +1321,42 @@ object Similarity {
     (next, () => tracked.foreach(_.unpersist()))
   }
 
+  /** MEASURED recall of the graph's edges against the exact kNN over the
+    * same corpus, on a deterministic query sample — the drift monitor for
+    * the graph's FROZEN coarse quantizer ([[pqRecall]]'s sibling for the
+    * second frozen artifact): vectors from a region the base centroids
+    * never saw all land in the same few cells, their probe sets stop
+    * discriminating, and edge recall decays — unobserved without this.
+    * One summary row `(k, n_queries, hits, possible, recall)`; the exact
+    * side is sample×N brute force — monitoring cost. Recovery is
+    * [[knnGraphIndex]] over the refreshed corpus swapped through
+    * [[graft.operators.RefreshableKnnGraph.rebuildWith]] (spec-pinned
+    * degradation + recovery in KnnGraphLifecycleSpec). */
+  def knnGraphRecall(idx: KnnGraphIndex, sampleMod: Int = 7): DataFrame = {
+    val queries = idx.qn.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("nqa"))
+    val corpus = idx.qn.select(col("vec_id").as("neighbor_id"),
+      col("q").as("qb"), col("nq").as("nqb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val want = broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotCol)
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= idx.k)
+      .select("query_id", "neighbor_id")
+    val got = idx.edges
+      .join(broadcast(queries.select("query_id")), Seq("query_id"))
+      .select("query_id", "neighbor_id")
+    want.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(want.agg(count(lit(1)).as("possible"))))
+      .select(lit(idx.k).as("k"),
+        lit(sampleMod).as("sample_mod"), col("hits"), col("possible"),
+        (col("hits").cast("double") / col("possible").cast("double")).as("recall"))
+  }
+
   // ─────────────── kNN-GRAPH PERSISTENCE (snapshot form) ───────────────
   // Unlike the corpus/embed indexes the graph gets NO delta layer: its
   // edge component is not pure-append (a fold REPLACES affected old

@@ -48,6 +48,51 @@ class KnnGraphLifecycleSpec extends SparkSpec {
     assert(before.intersect(after).nonEmpty)
   }
 
+  test("frozen-quantizer drift is measured: recall drops on a shifted batch, rebuild-and-swap recovers") {
+    // the PqDriftSpec two-region fixture: the original corpus lives in
+    // dims 0-31 (families = shared block + member perturbation, true
+    // neighbors = co-members), the shifted batch in dims 32-63 — a region
+    // the frozen centroids are near-orthogonal to, so shifted vectors'
+    // cell assignments ride noise, co-members scatter across cells, and
+    // edge recall decays. knnGraphRecall OBSERVES it; rebuildWith over the
+    // union recovers it.
+    def vec(blockStart: Int, f: Int, m: Int, id: Long): (Long, Seq[Float], Int) = {
+      val a = Array.fill(64)(0.0f)
+      (0 until 64).foreach(d => a(d) = 0.001f * ((id * 13 + d) % 3))
+      (0 until 8).foreach { j =>
+        a(blockStart + j) = 0.5f + 0.1f * ((f * 7 + j * 3) % 5)
+      }
+      a((blockStart + (m % 8)).toInt) += 0.01f * (m + 1)
+      (id, a.toSeq, f)
+    }
+    import spark.implicits._
+    val original = (for { f <- 0 until 14; m <- 0 until 10 }
+      yield vec(8 * (f % 4), f, m, 1000L + f * 10 + m)).toDF("vec_id", "embedding", "label")
+    val shifted = (for { f <- 0 until 5; m <- 0 until 10 }
+      yield vec(32 + 8 * (f % 4), f, m, f * 10L + m)).toDF("vec_id", "embedding", "label")
+
+    // centroidMod 13 → ~11 centroids over the original ids: the shifted
+    // vectors (near-orthogonal to every frozen centroid) assign and probe
+    // by NOISE across those cells, so co-members scatter beyond the
+    // nProbe=2 reach — the measurable failure mode. (At the default 127
+    // this corpus would have one centroid: a single cell trivially covers
+    // everything and hides the drift.)
+    val holder = new RefreshableKnnGraph(
+      Similarity.knnGraphIndex(original, centroidMod = 13))
+    holder.fold(shifted)
+    val frozen = Similarity.knnGraphRecall(holder.current).head()
+    val frozenRecall = frozen.getAs[Double]("recall")
+
+    holder.rebuildWith(Similarity.knnGraphIndex(original.unionAll(shifted),
+      centroidMod = 13))
+    val rebuilt = Similarity.knnGraphRecall(holder.current).head()
+    val rebuiltRecall = rebuilt.getAs[Double]("recall")
+
+    assert(frozenRecall + 0.1 <= rebuiltRecall,
+      s"rebuild must recover shifted-region recall: frozen $frozenRecall vs rebuilt $rebuiltRecall")
+    assert(rebuiltRecall >= 0.75, s"the rebuilt graph must index the shifted region: $rebuiltRecall")
+  }
+
   test("save/load snapshot: a restarted graph lifecycle resumes instead of rebuilding") {
     val e = operators.Tables.load(spark, sf(), "embeddings")
     val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)
