@@ -1036,6 +1036,58 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** [[eventsAsofJoin]] with a STALENESS TOLERANCE — the bounded as-of
+    * form real trades⋈quotes pipelines run (an hours-old quote is not a
+    * usable match): the most recent same-user click at or before the
+    * purchase AND within the trailing 30 minutes; older matches report
+    * null exactly like no-match. The fold is IDENTICAL (one shuffle on
+    * user_id, same keyed window — the tolerance cannot prune the walk
+    * because the nearest click is only known at the purchase row); the
+    * bound applies as one map-side null-out of stale results, so the plan
+    * shape and state cost match the unbounded form. Oracle = the naive
+    * per-pair join with the band in the ON clause. */
+  def eventsAsofJoinTolerance(s: SparkSession, dir: String): DataFrame = {
+    val T = 1800000000L // 30 minutes in microseconds
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), unix_micros(col("ts")).as("us"), lit(0).as("k"),
+      col("event_id").as("id"), cents(col("value")).as("cents"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), unix_micros(col("ts")).as("us"), lit(1).as("k"),
+      col("event_id").as("id"), lit(null).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("lastc", last(when(col("k") === 0,
+        struct(col("us").as("c_us"), col("id").as("c_id"),
+          col("cents").as("c_cents"))), ignoreNulls = true).over(w))
+      .filter(col("k") === 1)
+      .withColumn("fresh", col("lastc.c_us") >= col("us") - T)
+      .select(col("id").as("event_id"),
+        when(col("fresh"), col("lastc.c_id")).as("click_id"),
+        when(col("fresh"), col("lastc.c_us")).as("click_us"),
+        when(col("fresh"), col("lastc.c_cents")).as("click_cents"))
+      .orderBy("event_id")
+  }
+
+  val eventsAsofJoinToleranceSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+      |    CAST(round(value*100) AS BIGINT) AS c_cents
+      |  FROM events WHERE event_type = 'click'),
+      |best AS (SELECT event_id, c_id, c_us, c_cents FROM (
+      |  SELECT p.event_id, c.c_id, c.c_us, c.c_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.c_us DESC, c.c_id DESC) AS rn
+      |  FROM p JOIN c ON c.user_id = p.user_id AND c.c_us <= p.p_us
+      |    AND c.c_us >= p.p_us - 1800000000)
+      |  WHERE rn = 1)
+      |SELECT p.event_id, b.c_id AS click_id, b.c_us AS click_us,
+      |  b.c_cents AS click_cents
+      |FROM p LEFT JOIN best b USING (event_id) ORDER BY p.event_id""".stripMargin
+
   val eventsAsofJoinSql: String =
     """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
       |  FROM events WHERE event_type = 'purchase'),
@@ -1135,6 +1187,7 @@ object RelationalQueries {
     "events_interval_join" -> eventsIntervalJoin _,
     "events_interval_join_salted" -> eventsIntervalJoinSalted _,
     "events_asof_join" -> eventsAsofJoin _,
+    "events_asof_tolerance" -> eventsAsofJoinTolerance _,
     "events_band_join" -> eventsBandJoin _,
     "agg_approx" -> approxAgg _,
     "agg_exact" -> exactAgg _,
@@ -1171,6 +1224,7 @@ object RelationalQueries {
     // the salted variant answers IDENTICALLY — same oracle
     "events_interval_join_salted" -> eventsIntervalJoinSql,
     "events_asof_join" -> eventsAsofJoinSql,
+    "events_asof_tolerance" -> eventsAsofJoinToleranceSql,
     "events_band_join" -> eventsBandJoinSql,
     "agg_approx" -> approxAggSql,
     "agg_exact" -> exactAggSql,
