@@ -61,9 +61,13 @@ object StreamingAsofJoin {
   }
 
   /** Fold finalized events in (ts, kind, id) order: clicks advance the
-    * best-click watermark state, purchases read it. Returns the advanced
-    * state and the finalized purchases' rows. */
-  private[graft] def foldSorted(st: AState, evs: Seq[AEvent]): (AState, List[AOut]) = {
+    * best-click watermark state, purchases read it — nulled when the best
+    * click is older than `tolUs` (the staleness-bounded as-of form; the
+    * default ∞ reproduces the unbounded join). The TOLERANCE cannot shrink
+    * the 3-long state: a stale best click must still be tracked, because
+    * whether it answers depends on each future purchase's OWN timestamp. */
+  private[graft] def foldSorted(st: AState, evs: Seq[AEvent],
+      tolUs: Long = Long.MaxValue): (AState, List[AOut]) = {
     var (bu, bi, bc) = (st.bestUs, st.bestId, st.bestCents)
     val outs = scala.collection.mutable.ListBuffer.empty[AOut]
     evs.sortBy(e => (e.tsUs, e.k, e.id)).foreach { e =>
@@ -72,19 +76,19 @@ object StreamingAsofJoin {
         // the current best; ties on ts resolve to the higher id last
         bu = e.tsUs; bi = e.id; bc = e.cents
       } else {
-        outs += (if (bi < 0L) AOut(e.id, None, None, None)
+        outs += (if (bi < 0L || e.tsUs - bu > tolUs) AOut(e.id, None, None, None)
           else AOut(e.id, Some(bi), Some(bu), Some(bc)))
       }
     }
     (st.copy(bestUs = bu, bestId = bi, bestCents = bc), outs.toList)
   }
 
-  private def update(horizonMs: Long)(user: Long,
+  private def update(horizonMs: Long, tolUs: Long)(user: Long,
       rows: Iterator[(Long, java.sql.Timestamp, String, Long, Long)],
       state: GroupState[AState]): Iterator[AOut] = {
     if (state.hasTimedOut) {
       val st = state.get
-      val (_, outs) = foldSorted(st, st.buf)
+      val (_, outs) = foldSorted(st, st.buf, tolUs)
       state.remove()
       outs.iterator
     } else {
@@ -94,7 +98,7 @@ object StreamingAsofJoin {
       }.toList
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val (fin, keep) = (st.buf ++ incoming).partition(_.tsUs < wmUs)
-      val (advanced, outs) = foldSorted(st, fin)
+      val (advanced, outs) = foldSorted(st, fin, tolUs)
       val maxTs = (st.maxTsUs :: incoming.map(_.tsUs)).max
       state.update(advanced.copy(buf = keep, maxTsUs = maxTs))
       state.setTimeoutTimestamp(maxTs / 1000L + horizonMs)
@@ -106,7 +110,8 @@ object StreamingAsofJoin {
     * frame: one row per purchase, its most recent same-user click at or
     * before it (`click_cents` = `round(value*100)` like the batch twin). */
   def purchaseLastClick(events: DataFrame, delay: String = "30 minutes",
-      horizonMs: Long = 30L * 24 * 3600 * 1000): DataFrame = {
+      horizonMs: Long = 30L * 24 * 3600 * 1000,
+      toleranceUs: Long = Long.MaxValue): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val typed: Dataset[(Long, java.sql.Timestamp, String, Long, Long)] = events
@@ -120,7 +125,7 @@ object StreamingAsofJoin {
       .as[(Long, java.sql.Timestamp, String, Long, Long)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        update(horizonMs))
+        update(horizonMs, toleranceUs))
       .toDF()
   }
 }

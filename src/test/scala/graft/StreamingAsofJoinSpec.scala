@@ -106,6 +106,58 @@ class StreamingAsofJoinSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("tolerance form: streaming equals the batch events_asof_tolerance; boundary inclusive") {
+    // pure-transition boundary: a click EXACTLY toleranceUs old still
+    // answers (matches the batch `c_us >= p_us - T` inclusive band); one
+    // microsecond older nulls — while the 3-long state keeps tracking it
+    import StreamingAsofJoin.{foldSorted, AEvent, AState}
+    val st0 = AState(Nil, -1L, -1L, -1L, 0L)
+    val evs = Seq(AEvent(1000L, 0, 7L, 42L),
+      AEvent(1000L + 30L, 1, 100L, 0L), // 30 µs later, tol 30 → fresh
+      AEvent(1000L + 31L, 1, 101L, 0L)) // 31 µs later → stale ⇒ nulls
+    val (_, outs) = foldSorted(st0, evs, tolUs = 30L)
+    assert(outs.map(o => (o.event_id, o.click_id)) ==
+      List((100L, Some(7L)), (101L, None)),
+      s"tolerance boundary must be inclusive: $outs")
+
+    // end-to-end: one AvailableNow pass (+ watermark pusher) with the
+    // 30-minute tolerance equals the oracle-checked batch operator
+    val srcDir = Files.createTempDirectory("graft_asoft_src").toString
+    val ckpt = Files.createTempDirectory("graft_asoft_ckpt").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Row4]()
+    val ev = Tables.events(spark, sf())
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    ev.coalesce(1).write.mode("append").parquet(srcDir)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+    Seq((900001L, java.sql.Timestamp.from(maxTs.plusSeconds(40L * 24 * 3600)),
+        999999L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val q = StreamingAsofJoin.purchaseLastClick(src, toleranceUs = 1800000000L)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          def opt(i: Int): Long = if (r.isNullAt(i)) -1L else r.getLong(i)
+          buf.add((r.getLong(0), opt(1), opt(2), opt(3)))
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(240000L), "streaming tolerance as-of timed out")
+    val want = graft.RelationalQueries.eventsAsofJoinTolerance(spark, sf()).collect()
+      .map { r =>
+        def opt(i: Int): Long = if (r.isNullAt(i)) -1L else r.getLong(i)
+        (r.getLong(0), opt(1), opt(2), opt(3))
+      }.toSet
+    val got = buf.asScala.toSet
+    // the bound must bite in the fixture AND some matches survive it
+    assert(want.exists(_._2 < 0L) && want.exists(_._2 >= 0L))
+    assert(got == want,
+      s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+  }
 }
 
 object StreamingAsofJoinSpec {
