@@ -180,7 +180,14 @@ object RefreshableCorpusIndex {
   * ([[Similarity.refreshKnnGraph]] — frozen centroids, new-node edges plus
   * affected-node re-rank, ≡ from-scratch under the same codebook,
   * spec-pinned); rebuild-and-swap for codebook retraining is
-  * [[rebuildWith]]. */
+  * [[rebuildWith]]; drift is observed through [[Similarity.knnGraphRecall]].
+  *
+  * Deliberately NOT segmented (unlike the corpus/embed holders): the edge
+  * component is not pure-append — a fold REPLACES affected old queries'
+  * rows — so a segmented edge view would need per-segment tombstone
+  * replay, and the graph sits on the CONSUMER cadence (pagerank/curation
+  * runs), not the per-micro-batch ingest path where O(batch) checkpoints
+  * pay for themselves. Folds here checkpoint the full components. */
 final class RefreshableKnnGraph(initial: Similarity.KnnGraphIndex) {
   @volatile private var g: Similarity.KnnGraphIndex = initial.materialize()
 
@@ -218,7 +225,9 @@ final class RefreshableKnnGraph(initial: Similarity.KnnGraphIndex) {
   * version, and swaps. Drift is observed through
   * [[Similarity.pqRecall]](current) on a monitoring cadence — PqDriftSpec
   * pins the whole story: a shifted batch degrades recall@k under the
-  * frozen codebook and retrain-and-swap recovers it. */
+  * frozen codebook and retrain-and-swap recovers it. (Not segmented, by
+  * the same reasoning as [[RefreshableKnnGraph]]: appends live on a
+  * maintenance cadence, and a retrain re-encodes everything anyway.) */
 final class RefreshablePqIndex(initial: Similarity.PqIndex) {
   @volatile private var idx: Similarity.PqIndex = initial.materialize()
 
