@@ -145,6 +145,10 @@ object DataPipelineQueries {
     "sim_topk_sq8" -> ((s, dir) => Similarity.sq8TopK(emb(s, dir))),
     "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "sim_topk_pq_learned" -> ((s, dir) => Similarity.pqTopKLearned(emb(s, dir))),
+    // the drift MONITOR hash-pinned: recall@5 of the learned-PQ index's
+    // ADC chain vs the exact top-5 — the number retrain policies trigger on
+    "sim_pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(Similarity.pqIndexBuild(emb(s, dir)))),
     "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfpqTopK(emb(s, dir))),
     "sim_topk_ivfpq_learned" -> ((s, dir) => Similarity.ivfpqTopKLearned(emb(s, dir))),
     "embed_kmeans" -> ((s, dir) => Similarity.kmeans(emb(s, dir))),
@@ -231,6 +235,7 @@ object DataPipelineQueries {
     "dedup_index_delta" -> Dedup.indexRefreshSql,
     "embed_index_delta" -> Similarity.embedIndexRefreshSql,
     "knn_graph_refresh" -> Similarity.knnGraphRefreshSql,
+    "sim_pq_recall" -> Similarity.pqRecallSql,
     "embed_index_refresh" -> Similarity.embedIndexRefreshSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql,

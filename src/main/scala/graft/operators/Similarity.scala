@@ -1987,6 +1987,26 @@ object Similarity {
         (col("hits").cast("double") / col("possible").cast("double")).as("recall"))
   }
 
+  /** DuckDB oracle for the `sim_pq_recall` registry row — the drift
+    * MONITOR itself hash-pinned: the learned-PQ chain
+    * ([[pqLearnedTopKSql]]) and the exact brute force
+    * ([[bruteForceTopKSql]]) replayed as subqueries, recall = their
+    * set intersection over the possible pairs. Every term is the already-
+    * oracle-checked arithmetic, so the gate proves the MEASUREMENT — the
+    * number a deployment's retrain policy triggers on — not just the
+    * chains it compares. */
+  lazy val pqRecallSql: String =
+    s"""WITH got AS (SELECT query_id, neighbor_id FROM ($pqLearnedTopKSql) g),
+       |want AS (SELECT query_id, neighbor_id FROM ($bruteForceTopKSql) w),
+       |h AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM want w
+       |  WHERE EXISTS (SELECT 1 FROM got g
+       |    WHERE g.query_id = w.query_id AND g.neighbor_id = w.neighbor_id)),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM want)
+       |SELECT CAST(1 AS INTEGER) AS version, CAST(5 AS INTEGER) AS k,
+       |  CAST(10 AS INTEGER) AS n_queries, hits, possible,
+       |  CAST(hits AS DOUBLE) / possible AS recall
+       |FROM h CROSS JOIN p""".stripMargin
+
   /** [[pqTopK]] with the LEARNED codebook: same encode/ADC/re-rank chain,
     * only the code words change. 32 codes/subspace trained by Lloyd rounds
     * (vs the sampled path's 127-modular table); measured recall@5 0.700, up
