@@ -149,6 +149,11 @@ object DataPipelineQueries {
     // ADC chain vs the exact top-5 — the number retrain policies trigger on
     "sim_pq_recall" -> ((s, dir) =>
       Similarity.pqRecall(Similarity.pqIndexBuild(emb(s, dir)))),
+    // the graph-side drift monitor hash-pinned: edge recall@3 of the kNN
+    // graph vs the exact top-3 on the deterministic %7 query sample — the
+    // number graph rebuild-and-swap policies trigger on
+    "sim_graph_recall" -> ((s, dir) =>
+      Similarity.knnGraphRecall(Similarity.knnGraphIndex(emb(s, dir)))),
     "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfpqTopK(emb(s, dir))),
     "sim_topk_ivfpq_learned" -> ((s, dir) => Similarity.ivfpqTopKLearned(emb(s, dir))),
     "embed_kmeans" -> ((s, dir) => Similarity.kmeans(emb(s, dir))),
@@ -236,6 +241,7 @@ object DataPipelineQueries {
     "embed_index_delta" -> Similarity.embedIndexRefreshSql,
     "knn_graph_refresh" -> Similarity.knnGraphRefreshSql,
     "sim_pq_recall" -> Similarity.pqRecallSql,
+    "sim_graph_recall" -> Similarity.knnGraphRecallSql,
     "embed_index_refresh" -> Similarity.embedIndexRefreshSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql,

@@ -1357,6 +1357,41 @@ object Similarity {
         (col("hits").cast("double") / col("possible").cast("double")).as("recall"))
   }
 
+  /** DuckDB oracle for the `sim_graph_recall` registry row — the graph-side
+    * drift monitor hash-pinned, [[pqRecallSql]]'s sibling: the full
+    * [[knnGraphSql]] chain filtered to the deterministic query sample as
+    * `got`, the exact quantized-cosine top-k over the sampled queries as
+    * `want`, recall = their set intersection over the possible pairs. Every
+    * term is already-oracle-checked arithmetic, so the gate proves the
+    * MEASUREMENT a deployment's graph-rebuild policy triggers on. */
+  lazy val knnGraphRecallSql: String =
+    s"""WITH got AS (SELECT query_id, neighbor_id FROM ($knnGraphSql) g
+       |  WHERE query_id % 7 = 0),
+       |$evNormsSql,
+       |wdots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(sum(a.q*b.q) AS BIGINT) AS dot
+       |  FROM ev a JOIN ev b ON b.i = a.i AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id % 7 = 0
+       |  GROUP BY 1, 2),
+       |wsims AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+       |  FROM wdots JOIN norms na ON na.vec_id = query_id
+       |    JOIN norms nb ON nb.vec_id = neighbor_id),
+       |want AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM wsims) WHERE rnk <= 3),
+       |h AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM want w
+       |  WHERE EXISTS (SELECT 1 FROM got g
+       |    WHERE g.query_id = w.query_id AND g.neighbor_id = w.neighbor_id)),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM want)
+       |SELECT CAST(3 AS INTEGER) AS k, CAST(7 AS INTEGER) AS sample_mod,
+       |  hits, possible, CAST(hits AS DOUBLE) / possible AS recall
+       |FROM h CROSS JOIN p""".stripMargin
+
   // ─────────────── kNN-GRAPH PERSISTENCE (snapshot form) ───────────────
   // Unlike the corpus/embed indexes the graph gets NO delta layer: its
   // edge component is not pure-append (a fold REPLACES affected old

@@ -57,9 +57,11 @@ object StreamingSimilarity {
       compactEvery: Int = 0): EmbedIngestGate =
     new EmbedIngestGate(ref, threshold, indexPath, compactEvery)
 
-  /** [[StreamingDedup.IngestGate]]'s vector twin. Staged batches carry the
-    * batch's full rows (the fold re-quantizes from the raw `embedding`
-    * column). */
+  /** [[StreamingDedup.IngestGate]]'s vector twin. Staged batches are
+    * SLIMMED to the three columns the fold consumes — `(vec_id, label,
+    * embedding)`, exactly [[Similarity]]'s `quantized()` input — so staging
+    * bytes are the vectors themselves, not whatever payload columns the
+    * stream happens to carry alongside them. */
   final class EmbedIngestGate(ref: graft.operators.RefreshableEmbedIndex,
       threshold: Double, indexPath: Option[String], compactEvery: Int = 0)
       extends (DataFrame => DataFrame) {
@@ -103,9 +105,11 @@ object StreamingSimilarity {
     def apply(batch: DataFrame, batchId: Long): DataFrame = {
       foldStaged(batch.sparkSession, Some(batchId))
       val decisions = Similarity.embedNoveltyAgainst(batch, ref.current, threshold)
-      val admitted = batch.join(
-        decisions.filter(org.apache.spark.sql.functions.col("novel"))
-          .select("vec_id"), Seq("vec_id"))
+      val admitted = batch
+        .select("vec_id", "label", "embedding")
+        .join(
+          decisions.filter(org.apache.spark.sql.functions.col("novel"))
+            .select("vec_id"), Seq("vec_id"))
       indexPath match {
         case Some(p) =>
           admitted.write.mode("overwrite").parquet(s"$p/staged/batch=$batchId")
