@@ -154,6 +154,28 @@ object DataPipelineQueries {
     // number graph rebuild-and-swap policies trigger on
     "sim_graph_recall" -> ((s, dir) =>
       Similarity.knnGraphRecall(Similarity.knnGraphIndex(emb(s, dir)))),
+    // PQ delta persistence round trip (embed_index_delta's PQ sibling):
+    // base codebook trained+saved on %3==0, frozen-codebook append of
+    // %3==1 persisted as a pure-append delta, reload, answer queries —
+    // the oracle encodes the union from scratch under the same codebook
+    "sim_pq_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val e = emb(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+      Similarity.savePqIndex(
+        Similarity.pqIndexBuild(e.filter(pmod(col("vec_id"), lit(3)) === 0)), path)
+      val loaded = Similarity.loadPqIndex(s, path)
+      val (_, delta, dropFoldCaches) = Similarity.appendEncodePqTracked(
+        loaded, e.filter(pmod(col("vec_id"), lit(3)) === 1))
+      Similarity.savePqIndexDelta(delta, path)
+      dropFoldCaches()
+      loaded.release()
+      val reloaded = Similarity.loadPqIndex(s, path)
+      val pinned = reloaded.truncated()
+      reloaded.release()
+      IndexFiles.delete(s, path)
+      Similarity.pqTopKOver(pinned)
+    }),
     "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfpqTopK(emb(s, dir))),
     "sim_topk_ivfpq_learned" -> ((s, dir) => Similarity.ivfpqTopKLearned(emb(s, dir))),
     "embed_kmeans" -> ((s, dir) => Similarity.kmeans(emb(s, dir))),
@@ -242,6 +264,7 @@ object DataPipelineQueries {
     "knn_graph_refresh" -> Similarity.knnGraphRefreshSql,
     "sim_pq_recall" -> Similarity.pqRecallSql,
     "sim_graph_recall" -> Similarity.knnGraphRecallSql,
+    "sim_pq_delta" -> Similarity.pqDeltaTopKSql,
     "embed_index_refresh" -> Similarity.embedIndexRefreshSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql,

@@ -223,40 +223,154 @@ final class RefreshableKnnGraph(initial: Similarity.KnnGraphIndex) {
   * [[append]] is the routine frozen-codebook ingest; [[retrain]] trains a
   * fresh codebook over the given (refreshed) corpus, re-encodes, bumps the
   * version, and swaps. Drift is observed through
-  * [[Similarity.pqRecall]](current) on a monitoring cadence — PqDriftSpec
-  * pins the whole story: a shifted batch degrades recall@k under the
-  * frozen codebook and retrain-and-swap recovers it. (Not segmented, by
-  * the same reasoning as [[RefreshableKnnGraph]]: appends live on a
-  * maintenance cadence, and a retrain re-encodes everything anyway.) */
-final class RefreshablePqIndex(initial: Similarity.PqIndex) {
-  @volatile private var idx: Similarity.PqIndex = initial.materialize()
+  * [[Similarity.pqRecall]](current) on a monitoring cadence (or the
+  * [[IndexMaintenance.maintainPq]] policy) — PqDriftSpec pins the whole
+  * story: a shifted batch degrades recall@k under the frozen codebook and
+  * retrain-and-swap recovers it.
+  *
+  * SEGMENTED like the corpus/embed holders — and more simply: under a
+  * frozen codebook both mutable components (codes, quantized vectors) are
+  * PURE append and the codebook itself never changes between retrains, so
+  * a segment is exactly the append's two batch-sized frames, the published
+  * view is a plain union per component (no re-key map, no dropped-bucket
+  * filter), and an append checkpoints O(batch) — the old path re-
+  * checkpointed the whole codes/qn per append. In-memory compaction every
+  * `maxSegments` appends bounds view plan depth; a RETRAIN is the natural
+  * full compaction (it re-encodes everything into one fresh segment). */
+final class RefreshablePqIndex(initial: Similarity.PqIndex,
+    maxSegments: Int = RefreshableCorpusIndex.DefaultMaxSegments) {
+  private final case class PSeg(codes: DataFrame, qn: DataFrame)
+  private final case class State(cents: DataFrame, segs: Vector[PSeg],
+      version: Int, view: Similarity.PqIndex)
 
-  def current: Similarity.PqIndex = idx
+  @volatile private var state: State = stateOf(initial.truncated())
+  private var initialToRelease: Option[Similarity.PqIndex] = Some(initial)
 
-  /** Frozen-codebook append-encode of a new batch (O(batch)). */
-  def append(newVecs: DataFrame, releaseOld: Boolean = true): Similarity.PqIndex =
+  /** Single-segment state off an already-checkpointed index (init,
+    * post-compaction, post-retrain). */
+  private def stateOf(t: Similarity.PqIndex): State =
+    State(t.cents, Vector(PSeg(t.codes, t.qn)), t.version,
+      viewOf(t.cents, Vector(PSeg(t.codes, t.qn)), t.version))
+
+  private def viewOf(cents: DataFrame, segs: Vector[PSeg],
+      version: Int): Similarity.PqIndex =
+    Similarity.PqIndex(cents,
+      segs.map(_.codes).reduce(_ unionByName _),
+      segs.map(_.qn).reduce(_ unionByName _),
+      version, initial.subspaces, initial.nCodes, initial.iters)
+
+  /** The currently-published index (a lazy union view over checkpointed
+    * segments — complete by construction for any concurrent reader). */
+  def current: Similarity.PqIndex = state.view
+
+  /** Frozen-codebook append-encode of a new batch — O(batch) end to end:
+    * the encode reads only the broadcast codebook, and only the batch's
+    * two fresh frames are checkpointed (a new segment). With `deltaPath`
+    * set, the same frames land there BEFORE the swap
+    * ([[Similarity.savePqIndexDelta]]) — the durable O(batch)-per-fold
+    * discipline; a restart [[Similarity.loadPqIndex]]es base+deltas
+    * instead of re-encoding. */
+  def append(newVecs: DataFrame, releaseOld: Boolean = true,
+      deltaPath: Option[String] = None): Similarity.PqIndex =
     synchronized {
-      val (refreshed, dropFoldCaches) = Similarity.appendEncodePqTracked(idx, newVecs)
-      val next = refreshed.truncated()
-      dropFoldCaches()
-      val prev = idx
-      idx = next
-      if (releaseOld) prev.release()
+      val s = state
+      val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val delta = Similarity.pqAppendDelta(s.cents, initial.subspaces, newVecs,
+        df => { val c = df.persist(); tracked += c; c })
+      val ck = IndexFiles.inParallel(Seq(
+        () => delta.codesNew.localCheckpoint(true),
+        () => delta.qNew.localCheckpoint(true)))
+      deltaPath.foreach(p =>
+        Similarity.savePqIndexDelta(Similarity.PqDelta(ck(0), ck(1)), p))
+      tracked.foreach(_.unpersist())
+
+      var segs2 = s.segs :+ PSeg(ck(0), ck(1))
+      var next = viewOf(s.cents, segs2, s.version)
+      if (segs2.size > maxSegments) {
+        val t = next.truncated()
+        segs2 = Vector(PSeg(t.codes, t.qn))
+        next = viewOf(t.cents, segs2, s.version)
+        state = State(t.cents, segs2, s.version, next)
+      } else {
+        state = State(s.cents, segs2, s.version, next)
+      }
+      if (releaseOld) { initialToRelease.foreach(_.release()); initialToRelease = None }
       next
     }
 
   /** Retrain over `corpus` (the full refreshed population), re-encode,
-    * version-bump, swap. */
-  def retrain(corpus: DataFrame, releaseOld: Boolean = true): Similarity.PqIndex =
+    * version-bump, swap — resets to one fresh segment (the full
+    * compaction a retrain is anyway). With `indexPath` set the retrained
+    * index persists as a NEW BASE whose `last_delta` stamp swallows the
+    * frozen-codebook deltas — they were encoded against the dead codebook,
+    * and the stamp makes every future load ignore them by construction. */
+  def retrain(corpus: DataFrame, releaseOld: Boolean = true,
+      indexPath: Option[String] = None): Similarity.PqIndex =
     synchronized {
-      val rebuilt = Similarity.retrainPqIndex(corpus, idx)
+      val rebuilt = Similarity.retrainPqIndex(corpus, state.view)
       val next = rebuilt.truncated()
       rebuilt.release()
-      val prev = idx
-      idx = next
-      if (releaseOld) prev.release()
-      next
+      indexPath.foreach(p => Similarity.savePqIndex(next, p))
+      state = stateOf(next)
+      if (releaseOld) { initialToRelease.foreach(_.release()); initialToRelease = None }
+      state.view
     }
+}
+
+/** MONITOR-DRIVEN MAINTENANCE — the policy tier that closes the drift
+  * loop. The monitors exist ([[Similarity.pqRecall]],
+  * [[Similarity.knnGraphRecall]] — both hash-pinned as registry rows) and
+  * the escapes exist ([[RefreshablePqIndex.retrain]],
+  * [[RefreshableKnnGraph.rebuildWith]]); these functions connect them:
+  * measure recall, and when it breaches the deployment's floor,
+  * retrain-and-swap over the refreshed corpus and re-measure. Run on a
+  * monitoring cadence (at 100 TB: sampled query set, maintenance window) —
+  * the returned [[IndexMaintenance.Decision]] is the audit record a
+  * deployment logs either way. Deterministic by construction (the monitors
+  * and retrains are), so the whole policy is spec-pinned on the drift
+  * fixtures: below-floor fires exactly once and recovers, above-floor is a
+  * measure-only no-op. */
+object IndexMaintenance {
+  /** One maintenance pass's audit record: the recall that was measured,
+    * whether the floor fired, and the post-retrain recall (None when no
+    * retrain ran). */
+  final case class Decision(recallBefore: Double, retrained: Boolean,
+      recallAfter: Option[Double])
+
+  /** PQ-codebook maintenance: recall@k of the holder's ADC chain vs the
+    * floor; a breach retrains over `corpus` (the FULL refreshed
+    * population — a retrain re-encodes everything) and, with `indexPath`
+    * set, persists the new base (whose stamp swallows the dead-codebook
+    * deltas — see [[Similarity.savePqIndex]]). */
+  def maintainPq(holder: RefreshablePqIndex, corpus: DataFrame, floor: Double,
+      k: Int = 5, nQueries: Int = 10, rerank: Int = 32,
+      indexPath: Option[String] = None): Decision = {
+    def recall() = Similarity.pqRecall(holder.current, k, nQueries, rerank)
+      .head().getAs[Double]("recall")
+    val before = recall()
+    if (before >= floor) Decision(before, retrained = false, None)
+    else {
+      holder.retrain(corpus, indexPath = indexPath)
+      Decision(before, retrained = true, Some(recall()))
+    }
+  }
+
+  /** kNN-graph maintenance: edge recall on the deterministic query sample
+    * vs the floor; a breach rebuilds the graph from scratch over `corpus`
+    * (fresh coarse quantizer — the graph has no partial retrain, see
+    * [[RefreshableKnnGraph]]) and swaps it in. */
+  def maintainKnnGraph(holder: RefreshableKnnGraph, corpus: DataFrame,
+      floor: Double, sampleMod: Int = 7, centroidMod: Int = 127): Decision = {
+    def recall() = Similarity.knnGraphRecall(holder.current, sampleMod)
+      .head().getAs[Double]("recall")
+    val before = recall()
+    if (before >= floor) Decision(before, retrained = false, None)
+    else {
+      holder.rebuildWith(Similarity.knnGraphIndex(corpus,
+        holder.current.k, holder.current.nProbe, centroidMod))
+      Decision(before, retrained = true, Some(recall()))
+    }
+  }
 }
 
 /** [[RefreshableCorpusIndex]]'s vector-side twin over

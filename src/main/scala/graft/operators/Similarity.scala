@@ -1966,27 +1966,47 @@ object Similarity {
     * codebook and append its codes/vectors — same version (the codebook
     * did not change; recall under drift is [[pqRecall]]'s to observe). */
   def appendEncodePq(idx: PqIndex, newVecs: DataFrame): PqIndex =
-    appendEncodePqCore(idx, newVecs, PinnedCaches.pin)
+    appendEncodePqCore(idx, newVecs, PinnedCaches.pin)._1
+
+  /** One append's O(batch) persistence payload — the PQ side is the
+    * simplest delta of the four index families: codes and quantized
+    * vectors are PURE append under a frozen codebook (no re-key, no
+    * dropped-bucket table), so the delta is exactly the batch's two fresh
+    * frames. */
+  final case class PqDelta private[operators] (codesNew: DataFrame, qNew: DataFrame) {
+    private[operators] def frames: Seq[DataFrame] = Seq(codesNew, qNew)
+  }
+
+  /** The O(batch) heart of a frozen-codebook append: quantize ONLY the
+    * batch and encode it against the (broadcast) codebook — depends on the
+    * index through `cents`/`subspaces` alone, which is what makes the
+    * segmented holder's per-append work batch-proportional. */
+  private[operators] def pqAppendDelta(cents: DataFrame, subspaces: Int,
+      newVecs: DataFrame, cache: DataFrame => DataFrame): PqDelta = {
+    val qNew = cache(quantized(newVecs).select("vec_id", "q", "nq"))
+    val codesNew = cache(pqScoredWithQ(qNew, cents, subspaces)
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("code")))
+    PqDelta(codesNew, qNew)
+  }
 
   private def appendEncodePqCore(idx: PqIndex, newVecs: DataFrame,
-      cache: DataFrame => DataFrame): PqIndex = {
-    val qNew = cache(quantized(newVecs).select("vec_id", "q", "nq"))
-    val codesNew = pqScoredWithQ(qNew, idx.cents, idx.subspaces)
-      .groupBy("vec_id", "m")
-      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("code"))
-    PqIndex(idx.cents, cache(idx.codes.unionByName(codesNew)),
-      cache(idx.qn.unionByName(qNew)),
-      idx.version, idx.subspaces, idx.nCodes, idx.iters)
+      cache: DataFrame => DataFrame): (PqIndex, PqDelta) = {
+    val delta = pqAppendDelta(idx.cents, idx.subspaces, newVecs, cache)
+    (PqIndex(idx.cents, cache(idx.codes.unionByName(delta.codesNew)),
+      cache(idx.qn.unionByName(delta.qNew)),
+      idx.version, idx.subspaces, idx.nCodes, idx.iters),
+      delta)
   }
 
   /** [[appendEncodePq]] for the lifecycle holder (tracked fold-local
     * persists — the shared no-pin-in-loops discipline). */
   private[graft] def appendEncodePqTracked(idx: PqIndex,
-      newVecs: DataFrame): (PqIndex, () => Unit) = {
+      newVecs: DataFrame): (PqIndex, PqDelta, () => Unit) = {
     val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val next = appendEncodePqCore(idx, newVecs,
+    val (next, delta) = appendEncodePqCore(idx, newVecs,
       df => { val c = df.persist(); tracked += c; c })
-    (next, () => tracked.foreach(_.unpersist()))
+    (next, delta, () => tracked.foreach(_.unpersist()))
   }
 
   /** RETRAIN-AND-SWAP: a fresh Lloyd codebook over the (refreshed) corpus,
@@ -1994,6 +2014,109 @@ object Similarity {
     * frozen codebook has drifted from the data. */
   def retrainPqIndex(emb: DataFrame, prev: PqIndex): PqIndex =
     pqIndexBuild(emb, prev.subspaces, prev.nCodes, prev.iters, prev.version + 1)
+
+  // ──────────── PQ-INDEX PERSISTENCE (base + pure-append deltas) ────────────
+  // Same LSM layout as the corpus/embed indexes (versioned bases published
+  // by atomic tmp-rename, numbered O(batch) deltas, `last_delta` stamp,
+  // periodic compaction), and STRICTLY simpler replay: appends under a
+  // frozen codebook are pure append of (codes, qn) — no re-key map, no
+  // dropped-bucket filter. A RETRAIN (new codebook, version bump) persists
+  // as a new base whose stamp swallows every older delta — deltas encoded
+  // against the dead codebook are ignored-by-construction at load, the
+  // exact property retraining needs.
+
+  private val PqBaseComponents = Seq("cents", "codes", "qn")
+  private val PqDeltaComponents = Seq("codes_new", "q_new")
+
+  /** True when `path` holds a persisted PQ index. */
+  def pqIndexExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    IndexFiles.numbered(spark, path, "base_v").nonEmpty
+
+  /** Delta-id high-water mark over deltas on disk AND the latest base's
+    * stamp — the post-compaction numbering gotcha, see
+    * [[graft.operators.Dedup]]'s `deltaHighWater`. */
+  private[graft] def pqDeltaHighWater(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val onDisk =
+      IndexFiles.numbered(spark, path, "delta_").map(_._1).maxOption.getOrElse(0L)
+    val stamped = IndexFiles.numbered(spark, path, "base_v").lastOption
+      .map { case (_, p) => spark.read.parquet(s"$p/meta").head().getAs[Long]("last_delta") }
+      .getOrElse(0L)
+    math.max(onDisk, stamped)
+  }
+
+  /** Persist a full [[PqIndex]] snapshot as a new base version (components
+    * in parallel, knobs + codebook version + `last_delta` stamp in `meta`,
+    * superseded bases pruned after the atomic publish). */
+  def savePqIndex(idx: PqIndex, path: String): Unit = {
+    val spark = idx.cents.sparkSession
+    import spark.implicits._
+    val lastDelta = pqDeltaHighWater(spark, path)
+    val v = IndexFiles.numbered(spark, path, "base_v")
+      .map(_._1).maxOption.getOrElse(0L) + 1
+    val tmp = s"$path/base_v$v.tmp"
+    IndexFiles.delete(spark, tmp)
+    IndexFiles.inParallel(idx.frames.zip(PqBaseComponents).map { case (df, name) =>
+      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+    })
+    Seq((idx.version, idx.subspaces, idx.nCodes, idx.iters, lastDelta))
+      .toDF("version", "subspaces", "n_codes", "iters", "last_delta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexFiles.publish(spark, tmp, s"$path/base_v$v")
+    IndexFiles.numbered(spark, path, "base_v").filter(_._1 < v)
+      .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
+  }
+
+  /** Persist one append's [[PqDelta]] — the O(batch) per-fold write. */
+  def savePqIndexDelta(delta: PqDelta, path: String): Long = {
+    val spark = delta.qNew.sparkSession
+    val n = pqDeltaHighWater(spark, path) + 1
+    val tmp = s"$path/delta_$n.tmp"
+    IndexFiles.delete(spark, tmp)
+    IndexFiles.inParallel(delta.frames.zip(PqDeltaComponents).map { case (df, name) =>
+      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+    })
+    IndexFiles.publish(spark, tmp, s"$path/delta_$n")
+    n
+  }
+
+  /** Load the persisted PQ index: highest base + every delta above its
+    * stamp, appended in id order (pure append — replay is two unions).
+    * Contents-identical to the in-memory append chain (spec-pinned;
+    * `sim_pq_delta` pins the ADC chain's answers through the round trip). */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val bases = IndexFiles.numbered(spark, path, "base_v")
+    require(bases.nonEmpty, s"no persisted pq index at $path")
+    val base = bases.last._2.toString
+    val meta = spark.read.parquet(s"$base/meta").head()
+    val deltas = IndexFiles.numbered(spark, path, "delta_")
+      .filter(_._1 > meta.getAs[Long]("last_delta"))
+    def rd(dir: String, name: String) = spark.read.parquet(s"$dir/$name")
+
+    var codes = rd(base, "codes")
+    var qn = rd(base, "qn")
+    deltas.foreach { case (_, p) =>
+      codes = codes.unionByName(rd(p.toString, "codes_new"))
+      qn = qn.unionByName(rd(p.toString, "q_new"))
+    }
+    val pin = PinnedCaches.pin _
+    PqIndex(pin(rd(base, "cents")), pin(codes), pin(qn),
+      meta.getAs[Int]("version"), meta.getAs[Int]("subspaces"),
+      meta.getAs[Int]("n_codes"), meta.getAs[Int]("iters"))
+  }
+
+  /** Compact the persisted base+deltas into one new base, then sweep the
+    * folded deltas — bounds restart replay-chain length, same discipline
+    * as [[graft.operators.Dedup.compactIndex]]. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val folded = pqDeltaHighWater(spark, path)
+    val loaded = loadPqIndex(spark, path)
+    val snap = loaded.truncated()
+    loaded.release()
+    savePqIndex(snap, path)
+    IndexFiles.numbered(spark, path, "delta_").filter(_._1 <= folded)
+      .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
+  }
 
   /** The [[pqTopKLearned]] ADC/re-rank chain against an explicit
     * [[PqIndex]] — what queries run between lifecycle events. */
@@ -2041,6 +2164,50 @@ object Similarity {
        |  CAST(10 AS INTEGER) AS n_queries, hits, possible,
        |  CAST(hits AS DOUBLE) / possible AS recall
        |FROM h CROSS JOIN p""".stripMargin
+
+  /** DuckDB oracle for the `sim_pq_delta` registry row — the PERSISTED
+    * base+delta replay proven equivalent to from-scratch frozen-codebook
+    * encoding: the oracle trains the Lloyd codebook on the BASE corpus
+    * only (`vec_id % 3 = 0` — the population the persisted base was built
+    * from), encodes the UNION (`% 3 < 2` — base plus the appended delta
+    * batch) under that frozen codebook, and runs the standard ADC/re-rank
+    * chain. It knows nothing about bases, deltas, or reloads — so hash
+    * equality proves the persisted append chain answers exactly like a
+    * from-scratch encode under the same codebook. */
+  lazy val pqDeltaTopKSql: String = {
+    val assign = lloydAssignSql("evm0", "q") _
+    def update(u: String, a: String, prev: String, next: String): String =
+      lloydUpdateSql("evm0", "q")(u, a, prev, next)
+    s"""WITH $evNormsSql,
+       |evm AS (SELECT vec_id, i, q, CAST((i - 1) // 8 AS BIGINT) AS m FROM ev
+       |  WHERE vec_id % 3 < 2),
+       |evm0 AS (SELECT * FROM evm WHERE vec_id % 3 = 0),
+       |c0 AS (SELECT m, vec_id AS cent_id, i, q AS c FROM evm0 WHERE vec_id IN (
+       |  SELECT DISTINCT vec_id FROM ev WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 32)),
+       |${assign("a1", "c0")},
+       |${update("u1", "a1", "c0", "c1")},
+       |${assign("a2", "c1")},
+       |${update("u2", "a2", "c1", "c2")},
+       |cdist AS (
+       |  SELECT e.vec_id, e.m, c.cent_id,
+       |    CAST(SUM(c.c * c.c) - 2 * SUM(e.q * c.c) AS BIGINT) AS d
+       |  FROM evm e JOIN c2 c ON c.i = e.i GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, m, cent_id AS code FROM (
+       |    SELECT vec_id, m, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn
+       |    FROM cdist) WHERE rn = 1),
+       |adc AS (
+       |  SELECT t.vec_id AS query_id, n.vec_id AS neighbor_id, CAST(SUM(t.d) AS BIGINT) AS adc
+       |  FROM codes n JOIN cdist t ON t.m = n.m AND t.cent_id = n.code
+       |  WHERE t.vec_id < 10 AND n.vec_id <> t.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= 32),
+       |$rankSql""".stripMargin
+  }
 
   /** [[pqTopK]] with the LEARNED codebook: same encode/ADC/re-rank chain,
     * only the code words change. 32 codes/subspace trained by Lloyd rounds

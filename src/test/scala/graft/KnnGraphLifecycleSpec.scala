@@ -48,28 +48,36 @@ class KnnGraphLifecycleSpec extends SparkSpec {
     assert(before.intersect(after).nonEmpty)
   }
 
-  test("frozen-quantizer drift is measured: recall drops on a shifted batch, rebuild-and-swap recovers") {
-    // the PqDriftSpec two-region fixture: the original corpus lives in
-    // dims 0-31 (families = shared block + member perturbation, true
-    // neighbors = co-members), the shifted batch in dims 32-63 — a region
-    // the frozen centroids are near-orthogonal to, so shifted vectors'
-    // cell assignments ride noise, co-members scatter across cells, and
-    // edge recall decays. knnGraphRecall OBSERVES it; rebuildWith over the
-    // union recovers it.
-    def vec(blockStart: Int, f: Int, m: Int, id: Long): (Long, Seq[Float], Int) = {
-      val a = Array.fill(64)(0.0f)
-      (0 until 64).foreach(d => a(d) = 0.001f * ((id * 13 + d) % 3))
-      (0 until 8).foreach { j =>
-        a(blockStart + j) = 0.5f + 0.1f * ((f * 7 + j * 3) % 5)
-      }
-      a((blockStart + (m % 8)).toInt) += 0.01f * (m + 1)
-      (id, a.toSeq, f)
+  // the PqDriftSpec two-region fixture: the original corpus lives in
+  // dims 0-31 (families = shared block + member perturbation, true
+  // neighbors = co-members), the shifted batch in dims 32-63 — a region
+  // the frozen centroids are near-orthogonal to, so shifted vectors'
+  // cell assignments ride noise, co-members scatter across cells, and
+  // edge recall decays. knnGraphRecall OBSERVES it; rebuildWith over the
+  // union recovers it.
+  private def vec(blockStart: Int, f: Int, m: Int, id: Long): (Long, Seq[Float], Int) = {
+    val a = Array.fill(64)(0.0f)
+    (0 until 64).foreach(d => a(d) = 0.001f * ((id * 13 + d) % 3))
+    (0 until 8).foreach { j =>
+      a(blockStart + j) = 0.5f + 0.1f * ((f * 7 + j * 3) % 5)
     }
+    a((blockStart + (m % 8)).toInt) += 0.01f * (m + 1)
+    (id, a.toSeq, f)
+  }
+  private lazy val driftOriginal = {
     import spark.implicits._
-    val original = (for { f <- 0 until 14; m <- 0 until 10 }
+    (for { f <- 0 until 14; m <- 0 until 10 }
       yield vec(8 * (f % 4), f, m, 1000L + f * 10 + m)).toDF("vec_id", "embedding", "label")
-    val shifted = (for { f <- 0 until 5; m <- 0 until 10 }
+  }
+  private lazy val driftShifted = {
+    import spark.implicits._
+    (for { f <- 0 until 5; m <- 0 until 10 }
       yield vec(32 + 8 * (f % 4), f, m, f * 10L + m)).toDF("vec_id", "embedding", "label")
+  }
+
+  test("frozen-quantizer drift is measured: recall drops on a shifted batch, rebuild-and-swap recovers") {
+    val original = driftOriginal
+    val shifted = driftShifted
 
     // centroidMod 13 → ~11 centroids over the original ids: the shifted
     // vectors (near-orthogonal to every frozen centroid) assign and probe
@@ -91,6 +99,29 @@ class KnnGraphLifecycleSpec extends SparkSpec {
     assert(frozenRecall + 0.1 <= rebuiltRecall,
       s"rebuild must recover shifted-region recall: frozen $frozenRecall vs rebuilt $rebuiltRecall")
     assert(rebuiltRecall >= 0.75, s"the rebuilt graph must index the shifted region: $rebuiltRecall")
+  }
+
+  test("maintenance policy: a floor breach fires the rebuild exactly once, above-floor is measure-only") {
+    val holder = new RefreshableKnnGraph(
+      Similarity.knnGraphIndex(driftOriginal, centroidMod = 13))
+    holder.fold(driftShifted)
+
+    // the %7 sample includes healthy original-region queries, so the
+    // aggregate frozen recall sits ~0.83 (only shifted queries decay) —
+    // the floor goes between frozen and rebuilt
+    val union = driftOriginal.unionAll(driftShifted)
+    val d1 = operators.IndexMaintenance.maintainKnnGraph(
+      holder, union, floor = 0.9, centroidMod = 13)
+    assert(d1.retrained, s"a breach must fire the rebuild: $d1")
+    assert(d1.recallBefore < 0.9)
+    assert(d1.recallAfter.exists(_ >= 0.9), s"the rebuild must recover: $d1")
+
+    val before = edgeSet(holder.current.edges)
+    val d2 = operators.IndexMaintenance.maintainKnnGraph(
+      holder, union, floor = 0.9, centroidMod = 13)
+    assert(!d2.retrained && d2.recallAfter.isEmpty)
+    assert(edgeSet(holder.current.edges) == before,
+      "a no-op pass must not touch the graph")
   }
 
   test("save/load snapshot: a restarted graph lifecycle resumes instead of rebuilding") {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{RefreshablePqIndex, Similarity}
+import graft.operators.{IndexFiles, IndexMaintenance, RefreshablePqIndex, Similarity}
 
 /** CODEBOOK DRIFT, measured and recovered: append-encoding a
   * distribution-shifted batch under a FROZEN learned-PQ codebook degrades
@@ -74,6 +74,109 @@ class PqDriftSpec extends SparkSpec {
       s"the retrained codebook must actually index the shifted region: $retrainedRecall")
     assert(frozenRecall < 0.7,
       s"the fixture must genuinely drift (frozen recall should be poor): $frozenRecall")
+  }
+
+  test("segmented holder: appends across an in-memory compaction equal the monolithic chain") {
+    // maxSegments=2 forces a compaction on the third append — the folded
+    // view must stay contents-identical to the monolithic append chain
+    // through the boundary (and each append checkpoints only its own two
+    // batch-sized frames, never the whole codes/qn)
+    val batches = Seq(
+      frame(for { m <- 0 until 10 } yield vec(32, 0, m, 0L + m)),
+      frame(for { m <- 0 until 10 } yield vec(40, 1, m, 100L + m)),
+      frame(for { m <- 0 until 10 } yield vec(48, 2, m, 200L + m)))
+    val holder = new RefreshablePqIndex(
+      Similarity.pqIndexBuild(original), maxSegments = 2)
+    batches.foreach(b => holder.append(b))
+    var mono = Similarity.pqIndexBuild(original)
+    batches.foreach(b => mono = Similarity.appendEncodePq(mono, b))
+    assert(codeSetOf(holder.current) == codeSetOf(mono))
+    assert(holder.current.qn.count() == mono.qn.count())
+    assert(holder.current.version == 1)
+  }
+
+  test("maintenance policy: a floor breach fires the retrain exactly once, above-floor is measure-only") {
+    val holder = new RefreshablePqIndex(Similarity.pqIndexBuild(original))
+    holder.append(shifted)
+
+    // drifted → below floor → the policy retrains and re-measures
+    val d1 = IndexMaintenance.maintainPq(holder, original.unionAll(shifted),
+      floor = 0.7, rerank = 8)
+    assert(d1.retrained, s"a breach must fire the retrain: $d1")
+    assert(d1.recallBefore < 0.7)
+    assert(d1.recallAfter.exists(_ >= 0.7), s"the retrain must recover: $d1")
+    assert(holder.current.version == 2)
+
+    // recovered → the next pass measures and does nothing
+    val d2 = IndexMaintenance.maintainPq(holder, original.unionAll(shifted),
+      floor = 0.7, rerank = 8)
+    assert(!d2.retrained && d2.recallAfter.isEmpty)
+    assert(holder.current.version == 2, "a no-op pass must not touch the index")
+  }
+
+  private def codeSetOf(i: Similarity.PqIndex): Set[(Long, Long, Long)] =
+    i.codes.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("m"),
+      r.getAs[Long]("code"))).toSet
+
+  test("persisted base+delta round trip ≡ in-memory append; compaction and post-compaction folds stay sound") {
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-persist").toString
+    Similarity.savePqIndex(Similarity.pqIndexBuild(original), path)
+
+    val loaded = Similarity.loadPqIndex(spark, path)
+    val (_, delta, dropFoldCaches) = Similarity.appendEncodePqTracked(loaded, shifted)
+    Similarity.savePqIndexDelta(delta, path)
+    dropFoldCaches()
+    loaded.release()
+
+    val expected = Similarity.appendEncodePq(Similarity.pqIndexBuild(original), shifted)
+    val r1 = Similarity.loadPqIndex(spark, path)
+    assert(codeSetOf(r1) == codeSetOf(expected),
+      "base+delta replay must equal the in-memory append chain")
+    assert(r1.qn.count() == 150)
+    r1.release()
+
+    // compaction: contents identical, deltas swept, replay chain reset
+    Similarity.compactPqIndex(spark, path)
+    assert(IndexFiles.numbered(spark, path, "delta_").isEmpty,
+      "compaction must sweep folded deltas")
+    val r2 = Similarity.loadPqIndex(spark, path)
+    assert(codeSetOf(r2) == codeSetOf(expected))
+    r2.release()
+
+    // the high-water gotcha: a fold AFTER compaction must number above the
+    // compacted base's stamp, or it would be invisible to every load
+    val extra = frame(for { m <- 0 until 5 } yield vec(0, 3, m, 2000L + m))
+    val base2 = Similarity.loadPqIndex(spark, path)
+    val (_, d2, drop2) = Similarity.appendEncodePqTracked(base2, extra)
+    val id = Similarity.savePqIndexDelta(d2, path)
+    drop2()
+    base2.release()
+    assert(id > 1, s"post-compaction delta id must exceed the stamp, got $id")
+    val r3 = Similarity.loadPqIndex(spark, path)
+    assert(r3.qn.count() == 155, "the post-compaction delta must be visible to loads")
+    r3.release()
+    IndexFiles.delete(spark, path)
+  }
+
+  test("retrain persists a new base whose stamp swallows dead-codebook deltas") {
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-retrain").toString
+    Similarity.savePqIndex(Similarity.pqIndexBuild(original), path)
+    val holder = new RefreshablePqIndex(Similarity.loadPqIndex(spark, path))
+
+    holder.append(shifted, deltaPath = Some(path))
+    assert(IndexFiles.numbered(spark, path, "delta_").nonEmpty)
+
+    // retrain → version-2 base; the frozen-codebook delta was encoded
+    // against the dead codebook and must be ignored by every future load
+    holder.retrain(original.unionAll(shifted), indexPath = Some(path))
+    val reloaded = Similarity.loadPqIndex(spark, path)
+    assert(reloaded.version == 2)
+    assert(reloaded.qn.count() == 150,
+      "stale deltas must not double-count vectors after a retrain base")
+    assert(codeSetOf(reloaded) == codeSetOf(holder.current),
+      "reload must see exactly the retrained encode")
+    reloaded.release()
+    IndexFiles.delete(spark, path)
   }
 
   test("append-encode is exact encoding under the frozen codebook (the holder adds no drift of its own)") {
