@@ -101,6 +101,54 @@ class TextHeuristicsCompositionSpec extends SparkSpec {
     assert(pred.values.toSet.size == 4, "classifier must not collapse to one label")
   }
 
+  test("the layered quality stack closes the classifier's pinned blind spots") {
+    // The blind-spot pin above says "a real deployment layers
+    // text_repetition / text_surprisal on top" — this PROVES the layering:
+    // repetition catches the repeated-spam doc the classifier also drops,
+    // surprisal catches the all-distinct gibberish the classifier passes,
+    // and the AND of the three keeps exactly the prose.
+    val words = "the cat and a dog walk to an old house near one tall tree today".split(' ')
+    def rotate(i: Int) = (words.drop(i % words.length) ++ words.take(i % words.length)).mkString(" ")
+    val prose = (0 until 20).map(i => (i + 1).toLong -> rotate(i))
+    val gibberish = 100L -> (1 to 20).map(i => s"zq${i}xv").mkString(" ")
+    val spam = 101L -> Array.fill(60)("buy").mkString(" ")
+    val docs = docFrame(prose :+ gibberish :+ spam)
+
+    def keeps(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.select("doc_id", "keep").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val cls = keeps(TextAnalysis.qualityClassifier(docs))
+    val rep = keeps(TextAnalysis.repetition(docs))
+    val sur = keeps(TextAnalysis.surprisal(docs))
+
+    assert(cls(100L), "gibberish passes the classifier (the pinned blind spot)")
+    assert(!sur(100L), "surprisal must catch the gibberish (unique tokens = max ifreq)")
+    assert(rep(100L), "repetition alone does NOT catch all-distinct gibberish")
+    assert(!rep(101L), "repetition must catch the repeated-token spam")
+    assert(sur(101L), "surprisal alone does NOT catch spam (a frequent token is unsurprising)")
+
+    val composed = (cls.keySet ++ rep.keySet ++ sur.keySet)
+      .filter(id => cls.getOrElse(id, false) && rep.getOrElse(id, false) && sur.getOrElse(id, false))
+    assert(composed == prose.map(_._1).toSet,
+      s"the composed stack must keep exactly the prose docs, got $composed")
+  }
+
+  test("contamination counts shared eval n-grams, ignores clean docs") {
+    // doc_id ≡ 3 (mod 97) is the eval side; doc 1 quotes a 5-trigram span
+    // of it, doc 2 shares nothing. The probe checks the DECISION shape the
+    // oracle row can't: a contaminated doc surfaces with the right count,
+    // a clean doc does not surface at all.
+    val docs = docFrame(Seq(
+      1L -> "students found the secret benchmark answer is forty two online yesterday",
+      2L -> "a completely unrelated paragraph about gardening and soil quality",
+      3L -> "the secret benchmark answer is forty two exactly"))
+    val rows = TextAnalysis.contamination(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contaminated")).toMap
+    assert(rows.keySet == Set(1L), s"only the contaminated doc may surface: $rows")
+    assert(rows(1L) == 5L,
+      s"the five shared trigrams of the quoted span must all count: $rows")
+  }
+
   test("trigram langId generalizes to held-out sentences it never trained on") {
     // Train on labeled sentences; the held-out docs carry lang='xx' so they
     // contribute NO trigrams to any en/es/de profile (profiles group by
