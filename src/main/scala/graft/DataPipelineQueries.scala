@@ -140,6 +140,27 @@ object DataPipelineQueries {
       Similarity.refreshKnnGraph(g0, e.filter(pmod(col("vec_id"), lit(3)) === 1))
         .edges.orderBy("query_id", "rnk")
     }),
+    // the graph-side delta persistence round trip (dedup/embed/pq _delta's
+    // sibling, via TOMBSTONE deltas since a fold supersedes whole
+    // query_ids): base graph saved on %3==0, %3==1 folded through the
+    // holder with an O(batch) delta write, reloaded (tombstone replay at
+    // load) — shares knn_graph_refresh's oracle, so the hash gate proves
+    // the persisted replay ≡ from-scratch under the frozen base centroids
+    "knn_graph_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val e = emb(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-kgidx").toString
+      Similarity.saveKnnGraph(
+        Similarity.knnGraphIndex(e.filter(pmod(col("vec_id"), lit(3)) === 0)), path)
+      val holder = new graft.operators.RefreshableKnnGraph(
+        Similarity.loadKnnGraph(s, path))
+      holder.fold(e.filter(pmod(col("vec_id"), lit(3)) === 1), deltaPath = Some(path))
+      val reloaded = Similarity.loadKnnGraph(s, path)
+      val pinned = reloaded.truncated()
+      reloaded.release()
+      IndexFiles.delete(s, path)
+      pinned.edges.orderBy("query_id", "rnk")
+    }),
     "graph_quality_prop" -> ((s, dir) => Similarity.qualityPropagation(docs(s, dir), emb(s, dir))),
     "graph_pagerank" -> ((s, dir) => Similarity.pageRank(emb(s, dir))),
     "sim_topk_sq8" -> ((s, dir) => Similarity.sq8TopK(emb(s, dir))),
@@ -262,6 +283,7 @@ object DataPipelineQueries {
     "dedup_index_delta" -> Dedup.indexRefreshSql,
     "embed_index_delta" -> Similarity.embedIndexRefreshSql,
     "knn_graph_refresh" -> Similarity.knnGraphRefreshSql,
+    "knn_graph_delta" -> Similarity.knnGraphRefreshSql,
     "sim_pq_recall" -> Similarity.pqRecallSql,
     "sim_graph_recall" -> Similarity.knnGraphRecallSql,
     "sim_pq_delta" -> Similarity.pqDeltaTopKSql,

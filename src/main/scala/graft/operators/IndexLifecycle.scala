@@ -177,44 +177,107 @@ object RefreshableCorpusIndex {
   * consumers ([[Similarity.pageRankOver]],
   * [[Similarity.qualityPropagationOver]]) must never traverse a stale graph
   * after the corpus they rank refreshed. `fold` is the INCREMENTAL path
-  * ([[Similarity.refreshKnnGraph]] — frozen centroids, new-node edges plus
-  * affected-node re-rank, ≡ from-scratch under the same codebook,
-  * spec-pinned); rebuild-and-swap for codebook retraining is
-  * [[rebuildWith]]; drift is observed through [[Similarity.knnGraphRecall]].
+  * ([[Similarity.refreshKnnGraph]]'s arithmetic — frozen centroids,
+  * new-node edges plus affected-node re-rank, ≡ from-scratch under the same
+  * codebook, spec-pinned); rebuild-and-swap for codebook retraining is
+  * [[rebuildWith]]; drift is observed through [[Similarity.knnGraphRecall]]
+  * (or the [[IndexMaintenance.maintainKnnGraph]] policy).
   *
-  * Deliberately NOT segmented (unlike the corpus/embed holders): the edge
-  * component is not pure-append — a fold REPLACES affected old queries'
-  * rows — so a segmented edge view would need per-segment tombstone
-  * replay, and the graph sits on the CONSUMER cadence (pagerank/curation
-  * runs), not the per-micro-batch ingest path where O(batch) checkpoints
-  * pay for themselves. Folds here checkpoint the full components. */
-final class RefreshableKnnGraph(initial: Similarity.KnnGraphIndex) {
-  @volatile private var g: Similarity.KnnGraphIndex = initial.materialize()
+  * SEGMENTED with TOMBSTONE REPLAY — the edge component is not pure-append
+  * (a fold REPLACES affected old queries' rows), but a fold never edits a
+  * row in place: it supersedes whole query_ids. So each fold checkpoints
+  * only its O(batch) segment (the batch's qn/probe rows, the fold's fresh
+  * edge rows, and the affected-query tombstone set — itself batch-bounded:
+  * probe cells are frozen, so only cells the batch lands in can be
+  * affected), and the published edge view is "each segment's rows minus
+  * every LATER segment's tombstones" — ≤ maxSegments broadcast anti-joins
+  * against batch-sized id sets, latest-wins by construction. qn/probes
+  * union plainly. In-memory compaction every `maxSegments` folds
+  * re-materializes the view into one tombstone-free segment, bounding both
+  * plan depth and the anti-join chain. */
+final class RefreshableKnnGraph(initial: Similarity.KnnGraphIndex,
+    maxSegments: Int = RefreshableCorpusIndex.DefaultMaxSegments) {
+  private final case class GSeg(qn: DataFrame, probes: DataFrame,
+      edges: DataFrame, tombs: DataFrame)
+  private final case class State(cents: DataFrame, segs: Vector[GSeg],
+      view: Similarity.KnnGraphIndex)
 
-  def current: Similarity.KnnGraphIndex = g
+  @volatile private var state: State = stateOf(initial.truncated())
+  private var initialToRelease: Option[Similarity.KnnGraphIndex] = Some(initial)
 
-  /** Fold `newVecs` in under the frozen centroids and atomically publish. */
-  def fold(newVecs: DataFrame, releaseOld: Boolean = true): Similarity.KnnGraphIndex =
+  /** Single-segment state off an already-checkpointed index (init,
+    * post-compaction, post-rebuild). The base segment carries no
+    * tombstones: `limit(0)` over the checkpointed edges keeps the plan
+    * rooted on a checkpoint, never on released caller lineage. */
+  private def stateOf(t: Similarity.KnnGraphIndex): State = {
+    val seg0 = GSeg(t.qn, t.probes, t.edges,
+      t.edges.select("query_id").limit(0))
+    State(t.cents, Vector(seg0), viewOf(t.cents, Vector(seg0)))
+  }
+
+  private def viewOf(cents: DataFrame,
+      segs: Vector[GSeg]): Similarity.KnnGraphIndex = {
+    val edges = segs.zipWithIndex.map { case (s, i) =>
+      val later = segs.drop(i + 1).map(_.tombs)
+      if (later.isEmpty) s.edges
+      else s.edges.join(
+        org.apache.spark.sql.functions.broadcast(later.reduce(_ unionByName _)),
+        Seq("query_id"), "left_anti")
+    }.reduce(_ unionByName _)
+    Similarity.KnnGraphIndex(cents,
+      segs.map(_.qn).reduce(_ unionByName _),
+      segs.map(_.probes).reduce(_ unionByName _),
+      edges, initial.k, initial.nProbe)
+  }
+
+  /** The currently-published graph (a lazy view whose inputs are all
+    * checkpointed — complete by construction for any concurrent reader). */
+  def current: Similarity.KnnGraphIndex = state.view
+
+  /** Fold `newVecs` in under the frozen centroids and atomically publish —
+    * checkpointing only the fold's O(batch) segment. With `deltaPath` set,
+    * the same four frames land there BEFORE the swap
+    * ([[Similarity.saveKnnGraphDelta]]) — a restart
+    * [[Similarity.loadKnnGraph]]s base+deltas instead of re-folding. */
+  def fold(newVecs: DataFrame, releaseOld: Boolean = true,
+      deltaPath: Option[String] = None): Similarity.KnnGraphIndex =
     synchronized {
-      val (refreshed, dropFoldCaches) = Similarity.refreshKnnGraphTracked(g, newVecs)
-      val next = refreshed.truncated()
-      dropFoldCaches()
-      val prev = g
-      g = next
-      if (releaseOld) prev.release()
-      next
+      val s = state
+      val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val parts = Similarity.knnGraphSegmentFold(s.view, newVecs,
+        df => { val c = df.persist(); tracked += c; c })
+      val ck = IndexFiles.inParallel(Seq(
+        () => parts.qnNew.localCheckpoint(true),
+        () => parts.probesNew.localCheckpoint(true),
+        () => parts.edgesSeg.localCheckpoint(true),
+        () => parts.tombstones.localCheckpoint(true)))
+      deltaPath.foreach(p => Similarity.saveKnnGraphDelta(
+        Similarity.KnnGraphDelta(ck(0), ck(1), ck(2), ck(3)), p))
+      tracked.foreach(_.unpersist())
+
+      var segs2 = s.segs :+ GSeg(ck(0), ck(1), ck(2), ck(3))
+      var next = viewOf(s.cents, segs2)
+      if (segs2.size > maxSegments) {
+        val t = next.truncated()
+        state = stateOf(t)
+      } else {
+        state = State(s.cents, segs2, next)
+      }
+      if (releaseOld) { initialToRelease.foreach(_.release()); initialToRelease = None }
+      state.view
     }
 
   /** Swap in a from-scratch rebuild (new codebook — the retrain escape
-    * when the frozen centroids have drifted from the corpus). */
+    * when the frozen centroids have drifted from the corpus). Resets to
+    * one tombstone-free segment. */
   def rebuildWith(rebuilt: Similarity.KnnGraphIndex,
       releaseOld: Boolean = true): Similarity.KnnGraphIndex =
     synchronized {
-      val next = rebuilt.truncated()
-      val prev = g
-      g = next
-      if (releaseOld) prev.release()
-      next
+      val t = rebuilt.truncated()
+      rebuilt.release() // the swap owns the checkpointed copy; drop the build's pins
+      state = stateOf(t)
+      if (releaseOld) { initialToRelease.foreach(_.release()); initialToRelease = None }
+      state.view
     }
 }
 

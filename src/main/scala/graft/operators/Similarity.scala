@@ -1268,8 +1268,21 @@ object Similarity {
   def refreshKnnGraph(idx: KnnGraphIndex, newVecs: DataFrame): KnnGraphIndex =
     refreshKnnGraphCore(idx, newVecs, PinnedCaches.pin)
 
-  private def refreshKnnGraphCore(idx: KnnGraphIndex, newVecs: DataFrame,
-      cache: DataFrame => DataFrame): KnnGraphIndex = {
+  /** One graph fold's SEGMENT pieces — the decomposition the segmented
+    * holder checkpoints. Everything is batch-proportional: `edgesSeg` is
+    * the fold's fresh rows (new-as-query edges ∪ the re-ranked rows of
+    * affected old queries) and `tombstones` the affected query ids — the
+    * key fact making a segmented EDGE view possible despite edges not
+    * being pure-append: a fold never edits rows in place, it supersedes
+    * whole query_ids, so "earlier segments minus later tombstones" is
+    * exactly latest-wins. `qnAll` is the fold-local cached union the
+    * rankings ran against, returned so the monolithic path reuses it. */
+  private[operators] final case class GraphSegmentParts(
+      qnNew: DataFrame, probesNew: DataFrame, edgesSeg: DataFrame,
+      tombstones: DataFrame, qnAll: DataFrame)
+
+  private[operators] def knnGraphSegmentFold(idx: KnnGraphIndex,
+      newVecs: DataFrame, cache: DataFrame => DataFrame): GraphSegmentParts = {
     val qNew = cache(quantized(newVecs).select("vec_id", "q", "nq"))
     val scoredNew = qNew.crossJoin(broadcast(idx.cents))
       .withColumn("score", long_dot(col("q"), col("qc")).cast("double") /
@@ -1303,22 +1316,18 @@ object Similarity {
       .unionByName(affCand)
     val edgesUpd = rankCandidates(mergedCand, qAll, idx.k)
 
-    val edges2 = cache(
-      idx.edges.join(affected, Seq("query_id"), "left_anti")
-        .unionByName(edgesUpd).unionByName(edgesNew))
-    KnnGraphIndex(idx.cents, qnAll,
-      cache(idx.probes.unionByName(probesNew)), edges2, idx.k, idx.nProbe)
+    GraphSegmentParts(qnNew, probesNew, edgesUpd.unionByName(edgesNew),
+      affected, qnAll)
   }
 
-  /** [[refreshKnnGraph]] for the lifecycle holder: fold-local tracked
-    * persists, dropped after the published frames checkpoint (the same
-    * no-pin discipline as the corpus/embed index folds). */
-  private[graft] def refreshKnnGraphTracked(idx: KnnGraphIndex,
-      newVecs: DataFrame): (KnnGraphIndex, () => Unit) = {
-    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val next = refreshKnnGraphCore(idx, newVecs,
-      df => { val c = df.persist(); tracked += c; c })
-    (next, () => tracked.foreach(_.unpersist()))
+  private def refreshKnnGraphCore(idx: KnnGraphIndex, newVecs: DataFrame,
+      cache: DataFrame => DataFrame): KnnGraphIndex = {
+    val p = knnGraphSegmentFold(idx, newVecs, cache)
+    val edges2 = cache(
+      idx.edges.join(p.tombstones, Seq("query_id"), "left_anti")
+        .unionByName(p.edgesSeg))
+    KnnGraphIndex(idx.cents, p.qnAll,
+      cache(idx.probes.unionByName(p.probesNew)), edges2, idx.k, idx.nProbe)
   }
 
   /** MEASURED recall of the graph's edges against the exact kNN over the
@@ -1392,27 +1401,51 @@ object Similarity {
        |  hits, possible, CAST(hits AS DOUBLE) / possible AS recall
        |FROM h CROSS JOIN p""".stripMargin
 
-  // ─────────────── kNN-GRAPH PERSISTENCE (snapshot form) ───────────────
-  // Unlike the corpus/embed indexes the graph gets NO delta layer: its
-  // edge component is not pure-append (a fold REPLACES affected old
-  // queries' rows), so an on-disk delta would need per-segment tombstone
-  // replay at load — and the graph is fully derivable from the embed
-  // corpus anyway. The deployment shape is snapshot-at-maintenance-points:
-  // save after a fold burst or retrain, reload at restart, resume folding.
-  // Same versioned-base atomic-publish layout as the other indexes.
+  // ──────────── kNN-GRAPH PERSISTENCE (base + tombstone deltas) ────────────
+  // The same LSM layout as the other three index families. The edge
+  // component is not pure-append (a fold REPLACES affected old queries'
+  // rows), but a fold supersedes WHOLE query_ids — so a delta is the
+  // fold's [[GraphSegmentParts]] (batch qn/probe rows, fresh edge rows,
+  // affected-id tombstones) and load replays deltas in id order: append
+  // qn/probes, and per delta `edges := (edges ⊖ tombstones) ∪ edges_seg`
+  // — the on-disk twin of the segmented holder's latest-wins view.
 
   private val GraphComponents = Seq("cents", "qn", "probes", "edges")
+  private val GraphDeltaComponents = Seq("qn_new", "probes_new", "edges_seg", "tombstones")
+
+  /** One graph fold's O(batch) persistence payload (see
+    * [[GraphSegmentParts]] for why each piece is batch-proportional). */
+  final case class KnnGraphDelta private[operators] (
+      qnNew: DataFrame, probesNew: DataFrame, edgesSeg: DataFrame,
+      tombstones: DataFrame) {
+    private[operators] def frames: Seq[DataFrame] =
+      Seq(qnNew, probesNew, edgesSeg, tombstones)
+  }
 
   /** True when `path` holds a persisted graph index. */
   def knnGraphExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
     IndexFiles.numbered(spark, path, "base_v").nonEmpty
 
+  /** Delta-id high-water mark — deltas on disk AND the latest base's
+    * stamp (the post-compaction numbering gotcha, shared with the other
+    * families). */
+  private[graft] def graphDeltaHighWater(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val onDisk =
+      IndexFiles.numbered(spark, path, "delta_").map(_._1).maxOption.getOrElse(0L)
+    val stamped = IndexFiles.numbered(spark, path, "base_v").lastOption
+      .map { case (_, p) => spark.read.parquet(s"$p/meta").head().getAs[Long]("last_delta") }
+      .getOrElse(0L)
+    math.max(onDisk, stamped)
+  }
+
   /** Persist a [[KnnGraphIndex]] snapshot as a new base version
-    * (components in parallel, knobs in `meta`, superseded bases pruned
-    * after the atomic publish). */
+    * (components in parallel, knobs + `last_delta` stamp in `meta`,
+    * superseded bases pruned after the atomic publish). */
   def saveKnnGraph(idx: KnnGraphIndex, path: String): Unit = {
     val spark = idx.cents.sparkSession
     import spark.implicits._
+    val lastDelta = graphDeltaHighWater(spark, path)
     val v = IndexFiles.numbered(spark, path, "base_v")
       .map(_._1).maxOption.getOrElse(0L) + 1
     val tmp = s"$path/base_v$v.tmp"
@@ -1420,26 +1453,68 @@ object Similarity {
     IndexFiles.inParallel(idx.frames.zip(GraphComponents).map { case (df, name) =>
       () => df.write.mode("overwrite").parquet(s"$tmp/$name")
     })
-    Seq((idx.k, idx.nProbe)).toDF("k", "n_probe")
+    Seq((idx.k, idx.nProbe, lastDelta)).toDF("k", "n_probe", "last_delta")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
     IndexFiles.publish(spark, tmp, s"$path/base_v$v")
     IndexFiles.numbered(spark, path, "base_v").filter(_._1 < v)
       .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
   }
 
-  /** Load a persisted graph snapshot (components pinned, knobs restored).
-    * Folding the loaded index equals folding the original (spec-pinned) —
-    * a restarted graph lifecycle resumes instead of rebuilding. */
+  /** Persist one fold's [[KnnGraphDelta]] — the O(batch) per-fold write. */
+  def saveKnnGraphDelta(delta: KnnGraphDelta, path: String): Long = {
+    val spark = delta.qnNew.sparkSession
+    val n = graphDeltaHighWater(spark, path) + 1
+    val tmp = s"$path/delta_$n.tmp"
+    IndexFiles.delete(spark, tmp)
+    IndexFiles.inParallel(delta.frames.zip(GraphDeltaComponents).map { case (df, name) =>
+      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+    })
+    IndexFiles.publish(spark, tmp, s"$path/delta_$n")
+    n
+  }
+
+  /** Load the persisted graph: highest base + every delta above its stamp,
+    * replayed in id order — qn/probes append; edges apply each delta's
+    * tombstones then union its fresh rows (order matters: a later fold may
+    * supersede rows an earlier delta introduced). Folding the loaded index
+    * equals folding the original (spec-pinned) — a restarted graph
+    * lifecycle resumes instead of rebuilding. */
   def loadKnnGraph(spark: org.apache.spark.sql.SparkSession,
       path: String): KnnGraphIndex = {
     val bases = IndexFiles.numbered(spark, path, "base_v")
     require(bases.nonEmpty, s"no persisted knn graph at $path")
     val base = bases.last._2.toString
     val meta = spark.read.parquet(s"$base/meta").head()
-    def pinned(name: String): DataFrame =
-      PinnedCaches.pin(spark.read.parquet(s"$base/$name"))
-    KnnGraphIndex(pinned("cents"), pinned("qn"), pinned("probes"),
-      pinned("edges"), meta.getAs[Int]("k"), meta.getAs[Int]("n_probe"))
+    val deltas = IndexFiles.numbered(spark, path, "delta_")
+      .filter(_._1 > meta.getAs[Long]("last_delta"))
+    def rd(dir: String, name: String) = spark.read.parquet(s"$dir/$name")
+
+    var qn = rd(base, "qn")
+    var probes = rd(base, "probes")
+    var edges = rd(base, "edges")
+    deltas.foreach { case (_, p) =>
+      val d = p.toString
+      qn = qn.unionByName(rd(d, "qn_new"))
+      probes = probes.unionByName(rd(d, "probes_new"))
+      edges = edges.join(broadcast(rd(d, "tombstones")), Seq("query_id"), "left_anti")
+        .unionByName(rd(d, "edges_seg"))
+    }
+    val pin = PinnedCaches.pin _
+    KnnGraphIndex(pin(rd(base, "cents")), pin(qn), pin(probes),
+      pin(edges), meta.getAs[Int]("k"), meta.getAs[Int]("n_probe"))
+  }
+
+  /** Compact the persisted base+deltas into one new base, then sweep the
+    * folded deltas — bounds the restart replay chain (and its anti-join
+    * depth), same discipline as the other families. */
+  def compactKnnGraph(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val folded = graphDeltaHighWater(spark, path)
+    val loaded = loadKnnGraph(spark, path)
+    val snap = loaded.truncated()
+    loaded.release()
+    saveKnnGraph(snap, path)
+    IndexFiles.numbered(spark, path, "delta_").filter(_._1 <= folded)
+      .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
   }
 
   /** DuckDB oracle for the `knn_graph_refresh` registry row — the graph

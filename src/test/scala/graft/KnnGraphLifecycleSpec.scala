@@ -124,6 +124,58 @@ class KnnGraphLifecycleSpec extends SparkSpec {
       "a no-op pass must not touch the graph")
   }
 
+  test("segmented holder: folds across an in-memory compaction equal from-scratch under frozen centroids") {
+    // maxSegments=2 over three folds exercises segments before, across,
+    // and after a compaction; equality with the from-scratch build proves
+    // the tombstone replay (later folds' affected-query ids suppressing
+    // earlier segments' superseded edge rows) is exactly latest-wins —
+    // including queries re-affected across the compaction boundary.
+    val e = operators.Tables.load(spark, sf(), "embeddings")
+    val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val g0 = Similarity.knnGraphIndex(base)
+    val cents = g0.cents
+    val holder = new RefreshableKnnGraph(g0, maxSegments = 2)
+    (1 to 3).foreach(r => holder.fold(e.filter(pmod(col("vec_id"), lit(4)) === r)))
+    assert(edgeSet(holder.current.edges) ==
+      edgeSet(Similarity.knnGraphEdgesWith(e, cents)))
+  }
+
+  test("persisted base+tombstone-delta round trip ≡ the in-memory fold; compaction and post-compaction folds stay sound") {
+    val e = operators.Tables.load(spark, sf(), "embeddings")
+    val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val b1 = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val b2 = e.filter(pmod(col("vec_id"), lit(4)) === 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-kg-delta").toString
+
+    Similarity.saveKnnGraph(Similarity.knnGraphIndex(base), path)
+    val holder = new RefreshableKnnGraph(Similarity.loadKnnGraph(spark, path))
+    holder.fold(b1, deltaPath = Some(path))
+
+    // reload over base+delta (tombstone replay at load) ≡ the in-memory fold
+    val expected = Similarity.refreshKnnGraph(Similarity.knnGraphIndex(base), b1)
+    val r1 = Similarity.loadKnnGraph(spark, path)
+    assert(edgeSet(r1.edges) == edgeSet(expected.edges),
+      "base+delta replay must equal the in-memory fold")
+    r1.release()
+
+    // compaction: contents identical, deltas swept
+    Similarity.compactKnnGraph(spark, path)
+    assert(graft.operators.IndexFiles.numbered(spark, path, "delta_").isEmpty)
+    val r2 = Similarity.loadKnnGraph(spark, path)
+    assert(edgeSet(r2.edges) == edgeSet(expected.edges))
+    r2.release()
+
+    // a post-compaction fold must number above the stamp and stay visible
+    val holder2 = new RefreshableKnnGraph(Similarity.loadKnnGraph(spark, path))
+    holder2.fold(b2, deltaPath = Some(path))
+    val contEdges = edgeSet(Similarity.refreshKnnGraph(expected, b2).edges)
+    val r3 = Similarity.loadKnnGraph(spark, path)
+    assert(edgeSet(r3.edges) == contEdges,
+      "the post-compaction delta must be visible to loads")
+    r3.release()
+    graft.operators.IndexFiles.delete(spark, path)
+  }
+
   test("save/load snapshot: a restarted graph lifecycle resumes instead of rebuilding") {
     val e = operators.Tables.load(spark, sf(), "embeddings")
     val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)
