@@ -140,6 +140,21 @@ class KnnGraphLifecycleSpec extends SparkSpec {
       edgeSet(Similarity.knnGraphEdgesWith(e, cents)))
   }
 
+  test("segmented graph view recomputes nothing per read: no aggregate in any published component plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val e = operators.Tables.load(spark, sf(), "embeddings")
+    val holder = new RefreshableKnnGraph(
+      Similarity.knnGraphIndex(e.filter(pmod(col("vec_id"), lit(4)) === 0)))
+    holder.fold(e.filter(pmod(col("vec_id"), lit(4)) === 1))
+    val v = holder.current
+    Seq("cents" -> v.cents, "qn" -> v.qn, "probes" -> v.probes,
+      "edges" -> v.edges).foreach { case (name, df) =>
+      val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+      assert(aggs.isEmpty,
+        s"graph view component '$name' must read checkpointed inputs: $aggs")
+    }
+  }
+
   test("persisted base+tombstone-delta round trip ≡ the in-memory fold; compaction and post-compaction folds stay sound") {
     val e = operators.Tables.load(spark, sf(), "embeddings")
     val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)

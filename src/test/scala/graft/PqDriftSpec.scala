@@ -95,6 +95,23 @@ class PqDriftSpec extends SparkSpec {
     assert(holder.current.version == 1)
   }
 
+  test("segmented PQ view recomputes nothing per read: no aggregate in any published component plan") {
+    // the same discipline IndexDeltaSpec pins for the corpus view: every
+    // published component must read checkpointed segments, never
+    // re-aggregate (an encode or code-grouping left lazy in the view would
+    // re-shuffle per reader)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val holder = new RefreshablePqIndex(Similarity.pqIndexBuild(original))
+    holder.append(shifted)
+    val v = holder.current
+    Seq("cents" -> v.cents, "codes" -> v.codes, "qn" -> v.qn).foreach {
+      case (name, df) =>
+        val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+        assert(aggs.isEmpty,
+          s"PQ view component '$name' must read checkpointed inputs: $aggs")
+    }
+  }
+
   test("maintenance policy: a floor breach fires the retrain exactly once, above-floor is measure-only") {
     val holder = new RefreshablePqIndex(Similarity.pqIndexBuild(original))
     holder.append(shifted)
