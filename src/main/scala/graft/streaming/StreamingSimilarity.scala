@@ -123,4 +123,96 @@ object StreamingSimilarity {
     override def apply(batch: DataFrame): DataFrame =
       apply(batch, nextSyntheticId.getAndIncrement())
   }
+
+  /** DURABLE streaming PQ ingest — the deployment form of the PQ
+    * lifecycle: every micro-batch append-encodes into the living
+    * [[graft.operators.RefreshablePqIndex]] under the frozen codebook,
+    * staged and lagged exactly like the text/embed gates so a restart
+    * resumes from disk ([[Similarity.loadPqIndex]] over base+deltas).
+    *
+    * One wrinkle the novelty gates don't have: their folds are
+    * content-IDEMPOTENT (re-folding already-indexed docs yields an
+    * empty-fresh delta), but a raw append-encode is NOT — a replayed fold
+    * would duplicate every code row. The gate therefore anti-joins each
+    * staged batch against the index's vec_ids before appending
+    * (`already-encoded ⇒ skip`), restoring the idempotence the
+    * crash-at-any-boundary argument needs. Cost: one scan of the
+    * in-memory qn view per fold with the batch ids broadcast — the same
+    * order as the novelty gates' per-batch index probe. */
+  def pqIngest(ref: graft.operators.RefreshablePqIndex,
+      indexPath: Option[String] = None,
+      compactEvery: Int = 0): PqIngestGate =
+    new PqIngestGate(ref, indexPath, compactEvery)
+
+  /** [[StreamingDedup.IngestGate]]'s PQ sibling: apply() stages the batch
+    * and folds everything staged BEFORE it; [[PqIngestGate.flush]] folds
+    * the rest at a quiet point (an AvailableNow run's final batch). */
+  final class PqIngestGate(ref: graft.operators.RefreshablePqIndex,
+      indexPath: Option[String], compactEvery: Int = 0)
+      extends (DataFrame => DataFrame) {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions.broadcast
+    import graft.operators.IndexFiles
+
+    private val pending =
+      new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+    private val nextSyntheticId = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val foldsSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    /** Append `staged`, skipping vec_ids the index already encoded — the
+      * idempotence guard that makes a crash-boundary re-fold a no-op.
+      * Shuffle-free: the qn view is scanned once against the BROADCAST
+      * staged ids (semi-join builds right), and the resulting
+      * already-encoded id set (≤ batch-sized) broadcasts into the anti. */
+    private def appendFresh(staged: DataFrame, deltaPath: Option[String]): Unit = {
+      val already = ref.current.qn.select("vec_id")
+        .join(broadcast(staged.select("vec_id")), Seq("vec_id"), "left_semi")
+      val fresh = staged.join(broadcast(already), Seq("vec_id"), "left_anti")
+      if (!fresh.isEmpty) ref.append(fresh, deltaPath = deltaPath)
+    }
+
+    private def foldStaged(spark: SparkSession, before: Option[Long]): Unit =
+      indexPath match {
+        case Some(p) =>
+          IndexFiles.numbered(spark, s"$p/staged", "batch=")
+            .filter { case (id, _) => before.forall(id < _) }
+            .foreach { case (_, dir) =>
+              val staged = spark.read.parquet(dir.toString)
+              if (!staged.isEmpty) {
+                appendFresh(staged, Some(p))
+                if (compactEvery > 0 &&
+                    foldsSinceCompact.incrementAndGet() >= compactEvery) {
+                  Similarity.compactPqIndex(spark, p)
+                  foldsSinceCompact.set(0L)
+                }
+              }
+              IndexFiles.delete(spark, dir.toString)
+            }
+        case None =>
+          pending.getAndSet(None).foreach { st =>
+            appendFresh(st, None); st.unpersist()
+          }
+      }
+
+    /** Fold whatever is staged (clean-shutdown flush / quiet point). */
+    def flush(): Unit =
+      foldStaged(ref.current.cents.sparkSession, None)
+
+    /** The per-micro-batch transform with the REAL foreachBatch id. */
+    def apply(batch: DataFrame, batchId: Long): DataFrame = {
+      foldStaged(batch.sparkSession, Some(batchId))
+      val slim = batch.select("vec_id", "label", "embedding")
+      indexPath match {
+        case Some(p) =>
+          slim.write.mode("overwrite").parquet(s"$p/staged/batch=$batchId")
+        case None =>
+          val a = slim.persist()
+          if (a.count() > 0) pending.set(Some(a)) else a.unpersist()
+      }
+      slim
+    }
+
+    override def apply(batch: DataFrame): DataFrame =
+      apply(batch, nextSyntheticId.getAndIncrement())
+  }
 }

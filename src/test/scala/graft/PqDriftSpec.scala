@@ -175,6 +175,42 @@ class PqDriftSpec extends SparkSpec {
     IndexFiles.delete(spark, path)
   }
 
+  test("durable streaming PQ ingest: a crash between batches loses nothing; replays and re-folds append nothing") {
+    import graft.streaming.StreamingSimilarity
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-ingest").toString
+    Similarity.savePqIndex(Similarity.pqIndexBuild(original), path)
+    val b0 = frame(for { m <- 0 until 10 } yield vec(32, 0, m, 0L + m))
+    val b1 = frame(for { m <- 0 until 10 } yield vec(40, 1, m, 100L + m))
+
+    // uninterrupted in-memory control
+    val control = Similarity.appendEncodePq(
+      Similarity.appendEncodePq(Similarity.pqIndexBuild(original), b0), b1)
+
+    val gate = StreamingSimilarity.pqIngest(
+      new RefreshablePqIndex(Similarity.loadPqIndex(spark, path)), Some(path))
+    gate.apply(b0, 0L) // stages batch 0; the lagged fold runs at batch 1
+
+    // CRASH before batch 1: a new holder + gate rebuilt purely from disk
+    val gate2 = StreamingSimilarity.pqIngest(
+      new RefreshablePqIndex(Similarity.loadPqIndex(spark, path)), Some(path))
+    gate2.apply(b1, 1L) // folds the staged batch 0 first, then stages b1
+    gate2.apply(b1, 1L) // double delivery: re-stage is byte-idempotent
+    gate2.flush()       // clean shutdown folds batch 1
+
+    // crash-after-fold-before-delete: a re-staged ALREADY-FOLDED batch
+    // must append nothing (the anti-join idempotence guard)
+    b1.select("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$path/staged/batch=5")
+    gate2.flush()
+
+    val reloaded = Similarity.loadPqIndex(spark, path)
+    assert(codeSetOf(reloaded) == codeSetOf(control),
+      "the durable loop must equal the uninterrupted in-memory chain")
+    assert(reloaded.qn.count() == 100L + 20L, "no duplicate encodes")
+    reloaded.release()
+    IndexFiles.delete(spark, path)
+  }
+
   test("retrain persists a new base whose stamp swallows dead-codebook deltas") {
     val path = java.nio.file.Files.createTempDirectory("graft-pq-retrain").toString
     Similarity.savePqIndex(Similarity.pqIndexBuild(original), path)
