@@ -215,4 +215,97 @@ object StreamingSimilarity {
     override def apply(batch: DataFrame): DataFrame =
       apply(batch, nextSyntheticId.getAndIncrement())
   }
+
+  /** DURABLE streaming kNN-GRAPH ingest — the deployment form of the
+    * graph lifecycle, completing the gate family (text / embed / PQ /
+    * graph): every micro-batch folds into the living
+    * [[graft.operators.RefreshableKnnGraph]] under the frozen coarse
+    * quantizer, staged and lagged exactly like the other gates so a
+    * restart resumes from disk ([[Similarity.loadKnnGraph]] over
+    * base+tombstone-deltas).
+    *
+    * Like the PQ gate — and unlike the novelty gates — a graph fold is NOT
+    * content-idempotent: re-folding an already-indexed vector would
+    * duplicate its qn/probes rows, and the duplicated qn rows would then
+    * duplicate candidate scores inside every later fold's re-rank. The
+    * gate therefore anti-joins each staged batch against the graph's
+    * vec_ids before folding (`already-folded ⇒ skip`), restoring the
+    * idempotence the crash-at-any-boundary replay argument needs. Cost:
+    * one scan of the in-memory qn view per fold with the batch ids
+    * broadcast — the same order as the fold's own centroid assignment. */
+  def knnGraphIngest(ref: graft.operators.RefreshableKnnGraph,
+      indexPath: Option[String] = None,
+      compactEvery: Int = 0): KnnGraphIngestGate =
+    new KnnGraphIngestGate(ref, indexPath, compactEvery)
+
+  /** [[StreamingDedup.IngestGate]]'s graph sibling: apply() stages the
+    * batch and folds everything staged BEFORE it;
+    * [[KnnGraphIngestGate.flush]] folds the rest at a quiet point (an
+    * AvailableNow run's final batch). Staged batches are slimmed to
+    * `(vec_id, label, embedding)` — the fold's `quantized()` input. */
+  final class KnnGraphIngestGate(ref: graft.operators.RefreshableKnnGraph,
+      indexPath: Option[String], compactEvery: Int = 0)
+      extends (DataFrame => DataFrame) {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions.broadcast
+    import graft.operators.IndexFiles
+
+    private val pending =
+      new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+    private val nextSyntheticId = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val foldsSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    /** Fold `staged`, skipping vec_ids the graph already holds — the
+      * idempotence guard that makes a crash-boundary re-fold a no-op. */
+    private def foldFresh(staged: DataFrame, deltaPath: Option[String]): Unit = {
+      val already = ref.current.qn.select("vec_id")
+        .join(broadcast(staged.select("vec_id")), Seq("vec_id"), "left_semi")
+      val fresh = staged.join(broadcast(already), Seq("vec_id"), "left_anti")
+      if (!fresh.isEmpty) ref.fold(fresh, deltaPath = deltaPath)
+    }
+
+    private def foldStaged(spark: SparkSession, before: Option[Long]): Unit =
+      indexPath match {
+        case Some(p) =>
+          IndexFiles.numbered(spark, s"$p/staged", "batch=")
+            .filter { case (id, _) => before.forall(id < _) }
+            .foreach { case (_, dir) =>
+              val staged = spark.read.parquet(dir.toString)
+              if (!staged.isEmpty) {
+                foldFresh(staged, Some(p))
+                if (compactEvery > 0 &&
+                    foldsSinceCompact.incrementAndGet() >= compactEvery) {
+                  Similarity.compactKnnGraph(spark, p)
+                  foldsSinceCompact.set(0L)
+                }
+              }
+              IndexFiles.delete(spark, dir.toString)
+            }
+        case None =>
+          pending.getAndSet(None).foreach { st =>
+            foldFresh(st, None); st.unpersist()
+          }
+      }
+
+    /** Fold whatever is staged (clean-shutdown flush / quiet point). */
+    def flush(): Unit =
+      foldStaged(ref.current.cents.sparkSession, None)
+
+    /** The per-micro-batch transform with the REAL foreachBatch id. */
+    def apply(batch: DataFrame, batchId: Long): DataFrame = {
+      foldStaged(batch.sparkSession, Some(batchId))
+      val slim = batch.select("vec_id", "label", "embedding")
+      indexPath match {
+        case Some(p) =>
+          slim.write.mode("overwrite").parquet(s"$p/staged/batch=$batchId")
+        case None =>
+          val a = slim.persist()
+          if (a.count() > 0) pending.set(Some(a)) else a.unpersist()
+      }
+      slim
+    }
+
+    override def apply(batch: DataFrame): DataFrame =
+      apply(batch, nextSyntheticId.getAndIncrement())
+  }
 }

@@ -249,4 +249,44 @@ class KnnGraphLifecycleSpec extends SparkSpec {
     holder.rebuildWith(rebuilt)
     assert(edgeSet(holder.current.edges) == edgeSet(Similarity.knnGraph(union)))
   }
+
+  test("durable streaming graph ingest: a crash between batches loses nothing; replays and re-folds fold nothing") {
+    import graft.streaming.StreamingSimilarity
+    val e = operators.Tables.load(spark, sf(), "embeddings")
+    val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val b0 = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val b1 = e.filter(pmod(col("vec_id"), lit(4)) === 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-kg-ingest").toString
+    Similarity.saveKnnGraph(Similarity.knnGraphIndex(base), path)
+
+    // uninterrupted in-memory control
+    val control = Similarity.refreshKnnGraph(
+      Similarity.refreshKnnGraph(Similarity.knnGraphIndex(base), b0), b1)
+
+    val gate = StreamingSimilarity.knnGraphIngest(
+      new RefreshableKnnGraph(Similarity.loadKnnGraph(spark, path)), Some(path))
+    gate.apply(b0, 0L) // stages batch 0; the lagged fold runs at batch 1
+
+    // CRASH before batch 1: a new holder + gate rebuilt purely from disk
+    val gate2 = StreamingSimilarity.knnGraphIngest(
+      new RefreshableKnnGraph(Similarity.loadKnnGraph(spark, path)), Some(path))
+    gate2.apply(b1, 1L) // folds the staged batch 0 first, then stages b1
+    gate2.apply(b1, 1L) // double delivery: re-stage is byte-idempotent
+    gate2.flush()       // clean shutdown folds batch 1
+
+    // crash-after-fold-before-delete: a re-staged ALREADY-FOLDED batch
+    // must fold nothing (the anti-join idempotence guard — a re-fold
+    // would duplicate qn rows and corrupt every later re-rank)
+    b1.select("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$path/staged/batch=5")
+    gate2.flush()
+
+    val reloaded = Similarity.loadKnnGraph(spark, path)
+    assert(edgeSet(reloaded.edges) == edgeSet(control.edges),
+      "the durable loop must equal the uninterrupted in-memory chain")
+    assert(reloaded.qn.count() == reloaded.qn.select("vec_id").distinct().count(),
+      "no duplicate qn rows after the re-staged replay")
+    reloaded.release()
+    graft.operators.IndexFiles.delete(spark, path)
+  }
 }
