@@ -217,6 +217,23 @@ object DataPipelineQueries {
     "text_surprisal" -> ((s, dir) => TextAnalysis.surprisal(docs(s, dir))),
     "text_tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir))),
     "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(docs(s, dir))),
+    // TEXT-STATS PERSISTENCE round trip: BM25 stats base over %3==0, one
+    // persisted O(batch) delta folding %3==1, reload (commutative BIGINT
+    // re-aggregate), then score the FULL corpus against the replayed
+    // stats — the oracle recomputes the same stats population inline, so
+    // the hash gate proves base+delta replay ≡ from-scratch stats
+    "text_bm25_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+      TextAnalysis.saveBm25Stats(
+        TextAnalysis.bm25Stats(d.filter(pmod(col("doc_id"), lit(3)) === 0)), path)
+      TextAnalysis.saveBm25StatsDelta(
+        TextAnalysis.bm25Stats(d.filter(pmod(col("doc_id"), lit(3)) === 1)), path)
+      val stats = TextAnalysis.loadBm25Stats(s, path).localCheckpoint(true)
+      IndexFiles.delete(s, path)
+      TextAnalysis.bm25TopKWith(d, stats)
+    }),
     "retrieval_hybrid_rrf" -> ((s, dir) =>
       CurationPipeline.hybridRetrievalRrf(docs(s, dir), emb(s, dir))),
     "retrieval_mmr" -> ((s, dir) => Similarity.mmrTopK(emb(s, dir))),
@@ -322,6 +339,7 @@ object DataPipelineQueries {
     "text_surprisal" -> TextAnalysis.surprisalSql,
     "text_tfidf_topk" -> TextAnalysis.tfidfTopKSql,
     "text_bm25_topk" -> TextAnalysis.bm25TopKSql,
+    "text_bm25_delta" -> TextAnalysis.bm25DeltaTopKSql,
     "retrieval_hybrid_rrf" -> CurationPipeline.hybridRetrievalRrfSql,
     "source_report" -> TextAnalysis.sourceReportSql,
     "sample_shuffle" -> Sampling.shuffleShardsSql,

@@ -1101,8 +1101,13 @@ object TextAnalysis {
     * fixed term set — ONE definition composed by [[bm25TopKSql]] and the
     * hybrid-RRF oracle ([[CurationPipeline.hybridRetrievalRrfSql]]), so a
     * constant/term change cannot desynchronize the two. */
-  private[operators] val bm25ScoreCtesSql: String =
-    """d AS (
+  /** The CTE chain with the corpus-STATISTICS population parameterized
+    * (`statsWhere`, e.g. `WHERE doc_id % 3 < 2`): scoring always runs over
+    * the full `documents`, but `s` — the one-row stats — can replay a
+    * stats artifact built over a subset, which is exactly what the
+    * persisted-stats delta row gates ([[bm25DeltaTopKSql]]). */
+  private[operators] def bm25ScoreCtes(statsWhere: String = ""): String =
+    s"""d AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
       |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'merge')) AS BIGINT) AS tf_merge,
@@ -1114,7 +1119,7 @@ object TextAnalysis {
       |    CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
       |    CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
       |    CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash
-      |  FROM d),
+      |  FROM d $statsWhere),
       |n AS (
       |  SELECT doc_id, tf_merge, tf_window, tf_hash, n_docs, df_merge, df_window, df_hash,
       |    0.25 + 0.75 * (CAST(dl AS DOUBLE) /
@@ -1130,8 +1135,143 @@ object TextAnalysis {
       |      * ((CAST(tf_hash AS DOUBLE) * 2.2) / (CAST(tf_hash AS DOUBLE) + 1.2 * norm)) AS score
       |  FROM n)""".stripMargin
 
+  private[operators] val bm25ScoreCtesSql: String = bm25ScoreCtes()
+
   val bm25TopKSql: String =
     s"""WITH $bm25ScoreCtesSql
       |SELECT doc_id, tf_merge, tf_window, tf_hash, score
       |FROM bmscore ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Oracle for the persisted-stats round trip (`text_bm25_delta`): score
+    * the FULL corpus against stats replayed over only `doc_id % 3 < 2` —
+    * the base (%3==0) plus one persisted delta (%3==1). */
+  val bm25DeltaTopKSql: String =
+    s"""WITH ${bm25ScoreCtes("WHERE doc_id % 3 < 2")}
+      |SELECT doc_id, tf_merge, tf_window, tf_hash, score
+      |FROM bmscore ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ────────────── TEXT-STATS PERSISTENCE (additive LSM) ──────────────
+  // The retrieval/tokenizer statistics artifacts — [[bm25Stats]]'s one-row
+  // BIGINT frame and [[bpeWordStats]]'s (word, freq) table — fold
+  // ADDITIVELY, so their durable story is the simplest in the LSM family:
+  // a delta is the BATCH's own stats frame (pure append on disk, no
+  // re-key/tombstone/filter), load re-AGGREGATES the highest base plus
+  // every delta above its `last_delta` stamp (BIGINT sums are exact and
+  // order-free, so replay order cannot matter), and compaction
+  // materializes the aggregate into a new stamped base and sweeps the
+  // folded deltas. Same base_v<V>/delta_<N> layout, atomic tmp-rename
+  // publication, and high-water numbering (disk ∨ stamp — the
+  // post-compaction gotcha) as the corpus/embed/PQ/graph indexes, so the
+  // crash/replay arguments carry over verbatim. This closes the one
+  // lifecycle family ([[refreshBm25Stats]]/[[refreshBpeWordStats]]) that
+  // folded in memory but had no restart story.
+
+  private def additiveHighWater(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val onDisk =
+      IndexFiles.numbered(spark, path, "delta_").map(_._1).maxOption.getOrElse(0L)
+    val stamped = IndexFiles.numbered(spark, path, "base_v").lastOption
+      .map { case (_, p) => spark.read.parquet(s"$p/meta").head().getAs[Long]("last_delta") }
+      .getOrElse(0L)
+    math.max(onDisk, stamped)
+  }
+
+  private def saveAdditiveBase(stats: DataFrame, path: String): Unit = {
+    val spark = stats.sparkSession
+    import spark.implicits._
+    val lastDelta = additiveHighWater(spark, path)
+    val v = IndexFiles.numbered(spark, path, "base_v")
+      .map(_._1).maxOption.getOrElse(0L) + 1
+    val tmp = s"$path/base_v$v.tmp"
+    IndexFiles.delete(spark, tmp)
+    stats.write.mode("overwrite").parquet(s"$tmp/stats")
+    Seq(lastDelta).toDF("last_delta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexFiles.publish(spark, tmp, s"$path/base_v$v")
+    IndexFiles.numbered(spark, path, "base_v").filter(_._1 < v)
+      .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
+  }
+
+  private def saveAdditiveDelta(batchStats: DataFrame, path: String): Long = {
+    val spark = batchStats.sparkSession
+    val n = additiveHighWater(spark, path) + 1
+    val tmp = s"$path/delta_$n.tmp"
+    IndexFiles.delete(spark, tmp)
+    batchStats.write.mode("overwrite").parquet(s"$tmp/stats")
+    IndexFiles.publish(spark, tmp, s"$path/delta_$n")
+    n
+  }
+
+  /** Base + above-stamp delta stats frames, in replay order (order is
+    * immaterial — the loads aggregate commutatively). */
+  private def additiveParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[DataFrame] = {
+    val bases = IndexFiles.numbered(spark, path, "base_v")
+    require(bases.nonEmpty, s"no persisted stats at $path")
+    val base = bases.last._2.toString
+    val stamp = spark.read.parquet(s"$base/meta").head().getAs[Long]("last_delta")
+    spark.read.parquet(s"$base/stats") +:
+      IndexFiles.numbered(spark, path, "delta_").filter(_._1 > stamp)
+        .map { case (_, p) => spark.read.parquet(s"$p/stats") }
+  }
+
+  def textStatsExist(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    IndexFiles.numbered(spark, path, "base_v").nonEmpty
+
+  /** Persist a [[bm25Stats]] row as a new base version. */
+  def saveBm25Stats(stats: DataFrame, path: String): Unit =
+    saveAdditiveBase(stats, path)
+
+  /** Persist one batch's [[bm25Stats]] row as an O(batch) delta — the
+    * durable form of a [[refreshBm25Stats]] fold. */
+  def saveBm25StatsDelta(batchStats: DataFrame, path: String): Long =
+    saveAdditiveDelta(batchStats, path)
+
+  /** Load the persisted BM25 stats: one commutative BIGINT-sum aggregate
+    * over base + above-stamp deltas — bit-identical to the in-memory
+    * [[refreshBm25Stats]] chain and to from-scratch over the union. */
+  def loadBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val parts = additiveParts(spark, path)
+    val cols = parts.head.columns.toSeq
+    parts.reduce(_ unionByName _)
+      .agg(sum(col(cols.head)).as(cols.head),
+        cols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** Compact the persisted BM25 stats into one new base and sweep the
+    * folded deltas — bounds restart replay-chain length. */
+  def compactBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val folded = additiveHighWater(spark, path)
+    saveAdditiveBase(loadBm25Stats(spark, path), path)
+    IndexFiles.numbered(spark, path, "delta_").filter(_._1 <= folded)
+      .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
+  }
+
+  /** Persist a [[bpeWordStats]] table as a new base version. */
+  def saveBpeWordStats(words: DataFrame, path: String): Unit =
+    saveAdditiveBase(words, path)
+
+  /** Persist one batch's word table as an O(batch-vocabulary) delta — the
+    * durable form of a [[refreshBpeWordStats]] fold. */
+  def saveBpeWordStatsDelta(batchWords: DataFrame, path: String): Long =
+    saveAdditiveDelta(batchWords, path)
+
+  /** Load the persisted word table: per-word sum over base + above-stamp
+    * deltas. Retraining over the result ([[bpeMergesFrom]]) is
+    * bit-identical to training over the union corpus. */
+  def loadBpeWordStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    additiveParts(spark, path).reduce(_ unionByName _)
+      .groupBy("word").agg(sum("freq").as("freq"))
+
+  /** Compact the persisted word table into one new base, sweep deltas. */
+  def compactBpeWordStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val folded = additiveHighWater(spark, path)
+    saveAdditiveBase(loadBpeWordStats(spark, path), path)
+    IndexFiles.numbered(spark, path, "delta_").filter(_._1 <= folded)
+      .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
+  }
 }

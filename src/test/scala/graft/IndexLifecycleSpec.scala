@@ -443,4 +443,68 @@ class IndexLifecycleSpec extends SparkSpec {
     val oneShot = operators.TextAnalysis.bm25TopK(docs).collect().toSeq
     assert(viaRefreshed == oneShot && oneShot.nonEmpty)
   }
+
+  test("BM25 stats persistence: base+delta reload ≡ from-scratch; compaction and post-compaction deltas stay sound") {
+    import operators.TextAnalysis
+    val docs = operators.Tables.load(spark, sf(), "documents")
+    val b0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-lsm").toString
+
+    TextAnalysis.saveBm25Stats(TextAnalysis.bm25Stats(b0), path)
+    TextAnalysis.saveBm25StatsDelta(TextAnalysis.bm25Stats(b1), path)
+    TextAnalysis.saveBm25StatsDelta(TextAnalysis.bm25Stats(b2), path)
+    assert(TextAnalysis.textStatsExist(spark, path))
+
+    val scratch = TextAnalysis.bm25Stats(docs).collect().toSeq
+    assert(TextAnalysis.loadBm25Stats(spark, path).collect().toSeq == scratch,
+      "base + two delta replays must equal from-scratch stats bit-for-bit")
+
+    // compaction: contents identical, deltas swept
+    TextAnalysis.compactBm25Stats(spark, path)
+    assert(operators.IndexFiles.numbered(spark, path, "delta_").isEmpty)
+    assert(TextAnalysis.loadBm25Stats(spark, path).collect().toSeq == scratch)
+
+    // the high-water gotcha: a delta AFTER compaction must number above
+    // the new base's stamp or every load would silently ignore it
+    val id = TextAnalysis.saveBm25StatsDelta(TextAnalysis.bm25Stats(b1), path)
+    assert(id > 2, s"post-compaction delta id must exceed the stamp, got $id")
+    val over = TextAnalysis.loadBm25Stats(spark, path).collect().head
+    assert(over.getAs[Long]("n_docs") ==
+      scratch.head.getAs[Long]("n_docs") + b1.count(),
+      "the post-compaction delta must be visible to loads")
+    operators.IndexFiles.delete(spark, path)
+  }
+
+  test("BPE word-stats persistence: retraining over the reloaded table ≡ from-scratch over the union") {
+    import operators.TextAnalysis
+    val docs = operators.Tables.load(spark, sf(), "documents")
+    val b0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val union = docs.filter(pmod(col("doc_id"), lit(3)) < 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe-lsm").toString
+
+    TextAnalysis.saveBpeWordStats(TextAnalysis.bpeWordStats(b0), path)
+    TextAnalysis.saveBpeWordStatsDelta(TextAnalysis.bpeWordStats(b1), path)
+
+    val loaded = TextAnalysis.loadBpeWordStats(spark, path)
+    def wordSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toSet
+    assert(wordSet(loaded) == wordSet(TextAnalysis.bpeWordStats(union)),
+      "per-word reload aggregate must equal the from-scratch word table")
+
+    // the artifact's purpose: retraining over the reloaded table is
+    // bit-identical to training over the union corpus
+    val got = TextAnalysis.bpeMergesFrom(loaded).collect().toSeq
+    val want = TextAnalysis.bpeMergesFrom(TextAnalysis.bpeWordStats(union))
+      .collect().toSeq
+    assert(got == want && got.nonEmpty)
+
+    TextAnalysis.compactBpeWordStats(spark, path)
+    assert(operators.IndexFiles.numbered(spark, path, "delta_").isEmpty)
+    assert(wordSet(TextAnalysis.loadBpeWordStats(spark, path)) ==
+      wordSet(TextAnalysis.bpeWordStats(union)))
+    operators.IndexFiles.delete(spark, path)
+  }
 }
