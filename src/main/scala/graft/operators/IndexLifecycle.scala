@@ -421,9 +421,14 @@ object IndexMaintenance {
   /** kNN-graph maintenance: edge recall on the deterministic query sample
     * vs the floor; a breach rebuilds the graph from scratch over `corpus`
     * (fresh coarse quantizer — the graph has no partial retrain, see
-    * [[RefreshableKnnGraph]]) and swaps it in. */
+    * [[RefreshableKnnGraph]]) and swaps it in. With `indexPath` set the
+    * rebuilt graph persists as a new base whose `last_delta` stamp
+    * swallows the dead-quantizer deltas ([[Similarity.saveKnnGraph]]) —
+    * without it a durable deployment would reload the STALE graph after
+    * the swap (the PQ side's retrain already persists this way). */
   def maintainKnnGraph(holder: RefreshableKnnGraph, corpus: DataFrame,
-      floor: Double, sampleMod: Int = 7, centroidMod: Int = 127): Decision = {
+      floor: Double, sampleMod: Int = 7, centroidMod: Int = 127,
+      indexPath: Option[String] = None): Decision = {
     def recall() = Similarity.knnGraphRecall(holder.current, sampleMod)
       .head().getAs[Double]("recall")
     val before = recall()
@@ -431,6 +436,7 @@ object IndexMaintenance {
     else {
       holder.rebuildWith(Similarity.knnGraphIndex(corpus,
         holder.current.k, holder.current.nProbe, centroidMod))
+      indexPath.foreach(p => Similarity.saveKnnGraph(holder.current, p))
       Decision(before, retrained = true, Some(recall()))
     }
   }

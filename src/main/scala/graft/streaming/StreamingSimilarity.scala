@@ -141,14 +141,30 @@ object StreamingSimilarity {
     * order as the novelty gates' per-batch index probe. */
   def pqIngest(ref: graft.operators.RefreshablePqIndex,
       indexPath: Option[String] = None,
-      compactEvery: Int = 0): PqIngestGate =
-    new PqIngestGate(ref, indexPath, compactEvery)
+      compactEvery: Int = 0,
+      maintainEvery: Int = 0,
+      maintain: Option[() => graft.operators.IndexMaintenance.Decision] = None): PqIngestGate =
+    new PqIngestGate(ref, indexPath, compactEvery, maintainEvery, maintain)
 
   /** [[StreamingDedup.IngestGate]]'s PQ sibling: apply() stages the batch
     * and folds everything staged BEFORE it; [[PqIngestGate.flush]] folds
-    * the rest at a quiet point (an AvailableNow run's final batch). */
+    * the rest at a quiet point (an AvailableNow run's final batch).
+    *
+    * With `maintainEvery` > 0 and a `maintain` closure (typically
+    * `() => IndexMaintenance.maintainPq(holder, corpus, floor,
+    * indexPath = …)`), the gate runs the monitor-driven maintenance
+    * policy every N folds — the deployment loop that actually OBSERVES
+    * codebook drift instead of leaving the recall monitor as a tool
+    * nobody calls; each pass's [[graft.operators.IndexMaintenance.Decision]]
+    * audit record accumulates in [[PqIngestGate.decisions]]. The closure
+    * supplies the corpus because a retrain re-encodes the RAW vectors,
+    * which the index (quantized forms only) cannot reconstruct — the
+    * deployment hands back whatever population it lands (e.g. its own
+    * sink). */
   final class PqIngestGate(ref: graft.operators.RefreshablePqIndex,
-      indexPath: Option[String], compactEvery: Int = 0)
+      indexPath: Option[String], compactEvery: Int = 0,
+      maintainEvery: Int = 0,
+      maintain: Option[() => graft.operators.IndexMaintenance.Decision] = None)
       extends (DataFrame => DataFrame) {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.functions.broadcast
@@ -158,6 +174,27 @@ object StreamingSimilarity {
       new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
     private val nextSyntheticId = new java.util.concurrent.atomic.AtomicLong(0L)
     private val foldsSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val foldsSinceMaintain = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val audit = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.operators.IndexMaintenance.Decision]()
+
+    /** Every maintenance pass this gate has run, in order — the audit
+      * trail a deployment logs/alerts on. */
+    def decisions: Seq[graft.operators.IndexMaintenance.Decision] = {
+      import scala.jdk.CollectionConverters._
+      audit.iterator().asScala.toSeq
+    }
+
+    /** The every-N-folds maintenance cadence (measure recall; a floor
+      * breach retrains-and-swaps through the holder — see [[pqIngest]]). */
+    private def maybeMaintain(): Unit =
+      maintain.foreach { m =>
+        if (maintainEvery > 0 &&
+            foldsSinceMaintain.incrementAndGet() >= maintainEvery) {
+          audit.add(m())
+          foldsSinceMaintain.set(0L)
+        }
+      }
 
     /** Append `staged`, skipping vec_ids the index already encoded — the
       * idempotence guard that makes a crash-boundary re-fold a no-op.
@@ -185,12 +222,13 @@ object StreamingSimilarity {
                   Similarity.compactPqIndex(spark, p)
                   foldsSinceCompact.set(0L)
                 }
+                maybeMaintain()
               }
               IndexFiles.delete(spark, dir.toString)
             }
         case None =>
           pending.getAndSet(None).foreach { st =>
-            appendFresh(st, None); st.unpersist()
+            appendFresh(st, None); st.unpersist(); maybeMaintain()
           }
       }
 
@@ -235,16 +273,25 @@ object StreamingSimilarity {
     * broadcast — the same order as the fold's own centroid assignment. */
   def knnGraphIngest(ref: graft.operators.RefreshableKnnGraph,
       indexPath: Option[String] = None,
-      compactEvery: Int = 0): KnnGraphIngestGate =
-    new KnnGraphIngestGate(ref, indexPath, compactEvery)
+      compactEvery: Int = 0,
+      maintainEvery: Int = 0,
+      maintain: Option[() => graft.operators.IndexMaintenance.Decision] = None): KnnGraphIngestGate =
+    new KnnGraphIngestGate(ref, indexPath, compactEvery, maintainEvery, maintain)
 
   /** [[StreamingDedup.IngestGate]]'s graph sibling: apply() stages the
     * batch and folds everything staged BEFORE it;
     * [[KnnGraphIngestGate.flush]] folds the rest at a quiet point (an
     * AvailableNow run's final batch). Staged batches are slimmed to
-    * `(vec_id, label, embedding)` — the fold's `quantized()` input. */
+    * `(vec_id, label, embedding)` — the fold's `quantized()` input.
+    * `maintainEvery`/`maintain` run the monitor-driven maintenance policy
+    * (typically `() => IndexMaintenance.maintainKnnGraph(holder, corpus,
+    * floor)`) every N folds, accumulating the audit trail in
+    * [[KnnGraphIngestGate.decisions]] — see [[pqIngest]] for why the
+    * closure supplies the corpus. */
   final class KnnGraphIngestGate(ref: graft.operators.RefreshableKnnGraph,
-      indexPath: Option[String], compactEvery: Int = 0)
+      indexPath: Option[String], compactEvery: Int = 0,
+      maintainEvery: Int = 0,
+      maintain: Option[() => graft.operators.IndexMaintenance.Decision] = None)
       extends (DataFrame => DataFrame) {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.functions.broadcast
@@ -254,6 +301,24 @@ object StreamingSimilarity {
       new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
     private val nextSyntheticId = new java.util.concurrent.atomic.AtomicLong(0L)
     private val foldsSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val foldsSinceMaintain = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val audit = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.operators.IndexMaintenance.Decision]()
+
+    /** Every maintenance pass this gate has run, in order. */
+    def decisions: Seq[graft.operators.IndexMaintenance.Decision] = {
+      import scala.jdk.CollectionConverters._
+      audit.iterator().asScala.toSeq
+    }
+
+    private def maybeMaintain(): Unit =
+      maintain.foreach { m =>
+        if (maintainEvery > 0 &&
+            foldsSinceMaintain.incrementAndGet() >= maintainEvery) {
+          audit.add(m())
+          foldsSinceMaintain.set(0L)
+        }
+      }
 
     /** Fold `staged`, skipping vec_ids the graph already holds — the
       * idempotence guard that makes a crash-boundary re-fold a no-op. */
@@ -278,12 +343,13 @@ object StreamingSimilarity {
                   Similarity.compactKnnGraph(spark, p)
                   foldsSinceCompact.set(0L)
                 }
+                maybeMaintain()
               }
               IndexFiles.delete(spark, dir.toString)
             }
         case None =>
           pending.getAndSet(None).foreach { st =>
-            foldFresh(st, None); st.unpersist()
+            foldFresh(st, None); st.unpersist(); maybeMaintain()
           }
       }
 

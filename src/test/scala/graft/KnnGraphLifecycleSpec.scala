@@ -289,4 +289,33 @@ class KnnGraphLifecycleSpec extends SparkSpec {
     reloaded.release()
     graft.operators.IndexFiles.delete(spark, path)
   }
+
+  test("gated maintenance, durable: the loop observes drift, rebuilds, and PERSISTS the rebuilt graph") {
+    import graft.streaming.StreamingSimilarity
+    val path = java.nio.file.Files.createTempDirectory("graft-kg-maint").toString
+    Similarity.saveKnnGraph(
+      Similarity.knnGraphIndex(driftOriginal, centroidMod = 13), path)
+    val holder = new RefreshableKnnGraph(Similarity.loadKnnGraph(spark, path))
+    val union = driftOriginal.unionAll(driftShifted)
+    val gate = StreamingSimilarity.knnGraphIngest(holder, Some(path),
+      maintainEvery = 1,
+      maintain = Some(() => operators.IndexMaintenance.maintainKnnGraph(
+        holder, union, floor = 0.9, centroidMod = 13, indexPath = Some(path))))
+
+    gate.apply(driftShifted, 0L) // stages the drifting batch
+    gate.flush()                 // folds it; the cadence fires the policy
+
+    assert(gate.decisions.size == 1)
+    val d = gate.decisions.head
+    assert(d.retrained && d.recallBefore < 0.9 && d.recallAfter.exists(_ >= 0.9),
+      s"the loop must observe the drift and recover: $d")
+
+    // the rebuilt graph must be what a RESTART loads — without the
+    // persist, the disk would still replay the stale-quantizer chain
+    val reloaded = Similarity.loadKnnGraph(spark, path)
+    assert(edgeSet(reloaded.edges) == edgeSet(holder.current.edges),
+      "a restart must load the rebuilt graph, not the stale one")
+    reloaded.release()
+    graft.operators.IndexFiles.delete(spark, path)
+  }
 }

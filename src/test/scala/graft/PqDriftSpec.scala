@@ -131,6 +131,33 @@ class PqDriftSpec extends SparkSpec {
     assert(holder.current.version == 2, "a no-op pass must not touch the index")
   }
 
+  test("gated maintenance: the ingest loop itself observes drift on cadence and retrains") {
+    import graft.streaming.StreamingSimilarity
+    val holder = new RefreshablePqIndex(Similarity.pqIndexBuild(original))
+    // the corpus supplier hands the retrain the FULL raw population — the
+    // gate's index (quantized forms) cannot reconstruct it
+    val gate = StreamingSimilarity.pqIngest(holder, maintainEvery = 1,
+      maintain = Some(() => IndexMaintenance.maintainPq(
+        holder, original.unionAll(shifted), floor = 0.7, rerank = 8)))
+
+    gate.apply(shifted, 0L) // stages the drifting batch
+    gate.flush()            // folds it; the cadence fires the policy
+
+    assert(gate.decisions.size == 1, "one fold at maintainEvery=1 → one pass")
+    val d = gate.decisions.head
+    assert(d.retrained && d.recallBefore < 0.7 && d.recallAfter.exists(_ >= 0.7),
+      s"the loop must observe the drift and recover: $d")
+    assert(holder.current.version == 2)
+
+    // a healthy follow-up fold: the pass measures and does nothing
+    val healthy = frame(for { m <- 0 until 5 } yield vec(0, 2, m, 3000L + m))
+    gate.apply(healthy, 1L)
+    gate.flush()
+    assert(gate.decisions.size == 2)
+    assert(!gate.decisions(1).retrained && holder.current.version == 2,
+      "an above-floor pass must not touch the index")
+  }
+
   private def codeSetOf(i: Similarity.PqIndex): Set[(Long, Long, Long)] =
     i.codes.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("m"),
       r.getAs[Long]("code"))).toSet
