@@ -237,6 +237,10 @@ object DataPipelineQueries {
     "retrieval_hybrid_rrf" -> ((s, dir) =>
       CurationPipeline.hybridRetrievalRrf(docs(s, dir), emb(s, dir))),
     "retrieval_mmr" -> ((s, dir) => Similarity.mmrTopK(emb(s, dir))),
+    // hard-negative mining: per query, the top-k nearest DIFFERENT-label
+    // vectors — the contrastive-training negatives a retrieval trainer
+    // consumes (near-misses, not random easy negatives)
+    "retrieval_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
     "source_report" -> ((s, dir) => TextAnalysis.sourceReport(docs(s, dir))),
     "sample_shuffle" -> ((s, dir) => Sampling.shuffleShards(docs(s, dir))),
     "sample_temperature" -> ((s, dir) => Sampling.temperatureMix(docs(s, dir))),
@@ -319,6 +323,7 @@ object DataPipelineQueries {
     "graph_quality_prop" -> Similarity.qualityPropagationSql,
     "graph_pagerank" -> Similarity.pageRankSql,
     "retrieval_mmr" -> Similarity.mmrTopKSql,
+    "retrieval_hard_negatives" -> Similarity.hardNegativesSql,
     "sim_topk_sq8" -> Similarity.sq8TopKSql,
     "sim_topk_pq" -> Similarity.pqTopKSql,
     "sim_topk_pq_learned" -> Similarity.pqLearnedTopKSql,

@@ -112,6 +112,59 @@ object Similarity {
       |SELECT query_id, neighbor_id, cos, rnk FROM bfranked WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** HARD-NEGATIVE MINING for contrastive embedding training: for each
+    * query vector, the top-`k` most-similar corpus vectors with a
+    * DIFFERENT label — the near-misses a trainer wants as negatives
+    * (random negatives are too easy to separate; same-label hits are
+    * positives, not negatives). Exact quantized-cosine ranking with the
+    * label inequality applied INSIDE the broadcast join, so same-label
+    * candidates never reach the rank.
+    *
+    * 100 TB shape: same as [[bruteForceTopK]] — the query set is a small
+    * broadcast sample, the corpus streams map-side, and the rank is one
+    * window PARTITIONED by query_id (never partitionless); full-corpus
+    * mining swaps in the IVF/LSH probed-candidate machinery with this
+    * exact form as its recall oracle, exactly like the ANN family. */
+  def hardNegatives(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val q = quantized(emb)
+    val queries = q.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("q").as("qa"), col("nq").as("nqa"))
+    val corpus = q.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"), col("q").as("qb"), col("nq").as("nqb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(queries).join(corpus, col("query_label") =!= col("neighbor_label"))
+      .withColumn("dot", dotCol)
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "neighbor_label", "cos", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  lazy val hardNegativesSql: String =
+    s"""WITH $evNormsSql,
+      |lab AS (SELECT vec_id, label FROM embeddings),
+      |hnd AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(sum(a.q*b.q) AS BIGINT) AS dot
+      |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+      |  GROUP BY 1, 2),
+      |hns AS (
+      |  SELECT query_id, neighbor_id, lb.label AS neighbor_label,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+      |  FROM hnd
+      |  JOIN norms na ON na.vec_id = query_id JOIN norms nb ON nb.vec_id = neighbor_id
+      |  JOIN lab la ON la.vec_id = query_id JOIN lab lb ON lb.vec_id = neighbor_id
+      |  WHERE la.label <> lb.label),
+      |hnr AS (
+      |  SELECT query_id, neighbor_id, neighbor_label, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM hns)
+      |SELECT query_id, neighbor_id, neighbor_label, cos, rnk FROM hnr WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
   /** Per-vector SQ8 codes: `m` = max |component| on the quantized grid
     * (BIGINT, exact) and the int8 code `q8ᵢ = sign(qᵢ)·⌊|qᵢ|·127 / m⌋` —
     * the absolute-value form keeps the integer division identical across
