@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{IndexMaintenance, RefreshableEmbedIndex, RefreshableKnnGraph, RefreshablePqIndex, Similarity}
+import graft.streaming.StreamingSimilarity
+
+/** The vector-ingest daemon — [[Ingest]]'s embedding-side sibling and the
+  * runnable surface for the vector gate family: watch a directory for
+  * embedding parquet, admit only vectors with no near-match in the LIVING
+  * embed index (cosine novelty), land admissions exactly-once under
+  * `--out/ingest_batch=<id>`, and optionally keep the downstream ANN
+  * artifacts current — PQ append-encode at `--pq-index`, kNN-graph folds
+  * at `--graph-index` — with a monitor-driven maintenance cadence
+  * (`--maintain-every`/`--maintain-floor`) that retrains a drifted
+  * codebook / rebuilds a drifted graph and persists the new stamped base.
+  *
+  * {{{
+  *   spark-submit --class graft.VecIngest <jar> \
+  *     --src /data/vectors --out /curated/vectors \
+  *     --checkpoint /ckpt --index /indexes/embed \
+  *     [--threshold 0.35] [--pq-index /indexes/pq] \
+  *     [--graph-index /indexes/graph] [--compact-every 16] \
+  *     [--maintain-every 8 --maintain-floor 0.7] \
+  *     [--centroid-mod 127] [--once]
+  * }}}
+  *
+  * Everything is durable: the novelty/PQ/graph gates stage each batch
+  * under their index paths and fold LAGGED one batch, so a crash at any
+  * boundary resumes from disk without re-admitting or double-encoding
+  * (the staged/lagged + idempotence-guard arguments of
+  * [[graft.streaming.StreamingSimilarity]]). The PQ and graph indexes
+  * BOOTSTRAP from the first non-empty admitted batch — the frozen
+  * codebook/centroids need a population to train on, and "the first data
+  * available" is the deployment reality; the maintenance cadence is what
+  * corrects a skewed first draw. Retrains re-encode the accumulated
+  * `--out` corpus (the raw vectors this daemon itself landed — the
+  * quantized indexes cannot reconstruct them), which may include a batch
+  * folded later: the gates' already-encoded guards skip it, so a retrain
+  * racing a staged fold stays consistent. */
+object VecIngest {
+
+  final case class Config(
+      src: String = "",
+      out: String = "",
+      checkpoint: String = "",
+      index: String = "",
+      threshold: Double = 0.35,
+      pqIndex: Option[String] = None,
+      graphIndex: Option[String] = None,
+      compactEvery: Int = 16,
+      maintainEvery: Int = 0,
+      maintainFloor: Double = 0.7,
+      centroidMod: Int = 127,
+      once: Boolean = false)
+
+  def parseArgs(args: Seq[String]): Config = {
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case "--src" :: v :: t => loop(t, c.copy(src = v))
+      case "--out" :: v :: t => loop(t, c.copy(out = v))
+      case "--checkpoint" :: v :: t => loop(t, c.copy(checkpoint = v))
+      case "--index" :: v :: t => loop(t, c.copy(index = v))
+      case "--threshold" :: v :: t => loop(t, c.copy(threshold = v.toDouble))
+      case "--pq-index" :: v :: t => loop(t, c.copy(pqIndex = Some(v)))
+      case "--graph-index" :: v :: t => loop(t, c.copy(graphIndex = Some(v)))
+      case "--compact-every" :: v :: t => loop(t, c.copy(compactEvery = v.toInt))
+      case "--maintain-every" :: v :: t => loop(t, c.copy(maintainEvery = v.toInt))
+      case "--maintain-floor" :: v :: t => loop(t, c.copy(maintainFloor = v.toDouble))
+      case "--centroid-mod" :: v :: t => loop(t, c.copy(centroidMod = v.toInt))
+      case "--once" :: t => loop(t, c.copy(once = true))
+      case Nil =>
+        require(c.src.nonEmpty && c.out.nonEmpty && c.checkpoint.nonEmpty &&
+          c.index.nonEmpty,
+          "--src, --out, --checkpoint, and --index are required")
+        c
+      case other :: _ => throw new IllegalArgumentException(
+        s"unknown flag: $other (supported: --src <dir> --out <path> --checkpoint <dir> " +
+          "--index <path> --threshold <t> --pq-index <path> --graph-index <path> " +
+          "--compact-every <n> --maintain-every <n> --maintain-floor <r> " +
+          "--centroid-mod <m> --once)")
+    }
+    loop(args.toList, Config())
+  }
+
+  private val srcSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+
+  /** One run's gates + per-batch body, separable from the streaming query
+    * for spec-level driving (the same shape as [[Ingest.nearGate]]). */
+  private[graft] final class Pipeline(spark: SparkSession, c: Config) {
+
+    /** Novelty gate against the living embed index: load the persisted
+      * base+deltas, else bootstrap an empty-corpus base (everything is
+      * novel until folds accumulate; deltas need a base to fold onto). */
+    private[graft] val embedGate: StreamingSimilarity.EmbedIngestGate = {
+      val idx0 =
+        if (Similarity.embedIndexExists(spark, c.index))
+          Similarity.loadEmbedIndex(spark, c.index)
+        else {
+          import spark.implicits._
+          val empty = Similarity.embedIndex(
+            Seq.empty[(Long, Int, Seq[Float])].toDF("vec_id", "label", "embedding"))
+          Similarity.saveEmbedIndex(empty, c.index)
+          empty
+        }
+      StreamingSimilarity.novelAgainstIndexIngest(new RefreshableEmbedIndex(idx0),
+        c.threshold, indexPath = Some(c.index), compactEvery = c.compactEvery)
+    }
+
+    private var pqGate: Option[StreamingSimilarity.PqIngestGate] = None
+    private var graphGate: Option[StreamingSimilarity.KnnGraphIngestGate] = None
+
+    private[graft] def pqDecisions: Seq[IndexMaintenance.Decision] =
+      pqGate.map(_.decisions).getOrElse(Nil)
+    private[graft] def graphDecisions: Seq[IndexMaintenance.Decision] =
+      graphGate.map(_.decisions).getOrElse(Nil)
+
+    /** The accumulated admitted raw vectors — what a retrain re-encodes. */
+    private def corpus(): DataFrame =
+      spark.read.parquet(c.out).select("vec_id", "label", "embedding")
+
+    private def ensurePq(admitted: DataFrame): Option[StreamingSimilarity.PqIngestGate] =
+      c.pqIndex.map { p =>
+        pqGate.getOrElse {
+          val ref = new RefreshablePqIndex(
+            if (Similarity.pqIndexExists(spark, p)) Similarity.loadPqIndex(spark, p)
+            else {
+              val b = Similarity.pqIndexBuild(admitted)
+              Similarity.savePqIndex(b, p)
+              b
+            })
+          val maintain =
+            if (c.maintainEvery > 0) Some(() =>
+              IndexMaintenance.maintainPq(ref, corpus(), c.maintainFloor,
+                indexPath = Some(p)))
+            else None
+          val g = StreamingSimilarity.pqIngest(ref, Some(p), c.compactEvery,
+            c.maintainEvery, maintain)
+          pqGate = Some(g); g
+        }
+      }
+
+    private def ensureGraph(admitted: DataFrame): Option[StreamingSimilarity.KnnGraphIngestGate] =
+      c.graphIndex.map { p =>
+        graphGate.getOrElse {
+          val ref = new RefreshableKnnGraph(
+            if (Similarity.knnGraphExists(spark, p)) Similarity.loadKnnGraph(spark, p)
+            else {
+              val b = Similarity.knnGraphIndex(admitted, centroidMod = c.centroidMod)
+              Similarity.saveKnnGraph(b, p)
+              b
+            })
+          val maintain =
+            if (c.maintainEvery > 0) Some(() =>
+              IndexMaintenance.maintainKnnGraph(ref, corpus(), c.maintainFloor,
+                centroidMod = c.centroidMod, indexPath = Some(p)))
+            else None
+          val g = StreamingSimilarity.knnGraphIngest(ref, Some(p), c.compactEvery,
+            c.maintainEvery, maintain)
+          graphGate = Some(g); g
+        }
+      }
+
+    /** The foreachBatch body: gate → land admissions exactly-once →
+      * feed the ANN gates (which stage now and fold lagged). Landing
+      * BEFORE the ANN gates keeps the retrain corpus a superset of the
+      * encoded population — the gates' already-encoded guards absorb the
+      * overlap (see the object scaladoc). */
+    def onBatch(batch: DataFrame, batchId: Long): Unit = {
+      val slim = batch.select("vec_id", "label", "embedding")
+      val decisions = embedGate(slim, batchId)
+      val admitted = slim.join(
+        decisions.filter(col("novel")).select("vec_id"), Seq("vec_id")).persist()
+      try {
+        admitted.write.mode("overwrite").parquet(s"${c.out}/ingest_batch=$batchId")
+        if (!admitted.isEmpty) {
+          ensurePq(admitted).foreach(_.apply(admitted, batchId))
+          ensureGraph(admitted).foreach(_.apply(admitted, batchId))
+        }
+      } finally { admitted.unpersist(); () }
+    }
+
+    /** Clean-shutdown fold of every gate's staged leftovers (the lag
+      * defers each fold to a next batch a terminated run never gets). */
+    def flush(): Unit = {
+      embedGate.flush()
+      pqGate.foreach(_.flush())
+      graphGate.foreach(_.flush())
+    }
+  }
+
+  private[graft] def ingestTo(spark: SparkSession, stream: DataFrame,
+      c: Config): (StreamingQuery, Pipeline) = {
+    val pipe = new Pipeline(spark, c)
+    val w = stream.writeStream
+      .option("checkpointLocation", c.checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => pipe.onBatch(b, id))
+    val q = (if (c.once) w.trigger(Trigger.AvailableNow()) else w).start()
+    (q, pipe)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val config = parseArgs(args.toSeq)
+    val spark = SparkSession.builder()
+      .appName("graft-vector-ingest")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    val in = spark.readStream.schema(srcSchema).parquet(config.src)
+    val (query, pipe) = ingestTo(spark, in, config)
+    sys.addShutdownHook { query.stop() }
+    query.awaitTermination()
+    pipe.flush()
+  }
+}
