@@ -1216,9 +1216,14 @@ object RelationalQueries {
     "events_funnel" -> eventsFunnel _,
     "events_retention" -> eventsRetention _,
     "events_props" -> eventsProps _,
+    // write-time Z-order layout key (the clustering itself is pinned by
+    // the pruning spec; this row pins the Morton arithmetic hash-exact)
+    "layout_zorder" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Layout.eventsZorder(graft.operators.Tables.events(s, dir))),
   )
 
   val oracles: Map[String, String] = Map(
+    "layout_zorder" -> graft.operators.Layout.eventsZorderSql,
     "events_rate_window" -> eventsRateWindowSql,
     "events_interval_join" -> eventsIntervalJoinSql,
     // the salted variant answers IDENTICALLY — same oracle

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DATA-LAYOUT operators — write-time clustering that makes 100 TB scans
+  * cheap to PRUNE. A table range-partitioned and sorted by one column
+  * prunes min/max file statistics on that column only; interleaving the
+  * bits of TWO keys into one Z-VALUE (Morton code) and range-clustering
+  * on it makes every contiguous chunk a small rectangle in (a, b) space,
+  * so per-file min/max stats prune box predicates on BOTH dimensions —
+  * the standard multi-dimensional layout trick (Z-ordering), here as a
+  * plain declarative column + `repartitionByRange`, nothing custom at
+  * execution time.
+  *
+  * Everything is exact BIGINT mask-shift arithmetic, so the z-values
+  * hash-match a DuckDB replay (`layout_zorder`); the PRUNING benefit —
+  * not expressible as a row oracle — is pinned by a live spec that lays
+  * the same table out z-ordered vs 1-D-sorted and counts chunks a 2-D box
+  * query touches (ScaleTechniquesSpec). */
+object Layout {
+
+  /** Spread the low 16 bits of `x` onto the even bit positions 0,2,…,30 —
+    * the classic mask-shift cascade, four exactly-reproducible BIGINT
+    * steps, no loop, fully codegen'd. */
+  private[operators] def spreadBits(x: Column): Column =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+      .foldLeft(x.bitwiseAND(lit(0xFFFFL))) { case (c, (s, mask)) =>
+        c.bitwiseOR(shiftleft(c, s)).bitwiseAND(lit(mask))
+      }
+
+  /** The same cascade as a DuckDB expression over `e` (kept textually next
+    * to [[spreadBits]] so the two cannot drift apart). */
+  private def spreadSql(e: String): String =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+      .foldLeft(s"(($e) & 65535)") { case (c, (s, mask)) =>
+        s"(($c | ($c << $s)) & $mask)"
+      }
+
+  /** The 32-bit Morton code of two 16-bit keys: `a`'s bits on the even
+    * positions, `b`'s on the odd. */
+  def zValue(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Z-ORDER the frame for a write: range-cluster on the interleaved key
+    * so each output chunk is a rectangle in (a, b) space. This IS the
+    * write path — `zOrderBy(df, …).write.parquet(dest)` gives parquet
+    * row-group/file min-max stats that prune on both keys. Range
+    * partitioning samples boundaries (one pass) and the within-partition
+    * sort is spill-safe — no global sort. */
+  def zOrderBy(df: DataFrame, a: Column, b: Column,
+      partitions: Int = 32): DataFrame =
+    df.withColumn("z_val", zValue(a, b))
+      .repartitionByRange(partitions, col("z_val"))
+      .sortWithinPartitions("z_val")
+
+  /** The registry form over `events`: layout keys = (user_id, epoch hour)
+    * — the two dimensions interactive queries actually box on (a user's
+    * activity; a time window) — each NORMALIZED to the full 16-bit range
+    * before interleaving. The normalization is load-bearing, not
+    * cosmetic: raw keys of asymmetric bit-width (15 users = 4 bits vs
+    * ~720 distinct hours = 10) put all the varying bits of one dimension
+    * ABOVE the other's in the Morton code, and the "2-D" layout
+    * degenerates to a 1-D sort on the wider key — caught live by the
+    * pruning spec, which saw a user-box query touch every chunk. Rank- or
+    * min/max-scaling each dimension first is the standard Z-order
+    * discipline (at 100 TB the bounds row comes from table stats, not a
+    * scan; here one tiny aggregate broadcast-joins back). All integer
+    * arithmetic — (c − lo)·65535 div max(hi − lo, 1) — so the oracle
+    * replays it exactly; the hour index uses the exact floor-division
+    * spelling (sign-safe below epoch 0, the interval-join lesson). */
+  def eventsZorder(events: DataFrame): DataFrame = {
+    val keyed = Tables.fanOut(events)
+      .withColumn("h_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id").as("u_raw"),
+        expr("(h_us - pmod(h_us, 3600000000)) div 3600000000").as("h_raw"))
+    val bounds = keyed.agg(
+      min("u_raw").as("u_lo"), max("u_raw").as("u_hi"),
+      min("h_raw").as("h_lo"), max("h_raw").as("h_hi"))
+    keyed.crossJoin(broadcast(bounds))
+      .select(col("event_id"),
+        expr("((u_raw - u_lo) * 65535) div greatest(u_hi - u_lo, 1)").as("u16"),
+        expr("((h_raw - h_lo) * 65535) div greatest(h_hi - h_lo, 1)").as("h16"))
+      .withColumn("z_val", zValue(col("u16"), col("h16")))
+      .orderBy("event_id")
+  }
+
+  val eventsZorderSql: String = {
+    // floor division on an exact multiple of W: trunc == floor, so the
+    // engine's `//` semantics cannot matter; the normalization divisions
+    // have nonneg numerator and positive divisor — same argument
+    val hUs = "epoch_us(CAST(ts AS TIMESTAMP))"
+    val hour = s"(($hUs - ((($hUs % 3600000000) + 3600000000) % 3600000000)) // 3600000000)"
+    s"""WITH k AS (
+      |  SELECT event_id, CAST(user_id AS BIGINT) AS u_raw,
+      |    CAST($hour AS BIGINT) AS h_raw
+      |  FROM events),
+      |b AS (
+      |  SELECT min(u_raw) AS u_lo, max(u_raw) AS u_hi,
+      |    min(h_raw) AS h_lo, max(h_raw) AS h_hi FROM k),
+      |e AS (
+      |  SELECT event_id,
+      |    CAST(((u_raw - u_lo) * 65535) // greatest(u_hi - u_lo, 1) AS BIGINT) AS u16,
+      |    CAST(((h_raw - h_lo) * 65535) // greatest(h_hi - h_lo, 1) AS BIGINT) AS h16
+      |  FROM k CROSS JOIN b)
+      |SELECT event_id, u16, h16,
+      |  CAST(${spreadSql("u16")} | (${spreadSql("h16")} << 1) AS BIGINT) AS z_val
+      |FROM e ORDER BY event_id""".stripMargin
+  }
+}

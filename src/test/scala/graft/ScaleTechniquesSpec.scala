@@ -667,4 +667,57 @@ class ScaleTechniquesSpec extends SparkSpec {
       l.contains("FileScan parquet") && l.contains("text:string"))
     assert(textScans <= 2, s"expected <=2 text scans, got $textScans:\n${fin.take(1500)}")
   }
+
+  test("z-order layout: a 2-D box query touches fewer range chunks than under a 1-D sort") {
+    import graft.operators.Layout
+    // the layout keys the registry row emits, over the real events table
+    val keyed = Layout.eventsZorder(Tables.events(spark, sf()))
+      .select("event_id", "u16", "h16")
+
+    val nChunks = 16
+    // per-chunk min/max key stats — exactly what parquet row-group/file
+    // statistics give a 100 TB reader; a chunk is "touched" when its
+    // [min,max] box intersects the query box on BOTH dimensions
+    def chunkStats(laid: org.apache.spark.sql.DataFrame) = laid
+      .withColumn("chunk", spark_partition_id())
+      .groupBy("chunk").agg(
+        min("u16").as("u_lo"), max("u16").as("u_hi"),
+        min("h16").as("h_lo"), max("h16").as("h_hi"))
+      .collect()
+    def touched(stats: Array[org.apache.spark.sql.Row],
+        uLo: Long, uHi: Long, hLo: Long, hHi: Long): Int =
+      stats.count { r =>
+        r.getAs[Long]("u_lo") <= uHi && r.getAs[Long]("u_hi") >= uLo &&
+          r.getAs[Long]("h_lo") <= hHi && r.getAs[Long]("h_hi") >= hLo
+      }
+
+    val zStats = chunkStats(
+      Layout.zOrderBy(keyed, col("u16"), col("h16"), nChunks))
+    val hStats = chunkStats( // the 1-D alternative: time-sorted layout
+      keyed.repartitionByRange(nChunks, col("h16")).sortWithinPartitions("h16"))
+    assert(zStats.length == nChunks && hStats.length == nChunks)
+
+    // the box every per-user dashboard runs: ONE user's slice across the
+    // full time range — a 1-D time layout cannot prune it at all
+    val u = keyed.select(min("u16"), max("u16")).head()
+    val h = keyed.select(min("h16"), max("h16")).head()
+    val (uMin, uMax) = (u.getLong(0), u.getLong(1))
+    val (hMin, hMax) = (h.getLong(0), h.getLong(1))
+    val uQuarter = uMin + (uMax - uMin) / 4
+    val zTouched = touched(zStats, uMin, uQuarter, hMin, hMax)
+    val hTouched = touched(hStats, uMin, uQuarter, hMin, hMax)
+    assert(hTouched == nChunks,
+      s"a 1-D time sort must be unable to prune a user-box query: $hTouched")
+    assert(zTouched < hTouched,
+      s"z-order must prune the user box: $zTouched vs $hTouched chunks")
+
+    // and the z layout still prunes on the time dimension too (a narrow
+    // time box): multi-dimensional clustering trades a LITTLE 1-D
+    // precision for pruning on BOTH keys — it must stay well under "scan
+    // everything" on either box
+    val hQuarter = hMin + (hMax - hMin) / 4
+    val zTime = touched(zStats, uMin, uMax, hMin, hQuarter)
+    assert(zTime < nChunks,
+      s"z-order must also prune a pure time box: $zTime of $nChunks")
+  }
 }
