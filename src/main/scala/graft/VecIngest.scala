@@ -169,7 +169,11 @@ object VecIngest {
       * encoded population — the gates' already-encoded guards absorb the
       * overlap (see the object scaladoc). */
     def onBatch(batch: DataFrame, batchId: Long): Unit = {
-      val slim = batch.select("vec_id", "label", "embedding")
+      // collapse in-batch exact duplicates FIRST (the gates' contract:
+      // in-stream duplicates are not matched against each other) — the
+      // min-id winner keeps the collapse replay-deterministic
+      val slim = StreamingSimilarity.firstVectorOccurrencesById(
+        batch.select("vec_id", "label", "embedding"))
       val decisions = embedGate(slim, batchId)
       val admitted = slim.join(
         decisions.filter(col("novel")).select("vec_id"), Seq("vec_id")).persist()

@@ -29,6 +29,40 @@ import graft.operators.Similarity
   * corpus, across a kill/restart, in StreamingDedupSpec. */
 object StreamingSimilarity {
 
+  /** The in-stream exact-dup key for vectors: md5 of the QUANTIZED
+    * embedding — the same round(x·1000) grid the whole engine scores on,
+    * so two floats that quantize identically are "the same vector" for
+    * dedup exactly as they are for similarity. 16 bytes shuffle/keyed
+    * regardless of dimension. */
+  private def withVecFp(vecs: DataFrame): DataFrame =
+    vecs.withColumn("vfp", org.apache.spark.sql.functions.md5(
+      org.apache.spark.sql.functions.expr(
+        "concat_ws(',', transform(embedding, " +
+          "x -> cast(cast(round(cast(x as double) * 1000) as bigint) as string)))")))
+
+  /** First arrival per distinct (quantized) vector —
+    * [[StreamingDedup.firstOccurrences]]'s vector twin, the upstream pass
+    * the novelty gates' contract asks for (in-stream duplicates are not
+    * matched against each other; this collapses them before the gate).
+    * Streaming semantics are arrival-order; on a BATCH frame Spark keeps
+    * an arbitrary row — batch callers wanting a deterministic winner use
+    * [[firstVectorOccurrencesById]]. */
+  def firstVectorOccurrences(vecs: DataFrame): DataFrame =
+    withVecFp(vecs).dropDuplicates("vfp")
+
+  /** Deterministic batch form: the MIN-vec_id row wins per distinct
+    * quantized vector — what a replayed foreachBatch body needs (an
+    * arbitrary-winner collapse would stage a different vec_id on replay
+    * and break byte-idempotent re-staging). One keyed window, never
+    * partitionless. */
+  def firstVectorOccurrencesById(vecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vfp").orderBy("vec_id")
+    withVecFp(vecs).withColumn("vrn", row_number().over(w))
+      .filter(col("vrn") === 1).drop("vrn", "vfp")
+  }
+
   def novelAgainstIndex(corpus: DataFrame, threshold: Double = 0.35,
       bucketCap: Int = graft.operators.Dedup.DefaultBucketCap): DataFrame => DataFrame = {
     val idx = Similarity.embedIndex(corpus, bucketCap)

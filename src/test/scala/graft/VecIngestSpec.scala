@@ -101,14 +101,19 @@ class VecIngestSpec extends SparkSpec {
       yield vec(8 * (f % 4), f, m, 9000L + f * 10 + m))
     val fresh = frame(for { f <- 0 until 3; m <- 0 until 10 }
       yield vec(32 + 8 * (f % 4), f, m, 2000L + f * 10 + m))
-    addFile(copies.unionByName(fresh), c.src, "b.parquet")
+    // plus an IN-BATCH duplicate pair (novel vector, two ids): the gates
+    // don't match in-stream duplicates against each other, so the daemon's
+    // upstream first-occurrence collapse must keep exactly the min id
+    val (_, dupEmb, dupLab) = vec(56, 9, 0, 5000L)
+    val inBatchDup = frame(Seq((5000L, dupEmb, dupLab), (5001L, dupEmb, dupLab)))
+    addFile(copies.unionByName(fresh).unionByName(inBatchDup), c.src, "b.parquet")
     drive()
 
     val landed = spark.read.parquet(c.out).select("vec_id")
       .collect().map(_.getLong(0)).toSet
-    val freshIds = (2000L until 2030L).toSet
+    val freshIds = (2000L until 2030L).toSet + 5000L
     assert(landed == landed1 ++ freshIds,
-      s"copies must be rejected and region-B admitted: ${landed -- landed1 -- freshIds}")
+      s"copies rejected, region-B + the min-id dup admitted: ${landed -- landed1 -- freshIds} / ${(landed1 ++ freshIds) -- landed}")
 
     // the PQ index resumed from base+deltas must encode EXACTLY the
     // admitted population, once each (bootstrap overlap + replay guards)
@@ -122,6 +127,7 @@ class VecIngestSpec extends SparkSpec {
     // union under the SAME frozen centroids
     val g = Similarity.loadKnnGraph(spark, c.graphIndex.get)
     val admittedUnion = runA.unionByName(fresh)
+      .unionByName(frame(Seq((5000L, dupEmb, dupLab))))
     val scratch = Similarity.knnGraphEdgesWith(admittedUnion, g.cents)
     def edgeSet(df: DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
