@@ -241,6 +241,10 @@ object DataPipelineQueries {
     // vectors — the contrastive-training negatives a retrieval trainer
     // consumes (near-misses, not random easy negatives)
     "retrieval_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
+    // the IVF scale path for full-corpus mining (probed cells, label
+    // inequality before the exact-rank tail; the exact row above is its
+    // recall reference)
+    "retrieval_hard_negatives_ivf" -> ((s, dir) => Similarity.hardNegativesIvf(emb(s, dir))),
     "source_report" -> ((s, dir) => TextAnalysis.sourceReport(docs(s, dir))),
     "sample_shuffle" -> ((s, dir) => Sampling.shuffleShards(docs(s, dir))),
     "sample_temperature" -> ((s, dir) => Sampling.temperatureMix(docs(s, dir))),
@@ -324,6 +328,7 @@ object DataPipelineQueries {
     "graph_pagerank" -> Similarity.pageRankSql,
     "retrieval_mmr" -> Similarity.mmrTopKSql,
     "retrieval_hard_negatives" -> Similarity.hardNegativesSql,
+    "retrieval_hard_negatives_ivf" -> Similarity.hardNegativesIvfSql,
     "sim_topk_sq8" -> Similarity.sq8TopKSql,
     "sim_topk_pq" -> Similarity.pqTopKSql,
     "sim_topk_pq_learned" -> Similarity.pqLearnedTopKSql,

@@ -1034,11 +1034,12 @@ object Similarity {
        |SELECT id AS vec_id, min(r) AS cluster_id, min(r) = id AS kept
        |FROM sreach GROUP BY id ORDER BY id""".stripMargin
 
-  /** DuckDB oracle for [[ivfTopK]] at the default parameters — codebook
-    * selection, cell assignment, nProbe probing, and the exact-rank tail are
-    * all integer/IEEE arithmetic, reproduced step for step. */
-  val ivfTopKSql: String =
-    s"""WITH $evNormsSql,
+  /** Shared IVF oracle chain through the `probes` CTE — composed by
+    * [[ivfTopKSql]] and [[hardNegativesIvfSql]] (the same
+    * cannot-desynchronize discipline as the operator-side
+    * `ivfProbeParts`). */
+  private val ivfProbeChainSql: String =
+    s"""$evNormsSql,
        |cents AS (SELECT vec_id AS cent_id FROM norms WHERE vec_id % 127 = 1),
        |cdots AS (
        |  SELECT a.vec_id, c.cent_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
@@ -1057,10 +1058,29 @@ object Similarity {
        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
        |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
        |      PARTITION BY vec_id ORDER BY score DESC, cent_id DESC) AS pr
-       |    FROM scored WHERE vec_id < 10) WHERE pr <= 2),
+       |    FROM scored WHERE vec_id < 10) WHERE pr <= 2)""".stripMargin
+
+  /** DuckDB oracle for [[ivfTopK]] at the default parameters — codebook
+    * selection, cell assignment, nProbe probing, and the exact-rank tail are
+    * all integer/IEEE arithmetic, reproduced step for step. */
+  val ivfTopKSql: String =
+    s"""WITH $ivfProbeChainSql,
        |cand AS (
        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
        |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |$rankSql""".stripMargin
+
+  /** DuckDB oracle for [[hardNegativesIvf]]: the probe chain with the
+    * label inequality applied at candidate generation. */
+  val hardNegativesIvfSql: String =
+    s"""WITH $ivfProbeChainSql,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN lab lq ON lq.vec_id = p.query_id
+       |  JOIN lab ln ON ln.vec_id = a.vec_id
+       |  WHERE lq.label <> ln.label),
        |$rankSql""".stripMargin
 
   /** DuckDB oracle for [[knnGraph]] at the defaults (k=3, nProbe=2): the
@@ -1138,6 +1158,21 @@ object Similarity {
   def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
       nProbe: Int = 2, centroidMod: Int = 127): DataFrame = {
     val q = quantized(emb)
+    val (probes, assigned) = ivfProbeParts(q, nQueries, nProbe, centroidMod)
+    val cand = probes
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+
+    rankCandidates(cand, q, k)
+  }
+
+  /** The shared IVF probe machinery: `(probes(query_id, cell),
+    * assigned(vec_id, cell))` — composed by [[ivfTopK]] and
+    * [[hardNegativesIvf]], so a probe-selection change cannot
+    * desynchronize them. */
+  private def ivfProbeParts(q: DataFrame, nQueries: Int, nProbe: Int,
+      centroidMod: Int): (DataFrame, DataFrame) = {
     val cents = q.filter(pmod(col("vec_id"), lit(centroidMod)) === 1)
       .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("nq").as("nqc"))
 
@@ -1157,10 +1192,28 @@ object Similarity {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    (probes, assigned)
+  }
 
+  /** [[hardNegatives]]' IVF scale path — full-corpus mining at 100 TB
+    * cannot afford the exact N·sample scan per refresh, so candidates come
+    * from the probed cells ([[ivfTopK]]'s machinery) with the label
+    * inequality applied BEFORE the exact-rank tail. Same
+    * approximate-recall trade as ivfTopK vs bruteForce (the exact
+    * [[hardNegatives]] is this variant's recall reference); deterministic
+    * end to end, hash-exact oracle. */
+  def hardNegativesIvf(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nProbe: Int = 2, centroidMod: Int = 127): DataFrame = {
+    val q = quantized(emb)
+    val (probes, assigned) = ivfProbeParts(q, nQueries, nProbe, centroidMod)
+    val lab = q.select(col("vec_id"), col("label"))
     val cand = probes
-      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(lab.select(col("vec_id").as("query_id"), col("label").as("ql")),
+        Seq("query_id"))
+      .join(assigned.join(lab, Seq("vec_id"))
+        .select(col("vec_id").as("neighbor_id"), col("label").as("nl"), col("cell")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id") && col("ql") =!= col("nl"))
       .select("query_id", "neighbor_id").distinct()
 
     rankCandidates(cand, q, k)

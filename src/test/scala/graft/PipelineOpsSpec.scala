@@ -78,6 +78,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 <= rAll)
   }
 
+  test("IVF hard negatives: never a same-label pair; full probe equals the exact miner") {
+    val exact = Similarity.hardNegatives(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def mined(nProbe: Int): Set[(Long, Long)] = {
+      val rows = Similarity.hardNegativesIvf(emb, nProbe = nProbe).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(labels(r.getLong(0)) != labels(r.getLong(1)),
+          s"a hard negative must cross labels: $r")
+      }
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val probed = mined(2)
+    val full = mined(1000) // probe everything == the exact different-label rank
+    assert(full == exact, "exhaustive probing must equal the exact miner")
+    val recall = probed.count(exact).toDouble / exact.size
+    assert(recall > 0.2 && recall <= 1.0, s"probed-negative recall: $recall")
+  }
+
   test("PQ top-k: cosines agree with brute force; a full re-rank buffer equals brute force") {
     val brute = Similarity.bruteForceTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
