@@ -245,6 +245,8 @@ object DataPipelineQueries {
     // inequality before the exact-rank tail; the exact row above is its
     // recall reference)
     "retrieval_hard_negatives_ivf" -> ((s, dir) => Similarity.hardNegativesIvf(emb(s, dir))),
+    // the mining-quality monitor itself, hash-pinned (pqRecall's sibling)
+    "retrieval_hard_neg_recall" -> ((s, dir) => Similarity.hardNegativesRecall(emb(s, dir))),
     "source_report" -> ((s, dir) => TextAnalysis.sourceReport(docs(s, dir))),
     "sample_shuffle" -> ((s, dir) => Sampling.shuffleShards(docs(s, dir))),
     "sample_temperature" -> ((s, dir) => Sampling.temperatureMix(docs(s, dir))),
@@ -329,6 +331,7 @@ object DataPipelineQueries {
     "retrieval_mmr" -> Similarity.mmrTopKSql,
     "retrieval_hard_negatives" -> Similarity.hardNegativesSql,
     "retrieval_hard_negatives_ivf" -> Similarity.hardNegativesIvfSql,
+    "retrieval_hard_neg_recall" -> Similarity.hardNegativesRecallSql,
     "sim_topk_sq8" -> Similarity.sq8TopKSql,
     "sim_topk_pq" -> Similarity.pqTopKSql,
     "sim_topk_pq_learned" -> Similarity.pqLearnedTopKSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.{IndexMaintenance, RefreshableEmbedIndex, RefreshableKnnGraph, RefreshablePqIndex, Similarity}
+import graft.operators.{IndexFiles, IndexMaintenance, RefreshableEmbedIndex, RefreshableKnnGraph, RefreshablePqIndex, Similarity}
 import graft.streaming.StreamingSimilarity
 
 /** The vector-ingest daemon — [[Ingest]]'s embedding-side sibling and the
@@ -24,7 +24,7 @@ import graft.streaming.StreamingSimilarity
   *     [--threshold 0.35] [--pq-index /indexes/pq] \
   *     [--graph-index /indexes/graph] [--compact-every 16] \
   *     [--maintain-every 8 --maintain-floor 0.7] \
-  *     [--centroid-mod 127] [--once]
+  *     [--centroid-mod 127] [--bootstrap-min 1] [--once]
   * }}}
   *
   * Everything is durable: the novelty/PQ/graph gates stage each batch
@@ -32,10 +32,12 @@ import graft.streaming.StreamingSimilarity
   * boundary resumes from disk without re-admitting or double-encoding
   * (the staged/lagged + idempotence-guard arguments of
   * [[graft.streaming.StreamingSimilarity]]). The PQ and graph indexes
-  * BOOTSTRAP from the first non-empty admitted batch — the frozen
-  * codebook/centroids need a population to train on, and "the first data
-  * available" is the deployment reality; the maintenance cadence is what
-  * corrects a skewed first draw. Retrains re-encode the accumulated
+  * BOOTSTRAP once `--bootstrap-min` admissions have accumulated (default
+  * 1 = the first non-empty batch), training over the WHOLE landed corpus
+  * at the crossing — the frozen codebook/centroids need a population, and
+  * deferring costs nothing because pre-bootstrap admissions are already
+  * in the training set; the maintenance cadence corrects a skewed draw
+  * either way. Retrains re-encode the accumulated
   * `--out` corpus (the raw vectors this daemon itself landed — the
   * quantized indexes cannot reconstruct them), which may include a batch
   * folded later: the gates' already-encoded guards skip it, so a retrain
@@ -54,6 +56,7 @@ object VecIngest {
       maintainEvery: Int = 0,
       maintainFloor: Double = 0.7,
       centroidMod: Int = 127,
+      bootstrapMin: Long = 1L,
       once: Boolean = false)
 
   def parseArgs(args: Seq[String]): Config = {
@@ -69,6 +72,10 @@ object VecIngest {
       case "--maintain-every" :: v :: t => loop(t, c.copy(maintainEvery = v.toInt))
       case "--maintain-floor" :: v :: t => loop(t, c.copy(maintainFloor = v.toDouble))
       case "--centroid-mod" :: v :: t => loop(t, c.copy(centroidMod = v.toInt))
+      // defer the PQ/graph codebook bootstrap until this many admissions
+      // have accumulated — a frozen artifact trained on a skewed first
+      // batch is correct (maintenance retrains it) but needlessly poor
+      case "--bootstrap-min" :: v :: t => loop(t, c.copy(bootstrapMin = v.toLong))
       case "--once" :: t => loop(t, c.copy(once = true))
       case Nil =>
         require(c.src.nonEmpty && c.out.nonEmpty && c.checkpoint.nonEmpty &&
@@ -79,7 +86,7 @@ object VecIngest {
         s"unknown flag: $other (supported: --src <dir> --out <path> --checkpoint <dir> " +
           "--index <path> --threshold <t> --pq-index <path> --graph-index <path> " +
           "--compact-every <n> --maintain-every <n> --maintain-floor <r> " +
-          "--centroid-mod <m> --once)")
+          "--centroid-mod <m> --bootstrap-min <n> --once)")
     }
     loop(args.toList, Config())
   }
@@ -117,49 +124,75 @@ object VecIngest {
     private[graft] def graphDecisions: Seq[IndexMaintenance.Decision] =
       graphGate.map(_.decisions).getOrElse(Nil)
 
-    /** The accumulated admitted raw vectors — what a retrain re-encodes. */
+    /** The accumulated admitted raw vectors — what a retrain re-encodes
+      * and what a deferred bootstrap trains on. */
     private def corpus(): DataFrame =
       spark.read.parquet(c.out).select("vec_id", "label", "embedding")
 
-    private def ensurePq(admitted: DataFrame): Option[StreamingSimilarity.PqIngestGate] =
-      c.pqIndex.map { p =>
-        pqGate.getOrElse {
-          val ref = new RefreshablePqIndex(
-            if (Similarity.pqIndexExists(spark, p)) Similarity.loadPqIndex(spark, p)
-            else {
-              val b = Similarity.pqIndexBuild(admitted)
-              Similarity.savePqIndex(b, p)
-              b
-            })
-          val maintain =
-            if (c.maintainEvery > 0) Some(() =>
-              IndexMaintenance.maintainPq(ref, corpus(), c.maintainFloor,
-                indexPath = Some(p)))
-            else None
-          val g = StreamingSimilarity.pqIngest(ref, Some(p), c.compactEvery,
-            c.maintainEvery, maintain)
-          pqGate = Some(g); g
+    /** Cumulative admitted count, resumed from the landed output on a
+      * restart — the `--bootstrap-min` trigger must not reset to zero
+      * when the daemon bounces below the threshold. (A replayed batch
+      * increments twice within one run — harmless: the threshold is a
+      * warmup heuristic and the bootstrap trains over the landed corpus,
+      * whose exactly-once writes never double-count.) */
+    private var cumAdmitted: Long =
+      if (IndexFiles.fs(spark, c.out).exists(new org.apache.hadoop.fs.Path(c.out)))
+        spark.read.parquet(c.out).count()
+      else 0L
+
+    private def ensurePq(): Option[StreamingSimilarity.PqIngestGate] =
+      c.pqIndex.flatMap { p =>
+        pqGate.orElse {
+          // below the bootstrap threshold with no persisted base yet:
+          // stage nothing — the crossing batch's bootstrap trains over
+          // everything landed so far, so nothing is lost by waiting
+          if (!Similarity.pqIndexExists(spark, p) && cumAdmitted < c.bootstrapMin) None
+          else {
+            val ref = new RefreshablePqIndex(
+              if (Similarity.pqIndexExists(spark, p)) Similarity.loadPqIndex(spark, p)
+              else {
+                // train over EVERYTHING admitted so far (this batch
+                // already landed), not just the crossing batch — the
+                // bootstrap codebook sees the whole accumulated population
+                val b = Similarity.pqIndexBuild(corpus())
+                Similarity.savePqIndex(b, p)
+                b
+              })
+            val maintain =
+              if (c.maintainEvery > 0) Some(() =>
+                IndexMaintenance.maintainPq(ref, corpus(), c.maintainFloor,
+                  indexPath = Some(p)))
+              else None
+            val g = StreamingSimilarity.pqIngest(ref, Some(p), c.compactEvery,
+              c.maintainEvery, maintain)
+            pqGate = Some(g)
+            pqGate
+          }
         }
       }
 
-    private def ensureGraph(admitted: DataFrame): Option[StreamingSimilarity.KnnGraphIngestGate] =
-      c.graphIndex.map { p =>
-        graphGate.getOrElse {
-          val ref = new RefreshableKnnGraph(
-            if (Similarity.knnGraphExists(spark, p)) Similarity.loadKnnGraph(spark, p)
-            else {
-              val b = Similarity.knnGraphIndex(admitted, centroidMod = c.centroidMod)
-              Similarity.saveKnnGraph(b, p)
-              b
-            })
-          val maintain =
-            if (c.maintainEvery > 0) Some(() =>
-              IndexMaintenance.maintainKnnGraph(ref, corpus(), c.maintainFloor,
-                centroidMod = c.centroidMod, indexPath = Some(p)))
-            else None
-          val g = StreamingSimilarity.knnGraphIngest(ref, Some(p), c.compactEvery,
-            c.maintainEvery, maintain)
-          graphGate = Some(g); g
+    private def ensureGraph(): Option[StreamingSimilarity.KnnGraphIngestGate] =
+      c.graphIndex.flatMap { p =>
+        graphGate.orElse {
+          if (!Similarity.knnGraphExists(spark, p) && cumAdmitted < c.bootstrapMin) None
+          else {
+            val ref = new RefreshableKnnGraph(
+              if (Similarity.knnGraphExists(spark, p)) Similarity.loadKnnGraph(spark, p)
+              else {
+                val b = Similarity.knnGraphIndex(corpus(), centroidMod = c.centroidMod)
+                Similarity.saveKnnGraph(b, p)
+                b
+              })
+            val maintain =
+              if (c.maintainEvery > 0) Some(() =>
+                IndexMaintenance.maintainKnnGraph(ref, corpus(), c.maintainFloor,
+                  centroidMod = c.centroidMod, indexPath = Some(p)))
+              else None
+            val g = StreamingSimilarity.knnGraphIngest(ref, Some(p), c.compactEvery,
+              c.maintainEvery, maintain)
+            graphGate = Some(g)
+            graphGate
+          }
         }
       }
 
@@ -178,10 +211,12 @@ object VecIngest {
       val admitted = slim.join(
         decisions.filter(col("novel")).select("vec_id"), Seq("vec_id")).persist()
       try {
+        val n = admitted.count() // materializes the persisted frame once
         admitted.write.mode("overwrite").parquet(s"${c.out}/ingest_batch=$batchId")
-        if (!admitted.isEmpty) {
-          ensurePq(admitted).foreach(_.apply(admitted, batchId))
-          ensureGraph(admitted).foreach(_.apply(admitted, batchId))
+        if (n > 0) {
+          cumAdmitted += n
+          ensurePq().foreach(_.apply(admitted, batchId))
+          ensureGraph().foreach(_.apply(admitted, batchId))
         }
       } finally { admitted.unpersist(); () }
     }

@@ -1083,6 +1083,41 @@ object Similarity {
        |  WHERE lq.label <> ln.label),
        |$rankSql""".stripMargin
 
+  /** The MINING-QUALITY monitor, [[pqRecall]]'s sibling for the
+    * hard-negative pipeline: recall of the IVF-probed miner against the
+    * exact different-label top-k over the same corpus, one summary row
+    * `(k, n_queries, hits, possible, recall)`. At 100 TB the per-cell
+    * label mix shifts as the corpus grows — run this on the same sampled
+    * cadence as the index monitors and raise `nProbe` (or rebuild the
+    * coarse codebook) on a floor breach. */
+  def hardNegativesRecall(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nProbe: Int = 2, centroidMod: Int = 127): DataFrame = {
+    val got = hardNegativesIvf(emb, k, nQueries, nProbe, centroidMod)
+      .select("query_id", "neighbor_id")
+    val want = hardNegatives(emb, k, nQueries)
+      .select("query_id", "neighbor_id")
+    val hits = want.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val possible = want.agg(count(lit(1)).as("possible"))
+    hits.crossJoin(broadcast(possible))
+      .select(lit(k).as("k"), lit(nQueries).as("n_queries"),
+        col("hits"), col("possible"),
+        (col("hits").cast("double") / col("possible").cast("double")).as("recall"))
+  }
+
+  /** DuckDB oracle for [[hardNegativesRecall]]: both miners replayed as
+    * whole subqueries (the [[knnGraphRecallSql]] composition pattern). */
+  lazy val hardNegativesRecallSql: String =
+    s"""WITH got AS (SELECT query_id, neighbor_id FROM ($hardNegativesIvfSql) g),
+       |want AS (SELECT query_id, neighbor_id FROM ($hardNegativesSql) w),
+       |h AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM want w
+       |  WHERE EXISTS (SELECT 1 FROM got g
+       |    WHERE g.query_id = w.query_id AND g.neighbor_id = w.neighbor_id)),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM want)
+       |SELECT CAST(5 AS INTEGER) AS k, CAST(10 AS INTEGER) AS n_queries,
+       |  hits, possible, CAST(hits AS DOUBLE) / possible AS recall
+       |FROM h CROSS JOIN p""".stripMargin
+
   /** DuckDB oracle for [[knnGraph]] at the defaults (k=3, nProbe=2): the
     * [[ivfTopKSql]] chain with the query-set filter removed — the ranking-
     * window probe selection here is semantically identical to the

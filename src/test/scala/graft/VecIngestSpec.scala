@@ -137,4 +137,52 @@ class VecIngestSpec extends SparkSpec {
     g.release()
     graft.operators.IndexFiles.delete(spark, root)
   }
+
+  test("--bootstrap-min defers the frozen artifacts, then trains them over the whole landed corpus") {
+    val root = Files.createTempDirectory("graft_vecboot").toString
+    val c = VecIngest.Config(
+      src = s"$root/src", out = s"$root/out", checkpoint = s"$root/ckpt",
+      index = s"$root/embed", pqIndex = Some(s"$root/pq"),
+      graphIndex = Some(s"$root/graph"), centroidMod = 13,
+      bootstrapMin = 60L, once = true)
+    Files.createDirectories(Paths.get(c.src))
+
+    def drive(): Unit = {
+      val in = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"))
+        .parquet(c.src)
+      val (q, pipe) = VecIngest.ingestTo(spark, in, c)
+      assert(q.awaitTermination(180000L))
+      pipe.flush()
+    }
+
+    // run 1: 50 admissions < 60 — no frozen artifact may exist yet
+    val runA = frame(for { f <- 0 until 5; m <- 0 until 10 }
+      yield vec(8 * (f % 4), f, m, 1000L + f * 10 + m))
+    addFile(runA, c.src, "a.parquet")
+    drive()
+    assert(!Similarity.pqIndexExists(spark, c.pqIndex.get),
+      "below the threshold the PQ base must not bootstrap")
+    assert(!Similarity.knnGraphExists(spark, c.graphIndex.get))
+
+    // run 2 (restart — the cumulative count must resume from the landed
+    // output): +30 crosses the threshold; the bootstrap must train over
+    // ALL 80 landed vectors, so the pre-threshold run-1 admissions encode
+    val runB = frame(for { f <- 0 until 3; m <- 0 until 10 }
+      yield vec(32 + 8 * (f % 4), f, m, 2000L + f * 10 + m))
+    addFile(runB, c.src, "b.parquet")
+    drive()
+
+    val landed = spark.read.parquet(c.out).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.loadPqIndex(spark, c.pqIndex.get)
+    assert(pq.qn.select("vec_id").collect().map(_.getLong(0)).toSet == landed,
+      "the crossing bootstrap must encode every landed vector, incl. pre-threshold ones")
+    pq.release()
+    val g = Similarity.loadKnnGraph(spark, c.graphIndex.get)
+    assert(g.qn.select("vec_id").collect().map(_.getLong(0)).toSet == landed)
+    g.release()
+    graft.operators.IndexFiles.delete(spark, root)
+  }
 }
