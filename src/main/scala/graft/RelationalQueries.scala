@@ -1220,10 +1220,13 @@ object RelationalQueries {
     // the pruning spec; this row pins the Morton arithmetic hash-exact)
     "layout_zorder" -> ((s: SparkSession, dir: String) =>
       graft.operators.Layout.eventsZorder(graft.operators.Tables.events(s, dir))),
+    "layout_zorder3" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Layout.eventsZorder3(graft.operators.Tables.events(s, dir))),
   )
 
   val oracles: Map[String, String] = Map(
     "layout_zorder" -> graft.operators.Layout.eventsZorderSql,
+    "layout_zorder3" -> graft.operators.Layout.eventsZorder3Sql,
     "events_rate_window" -> eventsRateWindowSql,
     "events_interval_join" -> eventsIntervalJoinSql,
     // the salted variant answers IDENTICALLY — same oracle

@@ -85,6 +85,83 @@ object Layout {
       .orderBy("event_id")
   }
 
+  /** Spread the low 10 bits of `x` onto positions 0,3,…,27 — the Morton-3
+    * mask cascade (verified bit-for-bit against the naive interleave in
+    * the spec). 3 keys × 10 bits fit one BIGINT with room to spare; more
+    * dimensions at fewer bits per key follow the same pattern. */
+  private[operators] def spreadBits3(x: Column): Column =
+    Morton3Masks.foldLeft(x.bitwiseAND(lit(0x3FFL))) { case (c, (s, mask)) =>
+      c.bitwiseOR(shiftleft(c, s)).bitwiseAND(lit(mask))
+    }
+
+  private val Morton3Masks: Seq[(Int, Long)] =
+    Seq((16, 0xFF0000FFL), (8, 0x0300F00FL), (4, 0x030C30C3L), (2, 0x09249249L))
+
+  private def spread3Sql(e: String): String =
+    Morton3Masks.foldLeft(s"(($e) & 1023)") { case (c, (s, mask)) =>
+      s"(($c | ($c << $s)) & $mask)"
+    }
+
+  /** The 30-bit Morton code of three 10-bit keys. */
+  def zValue3(a: Column, b: Column, c: Column): Column =
+    spreadBits3(a)
+      .bitwiseOR(shiftleft(spreadBits3(b), 1))
+      .bitwiseOR(shiftleft(spreadBits3(c), 2))
+
+  /** Three-key [[zOrderBy]]: chunks become boxes in (a, b, c) space. */
+  def zOrderBy3(df: DataFrame, a: Column, b: Column, c: Column,
+      partitions: Int = 32): DataFrame =
+    df.withColumn("z_val", zValue3(a, b, c))
+      .repartitionByRange(partitions, col("z_val"))
+      .sortWithinPartitions("z_val")
+
+  /** The 3-key registry form over `events`: (user_id, epoch hour, value
+    * cents), each min/max-normalized to 10 bits — the third dimension a
+    * fraud/anomaly dashboard boxes on (value bands). Same normalization
+    * discipline as [[eventsZorder]]; value integerizes to cents first
+    * (`round(v·100)::bigint`, the repo-wide float rule). */
+  def eventsZorder3(events: DataFrame): DataFrame = {
+    val keyed = Tables.fanOut(events)
+      .withColumn("h_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id").as("u_raw"),
+        expr("(h_us - pmod(h_us, 3600000000)) div 3600000000").as("h_raw"),
+        round(col("value") * 100).cast("long").as("v_raw"))
+    val bounds = keyed.agg(
+      min("u_raw").as("u_lo"), max("u_raw").as("u_hi"),
+      min("h_raw").as("h_lo"), max("h_raw").as("h_hi"),
+      min("v_raw").as("v_lo"), max("v_raw").as("v_hi"))
+    keyed.crossJoin(broadcast(bounds))
+      .select(col("event_id"),
+        expr("((u_raw - u_lo) * 1023) div greatest(u_hi - u_lo, 1)").as("u10"),
+        expr("((h_raw - h_lo) * 1023) div greatest(h_hi - h_lo, 1)").as("h10"),
+        expr("((v_raw - v_lo) * 1023) div greatest(v_hi - v_lo, 1)").as("v10"))
+      .withColumn("z_val", zValue3(col("u10"), col("h10"), col("v10")))
+      .orderBy("event_id")
+  }
+
+  val eventsZorder3Sql: String = {
+    val hUs = "epoch_us(CAST(ts AS TIMESTAMP))"
+    val hour = s"(($hUs - ((($hUs % 3600000000) + 3600000000) % 3600000000)) // 3600000000)"
+    s"""WITH k AS (
+      |  SELECT event_id, CAST(user_id AS BIGINT) AS u_raw,
+      |    CAST($hour AS BIGINT) AS h_raw,
+      |    CAST(round(value*100) AS BIGINT) AS v_raw
+      |  FROM events),
+      |b AS (
+      |  SELECT min(u_raw) AS u_lo, max(u_raw) AS u_hi,
+      |    min(h_raw) AS h_lo, max(h_raw) AS h_hi,
+      |    min(v_raw) AS v_lo, max(v_raw) AS v_hi FROM k),
+      |e AS (
+      |  SELECT event_id,
+      |    CAST(((u_raw - u_lo) * 1023) // greatest(u_hi - u_lo, 1) AS BIGINT) AS u10,
+      |    CAST(((h_raw - h_lo) * 1023) // greatest(h_hi - h_lo, 1) AS BIGINT) AS h10,
+      |    CAST(((v_raw - v_lo) * 1023) // greatest(v_hi - v_lo, 1) AS BIGINT) AS v10
+      |  FROM k CROSS JOIN b)
+      |SELECT event_id, u10, h10, v10,
+      |  CAST(${spread3Sql("u10")} | (${spread3Sql("h10")} << 1) | (${spread3Sql("v10")} << 2) AS BIGINT) AS z_val
+      |FROM e ORDER BY event_id""".stripMargin
+  }
+
   val eventsZorderSql: String = {
     // floor division on an exact multiple of W: trunc == floor, so the
     // engine's `//` semantics cannot matter; the normalization divisions

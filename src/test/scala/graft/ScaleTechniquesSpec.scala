@@ -720,4 +720,37 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(zTime < nChunks,
       s"z-order must also prune a pure time box: $zTime of $nChunks")
   }
+
+  test("3-key z-order: mask cascade equals the naive interleave; a value-box query prunes") {
+    import graft.operators.Layout
+    // the Morton-3 cascade bit-for-bit against a naive per-bit reference,
+    // over the REAL key triples the registry row emits
+    val keyed = Layout.eventsZorder3(Tables.events(spark, sf()))
+    def naive3(a: Long, b: Long, c: Long): Long =
+      (0 until 10).map { i =>
+        (((a >> i) & 1L) << (3 * i)) |
+          (((b >> i) & 1L) << (3 * i + 1)) |
+          (((c >> i) & 1L) << (3 * i + 2))
+      }.reduce(_ | _)
+    keyed.limit(2000).collect().foreach { r =>
+      assert(r.getAs[Long]("z_val") ==
+        naive3(r.getAs[Long]("u10"), r.getAs[Long]("h10"), r.getAs[Long]("v10")))
+    }
+
+    // a pure value-band box (full user + time range): only a layout that
+    // clusters on the THIRD key can prune it
+    val nChunks = 16
+    val laid = Layout.zOrderBy3(keyed.select("event_id", "u10", "h10", "v10"),
+      col("u10"), col("h10"), col("v10"), nChunks)
+    val stats = laid.withColumn("chunk", spark_partition_id())
+      .groupBy("chunk").agg(min("v10").as("v_lo"), max("v10").as("v_hi"))
+      .collect()
+    assert(stats.length == nChunks)
+    val v = keyed.select(min("v10"), max("v10")).head()
+    val vQuarter = v.getLong(0) + (v.getLong(1) - v.getLong(0)) / 4
+    val touched = stats.count(r =>
+      r.getAs[Long]("v_lo") <= vQuarter && r.getAs[Long]("v_hi") >= v.getLong(0))
+    assert(touched < nChunks,
+      s"a 3-key layout must prune a value box: $touched of $nChunks")
+  }
 }
