@@ -290,6 +290,36 @@ class KnnGraphLifecycleSpec extends SparkSpec {
     graft.operators.IndexFiles.delete(spark, path)
   }
 
+  test("graph gate compaction: the delta chain stays bounded, decisions unchanged") {
+    import graft.streaming.StreamingSimilarity
+    val e = operators.Tables.load(spark, sf(), "embeddings")
+    val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val b0 = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val b1 = e.filter(pmod(col("vec_id"), lit(4)) === 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-kg-compact").toString
+    Similarity.saveKnnGraph(Similarity.knnGraphIndex(base), path)
+
+    // compactEvery=1: every fold compacts — the chain must stay at zero
+    // deltas with the base version advancing, answers identical to the
+    // never-compacting control
+    val gate = StreamingSimilarity.knnGraphIngest(
+      new RefreshableKnnGraph(Similarity.loadKnnGraph(spark, path)),
+      Some(path), compactEvery = 1)
+    gate.apply(b0, 0L); gate.apply(b1, 1L); gate.flush()
+    assert(graft.operators.IndexFiles.numbered(spark, path, "delta_").isEmpty,
+      "compactEvery=1 must sweep every folded delta")
+    assert(graft.operators.IndexFiles.numbered(spark, path, "base_v")
+      .map(_._1).max > 1, "compaction must advance the base version")
+
+    val control = Similarity.refreshKnnGraph(
+      Similarity.refreshKnnGraph(Similarity.knnGraphIndex(base), b0), b1)
+    val reloaded = Similarity.loadKnnGraph(spark, path)
+    assert(edgeSet(reloaded.edges) == edgeSet(control.edges),
+      "the compacting loop must answer exactly like the never-compacting chain")
+    reloaded.release()
+    graft.operators.IndexFiles.delete(spark, path)
+  }
+
   test("gated maintenance, durable: the loop observes drift, rebuilds, and PERSISTS the rebuilt graph") {
     import graft.streaming.StreamingSimilarity
     val path = java.nio.file.Files.createTempDirectory("graft-kg-maint").toString

@@ -131,6 +131,31 @@ class PqDriftSpec extends SparkSpec {
     assert(holder.current.version == 2, "a no-op pass must not touch the index")
   }
 
+  test("PQ gate compaction: the delta chain stays bounded, codes unchanged") {
+    import graft.streaming.StreamingSimilarity
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-compact").toString
+    Similarity.savePqIndex(Similarity.pqIndexBuild(original), path)
+    val b0 = frame(for { m <- 0 until 10 } yield vec(32, 0, m, 0L + m))
+    val b1 = frame(for { m <- 0 until 10 } yield vec(40, 1, m, 100L + m))
+
+    val gate = StreamingSimilarity.pqIngest(
+      new RefreshablePqIndex(Similarity.loadPqIndex(spark, path)),
+      Some(path), compactEvery = 1)
+    gate.apply(b0, 0L); gate.apply(b1, 1L); gate.flush()
+    assert(IndexFiles.numbered(spark, path, "delta_").isEmpty,
+      "compactEvery=1 must sweep every folded delta")
+    assert(IndexFiles.numbered(spark, path, "base_v").map(_._1).max > 1,
+      "compaction must advance the base version")
+
+    val control = Similarity.appendEncodePq(
+      Similarity.appendEncodePq(Similarity.pqIndexBuild(original), b0), b1)
+    val reloaded = Similarity.loadPqIndex(spark, path)
+    assert(codeSetOf(reloaded) == codeSetOf(control),
+      "the compacting loop must encode exactly like the never-compacting chain")
+    reloaded.release()
+    IndexFiles.delete(spark, path)
+  }
+
   test("gated maintenance: the ingest loop itself observes drift on cadence and retrains") {
     import graft.streaming.StreamingSimilarity
     val holder = new RefreshablePqIndex(Similarity.pqIndexBuild(original))
