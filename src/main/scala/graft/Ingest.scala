@@ -39,7 +39,8 @@ object Ingest {
       once: Boolean = false,
       nearIndex: Option[String] = None,
       nearThreshold: Double = 0.8,
-      nearCompactEvery: Int = 16)
+      nearCompactEvery: Int = 16,
+      bm25Stats: Option[String] = None)
 
   def parseArgs(args: Seq[String]): Config = {
     def loop(rest: List[String], c: Config): Config = rest match {
@@ -68,6 +69,11 @@ object Ingest {
       // relative to the folds it amortizes over
       case "--near-compact-every" :: v :: t =>
         loop(t, c.copy(nearCompactEvery = v.toInt))
+      // LIVING BM25 corpus statistics over the admitted population: each
+      // batch folds an O(batch) delta keyed on the replay-stable batch id
+      // (TextAnalysis.saveBm25StatsDeltaAt); loadBm25Stats over
+      // base+deltas feeds bm25TopKWith between runs
+      case "--bm25-stats" :: v :: t => loop(t, c.copy(bm25Stats = Some(v)))
       case Nil =>
         require(c.src.nonEmpty && c.out.nonEmpty && c.checkpoint.nonEmpty,
           "--src, --out, and --checkpoint are required")
@@ -75,7 +81,8 @@ object Ingest {
       case other :: _ => throw new IllegalArgumentException(
         s"unknown flag: $other (supported: --src <dir> --out <path> --checkpoint <dir> " +
           "--budget <tokens> --rate <r> --rate-for <source=r> --once " +
-          "--near-index <path> --near-threshold <t> --near-compact-every <n>)")
+          "--near-index <path> --near-threshold <t> --near-compact-every <n> " +
+          "--bm25-stats <path>)")
     }
     loop(args.toList, Config())
   }
@@ -116,9 +123,14 @@ object Ingest {
       .getOrCreate()
     val in = spark.readStream.schema(srcSchema).parquet(config.src)
     val gate = nearGate(spark, config)
+    // stats bootstrap: deltas fold onto a base; zeros are the additive
+    // identity, so a fresh path starts from the empty-corpus row
+    config.bm25Stats.filterNot(graft.operators.TextAnalysis.textStatsExist(spark, _))
+      .foreach(p => graft.operators.TextAnalysis.saveBm25Stats(
+        graft.operators.TextAnalysis.emptyBm25Stats(spark), p))
     val query = StreamingCuration.ingestTo(spark, in, config.out, config.checkpoint,
       budget = config.budget, rates = config.rates, defaultRate = config.defaultRate,
-      availableNow = config.once, nearGate = gate)
+      availableNow = config.once, nearGate = gate, statsPath = config.bm25Stats)
     sys.addShutdownHook { query.stop() }
     query.awaitTermination()
     // clean shutdown: fold + persist the final batch's staged admissions

@@ -1192,15 +1192,25 @@ object TextAnalysis {
       .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
   }
 
-  private def saveAdditiveDelta(batchStats: DataFrame, path: String): Long = {
+  private def saveAdditiveDelta(batchStats: DataFrame, path: String): Long =
+    saveAdditiveDeltaAt(batchStats, path,
+      additiveHighWater(batchStats.sparkSession, path) + 1)
+
+  private def saveAdditiveDeltaAt(batchStats: DataFrame, path: String,
+      id: Long): Long = {
     val spark = batchStats.sparkSession
-    val n = additiveHighWater(spark, path) + 1
-    val tmp = s"$path/delta_$n.tmp"
+    val tmp = s"$path/delta_$id.tmp"
     IndexFiles.delete(spark, tmp)
     batchStats.write.mode("overwrite").parquet(s"$tmp/stats")
-    IndexFiles.publish(spark, tmp, s"$path/delta_$n")
-    n
+    IndexFiles.publish(spark, tmp, s"$path/delta_$id")
+    id
   }
+
+  /** The base's `last_delta` stamp ∨ the highest delta on disk — what a
+    * replay-stable-id fold compares against ([[saveBm25StatsDeltaAt]]). */
+  private[graft] def textStatsHighWater(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    additiveHighWater(spark, path)
 
   /** Base + above-stamp delta stats frames, in replay order (order is
     * immaterial — the loads aggregate commutatively). */
@@ -1226,6 +1236,40 @@ object TextAnalysis {
     * durable form of a [[refreshBm25Stats]] fold. */
   def saveBm25StatsDelta(batchStats: DataFrame, path: String): Long =
     saveAdditiveDelta(batchStats, path)
+
+  /** The streaming form: the delta keyed on a REPLAY-STABLE id (a
+    * foreachBatch batchId + 1, so ids start above the empty-base stamp 0).
+    * Stats deltas are NOT content-idempotent under the high-water
+    * numbering (a replayed batch would fold twice); keying the dir on the
+    * engine's id makes a replay an atomic OVERWRITE of identical bytes —
+    * replay-safe without the gates' staged/lagged machinery, because
+    * unlike an index fold the delta depends only on the batch itself. A
+    * replay arriving AFTER a compaction already swallowed its id (id ≤
+    * stamp) skips: the content is in the base. */
+  def saveBm25StatsDeltaAt(batchStats: DataFrame, path: String,
+      id: Long): Option[Long] = {
+    val spark = batchStats.sparkSession
+    val stamped = IndexFiles.numbered(spark, path, "base_v").lastOption
+      .map { case (_, p) =>
+        spark.read.parquet(s"$p/meta").head().getAs[Long]("last_delta") }
+      .getOrElse(0L)
+    if (id <= stamped) None
+    else Some(saveAdditiveDeltaAt(batchStats, path, id))
+  }
+
+  /** An all-zeros [[bm25Stats]] row — the bootstrap base a streaming fold
+    * needs before its first delta (deltas fold onto a base; zeros are the
+    * additive identity, so the loaded aggregate is exactly the deltas). */
+  def emptyBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      terms: Seq[String] = Seq("merge", "window", "hash")): DataFrame = {
+    import org.apache.spark.sql.Row
+    val cols = "n_docs" +: "total_dl" +: terms.map(t => s"df_$t")
+    spark.createDataFrame(
+      java.util.Collections.singletonList(Row.fromSeq(cols.map(_ => 0L))),
+      org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 
   /** Load the persisted BM25 stats: one commutative BIGINT-sum aggregate
     * over base + above-stamp deltas — bit-identical to the in-memory

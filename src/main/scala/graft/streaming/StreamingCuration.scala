@@ -210,7 +210,8 @@ object StreamingCuration {
       rates: Map[String, Double] = Sampling.DefaultRates,
       defaultRate: Double = Sampling.DefaultRate,
       availableNow: Boolean = false,
-      nearGate: Option[DataFrame => DataFrame] = None): StreamingQuery = {
+      nearGate: Option[DataFrame => DataFrame] = None,
+      statsPath: Option[String] = None): StreamingQuery = {
     val bases = new AtomicReference[Map[String, Long]](null)
     val w = curated(stream, rates, defaultRate).writeStream
       .option("checkpointLocation", checkpointDir)
@@ -237,6 +238,16 @@ object StreamingCuration {
           packable.join(decisions.filter(col("novel"))
             .select("doc_id"), Seq("doc_id"))
         }.getOrElse(packable)
+        // living retrieval stats over exactly the admitted (packed)
+        // population: an O(batch) delta keyed on the replay-stable batch
+        // id — a replayed batch overwrites identical bytes, and a replay
+        // arriving after compaction swallowed its id skips (see
+        // TextAnalysis.saveBm25StatsDeltaAt)
+        statsPath.foreach { sp =>
+          if (!admitted.isEmpty)
+            graft.operators.TextAnalysis.saveBm25StatsDeltaAt(
+              graft.operators.TextAnalysis.bm25Stats(admitted), sp, batchId + 1)
+        }
         val packed = packBatch(admitted, bases.get, budget).persist()
         try {
           packed.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")

@@ -259,6 +259,51 @@ class StreamingCurationSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("--bm25-stats: the ingest loop folds living retrieval stats; compaction and swallowed replays stay exact") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text", "source", "n_chars")
+    val a = docs.filter(col("doc_id") < 60)
+    val b = docs.filter(col("doc_id") >= 60 && col("doc_id") < 90)
+
+    val src = Files.createTempDirectory("graft_bmstats_src").toString
+    val out = Files.createTempDirectory("graft_bmstats_out").toString + "/packed"
+    val ckpt = Files.createTempDirectory("graft_bmstats_ck").toString
+    val statsPath = Files.createTempDirectory("graft_bmstats").toString + "/stats"
+    // the CLI's bootstrap: zeros are the additive identity
+    TextAnalysis.saveBm25Stats(TextAnalysis.emptyBm25Stats(spark), statsPath)
+
+    def drive(): Unit = {
+      val in = spark.readStream.schema(docs.schema).parquet(src)
+      val q = StreamingCuration.ingestTo(spark, in, out, ckpt,
+        availableNow = true, statsPath = Some(statsPath))
+      assert(q.awaitTermination(180000L))
+    }
+    addFile(a, src, "a.parquet"); drive()
+    addFile(b, src, "b.parquet"); drive() // restart: stats resume from disk
+
+    // id-ordered arrival ⇒ the streamed admitted population equals the
+    // batch-mode curated pass over the union (the suite's equivalence
+    // contract), so the folded stats must equal a one-shot build over it
+    val expected = TextAnalysis.bm25Stats(
+      StreamingCuration.curated(a.unionByName(b))
+        .filter(col("source").isNotNull)).collect().toSeq
+    assert(expected.head.getAs[Long]("n_docs") > 0)
+    assert(TextAnalysis.loadBm25Stats(spark, statsPath).collect().toSeq == expected,
+      "folded per-batch deltas must equal the one-shot stats over the admitted union")
+
+    // compaction folds the chain into a stamped base, contents identical;
+    // a replay whose id the stamp already swallowed must SKIP (its
+    // content is in the base — folding it again would double-count)
+    TextAnalysis.compactBm25Stats(spark, statsPath)
+    assert(TextAnalysis.loadBm25Stats(spark, statsPath).collect().toSeq == expected)
+    assert(TextAnalysis.saveBm25StatsDeltaAt(
+      TextAnalysis.bm25Stats(a), statsPath, 1L).isEmpty,
+      "a swallowed batch id must skip, not re-fold")
+    assert(TextAnalysis.loadBm25Stats(spark, statsPath).collect().toSeq == expected)
+    graft.operators.IndexFiles.delete(spark, statsPath)
+  }
 }
 
 object StreamingCurationSpec {
