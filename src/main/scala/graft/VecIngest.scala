@@ -55,6 +55,7 @@ object VecIngest {
       compactEvery: Int = 16,
       maintainEvery: Int = 0,
       maintainFloor: Double = 0.7,
+      maintainRerank: Int = 32,
       centroidMod: Int = 127,
       bootstrapMin: Long = 1L,
       once: Boolean = false)
@@ -71,6 +72,9 @@ object VecIngest {
       case "--compact-every" :: v :: t => loop(t, c.copy(compactEvery = v.toInt))
       case "--maintain-every" :: v :: t => loop(t, c.copy(maintainEvery = v.toInt))
       case "--maintain-floor" :: v :: t => loop(t, c.copy(maintainFloor = v.toDouble))
+      // the PQ monitor's re-rank buffer: smaller = stricter (less exact
+      // re-ranking masking ADC decay); the monitor knob, not the query's
+      case "--maintain-rerank" :: v :: t => loop(t, c.copy(maintainRerank = v.toInt))
       case "--centroid-mod" :: v :: t => loop(t, c.copy(centroidMod = v.toInt))
       // defer the PQ/graph codebook bootstrap until this many admissions
       // have accumulated — a frozen artifact trained on a skewed first
@@ -86,7 +90,7 @@ object VecIngest {
         s"unknown flag: $other (supported: --src <dir> --out <path> --checkpoint <dir> " +
           "--index <path> --threshold <t> --pq-index <path> --graph-index <path> " +
           "--compact-every <n> --maintain-every <n> --maintain-floor <r> " +
-          "--centroid-mod <m> --bootstrap-min <n> --once)")
+          "--maintain-rerank <n> --centroid-mod <m> --bootstrap-min <n> --once)")
     }
     loop(args.toList, Config())
   }
@@ -125,9 +129,17 @@ object VecIngest {
       graphGate.map(_.decisions).getOrElse(Nil)
 
     /** The accumulated admitted raw vectors — what a retrain re-encodes
-      * and what a deferred bootstrap trains on. */
-    private def corpus(): DataFrame =
+      * and what a deferred bootstrap trains on. The path is MUTABLE
+      * (every batch appends a partition), so refresh it first: a cached
+      * fragment rooted on an earlier listing would otherwise be
+      * substituted into the identical retrain plan and serve a STALE
+      * corpus (the classic cache-over-a-growing-path gotcha — caught by
+      * the daemon-maintenance spec, whose retrain re-encoded only the
+      * bootstrap-era rows). */
+    private def corpus(): DataFrame = {
+      spark.catalog.refreshByPath(c.out)
       spark.read.parquet(c.out).select("vec_id", "label", "embedding")
+    }
 
     /** Cumulative admitted count, resumed from the landed output on a
       * restart — the `--bootstrap-min` trigger must not reset to zero
@@ -148,20 +160,26 @@ object VecIngest {
           // everything landed so far, so nothing is lost by waiting
           if (!Similarity.pqIndexExists(spark, p) && cumAdmitted < c.bootstrapMin) None
           else {
-            val ref = new RefreshablePqIndex(
-              if (Similarity.pqIndexExists(spark, p)) Similarity.loadPqIndex(spark, p)
+            val ref =
+              if (Similarity.pqIndexExists(spark, p))
+                new RefreshablePqIndex(Similarity.loadPqIndex(spark, p))
               else {
                 // train over EVERYTHING admitted so far (this batch
                 // already landed), not just the crossing batch — the
                 // bootstrap codebook sees the whole accumulated population
                 val b = Similarity.pqIndexBuild(corpus())
                 Similarity.savePqIndex(b, p)
-                b
-              })
+                val r = new RefreshablePqIndex(b)
+                // the holder owns CHECKPOINTED copies; the build's pins
+                // root cached plans on the MUTABLE out path and must not
+                // outlive the bootstrap (see corpus())
+                b.release()
+                r
+              }
             val maintain =
               if (c.maintainEvery > 0) Some(() =>
                 IndexMaintenance.maintainPq(ref, corpus(), c.maintainFloor,
-                  indexPath = Some(p)))
+                  rerank = c.maintainRerank, indexPath = Some(p)))
               else None
             val g = StreamingSimilarity.pqIngest(ref, Some(p), c.compactEvery,
               c.maintainEvery, maintain)
@@ -176,13 +194,16 @@ object VecIngest {
         graphGate.orElse {
           if (!Similarity.knnGraphExists(spark, p) && cumAdmitted < c.bootstrapMin) None
           else {
-            val ref = new RefreshableKnnGraph(
-              if (Similarity.knnGraphExists(spark, p)) Similarity.loadKnnGraph(spark, p)
+            val ref =
+              if (Similarity.knnGraphExists(spark, p))
+                new RefreshableKnnGraph(Similarity.loadKnnGraph(spark, p))
               else {
                 val b = Similarity.knnGraphIndex(corpus(), centroidMod = c.centroidMod)
                 Similarity.saveKnnGraph(b, p)
-                b
-              })
+                val r = new RefreshableKnnGraph(b)
+                b.release() // same mutable-path pin discipline as the PQ bootstrap
+                r
+              }
             val maintain =
               if (c.maintainEvery > 0) Some(() =>
                 IndexMaintenance.maintainKnnGraph(ref, corpus(), c.maintainFloor,

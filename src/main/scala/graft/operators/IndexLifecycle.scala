@@ -411,7 +411,10 @@ object IndexMaintenance {
     def recall() = Similarity.pqRecall(holder.current, k, nQueries, rerank)
       .head().getAs[Double]("recall")
     val before = recall()
-    if (before >= floor) Decision(before, retrained = false, None)
+    // an EMPTY query sample measures nothing (0/0 = NaN) — and NaN fails
+    // every comparison, so `before >= floor` would silently route an
+    // unmeasurable pass into a spurious retrain; treat it as measure-only
+    if (before.isNaN || before >= floor) Decision(before, retrained = false, None)
     else {
       holder.retrain(corpus, indexPath = indexPath)
       Decision(before, retrained = true, Some(recall()))
@@ -432,7 +435,8 @@ object IndexMaintenance {
     def recall() = Similarity.knnGraphRecall(holder.current, sampleMod)
       .head().getAs[Double]("recall")
     val before = recall()
-    if (before >= floor) Decision(before, retrained = false, None)
+    // empty sample → NaN → measure-only (see maintainPq)
+    if (before.isNaN || before >= floor) Decision(before, retrained = false, None)
     else {
       holder.rebuildWith(Similarity.knnGraphIndex(corpus,
         holder.current.k, holder.current.nProbe, centroidMod))

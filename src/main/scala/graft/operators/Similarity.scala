@@ -1102,7 +1102,9 @@ object Similarity {
     hits.crossJoin(broadcast(possible))
       .select(lit(k).as("k"), lit(nQueries).as("n_queries"),
         col("hits"), col("possible"),
-        (col("hits").cast("double") / col("possible").cast("double")).as("recall"))
+        when(col("possible") === 0, lit(Double.NaN))
+          .otherwise(col("hits").cast("double") / col("possible").cast("double"))
+          .as("recall"))
   }
 
   /** DuckDB oracle for [[hardNegativesRecall]]: both miners replayed as
@@ -1504,7 +1506,9 @@ object Similarity {
       .crossJoin(broadcast(want.agg(count(lit(1)).as("possible"))))
       .select(lit(idx.k).as("k"),
         lit(sampleMod).as("sample_mod"), col("hits"), col("possible"),
-        (col("hits").cast("double") / col("possible").cast("double")).as("recall"))
+        when(col("possible") === 0, lit(Double.NaN))
+          .otherwise(col("hits").cast("double") / col("possible").cast("double"))
+          .as("recall"))
   }
 
   /** DuckDB oracle for the `sim_graph_recall` registry row — the graph-side
@@ -2358,7 +2362,9 @@ object Similarity {
       .crossJoin(broadcast(want.agg(count(lit(1)).as("possible"))))
       .select(lit(idx.version).as("version"), lit(k).as("k"),
         lit(nQueries).as("n_queries"), col("hits"), col("possible"),
-        (col("hits").cast("double") / col("possible").cast("double")).as("recall"))
+        when(col("possible") === 0, lit(Double.NaN))
+          .otherwise(col("hits").cast("double") / col("possible").cast("double"))
+          .as("recall"))
   }
 
   /** DuckDB oracle for the `sim_pq_recall` registry row — the drift

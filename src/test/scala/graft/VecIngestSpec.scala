@@ -138,6 +138,62 @@ class VecIngestSpec extends SparkSpec {
     graft.operators.IndexFiles.delete(spark, root)
   }
 
+  test("daemon maintenance: drift observed through the CLI wiring itself, retrained base persisted") {
+    val root = Files.createTempDirectory("graft_vecmaint").toString
+    val c = VecIngest.Config(
+      src = s"$root/src", out = s"$root/out", checkpoint = s"$root/ckpt",
+      index = s"$root/embed", pqIndex = Some(s"$root/pq"),
+      maintainEvery = 1, maintainFloor = 0.7, maintainRerank = 8, once = true)
+    Files.createDirectories(Paths.get(c.src))
+
+    def drive(): VecIngest.Pipeline = {
+      val in = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"))
+        .parquet(c.src)
+      val (q, pipe) = VecIngest.ingestTo(spark, in, c)
+      assert(q.awaitTermination(180000L))
+      pipe.flush()
+      pipe
+    }
+
+    // the PqDriftSpec two-region fixture: original corpus in dims 0-31
+    // (the v1 bootstrap codebook trains here), shifted batch in dims
+    // 32-63 — the region the frozen codebook collapses
+    val original = frame(for { f <- 0 until 10; m <- 0 until 10 }
+      yield vec(8 * (f % 4), f, m, 1000L + f * 10 + m))
+    val shifted = frame(for { f <- 0 until 5; m <- 0 until 10 }
+      yield vec(32 + 8 * (f % 4), f, m, f * 10L + m))
+
+    addFile(original, c.src, "a.parquet")
+    val pipe1 = drive() // bootstrap: v1 codebook over the original region
+
+    // run 1's monitor sample (vec_id < 10) is EMPTY — recall is 0/0 = NaN
+    // and NaN fails every comparison, so without the isNaN guard the
+    // cadence would route the unmeasurable pass into a spurious retrain
+    assert(pipe1.pqDecisions.nonEmpty)
+    assert(pipe1.pqDecisions.forall(d => !d.retrained && d.recallBefore.isNaN),
+      s"an unmeasurable sample must be measure-only: ${pipe1.pqDecisions}")
+
+    addFile(shifted, c.src, "b.parquet")
+    val pipe = drive() // the drifting batch folds; the cadence fires
+
+    val fired = pipe.pqDecisions.filter(_.retrained)
+    assert(fired.nonEmpty,
+      s"the daemon's cadence must observe the drift: ${pipe.pqDecisions}")
+    assert(fired.head.recallBefore < 0.7 &&
+      fired.head.recallAfter.exists(_ >= 0.7),
+      s"the retrain must recover recall: ${fired.head}")
+
+    // the retrained base must be what a restart loads (version bumped
+    // exactly once — the run-1 NaN pass must not have burned a version)
+    val reloaded = Similarity.loadPqIndex(spark, c.pqIndex.get)
+    assert(reloaded.version == 2,
+      "the CLI maintenance path must persist exactly the drift retrain")
+    reloaded.release()
+    graft.operators.IndexFiles.delete(spark, root)
+  }
+
   test("--bootstrap-min defers the frozen artifacts, then trains them over the whole landed corpus") {
     val root = Files.createTempDirectory("graft_vecboot").toString
     val c = VecIngest.Config(
