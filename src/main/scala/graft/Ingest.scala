@@ -40,7 +40,9 @@ object Ingest {
       nearIndex: Option[String] = None,
       nearThreshold: Double = 0.8,
       nearCompactEvery: Int = 16,
-      bm25Stats: Option[String] = None)
+      bm25Stats: Option[String] = None,
+      bm25CompactEvery: Int = 16,
+      outCompactEvery: Int = 0)
 
   def parseArgs(args: Seq[String]): Config = {
     def loop(rest: List[String], c: Config): Config = rest match {
@@ -74,6 +76,17 @@ object Ingest {
       // (TextAnalysis.saveBm25StatsDeltaAt); loadBm25Stats over
       // base+deltas feeds bm25TopKWith between runs
       case "--bm25-stats" :: v :: t => loop(t, c.copy(bm25Stats = Some(v)))
+      // compact the stats delta chain every N landed deltas (0 = never) —
+      // --near-compact-every's stats twin (TextAnalysis.compactBm25Stats);
+      // bounds the delta dirs and the restart load's union
+      case "--bm25-compact-every" :: v :: t =>
+        loop(t, c.copy(bm25CompactEvery = v.toInt))
+      // fold the landed ingest_batch=<id> dirs into one stamped base every
+      // N batches (0 = never) — bounds the OUTPUT's directory count the way
+      // the index chains bound their deltas (OutputCompaction; the
+      // small-files scale-killer at a minute-level trigger)
+      case "--out-compact-every" :: v :: t =>
+        loop(t, c.copy(outCompactEvery = v.toInt))
       case Nil =>
         require(c.src.nonEmpty && c.out.nonEmpty && c.checkpoint.nonEmpty,
           "--src, --out, and --checkpoint are required")
@@ -82,7 +95,7 @@ object Ingest {
         s"unknown flag: $other (supported: --src <dir> --out <path> --checkpoint <dir> " +
           "--budget <tokens> --rate <r> --rate-for <source=r> --once " +
           "--near-index <path> --near-threshold <t> --near-compact-every <n> " +
-          "--bm25-stats <path>)")
+          "--bm25-stats <path> --bm25-compact-every <n> --out-compact-every <n>)")
     }
     loop(args.toList, Config())
   }
@@ -130,7 +143,9 @@ object Ingest {
         graft.operators.TextAnalysis.emptyBm25Stats(spark), p))
     val query = StreamingCuration.ingestTo(spark, in, config.out, config.checkpoint,
       budget = config.budget, rates = config.rates, defaultRate = config.defaultRate,
-      availableNow = config.once, nearGate = gate, statsPath = config.bm25Stats)
+      availableNow = config.once, nearGate = gate, statsPath = config.bm25Stats,
+      statsCompactEvery = config.bm25CompactEvery,
+      outCompactEvery = config.outCompactEvery)
     sys.addShutdownHook { query.stop() }
     query.awaitTermination()
     // clean shutdown: fold + persist the final batch's staged admissions

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.{IndexFiles, IndexMaintenance, RefreshableEmbedIndex, RefreshableKnnGraph, RefreshablePqIndex, Similarity}
-import graft.streaming.StreamingSimilarity
+import graft.operators.{IndexMaintenance, RefreshableEmbedIndex, RefreshableKnnGraph, RefreshablePqIndex, Similarity}
+import graft.streaming.{OutputCompaction, StreamingSimilarity}
 
 /** The vector-ingest daemon — [[Ingest]]'s embedding-side sibling and the
   * runnable surface for the vector gate family: watch a directory for
@@ -58,6 +58,7 @@ object VecIngest {
       maintainRerank: Int = 32,
       centroidMod: Int = 127,
       bootstrapMin: Long = 1L,
+      outCompactEvery: Int = 0,
       once: Boolean = false)
 
   def parseArgs(args: Seq[String]): Config = {
@@ -80,6 +81,10 @@ object VecIngest {
       // have accumulated — a frozen artifact trained on a skewed first
       // batch is correct (maintenance retrains it) but needlessly poor
       case "--bootstrap-min" :: v :: t => loop(t, c.copy(bootstrapMin = v.toLong))
+      // fold the landed ingest_batch=<id> dirs into one stamped base every
+      // N batches (0 = never) — OutputCompaction, the same knob as Ingest's
+      case "--out-compact-every" :: v :: t =>
+        loop(t, c.copy(outCompactEvery = v.toInt))
       case "--once" :: t => loop(t, c.copy(once = true))
       case Nil =>
         require(c.src.nonEmpty && c.out.nonEmpty && c.checkpoint.nonEmpty &&
@@ -90,7 +95,8 @@ object VecIngest {
         s"unknown flag: $other (supported: --src <dir> --out <path> --checkpoint <dir> " +
           "--index <path> --threshold <t> --pq-index <path> --graph-index <path> " +
           "--compact-every <n> --maintain-every <n> --maintain-floor <r> " +
-          "--maintain-rerank <n> --centroid-mod <m> --bootstrap-min <n> --once)")
+          "--maintain-rerank <n> --centroid-mod <m> --bootstrap-min <n> " +
+          "--out-compact-every <n> --once)")
     }
     loop(args.toList, Config())
   }
@@ -138,7 +144,8 @@ object VecIngest {
       * bootstrap-era rows). */
     private def corpus(): DataFrame = {
       spark.catalog.refreshByPath(c.out)
-      spark.read.parquet(c.out).select("vec_id", "label", "embedding")
+      OutputCompaction.read(spark, c.out)
+        .select("vec_id", "label", "embedding")
     }
 
     /** Cumulative admitted count, resumed from the landed output on a
@@ -148,9 +155,8 @@ object VecIngest {
       * warmup heuristic and the bootstrap trains over the landed corpus,
       * whose exactly-once writes never double-count.) */
     private var cumAdmitted: Long =
-      if (IndexFiles.fs(spark, c.out).exists(new org.apache.hadoop.fs.Path(c.out)))
-        spark.read.parquet(c.out).count()
-      else 0L
+      OutputCompaction.readIfAny(spark, c.out)
+        .map(_.count()).getOrElse(0L)
 
     private def ensurePq(): Option[StreamingSimilarity.PqIngestGate] =
       c.pqIndex.flatMap { p =>
@@ -217,12 +223,36 @@ object VecIngest {
         }
       }
 
+    // EAGER gate construction when the persisted index already exists: a
+    // restarted run that sees only empty batches never reaches onBatch's
+    // lazy ensurePq/ensureGraph, so without this a prior crashed run's
+    // staged PQ/graph leftovers would sit unfolded until some later run
+    // receives traffic — flush() on a traffic-free run must fold them.
+    // (A fresh path stays lazy: the bootstrap needs admissions first.)
+    locally {
+      c.pqIndex.foreach { p =>
+        if (Similarity.pqIndexExists(spark, p)) { ensurePq(); () }
+      }
+      c.graphIndex.foreach { p =>
+        if (Similarity.knnGraphExists(spark, p)) { ensureGraph(); () }
+      }
+    }
+
     /** The foreachBatch body: gate → land admissions exactly-once →
       * feed the ANN gates (which stage now and fold lagged). Landing
       * BEFORE the ANN gates keeps the retrain corpus a superset of the
       * encoded population — the gates' already-encoded guards absorb the
       * overlap (see the object scaladoc). */
+    // the output-compaction stamp: batches at or below it landed AND were
+    // folded into the compacted base before a crash, so a replay must skip
+    // re-landing them (re-creating the dir would double their rows in
+    // every OutputCompaction.read) — see StreamingCuration.CurationRun
+    private val outStamp = new java.util.concurrent.atomic.AtomicLong(
+      OutputCompaction.highWater(spark, c.out))
+    private val landedSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+
     def onBatch(batch: DataFrame, batchId: Long): Unit = {
+      if (batchId <= outStamp.get) return // replay of a compacted batch
       // collapse in-batch exact duplicates FIRST (the gates' contract:
       // in-stream duplicates are not matched against each other) — the
       // min-id winner keeps the collapse replay-deterministic
@@ -233,13 +263,22 @@ object VecIngest {
         decisions.filter(col("novel")).select("vec_id"), Seq("vec_id")).persist()
       try {
         val n = admitted.count() // materializes the persisted frame once
-        admitted.write.mode("overwrite").parquet(s"${c.out}/ingest_batch=$batchId")
+        admitted.write.mode("overwrite").parquet(
+          s"${c.out}/${OutputCompaction.BatchPrefix}$batchId")
         if (n > 0) {
           cumAdmitted += n
           ensurePq().foreach(_.apply(admitted, batchId))
           ensureGraph().foreach(_.apply(admitted, batchId))
         }
       } finally { admitted.unpersist(); () }
+      // output compaction cadence (the same bound the index chains have;
+      // upTo = batchId so a foreign half-written dir is never folded)
+      if (c.outCompactEvery > 0 &&
+          landedSinceCompact.incrementAndGet() >= c.outCompactEvery) {
+        OutputCompaction.compact(spark, c.out, upTo = batchId)
+        outStamp.set(batchId)
+        landedSinceCompact.set(0L)
+      }
     }
 
     /** Clean-shutdown fold of every gate's staged leftovers (the lag

@@ -50,6 +50,94 @@ private[graft] object IndexFiles {
     if (f.exists(p)) { f.delete(p, true); () }
   }
 
+  /** Numbered claim FILES `<prefix><id>` under `path`, ascending — the
+    * writer-lease listing ([[numbered]]'s file twin; leases are files, not
+    * directories, because the claim primitive is create-if-absent). */
+  private def numberedClaims(spark: SparkSession, path: String,
+      prefix: String): Seq[(Long, Path)] = {
+    val root = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).toSeq
+      .filter(_.isFile)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) && !n.endsWith(".tmp"))
+          n.stripPrefix(prefix).toLongOption.map(_ -> st.getPath)
+        else None
+      }
+      .sortBy(_._1)
+  }
+
+  /** WRITER FENCING for the LSM index paths — turns the documented
+    * single-writer contract into fail-fast. Two daemons pointed at one
+    * index path would otherwise claim the same `delta_<N>` number and
+    * corrupt the chain SILENTLY (an ops accident, not an exotic failure,
+    * in any HA deployment). The classic fencing-token design:
+    *
+    *   - [[claimWriter]] claims the next epoch by atomic create-if-absent
+    *     of `path/writer/epoch_<E>` (two claimants of the same E: exactly
+    *     one create succeeds; the loser retries at E+1);
+    *   - [[WriterLease.check]] (called by every ingest gate before any
+    *     mutation — staging, fold, delta write, compaction, maintenance)
+    *     demands the path's HIGHEST epoch still be this writer's: a newer
+    *     claim means another writer owns the path now, and this one dies
+    *     loudly instead of interleaving delta numbers with it;
+    *   - a CRASHED writer needs no cleanup — the next writer simply claims
+    *     the next epoch (stale leases fence nothing; superseded claim
+    *     files are pruned on claim).
+    *
+    * Latest-claim-wins is the standard fencing direction (the new epoch
+    * holder is the deployment's intended owner — a restart, a failover);
+    * the fenced predecessor is the one that must stop. Readers need no
+    * lease — loads are safe at any moment by the stamp/atomic-publish
+    * rules. */
+  final class WriterLease private[IndexFiles] (spark: SparkSession,
+      path: String, val epoch: Long) {
+    /** Fail fast when a newer writer claimed the path. One listing per
+      * call — cheap against a per-micro-batch cadence. */
+    def check(): Unit = {
+      val top = numberedClaims(spark, s"$path/writer", "epoch_")
+        .lastOption.map(_._1)
+      if (!top.contains(epoch))
+        throw new IllegalStateException(
+          s"writer fenced at $path: this writer holds epoch $epoch but the " +
+            s"latest claim is ${top.getOrElse(-1L)} — a newer writer owns " +
+            "the path (two ingest daemons on one index path?)")
+    }
+  }
+
+  /** Claim the writer lease on an index path (see [[WriterLease]]). */
+  def claimWriter(spark: SparkSession, path: String,
+      attempts: Int = 5): WriterLease = {
+    val root = s"$path/writer"
+    val f = fs(spark, path)
+    var n = attempts
+    while (n > 0) {
+      val e = numberedClaims(spark, root, "epoch_")
+        .map(_._1).maxOption.getOrElse(0L) + 1
+      try {
+        // create-if-absent IS the atomic claim (overwrite = false); the
+        // content is diagnostic only — epoch numbers carry the protocol
+        val out = f.create(new Path(s"$root/epoch_$e"), false)
+        try out.write(
+          java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+        finally out.close()
+        // prune superseded claims — their writers are fenced by this one
+        numberedClaims(spark, root, "epoch_").filter(_._1 < e)
+          .foreach { case (_, p) => if (f.exists(p)) { f.delete(p, false); () } }
+        return new WriterLease(spark, path, e)
+      } catch {
+        // FileAlreadyExistsException on modern Hadoop FS, bare IOException
+        // on older local FS — either way: lost the race, retry above it
+        // (a persistent real failure exhausts `attempts` and fails loudly)
+        case _: java.io.IOException => n -= 1
+      }
+    }
+    throw new IllegalStateException(
+      s"could not claim a writer lease at $path after $attempts attempts")
+  }
+
   /** Run independent Spark actions concurrently and return their results
     * in order — the index save/materialize paths are 3–7 embarrassingly-
     * parallel component jobs (distinct output dirs / distinct cached

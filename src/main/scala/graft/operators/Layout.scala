@@ -42,6 +42,41 @@ object Layout {
   def zValue(a: Column, b: Column): Column =
     spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
 
+  /** Min/max normalization of `raw` onto `[0, scale]` as a Spark SQL
+    * expression string — OVERFLOW-SAFE: the naive `(raw - lo) * scale`
+    * wraps silently once the key range exceeds 2^63/scale (a
+    * microsecond-scale raw key is ~2^50 already), and Spark wraps where
+    * DuckDB raises, so the two sides would fail DIFFERENTLY. Ranges at or
+    * above `guard` pre-shift both the offset and the range down 31 bits
+    * first (range>>31 < 2^32, so ×scale stays far under 2^63); narrow
+    * ranges take shift 0 and are bit-identical to the unshifted formula.
+    * The conditional shift is plain BIGINT arithmetic both engines
+    * replay exactly ([[normSql]] is the same text, operator-translated). */
+  private def normExpr(raw: String, lo: String, hi: String,
+      scale: Long, guard: Long): String = {
+    val sh = s"(CASE WHEN $hi - $lo >= ${guard}L THEN 31 ELSE 0 END)"
+    s"(shiftright($raw - $lo, $sh) * $scale) div greatest(shiftright($hi - $lo, $sh), 1)"
+  }
+
+  /** [[normExpr]]'s DuckDB twin (kept textually adjacent so the two cannot
+    * drift): same conditional pre-shift, `>>` for shiftright. */
+  private def normSql(raw: String, lo: String, hi: String,
+      scale: Long, guard: Long): String = {
+    val sh = s"(CASE WHEN $hi - $lo >= $guard THEN 31 ELSE 0 END)"
+    s"((($raw - $lo) >> $sh) * $scale) // greatest((($hi - $lo) >> $sh), 1)"
+  }
+
+  /** Largest range the ×65535 normalization multiplies without BIGINT
+    * overflow is (2^63−1)/65535 ≈ 2^47.07; guard at 2^47. */
+  private[operators] val Guard16: Long = 1L << 47
+  /** ×1023 overflows past (2^63−1)/1023 ≈ 2^53.01; guard at 2^53. */
+  private[operators] val Guard10: Long = 1L << 53
+
+  /** The 16-bit normalization as a Column over literal-named inputs —
+    * exposed for the overflow property spec. */
+  private[graft] def normTo16(raw: String, lo: String, hi: String): Column =
+    expr(normExpr(raw, lo, hi, 65535L, Guard16))
+
   /** Z-ORDER the frame for a write: range-cluster on the interleaved key
     * so each output chunk is a rectangle in (a, b) space. This IS the
     * write path — `zOrderBy(df, …).write.parquet(dest)` gives parquet
@@ -79,8 +114,8 @@ object Layout {
       min("h_raw").as("h_lo"), max("h_raw").as("h_hi"))
     keyed.crossJoin(broadcast(bounds))
       .select(col("event_id"),
-        expr("((u_raw - u_lo) * 65535) div greatest(u_hi - u_lo, 1)").as("u16"),
-        expr("((h_raw - h_lo) * 65535) div greatest(h_hi - h_lo, 1)").as("h16"))
+        expr(normExpr("u_raw", "u_lo", "u_hi", 65535L, Guard16)).as("u16"),
+        expr(normExpr("h_raw", "h_lo", "h_hi", 65535L, Guard16)).as("h16"))
       .withColumn("z_val", zValue(col("u16"), col("h16")))
       .orderBy("event_id")
   }
@@ -132,9 +167,9 @@ object Layout {
       min("v_raw").as("v_lo"), max("v_raw").as("v_hi"))
     keyed.crossJoin(broadcast(bounds))
       .select(col("event_id"),
-        expr("((u_raw - u_lo) * 1023) div greatest(u_hi - u_lo, 1)").as("u10"),
-        expr("((h_raw - h_lo) * 1023) div greatest(h_hi - h_lo, 1)").as("h10"),
-        expr("((v_raw - v_lo) * 1023) div greatest(v_hi - v_lo, 1)").as("v10"))
+        expr(normExpr("u_raw", "u_lo", "u_hi", 1023L, Guard10)).as("u10"),
+        expr(normExpr("h_raw", "h_lo", "h_hi", 1023L, Guard10)).as("h10"),
+        expr(normExpr("v_raw", "v_lo", "v_hi", 1023L, Guard10)).as("v10"))
       .withColumn("z_val", zValue3(col("u10"), col("h10"), col("v10")))
       .orderBy("event_id")
   }
@@ -153,9 +188,9 @@ object Layout {
       |    min(v_raw) AS v_lo, max(v_raw) AS v_hi FROM k),
       |e AS (
       |  SELECT event_id,
-      |    CAST(((u_raw - u_lo) * 1023) // greatest(u_hi - u_lo, 1) AS BIGINT) AS u10,
-      |    CAST(((h_raw - h_lo) * 1023) // greatest(h_hi - h_lo, 1) AS BIGINT) AS h10,
-      |    CAST(((v_raw - v_lo) * 1023) // greatest(v_hi - v_lo, 1) AS BIGINT) AS v10
+      |    CAST(${normSql("u_raw", "u_lo", "u_hi", 1023L, Guard10)} AS BIGINT) AS u10,
+      |    CAST(${normSql("h_raw", "h_lo", "h_hi", 1023L, Guard10)} AS BIGINT) AS h10,
+      |    CAST(${normSql("v_raw", "v_lo", "v_hi", 1023L, Guard10)} AS BIGINT) AS v10
       |  FROM k CROSS JOIN b)
       |SELECT event_id, u10, h10, v10,
       |  CAST(${spread3Sql("u10")} | (${spread3Sql("h10")} << 1) | (${spread3Sql("v10")} << 2) AS BIGINT) AS z_val
@@ -177,8 +212,8 @@ object Layout {
       |    min(h_raw) AS h_lo, max(h_raw) AS h_hi FROM k),
       |e AS (
       |  SELECT event_id,
-      |    CAST(((u_raw - u_lo) * 65535) // greatest(u_hi - u_lo, 1) AS BIGINT) AS u16,
-      |    CAST(((h_raw - h_lo) * 65535) // greatest(h_hi - h_lo, 1) AS BIGINT) AS h16
+      |    CAST(${normSql("u_raw", "u_lo", "u_hi", 65535L, Guard16)} AS BIGINT) AS u16,
+      |    CAST(${normSql("h_raw", "h_lo", "h_hi", 65535L, Guard16)} AS BIGINT) AS h16
       |  FROM k CROSS JOIN b)
       |SELECT event_id, u16, h16,
       |  CAST(${spreadSql("u16")} | (${spreadSql("h16")} << 1) AS BIGINT) AS z_val

@@ -170,93 +170,147 @@ object StreamingCuration {
       .select("source", "doc_id", "n_tokens", "tok_offset", "chunk_first", "chunk_last")
   }
 
-  /** Per-source token totals of the batches already landed below
-    * `beforeBatch` — the restart-safe base rebuild (a crashed run's
-    * half-written replay directory has id ≥ `beforeBatch` and is
-    * excluded; its overwrite then makes the totals whole). */
+  /** Per-source token totals of everything already FINAL in the sink at a
+    * restart: the compacted base (ids ≤ its stamp, which the replay-skip
+    * rule never re-lands) plus live batch directories below `beforeBatch`
+    * — the restart-safe base rebuild (a crashed run's half-written replay
+    * directory has id ≥ `beforeBatch` and is excluded; its overwrite then
+    * makes the totals whole). Listing goes through the path's own Hadoop
+    * filesystem, never java.io.File — the sink lives on s3://-like stores
+    * in a real deployment; foreign directories under the root are skipped,
+    * not restart-killing errors ([[graft.operators.IndexFiles.numbered]]). */
   private[streaming] def basesFromSink(spark: SparkSession, outPath: String,
       beforeBatch: Long): Map[String, Long] = {
-    // existence through the Hadoop filesystem of the path, NOT java.io.File
-    // — the sink lives on s3://-like stores in a real deployment, where a
-    // local-File probe is always false and the bases would silently reset
-    // to zero (offset collisions with every prior run)
-    val p = new org.apache.hadoop.fs.Path(outPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Map.empty
-    // read only COMMITTED batch directories (id < the first replayed one):
-    // a crash can leave a half-written ingest_batch dir — or, before the
-    // very first commit, a sink root with no readable parquet at all —
-    // so list-and-filter the leaf dirs instead of reading the root
-    val committed = fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
-      // toLongOption: a foreign/tooling directory dropped under the sink
-      // root with a non-numeric suffix is skipped, not a restart-killing
-      // NumberFormatException
-      .filter(_.getPath.getName.stripPrefix("ingest_batch=").toLongOption
-        .exists(_ < beforeBatch))
-      .map(_.getPath.toString)
-    if (committed.isEmpty) return Map.empty
-    spark.read.parquet(committed: _*)
-      .groupBy("source").agg(sum("n_tokens").as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import graft.operators.IndexFiles
+    val stamp = OutputCompaction.highWater(spark, outPath)
+    val base = IndexFiles.numbered(spark, outPath, OutputCompaction.BasePrefix)
+      .lastOption.map { case (_, p) => spark.read.parquet(s"$p/data") }
+    // only COMMITTED live batch directories: above the stamp (at-or-below
+    // are dead leftovers of an interrupted compaction sweep — their rows
+    // are in the base) and below the first replayed id
+    val live = IndexFiles.numbered(spark, outPath, OutputCompaction.BatchPrefix)
+      .filter { case (id, _) => id > stamp && id < beforeBatch }
+      .map(_._2.toString)
+    val parts = base.toSeq ++
+      (if (live.nonEmpty) Seq(spark.read.parquet(live: _*)) else Nil)
+    parts.reduceOption(_ unionByName _) match {
+      case None => Map.empty
+      case Some(df) => df.groupBy("source").agg(sum("n_tokens").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+  }
+
+  /** One run's per-batch body, separable from the streaming query for
+    * spec-level driving (the [[graft.VecIngest.Pipeline]] shape) — in
+    * particular the replay-after-compaction case, which a live engine only
+    * produces by crashing between a compaction and its checkpoint commit. */
+  private[graft] final class CurationRun(spark: SparkSession, outPath: String,
+      budget: Long, rates: Map[String, Double], defaultRate: Double,
+      nearGate: Option[DataFrame => DataFrame],
+      statsPath: Option[String], statsCompactEvery: Int,
+      outCompactEvery: Int) {
+
+    private val bases = new AtomicReference[Map[String, Long]](null)
+    private val statsDeltasSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val landedSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+    // the output-compaction stamp, read once at run start and advanced by
+    // this run's own compactions — a replayed batch at or below it landed
+    // AND compacted before the crash, so its rows are already in the base
+    // and re-landing would double them in every read (the --bm25-stats
+    // swallowed-replay rule, applied to the output side)
+    private val outStamp = new java.util.concurrent.atomic.AtomicLong(
+      OutputCompaction.highWater(spark, outPath))
+
+    def onBatch(batch: DataFrame, batchId: Long): Unit = {
+      if (batchId <= outStamp.get) return // replay of a compacted batch
+      if (bases.get == null) bases.set(basesFromSink(spark, outPath, batchId))
+      // gate exactly the frame the packer can LAND: packBatch drops
+      // null-source docs, so gating the raw batch would fold such a doc
+      // into the index as "seen" while it never reaches the curated
+      // output — later legitimate copies would then be rejected forever.
+      // Admission and packing must agree on the population.
+      val packable = batch.filter(col("source").isNotNull)
+      // optional NEAR-dup admission against the living corpus index
+      // (StreamingDedup.novelNearCorpusIngest): non-novel docs drop here,
+      // before packing; the gate folds admissions back lagged one batch,
+      // so a replayed batch re-gates identically. An IngestGate gets the
+      // REAL foreachBatch id so its durable staging keys on the engine's
+      // replay-stable ids (a restart must distinguish "this batch's own
+      // re-staged admissions" from leftovers of earlier batches).
+      val admitted = nearGate.map { g =>
+        val decisions = g match {
+          case ig: StreamingDedup.IngestGate => ig(packable, batchId)
+          case f => f(packable)
+        }
+        packable.join(decisions.filter(col("novel"))
+          .select("doc_id"), Seq("doc_id"))
+      }.getOrElse(packable)
+      // living retrieval stats over exactly the admitted (packed)
+      // population: an O(batch) delta keyed on the replay-stable batch
+      // id — a replayed batch overwrites identical bytes, and a replay
+      // arriving after compaction swallowed its id skips (see
+      // TextAnalysis.saveBm25StatsDeltaAt)
+      statsPath.foreach { sp =>
+        if (!admitted.isEmpty) {
+          val landed = graft.operators.TextAnalysis.saveBm25StatsDeltaAt(
+            graft.operators.TextAnalysis.bm25Stats(admitted), sp, batchId + 1)
+          // compaction cadence for the stats delta chain — without it a
+          // long-running ingest grows delta_<id> dirs (and the restart
+          // load's union) unboundedly; counts only deltas that actually
+          // landed (a swallowed replay must not advance the cadence)
+          if (landed.isDefined && statsCompactEvery > 0 &&
+              statsDeltasSinceCompact.incrementAndGet() >= statsCompactEvery) {
+            graft.operators.TextAnalysis.compactBm25Stats(spark, sp)
+            statsDeltasSinceCompact.set(0L)
+          }
+        }
+      }
+      val packed = packBatch(admitted, bases.get, budget).persist()
+      try {
+        packed.write.mode("overwrite").parquet(
+          s"$outPath/${OutputCompaction.BatchPrefix}$batchId")
+        val deltas = packed.groupBy("source").agg(sum("n_tokens").as("t"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        bases.set(deltas.foldLeft(bases.get) { case (m, (s, t)) =>
+          m.updated(s, m.getOrElse(s, 0L) + t)
+        })
+      } finally { packed.unpersist(); () }
+      // output compaction cadence — fold the accumulated batch dirs into
+      // one stamped base every N landed batches, bounding the sink's
+      // directory count the way the index chains bound their delta chains.
+      // `upTo = batchId`: never touch a dir this run hasn't (over)written.
+      if (outCompactEvery > 0 &&
+          landedSinceCompact.incrementAndGet() >= outCompactEvery) {
+        OutputCompaction.compact(spark, outPath, upTo = batchId)
+        outStamp.set(batchId)
+        landedSinceCompact.set(0L)
+      }
+    }
   }
 
   /** Run the full incremental ingest: curate the stream, pack each
     * micro-batch, land it exactly-once under `outPath/ingest_batch=<id>`.
-    * Reading `outPath` as parquet (partition discovery supplies the
-    * `ingest_batch` column) yields the accumulated packed corpus. */
+    * [[OutputCompaction.read]] yields the accumulated packed corpus
+    * (without compaction configured, reading `outPath` as parquet with
+    * partition discovery still works, as before). With `outCompactEvery`
+    * > 0 the batch directories fold into a stamped `compacted_v<V>` base
+    * every N batches — contents-identical, directory count bounded,
+    * replay-safe ([[OutputCompaction]]). */
   def ingestTo(spark: SparkSession, stream: DataFrame, outPath: String,
       checkpointDir: String, budget: Long = 512,
       rates: Map[String, Double] = Sampling.DefaultRates,
       defaultRate: Double = Sampling.DefaultRate,
       availableNow: Boolean = false,
       nearGate: Option[DataFrame => DataFrame] = None,
-      statsPath: Option[String] = None): StreamingQuery = {
-    val bases = new AtomicReference[Map[String, Long]](null)
+      statsPath: Option[String] = None,
+      statsCompactEvery: Int = 0,
+      outCompactEvery: Int = 0): StreamingQuery = {
+    val run = new CurationRun(spark, outPath, budget, rates, defaultRate,
+      nearGate, statsPath, statsCompactEvery, outCompactEvery)
     val w = curated(stream, rates, defaultRate).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (bases.get == null) bases.set(basesFromSink(spark, outPath, batchId))
-        // gate exactly the frame the packer can LAND: packBatch drops
-        // null-source docs, so gating the raw batch would fold such a doc
-        // into the index as "seen" while it never reaches the curated
-        // output — later legitimate copies would then be rejected forever.
-        // Admission and packing must agree on the population.
-        val packable = batch.filter(col("source").isNotNull)
-        // optional NEAR-dup admission against the living corpus index
-        // (StreamingDedup.novelNearCorpusIngest): non-novel docs drop here,
-        // before packing; the gate folds admissions back lagged one batch,
-        // so a replayed batch re-gates identically. An IngestGate gets the
-        // REAL foreachBatch id so its durable staging keys on the engine's
-        // replay-stable ids (a restart must distinguish "this batch's own
-        // re-staged admissions" from leftovers of earlier batches).
-        val admitted = nearGate.map { g =>
-          val decisions = g match {
-            case ig: StreamingDedup.IngestGate => ig(packable, batchId)
-            case f => f(packable)
-          }
-          packable.join(decisions.filter(col("novel"))
-            .select("doc_id"), Seq("doc_id"))
-        }.getOrElse(packable)
-        // living retrieval stats over exactly the admitted (packed)
-        // population: an O(batch) delta keyed on the replay-stable batch
-        // id — a replayed batch overwrites identical bytes, and a replay
-        // arriving after compaction swallowed its id skips (see
-        // TextAnalysis.saveBm25StatsDeltaAt)
-        statsPath.foreach { sp =>
-          if (!admitted.isEmpty)
-            graft.operators.TextAnalysis.saveBm25StatsDeltaAt(
-              graft.operators.TextAnalysis.bm25Stats(admitted), sp, batchId + 1)
-        }
-        val packed = packBatch(admitted, bases.get, budget).persist()
-        try {
-          packed.write.mode("overwrite").parquet(s"$outPath/ingest_batch=$batchId")
-          val deltas = packed.groupBy("source").agg(sum("n_tokens").as("t"))
-            .collect().map(r => r.getString(0) -> r.getLong(1))
-          bases.set(deltas.foldLeft(bases.get) { case (m, (s, t)) =>
-            m.updated(s, m.getOrElse(s, 0L) + t)
-          })
-        } finally { packed.unpersist(); () }
+        run.onBatch(batch, batchId)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

@@ -157,6 +157,12 @@ object StreamingDedup {
       new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
     private val nextSyntheticId = new java.util.concurrent.atomic.AtomicLong(0L)
     private val foldsSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+    // the durable form claims the path's WRITER LEASE at construction and
+    // re-checks it before every mutation: a second gate on the same index
+    // path fences this one (fail-fast) instead of silently interleaving
+    // delta numbers with it — IndexFiles.WriterLease
+    private val lease: Option[IndexFiles.WriterLease] =
+      indexPath.map(p => IndexFiles.claimWriter(ref.current.fps.sparkSession, p))
 
     /** Fold every staged batch with id strictly below `before` (ALL staged
       * when None — the clean-shutdown flush), ascending. Durable mode:
@@ -194,13 +200,16 @@ object StreamingDedup {
 
     /** Fold whatever is staged. Safe to call at any quiet point; the next
       * batch then gates against the folded index. */
-    def flush(): Unit =
+    def flush(): Unit = {
+      lease.foreach(_.check())
       foldStaged(ref.current.fps.sparkSession, None)
+    }
 
     /** The per-micro-batch transform with the REAL foreachBatch id —
       * `StreamingCuration.ingestTo` calls this form so durable staging
       * keys on the engine's replay-stable batch ids. */
     def apply(batch: DataFrame, batchId: Long): DataFrame = {
+      lease.foreach(_.check())
       foldStaged(batch.sparkSession, Some(batchId))
       val decisions = Dedup.bestMatchAgainst(batch, ref.current, threshold)
       val admitted = batch.join(

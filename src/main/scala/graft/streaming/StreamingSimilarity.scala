@@ -106,6 +106,11 @@ object StreamingSimilarity {
       new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
     private val nextSyntheticId = new java.util.concurrent.atomic.AtomicLong(0L)
     private val foldsSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+    // writer fencing on the durable path (see IndexFiles.WriterLease /
+    // StreamingDedup.IngestGate): a second gate on this index path fences
+    // this one fail-fast instead of silently corrupting the delta chain
+    private val lease: Option[IndexFiles.WriterLease] =
+      indexPath.map(p => IndexFiles.claimWriter(ref.current.qc.sparkSession, p))
 
     private def foldStaged(spark: SparkSession, before: Option[Long]): Unit =
       indexPath match {
@@ -130,13 +135,16 @@ object StreamingSimilarity {
       }
 
     /** Fold whatever is staged (clean-shutdown flush / quiet point). */
-    def flush(): Unit =
+    def flush(): Unit = {
+      lease.foreach(_.check())
       foldStaged(ref.current.qc.sparkSession, None)
+    }
 
     /** The per-micro-batch transform with the REAL foreachBatch id (use
       * this form from foreachBatch so durable staging keys on the engine's
       * replay-stable ids). */
     def apply(batch: DataFrame, batchId: Long): DataFrame = {
+      lease.foreach(_.check())
       foldStaged(batch.sparkSession, Some(batchId))
       val decisions = Similarity.embedNoveltyAgainst(batch, ref.current, threshold)
       val admitted = batch
@@ -211,6 +219,9 @@ object StreamingSimilarity {
     private val foldsSinceMaintain = new java.util.concurrent.atomic.AtomicLong(0L)
     private val audit = new java.util.concurrent.ConcurrentLinkedQueue[
       graft.operators.IndexMaintenance.Decision]()
+    // writer fencing on the durable path (see IndexFiles.WriterLease)
+    private val lease: Option[IndexFiles.WriterLease] =
+      indexPath.map(p => IndexFiles.claimWriter(ref.current.cents.sparkSession, p))
 
     /** Every maintenance pass this gate has run, in order — the audit
       * trail a deployment logs/alerts on. */
@@ -267,11 +278,14 @@ object StreamingSimilarity {
       }
 
     /** Fold whatever is staged (clean-shutdown flush / quiet point). */
-    def flush(): Unit =
+    def flush(): Unit = {
+      lease.foreach(_.check())
       foldStaged(ref.current.cents.sparkSession, None)
+    }
 
     /** The per-micro-batch transform with the REAL foreachBatch id. */
     def apply(batch: DataFrame, batchId: Long): DataFrame = {
+      lease.foreach(_.check())
       foldStaged(batch.sparkSession, Some(batchId))
       val slim = batch.select("vec_id", "label", "embedding")
       indexPath match {
@@ -338,6 +352,9 @@ object StreamingSimilarity {
     private val foldsSinceMaintain = new java.util.concurrent.atomic.AtomicLong(0L)
     private val audit = new java.util.concurrent.ConcurrentLinkedQueue[
       graft.operators.IndexMaintenance.Decision]()
+    // writer fencing on the durable path (see IndexFiles.WriterLease)
+    private val lease: Option[IndexFiles.WriterLease] =
+      indexPath.map(p => IndexFiles.claimWriter(ref.current.cents.sparkSession, p))
 
     /** Every maintenance pass this gate has run, in order. */
     def decisions: Seq[graft.operators.IndexMaintenance.Decision] = {
@@ -388,11 +405,14 @@ object StreamingSimilarity {
       }
 
     /** Fold whatever is staged (clean-shutdown flush / quiet point). */
-    def flush(): Unit =
+    def flush(): Unit = {
+      lease.foreach(_.check())
       foldStaged(ref.current.cents.sparkSession, None)
+    }
 
     /** The per-micro-batch transform with the REAL foreachBatch id. */
     def apply(batch: DataFrame, batchId: Long): DataFrame = {
+      lease.foreach(_.check())
       foldStaged(batch.sparkSession, Some(batchId))
       val slim = batch.select("vec_id", "label", "embedding")
       indexPath match {

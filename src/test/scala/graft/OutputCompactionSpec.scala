@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationPipeline, IndexFiles, Tables}
+import graft.streaming.{OutputCompaction, StreamingCuration}
+
+/** Curated-OUTPUT compaction — the small-files bound for the ingest
+  * daemons' sinks (the one artifact family whose directory count grew one
+  * per micro-batch forever while every index chain compacted):
+  *
+  *   - N batches + compaction yield a BOUNDED directory count with
+  *     contents identical to the never-compacted union, across a
+  *     checkpointed restart (per-source offset bases must rebuild from
+  *     base ∪ live dirs, and the whole pass must still equal the batch
+  *     e2e pipeline);
+  *   - a REPLAY of an already-compacted batch (crash between compaction
+  *     and checkpoint commit) skips landing instead of doubling its rows;
+  *   - an interrupted sweep's dead batch dirs are invisible to reads and
+  *     swept by the next compaction. */
+class OutputCompactionSpec extends SparkSpec {
+
+  private def addFile(df: DataFrame, srcDir: String, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_oc_add").toString
+    df.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(srcDir, name))
+    ()
+  }
+
+  private def packedSet(df: DataFrame): Set[Seq[Any]] =
+    df.select("source", "doc_id", "n_tokens", "tok_offset", "chunk_first", "chunk_last")
+      .collect().map(_.toSeq).toSet
+
+  private def dirCounts(outPath: String): (Int, Int) = (
+    IndexFiles.numbered(spark, outPath, OutputCompaction.BatchPrefix).size,
+    IndexFiles.numbered(spark, outPath, OutputCompaction.BasePrefix).size)
+
+  test("ingest with --out-compact-every: bounded dirs, contents ≡ batch e2e across a restart") {
+    val docs = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text", "source", "n_chars")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val q1 = ids(ids.length / 3); val q2 = ids(2 * ids.length / 3)
+
+    val srcDir = Files.createTempDirectory("graft_oc_src").toString
+    val outPath = Files.createTempDirectory("graft_oc_out").toString + "/packed"
+    val ckpt = Files.createTempDirectory("graft_oc_ckpt").toString
+
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1) // one batch per file: exercises the cadence
+        .parquet(srcDir)
+      val q = StreamingCuration.ingestTo(spark, in, outPath, ckpt,
+        availableNow = true, outCompactEvery = 1)
+      q.awaitTermination(180000L)
+    }
+
+    // three id-ordered thirds across two runs with a restart between —
+    // every landed batch compacts (cadence 1), so the restart's offset
+    // bases must rebuild from the compacted base alone
+    addFile(docs.filter(col("doc_id") < q1), srcDir, "t1.parquet")
+    runOnce()
+    val (live1, bases1) = dirCounts(outPath)
+    assert(bases1 == 1, s"first run must compact into one base (got $bases1)")
+    assert(live1 == 0, s"folded batch dirs must sweep (got $live1 live)")
+
+    addFile(docs.filter(col("doc_id") >= q1 && col("doc_id") < q2), srcDir, "t2.parquet")
+    addFile(docs.filter(col("doc_id") >= q2), srcDir, "t3.parquet")
+    runOnce()
+
+    val (live2, bases2) = dirCounts(outPath)
+    assert(bases2 == 1, s"exactly one surviving base version (got $bases2)")
+    assert(live2 == 0, s"directory count must stay bounded (got $live2 live)")
+
+    val streamed = packedSet(OutputCompaction.read(spark, outPath))
+    val batch = packedSet(CurationPipeline.e2e(docs))
+    assert(streamed == batch,
+      s"compacted-output mismatch: stream-only ${(streamed -- batch).take(5)}, " +
+        s"missing ${(batch -- streamed).take(5)}")
+    assert(streamed.nonEmpty)
+
+    // idle re-run: no new batches, nothing re-lands, nothing re-compacts
+    runOnce()
+    assert(packedSet(OutputCompaction.read(spark, outPath)) == streamed)
+  }
+
+  test("replay of an already-compacted batch skips landing (crash between compact and commit)") {
+    import spark.implicits._
+    val outPath = Files.createTempDirectory("graft_oc_replay").toString + "/packed"
+    val run = new StreamingCuration.CurationRun(spark, outPath, budget = 8L,
+      rates = Map.empty, defaultRate = 1.0, nearGate = None,
+      statsPath = None, statsCompactEvery = 0, outCompactEvery = 2)
+    def batchDf(lo: Long): DataFrame =
+      (lo until lo + 4).map(i => (i, s"w$i x y z", "web", 10L))
+        .toDF("doc_id", "text", "source", "n_chars")
+
+    run.onBatch(batchDf(0), 0)
+    run.onBatch(batchDf(100), 1) // cadence 2 -> compacts, stamp = 1
+    assert(OutputCompaction.highWater(spark, outPath) == 1L)
+    val settled = packedSet(OutputCompaction.read(spark, outPath))
+
+    // the crash-window replay: same batch id, at/below the stamp — a
+    // FRESH run (stamp read from disk) and the same run must both skip
+    run.onBatch(batchDf(100), 1)
+    val rerun = new StreamingCuration.CurationRun(spark, outPath, budget = 8L,
+      rates = Map.empty, defaultRate = 1.0, nearGate = None,
+      statsPath = None, statsCompactEvery = 0, outCompactEvery = 2)
+    rerun.onBatch(batchDf(100), 1)
+    assert(packedSet(OutputCompaction.read(spark, outPath)) == settled,
+      "a replayed compacted batch must not re-land (its rows are in the base)")
+    assert(dirCounts(outPath) == (0, 1))
+
+    // the NEXT batch under the restarted run lands with offsets continuing
+    // from the base totals
+    rerun.onBatch(batchDf(200), 2)
+    val after = OutputCompaction.read(spark, outPath)
+    assert(after.count() == settled.size + 4L)
+    val webOffsets = after.filter(col("source") === "web")
+      .select("tok_offset", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // contiguous per-source packing: offsets tile [0, total) exactly
+    val tiled = webOffsets.sortBy(_._1)
+    assert(tiled.head._1 == 0L)
+    tiled.sliding(2).foreach {
+      case Array((o1, n1), (o2, _)) => assert(o2 == o1 + n1,
+        s"offsets must continue across compaction+restart: $o1+$n1 != $o2")
+      case _ =>
+    }
+  }
+
+  test("interrupted sweep: dead batch dirs below the stamp are invisible and swept") {
+    import spark.implicits._
+    val outPath = Files.createTempDirectory("graft_oc_dead").toString + "/packed"
+    val run = new StreamingCuration.CurationRun(spark, outPath, budget = 8L,
+      rates = Map.empty, defaultRate = 1.0, nearGate = None,
+      statsPath = None, statsCompactEvery = 0, outCompactEvery = 1)
+    run.onBatch(Seq((1L, "a b c", "web", 5L)).toDF("doc_id", "text", "source", "n_chars"), 0)
+    val settled = packedSet(OutputCompaction.read(spark, outPath))
+    assert(OutputCompaction.highWater(spark, outPath) == 0L)
+
+    // simulate the crash-between-publish-and-sweep leftover: a batch dir
+    // at/below the stamp holding rows the base already incorporates
+    Seq(("web", 1L, 3L, 0L, 0L, 0L))
+      .toDF("source", "doc_id", "n_tokens", "tok_offset", "chunk_first", "chunk_last")
+      .write.mode("overwrite")
+      .parquet(s"$outPath/${OutputCompaction.BatchPrefix}0")
+    assert(packedSet(OutputCompaction.read(spark, outPath)) == settled,
+      "dead dirs at/below the stamp must be invisible to reads")
+
+    // the next compaction sweeps them even with nothing new to fold
+    OutputCompaction.compact(spark, outPath)
+    assert(dirCounts(outPath) == (0, 1))
+    assert(packedSet(OutputCompaction.read(spark, outPath)) == settled)
+  }
+
+  test("VecIngest pipeline: compaction + replay skip, corpus reads through the base") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_oc_vec").toString
+    val c = VecIngest.Config(src = s"$root/src", out = s"$root/out",
+      checkpoint = s"$root/ckpt", index = s"$root/embed",
+      pqIndex = Some(s"$root/pq"), centroidMod = 13,
+      outCompactEvery = 1, once = true)
+    def vecs(lo: Long, block: Int): DataFrame =
+      (lo until lo + 6).map { i =>
+        val a = Array.fill(64)(0.001f * (i % 3))
+        (0 until 8).foreach(j => a(block + j) = 0.7f + 0.01f * ((i + j) % 5))
+        (i, a.toSeq, block)
+      }.toDF("vec_id", "embedding", "label")
+
+    val pipe = new VecIngest.Pipeline(spark, c)
+    pipe.onBatch(vecs(0, 0), 0)   // lands + compacts (stamp 0), bootstraps PQ
+    pipe.onBatch(vecs(100, 8), 1) // lands + compacts (stamp 1)
+    assert(OutputCompaction.highWater(spark, c.out) == 1L)
+    val settled = OutputCompaction.read(spark, c.out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(settled == ((0L until 6L) ++ (100L until 106L)).toSet)
+
+    // replay of batch 1 after its compaction, on a RESTARTED pipeline
+    pipe.flush()
+    val pipe2 = new VecIngest.Pipeline(spark, c)
+    pipe2.onBatch(vecs(100, 8), 1)
+    assert(OutputCompaction.read(spark, c.out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet == settled,
+      "a replayed compacted batch must not double its vectors")
+    assert(IndexFiles.numbered(spark, c.out, OutputCompaction.BatchPrefix).isEmpty)
+
+    // a genuinely new batch still lands and compacts
+    pipe2.onBatch(vecs(200, 16), 2)
+    pipe2.flush()
+    assert(OutputCompaction.read(spark, c.out).count() == settled.size + 6L)
+    assert(IndexFiles.numbered(spark, c.out, OutputCompaction.BasePrefix).size == 1)
+  }
+}

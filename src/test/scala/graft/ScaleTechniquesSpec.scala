@@ -721,6 +721,40 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"z-order must also prune a pure time box: $zTime of $nChunks")
   }
 
+  test("z-order normalization survives microsecond-scale key ranges (no BIGINT wrap)") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // a raw key range past 2^47 — the naive (raw-lo)*65535 silently wraps
+    // here in Spark (and raises in DuckDB, so the two sides would fail
+    // DIFFERENTLY); the guarded pre-shift must keep values exact-in-range
+    val wideLo = 1700000000000000L // a μs-scale epoch
+    val wideHi = wideLo + (1L << 50)
+    val wide = Seq.tabulate(101)(i => wideLo + (wideHi - wideLo) / 100 * i)
+      .toDF("raw")
+      .withColumn("lo", lit(wideLo)).withColumn("hi", lit(wideHi))
+      .withColumn("u16", Layout.normTo16("raw", "lo", "hi"))
+      .select("raw", "u16").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(wide.forall { case (_, v) => v >= 0L && v <= 65535L },
+      s"wide-range normalization out of [0,65535]: ${wide.filterNot(t => t._2 >= 0 && t._2 <= 65535).take(3).toSeq}")
+    assert(wide.head._2 == 0L && wide.last._2 >= 65000L,
+      s"normalization must span the 16-bit range: ${wide.head} .. ${wide.last}")
+    wide.sliding(2).foreach {
+      case Array((_, v1), (_, v2)) => assert(v1 <= v2, "must stay monotone")
+      case _ =>
+    }
+    // narrow ranges take shift 0: bit-identical to the unguarded formula
+    // (zero hash churn for every existing layout row)
+    val narrow = Seq.tabulate(50)(i => 3L * i).toDF("raw")
+      .withColumn("lo", lit(0L)).withColumn("hi", lit(147L))
+      .withColumn("u16", Layout.normTo16("raw", "lo", "hi"))
+      .select("raw", "u16").collect()
+    narrow.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) * 65535L / 147L,
+        s"narrow range must equal the direct formula at ${r.getLong(0)}")
+    }
+  }
+
   test("3-key z-order: mask cascade equals the naive interleave; a value-box query prunes") {
     import graft.operators.Layout
     // the Morton-3 cascade bit-for-bit against a naive per-bit reference,

@@ -304,6 +304,33 @@ class StreamingCurationSpec extends SparkSpec {
     assert(TextAnalysis.loadBm25Stats(spark, statsPath).collect().toSeq == expected)
     graft.operators.IndexFiles.delete(spark, statsPath)
   }
+
+  test("--bm25-compact-every: the ingest loop itself bounds the stats delta chain") {
+    import spark.implicits._
+    import graft.operators.{IndexFiles, TextAnalysis}
+    val out = Files.createTempDirectory("graft_bmce_out").toString + "/packed"
+    val statsPath = Files.createTempDirectory("graft_bmce").toString + "/stats"
+    TextAnalysis.saveBm25Stats(TextAnalysis.emptyBm25Stats(spark), statsPath)
+
+    // drive the run body directly: every landed delta compacts (cadence 1),
+    // so no delta_<id> dir may survive any batch
+    val run = new StreamingCuration.CurationRun(spark, out, budget = 8L,
+      rates = Map.empty, defaultRate = 1.0, nearGate = None,
+      statsPath = Some(statsPath), statsCompactEvery = 1, outCompactEvery = 0)
+    def batchDf(lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 3).map(i => (i, s"merge window w$i", "web", 10L))
+        .toDF("doc_id", "text", "source", "n_chars")
+    run.onBatch(batchDf(0), 0)
+    assert(IndexFiles.numbered(spark, statsPath, "delta_").isEmpty,
+      "cadence 1 must compact every landed delta")
+    run.onBatch(batchDf(10), 1)
+    assert(IndexFiles.numbered(spark, statsPath, "delta_").isEmpty)
+    val expected = TextAnalysis.bm25Stats(
+      batchDf(0).unionByName(batchDf(10))).collect().toSeq
+    assert(TextAnalysis.loadBm25Stats(spark, statsPath).collect().toSeq == expected,
+      "compaction inside the loop must stay contents-identical")
+    IndexFiles.delete(spark, statsPath)
+  }
 }
 
 object StreamingCurationSpec {

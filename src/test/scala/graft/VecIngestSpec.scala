@@ -17,13 +17,15 @@ class VecIngestSpec extends SparkSpec {
       "--src", "/in", "--out", "/o", "--checkpoint", "/c", "--index", "/idx",
       "--threshold", "0.5", "--pq-index", "/pq", "--graph-index", "/g",
       "--compact-every", "4", "--maintain-every", "8",
-      "--maintain-floor", "0.8", "--centroid-mod", "13", "--once"))
+      "--maintain-floor", "0.8", "--centroid-mod", "13",
+      "--out-compact-every", "5", "--once"))
     assert(c.src == "/in" && c.out == "/o" && c.checkpoint == "/c" &&
       c.index == "/idx")
     assert(c.threshold == 0.5 && c.pqIndex.contains("/pq") &&
       c.graphIndex.contains("/g"))
     assert(c.compactEvery == 4 && c.maintainEvery == 8 &&
       c.maintainFloor == 0.8 && c.centroidMod == 13 && c.once)
+    assert(c.outCompactEvery == 5)
 
     intercept[IllegalArgumentException] {
       VecIngest.parseArgs(Seq("--src", "/in", "--out", "/o", "--checkpoint", "/c"))
@@ -135,6 +137,41 @@ class VecIngestSpec extends SparkSpec {
     assert(edgeSet(g.edges) == edgeSet(scratch),
       "the restarted graph lifecycle must equal from-scratch under frozen centroids")
     g.release()
+    graft.operators.IndexFiles.delete(spark, root)
+  }
+
+  test("eager gates: a traffic-free restart folds a crashed run's staged PQ/graph leftovers") {
+    val root = Files.createTempDirectory("graft_veceager").toString
+    val c = VecIngest.Config(
+      src = s"$root/src", out = s"$root/out", checkpoint = s"$root/ckpt",
+      index = s"$root/embed", pqIndex = Some(s"$root/pq"),
+      graphIndex = Some(s"$root/graph"), centroidMod = 13, once = true)
+
+    // batch 0 bootstraps the PQ/graph bases (encoding batch 0); batch 1
+    // stages into both gates; the "crash" is simply never flushing — the
+    // lag defers batch 1's fold to a next step the run never gets
+    val pipe1 = new VecIngest.Pipeline(spark, c)
+    pipe1.onBatch(frame(for { f <- 0 until 3; m <- 0 until 6 }
+      yield vec(8 * f, f, m, 100L + f * 10 + m)), 0)
+    pipe1.onBatch(frame(for { m <- 0 until 6 }
+      yield vec(40, 7, m, 300L + m)), 1)
+    val pqBefore = Similarity.loadPqIndex(spark, c.pqIndex.get)
+    val idsBefore = pqBefore.qn.select("vec_id").collect().map(_.getLong(0)).toSet
+    pqBefore.release()
+    assert(!idsBefore.exists(_ >= 300L), "batch 1 must still be staged, not folded")
+
+    // RESTART with zero traffic: the gates must exist (eagerly constructed
+    // off the persisted indexes) so flush() can fold the on-disk leftovers
+    val pipe2 = new VecIngest.Pipeline(spark, c)
+    pipe2.flush()
+    val pq = Similarity.loadPqIndex(spark, c.pqIndex.get)
+    val pqIds = pq.qn.select("vec_id").collect().map(_.getLong(0)).toSet
+    pq.release()
+    assert((300L until 306L).forall(pqIds), s"flush must fold staged batch 1: $pqIds")
+    val g = Similarity.loadKnnGraph(spark, c.graphIndex.get)
+    val gIds = g.qn.select("vec_id").collect().map(_.getLong(0)).toSet
+    g.release()
+    assert((300L until 306L).forall(gIds), "graph leftovers must fold too")
     graft.operators.IndexFiles.delete(spark, root)
   }
 
