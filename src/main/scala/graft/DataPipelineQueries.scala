@@ -175,6 +175,12 @@ object DataPipelineQueries {
     // number graph rebuild-and-swap policies trigger on
     "sim_graph_recall" -> ((s, dir) =>
       Similarity.knnGraphRecall(Similarity.knnGraphIndex(emb(s, dir)))),
+    // the embed-GATE recall monitor hash-pinned (pqRecall's sibling for
+    // the novelty gate's LSH candidate generation): among sampled probes
+    // whose exact best corpus cosine clears the threshold, the fraction
+    // the gate also reports non-novel — the number the embed-gate
+    // maintenance cadence observes
+    "embed_gate_recall" -> ((s, dir) => Similarity.embedGateRecall(emb(s, dir))),
     // PQ delta persistence round trip (embed_index_delta's PQ sibling):
     // base codebook trained+saved on %3==0, frozen-codebook append of
     // %3==1 persisted as a pure-append delta, reload, answer queries —
@@ -313,6 +319,7 @@ object DataPipelineQueries {
     "knn_graph_delta" -> Similarity.knnGraphRefreshSql,
     "sim_pq_recall" -> Similarity.pqRecallSql,
     "sim_graph_recall" -> Similarity.knnGraphRecallSql,
+    "embed_gate_recall" -> Similarity.embedGateRecallSql(),
     "sim_pq_delta" -> Similarity.pqDeltaTopKSql,
     "embed_index_refresh" -> Similarity.embedIndexRefreshSql,
     "dedup_simhash" -> Dedup.simhashSql,

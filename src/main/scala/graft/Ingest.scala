@@ -42,7 +42,11 @@ object Ingest {
       nearCompactEvery: Int = 16,
       bm25Stats: Option[String] = None,
       bm25CompactEvery: Int = 16,
-      outCompactEvery: Int = 0)
+      outCompactEvery: Int = 0,
+      maxFilesPerTrigger: Option[Int] = None,
+      layout: Option[(String, String)] = None,
+      listen: String = "0.0.0.0:19902",
+      selfMetrics: Boolean = true)
 
   def parseArgs(args: Seq[String]): Config = {
     def loop(rest: List[String], c: Config): Config = rest match {
@@ -87,6 +91,32 @@ object Ingest {
       // small-files scale-killer at a minute-level trigger)
       case "--out-compact-every" :: v :: t =>
         loop(t, c.copy(outCompactEvery = v.toInt))
+      // ADMISSION CONTROL for a cold --src backlog: without it the file
+      // source drains everything present in ONE giant micro-batch (the
+      // tail sources' maxBytesPerTrigger lesson — a month of backlog must
+      // not become one batch's working set); file-source native, so
+      // AvailableNow still drains the whole backlog, just in bounded steps
+      case "--max-files-per-trigger" :: v :: t =>
+        loop(t, c.copy(maxFilesPerTrigger = Some(v.toInt)))
+      // write-time Z-ORDER clustering of the packed output on two of its
+      // columns (e.g. zorder:doc_id,tok_offset): landed files — and every
+      // compacted base — carry min/max stats that prune box predicates on
+      // BOTH keys (Layout.zOrderByNormalized)
+      case "--layout" :: v :: t => v.split(":", 2) match {
+        case Array("zorder", keys) => keys.split(",", 2) match {
+          case Array(k1, k2) if k1.nonEmpty && k2.nonEmpty =>
+            loop(t, c.copy(layout = Some((k1.trim, k2.trim))))
+          case _ => throw new IllegalArgumentException(
+            s"bad --layout (want zorder:<k1>,<k2>): $v")
+        }
+        case _ => throw new IllegalArgumentException(
+          s"unknown --layout scheme (supported: zorder:<k1>,<k2>): $v")
+      }
+      // the ops surface (ExporterTelemetry's ingest sibling): /metrics
+      // with the graft_ingest_* self-telemetry block + /healthz wired to
+      // query.isActive — on by default, --no-self-metrics to run dark
+      case "--listen" :: v :: t => loop(t, c.copy(listen = v))
+      case "--no-self-metrics" :: t => loop(t, c.copy(selfMetrics = false))
       case Nil =>
         require(c.src.nonEmpty && c.out.nonEmpty && c.checkpoint.nonEmpty,
           "--src, --out, and --checkpoint are required")
@@ -95,13 +125,23 @@ object Ingest {
         s"unknown flag: $other (supported: --src <dir> --out <path> --checkpoint <dir> " +
           "--budget <tokens> --rate <r> --rate-for <source=r> --once " +
           "--near-index <path> --near-threshold <t> --near-compact-every <n> " +
-          "--bm25-stats <path> --bm25-compact-every <n> --out-compact-every <n>)")
+          "--bm25-stats <path> --bm25-compact-every <n> --out-compact-every <n> " +
+          "--max-files-per-trigger <n> --layout zorder:<k1>,<k2> " +
+          "--listen <host:port> --no-self-metrics)")
     }
     loop(args.toList, Config())
   }
 
   private val srcSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT")
+
+  /** The daemon's file source with admission control applied — factored so
+    * the bounded-cold-start-drain spec drives exactly the CLI's source. */
+  private[graft] def source(spark: SparkSession, config: Config): org.apache.spark.sql.DataFrame = {
+    val r = spark.readStream.schema(srcSchema)
+    config.maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(config.src)
+  }
 
   /** Build the near-dup admission gate from `--near-index`: load the
     * persisted base+deltas when an index exists at the path, else bootstrap
@@ -128,29 +168,58 @@ object Ingest {
         indexPath = Some(path), compactEvery = config.nearCompactEvery)
     }
 
+  /** `host:port` split for `--listen` (the Exporter's convention). */
+  private[graft] def parseListen(listen: String): (String, Int) = {
+    val i = listen.lastIndexOf(':')
+    require(i > 0, s"--listen wants host:port, got $listen")
+    (listen.substring(0, i), listen.substring(i + 1).toInt)
+  }
+
   def main(args: Array[String]): Unit = {
     val config = parseArgs(args.toSeq)
     val spark = SparkSession.builder()
       .appName("graft-curation-ingest")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    val in = spark.readStream.schema(srcSchema).parquet(config.src)
+    val in = source(spark, config)
     val gate = nearGate(spark, config)
     // stats bootstrap: deltas fold onto a base; zeros are the additive
     // identity, so a fresh path starts from the empty-corpus row
     config.bm25Stats.filterNot(graft.operators.TextAnalysis.textStatsExist(spark, _))
       .foreach(p => graft.operators.TextAnalysis.saveBm25Stats(
         graft.operators.TextAnalysis.emptyBm25Stats(spark), p))
+    // ops surface: /metrics (graft_ingest_* self-telemetry) + /healthz
+    val telemetry =
+      if (config.selfMetrics) Some(new graft.streaming.IngestTelemetry) else None
+    telemetry.foreach { t =>
+      t.indexProbe = () =>
+        config.nearIndex.toSeq.map(p => t.probeIndexPath(spark, "near", p)) ++
+          config.bm25Stats.toSeq.map(p => t.probeIndexPath(spark, "bm25", p))
+    }
+    val server = telemetry.map { t =>
+      val (host, port) = parseListen(config.listen)
+      new graft.streaming.MetricsHttpServer(port, host).attachTelemetry(t).start()
+    }
+    val layoutFn = config.layout.map { case (k1, k2) =>
+      (df: org.apache.spark.sql.DataFrame) =>
+        graft.operators.Layout.zOrderByNormalized(df,
+          org.apache.spark.sql.functions.col(k1),
+          org.apache.spark.sql.functions.col(k2))
+    }
     val query = StreamingCuration.ingestTo(spark, in, config.out, config.checkpoint,
       budget = config.budget, rates = config.rates, defaultRate = config.defaultRate,
       availableNow = config.once, nearGate = gate, statsPath = config.bm25Stats,
       statsCompactEvery = config.bm25CompactEvery,
-      outCompactEvery = config.outCompactEvery)
+      outCompactEvery = config.outCompactEvery,
+      telemetry = telemetry,
+      layoutFn = layoutFn)
+    server.foreach(_.health(() => query.isActive))
     sys.addShutdownHook { query.stop() }
     query.awaitTermination()
     // clean shutdown: fold + persist the final batch's staged admissions
     // (the lag defers every fold to the next batch; a terminated --once
     // run has none, so the flush IS that next step)
     gate.foreach(_.flush())
+    server.foreach(_.stop())
   }
 }

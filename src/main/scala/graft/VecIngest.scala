@@ -59,6 +59,9 @@ object VecIngest {
       centroidMod: Int = 127,
       bootstrapMin: Long = 1L,
       outCompactEvery: Int = 0,
+      maxFilesPerTrigger: Option[Int] = None,
+      listen: String = "0.0.0.0:19903",
+      selfMetrics: Boolean = true,
       once: Boolean = false)
 
   def parseArgs(args: Seq[String]): Config = {
@@ -85,6 +88,14 @@ object VecIngest {
       // N batches (0 = never) — OutputCompaction, the same knob as Ingest's
       case "--out-compact-every" :: v :: t =>
         loop(t, c.copy(outCompactEvery = v.toInt))
+      // admission control for a cold --src backlog (see Ingest: bounded
+      // micro-batches instead of one giant drain; AvailableNow still
+      // processes everything, in steps)
+      case "--max-files-per-trigger" :: v :: t =>
+        loop(t, c.copy(maxFilesPerTrigger = Some(v.toInt)))
+      // ops surface (see Ingest): /metrics + /healthz, on by default
+      case "--listen" :: v :: t => loop(t, c.copy(listen = v))
+      case "--no-self-metrics" :: t => loop(t, c.copy(selfMetrics = false))
       case "--once" :: t => loop(t, c.copy(once = true))
       case Nil =>
         require(c.src.nonEmpty && c.out.nonEmpty && c.checkpoint.nonEmpty &&
@@ -96,7 +107,8 @@ object VecIngest {
           "--index <path> --threshold <t> --pq-index <path> --graph-index <path> " +
           "--compact-every <n> --maintain-every <n> --maintain-floor <r> " +
           "--maintain-rerank <n> --centroid-mod <m> --bootstrap-min <n> " +
-          "--out-compact-every <n> --once)")
+          "--out-compact-every <n> --max-files-per-trigger <n> " +
+          "--listen <host:port> --no-self-metrics --once)")
     }
     loop(args.toList, Config())
   }
@@ -104,9 +116,18 @@ object VecIngest {
   private val srcSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
 
+  /** The daemon's file source with admission control applied (Ingest's
+    * twin — factored for the bounded-drain spec). */
+  private[graft] def source(spark: SparkSession, config: Config): DataFrame = {
+    val r = spark.readStream.schema(srcSchema)
+    config.maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(config.src)
+  }
+
   /** One run's gates + per-batch body, separable from the streaming query
     * for spec-level driving (the same shape as [[Ingest.nearGate]]). */
-  private[graft] final class Pipeline(spark: SparkSession, c: Config) {
+  private[graft] final class Pipeline(spark: SparkSession, c: Config,
+      telemetry: Option[graft.streaming.IngestTelemetry] = None) {
 
     /** Novelty gate against the living embed index: load the persisted
       * base+deltas, else bootstrap an empty-corpus base (everything is
@@ -122,13 +143,30 @@ object VecIngest {
           Similarity.saveEmbedIndex(empty, c.index)
           empty
         }
-      StreamingSimilarity.novelAgainstIndexIngest(new RefreshableEmbedIndex(idx0),
-        c.threshold, indexPath = Some(c.index), compactEvery = c.compactEvery)
+      val ref = new RefreshableEmbedIndex(idx0)
+      // the embed-gate recall monitor on the same --maintain-every cadence
+      // as the PQ/graph policies — MEASURE-ONLY (no retrain escape exists
+      // for content-derived LSH buckets; see IndexMaintenance
+      // .monitorEmbedGate): probes are the deterministic %7 sample of the
+      // landed corpus, whose true best match (itself at cosine 1) the gate
+      // must keep finding through its candidate tables
+      val monitor =
+        if (c.maintainEvery > 0) Some(() =>
+          IndexMaintenance.monitorEmbedGate(ref,
+            corpus().filter(org.apache.spark.sql.functions.pmod(
+              col("vec_id"), org.apache.spark.sql.functions.lit(7)) === 0),
+            c.threshold))
+        else None
+      StreamingSimilarity.novelAgainstIndexIngest(ref,
+        c.threshold, indexPath = Some(c.index), compactEvery = c.compactEvery,
+        maintainEvery = c.maintainEvery, maintain = monitor)
     }
 
     private var pqGate: Option[StreamingSimilarity.PqIngestGate] = None
     private var graphGate: Option[StreamingSimilarity.KnnGraphIngestGate] = None
 
+    private[graft] def embedDecisions: Seq[IndexMaintenance.Decision] =
+      embedGate.decisions
     private[graft] def pqDecisions: Seq[IndexMaintenance.Decision] =
       pqGate.map(_.decisions).getOrElse(Nil)
     private[graft] def graphDecisions: Seq[IndexMaintenance.Decision] =
@@ -253,6 +291,7 @@ object VecIngest {
 
     def onBatch(batch: DataFrame, batchId: Long): Unit = {
       if (batchId <= outStamp.get) return // replay of a compacted batch
+      val t0 = System.nanoTime()
       // collapse in-batch exact duplicates FIRST (the gates' contract:
       // in-stream duplicates are not matched against each other) — the
       // min-id winner keeps the collapse replay-deterministic
@@ -270,6 +309,9 @@ object VecIngest {
           ensurePq().foreach(_.apply(admitted, batchId))
           ensureGraph().foreach(_.apply(admitted, batchId))
         }
+        // ops counters (the extra input count runs only when telemetry is on)
+        telemetry.foreach(_.onBatch(slim.count(), n,
+          (System.nanoTime() - t0) / 1e9))
       } finally { admitted.unpersist(); () }
       // output compaction cadence (the same bound the index chains have;
       // upTo = batchId so a foreign half-written dir is never folded)
@@ -291,8 +333,9 @@ object VecIngest {
   }
 
   private[graft] def ingestTo(spark: SparkSession, stream: DataFrame,
-      c: Config): (StreamingQuery, Pipeline) = {
-    val pipe = new Pipeline(spark, c)
+      c: Config,
+      telemetry: Option[graft.streaming.IngestTelemetry] = None): (StreamingQuery, Pipeline) = {
+    val pipe = new Pipeline(spark, c, telemetry)
     val w = stream.writeStream
       .option("checkpointLocation", c.checkpoint)
       .foreachBatch((b: DataFrame, id: Long) => pipe.onBatch(b, id))
@@ -306,10 +349,26 @@ object VecIngest {
       .appName("graft-vector-ingest")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    val in = spark.readStream.schema(srcSchema).parquet(config.src)
-    val (query, pipe) = ingestTo(spark, in, config)
+    val in = source(spark, config)
+    val telemetry =
+      if (config.selfMetrics) Some(new graft.streaming.IngestTelemetry) else None
+    val server = telemetry.map { t =>
+      val (host, port) = Ingest.parseListen(config.listen)
+      new graft.streaming.MetricsHttpServer(port, host).attachTelemetry(t).start()
+    }
+    val (query, pipe) = ingestTo(spark, in, config, telemetry)
+    // the probe reads the gates' maintenance audit through the pipeline,
+    // so it installs after construction (pure FS listings + in-memory seqs)
+    telemetry.foreach { t =>
+      t.indexProbe = () =>
+        Seq(t.probeIndexPath(spark, "embed", config.index, pipe.embedDecisions)) ++
+          config.pqIndex.map(p => t.probeIndexPath(spark, "pq", p, pipe.pqDecisions)) ++
+          config.graphIndex.map(p => t.probeIndexPath(spark, "graph", p, pipe.graphDecisions))
+    }
+    server.foreach(_.health(() => query.isActive))
     sys.addShutdownHook { query.stop() }
     query.awaitTermination()
     pipe.flush()
+    server.foreach(_.stop())
   }
 }

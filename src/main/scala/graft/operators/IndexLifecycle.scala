@@ -421,6 +421,22 @@ object IndexMaintenance {
     }
   }
 
+  /** Embed-GATE maintenance — MEASURE-ONLY by construction: the gate's
+    * LSH buckets are content-derived (no trained codebook), so there is
+    * no retrain escape; what drifts is the gate's EFFECTIVE recall as
+    * corpus geometry shifts against the fixed hyperplane family, and the
+    * deployment's response is a knob change (threshold, table count,
+    * bucket cap), not an automated swap. The monitor row is
+    * [[Similarity.embedGateRecallAgainst]] over a probe sample (NaN when
+    * no probe has a true match — nothing measurable); the Decision lands
+    * in the gate's audit trail / telemetry either way. */
+  def monitorEmbedGate(holder: RefreshableEmbedIndex, probes: DataFrame,
+      threshold: Double): Decision = {
+    val r = Similarity.embedGateRecallAgainst(probes, holder.current, threshold)
+      .head().getAs[Double]("recall")
+    Decision(r, retrained = false, None)
+  }
+
   /** kNN-graph maintenance: edge recall on the deterministic query sample
     * vs the floor; a breach rebuilds the graph from scratch over `corpus`
     * (fresh coarse quantizer — the graph has no partial retrain, see

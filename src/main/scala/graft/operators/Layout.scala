@@ -120,6 +120,32 @@ object Layout {
       .orderBy("event_id")
   }
 
+  /** [[zOrderBy]] over ARBITRARY BIGINT keys: per-write min/max
+    * normalization onto the 16-bit grid first (the [[eventsZorder]]
+    * discipline as a reusable write path — unnormalized keys of asymmetric
+    * bit-width degenerate to a 1-D sort, and the normalization itself is
+    * overflow-guarded past 2^47 ranges). The write path for
+    * `graft.Ingest --layout zorder:<k1>,<k2>`: the landing (and the
+    * compacted base) get parquet file min/max stats that prune box
+    * predicates on BOTH keys. Helper columns are dropped; the output
+    * schema equals the input's. */
+  def zOrderByNormalized(df: DataFrame, a: Column, b: Column,
+      partitions: Int = 8): DataFrame = {
+    val keyed = df
+      .withColumn("_za", a.cast("long")).withColumn("_zb", b.cast("long"))
+    val bounds = keyed.agg(
+      min("_za").as("_za_lo"), max("_za").as("_za_hi"),
+      min("_zb").as("_zb_lo"), max("_zb").as("_zb_hi"))
+    keyed.crossJoin(broadcast(bounds))
+      .withColumn("_zu", normTo16("_za", "_za_lo", "_za_hi"))
+      .withColumn("_zv", normTo16("_zb", "_zb_lo", "_zb_hi"))
+      .withColumn("_z_val", zValue(col("_zu"), col("_zv")))
+      .repartitionByRange(partitions, col("_z_val"))
+      .sortWithinPartitions("_z_val")
+      .drop("_za", "_zb", "_za_lo", "_za_hi", "_zb_lo", "_zb_hi",
+        "_zu", "_zv", "_z_val")
+  }
+
   /** Spread the low 10 bits of `x` onto positions 0,3,…,27 — the Morton-3
     * mask cascade (verified bit-for-bit against the naive interleave in
     * the spec). 3 keys × 10 bits fit one BIGINT with room to spare; more

@@ -65,6 +65,43 @@ object PinnedCaches {
   /** Pin count for `s` — spec hook. */
   def size(s: SparkSession): Int = pinned.keys.count(_._1 == s)
 
+  /** Root paths of every file relation a pinned plan reads — the input to
+    * the MUTABLE-PATH PIN SWEEP ([[assertNoPinsUnder]]). */
+  def pinnedSourcePaths(s: SparkSession): Set[String] =
+    pinned.collect { case ((ss, _), df) if ss == s =>
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    }.flatten.toSet
+
+  /** The mutable-path pin INVARIANT, generalized from the VecIngest
+    * daemon-maintenance bug: no pin may root a plan on (or under) a path a
+    * daemon APPENDS to. The CacheManager substitutes cached plan FRAGMENTS
+    * into semantically-equal subtrees of later plans, so a pin rooted on a
+    * growing path serves a STALE snapshot (frozen at pin-time file
+    * listing) into every identical future read — the retrain that
+    * re-encoded only bootstrap-era rows. Operators may pin such reads
+    * TRANSIENTLY (the PQ/graph bootstraps do) but must release before the
+    * batch ends; daemons/specs call this at quiet points. Throws listing
+    * the violations — the detector direction of the repo's plan bans. */
+  def assertNoPinsUnder(s: SparkSession, mutablePath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(mutablePath).toUri.getPath
+      .stripSuffix("/")
+    val bad = pinnedSourcePaths(s).filter { p =>
+      val q = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      q == root || q.startsWith(root + "/")
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"mutable-path pin violation: pinned plans root on the growing path " +
+        s"$mutablePath: ${bad.mkString(", ")} — release the pin or read " +
+        "through a checkpointed copy")
+  }
+
   /** Stage timer for the cache warms — ONE format (`[warm] <label> <s> s`
     * on stderr) so the round-over-round cache_build drift adjudication
     * greps a single shape; shared by SparkEntry.warmCaches and the

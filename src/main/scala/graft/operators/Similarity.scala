@@ -665,6 +665,95 @@ object Similarity {
        |FROM embeddings e LEFT JOIN best USING (vec_id)
        |WHERE e.vec_id % 2 = 1 ORDER BY e.vec_id""".stripMargin
 
+  /** The embed-GATE recall monitor against an explicit [[EmbedIndex]] —
+    * the measurement [[embedGateRecall]] hash-pins and
+    * [[IndexMaintenance.monitorEmbedGate]] runs on a cadence: among probe
+    * vectors whose TRUE best corpus cosine clears `threshold` (exact brute
+    * tier over the probe sample — monitoring cost, like [[pqRecall]]'s),
+    * the fraction the LSH-candidate gate also reports non-novel. PQ and
+    * graph drift were measured and acted on; the embed gate's
+    * random-hyperplane candidate generation is distribution-free in
+    * THEORY, but its effective recall depends on threshold × corpus
+    * geometry — the same "monitor the measurement" discipline applies.
+    * One row `(threshold, hits, possible, recall)`; recall NaN when no
+    * probe has a true match (nothing measurable — the
+    * [[IndexMaintenance]] NaN rule). */
+  def embedGateRecallAgainst(probes: DataFrame, idx: EmbedIndex,
+      threshold: Double = 0.35): DataFrame = {
+    val gateHit = embedNoveltyAgainst(probes, idx, threshold)
+      .filter(!col("novel")).select("vec_id")
+    val qp = quantized(probes)
+      .select(col("vec_id"), col("q").as("qa"), col("nq").as("nqa"))
+    val qc = idx.qc
+      .select(col("vec_id").as("m"), col("q").as("qb"), col("nq").as("nqb"))
+    // exact tier: probe sample × corpus, probes broadcast (the sample is
+    // the small side by construction — the monitor's deliberate brute row)
+    val exact = broadcast(qp).crossJoin(qc)
+      .withColumn("cos", dotCol.cast("double") /
+        (sqrt(col("nqa").cast("double")) * sqrt(col("nqb").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select("vec_id").distinct()
+    exact.join(gateHit, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("possible"))))
+      .select(lit(threshold).as("threshold"), col("hits"), col("possible"),
+        when(col("possible") === 0, lit(Double.NaN))
+          .otherwise(col("hits").cast("double") / col("possible").cast("double"))
+          .as("recall"))
+  }
+
+  /** The registry form on the parity split (even ids = the indexed corpus,
+    * every `sampleMod`-th odd id = the probe sample). */
+  def embedGateRecall(emb: DataFrame, threshold: Double = 0.35,
+      sampleMod: Int = 7, bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val corpus = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val probes = emb.filter(pmod(col("vec_id"), lit(2L * sampleMod)) === 1)
+    embedGateRecallAgainst(probes, embedIndex(corpus, bucketCap), threshold)
+  }
+
+  /** DuckDB oracle for the `embed_gate_recall` registry row — the monitor
+    * ITSELF hash-pinned (the [[pqRecallSql]] composition pattern): the
+    * gate chain ([[embedNoveltySql]]'s machinery) and the exact brute
+    * chain replayed as subqueries, recall = their agreement over the
+    * truly-non-novel probe sample. */
+  def embedGateRecallSql(threshold: Double = 0.35, sampleMod: Int = 7): String =
+    s"""WITH $evNormsSql,
+       |$sigsSql,
+       |csig AS (SELECT vec_id, tbl, bucket FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bn
+       |  FROM sigs WHERE vec_id % 2 = 0) WHERE bn <= ${Dedup.DefaultBucketCap}),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id, c.vec_id AS m
+       |  FROM sigs b JOIN csig c ON c.tbl = b.tbl AND c.bucket = b.bucket
+       |  WHERE b.vec_id % ${2 * sampleMod} = 1),
+       |gdots AS (
+       |  SELECT cd.vec_id, cd.m, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM cand cd JOIN ev a ON a.vec_id = cd.vec_id
+       |    JOIN ev b ON b.vec_id = cd.m AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |gate AS (SELECT DISTINCT gdots.vec_id FROM gdots
+       |  JOIN norms na ON na.vec_id = gdots.vec_id
+       |  JOIN norms nb ON nb.vec_id = gdots.m
+       |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+       |    >= $threshold),
+       |edots AS (
+       |  SELECT a.vec_id, b.vec_id AS m, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM ev a JOIN ev b ON b.i = a.i AND b.vec_id % 2 = 0
+       |  WHERE a.vec_id % ${2 * sampleMod} = 1
+       |  GROUP BY 1, 2),
+       |exact AS (SELECT DISTINCT edots.vec_id FROM edots
+       |  JOIN norms na ON na.vec_id = edots.vec_id
+       |  JOIN norms nb ON nb.vec_id = edots.m
+       |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+       |    >= $threshold),
+       |h AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM exact e
+       |  WHERE EXISTS (SELECT 1 FROM gate g WHERE g.vec_id = e.vec_id)),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM exact)
+       |SELECT CAST($threshold AS DOUBLE) AS threshold, hits, possible,
+       |  CASE WHEN possible = 0 THEN CAST('NaN' AS DOUBLE)
+       |       ELSE CAST(hits AS DOUBLE) / possible END AS recall
+       |FROM h CROSS JOIN p""".stripMargin
+
   /** DuckDB oracle for the `embed_index_refresh` registry row — the
     * vector INDEX-LIFECYCLE gate on a 3-way split: vec_id%3==0 indexed
     * from scratch, %3==1 [[refreshEmbedIndex]]ed in, %3==2 gated through

@@ -29,7 +29,16 @@ import graft.sources.{TailFleetOffset, TailOffset}
   * data), and everything here resets on restart, like any process-local
   * exporter metric.
   */
-final class ExporterTelemetry {
+/** The minimal contract [[MetricsHttpServer]] needs from a self-telemetry
+  * block: scrape counting + a rendered `graft_*` exposition appendix.
+  * [[ExporterTelemetry]] is the log daemon's; [[IngestTelemetry]] the
+  * curation/vector daemons'. */
+trait SelfTelemetry {
+  def onScrape(): Unit
+  def render(): String
+}
+
+final class ExporterTelemetry extends SelfTelemetry {
 
   private val scrapes = new AtomicLong(0L)
   @volatile private var batches = 0L

@@ -23,7 +23,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 final class MetricsHttpServer(port: Int = 0, host: String = "0.0.0.0") {
 
   @volatile private var body: String = ""
-  @volatile private var telemetry: Option[ExporterTelemetry] = None
+  @volatile private var telemetry: Option[SelfTelemetry] = None
   @volatile private var healthProbe: () => Boolean = () => true
 
   /** Respond on `x`: status + body, gzip-encoded when the client offered it
@@ -100,7 +100,7 @@ final class MetricsHttpServer(port: Int = 0, host: String = "0.0.0.0") {
   /** Append `t`'s `graft_*` self-telemetry block to every served scrape
     * (and count the scrapes). Without it the exposition stays the
     * reference's exact data-only shape. */
-  def attachTelemetry(t: ExporterTelemetry): this.type = {
+  def attachTelemetry(t: SelfTelemetry): this.type = {
     telemetry = Some(t); this
   }
 

@@ -82,7 +82,8 @@ object OutputCompaction {
     * pre-compaction [[read]]; crash-safe at every boundary by the stamp
     * rule. */
   def compact(spark: SparkSession, outPath: String,
-      upTo: Long = Long.MaxValue): Unit = {
+      upTo: Long = Long.MaxValue,
+      layout: Option[DataFrame => DataFrame] = None): Unit = {
     val stamp = highWater(spark, outPath)
     val all = IndexFiles.numbered(spark, outPath, BatchPrefix)
     val dead = all.filter(_._1 <= stamp)
@@ -100,8 +101,13 @@ object OutputCompaction {
     val tmp = s"$outPath/$BasePrefix$v.tmp"
     IndexFiles.delete(spark, tmp)
     // the write MATERIALIZES the union into the tmp dir before anything is
-    // deleted; the publish is the atomic visibility flip
-    parts.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$tmp/data")
+    // deleted; the publish is the atomic visibility flip. An optional
+    // layout transform (the daemons' --layout z-order) re-clusters the
+    // folded base so the LONG-LIVED files keep box-prunable min/max stats
+    // (per-batch layout alone would be lost at every fold).
+    val folded = parts.reduce(_ unionByName _)
+    layout.map(f => f(folded)).getOrElse(folded)
+      .write.mode("overwrite").parquet(s"$tmp/data")
     import spark.implicits._
     Seq(newStamp).toDF("last_batch")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")

@@ -208,7 +208,9 @@ object StreamingCuration {
       budget: Long, rates: Map[String, Double], defaultRate: Double,
       nearGate: Option[DataFrame => DataFrame],
       statsPath: Option[String], statsCompactEvery: Int,
-      outCompactEvery: Int) {
+      outCompactEvery: Int,
+      telemetry: Option[IngestTelemetry] = None,
+      layoutFn: Option[DataFrame => DataFrame] = None) {
 
     private val bases = new AtomicReference[Map[String, Long]](null)
     private val statsDeltasSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -223,6 +225,7 @@ object StreamingCuration {
 
     def onBatch(batch: DataFrame, batchId: Long): Unit = {
       if (batchId <= outStamp.get) return // replay of a compacted batch
+      val t0 = System.nanoTime()
       if (bases.get == null) bases.set(basesFromSink(spark, outPath, batchId))
       // gate exactly the frame the packer can LAND: packBatch drops
       // null-source docs, so gating the raw batch would fold such a doc
@@ -267,13 +270,20 @@ object StreamingCuration {
       }
       val packed = packBatch(admitted, bases.get, budget).persist()
       try {
-        packed.write.mode("overwrite").parquet(
-          s"$outPath/${OutputCompaction.BatchPrefix}$batchId")
+        // optional write-time clustering (--layout zorder:<k1>,<k2>): the
+        // landed files carry box-prunable min/max stats on both keys
+        layoutFn.map(f => f(packed)).getOrElse(packed)
+          .write.mode("overwrite").parquet(
+            s"$outPath/${OutputCompaction.BatchPrefix}$batchId")
         val deltas = packed.groupBy("source").agg(sum("n_tokens").as("t"))
           .collect().map(r => r.getString(0) -> r.getLong(1))
         bases.set(deltas.foldLeft(bases.get) { case (m, (s, t)) =>
           m.updated(s, m.getOrElse(s, 0L) + t)
         })
+        // ops counters (extra count jobs only when telemetry is on; the
+        // packed count reads the persisted frame)
+        telemetry.foreach(_.onBatch(batch.count(), packed.count(),
+          (System.nanoTime() - t0) / 1e9))
       } finally { packed.unpersist(); () }
       // output compaction cadence — fold the accumulated batch dirs into
       // one stamped base every N landed batches, bounding the sink's
@@ -281,7 +291,8 @@ object StreamingCuration {
       // `upTo = batchId`: never touch a dir this run hasn't (over)written.
       if (outCompactEvery > 0 &&
           landedSinceCompact.incrementAndGet() >= outCompactEvery) {
-        OutputCompaction.compact(spark, outPath, upTo = batchId)
+        OutputCompaction.compact(spark, outPath, upTo = batchId,
+          layout = layoutFn)
         outStamp.set(batchId)
         landedSinceCompact.set(0L)
       }
@@ -304,9 +315,12 @@ object StreamingCuration {
       nearGate: Option[DataFrame => DataFrame] = None,
       statsPath: Option[String] = None,
       statsCompactEvery: Int = 0,
-      outCompactEvery: Int = 0): StreamingQuery = {
+      outCompactEvery: Int = 0,
+      telemetry: Option[IngestTelemetry] = None,
+      layoutFn: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val run = new CurationRun(spark, outPath, budget, rates, defaultRate,
-      nearGate, statsPath, statsCompactEvery, outCompactEvery)
+      nearGate, statsPath, statsCompactEvery, outCompactEvery, telemetry,
+      layoutFn)
     val w = curated(stream, rates, defaultRate).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

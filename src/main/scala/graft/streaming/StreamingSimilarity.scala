@@ -88,8 +88,11 @@ object StreamingSimilarity {
   def novelAgainstIndexIngest(ref: graft.operators.RefreshableEmbedIndex,
       threshold: Double = 0.35,
       indexPath: Option[String] = None,
-      compactEvery: Int = 0): EmbedIngestGate =
-    new EmbedIngestGate(ref, threshold, indexPath, compactEvery)
+      compactEvery: Int = 0,
+      maintainEvery: Int = 0,
+      maintain: Option[() => graft.operators.IndexMaintenance.Decision] = None): EmbedIngestGate =
+    new EmbedIngestGate(ref, threshold, indexPath, compactEvery,
+      maintainEvery, maintain)
 
   /** [[StreamingDedup.IngestGate]]'s vector twin. Staged batches are
     * SLIMMED to the three columns the fold consumes — `(vec_id, label,
@@ -97,10 +100,34 @@ object StreamingSimilarity {
     * bytes are the vectors themselves, not whatever payload columns the
     * stream happens to carry alongside them. */
   final class EmbedIngestGate(ref: graft.operators.RefreshableEmbedIndex,
-      threshold: Double, indexPath: Option[String], compactEvery: Int = 0)
+      threshold: Double, indexPath: Option[String], compactEvery: Int = 0,
+      maintainEvery: Int = 0,
+      maintain: Option[() => graft.operators.IndexMaintenance.Decision] = None)
       extends (DataFrame => DataFrame) {
     import org.apache.spark.sql.SparkSession
     import graft.operators.IndexFiles
+
+    private val foldsSinceMaintain = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val audit = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.operators.IndexMaintenance.Decision]()
+
+    /** Every maintenance pass this gate has run, in order — for the embed
+      * gate the policy is MEASURE-ONLY ([[graft.operators.IndexMaintenance
+      * .monitorEmbedGate]]: LSH buckets are content-derived, there is no
+      * retrain escape), so the audit trail is the alert feed itself. */
+    def decisions: Seq[graft.operators.IndexMaintenance.Decision] = {
+      import scala.jdk.CollectionConverters._
+      audit.iterator().asScala.toSeq
+    }
+
+    private def maybeMaintain(): Unit =
+      maintain.foreach { m =>
+        if (maintainEvery > 0 &&
+            foldsSinceMaintain.incrementAndGet() >= maintainEvery) {
+          audit.add(m())
+          foldsSinceMaintain.set(0L)
+        }
+      }
 
     private val pending =
       new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
@@ -127,11 +154,14 @@ object StreamingSimilarity {
                   Similarity.compactEmbedIndex(spark, p)
                   foldsSinceCompact.set(0L)
                 }
+                maybeMaintain()
               }
               IndexFiles.delete(spark, dir.toString)
             }
         case None =>
-          pending.getAndSet(None).foreach { st => ref.fold(st); st.unpersist() }
+          pending.getAndSet(None).foreach { st =>
+            ref.fold(st); st.unpersist(); maybeMaintain()
+          }
       }
 
     /** Fold whatever is staged (clean-shutdown flush / quiet point). */
