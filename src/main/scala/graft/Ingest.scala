@@ -43,6 +43,7 @@ object Ingest {
       bm25Stats: Option[String] = None,
       bm25CompactEvery: Int = 16,
       outCompactEvery: Int = 0,
+      outMajorEvery: Int = 16,
       maxFilesPerTrigger: Option[Int] = None,
       layout: Option[(String, String)] = None,
       listen: String = "0.0.0.0:19902",
@@ -91,6 +92,10 @@ object Ingest {
       // small-files scale-killer at a minute-level trigger)
       case "--out-compact-every" :: v :: t =>
         loop(t, c.copy(outCompactEvery = v.toInt))
+      // a MAJOR merge (one O(corpus) pass) every M minor compactions —
+      // bounds segment count; 0 = minors only (OutputCompaction's tiers)
+      case "--out-major-every" :: v :: t =>
+        loop(t, c.copy(outMajorEvery = v.toInt))
       // ADMISSION CONTROL for a cold --src backlog: without it the file
       // source drains everything present in ONE giant micro-batch (the
       // tail sources' maxBytesPerTrigger lesson — a month of backlog must
@@ -126,6 +131,7 @@ object Ingest {
           "--budget <tokens> --rate <r> --rate-for <source=r> --once " +
           "--near-index <path> --near-threshold <t> --near-compact-every <n> " +
           "--bm25-stats <path> --bm25-compact-every <n> --out-compact-every <n> " +
+          "--out-major-every <m> " +
           "--max-files-per-trigger <n> --layout zorder:<k1>,<k2> " +
           "--listen <host:port> --no-self-metrics)")
     }
@@ -211,6 +217,7 @@ object Ingest {
       availableNow = config.once, nearGate = gate, statsPath = config.bm25Stats,
       statsCompactEvery = config.bm25CompactEvery,
       outCompactEvery = config.outCompactEvery,
+      outMajorEvery = config.outMajorEvery,
       telemetry = telemetry,
       layoutFn = layoutFn)
     server.foreach(_.health(() => query.isActive))

@@ -59,6 +59,7 @@ object VecIngest {
       centroidMod: Int = 127,
       bootstrapMin: Long = 1L,
       outCompactEvery: Int = 0,
+      outMajorEvery: Int = 16,
       maxFilesPerTrigger: Option[Int] = None,
       listen: String = "0.0.0.0:19903",
       selfMetrics: Boolean = true,
@@ -88,6 +89,10 @@ object VecIngest {
       // N batches (0 = never) — OutputCompaction, the same knob as Ingest's
       case "--out-compact-every" :: v :: t =>
         loop(t, c.copy(outCompactEvery = v.toInt))
+      // a MAJOR merge (one O(corpus) pass) every M minor compactions —
+      // bounds segment count; 0 = minors only (see OutputCompaction)
+      case "--out-major-every" :: v :: t =>
+        loop(t, c.copy(outMajorEvery = v.toInt))
       // admission control for a cold --src backlog (see Ingest: bounded
       // micro-batches instead of one giant drain; AvailableNow still
       // processes everything, in steps)
@@ -107,7 +112,7 @@ object VecIngest {
           "--index <path> --threshold <t> --pq-index <path> --graph-index <path> " +
           "--compact-every <n> --maintain-every <n> --maintain-floor <r> " +
           "--maintain-rerank <n> --centroid-mod <m> --bootstrap-min <n> " +
-          "--out-compact-every <n> --max-files-per-trigger <n> " +
+          "--out-compact-every <n> --out-major-every <m> --max-files-per-trigger <n> " +
           "--listen <host:port> --no-self-metrics --once)")
     }
     loop(args.toList, Config())
@@ -288,9 +293,13 @@ object VecIngest {
     private val outStamp = new java.util.concurrent.atomic.AtomicLong(
       OutputCompaction.highWater(spark, c.out))
     private val landedSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val minorsSinceMajor = new java.util.concurrent.atomic.AtomicLong(0L)
+    // output-path writer fencing (see StreamingCuration.CurationRun)
+    private val outLease = graft.operators.IndexFiles.claimWriter(spark, c.out)
 
     def onBatch(batch: DataFrame, batchId: Long): Unit = {
       if (batchId <= outStamp.get) return // replay of a compacted batch
+      outLease.check()
       val t0 = System.nanoTime()
       // collapse in-batch exact duplicates FIRST (the gates' contract:
       // in-stream duplicates are not matched against each other) — the
@@ -313,14 +322,26 @@ object VecIngest {
         telemetry.foreach(_.onBatch(slim.count(), n,
           (System.nanoTime() - t0) / 1e9))
       } finally { admitted.unpersist(); () }
-      // output compaction cadence (the same bound the index chains have;
-      // upTo = batchId so a foreign half-written dir is never folded)
+      // output compaction cadence — minor every N batches (O(window)),
+      // major every M minors (the rare O(corpus) merge; see
+      // OutputCompaction); upTo = batchId so a foreign half-written dir
+      // is never folded
       if (c.outCompactEvery > 0 &&
           landedSinceCompact.incrementAndGet() >= c.outCompactEvery) {
-        OutputCompaction.compact(spark, c.out, upTo = batchId)
+        if (c.outMajorEvery > 0 &&
+            minorsSinceMajor.incrementAndGet() >= c.outMajorEvery) {
+          OutputCompaction.compactFull(spark, c.out, upTo = batchId)
+          minorsSinceMajor.set(0L)
+        } else {
+          OutputCompaction.compact(spark, c.out, upTo = batchId)
+        }
         outStamp.set(batchId)
         landedSinceCompact.set(0L)
       }
+      telemetry.foreach(_.setOutput(
+        OutputCompaction.segmentCount(spark, c.out).toLong,
+        graft.operators.IndexFiles.numbered(spark, c.out,
+          OutputCompaction.BatchPrefix).size.toLong))
     }
 
     /** Clean-shutdown fold of every gate's staged leftovers (the lag

@@ -76,8 +76,11 @@ private[graft] object IndexFiles {
     * in any HA deployment). The classic fencing-token design:
     *
     *   - [[claimWriter]] claims the next epoch by atomic create-if-absent
-    *     of `path/writer/epoch_<E>` (two claimants of the same E: exactly
-    *     one create succeeds; the loser retries at E+1);
+    *     of `path/_writer/epoch_<E>` — underscore-prefixed so the lease is
+    *     invisible to Spark partition discovery even under a parquet-read
+    *     root (the daemons fence their `--out` paths too). Two claimants
+    *     of the same E: exactly one create succeeds; the loser retries
+    *     at E+1;
     *   - [[WriterLease.check]] (called by every ingest gate before any
     *     mutation — staging, fold, delta write, compaction, maintenance)
     *     demands the path's HIGHEST epoch still be this writer's: a newer
@@ -97,7 +100,7 @@ private[graft] object IndexFiles {
     /** Fail fast when a newer writer claimed the path. One listing per
       * call — cheap against a per-micro-batch cadence. */
     def check(): Unit = {
-      val top = numberedClaims(spark, s"$path/writer", "epoch_")
+      val top = numberedClaims(spark, s"$path/_writer", "epoch_")
         .lastOption.map(_._1)
       if (!top.contains(epoch))
         throw new IllegalStateException(
@@ -110,7 +113,7 @@ private[graft] object IndexFiles {
   /** Claim the writer lease on an index path (see [[WriterLease]]). */
   def claimWriter(spark: SparkSession, path: String,
       attempts: Int = 5): WriterLease = {
-    val root = s"$path/writer"
+    val root = s"$path/_writer"
     val f = fs(spark, path)
     var n = attempts
     while (n > 0) {

@@ -57,7 +57,7 @@ object Multimodal {
     * no per-row JVM setup, codec instantiated once per partition — is the
     * real design. */
   def fakeDecode(payload: Array[Byte]): Array[Double] = {
-    // ??? <- real codec goes here; deterministic fake below
+    // CODEC SEAM: swap a real model/codec in here; deterministic fake below
     val n = math.min(8, payload.length)
     Array.tabulate(n)(i => (payload(i) & 0xff) / 255.0)
   }

@@ -39,12 +39,21 @@ final class IngestTelemetry extends SelfTelemetry {
   @volatile private var lastBatchAdmitted = 0L
   @volatile private var lastBatchSeconds = 0.0
   @volatile private var indexStats: Seq[IndexStat] = Nil
+  @volatile private var outputSegments = 0L
+  @volatile private var outputLiveDirs = 0L
 
   /** Installed by the daemon at start; invoked after each batch (never on
     * the scrape path). */
   @volatile var indexProbe: () => Seq[IndexStat] = () => Nil
 
   def onScrape(): Unit = { scrapes.incrementAndGet(); () }
+
+  /** Output-compaction gauges: published segments and live (un-folded)
+    * batch dirs — the small-files alert signal. */
+  def setOutput(segments: Long, liveDirs: Long): Unit = {
+    outputSegments = segments
+    outputLiveDirs = liveDirs
+  }
 
   /** Fold one micro-batch's admission stats and refresh the index gauges
     * (called at the end of the foreachBatch body). */
@@ -98,6 +107,10 @@ final class IngestTelemetry extends SelfTelemetry {
       "gauge", Seq(s"graft_ingest_last_batch_admitted_rows $lastBatchAdmitted"))
     fam("graft_ingest_last_batch_duration_seconds", "Wall time of the last foreachBatch body",
       "gauge", Seq(s"graft_ingest_last_batch_duration_seconds ${MetricsSink.fmtDouble(lastBatchSeconds)}"))
+    fam("graft_output_segments", "Published compacted output segments",
+      "gauge", Seq(s"graft_output_segments $outputSegments"))
+    fam("graft_output_live_batch_dirs", "Landed ingest_batch dirs awaiting compaction",
+      "gauge", Seq(s"graft_output_live_batch_dirs $outputLiveDirs"))
     val stats = indexStats
     fam("graft_index_base_version", "Latest persisted base version of the index chain",
       "gauge", stats.map(s => s"graft_index_base_version${lbl(s)} ${s.baseVersion}"))

@@ -15,58 +15,80 @@ import graft.operators.IndexFiles
   * reference consumes logrotate'd BOUNDED file sets (main.go:100-106
   * `ReOpen`); this gives the output side the same boundedness.
   *
-  * Layout under `outPath` (any Hadoop-FS scheme — everything goes through
-  * [[IndexFiles]]):
+  * TIERED, because the output is the one artifact that grows without
+  * bound: a single-base design would rewrite the WHOLE corpus every N
+  * batches (O(corpus) on the trigger cadence — at 100 TB, a full-corpus
+  * rewrite every few minutes). Instead:
   *
-  *   ingest_batch=<id>/   one per landed micro-batch (the live tail)
-  *   compacted_v<V>/{data,meta}   folded batches; meta carries `last_batch`
+  *   ingest_batch=<id>/            one per landed micro-batch (live tail)
+  *   compacted_v<V>/{data,meta}    a SEGMENT; meta: `last_batch` (highest
+  *                                 batch folded into it), `full` (major?)
   *
-  * The rules are exactly the LSM discipline the index chains prove:
+  *   - MINOR [[compact]] folds the live batch dirs into ONE new segment —
+  *     O(compaction window), never O(corpus); prior segments untouched.
+  *   - MAJOR [[compactFull]] merges every visible segment (+ live dirs)
+  *     into one `full = true` segment — the rare O(corpus) pass a
+  *     deployment schedules (every `--out-major-every` minors), bounding
+  *     segment count the way the holders' maxSegments bounds plan depth.
+  *   - [[read]] = every segment ABOVE the highest full segment, plus that
+  *     full segment, plus live dirs above the global stamp. A major's
+  *     interrupted sweep leaves stale segments this rule ignores BY
+  *     CONSTRUCTION (the `last_delta` argument, segment-shaped); the next
+  *     compaction deletes them.
+  *   - a REPLAYED batch at or below the stamp (crash between compaction
+  *     and checkpoint commit) must SKIP landing — its rows are in a
+  *     segment, and re-creating the dir would double them in every read
+  *     (the `--bm25-stats` swallowed-replay rule, applied to the output).
   *
-  *   - [[compact]] folds every batch dir at or below `upTo` into a new
-  *     base version stamped `last_batch` = the highest folded id, publishes
-  *     it by atomic tmp-rename, then sweeps the folded dirs and superseded
-  *     bases. A crash between publish and sweep leaves only dead files the
-  *     stamp rule makes invisible (and the next compaction deletes).
-  *   - [[read]] is base `data` ∪ batch dirs with id ABOVE the stamp — the
-  *     accumulated corpus, contents-identical to the never-compacted union
-  *     (spec-pinned in OutputCompactionSpec).
-  *   - a REPLAYED batch whose id is at or below the stamp (crash between
-  *     compaction and checkpoint commit) must SKIP landing — its rows are
-  *     in the base, and re-creating the dir would double them in every
-  *     read. The daemons check [[highWater]] at run start and their own
-  *     in-memory stamp after in-run compactions (the `--bm25-stats`
-  *     swallowed-replay rule, applied to the output side).
-  *
-  * `upTo` exists because compaction runs INSIDE a foreachBatch body: dirs
-  * beyond the current batch id cannot exist in a healthy run, but bounding
-  * the fold keeps a foreign half-written leftover from ever being folded.
-  * Single-writer contract, same as the index chains. */
+  * Every segment publishes by atomic tmp-rename; rows live in EXACTLY ONE
+  * visible segment, so reads are plain unions. `upTo` exists because
+  * compaction runs INSIDE a foreachBatch body: dirs beyond the current
+  * batch id cannot exist in a healthy run, but bounding the fold keeps a
+  * foreign half-written leftover from ever being folded. Single-writer
+  * contract, fenced at the daemon tier like the index chains. */
 object OutputCompaction {
 
   private[graft] val BatchPrefix = "ingest_batch="
   private[graft] val BasePrefix = "compacted_v"
 
-  /** The highest batch id the latest compacted base incorporates; -1 when
+  private final case class Seg(version: Long, path: String, lastBatch: Long,
+      full: Boolean)
+
+  /** All published segments, ascending by version (one tiny meta read
+    * each; segment count is bounded by the major cadence). */
+  private def segments(spark: SparkSession, outPath: String): Seq[Seg] =
+    IndexFiles.numbered(spark, outPath, BasePrefix).map { case (v, p) =>
+      val m = spark.read.parquet(s"$p/meta").head()
+      Seg(v, p.toString, m.getAs[Long]("last_batch"),
+        // metas written before the tiered layout carry no `full` column;
+        // treat them as majors (a single base subsumed everything)
+        if (m.schema.fieldNames.contains("full")) m.getAs[Boolean]("full") else true)
+    }
+
+  /** The segments a read sees: the highest `full` segment and everything
+    * above it (stale pre-major leftovers of an interrupted sweep are
+    * below it — invisible by construction). */
+  private def visible(segs: Seq[Seg]): Seq[Seg] = {
+    val floor = segs.filter(_.full).map(_.version).maxOption.getOrElse(Long.MinValue)
+    segs.filter(_.version >= floor)
+  }
+
+  /** The highest batch id any visible segment incorporates; -1 when
     * nothing was ever compacted (batch ids start at 0, so every id is
     * above a fresh path's stamp). */
   def highWater(spark: SparkSession, outPath: String): Long =
-    IndexFiles.numbered(spark, outPath, BasePrefix).lastOption
-      .map { case (_, p) =>
-        spark.read.parquet(s"$p/meta").head().getAs[Long]("last_batch") }
-      .getOrElse(-1L)
+    visible(segments(spark, outPath)).map(_.lastBatch).maxOption.getOrElse(-1L)
 
-  /** The accumulated curated corpus when any exists: latest base `data` ∪
+  /** The accumulated curated corpus when any exists: visible segments ∪
     * live batch dirs above the stamp. Dead batch dirs (id ≤ stamp — an
     * interrupted sweep's leftovers) are invisible by construction. */
   def readIfAny(spark: SparkSession, outPath: String): Option[DataFrame] = {
-    val bases = IndexFiles.numbered(spark, outPath, BasePrefix)
-    val stamp = highWater(spark, outPath)
+    val vis = visible(segments(spark, outPath))
+    val stamp = vis.map(_.lastBatch).maxOption.getOrElse(-1L)
     val live = IndexFiles.numbered(spark, outPath, BatchPrefix)
       .filter(_._1 > stamp).map(_._2.toString)
-    val parts =
-      bases.lastOption.map { case (_, p) => spark.read.parquet(s"$p/data") }.toSeq ++
-        (if (live.nonEmpty) Seq(spark.read.parquet(live: _*)) else Nil)
+    val parts = vis.map(s => spark.read.parquet(s"${s.path}/data")) ++
+      (if (live.nonEmpty) Seq(spark.read.parquet(live: _*)) else Nil)
     parts.reduceOption(_ unionByName _)
   }
 
@@ -76,43 +98,108 @@ object OutputCompaction {
     readIfAny(spark, outPath)
       .getOrElse(throw new IllegalStateException(s"no curated output at $outPath"))
 
-  /** Fold the live batch dirs (stamp, upTo] into a new stamped base and
-    * sweep them. No-op when nothing is foldable (still sweeps dead dirs an
-    * interrupted previous sweep left). Contents-identical to the
-    * pre-compaction [[read]]; crash-safe at every boundary by the stamp
-    * rule. */
+  /** Number of published segments — the major-cadence input and an ops
+    * gauge. */
+  def segmentCount(spark: SparkSession, outPath: String): Int =
+    visible(segments(spark, outPath)).size
+
+  /** Everything already FINAL at a restart: visible segments ∪ live batch
+    * dirs strictly below `beforeBatch` (ids at or beyond it are the
+    * replayed/new batches this run will overwrite). The offset-base
+    * rebuild's input ([[StreamingCuration.basesFromSink]]). */
+  def readFinalBefore(spark: SparkSession, outPath: String,
+      beforeBatch: Long): Option[DataFrame] = {
+    val vis = visible(segments(spark, outPath))
+    val stamp = vis.map(_.lastBatch).maxOption.getOrElse(-1L)
+    val live = IndexFiles.numbered(spark, outPath, BatchPrefix)
+      .filter { case (id, _) => id > stamp && id < beforeBatch }
+      .map(_._2.toString)
+    val parts = vis.map(s => spark.read.parquet(s"${s.path}/data")) ++
+      (if (live.nonEmpty) Seq(spark.read.parquet(live: _*)) else Nil)
+    parts.reduceOption(_ unionByName _)
+  }
+
+  /** Publish `data` as segment V+1 (atomic tmp-rename), stamped. */
+  private def publishSegment(spark: SparkSession, outPath: String,
+      data: DataFrame, lastBatch: Long, full: Boolean,
+      layout: Option[DataFrame => DataFrame]): Long = {
+    import spark.implicits._
+    val v = IndexFiles.numbered(spark, outPath, BasePrefix)
+      .map(_._1).maxOption.getOrElse(0L) + 1
+    val tmp = s"$outPath/$BasePrefix$v.tmp"
+    IndexFiles.delete(spark, tmp)
+    // the write MATERIALIZES the input before anything is deleted; an
+    // optional layout transform (the daemons' --layout z-order)
+    // re-clusters so the long-lived files keep box-prunable min/max stats
+    layout.map(f => f(data)).getOrElse(data)
+      .write.mode("overwrite").parquet(s"$tmp/data")
+    Seq((lastBatch, full)).toDF("last_batch", "full")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexFiles.publish(spark, tmp, s"$outPath/$BasePrefix$v")
+    v
+  }
+
+  private def sweepDirs(spark: SparkSession, dirs: Seq[(Long, org.apache.hadoop.fs.Path)]): Unit =
+    dirs.foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
+
+  /** MINOR compaction: fold the live batch dirs (stamp, upTo] into ONE new
+    * segment and sweep them — O(compaction window), prior segments
+    * untouched. No-op when nothing is foldable (still sweeps dead batch
+    * dirs and invisible stale segments an interrupted sweep left).
+    * Contents-identical to the pre-compaction [[read]]; crash-safe at
+    * every boundary by the stamp/visibility rules. */
   def compact(spark: SparkSession, outPath: String,
       upTo: Long = Long.MaxValue,
       layout: Option[DataFrame => DataFrame] = None): Unit = {
-    val stamp = highWater(spark, outPath)
+    val segs = segments(spark, outPath)
+    val stamp = visible(segs).map(_.lastBatch).maxOption.getOrElse(-1L)
     val all = IndexFiles.numbered(spark, outPath, BatchPrefix)
     val dead = all.filter(_._1 <= stamp)
     val fold = all.filter { case (id, _) => id > stamp && id <= upTo }
-    if (fold.isEmpty) {
-      dead.foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
-      return
+    sweepStale(spark, segs)
+    if (fold.isEmpty) { sweepDirs(spark, dead); return }
+    publishSegment(spark, outPath,
+      spark.read.parquet(fold.map(_._2.toString): _*),
+      lastBatch = fold.map(_._1).max, full = false, layout)
+    sweepDirs(spark, dead ++ fold)
+  }
+
+  /** MAJOR compaction: merge every visible segment plus the live batch
+    * dirs (≤ `upTo`) into one `full` segment, then sweep the merged
+    * inputs — the rare O(corpus) pass that bounds segment count. A crash
+    * between publish and sweep leaves stale segments the visibility rule
+    * already ignores. */
+  def compactFull(spark: SparkSession, outPath: String,
+      upTo: Long = Long.MaxValue,
+      layout: Option[DataFrame => DataFrame] = None): Unit = {
+    val segs = segments(spark, outPath)
+    val vis = visible(segs)
+    val stamp = vis.map(_.lastBatch).maxOption.getOrElse(-1L)
+    val all = IndexFiles.numbered(spark, outPath, BatchPrefix)
+    val dead = all.filter(_._1 <= stamp)
+    val fold = all.filter { case (id, _) => id > stamp && id <= upTo }
+    // already fully merged and nothing new: re-copying the corpus into a
+    // fresh segment would be an O(corpus) no-op — skip (sweeps still run)
+    if (fold.isEmpty && vis.size <= 1 && vis.forall(_.full)) {
+      sweepDirs(spark, dead); sweepStale(spark, segs); return
     }
-    val bases = IndexFiles.numbered(spark, outPath, BasePrefix)
-    val parts =
-      bases.lastOption.map { case (_, p) => spark.read.parquet(s"$p/data") }.toSeq :+
-        spark.read.parquet(fold.map(_._2.toString): _*)
-    val v = bases.map(_._1).maxOption.getOrElse(0L) + 1
-    val newStamp = fold.map(_._1).max
-    val tmp = s"$outPath/$BasePrefix$v.tmp"
-    IndexFiles.delete(spark, tmp)
-    // the write MATERIALIZES the union into the tmp dir before anything is
-    // deleted; the publish is the atomic visibility flip. An optional
-    // layout transform (the daemons' --layout z-order) re-clusters the
-    // folded base so the LONG-LIVED files keep box-prunable min/max stats
-    // (per-batch layout alone would be lost at every fold).
-    val folded = parts.reduce(_ unionByName _)
-    layout.map(f => f(folded)).getOrElse(folded)
-      .write.mode("overwrite").parquet(s"$tmp/data")
-    import spark.implicits._
-    Seq(newStamp).toDF("last_batch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
-    IndexFiles.publish(spark, tmp, s"$outPath/$BasePrefix$v")
-    bases.foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
-    (dead ++ fold).foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
+    val parts = vis.map(s => spark.read.parquet(s"${s.path}/data")) ++
+      (if (fold.nonEmpty) Seq(spark.read.parquet(fold.map(_._2.toString): _*)) else Nil)
+    if (parts.isEmpty) { sweepDirs(spark, dead); sweepStale(spark, segs); return }
+    val newStamp = (stamp +: fold.map(_._1)).max
+    val v = publishSegment(spark, outPath,
+      parts.reduce(_ unionByName _), newStamp, full = true, layout)
+    // sweep everything the new major subsumes (stale pre-crash leftovers
+    // included — they are below the new major by construction)
+    segments(spark, outPath).filter(_.version < v)
+      .foreach(s => IndexFiles.delete(spark, s.path))
+    sweepDirs(spark, dead ++ fold)
+  }
+
+  /** Delete segments below the highest full segment — an interrupted
+    * major sweep's leftovers (already invisible to every read). */
+  private def sweepStale(spark: SparkSession, segs: Seq[Seg]): Unit = {
+    val floor = segs.filter(_.full).map(_.version).maxOption.getOrElse(Long.MinValue)
+    segs.filter(_.version < floor).foreach(s => IndexFiles.delete(spark, s.path))
   }
 }

@@ -180,25 +180,12 @@ object StreamingCuration {
     * in a real deployment; foreign directories under the root are skipped,
     * not restart-killing errors ([[graft.operators.IndexFiles.numbered]]). */
   private[streaming] def basesFromSink(spark: SparkSession, outPath: String,
-      beforeBatch: Long): Map[String, Long] = {
-    import graft.operators.IndexFiles
-    val stamp = OutputCompaction.highWater(spark, outPath)
-    val base = IndexFiles.numbered(spark, outPath, OutputCompaction.BasePrefix)
-      .lastOption.map { case (_, p) => spark.read.parquet(s"$p/data") }
-    // only COMMITTED live batch directories: above the stamp (at-or-below
-    // are dead leftovers of an interrupted compaction sweep — their rows
-    // are in the base) and below the first replayed id
-    val live = IndexFiles.numbered(spark, outPath, OutputCompaction.BatchPrefix)
-      .filter { case (id, _) => id > stamp && id < beforeBatch }
-      .map(_._2.toString)
-    val parts = base.toSeq ++
-      (if (live.nonEmpty) Seq(spark.read.parquet(live: _*)) else Nil)
-    parts.reduceOption(_ unionByName _) match {
+      beforeBatch: Long): Map[String, Long] =
+    OutputCompaction.readFinalBefore(spark, outPath, beforeBatch) match {
       case None => Map.empty
       case Some(df) => df.groupBy("source").agg(sum("n_tokens").as("t"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
-  }
 
   /** One run's per-batch body, separable from the streaming query for
     * spec-level driving (the [[graft.VecIngest.Pipeline]] shape) — in
@@ -209,12 +196,14 @@ object StreamingCuration {
       nearGate: Option[DataFrame => DataFrame],
       statsPath: Option[String], statsCompactEvery: Int,
       outCompactEvery: Int,
+      outMajorEvery: Int = 16,
       telemetry: Option[IngestTelemetry] = None,
       layoutFn: Option[DataFrame => DataFrame] = None) {
 
     private val bases = new AtomicReference[Map[String, Long]](null)
     private val statsDeltasSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
     private val landedSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val minorsSinceMajor = new java.util.concurrent.atomic.AtomicLong(0L)
     // the output-compaction stamp, read once at run start and advanced by
     // this run's own compactions — a replayed batch at or below it landed
     // AND compacted before the crash, so its rows are already in the base
@@ -222,9 +211,15 @@ object StreamingCuration {
     // swallowed-replay rule, applied to the output side)
     private val outStamp = new java.util.concurrent.atomic.AtomicLong(
       OutputCompaction.highWater(spark, outPath))
+    // writer fencing on the OUTPUT path too (the index gates fence their
+    // own paths): two daemons accidentally sharing one --out would
+    // interleave batch dirs and compaction sweeps — the same
+    // silent-corruption class, same epoch-lease fix (IndexFiles.claimWriter)
+    private val outLease = graft.operators.IndexFiles.claimWriter(spark, outPath)
 
     def onBatch(batch: DataFrame, batchId: Long): Unit = {
       if (batchId <= outStamp.get) return // replay of a compacted batch
+      outLease.check()
       val t0 = System.nanoTime()
       if (bases.get == null) bases.set(basesFromSink(spark, outPath, batchId))
       // gate exactly the frame the packer can LAND: packBatch drops
@@ -269,32 +264,49 @@ object StreamingCuration {
         }
       }
       val packed = packBatch(admitted, bases.get, budget).persist()
+      var landedRows = 0L
       try {
         // optional write-time clustering (--layout zorder:<k1>,<k2>): the
         // landed files carry box-prunable min/max stats on both keys
         layoutFn.map(f => f(packed)).getOrElse(packed)
           .write.mode("overwrite").parquet(
             s"$outPath/${OutputCompaction.BatchPrefix}$batchId")
+        if (telemetry.nonEmpty) landedRows = packed.count()
         val deltas = packed.groupBy("source").agg(sum("n_tokens").as("t"))
           .collect().map(r => r.getString(0) -> r.getLong(1))
         bases.set(deltas.foldLeft(bases.get) { case (m, (s, t)) =>
           m.updated(s, m.getOrElse(s, 0L) + t)
         })
-        // ops counters (extra count jobs only when telemetry is on; the
-        // packed count reads the persisted frame)
-        telemetry.foreach(_.onBatch(batch.count(), packed.count(),
-          (System.nanoTime() - t0) / 1e9))
       } finally { packed.unpersist(); () }
-      // output compaction cadence — fold the accumulated batch dirs into
-      // one stamped base every N landed batches, bounding the sink's
-      // directory count the way the index chains bound their delta chains.
+      // output compaction cadence — MINOR folds the accumulated batch dirs
+      // into one new segment every N landed batches (O(window)); every
+      // `outMajorEvery` minors a MAJOR merges the segments (the rare
+      // O(corpus) pass), bounding directory count end to end.
       // `upTo = batchId`: never touch a dir this run hasn't (over)written.
       if (outCompactEvery > 0 &&
           landedSinceCompact.incrementAndGet() >= outCompactEvery) {
-        OutputCompaction.compact(spark, outPath, upTo = batchId,
-          layout = layoutFn)
+        if (outMajorEvery > 0 &&
+            minorsSinceMajor.incrementAndGet() >= outMajorEvery) {
+          OutputCompaction.compactFull(spark, outPath, upTo = batchId,
+            layout = layoutFn)
+          minorsSinceMajor.set(0L)
+        } else {
+          OutputCompaction.compact(spark, outPath, upTo = batchId,
+            layout = layoutFn)
+        }
         outStamp.set(batchId)
         landedSinceCompact.set(0L)
+      }
+      // ops counters (extra count jobs only when telemetry is on; the
+      // packed count read the persisted frame before unpersist — input
+      // and landed come from the frames the batch already materialized)
+      telemetry.foreach { t =>
+        t.setOutput(
+          OutputCompaction.segmentCount(spark, outPath).toLong,
+          graft.operators.IndexFiles.numbered(spark, outPath,
+            OutputCompaction.BatchPrefix).size.toLong)
+        t.onBatch(batch.count(), landedRows,
+          (System.nanoTime() - t0) / 1e9)
       }
     }
   }
@@ -316,11 +328,12 @@ object StreamingCuration {
       statsPath: Option[String] = None,
       statsCompactEvery: Int = 0,
       outCompactEvery: Int = 0,
+      outMajorEvery: Int = 16,
       telemetry: Option[IngestTelemetry] = None,
       layoutFn: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val run = new CurationRun(spark, outPath, budget, rates, defaultRate,
-      nearGate, statsPath, statsCompactEvery, outCompactEvery, telemetry,
-      layoutFn)
+      nearGate, statsPath, statsCompactEvery, outCompactEvery, outMajorEvery,
+      telemetry, layoutFn)
     val w = curated(stream, rates, defaultRate).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

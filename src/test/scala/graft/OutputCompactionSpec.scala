@@ -54,26 +54,27 @@ class OutputCompactionSpec extends SparkSpec {
       val in = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1) // one batch per file: exercises the cadence
         .parquet(srcDir)
+      // minor every batch, MAJOR every 2 minors — both tiers exercised
       val q = StreamingCuration.ingestTo(spark, in, outPath, ckpt,
-        availableNow = true, outCompactEvery = 1)
+        availableNow = true, outCompactEvery = 1, outMajorEvery = 2)
       q.awaitTermination(180000L)
     }
 
     // three id-ordered thirds across two runs with a restart between —
     // every landed batch compacts (cadence 1), so the restart's offset
-    // bases must rebuild from the compacted base alone
+    // bases must rebuild from the compacted segments alone
     addFile(docs.filter(col("doc_id") < q1), srcDir, "t1.parquet")
     runOnce()
-    val (live1, bases1) = dirCounts(outPath)
-    assert(bases1 == 1, s"first run must compact into one base (got $bases1)")
+    val (live1, segs1) = dirCounts(outPath)
+    assert(segs1 == 1, s"first run must fold into one segment (got $segs1)")
     assert(live1 == 0, s"folded batch dirs must sweep (got $live1 live)")
 
     addFile(docs.filter(col("doc_id") >= q1 && col("doc_id") < q2), srcDir, "t2.parquet")
     addFile(docs.filter(col("doc_id") >= q2), srcDir, "t3.parquet")
     runOnce()
 
-    val (live2, bases2) = dirCounts(outPath)
-    assert(bases2 == 1, s"exactly one surviving base version (got $bases2)")
+    val (live2, segs2) = dirCounts(outPath)
+    assert(segs2 == 1, s"the run-2 major must merge to one segment (got $segs2)")
     assert(live2 == 0, s"directory count must stay bounded (got $live2 live)")
 
     val streamed = packedSet(OutputCompaction.read(spark, outPath))
@@ -188,10 +189,66 @@ class OutputCompactionSpec extends SparkSpec {
       "a replayed compacted batch must not double its vectors")
     assert(IndexFiles.numbered(spark, c.out, OutputCompaction.BatchPrefix).isEmpty)
 
-    // a genuinely new batch still lands and compacts
+    // a genuinely new batch still lands and compacts (minor segments
+    // accumulate until the major cadence; three minors at majorEvery 16)
     pipe2.onBatch(vecs(200, 16), 2)
     pipe2.flush()
     assert(OutputCompaction.read(spark, c.out).count() == settled.size + 6L)
-    assert(IndexFiles.numbered(spark, c.out, OutputCompaction.BasePrefix).size == 1)
+    assert(OutputCompaction.segmentCount(spark, c.out) == 3)
+    assert(IndexFiles.numbered(spark, c.out, OutputCompaction.BatchPrefix).isEmpty)
+  }
+
+  test("tiered LSM: minors are O(window) and leave prior segments untouched; a major merges; crash-mid-major leftovers are invisible") {
+    import spark.implicits._
+    val outPath = Files.createTempDirectory("graft_oc_tier").toString + "/packed"
+    def land(id: Long): Unit =
+      (id * 10 until id * 10 + 3).map(i => (i, "web", 2L, i * 2, 0L, 0L))
+        .toDF("doc_id", "source", "n_tokens", "tok_offset", "chunk_first", "chunk_last")
+        .write.mode("overwrite")
+        .parquet(s"$outPath/${OutputCompaction.BatchPrefix}$id")
+
+    // three minors: one segment each, earlier segments never rewritten
+    land(0); OutputCompaction.compact(spark, outPath, upTo = 0)
+    val seg1Files = IndexFiles.fs(spark, outPath)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$outPath/${OutputCompaction.BasePrefix}1/data"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSeq.sorted
+    land(1); OutputCompaction.compact(spark, outPath, upTo = 1)
+    land(2); OutputCompaction.compact(spark, outPath, upTo = 2)
+    assert(OutputCompaction.segmentCount(spark, outPath) == 3)
+    val all = OutputCompaction.read(spark, outPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == (0 until 3).flatMap(id => id * 10 until id * 10 + 3).map(_.toLong).toSet)
+    // O(window) evidence: segment 1's data files are bit-for-bit untouched
+    // by the later minors (no O(corpus) rewrite on the minor tier)
+    val seg1After = IndexFiles.fs(spark, outPath)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$outPath/${OutputCompaction.BasePrefix}1/data"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSeq.sorted
+    assert(seg1After == seg1Files, "a minor must never rewrite prior segments")
+
+    // the major merges everything into one full segment
+    OutputCompaction.compactFull(spark, outPath)
+    assert(OutputCompaction.segmentCount(spark, outPath) == 1)
+    assert(OutputCompaction.read(spark, outPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == all)
+    assert(OutputCompaction.highWater(spark, outPath) == 2L)
+
+    // crash-mid-major simulation: a stale pre-major minor segment left by
+    // an interrupted sweep (version below the full segment, rows the major
+    // already holds) is invisible to reads and swept by the next compaction
+    (0L until 3L).map(i => (i, "web", 2L, i * 2, 0L, 0L))
+      .toDF("doc_id", "source", "n_tokens", "tok_offset", "chunk_first", "chunk_last")
+      .write.mode("overwrite").parquet(s"$outPath/${OutputCompaction.BasePrefix}1.tmp/data")
+    Seq((0L, false)).toDF("last_batch", "full")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/${OutputCompaction.BasePrefix}1.tmp/meta")
+    IndexFiles.publish(spark, s"$outPath/${OutputCompaction.BasePrefix}1.tmp",
+      s"$outPath/${OutputCompaction.BasePrefix}1")
+    assert(OutputCompaction.read(spark, outPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == all,
+      "stale pre-major segments must be invisible (rows would double)")
+    OutputCompaction.compact(spark, outPath) // sweeps the stale leftover
+    assert(IndexFiles.numbered(spark, outPath, OutputCompaction.BasePrefix).size == 1)
+    assert(OutputCompaction.read(spark, outPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == all)
+    IndexFiles.delete(spark, outPath)
   }
 }

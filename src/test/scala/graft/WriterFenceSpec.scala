@@ -45,7 +45,7 @@ class WriterFenceSpec extends SparkSpec {
     intercept[IllegalStateException] { l2.check() }
     // superseded claim files are pruned — exactly one remains
     val f = IndexFiles.fs(spark, path)
-    val claims = f.listStatus(new org.apache.hadoop.fs.Path(s"$path/writer"))
+    val claims = f.listStatus(new org.apache.hadoop.fs.Path(s"$path/_writer"))
       .filter(_.isFile).map(_.getPath.getName).toSeq
     assert(claims == Seq(s"epoch_${l3.epoch}"), s"got $claims")
     IndexFiles.delete(spark, path)
@@ -88,6 +88,41 @@ class WriterFenceSpec extends SparkSpec {
       "the restart must resume the crashed writer's staged admissions")
     gate2.flush()
     IndexFiles.delete(spark, path)
+  }
+
+  test("the OUTPUT path fences too: two daemons on one --out, one winner") {
+    import spark.implicits._
+    import graft.streaming.{OutputCompaction, StreamingCuration}
+    def docs(lo: Long) = (lo until lo + 3).map(i =>
+      (i, (0 until 12).map(w => s"tok${i}_$w").mkString(" "), "web", 30L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Files.createTempDirectory("graft_fence_out").toString + "/packed"
+    def newRun() = new StreamingCuration.CurationRun(spark, out, budget = 8L,
+      rates = Map.empty, defaultRate = 1.0, nearGate = None,
+      statsPath = None, statsCompactEvery = 0, outCompactEvery = 1)
+    val run1 = newRun()
+    run1.onBatch(docs(0), 0)
+    val run2 = newRun() // the accidental second daemon
+    val ex = intercept[IllegalStateException] { run1.onBatch(docs(10), 1) }
+    assert(ex.getMessage.contains("fenced"), ex.getMessage)
+    run2.onBatch(docs(10), 1) // the winner proceeds; output stays consistent
+    assert(OutputCompaction.read(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      ((0L until 3L) ++ (10L until 13L)).toSet)
+    // the same contract on the vector daemon
+    val root = Files.createTempDirectory("graft_fence_vout").toString
+    val c = VecIngest.Config(src = s"$root/src", out = s"$root/out",
+      checkpoint = s"$root/ckpt", index = s"$root/embed", once = true)
+    def vecs(lo: Long) = (lo until lo + 3).map { i =>
+      val a = Array.tabulate(16)(d => if (d == (i % 4).toInt) 0.9f else 0.01f * d)
+      (i, a.toSeq, (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val p1 = new VecIngest.Pipeline(spark, c)
+    p1.onBatch(vecs(0), 0)
+    new VecIngest.Pipeline(spark, c)
+    intercept[IllegalStateException] { p1.onBatch(vecs(10), 1) }
+    IndexFiles.delete(spark, out)
+    IndexFiles.delete(spark, root)
   }
 
   test("the embed/PQ/graph gates fence identically") {
