@@ -221,6 +221,9 @@ object DataPipelineQueries {
     "text_contamination" -> ((s, dir) => TextAnalysis.contamination(docs(s, dir))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "text_surprisal" -> ((s, dir) => TextAnalysis.surprisal(docs(s, dir))),
+    // the corpus-side PII scrub (log_pii_scrub's documents twin): per-doc
+    // detector counts on the original text + the sequentially redacted text
+    "text_pii_scrub" -> ((s, dir) => Pii.documentsScrub(docs(s, dir))),
     "text_tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir))),
     "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(docs(s, dir))),
     // TEXT-STATS PERSISTENCE round trip: BM25 stats base over %3==0, one
@@ -357,6 +360,7 @@ object DataPipelineQueries {
     "text_contamination" -> TextAnalysis.contaminationSql,
     "text_repetition" -> TextAnalysis.repetitionSql,
     "text_surprisal" -> TextAnalysis.surprisalSql,
+    "text_pii_scrub" -> Pii.documentsScrubSql,
     "text_tfidf_topk" -> TextAnalysis.tfidfTopKSql,
     "text_bm25_topk" -> TextAnalysis.bm25TopKSql,
     "text_bm25_delta" -> TextAnalysis.bm25DeltaTopKSql,

@@ -46,6 +46,27 @@ object Pii {
   val IpTag = "<IP>"
   val NumTag = "<NUM>"
 
+  /** The documents-table registry form: per-doc detector counts + the
+    * redacted text — the corpus-side scrub pass (the log side is
+    * `log_pii_scrub`). */
+  def documentsScrub(docs: DataFrame): DataFrame =
+    scrub(Tables.fanOut(docs), "text")
+      .select("doc_id", "n_email", "n_ipv4", "n_num", "redacted")
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for [[documentsScrub]] — the same RE2-safe patterns,
+    * counts on the original text, sequential replace. */
+  val documentsScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(text, '$LongNumRe')) AS BIGINT) AS n_num,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '$EmailTag', 'g'),
+       |    '$Ipv4Re', '$IpTag', 'g'),
+       |    '$LongNumRe', '$NumTag', 'g') AS redacted
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Add `n_email`, `n_ipv4`, `n_num` (raw hit counts on the original
     * text) and `redacted` (sequentially scrubbed text) to `df`. */
   def scrub(df: DataFrame, textCol: String): DataFrame = {

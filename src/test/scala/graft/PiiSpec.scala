@@ -59,4 +59,28 @@ class PiiSpec extends SparkSpec {
     // non-initial lines never contain an address
     assert(scrubbed.filter($"seq" % 8 > 1).filter($"n_ipv4" =!= 0L).count() == 0L)
   }
+
+  test("documentsScrub: the corpus-side registry form detects and redacts (the oracle corpus is PII-free, so the fixture carries the semantics)") {
+    import spark.implicits._
+    import graft.operators.Pii
+    val docs = Seq(
+      (1L, "contact alice.b+spam@ex-ample.org or 10.1.2.3 re acct 12345678"),
+      (2L, "clean text with port 9000 and ts 123456 stays untouched"),
+      (3L, "two mails a@b.io c@d.co and 999.1.1.1")
+    ).toDF("doc_id", "text")
+    val out = Pii.documentsScrub(docs).collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_email") == 1 && r1.getAs[Long]("n_ipv4") == 1 &&
+      r1.getAs[Long]("n_num") == 1)
+    assert(r1.getAs[String]("redacted") ==
+      "contact <EMAIL> or <IP> re acct <NUM>")
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_email") == 0 && r2.getAs[Long]("n_ipv4") == 0 &&
+      r2.getAs[Long]("n_num") == 0)
+    assert(r2.getAs[String]("redacted") ==
+      "clean text with port 9000 and ts 123456 stays untouched")
+    val r3 = out(2)
+    assert(r3.getAs[Long]("n_email") == 2 && r3.getAs[Long]("n_ipv4") == 1)
+    assert(r3.getAs[String]("redacted") == "two mails <EMAIL> <EMAIL> and <IP>")
+  }
 }
