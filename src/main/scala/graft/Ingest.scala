@@ -16,7 +16,12 @@ import graft.streaming.StreamingCuration
   *   spark-submit --class graft.Ingest <jar> \
   *     --src /data/incoming --out s3://bucket/packed \
   *     --checkpoint s3://bucket/ckpt [--budget 512] [--rate 0.5] \
-  *     [--rate-for web=0.25 --rate-for wiki=1.0] [--once]
+  *     [--rate-for web=0.25 --rate-for wiki=1.0] \
+  *     [--near-index /idx --near-threshold 0.8 --near-compact-every 16] \
+  *     [--bm25-stats /stats --bm25-compact-every 16] \
+  *     [--out-compact-every 16 --out-major-every 16] \
+  *     [--max-files-per-trigger 64] [--layout zorder:doc_id,tok_offset] \
+  *     [--listen 0.0.0.0:19902] [--no-self-metrics] [--once]
   * }}}
   *
   * Input files are parquet with `(doc_id long, text string, source

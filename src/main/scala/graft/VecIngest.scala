@@ -24,7 +24,10 @@ import graft.streaming.{OutputCompaction, StreamingSimilarity}
   *     [--threshold 0.35] [--pq-index /indexes/pq] \
   *     [--graph-index /indexes/graph] [--compact-every 16] \
   *     [--maintain-every 8 --maintain-floor 0.7] \
-  *     [--centroid-mod 127] [--bootstrap-min 1] [--once]
+  *     [--centroid-mod 127] [--bootstrap-min 1] \
+  *     [--out-compact-every 16 --out-major-every 16] \
+  *     [--max-files-per-trigger 64] [--listen 0.0.0.0:19903] \
+  *     [--no-self-metrics] [--once]
   * }}}
   *
   * Everything is durable: the novelty/PQ/graph gates stage each batch
