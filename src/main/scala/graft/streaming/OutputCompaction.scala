@@ -119,6 +119,15 @@ object OutputCompaction {
     parts.reduceOption(_ unionByName _)
   }
 
+  /** A minor segment's file-count bound: without it, each minor inherits
+    * the write's shuffle partitioning (`spark.sql.shuffle.partitions` —
+    * 32-file segments of a 1-minute window in production defaults), and
+    * the small-FILES problem survives the small-DIRS fix. Minor windows
+    * are compaction-cadence-bounded, so a fixed small coalesce is safe;
+    * majors keep their natural (corpus-sized) partitioning, and an
+    * explicit `layout` transform owns partitioning outright. */
+  private val MinorSegmentFiles = 8
+
   /** Publish `data` as segment V+1 (atomic tmp-rename), stamped. */
   private def publishSegment(spark: SparkSession, outPath: String,
       data: DataFrame, lastBatch: Long, full: Boolean,
@@ -158,8 +167,9 @@ object OutputCompaction {
     val fold = all.filter { case (id, _) => id > stamp && id <= upTo }
     sweepStale(spark, segs)
     if (fold.isEmpty) { sweepDirs(spark, dead); return }
+    val window = spark.read.parquet(fold.map(_._2.toString): _*)
     publishSegment(spark, outPath,
-      spark.read.parquet(fold.map(_._2.toString): _*),
+      if (layout.isEmpty) window.coalesce(MinorSegmentFiles) else window,
       lastBatch = fold.map(_._1).max, full = false, layout)
     sweepDirs(spark, dead ++ fold)
   }

@@ -224,6 +224,10 @@ class OutputCompactionSpec extends SparkSpec {
       .listStatus(new org.apache.hadoop.fs.Path(s"$outPath/${OutputCompaction.BasePrefix}1/data"))
       .map(s => (s.getPath.getName, s.getModificationTime)).toSeq.sorted
     assert(seg1After == seg1Files, "a minor must never rewrite prior segments")
+    // small-FILES bound: a minor segment coalesces (the small-dirs fix must
+    // not leave one shuffle-partition-count file set per segment)
+    assert(seg1After.count(_._1.endsWith(".parquet")) <= 8,
+      s"minor segment must coalesce its files: ${seg1After.map(_._1)}")
 
     // the major merges everything into one full segment
     OutputCompaction.compactFull(spark, outPath)
