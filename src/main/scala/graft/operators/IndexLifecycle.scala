@@ -481,7 +481,7 @@ final class RefreshableEmbedIndex(initial: Similarity.EmbedIndex,
 
   private def view(segs: Vector[ESeg], oversized: DataFrame): Similarity.EmbedIndex =
     Similarity.embedSegmentedView(segs.map(_.qc), segs.map(_.cb),
-      oversized, initial.bucketCap)
+      oversized, initial.bucketCap, initial.tables)
 
   def current: Similarity.EmbedIndex = state.view
 
@@ -491,7 +491,7 @@ final class RefreshableEmbedIndex(initial: Similarity.EmbedIndex,
       val s = state
       val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       def track(df: DataFrame): DataFrame = { val c = df.persist(); tracked += c; c }
-      val parts = Similarity.embedSegmentFold(newVecs, track)
+      val parts = Similarity.embedSegmentFold(newVecs, track, initial.tables)
       val allSizes = s.segs.map(_.sizes) :+ parts.freshSizes
       val ck = IndexFiles.inParallel(Seq(
         () => parts.qNew.localCheckpoint(true),

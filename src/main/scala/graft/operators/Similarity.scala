@@ -271,8 +271,8 @@ object Similarity {
     * pipeline — signatures, bucket join, exact rank — hash-exact. */
   /** `(vec_id, q, nq, table, bucket)` — each vector hashed into its bucket
     * in every LSH table. */
-  private def lshBuckets(q: DataFrame): DataFrame = {
-    val tableSigs = (0 until NumTables).map { t =>
+  private def lshBuckets(q: DataFrame, tables: Int = NumTables): DataFrame = {
+    val tableSigs = (0 until tables).map { t =>
       val sig = (0 until PlanesPerTable).foldLeft(lit(0L)) { (acc, j) =>
         val proj = long_dot(col("q"), expr(planeSql(t * PlanesPerTable + j)))
         acc.bitwiseOR(when(proj > 0, lit(1L << j)).otherwise(lit(0L)))
@@ -281,6 +281,79 @@ object Similarity {
     }
     q.select(col("vec_id"), col("q"), col("nq"), explode(array(tableSigs: _*)).as("tb"))
       .select(col("vec_id"), col("q"), col("nq"), col("tb.table"), col("tb.bucket"))
+  }
+
+  /** Multi-probe perturbation depth: the QUERY side may flip any subset of
+    * the `MaxFlipBits` lowest-|margin| hyperplanes per table (the planes
+    * the vector sits closest to — the bits most likely to differ on a true
+    * near neighbor). 2^4 = 16 probe sets per table. */
+  private val MaxFlipBits = 4
+
+  /** Shipped probe count for the embed novelty gate: the query's own
+    * bucket plus the 15 lowest-penalty perturbations per table (all
+    * subsets of the 4 lowest-margin planes) — the standard multi-probe
+    * LSH construction (Lv et al., VLDB'07). Query-side only: probing
+    * costs O(probes) extra bucket LOOKUPS per query vector, never extra
+    * index rows. Chosen by the tables × probes sweep pinned in
+    * EmbedGateRecallSpec: measured gate recall on the sf0.01 corpus at
+    * threshold 0.35 rises 0.278 (r12's 4 tables × 1 probe) → 0.889 at
+    * the shipped 8 × 16. */
+  val EmbedGateProbes = 16
+
+  /** Hash-table count for the embed-GATE index family (novelty gate,
+    * refresh/delta lifecycle, streaming gate) — decoupled from the other
+    * LSH consumers' [[NumTables]] because the gate's contract is recall at
+    * threshold 0.35, the hardest LSH regime (a 0.35-cosine pair is ~69°
+    * apart — per-plane sign agreement barely beats a coin flip, so table
+    * count is the only lever left once multi-probe saturates). Corpus cost
+    * is `tables` small bucket rows per vector (the quantized vectors — the
+    * index's dominant weight — are stored ONCE regardless), so doubling
+    * tables is cheap where doubling the index would not be. Chosen with
+    * [[EmbedGateProbes]] by the EmbedGateRecallSpec sweep. */
+  val EmbedGateTables = 8
+
+  /** Multi-probe QUERY-side buckets: for each table, the base signature
+    * bucket plus the `nProbes - 1` perturbed buckets with the lowest
+    * flip penalty (sum of |projection| over flipped planes — flipping a
+    * near-zero projection is cheap, the neighbor plausibly lands there).
+    * Perturbation sets are subsets of the [[MaxFlipBits]] lowest-|margin|
+    * planes, ranked by (penalty, subset id); subset id 0 is the
+    * unperturbed bucket, so `nProbes = 1` degenerates to [[lshBuckets]].
+    * Deterministic (ties by plane index then subset id) → SQL-replayable
+    * ([[probeSigsSql]] mirrors the ranking exactly). */
+  private def lshProbeBuckets(q: DataFrame, nProbes: Int,
+      tables: Int = NumTables): DataFrame = {
+    require(nProbes >= 1 && nProbes <= (1 << MaxFlipBits),
+      s"nProbes must be in [1, ${1 << MaxFlipBits}]")
+    val tableProbes = (0 until tables).map { t =>
+      val projs = (0 until PlanesPerTable).map { j =>
+        long_dot(col("q"), expr(planeSql(t * PlanesPerTable + j)))
+      }
+      val base = projs.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, j)) =>
+        acc.bitwiseOR(when(p > 0, lit(1L << j)).otherwise(lit(0L)))
+      }
+      // planes ordered by (|proj|, plane index) — struct sort is
+      // lexicographic by field order, so `bit` (monotone in j) never
+      // perturbs the order
+      val margins = array_sort(array(projs.zipWithIndex.map { case (p, j) =>
+        struct(abs(p).as("m"), lit(j.toLong).as("j"), lit(1L << j).as("bit"))
+      }: _*))
+      val low = (0 until MaxFlipBits).map(i => margins.getItem(i))
+      val combos = (0 until (1 << MaxFlipBits)).map { cid =>
+        val bits = (0 until MaxFlipBits).filter(i => ((cid >> i) & 1) == 1)
+        val score = bits.foldLeft(lit(0L))((acc, i) => acc + low(i).getField("m"))
+        // distinct plane bits, so plain addition IS the bit union (and
+        // mirrors the oracle's arithmetic form textually)
+        val mask = bits.foldLeft(lit(0L))((acc, i) => acc + low(i).getField("bit"))
+        struct(score.as("s"), lit(cid.toLong).as("cid"), mask.as("mask"))
+      }
+      val probes = slice(array_sort(array(combos: _*)), 1, nProbes)
+      struct(lit(t).as("table"),
+        transform(probes, p => base.bitwiseXOR(p.getField("mask"))).as("buckets"))
+    }
+    q.select(col("vec_id"), explode(array(tableProbes: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table").as("table"),
+        explode(col("tb.buckets")).as("bucket"))
   }
 
   def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
@@ -368,11 +441,14 @@ object Similarity {
     * candidates only. The cap applies to the CORPUS buckets (a degenerate
     * corpus bucket yields no candidates — [[Dedup.corpusIndex]]'s drop
     * rule). ANN semantics by construction: a match missed by all
-    * `NumTables` tables is reported novel; recall is tuned via the table
-    * count. Deterministic → hash-exact oracle ([[embedNoveltySql]]). */
+    * `NumTables` tables is reported novel; recall is tuned via the
+    * QUERY-side probe count ([[EmbedGateProbes]] — multi-probe LSH, the
+    * index itself never grows). Deterministic → hash-exact oracle
+    * ([[embedNoveltySql]]). */
   def embedNovelty(batch: DataFrame, corpus: DataFrame,
-      threshold: Double = 0.35, bucketCap: Int = Dedup.DefaultBucketCap): DataFrame =
-    embedNoveltyAgainst(batch, embedIndex(corpus, bucketCap), threshold)
+      threshold: Double = 0.35, bucketCap: Int = Dedup.DefaultBucketCap,
+      probes: Int = EmbedGateProbes): DataFrame =
+    embedNoveltyAgainst(batch, embedIndex(corpus, bucketCap), threshold, probes)
 
   /** Precomputed EXISTING-corpus side of the embedding novelty gate: pinned
     * quantized vectors (verify side) and their capped multi-table LSH
@@ -380,7 +456,7 @@ object Similarity {
     * pipeline materializes ONCE; every batch/micro-batch joins against it
     * ([[graft.operators.Dedup.CorpusIndex]]'s discipline). */
   final case class EmbedIndex private[operators] (qc: DataFrame, cb: DataFrame,
-      oversized: DataFrame, bucketCap: Int) {
+      oversized: DataFrame, bucketCap: Int, tables: Int = EmbedGateTables) {
     private[operators] def frames: Seq[DataFrame] = Seq(qc, cb, oversized)
     /** Force-materialize all pinned components (atomic-swap discipline —
       * see [[Dedup.CorpusIndex.materialize]]). */
@@ -393,16 +469,17 @@ object Similarity {
       * per-batch refresh loop; jobs submitted concurrently). */
     private[graft] def truncated(): EmbedIndex = {
       val t = IndexFiles.inParallel(frames.map(f => () => f.localCheckpoint(true)))
-      EmbedIndex(t(0), t(1), t(2), bucketCap)
+      EmbedIndex(t(0), t(1), t(2), bucketCap, tables)
     }
     /** Unpin this index's frames after a swap. */
     def release(): Unit = frames.foreach(PinnedCaches.unpin)
   }
 
   def embedIndex(corpus: DataFrame,
-      bucketCap: Int = Dedup.DefaultBucketCap): EmbedIndex = {
+      bucketCap: Int = Dedup.DefaultBucketCap,
+      tables: Int = EmbedGateTables): EmbedIndex = {
     val qc = PinnedCaches.pin(quantized(corpus).select("vec_id", "q", "nq"))
-    val buckets = lshBuckets(qc).select("vec_id", "table", "bucket")
+    val buckets = lshBuckets(qc, tables).select("vec_id", "table", "bucket")
     val cb = PinnedCaches.pin(Dedup.capBuckets(buckets,
       Seq("table", "bucket"), bucketCap))
     // dropped-bucket sizes — refresh bookkeeping, same contract as
@@ -410,7 +487,7 @@ object Similarity {
     val oversized = PinnedCaches.pin(buckets
       .groupBy("table", "bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") > bucketCap))
-    EmbedIndex(qc, cb, oversized, bucketCap)
+    EmbedIndex(qc, cb, oversized, bucketCap, tables)
   }
 
   /** One fold's O(batch) persistence payload — [[Dedup.IndexDelta]]'s
@@ -459,7 +536,7 @@ object Similarity {
     IndexFiles.inParallel(idx.frames.zip(EmbedBaseComponents).map { case (df, name) =>
       () => df.write.mode("overwrite").parquet(s"$tmp/$name")
     })
-    Seq((idx.bucketCap, lastDelta)).toDF("bucket_cap", "last_delta")
+    Seq((idx.bucketCap, idx.tables, lastDelta)).toDF("bucket_cap", "tables", "last_delta")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
     IndexFiles.publish(spark, tmp, s"$path/base_v$v")
     IndexFiles.numbered(spark, path, "base_v").filter(_._1 < v)
@@ -509,7 +586,11 @@ object Similarity {
       if (deltas.isEmpty) pin(cbRows)
       else pin(cbRows.join(
         broadcast(oversizedP.select("table", "bucket")), Seq("table", "bucket"), "left_anti"))
-    EmbedIndex(pin(qc), cb, oversizedP, meta.getAs[Int]("bucket_cap"))
+    EmbedIndex(pin(qc), cb, oversizedP, meta.getAs[Int]("bucket_cap"),
+      // metas written before the gate's table count was persisted carry no
+      // `tables` column; those indexes were built at the then-global 4
+      if (meta.schema.fieldNames.contains("tables")) meta.getAs[Int]("tables")
+      else NumTables)
   }
 
   /** Compact the persisted base+deltas into one new base —
@@ -541,7 +622,7 @@ object Similarity {
   private def refreshEmbedIndexCore(idx: EmbedIndex, newVecs: DataFrame,
       cache: DataFrame => DataFrame): (EmbedIndex, EmbedDelta) = {
     val qNew = cache(quantized(newVecs).select("vec_id", "q", "nq"))
-    val freshBuckets = cache(lshBuckets(qNew).select("vec_id", "table", "bucket"))
+    val freshBuckets = cache(lshBuckets(qNew, idx.tables).select("vec_id", "table", "bucket"))
     val qc2 = cache(idx.qc.unionAll(qNew))
     val oldPresent = idx.cb.groupBy("table", "bucket").agg(count(lit(1)).as("n"))
     val freshSizes = freshBuckets.groupBy("table", "bucket").agg(count(lit(1)).as("n"))
@@ -552,7 +633,7 @@ object Similarity {
     val cb2 = cache(
       idx.cb.unionAll(freshBuckets).join(keep, Seq("table", "bucket")))
     val oversized2 = cache(totals.filter(col("n") > idx.bucketCap))
-    (EmbedIndex(qc2, cb2, oversized2, idx.bucketCap),
+    (EmbedIndex(qc2, cb2, oversized2, idx.bucketCap, idx.tables),
       EmbedDelta(qNew, freshBuckets, oversized2))
   }
 
@@ -575,9 +656,10 @@ object Similarity {
       qNew: DataFrame, freshBuckets: DataFrame, freshSizes: DataFrame)
 
   private[operators] def embedSegmentFold(newVecs: DataFrame,
-      cache: DataFrame => DataFrame): EmbedSegmentParts = {
+      cache: DataFrame => DataFrame,
+      tables: Int = EmbedGateTables): EmbedSegmentParts = {
     val qNew = cache(quantized(newVecs).select("vec_id", "q", "nq"))
-    val freshBuckets = cache(lshBuckets(qNew).select("vec_id", "table", "bucket"))
+    val freshBuckets = cache(lshBuckets(qNew, tables).select("vec_id", "table", "bucket"))
     val freshSizes = cache(
       freshBuckets.groupBy("table", "bucket").agg(count(lit(1)).as("n")))
     EmbedSegmentParts(qNew, freshBuckets, freshSizes)
@@ -592,12 +674,13 @@ object Similarity {
       .agg(sum("n").as("n")).filter(col("n") > bucketCap)
 
   private[operators] def embedSegmentedView(qcs: Seq[DataFrame],
-      cbs: Seq[DataFrame], oversized: DataFrame, bucketCap: Int): EmbedIndex = {
+      cbs: Seq[DataFrame], oversized: DataFrame, bucketCap: Int,
+      tables: Int = EmbedGateTables): EmbedIndex = {
     def u(fs: Seq[DataFrame]): DataFrame = fs.reduce(_ unionByName _)
     EmbedIndex(u(qcs),
       u(cbs).join(broadcast(oversized.select("table", "bucket")),
         Seq("table", "bucket"), "left_anti"),
-      oversized, bucketCap)
+      oversized, bucketCap, tables)
   }
 
   /** The initial embed segment's TRUE size table (present ∪ dropped). */
@@ -609,11 +692,11 @@ object Similarity {
   /** [[embedNovelty]] against an already-built [[EmbedIndex]] — the form
     * the streaming gate applies per micro-batch. */
   def embedNoveltyAgainst(batch: DataFrame, idx: EmbedIndex,
-      threshold: Double = 0.35): DataFrame = {
+      threshold: Double = 0.35, probes: Int = EmbedGateProbes): DataFrame = {
     val qc = idx.qc
     val cb = idx.cb
     val qb = quantized(batch).select("vec_id", "q", "nq")
-    val cand = lshBuckets(qb).select("vec_id", "table", "bucket")
+    val cand = lshProbeBuckets(qb, probes, idx.tables)
       .join(cb.select(col("vec_id").as("m"), col("table"), col("bucket")),
         Seq("table", "bucket"))
       .select("vec_id", "m").distinct()
@@ -639,13 +722,14 @@ object Similarity {
     * best-by-(cos DESC, id). */
   def embedNoveltySql: String =
     s"""WITH $evNormsSql,
-       |$sigsSql,
+       |${sigsSqlTables(EmbedGateTables)},
+       |${probeSigsSql(EmbedGateProbes)},
        |csig AS (SELECT vec_id, tbl, bucket FROM (
        |  SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bn
        |  FROM sigs WHERE vec_id % 2 = 0) WHERE bn <= ${Dedup.DefaultBucketCap}),
        |cand AS (
        |  SELECT DISTINCT b.vec_id, c.vec_id AS m
-       |  FROM sigs b JOIN csig c ON c.tbl = b.tbl AND c.bucket = b.bucket
+       |  FROM psigs b JOIN csig c ON c.tbl = b.tbl AND c.bucket = b.bucket
        |  WHERE b.vec_id % 2 = 1),
        |dots AS (
        |  SELECT cd.vec_id, cd.m, CAST(sum(a.q * b.q) AS BIGINT) AS dot
@@ -679,8 +763,8 @@ object Similarity {
     * probe has a true match (nothing measurable — the
     * [[IndexMaintenance]] NaN rule). */
   def embedGateRecallAgainst(probes: DataFrame, idx: EmbedIndex,
-      threshold: Double = 0.35): DataFrame = {
-    val gateHit = embedNoveltyAgainst(probes, idx, threshold)
+      threshold: Double = 0.35, nProbes: Int = EmbedGateProbes): DataFrame = {
+    val gateHit = embedNoveltyAgainst(probes, idx, threshold, nProbes)
       .filter(!col("novel")).select("vec_id")
     val qp = quantized(probes)
       .select(col("vec_id"), col("q").as("qa"), col("nq").as("nqa"))
@@ -705,10 +789,11 @@ object Similarity {
   /** The registry form on the parity split (even ids = the indexed corpus,
     * every `sampleMod`-th odd id = the probe sample). */
   def embedGateRecall(emb: DataFrame, threshold: Double = 0.35,
-      sampleMod: Int = 7, bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
+      sampleMod: Int = 7, bucketCap: Int = Dedup.DefaultBucketCap,
+      nProbes: Int = EmbedGateProbes, tables: Int = EmbedGateTables): DataFrame = {
     val corpus = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
     val probes = emb.filter(pmod(col("vec_id"), lit(2L * sampleMod)) === 1)
-    embedGateRecallAgainst(probes, embedIndex(corpus, bucketCap), threshold)
+    embedGateRecallAgainst(probes, embedIndex(corpus, bucketCap, tables), threshold, nProbes)
   }
 
   /** DuckDB oracle for the `embed_gate_recall` registry row — the monitor
@@ -718,13 +803,14 @@ object Similarity {
     * truly-non-novel probe sample. */
   def embedGateRecallSql(threshold: Double = 0.35, sampleMod: Int = 7): String =
     s"""WITH $evNormsSql,
-       |$sigsSql,
+       |${sigsSqlTables(EmbedGateTables)},
+       |${probeSigsSql(EmbedGateProbes)},
        |csig AS (SELECT vec_id, tbl, bucket FROM (
        |  SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bn
        |  FROM sigs WHERE vec_id % 2 = 0) WHERE bn <= ${Dedup.DefaultBucketCap}),
        |cand AS (
        |  SELECT DISTINCT b.vec_id, c.vec_id AS m
-       |  FROM sigs b JOIN csig c ON c.tbl = b.tbl AND c.bucket = b.bucket
+       |  FROM psigs b JOIN csig c ON c.tbl = b.tbl AND c.bucket = b.bucket
        |  WHERE b.vec_id % ${2 * sampleMod} = 1),
        |gdots AS (
        |  SELECT cd.vec_id, cd.m, CAST(sum(a.q * b.q) AS BIGINT) AS dot
@@ -762,13 +848,14 @@ object Similarity {
     * incrementally-folded ≡ from-scratch over the union corpus. */
   def embedIndexRefreshSql: String =
     s"""WITH $evNormsSql,
-       |$sigsSql,
+       |${sigsSqlTables(EmbedGateTables)},
+       |${probeSigsSql(EmbedGateProbes)},
        |csig AS (SELECT vec_id, tbl, bucket FROM (
        |  SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bn
        |  FROM sigs WHERE vec_id % 3 < 2) WHERE bn <= ${Dedup.DefaultBucketCap}),
        |cand AS (
        |  SELECT DISTINCT b.vec_id, c.vec_id AS m
-       |  FROM sigs b JOIN csig c ON c.tbl = b.tbl AND c.bucket = b.bucket
+       |  FROM psigs b JOIN csig c ON c.tbl = b.tbl AND c.bucket = b.bucket
        |  WHERE b.vec_id % 3 = 2),
        |dots AS (
        |  SELECT cd.vec_id, cd.m, CAST(sum(a.q * b.q) AS BIGINT) AS dot
@@ -1041,8 +1128,12 @@ object Similarity {
     * (equal to the operator's bitwise OR). */
   /** Shared LSH oracle CTEs: literal hyperplanes → projections →
     * per-(vector, table) bucket signatures. */
-  private def sigsSql: String = {
-    val planeRows = (0 until NumTables * PlanesPerTable).map(j =>
+  private def sigsSql: String = sigsSqlTables(NumTables)
+
+  /** [[sigsSql]] at an explicit table count — the gate oracles run at
+    * [[EmbedGateTables]]. */
+  private def sigsSqlTables(tables: Int): String = {
+    val planeRows = (0 until tables * PlanesPerTable).map(j =>
       s"(${j / PlanesPerTable}, ${j % PlanesPerTable}, ${plane(j).mkString("[", ", ", "]")})")
       .mkString(",\n      ")
     s"""planes(tbl, j, v) AS (VALUES
@@ -1055,6 +1146,44 @@ object Similarity {
        |  SELECT vec_id, tbl,
        |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Multi-probe oracle CTEs (appended after [[sigsSql]]): replays
+    * [[lshProbeBuckets]]'s ranking exactly — per (vector, table) the
+    * [[MaxFlipBits]] lowest-(|projection|, plane) planes, all subsets as
+    * perturbations ordered by (penalty, subset id), top `nProbes` kept.
+    * Yields `psigs(vec_id, tbl, bucket)` — the QUERY-side bucket set. */
+  private def probeSigsSql(nProbes: Int): String = {
+    // all 2^MaxFlipBits perturbation sets, cid-indexed exactly like the
+    // Spark side (bit i of cid = flip the (i+1)-th lowest-margin plane)
+    val comboRows = (0 until (1 << MaxFlipBits)).map { cid =>
+      val bits = (0 until MaxFlipBits).map(i => (cid >> i) & 1)
+      s"($cid, ${bits.mkString(", ")})"
+    }.mkString(",\n       |  ")
+    val flipCols = (1 to MaxFlipBits)
+    val maskSql = flipCols.map(i => s"c$i*(CAST(1 AS BIGINT) << j$i)").mkString(" + ")
+    val scoreSql = flipCols.map(i => s"c$i*m$i").mkString(" + ")
+    val lowCols = flipCols.map(i =>
+      s"max(CASE WHEN r = $i THEN m END) AS m$i, max(CASE WHEN r = $i THEN j END) AS j$i")
+      .mkString(",\n       |    ")
+    s"""marg AS (
+       |  SELECT vec_id, tbl, j, abs(d) AS m,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, tbl ORDER BY abs(d), j) AS r
+       |  FROM proj),
+       |low AS (
+       |  SELECT vec_id, tbl,
+       |    $lowCols
+       |  FROM marg WHERE r <= $MaxFlipBits GROUP BY 1, 2),
+       |combos(cid, ${flipCols.map("c" + _).mkString(", ")}) AS (VALUES
+       |  $comboRows),
+       |pranked AS (
+       |  SELECT l.vec_id, l.tbl,
+       |    xor(s.bucket, CAST($maskSql AS BIGINT)) AS bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY l.vec_id, l.tbl
+       |      ORDER BY $scoreSql, cid) AS pr
+       |  FROM low l JOIN sigs s ON s.vec_id = l.vec_id AND s.tbl = l.tbl
+       |  CROSS JOIN combos),
+       |psigs AS (SELECT vec_id, tbl, bucket FROM pranked WHERE pr <= $nProbes)""".stripMargin
   }
 
   def lshTopKSql: String =
