@@ -90,10 +90,13 @@ object PinnedCaches {
     * batch ends; daemons/specs call this at quiet points. Throws listing
     * the violations — the detector direction of the repo's plan bans. */
   def assertNoPinsUnder(s: SparkSession, mutablePath: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(mutablePath).toUri.getPath
-      .stripSuffix("/")
+    // FULLY-QUALIFIED comparison (scheme + authority + path): a bare-path
+    // compare would falsely trip a pin on s3://bucketA/data against a
+    // sweep of hdfs:///data, and a relative mutablePath would silently
+    // never match the qualified pinned roots (ADVICE r12)
+    val root = IndexFiles.qualified(s, mutablePath)
     val bad = pinnedSourcePaths(s).filter { p =>
-      val q = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val q = IndexFiles.qualified(s, p)
       q == root || q.startsWith(root + "/")
     }
     if (bad.nonEmpty) throw new IllegalStateException(
