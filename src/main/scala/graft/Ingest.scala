@@ -19,7 +19,7 @@ import graft.streaming.StreamingCuration
   *     [--rate-for web=0.25 --rate-for wiki=1.0] \
   *     [--near-index /idx --near-threshold 0.8 --near-compact-every 16] \
   *     [--bm25-stats /stats --bm25-compact-every 16] \
-  *     [--out-compact-every 16 --out-major-every 16] \
+  *     [--out-compact-every 16 --out-merge-ratio 4 --out-merge-min 4] \
   *     [--max-files-per-trigger 64] [--layout zorder:doc_id,tok_offset] \
   *     [--listen 0.0.0.0:19902] [--no-self-metrics] [--once]
   * }}}
@@ -48,7 +48,8 @@ object Ingest {
       bm25Stats: Option[String] = None,
       bm25CompactEvery: Int = 16,
       outCompactEvery: Int = 0,
-      outMajorEvery: Int = 16,
+      outMergeRatio: Int = 4,
+      outMergeMin: Int = 4,
       maxFilesPerTrigger: Option[Int] = None,
       layout: Option[(String, String)] = None,
       listen: String = "0.0.0.0:19902",
@@ -97,10 +98,15 @@ object Ingest {
       // small-files scale-killer at a minute-level trigger)
       case "--out-compact-every" :: v :: t =>
         loop(t, c.copy(outCompactEvery = v.toInt))
-      // a MAJOR merge (one O(corpus) pass) every M minor compactions —
-      // bounds segment count; 0 = minors only (OutputCompaction's tiers)
-      case "--out-major-every" :: v :: t =>
-        loop(t, c.copy(outMajorEvery = v.toInt))
+      // SIZE-TIERED segment merging after each minor: merge a log-`ratio`
+      // size tier once `min` segments accumulate in it (LSM size-tiered
+      // compaction — bounds segment count at O(min·log(corpus/batch))
+      // with O(n·log n) lifetime rewrite volume, never a scheduled
+      // full-corpus pass; OutputCompaction.mergeTiers)
+      case "--out-merge-ratio" :: v :: t =>
+        loop(t, c.copy(outMergeRatio = v.toInt))
+      case "--out-merge-min" :: v :: t =>
+        loop(t, c.copy(outMergeMin = v.toInt))
       // ADMISSION CONTROL for a cold --src backlog: without it the file
       // source drains everything present in ONE giant micro-batch (the
       // tail sources' maxBytesPerTrigger lesson — a month of backlog must
@@ -136,7 +142,7 @@ object Ingest {
           "--budget <tokens> --rate <r> --rate-for <source=r> --once " +
           "--near-index <path> --near-threshold <t> --near-compact-every <n> " +
           "--bm25-stats <path> --bm25-compact-every <n> --out-compact-every <n> " +
-          "--out-major-every <m> " +
+          "--out-merge-ratio <r> --out-merge-min <k> " +
           "--max-files-per-trigger <n> --layout zorder:<k1>,<k2> " +
           "--listen <host:port> --no-self-metrics)")
     }
@@ -222,7 +228,8 @@ object Ingest {
       availableNow = config.once, nearGate = gate, statsPath = config.bm25Stats,
       statsCompactEvery = config.bm25CompactEvery,
       outCompactEvery = config.outCompactEvery,
-      outMajorEvery = config.outMajorEvery,
+      outMergeRatio = config.outMergeRatio,
+      outMergeMin = config.outMergeMin,
       telemetry = telemetry,
       layoutFn = layoutFn)
     server.foreach(_.health(() => query.isActive))

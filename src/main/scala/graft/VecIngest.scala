@@ -25,7 +25,7 @@ import graft.streaming.{OutputCompaction, StreamingSimilarity}
   *     [--graph-index /indexes/graph] [--compact-every 16] \
   *     [--maintain-every 8 --maintain-floor 0.7] \
   *     [--centroid-mod 127] [--bootstrap-min 1] \
-  *     [--out-compact-every 16 --out-major-every 16] \
+  *     [--out-compact-every 16 --out-merge-ratio 4 --out-merge-min 4] \
   *     [--max-files-per-trigger 64] [--listen 0.0.0.0:19903] \
   *     [--no-self-metrics] [--once]
   * }}}
@@ -62,7 +62,8 @@ object VecIngest {
       centroidMod: Int = 127,
       bootstrapMin: Long = 1L,
       outCompactEvery: Int = 0,
-      outMajorEvery: Int = 16,
+      outMergeRatio: Int = 4,
+      outMergeMin: Int = 4,
       maxFilesPerTrigger: Option[Int] = None,
       listen: String = "0.0.0.0:19903",
       selfMetrics: Boolean = true,
@@ -92,10 +93,13 @@ object VecIngest {
       // N batches (0 = never) — OutputCompaction, the same knob as Ingest's
       case "--out-compact-every" :: v :: t =>
         loop(t, c.copy(outCompactEvery = v.toInt))
-      // a MAJOR merge (one O(corpus) pass) every M minor compactions —
-      // bounds segment count; 0 = minors only (see OutputCompaction)
-      case "--out-major-every" :: v :: t =>
-        loop(t, c.copy(outMajorEvery = v.toInt))
+      // SIZE-TIERED segment merging after each minor (LSM size-tiered
+      // compaction — O(n·log n) lifetime rewrite, never a scheduled
+      // full-corpus pass; see OutputCompaction.mergeTiers)
+      case "--out-merge-ratio" :: v :: t =>
+        loop(t, c.copy(outMergeRatio = v.toInt))
+      case "--out-merge-min" :: v :: t =>
+        loop(t, c.copy(outMergeMin = v.toInt))
       // admission control for a cold --src backlog (see Ingest: bounded
       // micro-batches instead of one giant drain; AvailableNow still
       // processes everything, in steps)
@@ -115,7 +119,7 @@ object VecIngest {
           "--index <path> --threshold <t> --pq-index <path> --graph-index <path> " +
           "--compact-every <n> --maintain-every <n> --maintain-floor <r> " +
           "--maintain-rerank <n> --centroid-mod <m> --bootstrap-min <n> " +
-          "--out-compact-every <n> --out-major-every <m> --max-files-per-trigger <n> " +
+          "--out-compact-every <n> --out-merge-ratio <r> --out-merge-min <k> --max-files-per-trigger <n> " +
           "--listen <host:port> --no-self-metrics --once)")
     }
     loop(args.toList, Config())
@@ -296,7 +300,11 @@ object VecIngest {
     private val outStamp = new java.util.concurrent.atomic.AtomicLong(
       OutputCompaction.highWater(spark, c.out))
     private val landedSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
-    private val minorsSinceMajor = new java.util.concurrent.atomic.AtomicLong(0L)
+    // output ops gauges, in-memory between compactions (see
+    // StreamingCuration.CurationRun's gauge discipline)
+    private val outSegGauge = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val outDirsGauge = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val outGaugesInit = new java.util.concurrent.atomic.AtomicBoolean(false)
     // output-path writer fencing (see StreamingCuration.CurationRun)
     private val outLease = graft.operators.IndexFiles.claimWriter(spark, c.out)
 
@@ -314,8 +322,22 @@ object VecIngest {
         decisions.filter(col("novel")).select("vec_id"), Seq("vec_id")).persist()
       try {
         val n = admitted.count() // materializes the persisted frame once
-        admitted.write.mode("overwrite").parquet(
-          s"${c.out}/${OutputCompaction.BatchPrefix}$batchId")
+        // gauge init BEFORE landing, so the fresh-dir increment below
+        // never double-counts the dir the init listing already saw
+        if (telemetry.nonEmpty && outGaugesInit.compareAndSet(false, true)) {
+          outSegGauge.set(OutputCompaction.segmentCount(spark, c.out).toLong)
+          outDirsGauge.set(graft.operators.IndexFiles.numbered(spark, c.out,
+            OutputCompaction.BatchPrefix).size.toLong)
+        }
+        val batchDir = s"${c.out}/${OutputCompaction.BatchPrefix}$batchId"
+        // one stat, not a listing: a replayed dir overwrites in place and
+        // must not bump the live-dirs gauge
+        val freshDir = telemetry.nonEmpty && {
+          val p = new org.apache.hadoop.fs.Path(batchDir)
+          !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
+        admitted.write.mode("overwrite").parquet(batchDir)
+        if (freshDir) outDirsGauge.incrementAndGet()
         if (n > 0) {
           cumAdmitted += n
           ensurePq().foreach(_.apply(admitted, batchId))
@@ -326,25 +348,30 @@ object VecIngest {
           (System.nanoTime() - t0) / 1e9))
       } finally { admitted.unpersist(); () }
       // output compaction cadence — minor every N batches (O(window)),
-      // major every M minors (the rare O(corpus) merge; see
-      // OutputCompaction); upTo = batchId so a foreign half-written dir
-      // is never folded
+      // then the size-tiered merge bounds segment count (O(n·log n)
+      // lifetime rewrite; see OutputCompaction.mergeTiers); upTo =
+      // batchId so a foreign half-written dir is never folded
+      var compacted = false
       if (c.outCompactEvery > 0 &&
           landedSinceCompact.incrementAndGet() >= c.outCompactEvery) {
-        if (c.outMajorEvery > 0 &&
-            minorsSinceMajor.incrementAndGet() >= c.outMajorEvery) {
-          OutputCompaction.compactFull(spark, c.out, upTo = batchId)
-          minorsSinceMajor.set(0L)
-        } else {
-          OutputCompaction.compact(spark, c.out, upTo = batchId)
-        }
+        OutputCompaction.compact(spark, c.out, upTo = batchId)
+        OutputCompaction.mergeTiers(spark, c.out,
+          ratio = c.outMergeRatio, minMerge = c.outMergeMin)
         outStamp.set(batchId)
         landedSinceCompact.set(0L)
+        compacted = true
       }
-      telemetry.foreach(_.setOutput(
-        OutputCompaction.segmentCount(spark, c.out).toLong,
-        graft.operators.IndexFiles.numbered(spark, c.out,
-          OutputCompaction.BatchPrefix).size.toLong))
+      // output gauges re-listed only at run start and on the compaction
+      // cadence (per-batch segment-meta re-reads were the r12 telemetry's
+      // own small-files problem); live dirs tracked in memory otherwise
+      telemetry.foreach { t =>
+        if (compacted) {
+          outSegGauge.set(OutputCompaction.segmentCount(spark, c.out).toLong)
+          outDirsGauge.set(graft.operators.IndexFiles.numbered(spark, c.out,
+            OutputCompaction.BatchPrefix).size.toLong)
+        }
+        t.setOutput(outSegGauge.get, outDirsGauge.get)
+      }
     }
 
     /** Clean-shutdown fold of every gate's staged leftovers (the lag

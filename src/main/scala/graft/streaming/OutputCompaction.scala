@@ -26,12 +26,21 @@ import graft.operators.IndexFiles
   *
   *   - MINOR [[compact]] folds the live batch dirs into ONE new segment —
   *     O(compaction window), never O(corpus); prior segments untouched.
-  *   - MAJOR [[compactFull]] merges every visible segment (+ live dirs)
-  *     into one `full = true` segment — the rare O(corpus) pass a
-  *     deployment schedules (every `--out-major-every` minors), bounding
-  *     segment count the way the holders' maxSegments bounds plan depth.
-  *   - [[read]] = every segment ABOVE the highest full segment, plus that
-  *     full segment, plus live dirs above the global stamp. A major's
+  *   - TIERED MERGE [[mergeTiers]] bounds segment count WITHOUT scheduled
+  *     full rewrites (the r12 `--out-major-every` count cadence was a
+  *     full-corpus rewrite every ~N minutes at a minute trigger — the
+  *     scale-killer): segments are bucketed by size into log-`ratio`
+  *     tiers, and a merge folds ONLY the segments of one tier once
+  *     `minMerge` of them accumulate. Merging `minMerge ≥ ratio` same-tier
+  *     segments always produces a segment of a HIGHER tier, so any byte is
+  *     rewritten at most once per tier level — total bytes rewritten over
+  *     the corpus lifetime is O(n·log n), never O(n) per cadence. The
+  *     merged meta CLAIMS its inputs (`merged_from`), so a crash between
+  *     publish and sweep leaves claimed segments every read ignores.
+  *   - MAJOR [[compactFull]] still exists as the EXPLICIT operator (one
+  *     final corpus-wide fold before a handoff); no daemon schedules it.
+  *   - [[read]] = every unclaimed segment above the highest full segment,
+  *     plus that full segment, plus live dirs above the global stamp. An
   *     interrupted sweep leaves stale segments this rule ignores BY
   *     CONSTRUCTION (the `last_delta` argument, segment-shaped); the next
   *     compaction deletes them.
@@ -52,25 +61,43 @@ object OutputCompaction {
   private[graft] val BasePrefix = "compacted_v"
 
   private final case class Seg(version: Long, path: String, lastBatch: Long,
-      full: Boolean)
+      full: Boolean, mergedFrom: Seq[Long])
 
   /** All published segments, ascending by version (one tiny meta read
-    * each; segment count is bounded by the major cadence). */
+    * each; segment count is bounded by the tier policy). */
   private def segments(spark: SparkSession, outPath: String): Seq[Seg] =
     IndexFiles.numbered(spark, outPath, BasePrefix).map { case (v, p) =>
       val m = spark.read.parquet(s"$p/meta").head()
+      val fields = m.schema.fieldNames
       Seg(v, p.toString, m.getAs[Long]("last_batch"),
         // metas written before the tiered layout carry no `full` column;
         // treat them as majors (a single base subsumed everything)
-        if (m.schema.fieldNames.contains("full")) m.getAs[Boolean]("full") else true)
+        if (fields.contains("full")) m.getAs[Boolean]("full") else true,
+        // merge CLAIMS: segment versions whose rows this segment contains
+        // (a crashed sweep's leftovers stay claimed — and invisible)
+        // rows hand arrays back as scala.collection.Seq (mutable.ArraySeq)
+        if (fields.contains("merged_from"))
+          m.getAs[scala.collection.Seq[Long]]("merged_from").toSeq
+        else Seq.empty)
     }
 
   /** The segments a read sees: the highest `full` segment and everything
-    * above it (stale pre-major leftovers of an interrupted sweep are
-    * below it — invisible by construction). */
+    * above it, minus any segment CLAIMED by another's `merged_from` (the
+    * claimant holds its rows — transitively, so a claimed claimant still
+    * shields its own inputs). Stale leftovers of an interrupted sweep are
+    * invisible by construction under both rules. */
   private def visible(segs: Seq[Seg]): Seq[Seg] = {
-    val floor = segs.filter(_.full).map(_.version).maxOption.getOrElse(Long.MinValue)
-    segs.filter(_.version >= floor)
+    val claimed = segs.flatMap(_.mergedFrom).toSet
+    val unclaimed = segs.filterNot(s => claimed.contains(s.version))
+    val floor = unclaimed.filter(_.full).map(_.version).maxOption.getOrElse(Long.MinValue)
+    unclaimed.filter(_.version >= floor)
+  }
+
+  /** Bytes under a segment's data dir (FS listing only — no Spark job). */
+  private def dataBytes(spark: SparkSession, segPath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$segPath/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
   }
 
   /** The highest batch id any visible segment incorporates; -1 when
@@ -128,10 +155,13 @@ object OutputCompaction {
     * explicit `layout` transform owns partitioning outright. */
   private val MinorSegmentFiles = 8
 
-  /** Publish `data` as segment V+1 (atomic tmp-rename), stamped. */
+  /** Publish `data` as segment V+1 (atomic tmp-rename), stamped; the meta
+    * claims `mergedFrom` so readers ignore the inputs even if the sweep
+    * that deletes them never runs. */
   private def publishSegment(spark: SparkSession, outPath: String,
       data: DataFrame, lastBatch: Long, full: Boolean,
-      layout: Option[DataFrame => DataFrame]): Long = {
+      layout: Option[DataFrame => DataFrame],
+      mergedFrom: Seq[Long] = Seq.empty): Long = {
     import spark.implicits._
     val v = IndexFiles.numbered(spark, outPath, BasePrefix)
       .map(_._1).maxOption.getOrElse(0L) + 1
@@ -142,7 +172,7 @@ object OutputCompaction {
     // re-clusters so the long-lived files keep box-prunable min/max stats
     layout.map(f => f(data)).getOrElse(data)
       .write.mode("overwrite").parquet(s"$tmp/data")
-    Seq((lastBatch, full)).toDF("last_batch", "full")
+    Seq((lastBatch, full, mergedFrom)).toDF("last_batch", "full", "merged_from")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
     IndexFiles.publish(spark, tmp, s"$outPath/$BasePrefix$v")
     v
@@ -206,10 +236,83 @@ object OutputCompaction {
     sweepDirs(spark, dead ++ fold)
   }
 
-  /** Delete segments below the highest full segment — an interrupted
-    * major sweep's leftovers (already invisible to every read). */
+  /** Delete invisible segments — claimed merge inputs and pre-full
+    * leftovers an interrupted sweep left behind (already invisible to
+    * every read by the [[visible]] rules). */
   private def sweepStale(spark: SparkSession, segs: Seq[Seg]): Unit = {
-    val floor = segs.filter(_.full).map(_.version).maxOption.getOrElse(Long.MinValue)
-    segs.filter(_.version < floor).foreach(s => IndexFiles.delete(spark, s.path))
+    val vis = visible(segs).map(_.version).toSet
+    segs.filterNot(s => vis.contains(s.version))
+      .foreach(s => IndexFiles.delete(spark, s.path))
+  }
+
+  /** Size-tiered segment merging — the bound on segment count that never
+    * schedules a corpus rewrite. Visible non-full segments are bucketed
+    * into log-`ratio` size tiers; whenever one tier holds ≥ `minMerge`
+    * segments, they merge into ONE new segment (meta claims the inputs,
+    * then the inputs are swept), and the scan repeats — a merge can
+    * cascade into the next tier, exactly like LSM size-tiered compaction.
+    * With `minMerge ≥ ratio`, merging a tier's segments always yields a
+    * segment of a strictly higher tier, so a byte is rewritten at most
+    * once per tier: lifetime rewrite volume is O(n·log n) and steady-state
+    * segment count is O(minMerge · log_ratio(corpus/batch)).
+    *
+    * The merged segment is `full` only when its inputs were ALL visible
+    * segments (then it subsumes the corpus — the natural major, reached
+    * occasionally by cascade rather than by schedule). Returns the total
+    * bytes rewritten (the spec's O(n·log n) accounting). */
+  def mergeTiers(spark: SparkSession, outPath: String,
+      layout: Option[DataFrame => DataFrame] = None,
+      ratio: Int = 4, minMerge: Int = 4): Long = {
+    require(ratio >= 2 && minMerge >= ratio,
+      s"minMerge ($minMerge) must be >= ratio ($ratio) for the tier-escape bound")
+    var rewritten = 0L
+    var repeat = true
+    while (repeat) {
+      repeat = false
+      // sweep claimed/stale leftovers BEFORE merging: a merge that folded
+      // away a claimant while its inputs' crash leftovers still existed
+      // would orphan those leftovers into visibility (claim inheritance
+      // below closes the same hole for the in-pass window)
+      sweepStale(spark, segments(spark, outPath))
+      val segs = segments(spark, outPath)
+      val vis = visible(segs)
+      val existing = segs.map(_.version).toSet
+      // the visible FULL segment (at most one — the floor) never joins a
+      // tier group: folding it into a non-full result would erase the
+      // floor and resurface any pre-floor crash leftovers beneath it
+      val sized = vis.filterNot(_.full).map(s => (s, dataBytes(spark, s.path)))
+      val tiers = sized.groupBy { case (_, bytes) =>
+        // log-ratio bucket; segments below `ratio` bytes share tier 0
+        (math.log(math.max(bytes, 1L).toDouble) / math.log(ratio.toDouble)).toInt
+      }
+      tiers.toSeq.sortBy(_._1).find(_._2.size >= minMerge).foreach { case (_, group) =>
+        val inputs = group.map(_._1).sortBy(_.version)
+        val data = inputs.map(s => spark.read.parquet(s"${s.path}/data"))
+          .reduce(_ unionByName _)
+        val bytes = group.map(_._2).sum
+        // bound output files without undoing an explicit layout's
+        // clustering: ~128 MiB target parquet files at scale, floor of
+        // MinorSegmentFiles so small-tier merges stay small-file-bounded
+        val targetFiles = math.max(MinorSegmentFiles,
+          (bytes / (128L << 20)).toInt + 1)
+        // claims are TRANSITIVE: inherit the inputs' own claims (pruned
+        // to still-existing versions, so lists never grow past the crash
+        // leftovers they shield) — a leftover stays claimed even after
+        // its original claimant merges away
+        val claims = (inputs.map(_.version) ++
+          inputs.flatMap(_.mergedFrom).filter(existing.contains)).distinct.sorted
+        val v = publishSegment(spark, outPath,
+          if (layout.isEmpty) data.coalesce(targetFiles) else data,
+          lastBatch = inputs.map(_.lastBatch).max,
+          full = inputs.size == vis.size,
+          layout, mergedFrom = claims)
+        inputs.foreach(s => IndexFiles.delete(spark, s.path))
+        rewritten += bytes
+        repeat = true
+        // versions monotone: the claimant (v) is the new max
+        assert(v > inputs.map(_.version).max)
+      }
+    }
+    rewritten
   }
 }

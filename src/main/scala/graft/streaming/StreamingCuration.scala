@@ -192,18 +192,28 @@ object StreamingCuration {
     * particular the replay-after-compaction case, which a live engine only
     * produces by crashing between a compaction and its checkpoint commit. */
   private[graft] final class CurationRun(spark: SparkSession, outPath: String,
-      budget: Long, rates: Map[String, Double], defaultRate: Double,
+      budget: Long,
       nearGate: Option[DataFrame => DataFrame],
       statsPath: Option[String], statsCompactEvery: Int,
       outCompactEvery: Int,
-      outMajorEvery: Int = 16,
+      outMergeRatio: Int = 4,
+      outMergeMin: Int = 4,
       telemetry: Option[IngestTelemetry] = None,
       layoutFn: Option[DataFrame => DataFrame] = None) {
+    // NOTE: source-rate sampling happens upstream in [[curated]] (inside
+    // ingestTo) — this class deliberately takes no rates, so a direct
+    // driver can never believe it sampled when it didn't
 
     private val bases = new AtomicReference[Map[String, Long]](null)
     private val statsDeltasSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
     private val landedSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
-    private val minorsSinceMajor = new java.util.concurrent.atomic.AtomicLong(0L)
+    // output ops gauges, maintained in memory: FS-listed once at run
+    // start and after each compaction, incremented per landed batch —
+    // never a per-batch listing (ADVICE r12: per-batch segment-meta
+    // re-reads were the telemetry's own small-files problem)
+    private val segGauge = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val liveDirsGauge = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val gaugesInit = new java.util.concurrent.atomic.AtomicBoolean(false)
     // the output-compaction stamp, read once at run start and advanced by
     // this run's own compactions — a replayed batch at or below it landed
     // AND compacted before the crash, so its rows are already in the base
@@ -226,88 +236,107 @@ object StreamingCuration {
       // null-source docs, so gating the raw batch would fold such a doc
       // into the index as "seen" while it never reaches the curated
       // output — later legitimate copies would then be rejected forever.
-      // Admission and packing must agree on the population.
-      val packable = batch.filter(col("source").isNotNull)
-      // optional NEAR-dup admission against the living corpus index
-      // (StreamingDedup.novelNearCorpusIngest): non-novel docs drop here,
-      // before packing; the gate folds admissions back lagged one batch,
-      // so a replayed batch re-gates identically. An IngestGate gets the
-      // REAL foreachBatch id so its durable staging keys on the engine's
-      // replay-stable ids (a restart must distinguish "this batch's own
-      // re-staged admissions" from leftovers of earlier batches).
-      val admitted = nearGate.map { g =>
-        val decisions = g match {
-          case ig: StreamingDedup.IngestGate => ig(packable, batchId)
-          case f => f(packable)
-        }
-        packable.join(decisions.filter(col("novel"))
-          .select("doc_id"), Seq("doc_id"))
-      }.getOrElse(packable)
-      // living retrieval stats over exactly the admitted (packed)
-      // population: an O(batch) delta keyed on the replay-stable batch
-      // id — a replayed batch overwrites identical bytes, and a replay
-      // arriving after compaction swallowed its id skips (see
-      // TextAnalysis.saveBm25StatsDeltaAt)
-      statsPath.foreach { sp =>
-        if (!admitted.isEmpty) {
-          val landed = graft.operators.TextAnalysis.saveBm25StatsDeltaAt(
-            graft.operators.TextAnalysis.bm25Stats(admitted), sp, batchId + 1)
-          // compaction cadence for the stats delta chain — without it a
-          // long-running ingest grows delta_<id> dirs (and the restart
-          // load's union) unboundedly; counts only deltas that actually
-          // landed (a swallowed replay must not advance the cadence)
-          if (landed.isDefined && statsCompactEvery > 0 &&
-              statsDeltasSinceCompact.incrementAndGet() >= statsCompactEvery) {
-            graft.operators.TextAnalysis.compactBm25Stats(spark, sp)
-            statsDeltasSinceCompact.set(0L)
+      // Admission and packing must agree on the population. Persisted:
+      // the gate, the stats delta, the packer, and the telemetry input
+      // count all read it — one source scan per batch, not four.
+      val packable = batch.filter(col("source").isNotNull).persist()
+      try {
+        // optional NEAR-dup admission against the living corpus index
+        // (StreamingDedup.novelNearCorpusIngest): non-novel docs drop here,
+        // before packing; the gate folds admissions back lagged one batch,
+        // so a replayed batch re-gates identically. An IngestGate gets the
+        // REAL foreachBatch id so its durable staging keys on the engine's
+        // replay-stable ids (a restart must distinguish "this batch's own
+        // re-staged admissions" from leftovers of earlier batches).
+        val admitted = nearGate.map { g =>
+          val decisions = g match {
+            case ig: StreamingDedup.IngestGate => ig(packable, batchId)
+            case f => f(packable)
+          }
+          packable.join(decisions.filter(col("novel"))
+            .select("doc_id"), Seq("doc_id"))
+        }.getOrElse(packable)
+        // living retrieval stats over exactly the admitted (packed)
+        // population: an O(batch) delta keyed on the replay-stable batch
+        // id — a replayed batch overwrites identical bytes, and a replay
+        // arriving after compaction swallowed its id skips (see
+        // TextAnalysis.saveBm25StatsDeltaAt)
+        statsPath.foreach { sp =>
+          if (!admitted.isEmpty) {
+            val landed = graft.operators.TextAnalysis.saveBm25StatsDeltaAt(
+              graft.operators.TextAnalysis.bm25Stats(admitted), sp, batchId + 1)
+            // compaction cadence for the stats delta chain — without it a
+            // long-running ingest grows delta_<id> dirs (and the restart
+            // load's union) unboundedly; counts only deltas that actually
+            // landed (a swallowed replay must not advance the cadence)
+            if (landed.isDefined && statsCompactEvery > 0 &&
+                statsDeltasSinceCompact.incrementAndGet() >= statsCompactEvery) {
+              graft.operators.TextAnalysis.compactBm25Stats(spark, sp)
+              statsDeltasSinceCompact.set(0L)
+            }
           }
         }
-      }
-      val packed = packBatch(admitted, bases.get, budget).persist()
-      var landedRows = 0L
-      try {
-        // optional write-time clustering (--layout zorder:<k1>,<k2>): the
-        // landed files carry box-prunable min/max stats on both keys
-        layoutFn.map(f => f(packed)).getOrElse(packed)
-          .write.mode("overwrite").parquet(
-            s"$outPath/${OutputCompaction.BatchPrefix}$batchId")
-        if (telemetry.nonEmpty) landedRows = packed.count()
-        val deltas = packed.groupBy("source").agg(sum("n_tokens").as("t"))
-          .collect().map(r => r.getString(0) -> r.getLong(1))
-        bases.set(deltas.foldLeft(bases.get) { case (m, (s, t)) =>
-          m.updated(s, m.getOrElse(s, 0L) + t)
-        })
-      } finally { packed.unpersist(); () }
-      // output compaction cadence — MINOR folds the accumulated batch dirs
-      // into one new segment every N landed batches (O(window)); every
-      // `outMajorEvery` minors a MAJOR merges the segments (the rare
-      // O(corpus) pass), bounding directory count end to end.
-      // `upTo = batchId`: never touch a dir this run hasn't (over)written.
-      if (outCompactEvery > 0 &&
-          landedSinceCompact.incrementAndGet() >= outCompactEvery) {
-        if (outMajorEvery > 0 &&
-            minorsSinceMajor.incrementAndGet() >= outMajorEvery) {
-          OutputCompaction.compactFull(spark, outPath, upTo = batchId,
-            layout = layoutFn)
-          minorsSinceMajor.set(0L)
-        } else {
+        val packed = packBatch(admitted, bases.get, budget).persist()
+        var landedRows = 0L
+        try {
+          if (telemetry.nonEmpty && gaugesInit.compareAndSet(false, true)) {
+            segGauge.set(OutputCompaction.segmentCount(spark, outPath).toLong)
+            liveDirsGauge.set(graft.operators.IndexFiles.numbered(spark,
+              outPath, OutputCompaction.BatchPrefix).size.toLong)
+          }
+          val batchDir = s"$outPath/${OutputCompaction.BatchPrefix}$batchId"
+          // one stat, not a listing: a replayed dir overwrites in place
+          // and must not bump the gauge
+          val fresh = telemetry.nonEmpty && {
+            val p = new org.apache.hadoop.fs.Path(batchDir)
+            !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+          }
+          // optional write-time clustering (--layout zorder:<k1>,<k2>): the
+          // landed files carry box-prunable min/max stats on both keys
+          layoutFn.map(f => f(packed)).getOrElse(packed)
+            .write.mode("overwrite").parquet(batchDir)
+          if (fresh) liveDirsGauge.incrementAndGet()
+          if (telemetry.nonEmpty) landedRows = packed.count()
+          val deltas = packed.groupBy("source").agg(sum("n_tokens").as("t"))
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+          bases.set(deltas.foldLeft(bases.get) { case (m, (s, t)) =>
+            m.updated(s, m.getOrElse(s, 0L) + t)
+          })
+        } finally { packed.unpersist(); () }
+        // output compaction cadence — MINOR folds the accumulated batch
+        // dirs into one new segment every N landed batches (O(window));
+        // then the SIZE-TIERED merge bounds segment count, rewriting a
+        // byte at most once per tier (O(n·log n) lifetime — never the
+        // r12 count-cadence full rewrite).
+        // `upTo = batchId`: never touch a dir this run hasn't (over)written.
+        if (outCompactEvery > 0 &&
+            landedSinceCompact.incrementAndGet() >= outCompactEvery) {
           OutputCompaction.compact(spark, outPath, upTo = batchId,
             layout = layoutFn)
+          OutputCompaction.mergeTiers(spark, outPath, layout = layoutFn,
+            ratio = outMergeRatio, minMerge = outMergeMin)
+          outStamp.set(batchId)
+          landedSinceCompact.set(0L)
+          // re-list the output gauges ONLY on the compaction cadence
+          // (segment listing costs one tiny meta read per segment —
+          // per-batch it was the telemetry's own small-files problem)
+          if (telemetry.nonEmpty) {
+            segGauge.set(OutputCompaction.segmentCount(spark, outPath).toLong)
+            liveDirsGauge.set(graft.operators.IndexFiles.numbered(spark,
+              outPath, OutputCompaction.BatchPrefix).size.toLong)
+          }
         }
-        outStamp.set(batchId)
-        landedSinceCompact.set(0L)
-      }
-      // ops counters (extra count jobs only when telemetry is on; the
-      // packed count read the persisted frame before unpersist — input
-      // and landed come from the frames the batch already materialized)
-      telemetry.foreach { t =>
-        t.setOutput(
-          OutputCompaction.segmentCount(spark, outPath).toLong,
-          graft.operators.IndexFiles.numbered(spark, outPath,
-            OutputCompaction.BatchPrefix).size.toLong)
-        t.onBatch(batch.count(), landedRows,
-          (System.nanoTime() - t0) / 1e9)
-      }
+        // ops counters: input is the persisted packable frame's count
+        // (the same cached scan the gate and packer read — never a
+        // source recompute), landed read the persisted packed frame;
+        // gauges come from the in-memory counters (FS listed only at
+        // init and after compactions, incremented per landed batch)
+        telemetry.foreach { t =>
+          t.setOutput(segGauge.get, liveDirsGauge.get)
+          t.onBatch(packable.count(), landedRows,
+            (System.nanoTime() - t0) / 1e9)
+        }
+      } finally { packable.unpersist(); () }
     }
   }
 
@@ -328,12 +357,13 @@ object StreamingCuration {
       statsPath: Option[String] = None,
       statsCompactEvery: Int = 0,
       outCompactEvery: Int = 0,
-      outMajorEvery: Int = 16,
+      outMergeRatio: Int = 4,
+      outMergeMin: Int = 4,
       telemetry: Option[IngestTelemetry] = None,
       layoutFn: Option[DataFrame => DataFrame] = None): StreamingQuery = {
-    val run = new CurationRun(spark, outPath, budget, rates, defaultRate,
-      nearGate, statsPath, statsCompactEvery, outCompactEvery, outMajorEvery,
-      telemetry, layoutFn)
+    val run = new CurationRun(spark, outPath, budget,
+      nearGate, statsPath, statsCompactEvery, outCompactEvery,
+      outMergeRatio, outMergeMin, telemetry, layoutFn)
     val w = curated(stream, rates, defaultRate).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

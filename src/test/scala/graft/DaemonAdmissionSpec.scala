@@ -76,11 +76,12 @@ class DaemonAdmissionSpec extends SparkSpec {
   test("flag parsing carries the cap on both daemons") {
     val i = Ingest.parseArgs(Seq("--src", "/in", "--out", "/o",
       "--checkpoint", "/c", "--max-files-per-trigger", "4",
-      "--out-major-every", "8"))
-    assert(i.maxFilesPerTrigger.contains(4) && i.outMajorEvery == 8)
+      "--out-merge-ratio", "8", "--out-merge-min", "9"))
+    assert(i.maxFilesPerTrigger.contains(4) && i.outMergeRatio == 8 &&
+      i.outMergeMin == 9)
     assert(VecIngest.parseArgs(Seq("--src", "/i", "--out", "/o",
-      "--checkpoint", "/c", "--index", "/x", "--out-major-every", "3"))
-      .outMajorEvery == 3)
+      "--checkpoint", "/c", "--index", "/x", "--out-merge-min", "6"))
+      .outMergeMin == 6)
     val v = VecIngest.parseArgs(Seq("--src", "/in", "--out", "/o",
       "--checkpoint", "/c", "--index", "/idx", "--max-files-per-trigger", "2"))
     assert(v.maxFilesPerTrigger.contains(2))

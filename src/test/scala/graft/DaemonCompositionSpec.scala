@@ -53,7 +53,7 @@ class DaemonCompositionSpec extends SparkSpec {
       val q = StreamingCuration.ingestTo(spark, in, out, ckpt,
         availableNow = true, nearGate = Some(gate),
         statsPath = Some(statsPath), statsCompactEvery = 1,
-        outCompactEvery = 1, outMajorEvery = 2,
+        outCompactEvery = 1, outMergeRatio = 2, outMergeMin = 2,
         telemetry = Some(telemetry), layoutFn = layoutFn)
       assert(q.awaitTermination(180000L))
       gate.flush()

@@ -41,7 +41,7 @@ class IngestLayoutSpec extends SparkSpec {
       // SURVIVES compaction (per-batch clustering alone would be lost at
       // the first fold)
       val run = new StreamingCuration.CurationRun(spark, out, budget = 8L,
-        rates = Map.empty, defaultRate = 1.0, nearGate = None,
+        nearGate = None,
         statsPath = None, statsCompactEvery = 0, outCompactEvery = 1,
         telemetry = None, layoutFn = layoutFn)
       run.onBatch(docs, 0)

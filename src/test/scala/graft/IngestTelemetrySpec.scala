@@ -47,7 +47,7 @@ class IngestTelemetrySpec extends SparkSpec {
     val base = s"http://127.0.0.1:${server.boundPort}"
     try {
       val run = new StreamingCuration.CurationRun(spark, out, budget = 8L,
-        rates = Map.empty, defaultRate = 1.0, nearGate = gate,
+        nearGate = gate,
         statsPath = None, statsCompactEvery = 0, outCompactEvery = 0,
         telemetry = Some(t))
       def docsDf(lo: Long) =

@@ -65,7 +65,7 @@ class MutablePathPinSpec extends SparkSpec {
     val gate = Ingest.nearGate(spark, Ingest.Config(src = "x", out = "x",
       checkpoint = "x", nearIndex = Some(s"$root/near")))
     val run = new StreamingCuration.CurationRun(spark, out, budget = 8L,
-      rates = Map.empty, defaultRate = 1.0, nearGate = gate,
+      nearGate = gate,
       statsPath = None, statsCompactEvery = 0, outCompactEvery = 1)
     def docsDf(lo: Long) =
       (lo until lo + 3).map(i =>

@@ -54,9 +54,11 @@ class OutputCompactionSpec extends SparkSpec {
       val in = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1) // one batch per file: exercises the cadence
         .parquet(srcDir)
-      // minor every batch, MAJOR every 2 minors — both tiers exercised
+      // minor every batch, aggressive tier policy (ratio 2, min 2) so the
+      // size-tiered merges fire inside this tiny run
       val q = StreamingCuration.ingestTo(spark, in, outPath, ckpt,
-        availableNow = true, outCompactEvery = 1, outMajorEvery = 2)
+        availableNow = true, outCompactEvery = 1,
+        outMergeRatio = 2, outMergeMin = 2)
       q.awaitTermination(180000L)
     }
 
@@ -74,7 +76,7 @@ class OutputCompactionSpec extends SparkSpec {
     runOnce()
 
     val (live2, segs2) = dirCounts(outPath)
-    assert(segs2 == 1, s"the run-2 major must merge to one segment (got $segs2)")
+    assert(segs2 <= 2, s"the tier merges must bound segment count (got $segs2)")
     assert(live2 == 0, s"directory count must stay bounded (got $live2 live)")
 
     val streamed = packedSet(OutputCompaction.read(spark, outPath))
@@ -93,7 +95,7 @@ class OutputCompactionSpec extends SparkSpec {
     import spark.implicits._
     val outPath = Files.createTempDirectory("graft_oc_replay").toString + "/packed"
     val run = new StreamingCuration.CurationRun(spark, outPath, budget = 8L,
-      rates = Map.empty, defaultRate = 1.0, nearGate = None,
+      nearGate = None,
       statsPath = None, statsCompactEvery = 0, outCompactEvery = 2)
     def batchDf(lo: Long): DataFrame =
       (lo until lo + 4).map(i => (i, s"w$i x y z", "web", 10L))
@@ -108,7 +110,7 @@ class OutputCompactionSpec extends SparkSpec {
     // FRESH run (stamp read from disk) and the same run must both skip
     run.onBatch(batchDf(100), 1)
     val rerun = new StreamingCuration.CurationRun(spark, outPath, budget = 8L,
-      rates = Map.empty, defaultRate = 1.0, nearGate = None,
+      nearGate = None,
       statsPath = None, statsCompactEvery = 0, outCompactEvery = 2)
     rerun.onBatch(batchDf(100), 1)
     assert(packedSet(OutputCompaction.read(spark, outPath)) == settled,
@@ -137,7 +139,7 @@ class OutputCompactionSpec extends SparkSpec {
     import spark.implicits._
     val outPath = Files.createTempDirectory("graft_oc_dead").toString + "/packed"
     val run = new StreamingCuration.CurationRun(spark, outPath, budget = 8L,
-      rates = Map.empty, defaultRate = 1.0, nearGate = None,
+      nearGate = None,
       statsPath = None, statsCompactEvery = 0, outCompactEvery = 1)
     run.onBatch(Seq((1L, "a b c", "web", 5L)).toDF("doc_id", "text", "source", "n_chars"), 0)
     val settled = packedSet(OutputCompaction.read(spark, outPath))
@@ -190,7 +192,7 @@ class OutputCompactionSpec extends SparkSpec {
     assert(IndexFiles.numbered(spark, c.out, OutputCompaction.BatchPrefix).isEmpty)
 
     // a genuinely new batch still lands and compacts (minor segments
-    // accumulate until the major cadence; three minors at majorEvery 16)
+    // accumulate until a size tier fills; three minors at mergeMin 4)
     pipe2.onBatch(vecs(200, 16), 2)
     pipe2.flush()
     assert(OutputCompaction.read(spark, c.out).count() == settled.size + 6L)
@@ -253,6 +255,87 @@ class OutputCompactionSpec extends SparkSpec {
     assert(IndexFiles.numbered(spark, outPath, OutputCompaction.BasePrefix).size == 1)
     assert(OutputCompaction.read(spark, outPath)
       .select("doc_id").collect().map(_.getLong(0)).toSet == all)
+    IndexFiles.delete(spark, outPath)
+  }
+
+  test("size-tiered merging over ~100 batches: bounded segments, O(n·log n) rewrite budget, contents identical, crash-claims honored") {
+    import spark.implicits._
+    val outPath = Files.createTempDirectory("graft_oc_stcs").toString + "/packed"
+    val ratio = 2; val minMerge = 2
+    val n = 100
+    val rowsPerBatch = 1500 // data bytes dominate parquet overhead, so
+                            // tier escape reflects real sizes
+    var expected = Set.empty[Long]
+    var landedBytes = 0L
+    var rewritten = 0L
+    def segSizes(): Seq[Long] =
+      IndexFiles.numbered(spark, outPath, OutputCompaction.BasePrefix).map {
+        case (_, p) =>
+          IndexFiles.fs(spark, outPath).getContentSummary(
+            new org.apache.hadoop.fs.Path(s"$p/data")).getLength
+      }
+    for (b <- 0 until n) {
+      val lo = b.toLong * rowsPerBatch
+      (lo until lo + rowsPerBatch)
+        .map(i => (i, s"payload-$i-${"x" * 32}"))
+        .toDF("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outPath/${OutputCompaction.BatchPrefix}$b")
+      expected ++= (lo until lo + rowsPerBatch)
+      val before = segSizes().sum
+      OutputCompaction.compact(spark, outPath, upTo = b)
+      landedBytes += segSizes().sum - before // the new minor segment
+      rewritten += OutputCompaction.mergeTiers(spark, outPath,
+        ratio = ratio, minMerge = minMerge)
+      if (b % 20 == 19 || b == n - 1) {
+        val got = OutputCompaction.read(spark, outPath)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(got == expected,
+          s"batch $b: contents must survive every merge (missing ${(expected -- got).take(3)})")
+      }
+    }
+    val segs = IndexFiles.numbered(spark, outPath, OutputCompaction.BasePrefix).size
+    // steady-state bound: < minMerge segments per occupied tier (+1 full)
+    val tiers = math.log(landedBytes.toDouble) / math.log(ratio.toDouble)
+    assert(segs <= (minMerge - 1) * tiers.toInt + 2,
+      s"segment count must stay tier-bounded: $segs segments after $n batches")
+    assert(segs < n / 4, s"unbounded segment growth: $segs")
+    // O(n·log n) rewrite budget: each byte moves at most once per tier it
+    // climbs — log_ratio(n) climbs for n equal batches (slack 1.5 for
+    // parquet re-encoding variance)
+    val budget = (1.5 * landedBytes * (math.log(n.toDouble) / math.log(ratio.toDouble) + 1)).toLong
+    assert(rewritten <= budget,
+      s"rewrite volume broke the O(n·log n) budget: $rewritten > $budget (landed $landedBytes)")
+    assert(rewritten > landedBytes,
+      s"the tiers must actually have merged (rewritten $rewritten, landed $landedBytes)")
+
+    // merges must RECORD their input claims (the crash shield: a merge
+    // input's leftover stays invisible even before the sweep runs)
+    val metas = IndexFiles.numbered(spark, outPath, OutputCompaction.BasePrefix)
+      .map { case (_, p) => spark.read.parquet(s"$p/meta").head() }
+    assert(metas.exists(_.getAs[scala.collection.Seq[Long]]("merged_from").nonEmpty),
+      "tier merges must claim their inputs in the meta")
+
+    // crash leftover below the full floor: resurrect an early version the
+    // tiers long merged away — reads must ignore it (floor + claim rules),
+    // the next merge pass must sweep it
+    val staleV = {
+      val tmp = s"$outPath/${OutputCompaction.BasePrefix}1.tmp"
+      (0L until 5L).map(i => (i, "stale")).toDF("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/data")
+      Seq((0L, false)).toDF("last_batch", "full")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+      IndexFiles.publish(spark, tmp, s"$outPath/${OutputCompaction.BasePrefix}1")
+      1L
+    }
+    assert(OutputCompaction.read(spark, outPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == expected,
+      "a resurrected stale version must stay invisible to reads")
+    OutputCompaction.mergeTiers(spark, outPath, ratio = ratio, minMerge = minMerge)
+    assert(!IndexFiles.numbered(spark, outPath, OutputCompaction.BasePrefix)
+      .exists(_._1 == staleV), "the sweep must delete the stale leftover")
+    assert(OutputCompaction.read(spark, outPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == expected)
     IndexFiles.delete(spark, outPath)
   }
 }

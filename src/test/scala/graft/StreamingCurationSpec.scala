@@ -315,7 +315,7 @@ class StreamingCurationSpec extends SparkSpec {
     // drive the run body directly: every landed delta compacts (cadence 1),
     // so no delta_<id> dir may survive any batch
     val run = new StreamingCuration.CurationRun(spark, out, budget = 8L,
-      rates = Map.empty, defaultRate = 1.0, nearGate = None,
+      nearGate = None,
       statsPath = Some(statsPath), statsCompactEvery = 1, outCompactEvery = 0)
     def batchDf(lo: Long): org.apache.spark.sql.DataFrame =
       (lo until lo + 3).map(i => (i, s"merge window w$i", "web", 10L))

@@ -98,7 +98,7 @@ class WriterFenceSpec extends SparkSpec {
       .toDF("doc_id", "text", "source", "n_chars")
     val out = Files.createTempDirectory("graft_fence_out").toString + "/packed"
     def newRun() = new StreamingCuration.CurationRun(spark, out, budget = 8L,
-      rates = Map.empty, defaultRate = 1.0, nearGate = None,
+      nearGate = None,
       statsPath = None, statsCompactEvery = 0, outCompactEvery = 1)
     val run1 = newRun()
     run1.onBatch(docs(0), 0)
