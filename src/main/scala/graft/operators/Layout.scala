@@ -51,15 +51,27 @@ object Layout {
     * first (range>>31 < 2^32, so ×scale stays far under 2^63); narrow
     * ranges take shift 0 and are bit-identical to the unshifted formula.
     * The conditional shift is plain BIGINT arithmetic both engines
-    * replay exactly ([[normSql]] is the same text, operator-translated). */
+    * replay exactly ([[normSql]] is the same text, operator-translated).
+    *
+    * CONTRACT BOUND (ADVICE r12): a key range of 2^63 or more wraps the
+    * `hi - lo` detector itself — DuckDB raises on that subtraction, and
+    * no shift-based rescue can replay exactly across engines. Such ranges
+    * are OUT OF CONTRACT, enforced with failure PARITY: the wrapped
+    * (negative) range trips `assert_true`, so Spark fails as loudly as
+    * DuckDB does instead of silently z-ordering garbage. */
   private def normExpr(raw: String, lo: String, hi: String,
       scale: Long, guard: Long): String = {
     val sh = s"(CASE WHEN $hi - $lo >= ${guard}L THEN 31 ELSE 0 END)"
-    s"(shiftright($raw - $lo, $sh) * $scale) div greatest(shiftright($hi - $lo, $sh), 1)"
+    val ok = s"assert_true($hi - $lo >= 0L, " +
+      "'z-order key range spans >= 2^63 - out of the normalization contract')"
+    s"(CASE WHEN $ok IS NULL THEN " +
+      s"(shiftright($raw - $lo, $sh) * $scale) div greatest(shiftright($hi - $lo, $sh), 1) END)"
   }
 
   /** [[normExpr]]'s DuckDB twin (kept textually adjacent so the two cannot
-    * drift): same conditional pre-shift, `>>` for shiftright. */
+    * drift): same conditional pre-shift, `>>` for shiftright. No explicit
+    * range assert: DuckDB RAISES on the `hi - lo` overflow itself, which
+    * is exactly the failure the Spark side's `assert_true` mirrors. */
   private def normSql(raw: String, lo: String, hi: String,
       scale: Long, guard: Long): String = {
     val sh = s"(CASE WHEN $hi - $lo >= $guard THEN 31 ELSE 0 END)"

@@ -753,6 +753,15 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(r.getLong(1) == r.getLong(0) * 65535L / 147L,
         s"narrow range must equal the direct formula at ${r.getLong(0)}")
     }
+    // a range spanning >= 2^63 wraps the hi-lo detector itself — OUT OF
+    // CONTRACT, with failure PARITY: Spark must fail loudly (as DuckDB
+    // raises on the subtraction) instead of silently z-ordering garbage
+    val wrapped = Seq((0L)).toDF("raw")
+      .withColumn("lo", lit(Long.MinValue + 10L))
+      .withColumn("hi", lit(Long.MaxValue - 10L))
+      .withColumn("u16", Layout.normTo16("raw", "lo", "hi"))
+    val e = intercept[Exception](wrapped.collect())
+    assert(e.getMessage != null)
   }
 
   test("3-key z-order: mask cascade equals the naive interleave; a value-box query prunes") {
