@@ -86,10 +86,14 @@ object MetricsJdbcUpsert {
     * grid is present before any stats line arrives). Idempotent. */
   /** Portable relation-existence probe through JDBC metadata, shared by
     * both dialects' DDL guards — catching Derby's X0Y32 SQLState instead
-    * would make every OTHER backend's restart throw "already exists". */
+    * would make every OTHER backend's restart throw "already exists".
+    * Backends disagree on the TABLE_TYPE spelling (Derby says "TABLE",
+    * DuckDB says "BASE TABLE" — found live by the dual-backend spec), so
+    * the probe lists ALL types and matches the name alone; table/view
+    * name collisions are a caller bug either way (the DDL would clash). */
   private[streaming] def relationExists(conn: Connection, name: String,
       types: Array[String]): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, null, types)
+    val rs = conn.getMetaData.getTables(null, null, null, null)
     try {
       var found = false
       while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(name)
@@ -228,12 +232,29 @@ object MetricsJdbcUpsert {
         // duplicate ledger key = replayed batch. SQLState class 23 is the
         // standard integrity-violation class but backends disagree on the
         // subclass (Derby/PostgreSQL raise 23505, MySQL raises 23000 for
-        // error 1062), so match the class OR the typed exception — an exact
-        // "23505" match would crash-loop MySQL on every post-crash replay.
-        case e: java.sql.SQLException
-            if e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
-              Option(e.getSQLState).exists(_.startsWith("23")) =>
-          conn.rollback(); return false
+        // error 1062), and DuckDB raises a bare SQLException with NO
+        // SQLState at all (found live by the dual-backend spec) — so the
+        // portable verdict comes from the ledger itself: roll back, then
+        // ASK whether (source, batchId) is present. Present = the replay
+        // path, anything else rethrows.
+        case e: java.sql.SQLException =>
+          conn.rollback()
+          // the rollback also undid this transaction's legacy-token
+          // migration, so a pre-upgrade ('merge', N) row answers the
+          // probe too — by the migration's own contract, any such row
+          // means batch N committed by this (then-only) pipeline
+          val probe = conn.prepareStatement(
+            s"SELECT 1 FROM ${t.ledger} " +
+              "WHERE batch_id = ? AND source IN (?, 'merge')")
+          val seen =
+            try {
+              probe.setLong(1, batchId); probe.setString(2, source)
+              val rs = probe.executeQuery()
+              try rs.next() finally rs.close()
+            } finally probe.close()
+          conn.rollback() // the probe's own read txn (Derby refuses to
+                          // close a connection with one still open)
+          if (seen) return false else throw e
       } finally ledger.close()
       val upd = conn.prepareStatement(
         s"UPDATE ${t.table} SET value = value + ? WHERE metric = ? AND labels = ? AND le = ?")

@@ -30,11 +30,12 @@ class CompactionPropertySpec extends AnyFunSuite {
     } finally conn.close()
   }
 
-  test("any interleaving of batches, compactions, replays: view = sum of uniquely-applied batches") {
+  for (backend <- JdbcBackends.all)
+  test(s"any interleaving of batches, compactions, replays: view = sum of uniquely-applied batches [${backend.name}]") {
     val rnd = new scala.util.Random(20260814L)
     for (case_ <- 1 to 25) {
-      val db = s"memory:cprop$case_"
-      val t = MetricsJdbcAppend.Target(s"jdbc:derby:$db;create=true", "m")
+      val db = s"cprop${backend.name}$case_"
+      val t = MetricsJdbcAppend.Target(backend.url(db), "m")
       MetricsJdbcAppend.ensureTables(t)
       // the zero grid lands under ("seed", 0); it contributes zeros only
       val expected = scala.collection.mutable.Map.empty[(String, String, String), Long]

@@ -59,12 +59,13 @@ class MetricsWriterSpec extends SparkSpec {
     reg.unpersist()
   }
 
-  test("exactly-once JDBC upsert: streaming merge deltas match the batch registry across a restart") {
+  for (backend <- JdbcBackends.all)
+  test(s"exactly-once JDBC upsert: streaming merge deltas match the batch registry across a restart [${backend.name}]") {
     import graft.streaming.MetricsJdbcUpsert
     val dir = Files.createTempDirectory("graft_jdbc_in").toString
     val ckpt = Files.createTempDirectory("graft_jdbc_ckpt").toString
-    val db = s"memory:upsert${java.util.UUID.randomUUID().toString.take(8)}"
-    val t = MetricsJdbcUpsert.Target(s"jdbc:derby:$db;create=true", "metrics")
+    val db = s"upsert${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = MetricsJdbcUpsert.Target(backend.url(db), "metrics")
 
     val dt = "2024.03.01 12:00:01.000000"
     val dtEnd = "2024.03.01 12:00:03.500000"
@@ -152,13 +153,14 @@ class MetricsWriterSpec extends SparkSpec {
     assert(other, "an unrelated query's batch 0 must not be skipped")
   }
 
-  test("append dialect (ClickHouse shape): folded read equals the upsert table on the same stream, replay included") {
+  for (backend <- JdbcBackends.all)
+  test(s"append dialect (ClickHouse shape): folded read equals the upsert table on the same stream, replay included [${backend.name}]") {
     import graft.streaming.{MetricsJdbcAppend, MetricsJdbcUpsert}
     val dir = Files.createTempDirectory("graft_app_in").toString
     val ckptU = Files.createTempDirectory("graft_app_ckpt_u").toString
     val ckptA = Files.createTempDirectory("graft_app_ckpt_a").toString
-    val db = s"memory:append${java.util.UUID.randomUUID().toString.take(8)}"
-    val url = s"jdbc:derby:$db;create=true"
+    val db = s"append${java.util.UUID.randomUUID().toString.take(8)}"
+    val url = backend.url(db)
     val tU = MetricsJdbcUpsert.Target(url, "metrics")
     val tA = MetricsJdbcAppend.Target(url, "metrics_app")
 
@@ -223,10 +225,11 @@ class MetricsWriterSpec extends SparkSpec {
     assert(rowsOf(tA.folded) == a2, "an empty batch leaves the fold unchanged")
   }
 
-  test("append-table compaction: fold view bit-identical, replays still skipped, rows shrink") {
+  for (backend <- JdbcBackends.all)
+  test(s"append-table compaction: fold view bit-identical, replays still skipped, rows shrink [${backend.name}]") {
     import graft.streaming.MetricsJdbcAppend
-    val db = s"memory:compact${java.util.UUID.randomUUID().toString.take(8)}"
-    val t = MetricsJdbcAppend.Target(s"jdbc:derby:$db;create=true", "m")
+    val db = s"compact${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = MetricsJdbcAppend.Target(backend.url(db), "m")
     MetricsJdbcAppend.ensureTables(t)
 
     def view(): Set[(String, String, String, Long)] = {
@@ -297,10 +300,11 @@ class MetricsWriterSpec extends SparkSpec {
     assert(!MetricsJdbcAppend.applyDelta(t, "q2", 1L, Seq.empty))
   }
 
-  test("ledger upgrade: a legacy ('merge', N) row still skips batch N under the derived source") {
+  for (backend <- JdbcBackends.all)
+  test(s"ledger upgrade: a legacy ('merge', N) row still skips batch N under the derived source [${backend.name}]") {
     import graft.streaming.MetricsJdbcUpsert
-    val db = s"memory:legacy${java.util.UUID.randomUUID().toString.take(8)}"
-    val t = MetricsJdbcUpsert.Target(s"jdbc:derby:$db;create=true", "metrics")
+    val db = s"legacy${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = MetricsJdbcUpsert.Target(backend.url(db), "metrics")
     MetricsJdbcUpsert.ensureTables(t)
     // a pre-upgrade exporter crashed between sink commit and checkpoint
     // commit: its ledger row carries the old hardcoded "merge" token

@@ -108,11 +108,12 @@ class RegistryResumeSpec extends SparkSpec {
     }
   }
 
-  test("exporter restart with --resume-from-jdbc: counters continue; replayed batch folds exactly once") {
+  for (backend <- JdbcBackends.all)
+  test(s"exporter restart with --resume-from-jdbc: counters continue; replayed batch folds exactly once [${backend.name}]") {
     val f = Files.createTempFile("graft-resume", ".log")
     val ckpt = Files.createTempDirectory("graft-resume-ckpt").toString
-    val db = s"memory:resume${java.util.UUID.randomUUID().toString.take(8)}"
-    val url = s"jdbc:derby:$db;create=true"
+    val db = s"resume${java.util.UUID.randomUUID().toString.take(8)}"
+    val url = backend.url(db)
     val dt = "2024.03.01 12:00:01.000000"
     def append(s: String): Unit =
       Files.write(f, (s + "\n").getBytes, StandardOpenOption.APPEND)
@@ -181,12 +182,13 @@ class RegistryResumeSpec extends SparkSpec {
     } finally { q3.stop(); srv3.stop(0) }
   }
 
-  test("append dialect through the exporter: deltas land fold-on-read; resume seeds from the folded view") {
+  for (backend <- JdbcBackends.all)
+  test(s"append dialect through the exporter: deltas land fold-on-read; resume seeds from the folded view [${backend.name}]") {
     import graft.streaming.{AppendJdbcSink, MetricsJdbcAppend}
     val f = Files.createTempFile("graft-resume-app", ".log")
     val ckpt = Files.createTempDirectory("graft-resume-app-ckpt").toString
-    val db = s"memory:resumeapp${java.util.UUID.randomUUID().toString.take(8)}"
-    val url = s"jdbc:derby:$db;create=true"
+    val db = s"resumeapp${java.util.UUID.randomUUID().toString.take(8)}"
+    val url = backend.url(db)
     val dt = "2024.03.01 12:00:01.000000"
     def append(s: String): Unit =
       Files.write(f, (s + "\n").getBytes, StandardOpenOption.APPEND)
