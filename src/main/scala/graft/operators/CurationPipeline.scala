@@ -95,6 +95,8 @@ object CurationPipeline {
        |          + $w2 * (CAST(n_distinct AS DOUBLE) / n_tokens))
        |          + $w3 * (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens))
        |          + $w4 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)) >= 0.0
+       |    AND (n_tokens < ${TextAnalysis.StopFloorMinTokens}
+       |         OR n_stop * ${TextAnalysis.StopFloorInvRatio} >= n_tokens)
        |    AND CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) AS DOUBLE) / 65536.0
        |        < ${Sampling.rateCaseSql}),
        |o AS (

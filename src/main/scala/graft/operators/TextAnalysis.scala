@@ -343,6 +343,22 @@ object TextAnalysis {
     * (bias, stop_ratio, diversity, mean_word_len, len_norm). */
   private[operators] val ClassifierWeights = (-2.2, 4.0, 2.0, 0.1, 1.0)
 
+  /** STOPWORD-FREQUENCY FLOOR on the classifier's keep decision — the
+    * repetition-independent junk signal that closes the diversity blind
+    * spot pinned since r11 (all-distinct gibberish has diversity 1.0,
+    * which nearly cancels the bias, and NO downstream layer caught it:
+    * repetition needs repeats, surprisal is a separate opt-in stage).
+    * Natural language carries function words; a document of at least
+    * [[StopFloorMinTokens]] tokens with fewer than one stopword per
+    * [[StopFloorInvRatio]] tokens is junk with high confidence. Short
+    * fragments are exempt (a 3-token title legitimately has none; the
+    * length term already bounds their contribution). Integer-exact
+    * (`n_stop * inv >= n_tokens`), so both engines replay it bit-for-bit;
+    * the `score` column itself is unchanged — the floor gates only
+    * `keep`. */
+  private[operators] val StopFloorMinTokens = 20L
+  private[operators] val StopFloorInvRatio = 50L
+
   /** Model-based quality filtering — the fastText-classifier-shaped stage
     * of a curation pipeline (CCNet/GPT-3 style), as a linear scorer over
     * deterministic per-doc features: a fixed-weight dot product of
@@ -372,7 +388,9 @@ object TextAnalysis {
       .withColumn("score",
         lit(b) + lit(w1) * col("stop_ratio") + lit(w2) * col("diversity") +
           lit(w3) * col("mean_word_len") + lit(w4) * col("len_norm"))
-      .withColumn("keep", col("score") >= 0.0)
+      .withColumn("keep", col("score") >= 0.0 &&
+        (col("n_tokens") < StopFloorMinTokens ||
+          col("n_stop") * StopFloorInvRatio >= col("n_tokens")))
       .select("doc_id", "stop_ratio", "diversity", "mean_word_len", "len_norm",
         "score", "keep")
       .orderBy("doc_id")
@@ -390,7 +408,7 @@ object TextAnalysis {
        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS BIGINT) AS n_stop
        |  FROM documents),
-       |f AS (SELECT doc_id,
+       |f AS (SELECT doc_id, n_tokens, n_stop,
        |    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
        |    CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
        |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
@@ -398,7 +416,8 @@ object TextAnalysis {
        |  FROM t)
        |SELECT doc_id, stop_ratio, diversity, mean_word_len, len_norm,
        |  (((($b + $w1 * stop_ratio) + $w2 * diversity) + $w3 * mean_word_len) + $w4 * len_norm) AS score,
-       |  ((((($b + $w1 * stop_ratio) + $w2 * diversity) + $w3 * mean_word_len) + $w4 * len_norm) >= 0.0) AS keep
+       |  (((((($b + $w1 * stop_ratio) + $w2 * diversity) + $w3 * mean_word_len) + $w4 * len_norm) >= 0.0)
+       |    AND (n_tokens < $StopFloorMinTokens OR n_stop * $StopFloorInvRatio >= n_tokens)) AS keep
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
@@ -417,7 +436,8 @@ object TextAnalysis {
       lit(w2) * (nDistinct.cast("double") / nTokens) +
       lit(w3) * ((col("n_chars") - (nTokens - 1)).cast("double") / nTokens) +
       lit(w4) * (least(nTokens, lit(100L)).cast("double") / 100.0)
-    score >= 0.0
+    score >= 0.0 &&
+      (nTokens < StopFloorMinTokens || nStop * StopFloorInvRatio >= nTokens)
   }
 
   /** Language-ID stopword sets (n-gram-free heuristic: count hits per

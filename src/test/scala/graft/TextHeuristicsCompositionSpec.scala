@@ -66,22 +66,30 @@ class TextHeuristicsCompositionSpec extends SparkSpec {
     assert(!keep(4L), "short repeated spam must be dropped")
   }
 
-  test("KNOWN BLIND SPOT (pinned): all-distinct-token junk passes the margin") {
-    // diversity 1.0 alone (weight 2.0) nearly cancels the -2.2 bias, so
-    // BOTH a long stream of unique consonant junk AND a 3-distinct-token
-    // fragment score positive despite zero stopwords. Pinned deliberately:
-    // the linear weights are fixed literals shared with the hash-exact
-    // oracle, and this documents what they do NOT catch (a real deployment
-    // layers text_repetition / text_surprisal on top). If this test starts
-    // failing, the weights changed — re-verify the oracle rows and update
-    // this pin consciously.
+  test("CLOSED BLIND SPOT (r13): the stopword floor rejects all-distinct junk, keeps short fragments") {
+    // The r11–r12 pin documented that diversity 1.0 alone (weight 2.0)
+    // nearly cancels the -2.2 bias, so a long stream of unique gibberish
+    // passed the margin with zero stopwords. The r13 stopword-frequency
+    // floor closes it: a >= 20-token document must carry at least one
+    // stopword per 50 tokens (natural language always does), integer-exact
+    // on both engines. Short fragments stay exempt — a 3-token title
+    // legitimately has no function words.
     val junk = (1 to 60).map(i => s"xq${i}zv").mkString(" ")
     val keep = TextAnalysis.qualityClassifier(
-        docFrame(Seq(9L -> junk, 10L -> "click here now")))
+        docFrame(Seq(
+          9L -> junk,
+          10L -> "click here now",
+          // a 60-token REAL sentence stream keeps passing (stopword-rich)
+          11L -> Array.fill(5)(prose).mkString(" ").split(' ').take(60).mkString(" "),
+          // junk that sneaks ONE stopword into 60 tokens still fails the
+          // floor (1 * 50 < 60)
+          12L -> ("the " + (1 to 59).map(i => s"xq${i}zv").mkString(" ")))))
       .select("doc_id", "keep").collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(keep(9L), "gibberish blind spot: expected the margin to (wrongly) pass it")
-    assert(keep(10L), "distinct-fragment blind spot: expected the margin to pass it")
+    assert(!keep(9L), "the floor must reject long all-distinct junk")
+    assert(keep(10L), "short fragments are exempt from the floor")
+    assert(keep(11L), "stopword-bearing prose must keep passing")
+    assert(!keep(12L), "one token of camouflage must not clear the floor")
   }
 
   test("stopword langId labels genuinely new sentences, all labels reachable") {
@@ -102,11 +110,11 @@ class TextHeuristicsCompositionSpec extends SparkSpec {
   }
 
   test("the layered quality stack closes the classifier's pinned blind spots") {
-    // The blind-spot pin above says "a real deployment layers
-    // text_repetition / text_surprisal on top" — this PROVES the layering:
-    // repetition catches the repeated-spam doc the classifier also drops,
-    // surprisal catches the all-distinct gibberish the classifier passes,
-    // and the AND of the three keeps exactly the prose.
+    // Layering proof: the three filters catch DIFFERENT junk classes —
+    // the r13 classifier floor and surprisal both reject the all-distinct
+    // gibberish (defense in depth now, not the classifier's only rescue),
+    // repetition rejects the repeated-token spam surprisal passes, and
+    // the AND of the three keeps exactly the prose.
     val words = "the cat and a dog walk to an old house near one tall tree today".split(' ')
     def rotate(i: Int) = (words.drop(i % words.length) ++ words.take(i % words.length)).mkString(" ")
     val prose = (0 until 20).map(i => (i + 1).toLong -> rotate(i))
@@ -121,7 +129,7 @@ class TextHeuristicsCompositionSpec extends SparkSpec {
     val rep = keeps(TextAnalysis.repetition(docs))
     val sur = keeps(TextAnalysis.surprisal(docs))
 
-    assert(cls(100L), "gibberish passes the classifier (the pinned blind spot)")
+    assert(!cls(100L), "the r13 stopword floor must catch the gibberish in the classifier itself")
     assert(!sur(100L), "surprisal must catch the gibberish (unique tokens = max ifreq)")
     assert(rep(100L), "repetition alone does NOT catch all-distinct gibberish")
     assert(!rep(101L), "repetition must catch the repeated-token spam")
