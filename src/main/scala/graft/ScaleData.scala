@@ -10,14 +10,19 @@ import org.apache.spark.sql.functions._
   * row's cost is ~linear in the data rather than in some quadratic
   * candidate structure.
   *
-  * Each copy is id-shifted AND content-perturbed — exact replication
-  * would fabricate 10-member duplicate groups for every document/vector
-  * and bench a degenerate dedup workload instead of a grown corpus:
+  * Each copy is id-shifted AND content-perturbed. The perturbation must
+  * be STRONG: a first cut used a per-copy text suffix and a 1e-2 nudge on
+  * one embedding component, which made every document/vector a 10-member
+  * NEAR-DUP group — the similarity-join rows then measured a corpus whose
+  * duplicate density grew 10×, not a corpus that grew 10× (their
+  * candidate volume is quadratic in group size by design, and the curve
+  * read as super-linear when the operator was fine). So:
   *
-  *   - `documents`: a fixed-width ` c<NN>` suffix per copy (n_chars kept
-  *     consistent — the classifier derives mean word length from it);
-  *   - `embeddings`: component 0 nudged by copy-scaled 1e-2 steps (keeps
-  *     near-dup geometry realistic, breaks exact equality);
+  *   - `documents`: every other token carries a copy tag (every shingle
+  *     of every copy differs — cross-copy Jaccard lands far below every
+  *     near-dup threshold; token counts and doc lengths stay corpus-like);
+  *   - `embeddings`: components circularly shifted by the copy index
+  *     (norms and component distributions preserved, directions new);
   *   - `events`: ids shifted, users/timestamps kept (a grown corpus has
   *     more events per user, not 10× disjoint universes).
   *
@@ -49,18 +54,22 @@ object ScaleData {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docMax = docs.agg(max("doc_id")).head().getLong(0) + 1
     copies(docs) { (d, i) =>
-      val suffix = f" c$i%02d" // fixed width: n_chars stays one formula
-      d.withColumn("doc_id", col("doc_id") + lit(i * docMax))
-        .withColumn("text", concat(col("text"), lit(suffix)))
-        .withColumn("n_chars", col("n_chars") + lit(suffix.length.toLong))
+      val mutated =
+        if (i == 0) d
+        else d.withColumn("text", expr(
+          s"array_join(transform(split(text, ' '), (w, j) -> " +
+            s"IF(j % 2 = 0, concat(w, '$i'), w)), ' ')"))
+      mutated.withColumn("doc_id", col("doc_id") + lit(i * docMax))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }.repartition(16).write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embMax = emb.agg(max("vec_id")).head().getLong(0) + 1
     copies(emb) { (d, i) =>
       d.withColumn("vec_id", col("vec_id") + lit(i * embMax))
-        .withColumn("embedding",
-          expr(s"transform(embedding, (x, j) -> IF(j = 0, x + CAST(0.01 * $i AS FLOAT), x))"))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> " +
+            s"element_at(embedding, CAST(pmod(j + $i, size(embedding)) AS INT) + 1))"))
     }.repartition(16).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
