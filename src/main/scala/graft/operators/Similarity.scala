@@ -326,30 +326,39 @@ object Similarity {
     require(nProbes >= 1 && nProbes <= (1 << MaxFlipBits),
       s"nProbes must be in [1, ${1 << MaxFlipBits}]")
     val tableProbes = (0 until tables).map { t =>
-      val projs = (0 until PlanesPerTable).map { j =>
-        long_dot(col("q"), expr(planeSql(t * PlanesPerTable + j)))
+      val planes = (0 until PlanesPerTable).map { j =>
+        val d = long_dot(col("q"), expr(planeSql(t * PlanesPerTable + j)))
+        struct(abs(d).as("m"), lit(j.toLong).as("j"), lit(1L << j).as("bit"),
+          d.as("d"))
       }
-      val base = projs.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, j)) =>
-        acc.bitwiseOR(when(p > 0, lit(1L << j)).otherwise(lit(0L)))
-      }
-      // planes ordered by (|proj|, plane index) — struct sort is
-      // lexicographic by field order, so `bit` (monotone in j) never
-      // perturbs the order
-      val margins = array_sort(array(projs.zipWithIndex.map { case (p, j) =>
-        struct(abs(p).as("m"), lit(j.toLong).as("j"), lit(1L << j).as("bit"))
-      }: _*))
-      val low = (0 until MaxFlipBits).map(i => margins.getItem(i))
-      val combos = (0 until (1 << MaxFlipBits)).map { cid =>
-        val bits = (0 until MaxFlipBits).filter(i => ((cid >> i) & 1) == 1)
-        val score = bits.foldLeft(lit(0L))((acc, i) => acc + low(i).getField("m"))
-        // distinct plane bits, so plain addition IS the bit union (and
-        // mirrors the oracle's arithmetic form textually)
-        val mask = bits.foldLeft(lit(0L))((acc, i) => acc + low(i).getField("bit"))
-        struct(score.as("s"), lit(cid.toLong).as("cid"), mask.as("mask"))
-      }
-      val probes = slice(array_sort(array(combos: _*)), 1, nProbes)
-      struct(lit(t).as("table"),
-        transform(probes, p => base.bitwiseXOR(p.getField("mask"))).as("buckets"))
+      // BIND the six projections once per row as a lambda variable —
+      // everything below references the bound array, never a copy of the
+      // dot-product tree. The naive inlined form duplicated the
+      // array_sort(projections) subtree into every combo reference
+      // (Catalyst collapses Projects and codegen CSE gave up on the
+      // resulting expression size), evaluating each 64-element long_dot
+      // dozens of times per row — measured as a ~6x slowdown across the
+      // four embed-gate registry rows at 8 tables x 16 probes.
+      val buckets = element_at(transform(array(array(planes: _*)), p => {
+        val base = aggregate(filter(p, x => x.getField("d") > lit(0L)),
+          lit(0L), (acc, x) => acc + x.getField("bit"))
+        // planes ordered by (|proj|, plane index) — struct sort is
+        // lexicographic by field order (`bit`/`d` trail j, never perturb)
+        element_at(transform(array(array_sort(p)), sorted => {
+          val low = (0 until MaxFlipBits).map(i => element_at(sorted, i + 1))
+          val combos = (0 until (1 << MaxFlipBits)).map { cid =>
+            val bits = (0 until MaxFlipBits).filter(i => ((cid >> i) & 1) == 1)
+            val score = bits.foldLeft(lit(0L))((acc, i) => acc + low(i).getField("m"))
+            // distinct plane bits, so plain addition IS the bit union (and
+            // mirrors the oracle's arithmetic form textually)
+            val mask = bits.foldLeft(lit(0L))((acc, i) => acc + low(i).getField("bit"))
+            struct(score.as("s"), lit(cid.toLong).as("cid"), mask.as("mask"))
+          }
+          transform(slice(array_sort(array(combos: _*)), 1, nProbes),
+            c => base.bitwiseXOR(c.getField("mask")))
+        }), 1)
+      }), 1)
+      struct(lit(t).as("table"), buckets.as("buckets"))
     }
     q.select(col("vec_id"), explode(array(tableProbes: _*)).as("tb"))
       .select(col("vec_id"), col("tb.table").as("table"),
