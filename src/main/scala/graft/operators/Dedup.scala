@@ -327,6 +327,16 @@ object Dedup {
     * ones. Correctness needs only SOME total order; df ties break on the
     * token string, so the order (and the output) is deterministic.
     *
+    * The candidate join is ASYMMETRIC (PPJoin's index-prefix bound): for a
+    * qualifying pair the required overlap is O = ⌈τ/(1+τ)·(n_l+n_s)⌉, and
+    * with n_s ≤ n_l that gives O ≥ ⌈τ·n_l⌉ AND O ≥ ⌈2τ/(1+τ)·n_s⌉ — so the
+    * shared token sits within the LARGER doc's τ-prefix (n − ⌈τn⌉ + 1
+    * tokens) and simultaneously within the SMALLER doc's shorter
+    * 2τ/(1+τ)-prefix (n − ⌈2τ/(1+τ)·n⌉ + 1 ≈ n/19 + 1 at τ = 0.9). One
+    * side of the equi-join therefore carries roughly HALF the postings of
+    * the symmetric form, and each unordered pair is probed exactly once
+    * (larger-by-(n, doc_id) side probes, smaller side is the index).
+    *
     * The ORACLE is deliberately the naive quadratic all-pairs join: the
     * hash-exact compare therefore VALIDATES the no-false-negative prefix
     * theorem on the real corpus rather than assuming it — a filter bug
@@ -367,20 +377,28 @@ object Dedup {
         .join(dfreq, Seq("tok"))
         .groupBy("doc_id", "n")
         .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
-        // Jaccard prefix length at tau = 0.9: n - ceil(0.9 n) + 1, integer-exact
+        // probe (Jaccard) prefix at tau = 0.9: n - ceil(0.9 n) + 1; index
+        // prefix: n - ceil(2*0.9/1.9 n) + 1 = n - ceil(18n/19) + 1 — both
+        // integer-exact
         .withColumn("p", expr("n - (9L * n + 9L) div 10L + 1L"))
-        .select(col("doc_id"), col("n"),
+        .withColumn("pi", expr("n - (18L * n + 18L) div 19L + 1L"))
+        .select(col("doc_id"), col("n"), col("pi"),
           posexplode(expr("transform(slice(ordered, 1, cast(p as int)), s -> s.tok)")))
         .withColumnRenamed("col", "tok").withColumnRenamed("pos", "i")
     }
+    // probe side = the LARGER doc of a pair (full tau-prefix); index side =
+    // the smaller doc, cut to its shorter 2tau/(1+tau)-prefix (see scaladoc)
     val a = prefix.select(col("tok"), col("doc_id").as("doc_a"),
       col("n").as("n_a"), col("i").as("i_a"))
-    val b = prefix.select(col("tok"), col("doc_id").as("doc_b"),
-      col("n").as("n_b"), col("i").as("i_b"))
+    val b = prefix.filter(col("i") < col("pi"))
+      .select(col("tok"), col("doc_id").as("doc_b"),
+        col("n").as("n_b"), col("i").as("i_b"))
     val cand = a.join(b, Seq("tok"))
-      .filter(col("doc_a") < col("doc_b") &&
-        least(col("n_a"), col("n_b")).cast("double") /
-          greatest(col("n_a"), col("n_b")).cast("double") >= threshold &&
+      // b strictly smaller under the (n, doc_id) total size order: each
+      // unordered pair is generated in exactly one orientation
+      .filter((col("n_b") < col("n_a")) ||
+        (col("n_b") === col("n_a") && col("doc_b") < col("doc_a")))
+      .filter(col("n_b").cast("double") / col("n_a").cast("double") >= threshold &&
         // PPJoin positional filter: with the shared token at 0-based prefix
         // positions (i_a, i_b), the overlap can be at most
         // 1 + min(n_a - i_a - 1, n_b - i_b - 1); pairs whose bound misses
@@ -388,7 +406,9 @@ object Dedup {
         // are dropped MAP-SIDE, before the distinct shuffle
         lit(1L) + least(col("n_a") - col("i_a") - 1L, col("n_b") - col("i_b") - 1L) >=
           expr("(9L * (n_a + n_b) + 18L) div 19L"))
-      .select("doc_a", "doc_b").distinct()
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
     cand
       .join(t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
         col("n").as("n_a")), Seq("doc_a"))
