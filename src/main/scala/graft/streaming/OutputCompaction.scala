@@ -63,23 +63,123 @@ object OutputCompaction {
   private final case class Seg(version: Long, path: String, lastBatch: Long,
       full: Boolean, mergedFrom: Seq[Long])
 
-  /** All published segments, ascending by version (one tiny meta read
-    * each; segment count is bounded by the tier policy). */
-  private def segments(spark: SparkSession, outPath: String): Seq[Seg] =
-    IndexFiles.numbered(spark, outPath, BasePrefix).map { case (v, p) =>
-      val m = spark.read.parquet(s"$p/meta").head()
-      val fields = m.schema.fieldNames
-      Seg(v, p.toString, m.getAs[Long]("last_batch"),
-        // metas written before the tiered layout carry no `full` column;
-        // treat them as majors (a single base subsumed everything)
-        if (fields.contains("full")) m.getAs[Boolean]("full") else true,
-        // merge CLAIMS: segment versions whose rows this segment contains
-        // (a crashed sweep's leftovers stay claimed — and invisible)
-        // rows hand arrays back as scala.collection.Seq (mutable.ArraySeq)
-        if (fields.contains("merged_from"))
-          m.getAs[scala.collection.Seq[Long]]("merged_from").toSeq
-        else Seq.empty)
+  /** CONSOLIDATED SEGMENT MANIFEST — a read-path cache, never a source of
+    * truth. Without it every [[segments]] call pays one tiny parquet read
+    * (a Spark job round trip) PER segment — bounded by the tier policy,
+    * but that is still ~24 driver round trips on every daemon-internal
+    * read, restart offset rebuild, and ops gauge. The manifest folds all
+    * per-segment metas into ONE plain-text file read with bare FS ops (no
+    * Spark job at all).
+    *
+    * Consistency is by CONSTRUCTION, not coordination: per-segment metas
+    * remain authoritative, a marked segment's meta is immutable after
+    * publish (writers never rewrite a committed version), and the
+    * manifest is trusted ONLY when its version set equals the live
+    * listing's — any publish or sweep changes the listing and therefore
+    * invalidates the manifest wholesale. On mismatch the reader falls
+    * back to the per-segment metas and SELF-HEALS by rewriting the
+    * manifest; a torn write (crash mid-manifest) fails the `end <count>`
+    * trailer and is ignored the same way. A stale concurrent heal write
+    * is likewise harmless: it can only publish a set that disagrees with
+    * the listing, which the next reader detects and re-heals. Mutators
+    * pre-heal on exit so the daemons' per-batch read paths stay
+    * zero-Spark-job. */
+  private[graft] val SegManifest = "_segments_manifest"
+
+  private def parseSegLine(l: String): Option[(Long, (Long, Boolean, Seq[Long]))] = {
+    val parts = l.split(" ")
+    if (parts.length != 5) None
+    else for {
+      v <- parts(1).toLongOption
+      last <- parts(2).toLongOption
+      full <- parts(3).toBooleanOption
+      claims <-
+        if (parts(4) == "-") Some(Seq.empty[Long])
+        else {
+          val cs = parts(4).split(",").toSeq.map(_.toLongOption)
+          if (cs.exists(_.isEmpty)) None else Some(cs.flatten)
+        }
+    } yield v -> ((last, full, claims))
+  }
+
+  /** version → (lastBatch, full, mergedFrom); None when absent, torn, or
+    * unparseable — callers treat all three identically (fall back to the
+    * per-segment metas). */
+  private def readSegManifest(f: org.apache.hadoop.fs.FileSystem,
+      outPath: String): Option[Map[Long, (Long, Boolean, Seq[Long])]] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$outPath/$SegManifest")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = text.linesIterator.toSeq
+        if (lines.headOption.fold(true)(_ != "graft-segments-v1")) None
+        else {
+          val segLines = lines.tail.takeWhile(_.startsWith("seg "))
+          val trailer = lines.drop(1 + segLines.size).headOption
+          val parsed = segLines.map(parseSegLine)
+          if (!trailer.contains(s"end ${segLines.size}") || parsed.exists(_.isEmpty)) None
+          else Some(parsed.flatten.toMap)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Best-effort cache write (single-object overwrite — last writer wins
+    * whole-file on every store); a failure only costs the next reader a
+    * fallback scan. */
+  private def writeSegManifest(f: org.apache.hadoop.fs.FileSystem,
+      outPath: String, segs: Seq[Seg]): Unit =
+    try {
+      val body = new StringBuilder("graft-segments-v1\n")
+      segs.sortBy(_.version).foreach { s =>
+        val claims = if (s.mergedFrom.isEmpty) "-" else s.mergedFrom.sorted.mkString(",")
+        body.append(s"seg ${s.version} ${s.lastBatch} ${s.full} $claims\n")
+      }
+      body.append(s"end ${segs.size}\n")
+      val out = f.create(new org.apache.hadoop.fs.Path(s"$outPath/$SegManifest"), true)
+      try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** All published segments, ascending by version — served from the
+    * consolidated manifest when its version set matches the live listing
+    * (zero Spark jobs), else from the per-segment metas (one tiny parquet
+    * read each), self-healing the manifest on the way out. */
+  private def segments(spark: SparkSession, outPath: String): Seq[Seg] = {
+    val listed = IndexFiles.numbered(spark, outPath, BasePrefix)
+    val f = IndexFiles.fs(spark, outPath)
+    val versions = listed.map(_._1).toSet
+    val cached = readSegManifest(f, outPath)
+    cached match {
+      case Some(m) if m.keySet == versions =>
+        listed.map { case (v, p) =>
+          val (last, full, claims) = m(v)
+          Seg(v, p.toString, last, full, claims)
+        }
+      case _ =>
+        val segs = listed.map { case (v, p) =>
+          val m = spark.read.parquet(s"$p/meta").head()
+          val fields = m.schema.fieldNames
+          Seg(v, p.toString, m.getAs[Long]("last_batch"),
+            // metas written before the tiered layout carry no `full` column;
+            // treat them as majors (a single base subsumed everything)
+            if (fields.contains("full")) m.getAs[Boolean]("full") else true,
+            // merge CLAIMS: segment versions whose rows this segment contains
+            // (a crashed sweep's leftovers stay claimed — and invisible)
+            // rows hand arrays back as scala.collection.Seq (mutable.ArraySeq)
+            if (fields.contains("merged_from"))
+              m.getAs[scala.collection.Seq[Long]]("merged_from").toSeq
+            else Seq.empty)
+        }
+        // heal only when there is something to record or to retract — a
+        // read of a never-written outPath must not create files
+        if (listed.nonEmpty || cached.isDefined)
+          writeSegManifest(f, outPath, segs)
+        segs
     }
+  }
 
   /** The segments a read sees: the highest `full` segment and everything
     * above it, minus any segment CLAIMED by another's `merged_from` (the
@@ -181,6 +281,12 @@ object OutputCompaction {
   private def sweepDirs(spark: SparkSession, dirs: Seq[(Long, org.apache.hadoop.fs.Path)]): Unit =
     dirs.foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
 
+  /** Pre-heal the consolidated manifest after a mutation, so the
+    * daemons' per-batch read paths never pay the fallback meta scan. */
+  private def healManifest(spark: SparkSession, outPath: String): Unit = {
+    segments(spark, outPath); ()
+  }
+
   /** MINOR compaction: fold the live batch dirs (stamp, upTo] into ONE new
     * segment and sweep them — O(compaction window), prior segments
     * untouched. No-op when nothing is foldable (still sweeps dead batch
@@ -196,12 +302,13 @@ object OutputCompaction {
     val dead = all.filter(_._1 <= stamp)
     val fold = all.filter { case (id, _) => id > stamp && id <= upTo }
     sweepStale(spark, segs)
-    if (fold.isEmpty) { sweepDirs(spark, dead); return }
+    if (fold.isEmpty) { sweepDirs(spark, dead); healManifest(spark, outPath); return }
     val window = spark.read.parquet(fold.map(_._2.toString): _*)
     publishSegment(spark, outPath,
       if (layout.isEmpty) window.coalesce(MinorSegmentFiles) else window,
       lastBatch = fold.map(_._1).max, full = false, layout)
     sweepDirs(spark, dead ++ fold)
+    healManifest(spark, outPath)
   }
 
   /** MAJOR compaction: merge every visible segment plus the live batch
@@ -221,11 +328,15 @@ object OutputCompaction {
     // already fully merged and nothing new: re-copying the corpus into a
     // fresh segment would be an O(corpus) no-op — skip (sweeps still run)
     if (fold.isEmpty && vis.size <= 1 && vis.forall(_.full)) {
-      sweepDirs(spark, dead); sweepStale(spark, segs); return
+      sweepDirs(spark, dead); sweepStale(spark, segs)
+      healManifest(spark, outPath); return
     }
     val parts = vis.map(s => spark.read.parquet(s"${s.path}/data")) ++
       (if (fold.nonEmpty) Seq(spark.read.parquet(fold.map(_._2.toString): _*)) else Nil)
-    if (parts.isEmpty) { sweepDirs(spark, dead); sweepStale(spark, segs); return }
+    if (parts.isEmpty) {
+      sweepDirs(spark, dead); sweepStale(spark, segs)
+      healManifest(spark, outPath); return
+    }
     val newStamp = (stamp +: fold.map(_._1)).max
     val v = publishSegment(spark, outPath,
       parts.reduce(_ unionByName _), newStamp, full = true, layout)
@@ -234,6 +345,7 @@ object OutputCompaction {
     segments(spark, outPath).filter(_.version < v)
       .foreach(s => IndexFiles.delete(spark, s.path))
     sweepDirs(spark, dead ++ fold)
+    healManifest(spark, outPath)
   }
 
   /** Delete invisible segments — claimed merge inputs and pre-full
