@@ -71,6 +71,10 @@ object SparkEntry {
     // line, and when it drifts round-over-round this log says WHICH index
     // build moved (box noise shifts every stage; a code change shifts one)
     def stage(name: String)(f: => Unit): Unit = PinnedCaches.warmStage(name)(f)
+    // GRAFT_WARM_SEQUENTIAL=1 (dev-only, graft.WarmProfile): run every
+    // chain/branch one at a time so each [warm] line is the stage's own
+    // compute, not its share of a saturated core pool
+    val sequential = PinnedCaches.warmSequential
     // THREE independent chains run CONCURRENTLY (Spark schedules jobs from
     // multiple driver threads across the same executor pool; no pin is
     // shared across chains, and PinnedCaches' TrieMaps are concurrent) —
@@ -78,12 +82,14 @@ object SparkEntry {
     // intra-stage barriers, and cache_build was ~40% of the whole bench.
     // Stages WITHIN a chain stay ordered (parse consumes render's lines;
     // text_pins reads dedup's dup-group pin).
-    val logChain = Future {
+    def fut(body: => Unit): scala.concurrent.Future[Unit] =
+      if (sequential) Future.fromTry(scala.util.Try(body)) else Future(body)
+    val logChain = fut {
       stage("render")(renderedLines(s, dir).count())
       // the two parse+merge corpora are independent once the clean lines
       // are rendered (the noisy corpus renders its own lines inline) —
       // concurrent halves the log chain's post-render wall time
-      val parses = Seq(false, true).map(noisy => Future {
+      val parses = Seq(false, true).map(noisy => fut {
         stage(s"parse_merge(noisy=$noisy)") {
           val p = parsed(s, dir, noisy)
           p.count()
@@ -105,11 +111,11 @@ object SparkEntry {
     // the pipeline families' pinned working sets (dup groups, shingle sets,
     // winnowing fingerprints, quantized vectors, the k-means assignment)
     val docs = Tables.load(s, dir, "documents")
-    val docChain = Future {
+    val docChain = fut {
       stage("dedup_pins")(Dedup.warmPins(docs))
       stage("text_pins")(TextAnalysis.warmPins(docs))
     }
-    val simChain = Future {
+    val simChain = fut {
       stage("sim_pins")(Similarity.warmPins(Tables.load(s, dir, "embeddings")))
     }
     // await ALL chains to COMPLETION before rethrowing: Future.sequence

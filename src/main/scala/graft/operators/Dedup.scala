@@ -93,14 +93,20 @@ object Dedup {
     * queries instead of charging the shared materializations to whichever
     * family member happens to run first. */
   def warmPins(docs: DataFrame): Unit = {
-    val groups = PinnedCaches.pin(dupGroups(docs))
-    groups.count()
-    PinnedCaches.pin(shingleArrays(groups.select("doc_id", "text"))).count()
+    def stage(name: String)(f: => Unit): Unit =
+      PinnedCaches.warmStage(s"  dedup.$name")(f)
+    stage("groups") {
+      PinnedCaches.pin(dupGroups(docs)).count()
+    }
+    stage("shingles") {
+      val groups = PinnedCaches.pin(dupGroups(docs))
+      PinnedCaches.pin(shingleArrays(groups.select("doc_id", "text"))).count()
+    }
     // the memoized cluster labeling (eager star-contraction CC loop) — warmed here so
     // the bench's best-of-2 min measures consuming the labels, not a
     // first-run/memo-hit asymmetry, and the CC cost is attributed to
     // cache_build like every other shared materialization
-    clusters(docs).count()
+    stage("clusters")(clusters(docs).count())
   }
 
   /** Exact dedup via content fingerprint: one row per distinct text with the
@@ -663,18 +669,26 @@ object Dedup {
     * `ids` must have one column `id`; `pairs` columns `a`, `b`. Returns
     * `(id, cluster_id)` where `cluster_id` is the component's minimum id. */
   private[operators] def componentsOf(ids: DataFrame, pairs: DataFrame): DataFrame = {
-    var edges = pairs.filter(col("a") =!= col("b"))
+    // dev-only trace (GRAFT_CC_TRACE=1): per-phase wall times of the CC loop
+    val trace = sys.env.get("GRAFT_CC_TRACE").contains("1")
+    def traced[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (trace) System.err.println(
+        f"[cc] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    var edges = traced("edges0")(pairs.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .dropDuplicates("u", "v")
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)"))).head()
       (r.getLong(0), r.getDecimal(1))
     }
-    var prev = checksum(edges)
+    var prev = traced("checksum0")(checksum(edges))
     var converged = prev._1 == 0L
     var rounds = 0
     while (!converged && rounds < MaxClusterRounds) {
@@ -690,12 +704,13 @@ object Dedup {
       // small-star on the canonical (larger → smaller) orientation: link u
       // and every smaller neighbor to the group minimum
       val mins2 = large.groupBy("u").agg(min("v").as("m"))
-      val next = large.join(mins2, Seq("u")).filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(mins2.select(col("u"), col("m").as("v")))
-        .dropDuplicates("u", "v")
-        .localCheckpoint(true)
-      val cur = checksum(next)
+      val next = traced(s"round$rounds")(
+        large.join(mins2, Seq("u")).filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(mins2.select(col("u"), col("m").as("v")))
+          .dropDuplicates("u", "v")
+          .localCheckpoint(true))
+      val cur = traced(s"checksum$rounds")(checksum(next))
       converged = cur == prev
       prev = cur
       edges = next
@@ -1560,7 +1575,7 @@ object Dedup {
     val onDisk =
       IndexFiles.numbered(spark, path, "delta_").map(_._1).maxOption.getOrElse(0L)
     val stamped = IndexFiles.numbered(spark, path, "base_v").lastOption
-      .map { case (_, p) => spark.read.parquet(s"$p/meta").head().getAs[Long]("last_delta") }
+      .map { case (_, p) => IndexFiles.readMeta(spark, p.toString)("last_delta").toLong }
       .getOrElse(0L)
     math.max(onDisk, stamped)
   }
@@ -1574,18 +1589,18 @@ object Dedup {
     * load. Superseded base versions are pruned after the atomic publish. */
   def saveIndex(idx: CorpusIndex, path: String): Unit = {
     val spark = idx.fps.sparkSession
-    import spark.implicits._
     val lastDelta = deltaHighWater(spark, path)
     val v = IndexFiles.numbered(spark, path, "base_v")
       .map(_._1).maxOption.getOrElse(0L) + 1
     val tmp = s"$path/base_v$v.tmp"
     IndexFiles.delete(spark, tmp)
     IndexFiles.inParallel(idx.frames.zip(BaseComponents).map { case (df, name) =>
-      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+      () => IndexFiles.sizedForWrite(df).write.mode("overwrite").parquet(s"$tmp/$name")
     })
-    Seq((idx.bucketCap, idx.logBloomBits, lastDelta))
-      .toDF("bucket_cap", "log_bloom_bits", "last_delta")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexFiles.writeMetaKv(spark, tmp, Seq(
+      "bucket_cap" -> idx.bucketCap.toString,
+      "log_bloom_bits" -> idx.logBloomBits.toString,
+      "last_delta" -> lastDelta.toString))
     IndexFiles.publish(spark, tmp, s"$path/base_v$v")
     IndexFiles.numbered(spark, path, "base_v").filter(_._1 < v)
       .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
@@ -1599,7 +1614,7 @@ object Dedup {
     val tmp = s"$path/delta_$n.tmp"
     IndexFiles.delete(spark, tmp)
     IndexFiles.inParallel(delta.frames.zip(DeltaComponents).map { case (df, name) =>
-      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+      () => IndexFiles.sizedForWrite(df).write.mode("overwrite").parquet(s"$tmp/$name")
     })
     IndexFiles.publish(spark, tmp, s"$path/delta_$n")
     n
@@ -1620,8 +1635,8 @@ object Dedup {
     val bases = IndexFiles.numbered(spark, path, "base_v")
     require(bases.nonEmpty, s"no persisted corpus index at $path")
     val base = bases.last._2.toString
-    val meta = spark.read.parquet(s"$base/meta").head()
-    val lastDelta = meta.getAs[Long]("last_delta")
+    val meta = IndexFiles.readMeta(spark, base)
+    val lastDelta = meta("last_delta").toLong
     val deltas = IndexFiles.numbered(spark, path, "delta_").filter(_._1 > lastDelta)
     def rd(dir: String, name: String) = spark.read.parquet(s"$dir/$name")
 
@@ -1651,8 +1666,8 @@ object Dedup {
       if (deltas.isEmpty) df
       else df.groupBy("w").agg(bit_or(col("bits")).as("bits"))
     CorpusIndex(pin(fps), pin(sets), buckets, pin(orWords(fpW)), pin(orWords(bW)),
-      meta.getAs[Int]("log_bloom_bits"), oversizedP,
-      meta.getAs[Int]("bucket_cap"))
+      meta("log_bloom_bits").toInt, oversizedP,
+      meta("bucket_cap").toInt)
   }
 
   /** COMPACT the persisted base+deltas into one new base snapshot — the

@@ -91,6 +91,55 @@ private[graft] object IndexFiles {
     o.close()
   }
 
+  /** Key=value metadata sidecar for index artifacts (`meta_kv`, one plain
+    * FS object): the knob/stamp payload is a handful of scalars, and the
+    * previous 1-row-parquet spelling cost one Spark JOB per save (the
+    * coalesce(1) write) plus one per read (`spark.read.parquet(...).head()`
+    * — footer + head job) — pure scheduler latency on every index
+    * save/load/high-water probe, multiplied by the per-micro-batch cadence
+    * in the daemons. A planning read must not launch a distributed job
+    * (guide §5: the driver should do almost no data work — and a scalar
+    * sidecar is not data). Written INSIDE the unpublished `.tmp` directory,
+    * so the manifest-last commit rules cover it unchanged. */
+  private[graft] val MetaKvFile = "meta_kv"
+
+  /** Write `kv` as `meta_kv` under `dir` — one FS create, no Spark job. */
+  def writeMetaKv(spark: SparkSession, dir: String,
+      kv: Seq[(String, String)]): Unit = {
+    val f = fs(spark, dir)
+    val out = f.create(new Path(dir, MetaKvFile), true)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read `dir`'s metadata as a string map: `meta_kv` when present (one FS
+    * read), else the family's legacy 1-row parquet `meta` directory (pre-
+    * meta_kv artifacts — daemons resuming an old index path), else empty.
+    * Callers parse values and supply defaults for keys a legacy meta never
+    * carried (e.g. the embed gate's `tables`). */
+  def readMeta(spark: SparkSession, dir: String): Map[String, String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, MetaKvFile)
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val txt =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+          buf.toString("UTF-8")
+        } finally in.close()
+      txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('=')
+        require(i > 0, s"malformed meta_kv line at $dir: $l")
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    } else if (f.exists(new Path(dir, "meta"))) {
+      val r = spark.read.parquet(s"$dir/meta").head()
+      r.schema.fieldNames.map(n => n -> String.valueOf(r.getAs[Any](n))).toMap
+    } else Map.empty
+  }
+
   def delete(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)
     val p = new Path(path)
@@ -221,6 +270,35 @@ private[graft] object IndexFiles {
     }
     throw new IllegalStateException(
       s"could not claim a writer lease at $path after $attempts attempts")
+  }
+
+  /** `df` narrowed for WRITING toward ~128 MB output files (guide §6:
+    * small files hurt twice — driver listing/planning and per-file open
+    * overhead; aim for 128 MB–1 GB). Partition count = ⌈estimate/128 MB⌉
+    * from Catalyst's own size estimate for the plan:
+    *
+    *   - a SMALL frame (every index component at batch scale, all of the
+    *     scalar stats frames) collapses to one output file instead of one
+    *     near-empty file per shuffle partition — at the default 32-partition
+    *     bench session that is 32× fewer task commits per component write;
+    *   - an OVER-estimated frame asks for more partitions than it has and
+    *     `coalesce` is then a no-op (it never increases) — the safe failure
+    *     direction: layout stays as computed;
+    *   - `coalesce`, not `repartition`: no extra exchange — only the final
+    *     stage narrows, which for sub-128 MB frames is the right trade.
+    *
+    * Scale-adaptive by construction: a corpus-sized component estimates
+    * large and keeps its parallel layout; only genuinely small artifacts
+    * narrow. */
+  def sizedForWrite(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = BigInt(128L << 20)
+    if (est <= 0) df
+    else {
+      val parts = ((est + target - 1) / target)
+        .min(BigInt(Int.MaxValue)).max(BigInt(1)).toInt
+      df.coalesce(parts)
+    }
   }
 
   /** Run independent Spark actions concurrently and return their results

@@ -109,6 +109,12 @@ object PinnedCaches {
     * on stderr) so the round-over-round cache_build drift adjudication
     * greps a single shape; shared by SparkEntry.warmCaches and the
     * families' warmPins. */
+  /** Dev-only profiling switch (graft.WarmProfile): serialize the warm
+    * chains/branches so each [[warmStage]] line times the stage's own
+    * compute instead of its share of a saturated core pool. */
+  private[graft] def warmSequential: Boolean =
+    sys.env.get("GRAFT_WARM_SEQUENTIAL").contains("1")
+
   private[graft] def warmStage(label: String)(f: => Unit): Unit = {
     val t0 = System.nanoTime(); f
     System.err.println(

@@ -525,7 +525,7 @@ object Similarity {
     val onDisk =
       IndexFiles.numbered(spark, path, "delta_").map(_._1).maxOption.getOrElse(0L)
     val stamped = IndexFiles.numbered(spark, path, "base_v").lastOption
-      .map { case (_, p) => spark.read.parquet(s"$p/meta").head().getAs[Long]("last_delta") }
+      .map { case (_, p) => IndexFiles.readMeta(spark, p.toString)("last_delta").toLong }
       .getOrElse(0L)
     math.max(onDisk, stamped)
   }
@@ -536,17 +536,18 @@ object Similarity {
     * delta-structured-persistence block there). */
   def saveEmbedIndex(idx: EmbedIndex, path: String): Unit = {
     val spark = idx.qc.sparkSession
-    import spark.implicits._
     val lastDelta = embedDeltaHighWater(spark, path)
     val v = IndexFiles.numbered(spark, path, "base_v")
       .map(_._1).maxOption.getOrElse(0L) + 1
     val tmp = s"$path/base_v$v.tmp"
     IndexFiles.delete(spark, tmp)
     IndexFiles.inParallel(idx.frames.zip(EmbedBaseComponents).map { case (df, name) =>
-      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+      () => IndexFiles.sizedForWrite(df).write.mode("overwrite").parquet(s"$tmp/$name")
     })
-    Seq((idx.bucketCap, idx.tables, lastDelta)).toDF("bucket_cap", "tables", "last_delta")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexFiles.writeMetaKv(spark, tmp, Seq(
+      "bucket_cap" -> idx.bucketCap.toString,
+      "tables" -> idx.tables.toString,
+      "last_delta" -> lastDelta.toString))
     IndexFiles.publish(spark, tmp, s"$path/base_v$v")
     IndexFiles.numbered(spark, path, "base_v").filter(_._1 < v)
       .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
@@ -559,7 +560,7 @@ object Similarity {
     val tmp = s"$path/delta_$n.tmp"
     IndexFiles.delete(spark, tmp)
     IndexFiles.inParallel(delta.frames.zip(EmbedDeltaComponents).map { case (df, name) =>
-      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+      () => IndexFiles.sizedForWrite(df).write.mode("overwrite").parquet(s"$tmp/$name")
     })
     IndexFiles.publish(spark, tmp, s"$path/delta_$n")
     n
@@ -575,8 +576,8 @@ object Similarity {
     val bases = IndexFiles.numbered(spark, path, "base_v")
     require(bases.nonEmpty, s"no persisted embed index at $path")
     val base = bases.last._2.toString
-    val meta = spark.read.parquet(s"$base/meta").head()
-    val lastDelta = meta.getAs[Long]("last_delta")
+    val meta = IndexFiles.readMeta(spark, base)
+    val lastDelta = meta("last_delta").toLong
     val deltas = IndexFiles.numbered(spark, path, "delta_").filter(_._1 > lastDelta)
     def rd(dir: String, name: String) = spark.read.parquet(s"$dir/$name")
 
@@ -595,11 +596,10 @@ object Similarity {
       if (deltas.isEmpty) pin(cbRows)
       else pin(cbRows.join(
         broadcast(oversizedP.select("table", "bucket")), Seq("table", "bucket"), "left_anti"))
-    EmbedIndex(pin(qc), cb, oversizedP, meta.getAs[Int]("bucket_cap"),
+    EmbedIndex(pin(qc), cb, oversizedP, meta("bucket_cap").toInt,
       // metas written before the gate's table count was persisted carry no
-      // `tables` column; those indexes were built at the then-global 4
-      if (meta.schema.fieldNames.contains("tables")) meta.getAs[Int]("tables")
-      else NumTables)
+      // `tables` key; those indexes were built at the then-global 4
+      meta.getOrElse("tables", NumTables.toString).toInt)
   }
 
   /** Compact the persisted base+deltas into one new base —
@@ -901,29 +901,32 @@ object Similarity {
     // (learned consumes the same pinned residual/slice frames as sampled,
     // materialized by the first build). Branch keys never collide in
     // PinnedCaches, so no pin is computed twice.
+    def fut(body: => Unit): scala.concurrent.Future[Unit] =
+      if (PinnedCaches.warmSequential) Future.fromTry(scala.util.Try(body))
+      else Future(body)
     stage("quantized")(PinnedCaches.pin(quantized(emb).select("vec_id", "q", "nq")).count())
     val branches = Seq(
-      Future(stage("kmeans")(kmeansAssign(emb, 8, 2).count())),
+      fut(stage("kmeans")(kmeansAssign(emb, 8, 2).count())),
       // memoized semantic-cluster labeling (eager star-contraction CC
       // loop) — warmed so bench best-of-2 measures label consumption, not
       // first-run asymmetry
-      Future(stage("clusters")(embedClusters(emb).count())),
+      fut(stage("clusters")(embedClusters(emb).count())),
       // PQ / IVF-PQ index builds (codebooks + whole-corpus encodes) —
       // pinned per-corpus artifacts, charged to cache_build so the
       // sim_topk_pq / sim_topk_ivfpq rows measure query cost only
-      Future {
+      fut {
         stage("pq_codes")(pqCodes(emb).count())
         stage("pq_learned")(pqLearnedCodes(emb).count())
       },
-      Future {
+      fut {
         stage("ivfpq_codes")(ivfpqCodes(emb).count())
         stage("ivfpq_learned")(ivfpqLearnedCodes(emb).count())
       },
       // SQ8 encode: one map-side scan over the pinned quantized frame
-      Future(stage("sq8_codes")(sq8Codes(emb).count())),
+      fut(stage("sq8_codes")(sq8Codes(emb).count())),
       // the default kNN graph — the index artifact graph_quality_prop and
       // graph_pagerank traverse; warmed so their rows measure traversal
-      Future(stage("knn_graph")(knnGraphPinned(emb).count())))
+      fut(stage("knn_graph")(knnGraphPinned(emb).count())))
     // settle ALL branches before rethrowing (same discipline as
     // SparkEntry.warmCaches: no stray warm jobs after control returns)
     val settled = Await.result(
@@ -1806,27 +1809,28 @@ object Similarity {
     val onDisk =
       IndexFiles.numbered(spark, path, "delta_").map(_._1).maxOption.getOrElse(0L)
     val stamped = IndexFiles.numbered(spark, path, "base_v").lastOption
-      .map { case (_, p) => spark.read.parquet(s"$p/meta").head().getAs[Long]("last_delta") }
+      .map { case (_, p) => IndexFiles.readMeta(spark, p.toString)("last_delta").toLong }
       .getOrElse(0L)
     math.max(onDisk, stamped)
   }
 
   /** Persist a [[KnnGraphIndex]] snapshot as a new base version
-    * (components in parallel, knobs + `last_delta` stamp in `meta`,
+    * (components in parallel, knobs + `last_delta` stamp in `meta_kv`,
     * superseded bases pruned after the atomic publish). */
   def saveKnnGraph(idx: KnnGraphIndex, path: String): Unit = {
     val spark = idx.cents.sparkSession
-    import spark.implicits._
     val lastDelta = graphDeltaHighWater(spark, path)
     val v = IndexFiles.numbered(spark, path, "base_v")
       .map(_._1).maxOption.getOrElse(0L) + 1
     val tmp = s"$path/base_v$v.tmp"
     IndexFiles.delete(spark, tmp)
     IndexFiles.inParallel(idx.frames.zip(GraphComponents).map { case (df, name) =>
-      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+      () => IndexFiles.sizedForWrite(df).write.mode("overwrite").parquet(s"$tmp/$name")
     })
-    Seq((idx.k, idx.nProbe, lastDelta)).toDF("k", "n_probe", "last_delta")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexFiles.writeMetaKv(spark, tmp, Seq(
+      "k" -> idx.k.toString,
+      "n_probe" -> idx.nProbe.toString,
+      "last_delta" -> lastDelta.toString))
     IndexFiles.publish(spark, tmp, s"$path/base_v$v")
     IndexFiles.numbered(spark, path, "base_v").filter(_._1 < v)
       .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
@@ -1839,7 +1843,7 @@ object Similarity {
     val tmp = s"$path/delta_$n.tmp"
     IndexFiles.delete(spark, tmp)
     IndexFiles.inParallel(delta.frames.zip(GraphDeltaComponents).map { case (df, name) =>
-      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+      () => IndexFiles.sizedForWrite(df).write.mode("overwrite").parquet(s"$tmp/$name")
     })
     IndexFiles.publish(spark, tmp, s"$path/delta_$n")
     n
@@ -1856,9 +1860,9 @@ object Similarity {
     val bases = IndexFiles.numbered(spark, path, "base_v")
     require(bases.nonEmpty, s"no persisted knn graph at $path")
     val base = bases.last._2.toString
-    val meta = spark.read.parquet(s"$base/meta").head()
+    val meta = IndexFiles.readMeta(spark, base)
     val deltas = IndexFiles.numbered(spark, path, "delta_")
-      .filter(_._1 > meta.getAs[Long]("last_delta"))
+      .filter(_._1 > meta("last_delta").toLong)
     def rd(dir: String, name: String) = spark.read.parquet(s"$dir/$name")
 
     var qn = rd(base, "qn")
@@ -1873,7 +1877,7 @@ object Similarity {
     }
     val pin = PinnedCaches.pin _
     KnnGraphIndex(pin(rd(base, "cents")), pin(qn), pin(probes),
-      pin(edges), meta.getAs[Int]("k"), meta.getAs[Int]("n_probe"))
+      pin(edges), meta("k").toInt, meta("n_probe").toInt)
   }
 
   /** Compact the persisted base+deltas into one new base, then sweep the
@@ -2487,28 +2491,30 @@ object Similarity {
     val onDisk =
       IndexFiles.numbered(spark, path, "delta_").map(_._1).maxOption.getOrElse(0L)
     val stamped = IndexFiles.numbered(spark, path, "base_v").lastOption
-      .map { case (_, p) => spark.read.parquet(s"$p/meta").head().getAs[Long]("last_delta") }
+      .map { case (_, p) => IndexFiles.readMeta(spark, p.toString)("last_delta").toLong }
       .getOrElse(0L)
     math.max(onDisk, stamped)
   }
 
   /** Persist a full [[PqIndex]] snapshot as a new base version (components
-    * in parallel, knobs + codebook version + `last_delta` stamp in `meta`,
-    * superseded bases pruned after the atomic publish). */
+    * in parallel, knobs + codebook version + `last_delta` stamp in
+    * `meta_kv`, superseded bases pruned after the atomic publish). */
   def savePqIndex(idx: PqIndex, path: String): Unit = {
     val spark = idx.cents.sparkSession
-    import spark.implicits._
     val lastDelta = pqDeltaHighWater(spark, path)
     val v = IndexFiles.numbered(spark, path, "base_v")
       .map(_._1).maxOption.getOrElse(0L) + 1
     val tmp = s"$path/base_v$v.tmp"
     IndexFiles.delete(spark, tmp)
     IndexFiles.inParallel(idx.frames.zip(PqBaseComponents).map { case (df, name) =>
-      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+      () => IndexFiles.sizedForWrite(df).write.mode("overwrite").parquet(s"$tmp/$name")
     })
-    Seq((idx.version, idx.subspaces, idx.nCodes, idx.iters, lastDelta))
-      .toDF("version", "subspaces", "n_codes", "iters", "last_delta")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexFiles.writeMetaKv(spark, tmp, Seq(
+      "version" -> idx.version.toString,
+      "subspaces" -> idx.subspaces.toString,
+      "n_codes" -> idx.nCodes.toString,
+      "iters" -> idx.iters.toString,
+      "last_delta" -> lastDelta.toString))
     IndexFiles.publish(spark, tmp, s"$path/base_v$v")
     IndexFiles.numbered(spark, path, "base_v").filter(_._1 < v)
       .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
@@ -2521,7 +2527,7 @@ object Similarity {
     val tmp = s"$path/delta_$n.tmp"
     IndexFiles.delete(spark, tmp)
     IndexFiles.inParallel(delta.frames.zip(PqDeltaComponents).map { case (df, name) =>
-      () => df.write.mode("overwrite").parquet(s"$tmp/$name")
+      () => IndexFiles.sizedForWrite(df).write.mode("overwrite").parquet(s"$tmp/$name")
     })
     IndexFiles.publish(spark, tmp, s"$path/delta_$n")
     n
@@ -2535,9 +2541,9 @@ object Similarity {
     val bases = IndexFiles.numbered(spark, path, "base_v")
     require(bases.nonEmpty, s"no persisted pq index at $path")
     val base = bases.last._2.toString
-    val meta = spark.read.parquet(s"$base/meta").head()
+    val meta = IndexFiles.readMeta(spark, base)
     val deltas = IndexFiles.numbered(spark, path, "delta_")
-      .filter(_._1 > meta.getAs[Long]("last_delta"))
+      .filter(_._1 > meta("last_delta").toLong)
     def rd(dir: String, name: String) = spark.read.parquet(s"$dir/$name")
 
     var codes = rd(base, "codes")
@@ -2548,8 +2554,8 @@ object Similarity {
     }
     val pin = PinnedCaches.pin _
     PqIndex(pin(rd(base, "cents")), pin(codes), pin(qn),
-      meta.getAs[Int]("version"), meta.getAs[Int]("subspaces"),
-      meta.getAs[Int]("n_codes"), meta.getAs[Int]("iters"))
+      meta("version").toInt, meta("subspaces").toInt,
+      meta("n_codes").toInt, meta("iters").toInt)
   }
 
   /** Compact the persisted base+deltas into one new base, then sweep the

@@ -1191,22 +1191,20 @@ object TextAnalysis {
     val onDisk =
       IndexFiles.numbered(spark, path, "delta_").map(_._1).maxOption.getOrElse(0L)
     val stamped = IndexFiles.numbered(spark, path, "base_v").lastOption
-      .map { case (_, p) => spark.read.parquet(s"$p/meta").head().getAs[Long]("last_delta") }
+      .map { case (_, p) => IndexFiles.readMeta(spark, p.toString)("last_delta").toLong }
       .getOrElse(0L)
     math.max(onDisk, stamped)
   }
 
   private def saveAdditiveBase(stats: DataFrame, path: String): Unit = {
     val spark = stats.sparkSession
-    import spark.implicits._
     val lastDelta = additiveHighWater(spark, path)
     val v = IndexFiles.numbered(spark, path, "base_v")
       .map(_._1).maxOption.getOrElse(0L) + 1
     val tmp = s"$path/base_v$v.tmp"
     IndexFiles.delete(spark, tmp)
-    stats.write.mode("overwrite").parquet(s"$tmp/stats")
-    Seq(lastDelta).toDF("last_delta")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexFiles.sizedForWrite(stats).write.mode("overwrite").parquet(s"$tmp/stats")
+    IndexFiles.writeMetaKv(spark, tmp, Seq("last_delta" -> lastDelta.toString))
     IndexFiles.publish(spark, tmp, s"$path/base_v$v")
     IndexFiles.numbered(spark, path, "base_v").filter(_._1 < v)
       .foreach { case (_, p) => IndexFiles.delete(spark, p.toString) }
@@ -1221,7 +1219,7 @@ object TextAnalysis {
     val spark = batchStats.sparkSession
     val tmp = s"$path/delta_$id.tmp"
     IndexFiles.delete(spark, tmp)
-    batchStats.write.mode("overwrite").parquet(s"$tmp/stats")
+    IndexFiles.sizedForWrite(batchStats).write.mode("overwrite").parquet(s"$tmp/stats")
     IndexFiles.publish(spark, tmp, s"$path/delta_$id")
     id
   }
@@ -1239,7 +1237,7 @@ object TextAnalysis {
     val bases = IndexFiles.numbered(spark, path, "base_v")
     require(bases.nonEmpty, s"no persisted stats at $path")
     val base = bases.last._2.toString
-    val stamp = spark.read.parquet(s"$base/meta").head().getAs[Long]("last_delta")
+    val stamp = IndexFiles.readMeta(spark, base)("last_delta").toLong
     spark.read.parquet(s"$base/stats") +:
       IndexFiles.numbered(spark, path, "delta_").filter(_._1 > stamp)
         .map { case (_, p) => spark.read.parquet(s"$p/stats") }
@@ -1271,7 +1269,7 @@ object TextAnalysis {
     val spark = batchStats.sparkSession
     val stamped = IndexFiles.numbered(spark, path, "base_v").lastOption
       .map { case (_, p) =>
-        spark.read.parquet(s"$p/meta").head().getAs[Long]("last_delta") }
+        IndexFiles.readMeta(spark, p.toString)("last_delta").toLong }
       .getOrElse(0L)
     if (id <= stamped) None
     else Some(saveAdditiveDeltaAt(batchStats, path, id))
