@@ -588,24 +588,41 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"), pmod(col("h"), lit(KmvP)).as("b"))
       .agg(min("h").as("mn"), count(lit(1)).as("cb"))
     val wReg = Window.partitionBy("l_returnflag").orderBy("mn")
+    // the exact per-flag row count rides THIS aggregation (sum of the
+    // per-register counts — every row lands in exactly one register), so
+    // the `cnt` output column and the broadcast τ table share ONE identical
+    // subtree and exchange reuse computes the register pass once. The
+    // previous spelling derived cnt from a second `regs.groupBy(flag)`
+    // whose plan shape differed from τ's window chain — nothing matched,
+    // and the "no extra corpus pass" comment was defeated by a fourth full
+    // lineitem scan (r13 plan audit: 4 scans → 3, the minimum for
+    // register + prune + sample).
     val tau = regs.withColumn("rn", row_number().over(wReg))
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("nb"), max(when(col("rn") === KmvK, col("mn"))).as("tk"))
+      .agg(count(lit(1)).as("nb"), max(when(col("rn") === KmvK, col("mn"))).as("tk"),
+        sum("cb").as("cnt"))
       .select(col("l_returnflag"),
-        when(col("nb") < KmvK, lit(Long.MaxValue)).otherwise(col("tk")).as("tau"))
-    // exact bottom-k over the pruned sliver
+        when(col("nb") < KmvK, lit(Long.MaxValue)).otherwise(col("tk")).as("tau"),
+        col("cnt"))
+    // exact bottom-k over the pruned sliver. `cnt` RIDES the chain (it is
+    // constant per flag, so the distinct / window / group results are
+    // untouched) — the alternative, a second read of τ's aggregate, loses
+    // its window subtree to column pruning and re-runs the register pass
+    // as a fourth corpus scan (r13 plan audit).
     val wH = Window.partitionBy("l_returnflag").orderBy("h")
     val kmv = li.select(col("l_returnflag"), h.as("h"))
       .join(broadcast(tau), Seq("l_returnflag"))
       .filter(col("h") <= col("tau"))
-      .select("l_returnflag", "h").distinct()
+      .select("l_returnflag", "h", "cnt").distinct()
       .withColumn("rn", row_number().over(wH))
       .filter(col("rn") <= KmvK)
       .groupBy("l_returnflag")
-      .agg(max("rn").as("n"), max(when(col("rn") === KmvK, col("h"))).as("hk"))
+      .agg(max("rn").as("n"), max(when(col("rn") === KmvK, col("h"))).as("hk"),
+        max("cnt").as("cnt"))
       .select(col("l_returnflag"),
         when(col("n") < KmvK, col("n").cast("long"))
-          .otherwise(expr(s"${(KmvK - 1).toLong * KmvR} DIV hk")).as("approx_parts"))
+          .otherwise(expr(s"${(KmvK - 1).toLong * KmvR} DIV hk")).as("approx_parts"),
+        col("cnt"))
     // deterministic 25% sample, discrete quantiles over cents
     val draw = conv(substring(md5(concat_ws(":", lit("aprx0"),
       col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))
@@ -622,18 +639,21 @@ object RelationalQueries {
       .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
       .groupBy("l_returnflag", "c")
       .agg(count(lit(1)).as("f"))
-    val tot = cnts.groupBy("l_returnflag").agg(sum("f").as("nn"))
+    // per-flag total as a SECOND window over the same partitioning instead
+    // of a groupBy+broadcast-join of the cnts subtree: the join spelling
+    // re-derived cnts from a second full sample scan (no subtree reuse —
+    // r13 plan audit); both windows share one exchange+sort over the
+    // bounded distinct-cents frame
     val wC = Window.partitionBy("l_returnflag").orderBy("c") // distinct-cents frame
     val q = cnts.withColumn("cum", sum("f").over(wC))
-      .join(broadcast(tot), Seq("l_returnflag"))
+      .withColumn("nn", sum("f").over(Window.partitionBy("l_returnflag")))
       .groupBy("l_returnflag")
       .agg(
         (min(when(col("cum") >= expr("(nn * 50 + 99) DIV 100"), col("c"))) / 100.0).as("p50_price"),
         (min(when(col("cum") >= expr("(nn * 95 + 99) DIV 100"), col("c"))) / 100.0).as("p95_price"))
-    // exact per-flag count = sum of the register-pass per-bucket counts
-    // (every row lands in exactly one register) — no extra corpus pass
-    val cnt = regs.groupBy("l_returnflag").agg(sum("cb").as("cnt"))
-    kmv.join(q, Seq("l_returnflag")).join(cnt, Seq("l_returnflag"))
+    // exact per-flag count = the `cnt` the kmv chain carried through from
+    // the broadcast τ table — no extra corpus pass, this time for real
+    kmv.join(q, Seq("l_returnflag"))
       .select("l_returnflag", "approx_parts", "p50_price", "p95_price", "cnt")
       .orderBy("l_returnflag")
   }
@@ -677,21 +697,34 @@ object RelationalQueries {
     * (0.25/0.5/0.75): every interpolation operand is then exactly
     * representable, so linear interpolation is bit-identical regardless of
     * which algebraic form an engine uses. */
-  def exactAgg(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
+  def exactAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    // SPLIT the distinct count from the percentile aggregate: fused, the
+    // single-distinct rewrite keys the FIRST aggregation level by
+    // (l_returnflag, l_partkey) and every one of those ~200k groups carries
+    // a partial PERCENTILE BUFFER (a serialized value→count map) through
+    // the exchange — the shuffle moves 200k maps so that 3 groups can be
+    // counted (r13 plan audit). Split, the percentile pass shuffles 3
+    // map-side-combined buffers total and the distinct pass shuffles bare
+    // (flag, partkey) rows; the 3-row join is broadcast. Same answers, and
+    // at 100 TB the difference between shuffling per-key sketch buffers
+    // and shuffling keys is the job.
+    val pct = li.groupBy("l_returnflag")
       .agg(
-        count_distinct(col("l_partkey")).as("exact_parts"),
         // one percentile buffer for all three fractions, not three
         percentile(cents(col("l_extendedprice")),
           array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
         count(lit(1)).as("cnt"))
+    val parts = li.groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("exact_parts"))
+    pct.join(broadcast(parts), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"),
         (col("ps")(0) / 100.0).as("p25_price"),
         (col("ps")(1) / 100.0).as("p50_price"),
         (col("ps")(2) / 100.0).as("p75_price"),
         col("cnt"))
       .orderBy("l_returnflag")
+  }
 
   val exactAggSql: String =
     """SELECT l_returnflag,
