@@ -58,6 +58,58 @@ object DeltaProfile {
             .orderBy("doc_id")
             .write.format("noop").mode("overwrite").save()
         }
+      } else if (which == "graph") {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val path = java.nio.file.Files.createTempDirectory("graft-prof").toString
+        var idx0: Similarity.KnnGraphIndex = null
+        stage("build_base") { idx0 = Similarity.knnGraphIndex(
+          e.filter(pmod(col("vec_id"), lit(3)) === 0)) }
+        stage("save_base")(Similarity.saveKnnGraph(idx0, path))
+        var holder: graft.operators.RefreshableKnnGraph = null
+        stage("load_base") { holder = new graft.operators.RefreshableKnnGraph(
+          Similarity.loadKnnGraph(spark, path)) }
+        stage("fold")(holder.fold(
+          e.filter(pmod(col("vec_id"), lit(3)) === 1), deltaPath = Some(path)))
+        var pinned: Similarity.KnnGraphIndex = null
+        stage("reload") {
+          val reloaded = Similarity.loadKnnGraph(spark, path)
+          pinned = reloaded.truncated()
+          reloaded.release()
+        }
+        IndexFiles.delete(spark, path)
+        stage("gate_query") {
+          pinned.edges.orderBy("query_id", "rnk")
+            .write.format("noop").mode("overwrite").save()
+        }
+      } else if (which == "pq") {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val path = java.nio.file.Files.createTempDirectory("graft-prof").toString
+        var idx0: Similarity.PqIndex = null
+        stage("build_base") { idx0 = Similarity.pqIndexBuild(
+          e.filter(pmod(col("vec_id"), lit(3)) === 0)) }
+        stage("save_base")(Similarity.savePqIndex(idx0, path))
+        var loaded: Similarity.PqIndex = null
+        stage("load_base") { loaded = Similarity.loadPqIndex(spark, path) }
+        var delta: Similarity.PqDelta = null
+        var drop: () => Unit = null
+        stage("fold") {
+          val (_, dd, dr) = Similarity.appendEncodePqTracked(
+            loaded, e.filter(pmod(col("vec_id"), lit(3)) === 1))
+          delta = dd; drop = dr
+        }
+        stage("save_delta")(Similarity.savePqIndexDelta(delta, path))
+        drop(); loaded.release()
+        var pinned: Similarity.PqIndex = null
+        stage("reload") {
+          val reloaded = Similarity.loadPqIndex(spark, path)
+          pinned = reloaded.truncated()
+          reloaded.release()
+        }
+        IndexFiles.delete(spark, path)
+        stage("gate_query") {
+          Similarity.pqTopKOver(pinned)
+            .write.format("noop").mode("overwrite").save()
+        }
       } else {
         val e = Tables.load(spark, sfDir, "embeddings")
         val path = java.nio.file.Files.createTempDirectory("graft-prof").toString

@@ -84,48 +84,60 @@ object SparkEntry {
     // text_pins reads dedup's dup-group pin).
     def fut(body: => Unit): scala.concurrent.Future[Unit] =
       if (sequential) Future.fromTry(scala.util.Try(body)) else Future(body)
+    // settle ALL futures to COMPLETION before rethrowing (fail-fast would
+    // return control while siblings still run warm jobs)
+    def settle(fs: Seq[scala.concurrent.Future[Unit]]): Unit =
+      Await.result(Future.sequence(
+        fs.map(_.transform(scala.util.Success(_)))), Duration.Inf)
+        .foreach(_.get)
     val logChain = fut {
       stage("render")(renderedLines(s, dir).count())
       // the two parse+merge corpora are independent once the clean lines
       // are rendered (the noisy corpus renders its own lines inline) —
       // concurrent halves the log chain's post-render wall time
       val parses = Seq(false, true).map(noisy => fut {
-        stage(s"parse_merge(noisy=$noisy)") {
-          val p = parsed(s, dir, noisy)
-          p.count()
-          QueryMerge.stateInserts(p).count()
-          QueryMerge.classified(p).count()
-        }
-        // the fleet twin's namespaced merge pins ride the clean corpus —
-        // without them log_merged_fleet re-ran the lifecycle fold per run
-        if (!noisy) stage("fleet_pins") {
-          val f = fleetParsed(s, dir)
-          QueryMerge.stateInserts(f).count()
-          QueryMerge.classified(f).count()
-        }
+        stage(s"parse(noisy=$noisy)")(parsed(s, dir, noisy).count())
+        // once the parse pin is materialized, the two merge-subtree pins
+        // and (clean corpus only) the fleet twin's pins are independent
+        // jobs — running them concurrently shortens the chain's tail by
+        // the smaller pins' wall time (r13; each was serial before)
+        val p = parsed(s, dir, noisy)
+        settle(Seq(
+          fut(stage(s"merge_pins(noisy=$noisy)") {
+            QueryMerge.stateInserts(p).count()
+            QueryMerge.classified(p).count()
+          })) ++
+          // the fleet twin's namespaced merge pins ride the clean corpus —
+          // without them log_merged_fleet re-ran the lifecycle fold per run
+          (if (noisy) Nil else Seq(fut(stage("fleet_pins") {
+            val f = fleetParsed(s, dir)
+            QueryMerge.stateInserts(f).count()
+            QueryMerge.classified(f).count()
+          }))))
       })
-      Await.result(Future.sequence(
-        parses.map(_.transform(scala.util.Success(_)))), Duration.Inf)
-        .foreach(_.get)
+      settle(parses)
     }
     // the pipeline families' pinned working sets (dup groups, shingle sets,
     // winnowing fingerprints, quantized vectors, the k-means assignment)
     val docs = Tables.load(s, dir, "documents")
     val docChain = fut {
-      stage("dedup_pins")(Dedup.warmPins(docs))
-      stage("text_pins")(TextAnalysis.warmPins(docs))
+      // the shared dup-group + shingle pins first (both families read
+      // them; materializing before the fork avoids a double-pin race on
+      // the same plan key), then the CC cluster labeling and the text
+      // fingerprint pins — independent — run concurrently (r13)
+      stage("dedup_base")(Dedup.warmBasePins(docs))
+      settle(Seq(
+        fut(stage("dedup_clusters")(Dedup.warmClusterPin(docs))),
+        fut(stage("text_pins")(TextAnalysis.warmPins(docs)))))
     }
     val simChain = fut {
       stage("sim_pins")(Similarity.warmPins(Tables.load(s, dir, "embeddings")))
     }
-    // await ALL chains to COMPLETION before rethrowing: Future.sequence
-    // fails fast, which would return control to Bench while the sibling
-    // chains still run warm jobs — contaminating the per-query timings
-    // with nothing in the artifact flagging it
-    val settled = Await.result(
-      Future.sequence(Seq(logChain, docChain, simChain)
-        .map(_.transform(scala.util.Success(_)))), Duration.Inf)
-    settled.foreach(_.get) // rethrow the first failure, if any
+    // await ALL chains to COMPLETION before rethrowing: a fail-fast return
+    // would hand control back to Bench while the sibling chains still run
+    // warm jobs — contaminating the per-query timings with nothing in the
+    // artifact flagging it
+    settle(Seq(logChain, docChain, simChain))
     ()
   }
 

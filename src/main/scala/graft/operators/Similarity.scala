@@ -1396,11 +1396,12 @@ object Similarity {
   /** Exact (quantized-cosine) ranking of a `(query_id, neighbor_id)`
     * candidate set — the shared verification tail of the ANN variants: only
     * candidate pairs pay a dot product, the window partitions on query_id. */
-  private def rankCandidates(cand: DataFrame, q: DataFrame, k: Int): DataFrame = {
+  private def rankCandidates(cand: DataFrame, q: DataFrame, k: Int,
+      ordered: Boolean = true): DataFrame = {
     val vecs = q.select(col("vec_id"), col("q"), col("nq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand
+    val ranked = cand
       .join(vecs.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("nqa")), Seq("query_id"))
       .join(vecs.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nqb")), Seq("neighbor_id"))
       .withColumn("dot", dotCol)
@@ -1409,7 +1410,11 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "cos", "rnk")
-      .orderBy("query_id", "rnk")
+    // `ordered = false` for INDEX-INTERNAL edge lists (graph builds/folds):
+    // the rows are immediately cached/checkpointed/unioned, so the
+    // presentation sort is a wasted range exchange + global sort per fold
+    // (r13); row surfaces keep the ordered form
+    if (ordered) ranked.orderBy("query_id", "rnk") else ranked
   }
 
   /** IVF (inverted-file) approximate NN — the second 100 TB scale path next
@@ -1606,7 +1611,7 @@ object Similarity {
       .join(qn.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val edges = cache(rankCandidates(cand, q, k))
+    val edges = cache(rankCandidates(cand, q, k, ordered = false))
     KnnGraphIndex(cents, qn, probes, edges, k, nProbe)
   }
 
@@ -1676,7 +1681,7 @@ object Similarity {
       .join(qnAll.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val edgesNew = rankCandidates(candNew, qAll, idx.k)
+    val edgesNew = rankCandidates(candNew, qAll, idx.k, ordered = false)
 
     // affected old queries: a new vector landed in a probed cell
     val newInCell = assignedNew.select(col("cell"), col("vec_id").as("neighbor_id"))
@@ -1687,7 +1692,7 @@ object Similarity {
     val mergedCand = idx.edges.join(affected, Seq("query_id"))
       .select("query_id", "neighbor_id")
       .unionByName(affCand)
-    val edgesUpd = rankCandidates(mergedCand, qAll, idx.k)
+    val edgesUpd = rankCandidates(mergedCand, qAll, idx.k, ordered = false)
 
     GraphSegmentParts(qnNew, probesNew, edgesUpd.unionByName(edgesNew),
       affected, qnAll)
