@@ -78,7 +78,8 @@ object DataPipelineQueries {
       Dedup.saveIndexDelta(delta, path)
       dropFoldCaches()
       loaded.release()
-      val reloaded = Dedup.loadIndex(s, path)
+      // pin = false: reloaded is immediately checkpointed and discarded
+      val reloaded = Dedup.loadIndex(s, path, pin = false)
       val pinned = reloaded.truncated()
       reloaded.release()
       IndexFiles.delete(s, path)
@@ -119,7 +120,8 @@ object DataPipelineQueries {
       Similarity.saveEmbedIndexDelta(delta, path)
       dropFoldCaches()
       loaded.release()
-      val reloaded = Similarity.loadEmbedIndex(s, path)
+      // pin = false: reloaded is immediately checkpointed and discarded
+      val reloaded = Similarity.loadEmbedIndex(s, path, pin = false)
       val pinned = reloaded.truncated()
       reloaded.release()
       IndexFiles.delete(s, path)
@@ -155,7 +157,8 @@ object DataPipelineQueries {
       val holder = new graft.operators.RefreshableKnnGraph(
         Similarity.loadKnnGraph(s, path))
       holder.fold(e.filter(pmod(col("vec_id"), lit(3)) === 1), deltaPath = Some(path))
-      val reloaded = Similarity.loadKnnGraph(s, path)
+      // pin = false: reloaded is immediately checkpointed and discarded
+      val reloaded = Similarity.loadKnnGraph(s, path, pin = false)
       val pinned = reloaded.truncated()
       reloaded.release()
       IndexFiles.delete(s, path)
@@ -197,7 +200,8 @@ object DataPipelineQueries {
       Similarity.savePqIndexDelta(delta, path)
       dropFoldCaches()
       loaded.release()
-      val reloaded = Similarity.loadPqIndex(s, path)
+      // pin = false: reloaded is immediately checkpointed and discarded
+      val reloaded = Similarity.loadPqIndex(s, path, pin = false)
       val pinned = reloaded.truncated()
       reloaded.release()
       IndexFiles.delete(s, path)

@@ -1648,7 +1648,19 @@ object Dedup {
     * contents-identical across fold/save/load/compact, and the
     * `dedup_index_delta` registry row pins the gate output against the
     * DuckDB oracle through a full base+delta round trip. */
-  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): CorpusIndex = {
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): CorpusIndex =
+    loadIndex(spark, path, pin = true)
+
+  /** [[loadIndex]] with the component pinning optional: a caller that
+    * immediately `truncated()`s the loaded index (the delta registry rows'
+    * reload, [[compactIndex]]) writes every component to executor storage
+    * TWICE under the pinned load — once filling the pin's cache blocks,
+    * once for the checkpoint RDD the truncation keeps. `pin = false` skips
+    * the doomed pin; callers that QUERY the loaded index repeatedly (the
+    * daemons' startup load, the gate rows' first load whose components the
+    * fold joins against more than once) keep the default. */
+  private[graft] def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, pin: Boolean): CorpusIndex = {
     val bases = IndexFiles.numbered(spark, path, "base_v")
     require(bases.nonEmpty, s"no persisted corpus index at $path")
     val base = bases.last._2.toString
@@ -1673,16 +1685,17 @@ object Dedup {
       bW = bW.unionAll(rd(d, "bucket_bloom_words"))
       oversized = rd(d, "oversized")
     }
-    val pin = PinnedCaches.pin _
-    val oversizedP = pin(oversized)
+    val pinF: DataFrame => DataFrame =
+      if (pin) PinnedCaches.pin else identity
+    val oversizedP = pinF(oversized)
     val buckets =
-      if (deltas.isEmpty) pin(bucketRows) // base buckets are already capped
-      else pin(bucketRows.join(
+      if (deltas.isEmpty) pinF(bucketRows) // base buckets are already capped
+      else pinF(bucketRows.join(
         broadcast(oversizedP.select("band", "sig")), Seq("band", "sig"), "left_anti"))
     def orWords(df: DataFrame): DataFrame =
       if (deltas.isEmpty) df
       else df.groupBy("w").agg(bit_or(col("bits")).as("bits"))
-    CorpusIndex(pin(fps), pin(sets), buckets, pin(orWords(fpW)), pin(orWords(bW)),
+    CorpusIndex(pinF(fps), pinF(sets), buckets, pinF(orWords(fpW)), pinF(orWords(bW)),
       meta("log_bloom_bits").toInt, oversizedP,
       meta("bucket_cap").toInt)
   }
@@ -1699,7 +1712,9 @@ object Dedup {
     * the `last_delta` rule skips. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val folded = deltaHighWater(spark, path)
-    val loaded = loadIndex(spark, path)
+    // pin = false: the load is immediately checkpointed and discarded, so
+    // pinning would write every component to executor storage twice
+    val loaded = loadIndex(spark, path, pin = false)
     val snap = loaded.truncated()
     loaded.release()
     saveIndex(snap, path) // stamps last_delta = folded (single-writer)

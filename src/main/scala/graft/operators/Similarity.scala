@@ -572,7 +572,15 @@ object Similarity {
     * `oversized` subsumes every earlier drop). Contents-identical to the
     * in-memory folded index (spec-pinned; `embed_index_delta` pins the gate
     * output through the round trip). */
-  def loadEmbedIndex(spark: org.apache.spark.sql.SparkSession, path: String): EmbedIndex = {
+  def loadEmbedIndex(spark: org.apache.spark.sql.SparkSession, path: String): EmbedIndex =
+    loadEmbedIndex(spark, path, pin = true)
+
+  /** [[loadEmbedIndex]] with optional component pinning — `pin = false` for
+    * load-then-truncate callers (the delta row's reload, compaction), which
+    * otherwise materialize every component to executor storage twice (see
+    * [[graft.operators.Dedup.loadIndex]]). */
+  private[graft] def loadEmbedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, pin: Boolean): EmbedIndex = {
     val bases = IndexFiles.numbered(spark, path, "base_v")
     require(bases.nonEmpty, s"no persisted embed index at $path")
     val base = bases.last._2.toString
@@ -590,13 +598,14 @@ object Similarity {
       cbRows = cbRows.unionByName(rd(d, "fresh_buckets"))
       oversized = rd(d, "oversized")
     }
-    val pin = PinnedCaches.pin _
-    val oversizedP = pin(oversized)
+    val pinF: DataFrame => DataFrame =
+      if (pin) PinnedCaches.pin else identity
+    val oversizedP = pinF(oversized)
     val cb =
-      if (deltas.isEmpty) pin(cbRows)
-      else pin(cbRows.join(
+      if (deltas.isEmpty) pinF(cbRows)
+      else pinF(cbRows.join(
         broadcast(oversizedP.select("table", "bucket")), Seq("table", "bucket"), "left_anti"))
-    EmbedIndex(pin(qc), cb, oversizedP, meta("bucket_cap").toInt,
+    EmbedIndex(pinF(qc), cb, oversizedP, meta("bucket_cap").toInt,
       // metas written before the gate's table count was persisted carry no
       // `tables` key; those indexes were built at the then-global 4
       meta.getOrElse("tables", NumTables.toString).toInt)
@@ -606,7 +615,7 @@ object Similarity {
     * [[graft.operators.Dedup.compactIndex]]'s vector twin. */
   def compactEmbedIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val folded = embedDeltaHighWater(spark, path)
-    val loaded = loadEmbedIndex(spark, path)
+    val loaded = loadEmbedIndex(spark, path, pin = false)
     val snap = loaded.truncated()
     loaded.release()
     saveEmbedIndex(snap, path)
@@ -1861,7 +1870,12 @@ object Similarity {
     * equals folding the original (spec-pinned) — a restarted graph
     * lifecycle resumes instead of rebuilding. */
   def loadKnnGraph(spark: org.apache.spark.sql.SparkSession,
-      path: String): KnnGraphIndex = {
+      path: String): KnnGraphIndex = loadKnnGraph(spark, path, pin = true)
+
+  /** [[loadKnnGraph]] with optional component pinning — `pin = false` for
+    * load-then-truncate callers (see [[graft.operators.Dedup.loadIndex]]). */
+  private[graft] def loadKnnGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String, pin: Boolean): KnnGraphIndex = {
     val bases = IndexFiles.numbered(spark, path, "base_v")
     require(bases.nonEmpty, s"no persisted knn graph at $path")
     val base = bases.last._2.toString
@@ -1880,9 +1894,10 @@ object Similarity {
       edges = edges.join(broadcast(rd(d, "tombstones")), Seq("query_id"), "left_anti")
         .unionByName(rd(d, "edges_seg"))
     }
-    val pin = PinnedCaches.pin _
-    KnnGraphIndex(pin(rd(base, "cents")), pin(qn), pin(probes),
-      pin(edges), meta("k").toInt, meta("n_probe").toInt)
+    val pinF: DataFrame => DataFrame =
+      if (pin) PinnedCaches.pin else identity
+    KnnGraphIndex(pinF(rd(base, "cents")), pinF(qn), pinF(probes),
+      pinF(edges), meta("k").toInt, meta("n_probe").toInt)
   }
 
   /** Compact the persisted base+deltas into one new base, then sweep the
@@ -1890,7 +1905,7 @@ object Similarity {
     * depth), same discipline as the other families. */
   def compactKnnGraph(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val folded = graphDeltaHighWater(spark, path)
-    val loaded = loadKnnGraph(spark, path)
+    val loaded = loadKnnGraph(spark, path, pin = false)
     val snap = loaded.truncated()
     loaded.release()
     saveKnnGraph(snap, path)
@@ -2542,7 +2557,13 @@ object Similarity {
     * stamp, appended in id order (pure append — replay is two unions).
     * Contents-identical to the in-memory append chain (spec-pinned;
     * `sim_pq_delta` pins the ADC chain's answers through the round trip). */
-  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex =
+    loadPqIndex(spark, path, pin = true)
+
+  /** [[loadPqIndex]] with optional component pinning — `pin = false` for
+    * load-then-truncate callers (see [[graft.operators.Dedup.loadIndex]]). */
+  private[graft] def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, pin: Boolean): PqIndex = {
     val bases = IndexFiles.numbered(spark, path, "base_v")
     require(bases.nonEmpty, s"no persisted pq index at $path")
     val base = bases.last._2.toString
@@ -2557,8 +2578,9 @@ object Similarity {
       codes = codes.unionByName(rd(p.toString, "codes_new"))
       qn = qn.unionByName(rd(p.toString, "q_new"))
     }
-    val pin = PinnedCaches.pin _
-    PqIndex(pin(rd(base, "cents")), pin(codes), pin(qn),
+    val pinF: DataFrame => DataFrame =
+      if (pin) PinnedCaches.pin else identity
+    PqIndex(pinF(rd(base, "cents")), pinF(codes), pinF(qn),
       meta("version").toInt, meta("subspaces").toInt,
       meta("n_codes").toInt, meta("iters").toInt)
   }
@@ -2568,7 +2590,7 @@ object Similarity {
     * as [[graft.operators.Dedup.compactIndex]]. */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val folded = pqDeltaHighWater(spark, path)
-    val loaded = loadPqIndex(spark, path)
+    val loaded = loadPqIndex(spark, path, pin = false)
     val snap = loaded.truncated()
     loaded.release()
     savePqIndex(snap, path)
